@@ -1,0 +1,78 @@
+"""SCD0/SCD1 merge semantics — the reference's signature write pattern
+(SURVEY.md §2.6), without a mutable database.
+
+The reference relies on Postgres UNIQUE indexes + ``ON CONFLICT`` clauses:
+- SCD0 insert-ignore (``modules/load_deliveries.py:59-64``,
+  ``sql/timestamps_stg_to_dds.sql:10-22``, ``sql/deliveries_stg_to_dds.sql:38-43``)
+- SCD1 upsert (``modules/load_couriers.py:43-49``, ``sql/couriers_stg_to_dds.sql:21-27``,
+  ``sql/courier_ledger_update.sql:74-112``)
+
+On a lakehouse these become pure dataframe algebra (Delta MERGE where available;
+these helpers are the storage-agnostic core used by both paths):
+
+- SCD0 → **left-anti join** of the increment against existing keys, then append.
+- SCD1 → source wins on conflict: target-anti-source ∪ source, then overwrite
+  (or Delta MERGE whenMatchedUpdate/whenNotMatchedInsert).
+
+Scale notes: both are single-shuffle equi-joins on the business key; when the
+increment is small relative to the target (the daily case), Spark broadcasts the
+increment side automatically under AQE. Writes partitioned by date keep the
+rewritten data bounded. Within-batch duplicate keys are resolved deterministically
+(first by a stable tiebreaker), mirroring the reference's row-at-a-time loop where
+the first INSERT wins (SCD0) / the last UPDATE wins (SCD1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dedup_within_batch(df: DataFrame, keys: Sequence[str], tiebreaker: Column | None, keep_last: bool) -> DataFrame:
+    """Deterministically keep one row per key inside a single batch."""
+    if tiebreaker is None:
+        return df.dropDuplicates(list(keys))
+    order = tiebreaker.desc() if keep_last else tiebreaker.asc()
+    w = Window.partitionBy(*keys).orderBy(order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+def scd0_new_rows(
+    increment: DataFrame,
+    existing_keys: DataFrame,
+    keys: Sequence[str],
+    tiebreaker: Column | None = None,
+) -> DataFrame:
+    """SCD0 ``ON CONFLICT DO NOTHING``: rows of ``increment`` whose key is not
+    already present. Append the result to the target; existing rows are never
+    touched (modules/load_deliveries.py:62)."""
+    new_rows = increment.join(
+        existing_keys.select(*keys), on=list(keys), how="left_anti"
+    )
+    return _dedup_within_batch(new_rows, keys, tiebreaker, keep_last=False)
+
+
+def scd1_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    tiebreaker: Column | None = None,
+) -> DataFrame:
+    """SCD1 ``ON CONFLICT DO UPDATE``: source rows win on key conflict; unmatched
+    target rows survive (sql/couriers_stg_to_dds.sql:21-27). Returns the new full
+    state of the target (caller overwrites / MERGEs)."""
+    source = _dedup_within_batch(source, keys, tiebreaker, keep_last=True)
+    kept = target.join(source.select(*keys), on=list(keys), how="left_anti")
+    return source.unionByName(kept)
+
+
+def idempotent_append(
+    increment: DataFrame, existing: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Convenience: full new state for an SCD0 target = existing ∪ never-seen rows."""
+    return existing.unionByName(scd0_new_rows(increment, existing, keys))

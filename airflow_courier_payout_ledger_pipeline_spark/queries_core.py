@@ -1,0 +1,387 @@
+"""Core-pipeline operator queries (SURVEY.md §2.1-§2.6), one registry entry per
+operator row, each with a DuckDB oracle twin.
+
+These run over the driver testdata via the FIXTURES.md §5 analogy; the operator
+implementations themselves live in ``operators/`` / ``functions/`` and are reused by
+the real pipeline jobs in ``plans/``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_courier_payout_ledger_pipeline_spark.plans.tpch_adapter import (
+    MONEY,
+    load_tables,
+    timestamps_dim_from_orders,
+)
+from airflow_courier_payout_ledger_pipeline_spark.registry import register
+
+# --- P1/P2: JSON field extraction + casts (sql/deliveries_stg_to_dds.sql:4-10) ------
+
+JSON_EXTRACT_ORACLE = """
+SELECT
+    event_id,
+    CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
+    CAST(value AS DECIMAL(14,2)) AS value_dec,
+    event_type
+FROM events
+"""
+
+
+@register("json_extract", JSON_EXTRACT_ORACLE)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: schema-on-read JSON projection (``json_response::json ->> 'k'``) + P2
+    casts, over the events table's ``props`` JSON column."""
+    events = load_tables(spark, sf_dir, "events")["events"]
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        F.col("value").cast(MONEY).alias("value_dec"),
+        "event_type",
+    )
+
+
+# --- P3/P4: watermark predicate with coalesce fallback (deliveries_stg_to_dds:13-16) -
+
+WATERMARK_FILTER_ORACLE = """
+SELECT
+    l_orderkey,
+    l_linenumber,
+    l_shipdate,
+    CAST(l_extendedprice AS DECIMAL(14,2)) AS order_sum
+FROM lineitem
+WHERE l_shipdate > COALESCE(NULL, TIMESTAMP '1998-01-01 00:00:00')
+"""
+
+
+@register("watermark_filter", WATERMARK_FILTER_ORACLE)
+def q_watermark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3+P4: strictly-greater-than watermark filter with a COALESCE'd default
+    cursor — the incremental-ingest predicate. The literal binds driver-side
+    (constant-folded → parquet predicate pushdown, SURVEY.md §4)."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    watermark = F.coalesce(F.lit(None).cast("timestamp"), F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    return li.filter(F.col("l_shipdate") > watermark).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.col("l_extendedprice").cast(MONEY).alias("order_sum"),
+    )
+
+
+# --- P5/P6 + A1: timestamp dimension expansion (sql/timestamps_stg_to_dds.sql:10-22) -
+
+TIMESTAMP_DIM_ORACLE = """
+SELECT DISTINCT
+    o_orderdate AS ts,
+    CAST(year(o_orderdate) AS SMALLINT) AS year,
+    CAST(month(o_orderdate) AS SMALLINT) AS month,
+    CAST(day(o_orderdate) AS SMALLINT) AS day,
+    strftime(o_orderdate, '%H:%M:%S') AS time,
+    CAST(o_orderdate AS DATE) AS date
+FROM orders
+"""
+
+
+@register("timestamp_dim", TIMESTAMP_DIM_ORACLE)
+def q_timestamp_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 dedup + P5/P6 date-part expansion → dm_timestamps rows (surrogate id
+    excluded: engine-specific)."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    return timestamps_dim_from_orders(orders).drop("id")
+
+
+# --- J1: broadcast dimension enrichment join (sql/couriers_stg_to_dds.sql:12-19) ----
+
+BROADCAST_ENRICH_ORACLE = """
+SELECT s.s_suppkey AS courier_sk, s.s_name AS courier_name, n.n_name AS nation, r.r_name AS region
+FROM supplier s
+INNER JOIN nation n ON s.s_nationkey = n.n_nationkey
+INNER JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+@register("broadcast_enrich", BROADCAST_ENRICH_ORACLE)
+def q_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: attribute-enrichment inner equi-join over small dims — explicitly
+    broadcast (zero shuffles at any scale)."""
+    t = load_tables(spark, sf_dir, "supplier", "nation", "region")
+    return (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("s_suppkey").alias("courier_sk"),
+            F.col("s_name").alias("courier_name"),
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+    )
+
+
+# --- J2: surrogate-key lookup join, drops rows with missing dims --------------------
+
+DIM_LOOKUP_ORACLE = """
+SELECT
+    l.l_orderkey || '-' || l.l_linenumber AS delivery_key,
+    o.o_orderkey AS order_sk,
+    s.s_suppkey AS courier_sk,
+    CAST(l.l_extendedprice AS DECIMAL(14,2)) AS order_sum
+FROM lineitem l
+INNER JOIN orders o ON l.l_orderkey = o.o_orderkey
+INNER JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE o.o_orderstatus = 'F'
+"""
+
+
+@register("dim_lookup_join", DIM_LOOKUP_ORACLE)
+def q_dim_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (sql/deliveries_stg_to_dds.sql:23-36): business-key → surrogate-key lookup
+    via chained inner joins; missing dims silently drop facts (here: only orders with
+    status 'F' "exist" in the dim). Dims broadcast."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "supplier")
+    orders_dim = t["orders"].filter(F.col("o_orderstatus") == "F")
+    return (
+        t["lineitem"]
+        .join(orders_dim, F.col("l_orderkey") == F.col("o_orderkey"), "inner")
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"), "inner")
+        .select(
+            F.concat_ws("-", "l_orderkey", "l_linenumber").alias("delivery_key"),
+            F.col("o_orderkey").alias("order_sk"),
+            F.col("s_suppkey").alias("courier_sk"),
+            F.col("l_extendedprice").cast(MONEY).alias("order_sum"),
+        )
+    )
+
+
+# --- A2/A3: ungrouped watermark cursor (max ts + non-empty guard) -------------------
+
+WATERMARK_CURSOR_ORACLE = """
+SELECT max(l_shipdate) AS last_loaded_ts, count(*) AS increment_rows
+FROM lineitem
+WHERE l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+"""
+
+
+@register("watermark_cursor", WATERMARK_CURSOR_ORACLE)
+def q_watermark_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+A3 (sql/deliveries_stg_to_dds.sql:19-21, modules/load_deliveries.py:66-75):
+    the new watermark cursor = max event time of the increment, with the row count
+    used as the empty-increment guard."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.filter(F.col("l_shipdate") > F.lit("1997-06-01 00:00:00").cast("timestamp")).agg(
+        F.max("l_shipdate").alias("last_loaded_ts"),
+        F.count("*").alias("increment_rows"),
+    )
+
+
+# --- A4/A5/A6: grouped agg with FILTERed average ------------------------------------
+
+FILTERED_AGG_ORACLE = """
+SELECT
+    l_suppkey AS courier_sk,
+    COUNT(*) AS deliveries,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS orders_total_sum,
+    avg(l_linenumber % 6) FILTER (WHERE l_linenumber % 6 BETWEEN 1 AND 5) AS rate_avg,
+    CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) * 0.25, 2) AS DECIMAL(14,2))
+        AS order_processing_fee
+FROM lineitem
+GROUP BY l_suppkey
+"""
+
+
+@register("filtered_agg", FILTERED_AGG_ORACLE)
+def q_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 hash-agg + A5 FILTERed avg (rating 0 = unrated, excluded) + A6 derived
+    aggregate (sql/courier_ledger_update.sql:2-25). Partial (map-side) aggregation
+    is automatic for all of these — one shuffle total."""
+    from airflow_courier_payout_ledger_pipeline_spark.functions.payout import (
+        order_processing_fee,
+        rated_avg,
+    )
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    rating = (F.col("l_linenumber") % 6).cast("smallint")
+    total = F.sum(F.col("l_extendedprice").cast(MONEY)).cast(MONEY)
+    return li.groupBy(F.col("l_suppkey").alias("courier_sk")).agg(
+        F.count("*").alias("deliveries"),
+        total.alias("orders_total_sum"),
+        rated_avg(rating).alias("rate_avg"),
+        F.round(order_processing_fee(total), 2).cast(MONEY).alias("order_processing_fee"),
+    )
+
+
+# --- C1/C2/C3: tier CASE logic standalone (sql/courier_ledger_update.sql:27-72) -----
+
+TIER_PAYOUT_ORACLE = """
+WITH m AS (
+    SELECT
+        l_suppkey AS courier_sk,
+        CAST(year(l_shipdate) AS SMALLINT) AS y,
+        CAST(month(l_shipdate) AS SMALLINT) AS m,
+        COUNT(*) AS orders_count_l,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS total,
+        avg(l_linenumber % 6) FILTER (WHERE l_linenumber % 6 BETWEEN 1 AND 5) AS rate_avg_x
+    FROM lineitem
+    GROUP BY 1, 2, 3
+),
+u1 AS (
+    SELECT *,
+        CASE
+            WHEN rate_avg_x < 4 THEN total * 0.05
+            WHEN rate_avg_x < 4.5 AND rate_avg_x >= 4 THEN total * 0.07
+            WHEN rate_avg_x < 4.9 AND rate_avg_x >= 4.5 THEN total * 0.08
+            WHEN rate_avg_x >= 4.9 THEN total * 0.10
+        END AS payout
+    FROM m
+)
+SELECT
+    courier_sk, y AS settlement_year, m AS settlement_month,
+    CAST(rate_avg_x AS DECIMAL(3,2)) AS rate_avg,
+    CAST(round(payout, 2) AS DECIMAL(14,2)) AS pct_payout,
+    CAST(round(
+        CASE
+            WHEN rate_avg_x < 4 AND payout < 100 * orders_count_l THEN 100 * orders_count_l
+            WHEN rate_avg_x < 4.5 AND rate_avg_x >= 4 AND payout < 150 * orders_count_l THEN 150 * orders_count_l
+            WHEN rate_avg_x < 4.9 AND rate_avg_x >= 4.5 AND payout < 175 * orders_count_l THEN 175 * orders_count_l
+            WHEN rate_avg_x >= 4.9 AND payout < 200 * orders_count_l THEN 200 * orders_count_l
+            ELSE payout
+        END, 2) AS DECIMAL(14,2)) AS floored_payout
+FROM u1
+"""
+
+
+@register("tier_payout", TIER_PAYOUT_ORACLE)
+def q_tier_payout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+C2 standalone: tier percentage then per-order floor enforcement, grouped by
+    courier × delivery month (uses l_shipdate so it differs from the flagship's
+    order-month attribution)."""
+    from airflow_courier_payout_ledger_pipeline_spark.functions.payout import (
+        rated_avg,
+        tier_floor_payout,
+        tier_percentage_payout,
+    )
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    rating = (F.col("l_linenumber") % 6).cast("smallint")
+    m = li.groupBy(
+        F.col("l_suppkey").alias("courier_sk"),
+        F.year("l_shipdate").cast("smallint").alias("y"),
+        F.month("l_shipdate").cast("smallint").alias("m"),
+    ).agg(
+        F.count("*").alias("orders_count_l"),
+        F.sum(F.col("l_extendedprice").cast(MONEY)).cast(MONEY).alias("total"),
+        rated_avg(rating).alias("rate_avg_x"),
+    )
+    u1 = m.withColumn("payout", tier_percentage_payout(F.col("rate_avg_x"), F.col("total")))
+    return u1.select(
+        "courier_sk",
+        F.col("y").alias("settlement_year"),
+        F.col("m").alias("settlement_month"),
+        F.col("rate_avg_x").cast("decimal(3,2)").alias("rate_avg"),
+        F.round("payout", 2).cast(MONEY).alias("pct_payout"),
+        F.round(
+            tier_floor_payout(F.col("rate_avg_x"), F.col("payout"), F.col("orders_count_l")), 2
+        )
+        .cast(MONEY)
+        .alias("floored_payout"),
+    )
+
+
+# --- M2: SCD0 insert-ignore via anti-join (modules/load_deliveries.py:59-64) --------
+
+SCD0_ORACLE = """
+WITH existing AS (
+    SELECT CAST(o_orderkey AS VARCHAR) AS delivery_key
+    FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+),
+increment AS (
+    -- overlapping re-extraction window: some rows already exist
+    SELECT CAST(o_orderkey AS VARCHAR) AS delivery_key,
+           o_orderdate,
+           CAST(o_totalprice AS DECIMAL(14,2)) AS order_sum
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+)
+SELECT i.delivery_key, i.o_orderdate, i.order_sum
+FROM increment i
+WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.delivery_key = i.delivery_key)
+"""
+
+
+@register("scd0_insert_ignore", SCD0_ORACLE)
+def q_scd0_insert_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: ``INSERT … ON CONFLICT DO NOTHING`` → left-anti join of the (overlapping)
+    increment against existing keys; only never-seen rows survive."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.merge import scd0_new_rows
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    key = F.col("o_orderkey").cast("string").alias("delivery_key")
+    existing = orders.filter(F.col("o_orderdate") < "1998-01-01").select(key)
+    increment = orders.filter(F.col("o_orderdate") >= "1997-01-01").select(
+        key, "o_orderdate", F.col("o_totalprice").cast(MONEY).alias("order_sum")
+    )
+    return scd0_new_rows(increment, existing, ["delivery_key"])
+
+
+# --- M1: SCD1 upsert via anti-join ∪ new (sql/couriers_stg_to_dds.sql:21-27) --------
+
+SCD1_ORACLE = """
+WITH existing AS (
+    SELECT s_suppkey AS courier_sk, 'stale-' || s_name AS courier_name
+    FROM supplier WHERE s_suppkey % 2 = 0
+),
+full_reload AS (
+    SELECT s_suppkey AS courier_sk, s_name AS courier_name
+    FROM supplier WHERE s_suppkey % 3 != 0
+)
+SELECT courier_sk, courier_name FROM full_reload
+UNION ALL
+SELECT e.courier_sk, e.courier_name
+FROM existing e
+WHERE NOT EXISTS (SELECT 1 FROM full_reload f WHERE f.courier_sk = e.courier_sk)
+"""
+
+
+@register("scd1_upsert", SCD1_ORACLE)
+def q_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: ``INSERT … ON CONFLICT DO UPDATE`` → source rows win on key conflict,
+    unmatched target rows are kept (anti-join ∪ source). Here: a full reload
+    (suppkey % 3 != 0) upserted over a stale-named subset (suppkey % 2 = 0)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.merge import scd1_upsert
+
+    sup = load_tables(spark, sf_dir, "supplier")["supplier"]
+    existing = sup.filter(F.col("s_suppkey") % 2 == 0).select(
+        F.col("s_suppkey").alias("courier_sk"),
+        F.concat(F.lit("stale-"), F.col("s_name")).alias("courier_name"),
+    )
+    full_reload = sup.filter(F.col("s_suppkey") % 3 != 0).select(
+        F.col("s_suppkey").alias("courier_sk"), F.col("s_name").alias("courier_name")
+    )
+    return scd1_upsert(existing, full_reload, ["courier_sk"])
+
+
+# --- S5/S6: watermark state round-trip (JSON KV document store) ---------------------
+
+WATERMARK_STATE_ORACLE = """
+SELECT
+    'deliveries_stg_to_dds' AS workflow_key,
+    to_json(struct_pack(last_loaded_ts := strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S')))
+        AS workflow_settings
+FROM lineitem
+"""
+
+
+@register("watermark_state", WATERMARK_STATE_ORACLE)
+def q_watermark_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 + P7 (sql/deliveries_stg_to_dds.sql:44-56): build the watermark KV row —
+    JSON document construction via to_json(struct(...)), the Spark analog of
+    jsonb_build_object."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.agg(F.max("l_shipdate").alias("mx")).select(
+        F.lit("deliveries_stg_to_dds").alias("workflow_key"),
+        F.to_json(
+            F.struct(F.date_format("mx", "yyyy-MM-dd HH:mm:ss").alias("last_loaded_ts"))
+        ).alias("workflow_settings"),
+    )
