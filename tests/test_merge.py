@@ -1,0 +1,61 @@
+"""SCD0/SCD1 merge semantics: idempotency, conflict resolution, within-batch dedup
+(SURVEY.md §2.6, modules/load_couriers.py:43-49, modules/load_deliveries.py:59-64)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_courier_payout_ledger_pipeline_spark.operators.merge import (
+    idempotent_append,
+    scd0_new_rows,
+    scd1_upsert,
+)
+
+
+def _df(spark, rows, schema="k string, v string, ts int"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_scd0_skips_existing_keys(spark):
+    existing = _df(spark, [("a", "old", 1)])
+    inc = _df(spark, [("a", "new", 2), ("b", "fresh", 2)])
+    out = {r.k: r.v for r in scd0_new_rows(inc, existing, ["k"]).collect()}
+    assert out == {"b": "fresh"}  # 'a' silently ignored (ON CONFLICT DO NOTHING)
+
+
+def test_scd0_within_batch_first_wins(spark):
+    inc = _df(spark, [("a", "first", 1), ("a", "second", 2)])
+    empty = _df(spark, [], "k string, v string, ts int")
+    out = scd0_new_rows(inc, empty, ["k"], tiebreaker=F.col("ts")).collect()
+    assert [(r.k, r.v) for r in out] == [("a", "first")]
+
+
+def test_scd0_idempotent(spark):
+    """Running the same promotion twice changes nothing (SURVEY.md §5.2)."""
+    existing = _df(spark, [("a", "v1", 1)])
+    inc = _df(spark, [("b", "v2", 2)])
+    once = idempotent_append(inc, existing, ["k"])
+    twice = idempotent_append(inc, once, ["k"])
+    assert sorted((r.k, r.v) for r in twice.collect()) == [("a", "v1"), ("b", "v2")]
+
+
+def test_scd1_source_wins_target_survives(spark):
+    target = _df(spark, [("a", "stale", 1), ("c", "keep", 1)])
+    source = _df(spark, [("a", "fresh", 2), ("b", "new", 2)])
+    out = {r.k: r.v for r in scd1_upsert(target, source, ["k"]).collect()}
+    assert out == {"a": "fresh", "b": "new", "c": "keep"}
+
+
+def test_scd1_within_batch_last_wins(spark):
+    target = _df(spark, [], "k string, v string, ts int")
+    source = _df(spark, [("a", "early", 1), ("a", "late", 2)])
+    out = scd1_upsert(target, source, ["k"], tiebreaker=F.col("ts")).collect()
+    assert [(r.k, r.v) for r in out] == [("a", "late")]
+
+
+def test_scd1_idempotent(spark):
+    target = _df(spark, [("a", "stale", 1)])
+    source = _df(spark, [("a", "fresh", 2)])
+    once = scd1_upsert(target, source, ["k"])
+    twice = scd1_upsert(once, source, ["k"])
+    assert {(r.k, r.v) for r in twice.collect()} == {("a", "fresh")}
