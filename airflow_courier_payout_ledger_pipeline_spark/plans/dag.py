@@ -1,0 +1,105 @@
+"""Airflow DAG mirroring the reference's orchestration
+(``dags/courier_ledger_dag.py:8-42``): daily at 00:15 UTC, one task per pipeline
+job. Import-gated — the engine has no hard Airflow dependency; on a real deployment
+each task is a spark-submit (or a @task calling the job function on a shared
+session).
+
+Improvements over the reference's strictly linear chain (noted in SURVEY.md §3.1):
+the couriers/timestamps/orders promotions are logically independent and run in
+parallel between the extraction tasks and the deliveries promotion.
+"""
+
+from __future__ import annotations
+
+import os
+
+try:
+    from airflow.decorators import dag, task
+    import pendulum
+
+    HAS_AIRFLOW = True
+except ImportError:  # engine works without Airflow; DAG just isn't registered
+    HAS_AIRFLOW = False
+
+
+if HAS_AIRFLOW:
+
+    @dag(
+        schedule="15 0 * * *",  # dags/courier_ledger_dag.py:9
+        start_date=pendulum.datetime(2022, 1, 1, tz="UTC"),
+        catchup=False,
+        tags=["courier-ledger", "spark"],
+    )
+    def courier_ledger_spark_dag():
+        def _ctx():
+            from airflow_courier_payout_ledger_pipeline_spark.session import get_spark
+            from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+            from airflow_courier_payout_ledger_pipeline_spark.sources.rest import (
+                requests_transport,
+            )
+
+            spark = get_spark("courier-ledger-dag")
+            lake = Lakehouse(os.environ["COURIER_LAKEHOUSE_ROOT"])
+            couriers = requests_transport(
+                os.environ["DELIVERY_API_COURIERS_URL"],
+                {
+                    "X-Nickname": os.environ.get("DELIVERY_API_NICKNAME", ""),
+                    "X-API-KEY": os.environ.get("DELIVERY_API_KEY", ""),
+                },
+            )
+            deliveries = requests_transport(
+                os.environ["DELIVERY_API_DELIVERIES_URL"],
+                {
+                    "X-Nickname": os.environ.get("DELIVERY_API_NICKNAME", ""),
+                    "X-API-KEY": os.environ.get("DELIVERY_API_KEY", ""),
+                },
+            )
+            return spark, lake, couriers, deliveries
+
+        from airflow_courier_payout_ledger_pipeline_spark.plans import promotions as P
+
+        @task()
+        def load_couriers(**kwargs):
+            spark, lake, couriers, _ = _ctx()
+            P.load_couriers_job(spark, lake, couriers, sleep_s=5.0)
+
+        @task()
+        def load_deliveries(**kwargs):
+            spark, lake, _, deliveries = _ctx()
+            P.load_deliveries_job(spark, lake, deliveries, kwargs["ds"], sleep_s=5.0)
+
+        @task()
+        def couriers_stg_to_dds():
+            spark, lake, *_ = _ctx()
+            P.couriers_stg_to_dds_job(spark, lake)
+
+        @task()
+        def timestamps_stg_to_dds():
+            spark, lake, *_ = _ctx()
+            P.timestamps_stg_to_dds_job(spark, lake)
+
+        @task()
+        def orders_stg_to_dds():
+            spark, lake, *_ = _ctx()
+            P.orders_stg_to_dds_job(spark, lake)
+
+        @task()
+        def deliveries_stg_to_dds():
+            spark, lake, *_ = _ctx()
+            P.deliveries_stg_to_dds_job(spark, lake)
+
+        @task()
+        def courier_ledger_update():
+            spark, lake, *_ = _ctx()
+            P.courier_ledger_update_job(spark, lake)
+
+        dims = [couriers_stg_to_dds(), timestamps_stg_to_dds(), orders_stg_to_dds()]
+        (
+            load_couriers()
+            >> load_deliveries()
+            >> dims
+            >> deliveries_stg_to_dds()
+            >> courier_ledger_update()
+        )
+
+    courier_ledger_spark = courier_ledger_spark_dag()

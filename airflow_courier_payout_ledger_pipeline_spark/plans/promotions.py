@@ -1,0 +1,290 @@
+"""The pipeline jobs: one function per reference task
+(``dags/courier_ledger_dag.py:41-42`` — load_couriers >> load_deliveries >>
+couriers_stg_to_dds >> timestamps_stg_to_dds >> deliveries_stg_to_dds >>
+courier_ledger_update).
+
+Each job is a pure function of (spark, lakehouse [, transport/ds]) so Airflow tasks,
+tests, and backfills share one code path. All compute is declarative DataFrame ops —
+JSON extraction, watermark filters, broadcast dim joins, SCD merges — so Catalyst
+gets the whole plan (pushdown, pruning, AQE) at any scale.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_courier_payout_ledger_pipeline_spark import schemas as S
+from airflow_courier_payout_ledger_pipeline_spark.operators.merge import (
+    scd0_new_rows,
+    scd1_upsert,
+)
+from airflow_courier_payout_ledger_pipeline_spark.operators.watermark import (
+    TS_FMT,
+    WatermarkStore,
+)
+from airflow_courier_payout_ledger_pipeline_spark.plans.ledger import courier_ledger
+from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+from airflow_courier_payout_ledger_pipeline_spark.sources.rest import (
+    FetchPage,
+    couriers_params,
+    deliveries_params,
+    paginate,
+    records_to_bronze,
+)
+
+STG_WM_KEY = "deliverysystem_origin_to_stg_workflow"  # modules/load_deliveries.py:33
+DDS_WM_KEY = "deliveries_stg_to_dds_workflow"  # sql/deliveries_stg_to_dds.sql:16
+DDS_WM_DEFAULT = datetime(2022, 1, 1)  # sql/deliveries_stg_to_dds.sql:16
+
+
+def _stg_store(lake: Lakehouse) -> WatermarkStore:
+    return WatermarkStore(lake.path("stg", "srv_wf_settings"))
+
+
+def _dds_store(lake: Lakehouse) -> WatermarkStore:
+    return WatermarkStore(lake.path("dds", "srv_wf_settings"))
+
+
+def _sk(col: str | F.Column) -> F.Column:
+    """Deterministic surrogate key — replaces Postgres ``serial`` (SURVEY.md §7)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.xxhash64(c.cast("string"))
+
+
+# --- Extraction (S1-S4) --------------------------------------------------------------
+
+
+def load_couriers_job(
+    spark: SparkSession, lake: Lakehouse, fetch_page: FetchPage, sleep_s: float = 0.0
+) -> int:
+    """S1+S3 (modules/load_couriers.py:21-49): full-reload pagination, SCD1 upsert
+    of raw courier JSON into bronze by courier_key."""
+    records = paginate(fetch_page, couriers_params(), sleep_s=sleep_s)
+    if not records:
+        return 0
+    fresh = records_to_bronze(spark, records, "_id", "courier_key")
+    existing = lake.read(spark, "stg", "deliverysystem_couriers", S.STG_COURIERS_SCHEMA)
+    lake.overwrite(
+        scd1_upsert(existing, fresh, ["courier_key"]), "stg", "deliverysystem_couriers"
+    )
+    return len(records)
+
+
+def load_deliveries_job(
+    spark: SparkSession,
+    lake: Lakehouse,
+    fetch_page: FetchPage,
+    ds: str,
+    sleep_s: float = 0.0,
+) -> int:
+    """S2+S4+S5+S6 (modules/load_deliveries.py:21-79): watermark-windowed
+    incremental extraction, SCD0 insert-ignore into bronze, cursor upsert.
+
+    Window = [coalesce(stored_ts, ds − 7 days), ds 00:00:00) — the 7-day cold-start
+    default of :34. Guard and cursor mirror :66-79: cursor = max(delivery_ts) over
+    the WHOLE bronze table, written only when the table is non-empty."""
+    ds_dt = datetime.strptime(ds, "%Y-%m-%d")
+    store = _stg_store(lake)
+    from_ts = store.read_last_loaded_ts(spark, STG_WM_KEY, ds_dt - timedelta(days=7))
+    params = deliveries_params(from_ts.strftime(TS_FMT), f"{ds} 00:00:00")
+    records = paginate(fetch_page, params, sleep_s=sleep_s)
+
+    if records:
+        fresh = records_to_bronze(
+            spark, records, "delivery_id", "delivery_key", "delivery_ts", "delivery_ts"
+        )
+        existing = lake.read(
+            spark, "stg", "deliverysystem_deliveries", S.STG_DELIVERIES_SCHEMA
+        )
+        new_rows = scd0_new_rows(fresh, existing, ["delivery_key"], tiebreaker=F.col("delivery_ts"))
+        lake.append(new_rows, "stg", "deliverysystem_deliveries")
+
+    stg = lake.read(spark, "stg", "deliverysystem_deliveries", S.STG_DELIVERIES_SCHEMA)
+    row = stg.agg(F.count("*").alias("n"), F.max("delivery_ts").alias("mx")).first()
+    if row.n > 0:  # non-empty guard, modules/load_deliveries.py:70
+        store.write_last_loaded_ts(spark, STG_WM_KEY, row.mx)
+    return len(records)
+
+
+# --- STG → DDS promotions ------------------------------------------------------------
+
+
+def _new_stg_deliveries(spark: SparkSession, lake: Lakehouse) -> DataFrame:
+    """The shared increment CTE (sql/deliveries_stg_to_dds.sql:2-17): bronze rows
+    strictly after the DDS watermark, JSON-extracted into typed columns (P1/P2).
+    The cursor binds driver-side → parquet predicate pushdown on delivery_ts."""
+    wm = _dds_store(lake).read_last_loaded_ts(spark, DDS_WM_KEY, DDS_WM_DEFAULT)
+    stg = lake.read(spark, "stg", "deliverysystem_deliveries", S.STG_DELIVERIES_SCHEMA)
+    j = "json_response"
+    return stg.filter(F.col("delivery_ts") > F.lit(wm)).select(
+        F.get_json_object(j, "$.delivery_id").alias("delivery_key"),
+        F.get_json_object(j, "$.order_id").alias("order_key"),
+        F.col("delivery_ts").alias("ts"),
+        F.get_json_object(j, "$.sum").cast("decimal(14,2)").alias("order_sum"),
+        F.get_json_object(j, "$.courier_id").alias("courier_key"),
+        F.get_json_object(j, "$.rate").cast("smallint").alias("rating"),
+        F.get_json_object(j, "$.tip_sum").cast("decimal(14,2)").alias("tips"),
+    )
+
+
+def couriers_stg_to_dds_job(spark: SparkSession, lake: Lakehouse) -> None:
+    """sql/couriers_stg_to_dds.sql: couriers present in the fresh increment (A1
+    distinct), enriched with name from bronze couriers (J1, broadcast), SCD1-upserted
+    into dm_couriers (new → insert, existing → overwrite name)."""
+    actual = _new_stg_deliveries(spark, lake).select("courier_key").distinct()
+    stg_couriers = lake.read(spark, "stg", "deliverysystem_couriers", S.STG_COURIERS_SCHEMA)
+    named = actual.join(F.broadcast(stg_couriers), "courier_key", "inner").select(
+        _sk("courier_key").alias("id"),
+        "courier_key",
+        F.get_json_object("json_response", "$.name").alias("courier_name"),
+    )
+    existing = lake.read(spark, "dds", "dm_couriers", S.DM_COURIERS_SCHEMA)
+    lake.overwrite(scd1_upsert(existing, named, ["courier_key"]), "dds", "dm_couriers")
+
+
+def timestamps_stg_to_dds_job(spark: SparkSession, lake: Lakehouse) -> None:
+    """sql/timestamps_stg_to_dds.sql: distinct increment timestamps expanded into
+    the calendar dim (P5/P6), SCD0 insert-ignore on ts."""
+    new_ts = (
+        _new_stg_deliveries(spark, lake)
+        .select("ts")
+        .distinct()
+        .select(
+            _sk("ts").alias("id"),
+            "ts",
+            F.year("ts").cast("smallint").alias("year"),
+            F.month("ts").cast("smallint").alias("month"),
+            F.dayofmonth("ts").cast("smallint").alias("day"),
+            F.date_format("ts", "HH:mm:ss").alias("time"),
+            F.to_date("ts").alias("date"),
+        )
+    )
+    existing = lake.read(spark, "dds", "dm_timestamps", S.DM_TIMESTAMPS_SCHEMA)
+    lake.append(scd0_new_rows(new_ts, existing, ["ts"]), "dds", "dm_timestamps")
+
+
+def orders_stg_to_dds_job(spark: SparkSession, lake: Lakehouse) -> None:
+    """Maintain the shared dims dm_orders/dm_timestamps from the increment's
+    order_id/order_ts fields (delivery API contract, DWH Design (ENG).md:22-37).
+
+    In the reference these dims are "pre-existing in DWH" (DWH Design (ENG).md:76),
+    fed by a sibling food-orders pipeline outside the repo; this job stands in for
+    that upstream feed so the engine is self-contained. SCD0 on both targets."""
+    wm = _dds_store(lake).read_last_loaded_ts(spark, DDS_WM_KEY, DDS_WM_DEFAULT)
+    stg = lake.read(spark, "stg", "deliverysystem_deliveries", S.STG_DELIVERIES_SCHEMA)
+    j = "json_response"
+    inc = stg.filter(F.col("delivery_ts") > F.lit(wm)).select(
+        F.get_json_object(j, "$.order_id").alias("order_key"),
+        F.get_json_object(j, "$.order_ts").cast("timestamp").alias("order_ts"),
+    )
+
+    # order timestamps join the shared calendar dim (insert-ignore on ts)
+    new_ts = (
+        inc.select(F.col("order_ts").alias("ts"))
+        .where(F.col("ts").isNotNull())
+        .distinct()
+        .select(
+            _sk("ts").alias("id"),
+            "ts",
+            F.year("ts").cast("smallint").alias("year"),
+            F.month("ts").cast("smallint").alias("month"),
+            F.dayofmonth("ts").cast("smallint").alias("day"),
+            F.date_format("ts", "HH:mm:ss").alias("time"),
+            F.to_date("ts").alias("date"),
+        )
+    )
+    dmt = lake.read(spark, "dds", "dm_timestamps", S.DM_TIMESTAMPS_SCHEMA)
+    lake.append(scd0_new_rows(new_ts, dmt, ["ts"]), "dds", "dm_timestamps")
+
+    new_orders = (
+        inc.where(F.col("order_ts").isNotNull())
+        .dropDuplicates(["order_key"])
+        .select(
+            _sk("order_key").alias("id"),
+            "order_key",
+            _sk("order_ts").alias("timestamp_id"),
+        )
+    )
+    dmo = lake.read(spark, "dds", "dm_orders", S.DM_ORDERS_SCHEMA)
+    lake.append(scd0_new_rows(new_orders, dmo, ["order_key"]), "dds", "dm_orders")
+
+
+def deliveries_stg_to_dds_job(spark: SparkSession, lake: Lakehouse) -> None:
+    """sql/deliveries_stg_to_dds.sql: increment → surrogate-key lookup (J2; inner
+    joins drop facts with missing dims) → SCD0 fact append → cursor upsert, in the
+    crash-safe facts-first/watermark-last order (M3 mitigation, SURVEY.md §3.3)."""
+    nd = _new_stg_deliveries(spark, lake)
+    nd.cache()  # one snapshot feeds both the fact write and the cursor (M3)
+    try:
+        cursor = nd.agg(F.max("ts")).first()[0]  # ts_cursor, :19-21
+
+        dmo = lake.read(spark, "dds", "dm_orders", S.DM_ORDERS_SCHEMA)
+        dmt = lake.read(spark, "dds", "dm_timestamps", S.DM_TIMESTAMPS_SCHEMA)
+        dmc = lake.read(spark, "dds", "dm_couriers", S.DM_COURIERS_SCHEMA)
+        facts = (
+            nd.join(dmo.select(F.col("id").alias("__oid"), "order_key"), "order_key", "inner")
+            .join(
+                F.broadcast(dmt.select(F.col("id").alias("__tid"), "ts")), "ts", "inner"
+            )
+            .join(
+                F.broadcast(dmc.select(F.col("id").alias("__cid"), "courier_key")),
+                "courier_key",
+                "inner",
+            )
+            .select(
+                _sk("delivery_key").alias("id"),
+                "delivery_key",
+                F.col("__oid").alias("order_id"),
+                F.col("__tid").alias("timestamp_id"),
+                "order_sum",
+                F.col("__cid").alias("courier_id"),
+                "rating",
+                "tips",
+            )
+        )
+        existing = lake.read(spark, "dds", "fct_deliveries", S.FCT_DELIVERIES_SCHEMA)
+        lake.append(
+            scd0_new_rows(facts, existing, ["delivery_key"]), "dds", "fct_deliveries"
+        )
+        _dds_store(lake).write_last_loaded_ts(spark, DDS_WM_KEY, cursor)
+    finally:
+        nd.unpersist()
+
+
+def courier_ledger_update_job(spark: SparkSession, lake: Lakehouse) -> None:
+    """sql/courier_ledger_update.sql: full deterministic mart recompute + SCD1 upsert
+    on (courier_id, settlement_year, settlement_month)."""
+    mart = courier_ledger(
+        lake.read(spark, "dds", "fct_deliveries", S.FCT_DELIVERIES_SCHEMA),
+        lake.read(spark, "dds", "dm_couriers", S.DM_COURIERS_SCHEMA),
+        lake.read(spark, "dds", "dm_orders", S.DM_ORDERS_SCHEMA),
+        lake.read(spark, "dds", "dm_timestamps", S.DM_TIMESTAMPS_SCHEMA),
+    )
+    existing = lake.read(spark, "cdm", "dm_courier_ledger", S.DM_COURIER_LEDGER_SCHEMA)
+    lake.overwrite(
+        scd1_upsert(
+            existing, mart, ["courier_id", "settlement_year", "settlement_month"]
+        ),
+        "cdm",
+        "dm_courier_ledger",
+    )
+
+
+def run_daily(
+    spark: SparkSession,
+    lake: Lakehouse,
+    couriers_fetch: FetchPage,
+    deliveries_fetch: FetchPage,
+    ds: str,
+) -> None:
+    """The full DAG body (dags/courier_ledger_dag.py:41-42), callable anywhere."""
+    load_couriers_job(spark, lake, couriers_fetch)
+    load_deliveries_job(spark, lake, deliveries_fetch, ds)
+    couriers_stg_to_dds_job(spark, lake)
+    timestamps_stg_to_dds_job(spark, lake)
+    orders_stg_to_dds_job(spark, lake)
+    deliveries_stg_to_dds_job(spark, lake)
+    courier_ledger_update_job(spark, lake)

@@ -1,0 +1,144 @@
+"""Paginated REST extraction (S1/S2): the reference's courier/delivery API scans
+(``modules/load_couriers.py:8-37``, ``modules/load_deliveries.py:8-53``).
+
+Reference behavior mirrored exactly:
+- page size 50, ``sort_field``/``sort_direction`` params, ``offset`` cursor;
+- hard cap of 200 pages (10 000 records/run) "to protect against API malfunction";
+- stop on the first short page; configurable inter-page sleep (5 s in production,
+  0 in tests);
+- deliveries add ``from``/``to`` = ``[watermark, ds 00:00:00)`` window params.
+
+Transport is injectable (``fetch_page``) so tests run against an in-memory fake and
+production wires ``requests``. Spark has no native REST source; the driver-side loop
+is the correct architecture at the reference's scale (≤10 k records/run by design).
+For genuinely large backfills, ``fetch_pages_distributed`` fans page fetches out to
+executors over a page-range DataFrame via ``mapInPandas`` — the Spark-idiomatic
+parallel-HTTP pattern (each task owns a disjoint offset range).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Callable, Iterator, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+PAGE_SIZE = 50  # modules/load_couriers.py:12
+MAX_PAGES = 200  # modules/load_couriers.py:29
+
+#: fetch_page(params: dict) -> list[dict] — one GET returning ≤ PAGE_SIZE records.
+FetchPage = Callable[[dict], list[dict]]
+
+
+def paginate(
+    fetch_page: FetchPage,
+    base_params: dict,
+    page_size: int = PAGE_SIZE,
+    max_pages: int = MAX_PAGES,
+    sleep_s: float = 0.0,
+) -> list[dict]:
+    """The reference pagination loop (modules/load_couriers.py:26-37): extend,
+    stop on short page, advance offset, sleep between pages."""
+    params = dict(base_params)
+    params.setdefault("limit", page_size)
+    params.setdefault("offset", 0)
+    records: list[dict] = []
+    for _ in range(max_pages):
+        portion = fetch_page(dict(params))
+        records.extend(portion)
+        if len(portion) < page_size:
+            break
+        params["offset"] += page_size
+        if sleep_s:
+            time.sleep(sleep_s)
+    return records
+
+
+def couriers_params() -> dict:
+    """modules/load_couriers.py:9-14 (full reload, sorted by name asc)."""
+    return {"sort_field": "name", "sort_direction": "asc", "limit": PAGE_SIZE, "offset": 0}
+
+
+def deliveries_params(from_ts: str, to_ts: str) -> dict:
+    """modules/load_deliveries.py:9-14,40-42 (incremental window, sorted by date)."""
+    return {
+        "sort_field": "date",
+        "sort_direction": "asc",
+        "limit": PAGE_SIZE,
+        "offset": 0,
+        "from": from_ts,
+        "to": to_ts,
+    }
+
+
+def requests_transport(endpoint: str, headers: dict | None = None) -> FetchPage:
+    """Production transport (modules/load_couriers.py:30-31). Import-gated so the
+    engine has no hard dependency on ``requests``."""
+    import requests  # noqa: PLC0415
+
+    def fetch(params: dict) -> list[dict]:
+        resp = requests.get(endpoint, params=params, headers=headers or {})
+        resp.raise_for_status()
+        return resp.json()
+
+    return fetch
+
+
+def records_to_bronze(
+    spark: SparkSession,
+    records: Sequence[dict],
+    key_field: str,
+    key_col: str,
+    ts_field: str | None = None,
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Raw records → bronze rows: typed key column(s) + the full JSON payload kept
+    verbatim as text (``json_response``), mirroring the STG DDLs
+    (sql/DDL_stg.deliverysystem_deliveries.sql:5-10)."""
+    from datetime import datetime  # noqa: PLC0415
+
+    rows = []
+    for rec in records:
+        row: list = [rec[key_field]]
+        if ts_field is not None:
+            ts = rec[ts_field]
+            if isinstance(ts, str):
+                ts = datetime.fromisoformat(ts.replace(" ", "T")[:26])
+            row.append(ts)
+        row.append(json.dumps(rec, ensure_ascii=False, default=str))
+        rows.append(tuple(row))
+    if ts_field is not None:
+        schema = f"{key_col} string, {ts_col or 'ts'} timestamp, json_response string"
+    else:
+        schema = f"{key_col} string, json_response string"
+    return spark.createDataFrame(rows, schema)
+
+
+def fetch_pages_distributed(
+    spark: SparkSession,
+    fetch_page: FetchPage,
+    base_params: dict,
+    n_pages: int,
+    page_size: int = PAGE_SIZE,
+) -> DataFrame:
+    """Scale path: fan out page fetches to executors. Each partition fetches a
+    disjoint offset range and yields raw JSON strings; schema-on-read parsing
+    happens downstream (P1). Used for large backfills where the driver-side loop
+    would serialize on network latency."""
+    import pandas as pd  # noqa: PLC0415
+
+    pages = spark.range(0, n_pages).repartition(min(n_pages, 64))
+
+    def fetch_partition(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for page_no in pdf["id"]:
+                params = dict(base_params)
+                params["limit"] = page_size
+                params["offset"] = int(page_no) * page_size
+                for rec in fetch_page(params):
+                    out.append(json.dumps(rec, ensure_ascii=False))
+            yield pd.DataFrame({"json_response": out})
+
+    return pages.mapInPandas(fetch_partition, "json_response string")
