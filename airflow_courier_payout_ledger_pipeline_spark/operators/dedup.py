@@ -1,0 +1,263 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+
+Everything is expressed as shuffle-conscious DataFrame algebra (no Python UDFs):
+
+- **exact**: hash-groupBy on a normalized-content fingerprint — one shuffle on the
+  hash, trivially skew-safe (md5 keys are uniform).
+- **MinHash+LSH**: shingle explode → per-doc min-hash signature (map-side partial
+  min aggs) → band hashing → self-join on (band, band_hash). The band join is the
+  classic sub-quadratic near-dup path at 100 TB: candidate pairs only, never the
+  full cross product.
+- **n-gram Jaccard**: inverted-index join on shingles (pairs share ≥1 shingle) —
+  exact Jaccard for candidate verification; at scale you run it only on LSH
+  candidates.
+- **SimHash**: per-token 16-bit hashes, ±1 bit votes summed per doc (two shuffles:
+  token agg, doc agg); near-pairs by pigeonholed half-fingerprint join + Hamming
+  filter via xor/bit_count.
+- **embedding near-dup**: see operators/similarity.py (cosine ≥ τ pairs).
+
+Hashing is md5-based so every operator has an exact DuckDB oracle twin (same hex
+strings, same lexicographic mins) — engine-portable determinism beats xxhash64
+speed for verifiability; swap the hash in one place if needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from airflow_courier_payout_ledger_pipeline_spark.functions.text import (
+    fingerprint,
+    normalize_text,
+)
+
+# --- exact dedup ---------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group rows by normalized-content fingerprint; keep the smallest id as the
+    canonical representative. Returns (fingerprint, keep_id, dup_count)."""
+    return (
+        df.select(F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("id").alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row per distinct normalized content (the min-id representative)."""
+    keep = exact_dedup_groups(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# --- shingling -----------------------------------------------------------------------
+
+
+def char_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 9, distinct: bool = True
+) -> DataFrame:
+    """(id, shingle) pairs: all k-character substrings of the normalized text.
+    Documents shorter than k yield one short shingle (substr clamps)."""
+    norm = normalize_text(F.col(text_col))
+    out = df.select(
+        F.col(id_col).alias("id"),
+        norm.alias("__t"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1)))
+        ).alias("__i"),
+    ).select("id", F.expr(f"substr(__t, __i, {k})").alias("shingle"))
+    return out.distinct() if distinct else out
+
+
+def word_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(id, ngram) pairs: word n-grams of the normalized text (space-joined)."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    idx = F.explode(F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))))
+    df2 = df.select(F.col(id_col).alias("id"), words.alias("__w"), idx.alias("__i"))
+    gram = F.concat_ws(
+        " ", *[F.expr(f"element_at(__w, __i + {j})") for j in range(n)]
+    )
+    out = df2.select("id", gram.alias("ngram"))
+    return out.distinct() if distinct else out
+
+
+# --- MinHash + LSH -------------------------------------------------------------------
+
+
+def _seeded_md5(col: Column, seed: int) -> Column:
+    return F.md5(F.concat(F.lit(f"{seed}:"), col))
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 12) -> DataFrame:
+    """Per-doc MinHash signature: min over shingles of md5(seed:shingle), one column
+    per seed. Partial (map-side) min aggregation makes this one cheap shuffle."""
+    aggs = [
+        F.min(_seeded_md5(F.col("shingle"), j)).alias(f"h{j}") for j in range(num_hashes)
+    ]
+    return shingles.groupBy("id").agg(*aggs)
+
+
+def lsh_bands(signatures: DataFrame, bands: int, rows: int) -> DataFrame:
+    """Signature → (id, band, band_hash): hash each band of ``rows`` consecutive
+    minhashes. Docs agreeing on any band become candidates."""
+    pieces = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
+        pieces.append(
+            signatures.select(
+                "id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows: int = 3
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing at least one LSH band, with
+    the estimated Jaccard = fraction of agreeing minhash components."""
+    bt = lsh_bands(signatures, bands, rows)
+    a, b = bt.alias("a"), bt.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    num_hashes = len([c for c in signatures.columns if c.startswith("h")])
+    sa = signatures.select(
+        F.col("id").alias("id_a"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(num_hashes)]
+    )
+    sb = signatures.select(
+        F.col("id").alias("id_b"), *[F.col(f"h{j}").alias(f"b{j}") for j in range(num_hashes)]
+    )
+    agree = sum(
+        (F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(num_hashes)),
+        F.lit(0),
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (agree.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+    )
+
+
+# --- exact n-gram Jaccard ------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    grams: DataFrame, min_jaccard: float = 0.0
+) -> DataFrame:
+    """Exact Jaccard over distinct n-gram sets via inverted-index self-join:
+    pairs sharing ≥1 gram, |A∩B| from the join, |A|/|B| from per-doc counts.
+    Input: (id, ngram) distinct pairs (from word_ngrams/char_shingles)."""
+    sizes = grams.groupBy("id").agg(F.count("*").alias("n"))
+    a, b = grams.alias("ga"), grams.alias("gb")
+    inter = (
+        a.join(b, (F.col("ga.ngram") == F.col("gb.ngram")) & (F.col("ga.id") < F.col("gb.id")))
+        .groupBy(F.col("ga.id").alias("id_a"), F.col("gb.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(min_jaccard))
+    )
+
+
+# --- SimHash -------------------------------------------------------------------------
+
+SIMHASH_BITS = 16  # 4 md5 nibbles — portable to the DuckDB oracle via nibble math
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash per document: each token votes ±1 on each bit of its md5;
+    fingerprint bit = sign of the vote sum. Returns (id, simhash int)."""
+    tokens = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = F.md5(F.col("tok"))
+    bit_votes = []
+    for i in range(SIMHASH_BITS):
+        nib_pos, bit_in_nib = i // 4 + 1, 3 - (i % 4)
+        nib_val = F.expr(f"instr('0123456789abcdef', substr(md5(tok), {nib_pos}, 1)) - 1")
+        bit = (nib_val.cast("int") / (2**bit_in_nib)).cast("int") % 2
+        bit_votes.append(F.sum(bit * 2 - 1).alias(f"v{i}"))
+    votes = tokens.groupBy("id").agg(*bit_votes)
+    fp = sum(
+        (F.when(F.col(f"v{i}") > 0, 2**i).otherwise(0) for i in range(SIMHASH_BITS)),
+        F.lit(0),
+    )
+    return votes.select("id", fp.cast("int").alias("simhash"))
+
+
+def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ ``max_hamming`` (≤ 3): pigeonhole on the
+    four 4-bit quarters — with ≤ 3 differing bits at least one quarter is identical,
+    so the quarter-join finds every such pair; the xor/bit_count filter then makes
+    the candidate set exact. This is the sub-quadratic SimHash pattern that scales:
+    the join key (quarter_idx, quarter_value) has bounded fan-out."""
+    assert max_hamming <= 3, "quarter-pigeonhole guarantees recall only up to 3"
+    quarters = fingerprints.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        ((F.col("simhash") / (16**q)).cast("int") % 16).alias("qv"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("__q"),
+    ).select("id", "simhash", F.col("__q.q").alias("q"), F.col("__q.qv").alias("qv"))
+    a, b = quarters.alias("a"), quarters.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.qv") == F.col("b.qv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

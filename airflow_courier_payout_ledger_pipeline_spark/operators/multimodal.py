@@ -1,0 +1,94 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns with typed
+metadata, processed by Arrow-batched pandas functions over ``mapInPandas``.
+
+The Spark-side plumbing is real and tested — schema contracts, partition sizing,
+Arrow batch shapes, deterministic outputs. The actual codec calls are stubbed
+behind ``decode_image_stub`` (the container ships no PIL/ffmpeg): the stub parses a
+tiny deterministic fake header instead of JPEG markers, so tests validate the full
+dataflow (binary in → feature vectors out) byte-for-byte. Swap ``_decode`` for a
+real decoder without touching any Spark code.
+
+Scale notes: ``mapInPandas`` streams Arrow batches (no per-row pickling);
+``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds decoder memory; binary
+payloads should live in their own parquet column chunk (they do — Spark writes one
+column chunk per column) so metadata-only queries never read the bytes
+(column pruning drops the binary column from the scan).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+#: header: magic 'FIMG' + uint16 width + uint16 height + uint8 channels
+FAKE_HEADER = struct.Struct(">4sHHB")
+
+MEDIA_SCHEMA = (
+    "media_id bigint, payload binary, media_type string, declared_w int, declared_h int"
+)
+
+FEATURE_SCHEMA = (
+    "media_id bigint, width int, height int, channels int, n_bytes int, "
+    "mean_byte double, feature array<float>"
+)
+
+
+def encode_fake_image(media_id: int, w: int, h: int, channels: int = 3) -> bytes:
+    """Deterministic fake image: header + (w*h*c) pseudo-pixel bytes derived from
+    the id (stands in for JPEG bytes in tests)."""
+    body = bytes(((media_id * 31 + i * 7) % 251) for i in range(w * h * channels))
+    return FAKE_HEADER.pack(b"FIMG", w, h, channels) + body
+
+
+def _decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """STUB decode — replace with PIL/libvips in production.
+
+    Raises on a foreign format exactly like a real decoder would."""
+    if len(payload) < FAKE_HEADER.size or payload[:4] != b"FIMG":
+        raise NotImplementedError(
+            "real image codecs are not available in this environment; "
+            "payload is not in the deterministic FIMG test format"
+        )
+    _, w, h, c = FAKE_HEADER.unpack(payload[: FAKE_HEADER.size])
+    return w, h, c, payload[FAKE_HEADER.size :]
+
+
+def extract_image_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """binary payload → (dims, byte stats, 8-dim pooled feature vector), via
+    Arrow-batched mapInPandas. Deterministic: same payload → same features."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    def decode_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "width", "height", "channels", "n_bytes", "mean_byte", "feature")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, c, body = _decode(bytes(payload))
+                arr = np.frombuffer(body, dtype=np.uint8).astype(np.float32)
+                pooled = [float(chunk.mean()) if len(chunk) else 0.0 for chunk in np.array_split(arr, 8)]
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["n_bytes"].append(len(body))
+                out["mean_byte"].append(float(arr.mean()) if len(arr) else 0.0)
+                out["feature"].append(pooled)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(decode_batch, FEATURE_SCHEMA)
+
+
+def media_metadata_only(media: DataFrame) -> DataFrame:
+    """Metadata projection that never touches the binary column — Catalyst prunes
+    ``payload`` out of the parquet scan entirely (verify with .explain: ReadSchema
+    excludes it)."""
+    return media.select(
+        "media_id", "media_type", "declared_w", "declared_h"
+    ).withColumn("declared_pixels", F.col("declared_w") * F.col("declared_h"))

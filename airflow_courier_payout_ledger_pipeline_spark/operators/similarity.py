@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (``array<float>``): brute-force cosine
+top-k as the exact baseline, and a sign-bucket (hyperplane-LSH) ANN variant as the
+scale path.
+
+Design for 100 TB:
+- the dot product stays JVM-side (``zip_with`` + ``aggregate`` higher-order
+  functions — no Python, no UDF serialization);
+- brute force is a broadcast of the (small) query set against the (huge) corpus —
+  a map-side nested loop with a per-query top-k window; exact, O(|Q|·|C|);
+- the ANN variant buckets both sides by sign bits of selected dimensions
+  (deterministic hyperplanes) and joins bucket-to-bucket, trading recall for a
+  1/2^bits candidate reduction — the standard LSH layout where each bucket-join
+  partition fits in memory. An IVF upgrade replaces sign buckets with k-means
+  centroid assignment; the join topology is identical.
+
+Similarities are rounded to 4 decimals *before* ranking/thresholding so results are
+engine-portable (float reduction order differs across engines at ~1e-15; ranking on
+the rounded value with an id tiebreak is deterministic everywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision, sequential fold (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, sim) with rank ≤ k per query.
+    Self-matches excluded; ties broken by neighbor id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def sign_bucket(vec: Column, bits: int = 4) -> Column:
+    """Deterministic hyperplane-LSH bucket: sign bits of the first ``bits``
+    coordinates (axis-aligned hyperplanes). Bucket id in [0, 2^bits)."""
+    b = F.lit(0)
+    for i in range(bits):
+        b = b + F.when(vec.getItem(i) > 0, F.lit(2**i)).otherwise(F.lit(0))
+    return b.cast("int")
+
+
+def bucketed_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign bucket.
+    Recall < 1 by construction (near neighbors across a hyperplane are missed) —
+    that's the documented LSH tradeoff; multi-probe (flipping low-margin bits)
+    raises recall without changing the join shape."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    sims = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold).
+    Brute force here; at scale run it bucket-restricted like bucketed_ann_topk."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= F.lit(threshold))
+    )

@@ -1,6 +1,501 @@
 """Scale-extension operator queries (training-data-pipeline surface): dedup,
-similarity search, text analysis, event-time windows. Populated operator by
-operator; each entry has a DuckDB oracle unless genuinely non-SQL-expressible.
+similarity search, text analysis, event-time windows, sessionization, multimodal.
+
+Each entry has a DuckDB oracle unless genuinely non-SQL-expressible (multimodal
+decode → rows-only). Engine-portable determinism rules: md5-based hashing (same hex
+both engines), similarity rounded to 4 decimals before ranking/thresholding,
+Decimal sums, microsecond-exact session gaps.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_courier_payout_ledger_pipeline_spark.plans.tpch_adapter import load_tables
+from airflow_courier_payout_ledger_pipeline_spark.registry import register
+
+# SQL fragment: Spark normalize_text() twin (DuckDB needs the 'g' flag explicitly)
+NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# =====================================================================================
+# Text analysis
+# =====================================================================================
+
+_STOP_SQL = " + ".join(
+    f"(length(text) - length(replace(text, '{m}', ''))) / {len(m)}"
+    for m in [" the ", " and ", " of "]
+)
+
+TEXT_STATS_ORACLE = f"""
+WITH c AS (
+    SELECT doc_id,
+           length(text) AS n0,
+           greatest(length(text), 1)::BIGINT AS n,
+           len(string_split(text, ' ')) AS ws_tokens,
+           greatest(len(string_split(text, ' ')), 1)::BIGINT AS w,
+           ({_STOP_SQL})::BIGINT AS s,
+           len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens,
+           len(regexp_extract_all(text, '[.,!?;:]'))::BIGINT AS p,
+           len(regexp_extract_all(text, '[0-9]'))::BIGINT AS d
+    FROM documents
+)
+SELECT doc_id,
+       n0 AS n_chars_measured,
+       ws_tokens,
+       bpe_tokens,
+       p::BIGINT AS punct_chars,
+       d::BIGINT AS digit_chars,
+       round(
+         ((CASE WHEN n0 >= 100 AND n0 <= 20000 THEN 4 ELSE 2 END)::BIGINT * w * n
+          + 3 * n * least(5 * s, w)
+          + 2 * w * (n - least(10 * p, n))
+          + w * (n - least(10 * d, n)))::DOUBLE
+         / (10 * w * n)::DOUBLE, 4) AS quality
+FROM c
+"""
+
+
+@register("text_stats", TEXT_STATS_ORACLE)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex), punctuation/digit density, and
+    the composite quality score — all codegen'd projections, zero shuffles."""
+    from airflow_courier_payout_ledger_pipeline_spark.functions import text as T
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars_measured"),
+        T.whitespace_token_count(t).cast("long").alias("ws_tokens"),
+        T.regex_token_count(t).cast("long").alias("bpe_tokens"),
+        T.punct_count(t).cast("long").alias("punct_chars"),
+        T.digit_count(t).cast("long").alias("digit_chars"),
+        T.quality_score(t).alias("quality"),
+    )
+
+
+def _lang_score_sql(markers: list[str]) -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    return " + ".join(
+        f"(length({padded}) - length(replace({padded}, '{m}', ''))) / {len(m)}"
+        for m in markers
+    )
+
+
+def _build_lang_oracle() -> str:
+    from airflow_courier_payout_ledger_pipeline_spark.functions.text import LANG_MARKERS
+
+    scores = {lang: _lang_score_sql(ms) for lang, ms in LANG_MARKERS.items()}
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in scores) + ")"
+    case = " ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in sorted(scores)
+    )
+    inner = ", ".join(f"({sql}) AS s_{lang}" for lang, sql in scores.items())
+    return f"""
+WITH scored AS (SELECT doc_id, lang AS declared_lang, {inner} FROM documents)
+SELECT doc_id, declared_lang,
+       CASE WHEN {best} > 0 THEN (CASE {case} END) ELSE 'und' END AS predicted_lang
+FROM scored
+"""
+
+
+@register("lang_id", _build_lang_oracle())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-based language ID (argmax over per-language stopword scores)."""
+    from airflow_courier_payout_ledger_pipeline_spark.functions.text import predict_lang
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        predict_lang(F.col("text")).alias("predicted_lang"),
+    )
+
+
+DOC_FINGERPRINT_ORACLE = f"""
+SELECT doc_id, md5({NORM}) AS fp FROM documents
+"""
+
+
+@register("doc_fingerprint", DOC_FINGERPRINT_ORACLE)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content fingerprint of the normalized text (dedup key)."""
+    from airflow_courier_payout_ledger_pipeline_spark.functions.text import fingerprint
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# =====================================================================================
+# Deduplication
+# =====================================================================================
+
+DEDUP_EXACT_ORACLE = f"""
+SELECT md5({NORM}) AS fp, min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+@register("dedup_exact", DEDUP_EXACT_ORACLE)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: hash-groupBy on the normalized-content fingerprint."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import (
+        exact_dedup_groups,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return exact_dedup_groups(docs, "doc_id", "text")
+
+
+NUM_HASHES, BANDS, ROWS_PER_BAND = 12, 4, 3
+
+_SHINGLES_CTE = f"""
+norm AS (SELECT doc_id, {NORM} AS t FROM documents),
+pos AS (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t) - 8, 1))) AS i FROM norm),
+sh AS (SELECT DISTINCT doc_id, substr(t, i, 9) AS shingle FROM pos),
+sig AS (
+    SELECT doc_id AS id,
+           {", ".join(f"min(md5('{j}:' || shingle)) AS h{j}" for j in range(NUM_HASHES))}
+    FROM sh GROUP BY doc_id
+)
+"""
+
+MINHASH_SIG_ORACLE = f"""
+WITH {_SHINGLES_CTE}
+SELECT * FROM sig
+"""
+
+
+@register("minhash_signatures", MINHASH_SIG_ORACLE)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature over 9-char shingles (12 seeded md5 mins)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import (
+        char_shingles,
+        minhash_signatures,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return minhash_signatures(char_shingles(docs, "doc_id", "text", k=9), NUM_HASHES)
+
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT id, {b} AS band, md5("
+    + " || '|' || ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+    + ") AS band_hash FROM sig"
+    for b in range(BANDS)
+)
+
+_AGREE_SQL = " + ".join(
+    f"(CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END)" for j in range(NUM_HASHES)
+)
+
+MINHASH_LSH_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+bands AS ({_BANDS_SQL}),
+pairs AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
+)
+SELECT p.id_a, p.id_b, ({_AGREE_SQL}) / {NUM_HASHES}.0 AS est_jaccard
+FROM pairs p JOIN sig sa ON p.id_a = sa.id JOIN sig sb ON p.id_b = sb.id
+"""
+
+
+@register("dedup_minhash_lsh", MINHASH_LSH_ORACLE)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (4 bands × 3 rows) with the estimated
+    Jaccard from signature agreement — the sub-quadratic dedup path at scale."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import (
+        char_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    sig = minhash_signatures(char_shingles(docs, "doc_id", "text", k=9), NUM_HASHES)
+    return lsh_candidate_pairs(sig, BANDS, ROWS_PER_BAND)
+
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH norm AS (SELECT doc_id, string_split({NORM}, ' ') AS ws FROM documents),
+pos AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i FROM norm),
+g AS (SELECT DISTINCT doc_id AS id, concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS ngram FROM pos),
+sizes AS (SELECT id, count(*) AS n FROM g GROUP BY id),
+inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+    FROM g a JOIN g b ON a.ngram = b.ngram AND a.id < b.id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, c::DOUBLE / (sa.n + sb.n - c)::DOUBLE AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+WHERE c::DOUBLE / (sa.n + sb.n - c)::DOUBLE >= 0.3
+"""
+
+
+@register("dedup_ngram_jaccard", NGRAM_JACCARD_ORACLE)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard ≥ 0.3 via inverted-index join (the verification
+    stage after LSH candidate generation)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        word_ngrams,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return ngram_jaccard_pairs(word_ngrams(docs, "doc_id", "text", n=3), 0.3)
+
+
+def _simhash_votes_sql() -> str:
+    votes = []
+    for i in range(16):
+        nib_pos, bit = i // 4 + 1, 3 - (i % 4)
+        votes.append(
+            f"SUM((((strpos('0123456789abcdef', substr(md5(tok), {nib_pos}, 1)) - 1)"
+            f" // {2 ** bit}) % 2) * 2 - 1) AS v{i}"
+        )
+    return ", ".join(votes)
+
+
+_SIMHASH_FP_SQL = (
+    "(" + " + ".join(f"CASE WHEN v{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(16)) + ")::INT"
+)
+
+SIMHASH_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split({NORM}, ' ')) AS tok FROM documents
+),
+votes AS (
+    SELECT doc_id, {_simhash_votes_sql()}
+    FROM toks WHERE tok != '' GROUP BY doc_id
+)
+SELECT doc_id AS id, {_SIMHASH_FP_SQL} AS simhash FROM votes
+"""
+
+
+@register("dedup_simhash", SIMHASH_ORACLE)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (per-token md5 bit votes)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import simhash
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return simhash(docs, "doc_id", "text")
+
+
+SIMHASH_PAIRS_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split({NORM}, ' ')) AS tok FROM documents
+),
+votes AS (
+    SELECT doc_id, {_simhash_votes_sql()}
+    FROM toks WHERE tok != '' GROUP BY doc_id
+),
+fp AS (SELECT doc_id AS id, {_SIMHASH_FP_SQL} AS simhash FROM votes),
+q AS (
+    SELECT id, simhash, k AS q, (simhash // (16 ** k)::INT) % 16 AS qv
+    FROM fp, (SELECT unnest(generate_series(0, 3)) AS k)
+),
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.simhash AS sa, b.simhash AS sb
+    FROM q a JOIN q b ON a.q = b.q AND a.qv = b.qv AND a.id < b.id
+)
+SELECT id_a, id_b, bit_count(xor(sa::BIGINT, sb::BIGINT))::INT AS hamming
+FROM cand WHERE bit_count(xor(sa::BIGINT, sb::BIGINT)) <= 3
+"""
+
+
+@register("dedup_simhash_pairs", SIMHASH_PAIRS_ORACLE)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: quarter-pigeonhole candidates + exact Hamming ≤ 3."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import (
+        simhash,
+        simhash_near_pairs,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return simhash_near_pairs(simhash(docs, "doc_id", "text"), 3)
+
+
+# =====================================================================================
+# Similarity search
+# =====================================================================================
+
+SIM_TOPK_ORACLE = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+s AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+    FROM embeddings c, q WHERE c.vec_id != q.vec_id
+),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s)
+SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 10
+"""
+
+
+@register("similarity_topk", SIM_TOPK_ORACLE)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for the first 20 query vectors (broadcast
+    nested loop + per-query top-k window)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=10)
+
+
+SIM_ANN_ORACLE = """
+WITH b AS (
+    SELECT vec_id, embedding,
+           (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+    FROM embeddings
+),
+q AS (SELECT * FROM b WHERE vec_id < 20),
+s AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+    FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s)
+SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
+"""
+
+
+@register("similarity_ann_bucketed", SIM_ANN_ORACLE)
+def q_similarity_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN top-5: candidates restricted to the query's sign bucket
+    (16 buckets from 4 axis-aligned hyperplanes) — the 1/2^bits scale path."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        bucketed_ann_topk,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return bucketed_ann_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, bits=4)
+
+
+EMB_NEAR_DUP_ORACLE = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.38
+"""
+
+
+@register("embedding_near_dup", EMB_NEAR_DUP_ORACLE)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.38)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return embedding_near_dup_pairs(emb, 0.38)
+
+
+# =====================================================================================
+# Event-time windows & sessionization
+# =====================================================================================
+
+TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("event_windows_tumbling", TUMBLING_ORACLE)
+def q_event_windows_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_courier_payout_ledger_pipeline_spark.operators.windows import (
+        tumbling_counts,
+    )
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    return tumbling_counts(events, "1 hour")
+
+
+SLIDING_ORACLE = """
+WITH x AS (SELECT ts, unnest(generate_series(0, 3)) AS k FROM events)
+SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS window_start,
+       count(*) AS n_events
+FROM x GROUP BY 1
+"""
+
+
+@register("event_windows_sliding", SLIDING_ORACLE)
+def q_event_windows_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_courier_payout_ledger_pipeline_spark.operators.windows import (
+        sliding_counts,
+    )
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    return sliding_counts(events, "1 hour", "15 minutes")
+
+
+SESSION_ORACLE = """
+WITH o AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+    SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM o
+)
+SELECT user_id, session_seq::BIGINT AS session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS value_sum
+FROM s GROUP BY 1, 2
+"""
+
+
+@register("event_sessionization", SESSION_ORACLE)
+def q_event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30-min inactivity), lag + running-sum formulation —
+    batch twin of the streaming stateful operator in streaming/."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.windows import sessionize
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    return sessionize(events, 30)
+
+
+# =====================================================================================
+# Multimodal (rows-only: binary decode is not SQL-expressible)
+# =====================================================================================
+
+
+@register("multimodal_features")  # no oracle — mapInPandas decode path
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → decoded features via Arrow-batched mapInPandas.
+    Payloads are deterministic fake images derived from the documents table (the
+    container ships no codecs — the Spark plumbing is the deliverable)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image/fimg").alias("media_type"),
+        ((F.col("doc_id") % 16) + 4).cast("int").alias("declared_w"),
+        ((F.col("doc_id") % 8) + 4).cast("int").alias("declared_h"),
+    )
+    # deterministic payload built executor-side from the id (stands in for real bytes)
+    payload = F.udf(
+        lambda mid, w, h: __import__(
+            "airflow_courier_payout_ledger_pipeline_spark.operators.multimodal",
+            fromlist=["encode_fake_image"],
+        ).encode_fake_image(mid, w, h),
+        "binary",
+    )
+    media = media.withColumn(
+        "payload", payload(F.col("media_id"), F.col("declared_w"), F.col("declared_h"))
+    )
+    return extract_image_features(media)
