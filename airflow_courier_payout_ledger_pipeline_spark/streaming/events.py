@@ -1,0 +1,173 @@
+"""Structured Streaming over the events table: the streaming twins of
+``operators/windows.py`` (same logical plans, incremental state + watermarks).
+
+The reference has no true streaming — its incrementality is daily watermark
+micro-batching (SURVEY.md §2.8), which is exactly Spark's incremental-batch
+pattern. These operators are the engine's *forward* path: the same event schema
+consumed as an unbounded stream with event-time semantics.
+
+Patterns demonstrated (each tested with availableNow over the parquet testdata —
+the deterministic way to exercise streaming semantics without a live source):
+- ``readStream`` file source with declared schema (no inference races);
+- watermark + tumbling window aggregation (late data beyond 1 hour dropped,
+  matching the reference's "strictly later than cursor" late policy);
+- ``applyInPandasWithState`` custom stateful sessionization — the operator Spark
+  lacks as a built-in batch/stream-shared primitive.
+
+At scale: state store size is bounded by (watermark horizon × key cardinality);
+the session operator keeps one open session per user in state and emits closed
+sessions as the watermark passes their gap deadline.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    """File-source stream over an events directory (testdata: nanos → micros like
+    the batch reader; a real deployment points this at Kafka with the same
+    downstream plan)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema("event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(path)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour counts with a late-data watermark — the streaming twin of
+    ``windows.tumbling_counts`` (same groupBy plan; Spark adds versioned state)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("decimal(14,2)").alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "value_sum")
+    )
+
+
+SESSION_STATE_SCHEMA = "start bigint, last bigint, n bigint, value double"
+SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, value_sum double"
+)
+GAP_MICROS = 30 * 60 * 1_000_000
+
+
+def _sessionize_group(
+    key: tuple[Any, ...],
+    pdfs: Iterator["pd.DataFrame"],
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:
+    """Per-user stateful sessionizer: merge the batch's events into the open
+    session, emit every session closed by a > 30 min gap, keep the last one open
+    in state (closed on timeout)."""
+    import pandas as pd  # noqa: PLC0415
+
+    (user_id,) = key
+    rows = []
+    ts_all, val_all = [], []
+    for pdf in pdfs:
+        ts_all.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+        val_all.extend(float(v) for v in pdf["value"])
+    order = sorted(range(len(ts_all)), key=lambda i: ts_all[i])
+    ts_all = [ts_all[i] for i in order]
+    val_all = [val_all[i] for i in order]
+
+    if state.hasTimedOut:
+        if state.exists:
+            start, last, n, value = state.get
+            rows.append((user_id, start, last, n, value))
+            state.remove()
+    else:
+        if state.exists:
+            start, last, n, value = state.get
+        else:
+            start, last, n, value = None, None, 0, 0.0
+        for t, v in zip(ts_all, val_all):
+            if start is None:
+                start, last, n, value = t, t, 1, v
+            elif t - last > GAP_MICROS:
+                rows.append((user_id, start, last, n, value))
+                start, last, n, value = t, t, 1, v
+            else:
+                last, n, value = t, n + 1, value + v
+        if start is not None:
+            state.update((start, last, n, value))
+            try:  # only meaningful under ProcessingTimeTimeout (live streams)
+                state.setTimeoutDuration(60 * 60 * 1000)  # close idle sessions
+            except Exception:
+                pass
+
+    out = pd.DataFrame(
+        rows, columns=["user_id", "session_start", "session_end", "n_events", "value_sum"]
+    )
+    if not out.empty:
+        out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+        out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+    else:
+        out = out.astype(
+            {"user_id": "int64", "n_events": "int64", "value_sum": "float64"}
+        )
+        out["session_start"] = pd.to_datetime(out["session_start"])
+        out["session_end"] = pd.to_datetime(out["session_end"])
+    yield out
+
+
+def sessionize_stream(events: DataFrame, idle_timeout: bool = True) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: gap-based sessions,
+    one state row per user; with ``idle_timeout`` a processing-time timeout flushes
+    idle sessions on live streams. Pass ``idle_timeout=False`` for bounded
+    availableNow drains — pending timeouts keep the query alive forever otherwise
+    (the trigger keeps scheduling batches to service them)."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drain the stream with availableNow into a memory sink and return the result
+    as a batch DataFrame — deterministic streaming execution for tests/oracles."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update" if query_name.startswith("upd_") else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
