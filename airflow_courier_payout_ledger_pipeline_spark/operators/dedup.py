@@ -56,11 +56,22 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # --- shingling -----------------------------------------------------------------------
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's parallelism ahead of a high
+    fan-out operator (explode); no-op cost relative to the work it unlocks."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def char_shingles(
     df: DataFrame, id_col: str, text_col: str, k: int = 9, distinct: bool = True
 ) -> DataFrame:
     """(id, shingle) pairs: all k-character substrings of the normalized text.
-    Documents shorter than k yield one short shingle (substr clamps)."""
+    Documents shorter than k yield one short shingle (substr clamps).
+
+    Explode-amplification guard: a small input file is one scan partition, but the
+    output is ~chars-per-doc× larger — repartition *before* exploding so the
+    fan-out work parallelizes (otherwise the whole corpus shingles on one task)."""
+    df = _spread(df)
     norm = normalize_text(F.col(text_col))
     out = df.select(
         F.col(id_col).alias("id"),
@@ -76,6 +87,7 @@ def word_ngrams(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
 ) -> DataFrame:
     """(id, ngram) pairs: word n-grams of the normalized text (space-joined)."""
+    df = _spread(df)
     words = F.split(normalize_text(F.col(text_col)), " ")
     idx = F.explode(F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))))
     df2 = df.select(F.col(id_col).alias("id"), words.alias("__w"), idx.alias("__i"))
@@ -104,28 +116,39 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 12) -> DataFrame:
 
 def lsh_bands(signatures: DataFrame, bands: int, rows: int) -> DataFrame:
     """Signature → (id, band, band_hash): hash each band of ``rows`` consecutive
-    minhashes. Docs agreeing on any band become candidates."""
-    pieces = []
-    for b in range(bands):
-        cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
-        pieces.append(
-            signatures.select(
-                "id",
+    minhashes. Docs agreeing on any band become candidates.
+
+    Built as one explode over an array of (band, hash) structs — a single pass over
+    the signatures (a per-band union would recompute the signature aggregation
+    once per band)."""
+    entries = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                    )
+                ).alias("band_hash"),
             )
-        )
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
-    return out
+            for b in range(bands)
+        ]
+    )
+    return signatures.select("id", F.explode(entries).alias("__b")).select(
+        "id", F.col("__b.band").alias("band"), F.col("__b.band_hash").alias("band_hash")
+    )
 
 
 def lsh_candidate_pairs(
     signatures: DataFrame, bands: int = 4, rows: int = 3
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing at least one LSH band, with
-    the estimated Jaccard = fraction of agreeing minhash components."""
+    the estimated Jaccard = fraction of agreeing minhash components.
+
+    The signature table (one narrow row per doc — cacheable at any corpus size) is
+    persisted: it feeds the band join and both sides of the agreement join, and
+    recomputing it means re-exploding every shingle."""
+    signatures = signatures.persist()
     bt = lsh_bands(signatures, bands, rows)
     a, b = bt.alias("a"), bt.alias("b")
     pairs = (

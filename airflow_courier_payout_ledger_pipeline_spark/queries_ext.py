@@ -176,7 +176,11 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    return minhash_signatures(char_shingles(docs, "doc_id", "text", k=9), NUM_HASHES)
+    # distinct=False: min over a multiset equals min over the set, so the
+    # signature is identical and we skip a full shuffle of the exploded shingles
+    return minhash_signatures(
+        char_shingles(docs, "doc_id", "text", k=9, distinct=False), NUM_HASHES
+    )
 
 
 _BANDS_SQL = " UNION ALL ".join(
@@ -214,7 +218,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    sig = minhash_signatures(char_shingles(docs, "doc_id", "text", k=9), NUM_HASHES)
+    sig = minhash_signatures(
+        char_shingles(docs, "doc_id", "text", k=9, distinct=False), NUM_HASHES
+    )
     return lsh_candidate_pairs(sig, BANDS, ROWS_PER_BAND)
 
 

@@ -20,7 +20,8 @@ REPO_ROOT = str(Path(__file__).resolve().parent)
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
-#: Headline set: the flagship mart + one representative per operator family.
+#: Headline set: the flagship mart + one representative per operator family,
+#: including the scale-extension operators (dedup / similarity / text / windows).
 HEADLINE = [
     "courier_ledger",
     "dim_lookup_join",
@@ -31,6 +32,12 @@ HEADLINE = [
     "scd1_upsert",
     "timestamp_dim",
     "json_extract",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+    "text_stats",
+    "event_windows_tumbling",
+    "event_sessionization",
 ]
 
 
