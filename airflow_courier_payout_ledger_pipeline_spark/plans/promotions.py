@@ -256,17 +256,30 @@ def deliveries_stg_to_dds_job(spark: SparkSession, lake: Lakehouse) -> None:
 
 def courier_ledger_update_job(spark: SparkSession, lake: Lakehouse) -> None:
     """sql/courier_ledger_update.sql: full deterministic mart recompute + SCD1 upsert
-    on (courier_id, settlement_year, settlement_month)."""
+    on (courier_id, settlement_year, settlement_month).
+
+    The mart DDL's constraints (NOT NULL / CHECK, DDL_cdm.dm_courier_ledger.sql:20-28)
+    are enforced as a quarantine split before the write: an all-unrated
+    courier-month yields NULL rate_avg → NULL payout/reward (the reference's
+    arithmetic, which would *abort* its whole INSERT — SURVEY.md §2.3); we keep the
+    clean rows flowing and land violations in dm_courier_ledger_quarantine."""
     mart = courier_ledger(
         lake.read(spark, "dds", "fct_deliveries", S.FCT_DELIVERIES_SCHEMA),
         lake.read(spark, "dds", "dm_couriers", S.DM_COURIERS_SCHEMA),
         lake.read(spark, "dds", "dm_orders", S.DM_ORDERS_SCHEMA),
         lake.read(spark, "dds", "dm_timestamps", S.DM_TIMESTAMPS_SCHEMA),
     )
+    from airflow_courier_payout_ledger_pipeline_spark.operators.validate import (
+        ledger_checks,
+        quarantine,
+    )
+
+    clean, bad = quarantine(mart, ledger_checks())
+    lake.overwrite(bad, "cdm", "dm_courier_ledger_quarantine")
     existing = lake.read(spark, "cdm", "dm_courier_ledger", S.DM_COURIER_LEDGER_SCHEMA)
     lake.overwrite(
         scd1_upsert(
-            existing, mart, ["courier_id", "settlement_year", "settlement_month"]
+            existing, clean, ["courier_id", "settlement_year", "settlement_month"]
         ),
         "cdm",
         "dm_courier_ledger",

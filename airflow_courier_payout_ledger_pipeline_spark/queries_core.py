@@ -362,6 +362,38 @@ def q_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd1_upsert(existing, full_reload, ["courier_sk"])
 
 
+# --- S1/S2 scale path: page-parallel REST extraction (rows-only) --------------------
+
+
+def _fake_courier_api_page(params: dict) -> list[dict]:
+    """Deterministic stand-in for the couriers endpoint (module-level so executors
+    can pickle it): 1000 couriers served in offset/limit pages, name-sorted —
+    mirrors modules/load_couriers.py:9-14 server behavior."""
+    total = 1000
+    off, lim = params.get("offset", 0), params.get("limit", 50)
+    return [
+        {"_id": f"c{i:04d}", "name": f"Courier {i:04d}"}
+        for i in range(off, min(off + lim, total))
+    ]
+
+
+@register("rest_page_fetch_distributed")  # rows-only: network source, not SQL
+def q_rest_page_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 at scale: fan page fetches out to executors over a page-range DF via
+    mapInPandas (sources/rest.py), then schema-on-read JSON promotion (P1) — the
+    backfill path where the reference's driver-side 5s-per-page loop would take
+    ~17 minutes for 10k records."""
+    from airflow_courier_payout_ledger_pipeline_spark.sources.rest import (
+        fetch_pages_distributed,
+    )
+
+    raw = fetch_pages_distributed(spark, _fake_courier_api_page, {}, n_pages=20)
+    return raw.select(
+        F.get_json_object("json_response", "$._id").alias("courier_key"),
+        F.get_json_object("json_response", "$.name").alias("courier_name"),
+    )
+
+
 # --- S5/S6: watermark state round-trip (JSON KV document store) ---------------------
 
 WATERMARK_STATE_ORACLE = """

@@ -1,0 +1,147 @@
+"""Planted-case unit tests for dedup, similarity, and text operators (the oracle
+harness checks engine-parity; these check the *semantics* against known answers)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_courier_payout_ledger_pipeline_spark.functions.text import (
+    fingerprint,
+    predict_lang,
+    quality_score,
+)
+from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import (
+    char_shingles,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+    word_ngrams,
+)
+from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    bucketed_ann_topk,
+    embedding_near_dup_pairs,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+
+def test_exact_dedup_collapses_normalized_duplicates(spark):
+    df = _docs(spark, ["Hello  World", "hello world", "HELLO\tWORLD", "other text"])
+    kept = sorted(r.doc_id for r in exact_dedup(df, "doc_id", "text").collect())
+    assert kept == [0, 3]  # min-id representative per group
+
+
+def test_minhash_identical_docs_have_identical_signatures(spark):
+    df = _docs(spark, ["the quick brown fox jumps over the lazy dog"] * 2 + ["something else entirely here"])
+    sig = minhash_signatures(char_shingles(df, "doc_id", "text", distinct=False))
+    rows = {r.id: tuple(r[f"h{j}"] for j in range(12)) for r in sig.collect()}
+    assert rows[0] == rows[1]
+    assert rows[0] != rows[2]
+    pairs = lsh_candidate_pairs(sig).collect()
+    assert [(p.id_a, p.id_b, p.est_jaccard) for p in pairs] == [(0, 1, 1.0)]
+
+
+def test_ngram_jaccard_known_value(spark):
+    # doc0: 4 trigrams {abc,bcd,cde,def}; doc1: 4 trigrams {abc,bcd,cde,dex}
+    # → inter=3, union=5, jaccard=0.6
+    df = _docs(spark, ["a b c d e f", "a b c d e x"])
+    grams = word_ngrams(df, "doc_id", "text", n=3)
+    pairs = ngram_jaccard_pairs(grams).collect()
+    assert len(pairs) == 1
+    assert pairs[0].jaccard == pytest.approx(3 / 5)
+
+
+def test_simhash_identical_and_near(spark):
+    df = _docs(
+        spark,
+        [
+            "spark query engine for big data processing",
+            "spark query engine for big data processing",
+            "completely different words about cooking recipes",
+        ],
+    )
+    fps = {r.id: r.simhash for r in simhash(df, "doc_id", "text").collect()}
+    assert fps[0] == fps[1]
+    assert 0 <= fps[0] < 2**16
+    pairs = simhash_near_pairs(simhash(df, "doc_id", "text"), 0).collect()
+    assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(0, 1, 0)]
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_brute_force_topk_orders_by_cosine(spark):
+    emb = _emb(spark, [[1, 0, 0, 0], [0.9, 0.1, 0, 0], [0, 1, 0, 0], [-1, 0, 0, 0]])
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=3)
+    got = [(r.neighbor_id, r.rank) for r in out.orderBy("rank").collect()]
+    assert got == [(1, 1), (2, 2), (3, 3)]  # 0.9939 > 0.0 > -1.0
+
+
+def test_ann_restricts_to_bucket_and_documents_recall_tradeoff(spark):
+    # vec 3 is the true nearest to vec 0 but lives across the first hyperplane
+    emb = _emb(
+        spark,
+        [
+            [1, 1, 1, 1],
+            [1, 2, 1, 1],
+            [-1, 1, 1, 1],
+            [0.99, 1, 1, 1],
+        ],
+    )
+    brute = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=3)
+    ann = bucketed_ann_topk(emb, emb.filter(F.col("vec_id") == 0), k=3, bits=4)
+    brute_ids = {r.neighbor_id for r in brute.collect()}
+    ann_ids = {r.neighbor_id for r in ann.collect()}
+    assert 2 not in ann_ids  # across the hyperplane → missed (documented tradeoff)
+    assert ann_ids <= brute_ids
+    assert 1 in ann_ids and 3 in ann_ids
+
+
+def test_embedding_near_dup_threshold(spark):
+    emb = _emb(spark, [[1, 0], [1, 0.01], [0, 1]])
+    pairs = embedding_near_dup_pairs(emb, 0.95)
+    assert [(r.id_a, r.id_b) for r in pairs.collect()] == [(0, 1)]
+
+
+def test_text_quality_and_lang_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "The cat and the dog sat on the mat because of the sun and the wind."),
+            (1, "El perro y el gato en la casa de la abuela con el sol."),
+            (2, "x" * 50),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            quality_score(F.col("text")).alias("q"),
+            predict_lang(F.col("text")).alias("lang"),
+            fingerprint(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    assert 0.0 <= rows[2].q <= rows[0].q <= 1.0  # natural text ≥ junk, all bounded
+    assert rows[0].lang == "en"
+    assert rows[1].lang == "es"
+    assert rows[2].lang == "und"
+    # fingerprint invariant under case/whitespace
+    df2 = spark.createDataFrame(
+        [(0, "  the CAT and the dog sat on the mat because of the sun and the wind. ")],
+        "doc_id long, text string",
+    )
+    fp2 = df2.select(fingerprint(F.col("text")).alias("fp")).first().fp
+    assert fp2 == rows[0].fp

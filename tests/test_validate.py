@@ -1,0 +1,84 @@
+"""Constraint validation operators: CHECK/NOT NULL/UNIQUE/FK semantics from the
+reference DDLs, plus the mart quarantine path for the NULL-rating hazard."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_courier_payout_ledger_pipeline_spark.operators.validate import (
+    assert_unique,
+    between,
+    enforce,
+    fk_violations,
+    ledger_checks,
+    non_negative,
+    not_null,
+    quarantine,
+)
+
+
+def test_quarantine_splits_and_names_reasons(spark):
+    df = spark.createDataFrame(
+        [(1, 3, None), (2, 7, 5.0), (3, 4, 1.0)],
+        "id int, rating int, amount double",
+    )
+    checks = [*not_null("amount"), between("rating", 0, 5), *non_negative("amount")]
+    clean, bad = quarantine(df, checks)
+    assert [r.id for r in clean.collect()] == [3]
+    reasons = {r.id: set(r.violations) for r in bad.collect()}
+    assert reasons[1] == {"amount_not_null"}
+    assert reasons[2] == {"rating_between_0_5"}
+
+
+def test_enforce_raises_with_sample(spark):
+    df = spark.createDataFrame([(1, -5.0)], "id int, amount double")
+    with pytest.raises(ValueError, match="constraint violations"):
+        enforce(df, non_negative("amount"))
+
+
+def test_assert_unique(spark):
+    ok = spark.createDataFrame([(1, 2022, 5), (1, 2022, 6)], "c int, y int, m int")
+    assert_unique(ok, ["c", "y", "m"])
+    dup = spark.createDataFrame([(1, 2022, 5), (1, 2022, 5)], "c int, y int, m int")
+    with pytest.raises(ValueError, match="unique constraint"):
+        assert_unique(dup, ["c", "y", "m"])
+
+
+def test_fk_violations(spark):
+    fact = spark.createDataFrame([(1, 10), (2, 99)], "fid int, courier_id int")
+    dim = spark.createDataFrame([(10,)], "id int")
+    orphans = fk_violations(fact, "courier_id", dim)
+    assert [r.fid for r in orphans.collect()] == [2]
+
+
+def test_mart_null_hazard_goes_to_quarantine(spark, tmp_path):
+    """An all-unrated courier-month (NULL rate_avg → NULL payout, SURVEY.md §2.3)
+    must land in the quarantine table, not the mart — where the reference would
+    have aborted its whole INSERT."""
+    from tests.test_pipeline import _delivery, fake_api
+    from airflow_courier_payout_ledger_pipeline_spark import schemas as S
+    from airflow_courier_payout_ledger_pipeline_spark.plans import promotions as P
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    couriers = [{"_id": "c1", "name": "Alice"}, {"_id": "c2", "name": "NoRatings"}]
+    deliveries = [
+        _delivery("d1", "o1", "c1", "2023-05-10 10:00:00", "2023-05-10 09:30:00", 5, 1000.00, 10.00),
+        _delivery("d2", "o2", "c2", "2023-05-10 11:00:00", "2023-05-10 10:30:00", 0, 2000.00, 0.00),
+    ]
+    P.run_daily(spark, lake, fake_api(couriers), fake_api(deliveries, "delivery_ts"), "2023-05-11")
+
+    mart = lake.read(spark, "cdm", "dm_courier_ledger", S.DM_COURIER_LEDGER_SCHEMA).collect()
+    assert [r.courier_name for r in mart] == ["Alice"]
+    quarantined = spark.read.parquet(lake.path("cdm", "dm_courier_ledger_quarantine")).collect()
+    assert len(quarantined) == 1
+    q = quarantined[0]
+    assert q.courier_name == "NoRatings"
+    assert set(q.violations) == {
+        "rate_avg_not_null",
+        "courier_order_sum_not_null",
+        "courier_reward_sum_not_null",
+    }
