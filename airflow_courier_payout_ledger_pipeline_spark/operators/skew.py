@@ -1,0 +1,41 @@
+"""Skew mitigation: salted broadcast-replicate join for pathologically hot keys.
+
+AQE's skew-join splitting (enabled in session.py) handles most skew at runtime by
+splitting oversized shuffle partitions. This operator is the explicit fallback for
+the worst case AQE can't fix: a *single* join key holding a double-digit share of
+the fact table (one courier = 10% of 100 TB of deliveries), where even a split
+partition re-skews on the key itself.
+
+Mechanics: the big side derives a deterministic salt in [0, n) from a row-unique
+column (NOT rand() — task retries must produce identical salts or shuffle files
+disagree); the small side is exploded n× with every salt value; the join key
+becomes (key, salt). Fan-out cost: n copies of the small side — bounded and
+explicit. Result is row-identical to the unsalted join (verified by test).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_source: str | Column,
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``big ⋈ small`` on ``key`` with the big side salted ``num_salts`` ways.
+
+    ``salt_source``: any row-level column of ``big`` that distributes rows within a
+    hot key (a business key, an id — anything with per-row variety). Deterministic:
+    re-running a task yields the same salt for the same row.
+    """
+    salt_col = F.pmod(F.xxhash64(salt_source), F.lit(num_salts)).cast("int")
+    big_s = big.withColumn("__salt", salt_col)
+    small_s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
+    )
+    return big_s.join(small_s, [key, "__salt"], how).drop("__salt")

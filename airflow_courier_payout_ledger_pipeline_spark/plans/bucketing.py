@@ -1,0 +1,38 @@
+"""Bucketed tables: pre-shuffled storage so the big fact ⋈ orders-dim join runs
+with ZERO exchanges (SCALE.md — the 100 TB path once dm_orders outgrows broadcast).
+
+``bucketBy(n, key)`` writes each table pre-partitioned (and here pre-sorted) by
+the join key; Spark's bucketed-scan rule then plans a SortMergeJoin with no
+Exchange on either side — the shuffle happened once at write time and is amortized
+over every subsequent join, the same trade Hive/Iceberg/Delta make with clustered
+tables. The test asserts the no-Exchange property from the physical plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame, table: str, keys: list[str], num_buckets: int = 16
+) -> None:
+    """Persist as a bucketed (+ per-bucket sorted) managed parquet table."""
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, *keys)
+        .sortBy(*keys)
+        .saveAsTable(table)
+    )
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str, key: str) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key — shuffle-free by
+    construction (verify via .explain: no Exchange above either scan)."""
+    return spark.table(left_table).join(spark.table(right_table), key, "inner")
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of Exchange (shuffle) operators in the physical plan."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(1 for line in plan.splitlines() if "Exchange" in line and "Reused" not in line)

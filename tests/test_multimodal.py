@@ -1,0 +1,54 @@
+"""Multimodal plumbing: decode roundtrip, determinism, metadata-scan pruning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_courier_payout_ledger_pipeline_spark.operators.multimodal import (
+    encode_fake_image,
+    extract_image_features,
+    media_metadata_only,
+)
+
+
+@pytest.fixture()
+def media(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            (i, bytearray(encode_fake_image(i, 4 + i % 3, 4, 3)), "image/fimg", 4 + i % 3, 4)
+            for i in range(20)
+        ],
+        "media_id long, payload binary, media_type string, declared_w int, declared_h int",
+    )
+    path = str(tmp_path / "media")
+    df.write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_decode_roundtrip_and_determinism(spark, media):
+    feats = {r.media_id: r for r in extract_image_features(media).collect()}
+    assert len(feats) == 20
+    for mid, r in feats.items():
+        assert r.n_bytes == r.width * r.height * r.channels
+        assert len(r.feature) == 8
+    again = {r.media_id: r for r in extract_image_features(media).collect()}
+    assert all(feats[m].feature == again[m].feature for m in feats)
+
+
+def test_metadata_query_prunes_binary_column(spark, media):
+    meta = media_metadata_only(media)
+    plan = meta._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    read_schema_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema_lines and all("payload" not in l for l in read_schema_lines)
+    assert meta.count() == 20
+
+
+def test_foreign_payload_raises_like_real_codec(spark):
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n-not-fimg-data"))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="real image codecs|NotImplementedError"):
+        extract_image_features(bad).collect()

@@ -1,0 +1,67 @@
+"""Scale-path operators: salted skew join (result-identical to plain join) and
+bucketed co-located join (zero shuffles, proven from the physical plan)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_courier_payout_ledger_pipeline_spark.operators.skew import salted_join
+from airflow_courier_payout_ledger_pipeline_spark.plans.bucketing import (
+    bucketed_join,
+    exchange_count,
+    write_bucketed,
+)
+
+
+def test_salted_join_identical_to_plain_join(spark):
+    # hot key: courier 1 owns 90% of rows
+    big = spark.createDataFrame(
+        [(1 if i < 900 else i % 7, f"d{i}") for i in range(1000)],
+        "courier_id int, delivery_key string",
+    )
+    small = spark.createDataFrame(
+        [(i, f"Courier {i}") for i in range(10)], "courier_id int, name string"
+    )
+    plain = big.join(small, "courier_id").select("delivery_key", "name")
+    salted = salted_join(big, small, "courier_id", salt_source="delivery_key").select(
+        "delivery_key", "name"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_spreads_hot_key(spark):
+    big = spark.createDataFrame(
+        [(1, f"d{i}") for i in range(100)], "k int, v string"
+    )
+    salt = F.pmod(F.xxhash64("v"), F.lit(8)).cast("int")
+    n_salts = big.select(salt.alias("s")).distinct().count()
+    assert n_salts == 8  # the hot key fans out across all salt partitions
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS b_facts")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    facts = spark.range(0, 10_000).select(
+        (F.col("id") % 1000).alias("order_id"), F.col("id").alias("fact_id")
+    )
+    orders = spark.range(0, 1000).select(
+        F.col("id").alias("order_id"), (F.col("id") * 2).alias("order_attr")
+    )
+    write_bucketed(facts, "b_facts", ["order_id"], 8)
+    write_bucketed(orders, "b_orders", ["order_id"], 8)
+
+    # same join WITHOUT bucketing shuffles (disable auto-broadcast to see it)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_facts", "b_orders", "order_id")
+        assert joined.count() == 10_000
+        assert exchange_count(joined) == 0  # pre-bucketed: no Exchange at all
+
+        plain = facts.join(orders, "order_id")
+        plain.count()
+        assert exchange_count(plain) >= 1  # unbucketed baseline shuffles
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_facts")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
