@@ -120,6 +120,110 @@ def bucketed_ann_topk(
     )
 
 
+def _assign_to_centroids(df: DataFrame, centroids: list[tuple[int, list[float]]], vec_col: str) -> Column:
+    """Column: id of the nearest centroid (squared L2), ties to the lower id.
+    Centroids are driver-side state (O(k·dim) — the standard MLlib layout) unrolled
+    into a codegen'd expression, so assignment is a pure map stage."""
+    best_id, best_d = None, None
+    for cid, cvec in centroids:
+        d = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in cvec]),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        if best_id is None:
+            best_id, best_d = F.lit(cid), d
+        else:
+            cond = d < best_d
+            best_id = F.when(cond, F.lit(cid)).otherwise(best_id)
+            best_d = F.when(cond, d).otherwise(best_d)
+    assert best_id is not None
+    return best_id
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd's k-means (init = k lowest-id vectors): the iterative
+    coarse quantizer for IVF. Each iteration is one distributed pass (assign map +
+    per-dimension avg agg); only the k×dim centroid table ever reaches the driver."""
+    init = emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = [(i, [float(x) for x in r[0]]) for i, r in enumerate(init)]
+    for _ in range(iters):
+        assigned = emb.select(
+            F.col(vec_col).alias("__v"),
+            _assign_to_centroids(emb, centroids, vec_col).alias("__c"),
+        )
+        dim = len(centroids[0][1])
+        means = (
+            assigned.select(
+                "__c", F.posexplode(F.col("__v").cast("array<double>")).alias("__p", "__x")
+            )
+            .groupBy("__c", "__p")
+            .agg(F.avg("__x").alias("__m"))
+            .groupBy("__c")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__p"), F.col("__m")))
+                ).alias("__pm")
+            )
+            .select("__c", F.col("__pm.__m").alias("__mean"))
+            .collect()
+        )
+        new = {r["__c"]: [float(x) for x in r["__mean"]] for r in means}
+        centroids = [
+            (cid, new.get(cid, vec)) for cid, vec in centroids  # empty cluster keeps old
+        ]
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: both sides assigned to their nearest centroid (inverted lists);
+    candidates restricted to the query's list. Same join topology as the sign-bucket
+    LSH path — swap the quantizer, keep the plan. Multi-probe = assign queries to
+    their n nearest centroids (not done here; changes recall, not topology)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        _assign_to_centroids(corpus, centroids, vec_col).alias("centroid"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        _assign_to_centroids(queries, centroids, vec_col).alias("centroid"),
+    )
+    sims = (
+        c.join(F.broadcast(q), "centroid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

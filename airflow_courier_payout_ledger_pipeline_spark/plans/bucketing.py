@@ -33,6 +33,11 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str, key: s
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of Exchange (shuffle) operators in the physical plan."""
+    """Number of shuffle Exchange operators in the physical plan (broadcast
+    exchanges move only the small side and don't count as shuffles)."""
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return sum(1 for line in plan.splitlines() if "Exchange" in line and "Reused" not in line)
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line and "Reused" not in line
+    )

@@ -403,6 +403,22 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, 0.38)
 
 
+@register("similarity_ivf_topk")  # rows-only: iterative k-means quantizer
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic Lloyd's k-means coarse quantizer (3 distributed
+    iterations) + inverted-list-restricted cosine top-5. Iterative → not
+    SQL-expressible as one statement; recall/latency tradeoff mirrors
+    similarity_ann_bucketed with a learned partitioner instead of hyperplanes."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    cents = kmeans_centroids(emb, k=8, iters=3)
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 20), cents, k=5)
+
+
 # =====================================================================================
 # Event-time windows & sessionization
 # =====================================================================================

@@ -1,0 +1,52 @@
+"""IVF similarity search: k-means convergence on clustered data and recall vs
+brute force."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    kmeans_centroids,
+)
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    # two tight, well-separated clusters around (10,0...) and (0,10...)
+    rows = []
+    for i in range(40):
+        base = [10.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 10.0, 0.0, 0.0]
+        jitter = [((i * 7 + j * 3) % 5) / 10.0 for j in range(4)]
+        rows.append((i, [b + d for b, d in zip(base, jitter)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_finds_the_two_clusters(clustered):
+    cents = kmeans_centroids(clustered, k=2, iters=4)
+    axes = sorted((round(v[0]), round(v[1])) for _, v in cents)
+    assert axes[0][1] >= 9 and axes[1][0] >= 9  # one centroid per cluster
+
+
+def test_ivf_matches_brute_force_on_separated_clusters(clustered):
+    """With well-separated clusters, every true neighbor shares the query's
+    inverted list — IVF top-k equals exact top-k."""
+    cents = kmeans_centroids(clustered, k=2, iters=4)
+    queries = clustered.filter(F.col("vec_id") < 4)
+    ivf = ivf_topk(clustered, queries, cents, k=3)
+    brute = brute_force_topk(clustered, queries, k=3)
+    ivf_rows = {(r.query_id, r.rank): r.neighbor_id for r in ivf.collect()}
+    brute_rows = {(r.query_id, r.rank): r.neighbor_id for r in brute.collect()}
+    assert ivf_rows == brute_rows
+
+
+def test_ivf_restricts_candidates(clustered):
+    cents = kmeans_centroids(clustered, k=2, iters=4)
+    queries = clustered.filter(F.col("vec_id") == 0)  # even → cluster 1
+    out = ivf_topk(clustered, queries, cents, k=100)
+    ids = {r.neighbor_id for r in out.collect()}
+    assert ids and all(i % 2 == 0 for i in ids)  # only same-cluster candidates
