@@ -114,6 +114,85 @@ def q_courier_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Spark-SQL dialect twin of the flagship: same semantics through the spark.sql
+# surface (Catalyst compiles both to the same plan shape). Differences from the
+# DuckDB oracle text: no `SELECT * REPLACE`, string type names.
+LEDGER_SPARK_SQL = """
+WITH del AS (
+    SELECT
+        l_orderkey AS order_id,
+        CAST(l_extendedprice AS DECIMAL(14,2)) AS order_sum,
+        l_suppkey AS courier_id,
+        CAST(l_linenumber % 6 AS SMALLINT) AS rating,
+        CAST(round(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(4,2)), 2)
+             AS DECIMAL(14,2)) AS tips
+    FROM {lineitem}
+),
+main AS (
+    SELECT
+        del.courier_id AS courier_sk,
+        s.s_name AS courier_name,
+        CAST(year(o.o_orderdate) AS SMALLINT) AS settlement_year,
+        CAST(month(o.o_orderdate) AS SMALLINT) AS settlement_month,
+        COUNT(del.order_id) AS orders_count_l,
+        CAST(SUM(del.order_sum) AS DECIMAL(14,2)) AS orders_total_sum_x,
+        avg(del.rating) FILTER (WHERE del.rating BETWEEN 1 AND 5) AS rate_avg_x,
+        CAST(SUM(del.tips) AS DECIMAL(14,2)) AS courier_tips_sum_x
+    FROM del
+    INNER JOIN {supplier} s ON del.courier_id = s.s_suppkey
+    INNER JOIN {orders} o ON del.order_id = o.o_orderkey
+    GROUP BY 1, 2, 3, 4
+),
+u1 AS (
+    SELECT *,
+        CASE
+            WHEN rate_avg_x < 4 THEN orders_total_sum_x * 0.05
+            WHEN rate_avg_x < 4.5 AND rate_avg_x >= 4 THEN orders_total_sum_x * 0.07
+            WHEN rate_avg_x < 4.9 AND rate_avg_x >= 4.5 THEN orders_total_sum_x * 0.08
+            WHEN rate_avg_x >= 4.9 THEN orders_total_sum_x * 0.10
+        END AS payout
+    FROM main
+),
+u2 AS (
+    SELECT courier_sk, courier_name, settlement_year, settlement_month,
+           orders_count_l, orders_total_sum_x, rate_avg_x, courier_tips_sum_x,
+        CASE
+            WHEN rate_avg_x < 4 AND payout < 100 * orders_count_l THEN 100 * orders_count_l
+            WHEN rate_avg_x < 4.5 AND rate_avg_x >= 4 AND payout < 150 * orders_count_l THEN 150 * orders_count_l
+            WHEN rate_avg_x < 4.9 AND rate_avg_x >= 4.5 AND payout < 175 * orders_count_l THEN 175 * orders_count_l
+            WHEN rate_avg_x >= 4.9 AND payout < 200 * orders_count_l THEN 200 * orders_count_l
+            ELSE payout
+        END AS payout
+    FROM u1
+)
+SELECT
+    CAST(courier_sk AS STRING) AS courier_id,
+    courier_name,
+    settlement_year,
+    settlement_month,
+    CAST(orders_count_l AS INT) AS orders_count,
+    orders_total_sum_x AS orders_total_sum,
+    CAST(rate_avg_x AS DECIMAL(3,2)) AS rate_avg,
+    CAST(round(orders_total_sum_x * 0.25, 2) AS DECIMAL(14,2)) AS order_processing_fee,
+    CAST(round(payout, 2) AS DECIMAL(14,2)) AS courier_order_sum,
+    courier_tips_sum_x AS courier_tips_sum,
+    CAST(round(payout + courier_tips_sum_x * 0.95, 2) AS DECIMAL(14,2)) AS courier_reward_sum
+FROM u2
+"""
+
+
+@register("courier_ledger_sql", LEDGER_ORACLE)
+def q_courier_ledger_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship through the spark.sql surface (ANSI SQL text → same Catalyst
+    plan family as the DataFrame version; both hash-match the same oracle)."""
+    views = {}
+    for t in ("lineitem", "orders", "supplier"):
+        name = f"__cl_{t}"
+        load_tables(spark, sf_dir, t)[t].createOrReplaceTempView(name)
+        views[t] = name
+    return spark.sql(LEDGER_SPARK_SQL.format(**views))
+
+
 def all_queries() -> dict[str, SparkQuery]:
     # Import registers the extension/operator modules' queries as a side effect.
     from airflow_courier_payout_ledger_pipeline_spark import queries_core  # noqa: F401
