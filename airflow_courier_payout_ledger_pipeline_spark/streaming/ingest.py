@@ -1,0 +1,60 @@
+"""Streaming ingestion patterns: the reference's batch SCD semantics carried onto
+unbounded streams.
+
+- ``stream_dedup``: SCD0 insert-ignore as a *streaming* operator — watermarked
+  ``dropDuplicates`` keeps (bounded) seen-key state and emits each key once,
+  exactly the ``ON CONFLICT DO NOTHING`` contract of
+  ``modules/load_deliveries.py:62`` with the state horizon made explicit.
+- ``stream_scd1_sink``: SCD1 upsert of a stream into a lakehouse table via
+  ``foreachBatch`` — each micro-batch runs the same ``scd1_upsert`` merge the
+  batch pipeline uses (one code path for batch and streaming writes; on Delta the
+  body becomes ``MERGE INTO`` unchanged).
+
+State sizing at scale: dedup state = keys within the watermark horizon; choose the
+horizon from the upstream's max lateness (the reference's daily batch ≈ a 1-day
+horizon).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from airflow_courier_payout_ledger_pipeline_spark.operators.merge import scd1_upsert
+from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+
+def stream_dedup(
+    stream: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming SCD0: first event per key (within the watermark horizon) passes,
+    later duplicates are dropped from the stream."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(keys)
+
+
+def stream_scd1_sink(
+    stream: DataFrame,
+    lake: Lakehouse,
+    layer: str,
+    table: str,
+    keys: list[str],
+    checkpoint: str,
+    query_name: str = "scd1_sink",
+) -> StreamingQuery:
+    """Continuously upsert a stream into a lakehouse table: per micro-batch,
+    source rows win on key conflict (the couriers full-reload contract,
+    sql/couriers_stg_to_dds.sql:21-27), unmatched target rows survive."""
+    schema = stream.schema
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        existing = lake.read(spark, layer, table, schema)
+        lake.overwrite(scd1_upsert(existing, batch_df, keys), layer, table)
+
+    return (
+        stream.writeStream.foreachBatch(upsert_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
