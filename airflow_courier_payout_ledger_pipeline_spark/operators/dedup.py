@@ -106,11 +106,19 @@ def _seeded_md5(col: Column, seed: int) -> Column:
 
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 12) -> DataFrame:
-    """Per-doc MinHash signature: min over shingles of md5(seed:shingle), one column
-    per seed. Partial (map-side) min aggregation makes this one cheap shuffle."""
-    aggs = [
-        F.min(_seeded_md5(F.col("shingle"), j)).alias(f"h{j}") for j in range(num_hashes)
-    ]
+    """Per-doc MinHash signature: one column per hash function, each the min over
+    the doc's shingles. Partial (map-side) min aggregation makes this one cheap
+    shuffle.
+
+    md5 dominates the cost, so each seeded md5 yields TWO independent hash
+    functions (its 16-hex-char halves — both uniform in the shingle): h{2j} =
+    md5(j:sh)[0:16], h{2j+1} = md5(j:sh)[16:32]. Halves the digest work for the
+    same signature width; the DuckDB oracle mirrors the same split."""
+    aggs = []
+    for j in range(num_hashes):
+        seed, half = divmod(j, 2)
+        h = F.substring(_seeded_md5(F.col("shingle"), seed), 1 + 16 * half, 16)
+        aggs.append(F.min(h).alias(f"h{j}"))
     return shingles.groupBy("id").agg(*aggs)
 
 

@@ -156,7 +156,10 @@ pos AS (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t) - 8, 1)))
 sh AS (SELECT DISTINCT doc_id, substr(t, i, 9) AS shingle FROM pos),
 sig AS (
     SELECT doc_id AS id,
-           {", ".join(f"min(md5('{j}:' || shingle)) AS h{j}" for j in range(NUM_HASHES))}
+           {", ".join(
+               f"min(substr(md5('{j // 2}:' || shingle), {1 + 16 * (j % 2)}, 16)) AS h{j}"
+               for j in range(NUM_HASHES)
+           )}
     FROM sh GROUP BY doc_id
 )
 """
