@@ -43,6 +43,54 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- P1 variant: typed from_json struct parse (parse once, not per-field) ----------
+
+JSON_STRUCT_ORACLE = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
+       CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+            THEN 'high' ELSE 'low' END AS k_band
+FROM events
+"""
+
+
+@register("json_struct_parse", JSON_STRUCT_ORACLE)
+def q_json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1, the scale-preferred form: ``from_json`` into a typed struct ONCE, then
+    field access — one parse per row regardless of how many fields downstream
+    reads (get_json_object re-parses per call)."""
+    events = load_tables(spark, sf_dir, "events")["events"]
+    parsed = events.withColumn("p", F.from_json("props", "k int"))
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("prop_k"),
+        F.when(F.col("p.k") >= 50, "high").otherwise("low").alias("k_band"),
+    )
+
+
+# --- API-side sort/limit/offset pagination semantics (SURVEY §2.5 note) -------------
+
+PAGED_SCAN_ORACLE = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_orderkey
+LIMIT 50 OFFSET 100
+"""
+
+
+@register("paged_scan", PAGED_SCAN_ORACLE)
+def q_paged_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The API's limit/offset pagination contract (modules/load_couriers.py:10-13)
+    as a relational operator: total order + offset + limit (Spark ≥3.4)."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(50)
+    )
+
+
 # --- P3/P4: watermark predicate with coalesce fallback (deliveries_stg_to_dds:13-16) -
 
 WATERMARK_FILTER_ORACLE = """
