@@ -224,12 +224,16 @@ def ngram_jaccard_pairs(
 
 # --- SimHash -------------------------------------------------------------------------
 
-SIMHASH_BITS = 16  # 4 md5 nibbles — portable to the DuckDB oracle via nibble math
+#: 32 bits = 8 md5 nibbles — portable to the DuckDB oracle via nibble math.
+#: (16 bits collides heavily on shared-vocabulary corpora — observed; 64 would
+#: overflow signed int64 bit-summing, 32 is the portable sweet spot.)
+SIMHASH_BITS = 32
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """16-bit SimHash per document: each token votes ±1 on each bit of its md5;
-    fingerprint bit = sign of the vote sum. Returns (id, simhash int)."""
+    """SimHash per document: each token votes ±1 on each of the fingerprint's bits
+    (taken from its md5 nibbles); fingerprint bit = sign of the vote sum.
+    Returns (id, simhash int64)."""
     tokens = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
@@ -243,10 +247,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         bit_votes.append(F.sum(bit * 2 - 1).alias(f"v{i}"))
     votes = tokens.groupBy("id").agg(*bit_votes)
     fp = sum(
-        (F.when(F.col(f"v{i}") > 0, 2**i).otherwise(0) for i in range(SIMHASH_BITS)),
-        F.lit(0),
+        (
+            F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+            for i in range(SIMHASH_BITS)
+        ),
+        F.lit(0).cast("long"),
     )
-    return votes.select("id", fp.cast("int").alias("simhash"))
+    return votes.select("id", fp.alias("simhash"))
 
 
 def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -256,6 +263,7 @@ def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFra
     the candidate set exact. This is the sub-quadratic SimHash pattern that scales:
     the join key (quarter_idx, quarter_value) has bounded fan-out."""
     assert max_hamming <= 3, "quarter-pigeonhole guarantees recall only up to 3"
+    qw = SIMHASH_BITS // 4  # quarter width in bits
     quarters = fingerprints.select(
         "id",
         "simhash",
@@ -264,7 +272,9 @@ def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFra
                 *[
                     F.struct(
                         F.lit(q).alias("q"),
-                        ((F.col("simhash") / (16**q)).cast("int") % 16).alias("qv"),
+                        ((F.col("simhash") / (2 ** (qw * q))).cast("long") % (2**qw)).alias(
+                            "qv"
+                        ),
                     )
                     for q in range(4)
                 ]

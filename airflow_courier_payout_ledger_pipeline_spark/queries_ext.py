@@ -257,8 +257,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_votes_sql() -> str:
+    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import SIMHASH_BITS
+
     votes = []
-    for i in range(16):
+    for i in range(SIMHASH_BITS):
         nib_pos, bit = i // 4 + 1, 3 - (i % 4)
         votes.append(
             f"SUM((((strpos('0123456789abcdef', substr(md5(tok), {nib_pos}, 1)) - 1)"
@@ -267,8 +269,12 @@ def _simhash_votes_sql() -> str:
     return ", ".join(votes)
 
 
+from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import SIMHASH_BITS
+
 _SIMHASH_FP_SQL = (
-    "(" + " + ".join(f"CASE WHEN v{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(16)) + ")::INT"
+    "("
+    + " + ".join(f"CASE WHEN v{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(SIMHASH_BITS))
+    + ")::BIGINT"
 )
 
 SIMHASH_ORACLE = f"""
@@ -302,7 +308,7 @@ votes AS (
 ),
 fp AS (SELECT doc_id AS id, {_SIMHASH_FP_SQL} AS simhash FROM votes),
 q AS (
-    SELECT id, simhash, k AS q, (simhash // (16 ** k)::INT) % 16 AS qv
+    SELECT id, simhash, k AS q, (simhash // (256 ** k)::BIGINT) % 256 AS qv
     FROM fp, (SELECT unnest(generate_series(0, 3)) AS k)
 ),
 cand AS (

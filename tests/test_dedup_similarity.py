@@ -71,7 +71,7 @@ def test_simhash_identical_and_near(spark):
     )
     fps = {r.id: r.simhash for r in simhash(df, "doc_id", "text").collect()}
     assert fps[0] == fps[1]
-    assert 0 <= fps[0] < 2**16
+    assert 0 <= fps[0] < 2**32
     pairs = simhash_near_pairs(simhash(df, "doc_id", "text"), 0).collect()
     assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(0, 1, 0)]
 
