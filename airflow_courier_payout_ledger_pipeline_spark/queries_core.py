@@ -442,6 +442,54 @@ def q_rest_page_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Set operations & multi-level aggregation (general analytics surface) -----------
+
+SET_OPS_ORACLE = """
+WITH may AS (SELECT DISTINCT o_custkey FROM orders WHERE month(o_orderdate) = 5),
+jun AS (SELECT DISTINCT o_custkey FROM orders WHERE month(o_orderdate) = 6)
+SELECT o_custkey, 'may_only' AS membership FROM (SELECT * FROM may EXCEPT SELECT * FROM jun)
+UNION ALL
+SELECT o_custkey, 'both' AS membership FROM (SELECT * FROM may INTERSECT SELECT * FROM jun)
+"""
+
+
+@register("set_ops", SET_OPS_ORACLE)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / INTERSECT / UNION ALL: customers ordering in May vs June. (The
+    reference has no set operations — SURVEY §2.5 — but a complete engine needs
+    them; Spark plans them as hash anti/semi joins.)"""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    may = orders.filter(F.month("o_orderdate") == 5).select("o_custkey").distinct()
+    jun = orders.filter(F.month("o_orderdate") == 6).select("o_custkey").distinct()
+    return may.exceptAll(jun).withColumn("membership", F.lit("may_only")).unionByName(
+        may.intersectAll(jun).withColumn("membership", F.lit("both"))
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT CAST(year(o_orderdate) AS SMALLINT) AS y,
+       CAST(month(o_orderdate) AS SMALLINT) AS m,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS total
+FROM orders
+GROUP BY ROLLUP (1, 2)
+"""
+
+
+@register("rollup_totals", ROLLUP_ORACLE)
+def q_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation via ROLLUP (year, month → year → grand total) —
+    one pass, NULL-filled subtotal levels identical across engines."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    return orders.rollup(
+        F.year("o_orderdate").cast("smallint").alias("y"),
+        F.month("o_orderdate").cast("smallint").alias("m"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("decimal(18,2)").alias("total"),
+    )
+
+
 # --- S5/S6: watermark state round-trip (JSON KV document store) ---------------------
 
 WATERMARK_STATE_ORACLE = """
