@@ -47,6 +47,26 @@ def encode_fake_image(media_id: int, w: int, h: int, channels: int = 3) -> bytes
     return FAKE_HEADER.pack(b"FIMG", w, h, channels) + body
 
 
+def synthesize_payloads(media: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """Attach a deterministic FIMG ``payload`` column to a metadata DataFrame,
+    generated Arrow-batch-wise via mapInPandas (the bench/test stand-in for
+    scanning a real parquet binary column — NOT a row-at-a-time Python UDF:
+    rows move driver↔executor as Arrow batches, generation loops stay in-process
+    over one batch at a time)."""
+    import pandas as pd  # noqa: PLC0415
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                encode_fake_image(int(m), int(w), int(h))
+                for m, w, h in zip(pdf["media_id"], pdf["declared_w"], pdf["declared_h"])
+            ]
+            yield pdf[["media_id", "payload", "media_type", "declared_w", "declared_h"]]
+
+    return media.mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def _decode(payload: bytes) -> tuple[int, int, int, bytes]:
     """STUB decode — replace with PIL/libvips in production.
 
@@ -71,14 +91,21 @@ def extract_image_features(media: DataFrame, batch_rows: int = 256) -> DataFrame
             out = {k: [] for k in ("media_id", "width", "height", "channels", "n_bytes", "mean_byte", "feature")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 w, h, c, body = _decode(bytes(payload))
-                arr = np.frombuffer(body, dtype=np.uint8).astype(np.float32)
-                pooled = [float(chunk.mean()) if len(chunk) else 0.0 for chunk in np.array_split(arr, 8)]
+                arr = np.frombuffer(body, dtype=np.uint8)
+                pooled = [
+                    float(chunk.mean()) if len(chunk) else 0.0
+                    for chunk in np.array_split(arr.astype(np.float32), 8)
+                ]
                 out["media_id"].append(mid)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["channels"].append(c)
                 out["n_bytes"].append(len(body))
-                out["mean_byte"].append(float(arr.mean()) if len(arr) else 0.0)
+                # exact int64 sum / exact division → the identical double in any
+                # engine (a float32 .mean() would drift from the SQL oracle)
+                out["mean_byte"].append(
+                    float(arr.sum(dtype=np.int64)) / len(arr) if len(arr) else 0.0
+                )
                 out["feature"].append(pooled)
             yield pd.DataFrame(out)
 

@@ -24,7 +24,7 @@ JSON_EXTRACT_ORACLE = """
 SELECT
     event_id,
     CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
-    CAST(value AS DECIMAL(14,2)) AS value_dec,
+    CAST(value AS DECIMAL(14,2))::DOUBLE AS value_dec,
     event_type
 FROM events
 """
@@ -98,7 +98,7 @@ SELECT
     l_orderkey,
     l_linenumber,
     l_shipdate,
-    CAST(l_extendedprice AS DECIMAL(14,2)) AS order_sum
+    CAST(l_extendedprice AS DECIMAL(14,2))::DOUBLE AS order_sum
 FROM lineitem
 WHERE l_shipdate > COALESCE(NULL, TIMESTAMP '1998-01-01 00:00:00')
 """
@@ -176,7 +176,7 @@ SELECT
     l.l_orderkey || '-' || l.l_linenumber AS delivery_key,
     o.o_orderkey AS order_sk,
     s.s_suppkey AS courier_sk,
-    CAST(l.l_extendedprice AS DECIMAL(14,2)) AS order_sum
+    CAST(l.l_extendedprice AS DECIMAL(14,2))::DOUBLE AS order_sum
 FROM lineitem l
 INNER JOIN orders o ON l.l_orderkey = o.o_orderkey
 INNER JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -231,9 +231,9 @@ FILTERED_AGG_ORACLE = """
 SELECT
     l_suppkey AS courier_sk,
     COUNT(*) AS deliveries,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS orders_total_sum,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(14,2))::DOUBLE AS orders_total_sum,
     avg(l_linenumber % 6) FILTER (WHERE l_linenumber % 6 BETWEEN 1 AND 5) AS rate_avg,
-    CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) * 0.25, 2) AS DECIMAL(14,2))
+    CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) * 0.25, 2) AS DECIMAL(14,2))::DOUBLE
         AS order_processing_fee
 FROM lineitem
 GROUP BY l_suppkey
@@ -287,8 +287,8 @@ u1 AS (
 )
 SELECT
     courier_sk, y AS settlement_year, m AS settlement_month,
-    CAST(rate_avg_x AS DECIMAL(3,2)) AS rate_avg,
-    CAST(round(payout, 2) AS DECIMAL(14,2)) AS pct_payout,
+    CAST(rate_avg_x AS DECIMAL(3,2))::DOUBLE AS rate_avg,
+    CAST(round(payout, 2) AS DECIMAL(14,2))::DOUBLE AS pct_payout,
     CAST(round(
         CASE
             WHEN rate_avg_x < 4 AND payout < 100 * orders_count_l THEN 100 * orders_count_l
@@ -296,7 +296,7 @@ SELECT
             WHEN rate_avg_x < 4.9 AND rate_avg_x >= 4.5 AND payout < 175 * orders_count_l THEN 175 * orders_count_l
             WHEN rate_avg_x >= 4.9 AND payout < 200 * orders_count_l THEN 200 * orders_count_l
             ELSE payout
-        END, 2) AS DECIMAL(14,2)) AS floored_payout
+        END, 2) AS DECIMAL(14,2))::DOUBLE AS floored_payout
 FROM u1
 """
 
@@ -349,7 +349,7 @@ increment AS (
     -- overlapping re-extraction window: some rows already exist
     SELECT CAST(o_orderkey AS VARCHAR) AS delivery_key,
            o_orderdate,
-           CAST(o_totalprice AS DECIMAL(14,2)) AS order_sum
+           CAST(o_totalprice AS DECIMAL(14,2))::DOUBLE AS order_sum
     FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
 )
 SELECT i.delivery_key, i.o_orderdate, i.order_sum
@@ -470,7 +470,7 @@ ROLLUP_ORACLE = """
 SELECT CAST(year(o_orderdate) AS SMALLINT) AS y,
        CAST(month(o_orderdate) AS SMALLINT) AS m,
        count(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS total
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(18,2))::DOUBLE AS total
 FROM orders
 GROUP BY ROLLUP (1, 2)
 """

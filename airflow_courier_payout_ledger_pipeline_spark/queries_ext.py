@@ -435,7 +435,7 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 TUMBLING_ORACLE = """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
        count(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS value_sum
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(14,2))::DOUBLE AS value_sum
 FROM events GROUP BY 1, 2
 """
 
@@ -482,7 +482,7 @@ s AS (
 SELECT user_id, session_seq::BIGINT AS session_seq,
        min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS value_sum
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(14,2))::DOUBLE AS value_sum
 FROM s GROUP BY 1, 2
 """
 
@@ -498,17 +498,42 @@ def q_event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================================
-# Multimodal (rows-only: binary decode is not SQL-expressible)
+# Multimodal: binary payload → decoded scalar features (Arrow-batched mapInPandas)
 # =====================================================================================
 
+# The FIMG payload is a pure function of (media_id, w, h): header + pixel bytes
+# (media_id*31 + i*7) % 251 — so the decoded scalar features ARE SQL-expressible
+# and the mapInPandas decode path gets a real hash-checked oracle. The pooled
+# feature vector (array<float>) stays a library-level output (driver's pandas
+# canonicalizer can't hash arrays).
+MULTIMODAL_ORACLE = """
+WITH meta AS (
+    SELECT doc_id AS media_id,
+           ((doc_id % 16) + 4)::INT AS width,
+           ((doc_id % 8) + 4)::INT AS height
+    FROM documents
+),
+px AS (
+    SELECT media_id, width, height,
+           unnest(generate_series(0, width * height * 3 - 1)) AS i
+    FROM meta
+)
+SELECT media_id, width, height, 3::INT AS channels,
+       (width * height * 3)::INT AS n_bytes,
+       SUM((media_id * 31 + i * 7) % 251)::DOUBLE / COUNT(*)::DOUBLE AS mean_byte
+FROM px GROUP BY 1, 2, 3
+"""
 
-@register("multimodal_features")  # no oracle — mapInPandas decode path
+
+@register("multimodal_features", MULTIMODAL_ORACLE)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media column → decoded features via Arrow-batched mapInPandas.
+    """Binary media column → decoded scalar features via Arrow-batched mapInPandas.
     Payloads are deterministic fake images derived from the documents table (the
-    container ships no codecs — the Spark plumbing is the deliverable)."""
+    container ships no codecs — the Spark plumbing is the deliverable); both the
+    payload synthesis and the decode run batch-wise, no row-at-a-time UDF."""
     from airflow_courier_payout_ledger_pipeline_spark.operators.multimodal import (
         extract_image_features,
+        synthesize_payloads,
     )
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
@@ -518,15 +543,4 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("doc_id") % 16) + 4).cast("int").alias("declared_w"),
         ((F.col("doc_id") % 8) + 4).cast("int").alias("declared_h"),
     )
-    # deterministic payload built executor-side from the id (stands in for real bytes)
-    payload = F.udf(
-        lambda mid, w, h: __import__(
-            "airflow_courier_payout_ledger_pipeline_spark.operators.multimodal",
-            fromlist=["encode_fake_image"],
-        ).encode_fake_image(mid, w, h),
-        "binary",
-    )
-    media = media.withColumn(
-        "payload", payload(F.col("media_id"), F.col("declared_w"), F.col("declared_h"))
-    )
-    return extract_image_features(media)
+    return extract_image_features(synthesize_payloads(media)).drop("feature")

@@ -12,9 +12,12 @@ Conventions (driver hash-compare contract, see repo root ``__spark_entry__.py``)
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DecimalType, MapType
 
 from airflow_courier_payout_ledger_pipeline_spark.plans.ledger import courier_ledger
 from airflow_courier_payout_ledger_pipeline_spark.plans.tpch_adapter import (
@@ -28,9 +31,44 @@ QUERIES: dict[str, SparkQuery] = {}
 ORACLES: dict[str, str] = {}
 
 
+def driver_canonical(df: DataFrame) -> DataFrame:
+    """Make a final driver-facing result hash-comparable across engines.
+
+    The driver canonicalizes both result sets through pandas, where DuckDB
+    DECIMALs arrive as float64 but Spark DECIMALs stay ``decimal.Decimal``
+    objects ('123.40' != '123.4' at hash time), and array/map cells crash
+    ``factorize`` outright ("unhashable type: 'list'"). So the *library* keeps
+    Decimal for order-independent exact aggregation, and this boundary:
+
+    - casts every DECIMAL column to double (values are already rounded at
+      scale <= 2; decimal->double is correctly-rounded-nearest in both Spark
+      and DuckDB, so the doubles are bit-identical), and
+    - serializes array/map columns to JSON text.
+
+    Every oracle mirrors the decimal cast with an explicit ``::DOUBLE`` on the
+    same columns.
+    """
+    exprs, changed = [], False
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, DecimalType):
+            exprs.append(c.cast("double").alias(f.name))
+            changed = True
+        elif isinstance(f.dataType, (ArrayType, MapType)):
+            exprs.append(F.to_json(c).alias(f.name))
+            changed = True
+        else:
+            exprs.append(c)
+    return df.select(*exprs) if changed else df
+
+
 def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQuery]:
     def deco(fn: SparkQuery) -> SparkQuery:
-        QUERIES[name] = fn
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return driver_canonical(fn(spark, sf_dir))
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
@@ -96,12 +134,14 @@ SELECT
     settlement_year,
     settlement_month,
     CAST(orders_count_l AS INTEGER) AS orders_count,
-    orders_total_sum_x AS orders_total_sum,
-    CAST(rate_avg_x AS DECIMAL(3,2)) AS rate_avg,
-    CAST(round(orders_total_sum_x * 0.25, 2) AS DECIMAL(14,2)) AS order_processing_fee,
-    CAST(round(payout, 2) AS DECIMAL(14,2)) AS courier_order_sum,
-    courier_tips_sum_x AS courier_tips_sum,
-    CAST(round(payout + courier_tips_sum_x * 0.95, 2) AS DECIMAL(14,2)) AS courier_reward_sum
+    -- driver-canonical money: the exact DECIMAL(·,2) value, emitted as DOUBLE
+    -- (matches registry.driver_canonical on the Spark side)
+    orders_total_sum_x::DOUBLE AS orders_total_sum,
+    CAST(rate_avg_x AS DECIMAL(3,2))::DOUBLE AS rate_avg,
+    CAST(round(orders_total_sum_x * 0.25, 2) AS DECIMAL(14,2))::DOUBLE AS order_processing_fee,
+    CAST(round(payout, 2) AS DECIMAL(14,2))::DOUBLE AS courier_order_sum,
+    courier_tips_sum_x::DOUBLE AS courier_tips_sum,
+    CAST(round(payout + courier_tips_sum_x * 0.95, 2) AS DECIMAL(14,2))::DOUBLE AS courier_reward_sum
 FROM u2
 """
 

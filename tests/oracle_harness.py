@@ -42,7 +42,10 @@ def _canon(v: object) -> str:
             return "NaN"
         return repr(v)
     if isinstance(v, decimal.Decimal):
-        return str(v)
+        # Emulate the driver: it canonicalizes through pandas, where DuckDB
+        # DECIMALs arrive as float64. Spark-side Decimals never reach here —
+        # compare() rejects them up front (driver-unsafe).
+        return repr(float(v))
     if isinstance(v, datetime.datetime):
         return v.isoformat()
     if isinstance(v, datetime.date):
@@ -64,7 +67,21 @@ def _rows_canonical(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]
 
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "query") -> None:
-    """Assert Spark result == DuckDB oracle result (order-insensitive)."""
+    """Assert Spark result == DuckDB oracle result (order-insensitive), with the
+    driver's pandas-canonicalizer quirks enforced: Spark Decimal columns
+    hash-mismatch ('123.40' vs float 123.4) and array/map cells crash factorize,
+    so both are rejected outright here (route through registry.driver_canonical)."""
+    from pyspark.sql.types import ArrayType, DecimalType, MapType
+
+    unsafe = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (DecimalType, ArrayType, MapType))
+    ]
+    assert not unsafe, (
+        f"{name}: driver-unsafe output column types {unsafe} — Decimal fails the "
+        "driver's pandas hash, array/map crashes it; wrap with registry.driver_canonical"
+    )
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     res = con.execute(sql)
