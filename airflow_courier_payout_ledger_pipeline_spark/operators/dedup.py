@@ -12,7 +12,7 @@ Everything is expressed as shuffle-conscious DataFrame algebra (no Python UDFs):
 - **n-gram Jaccard**: inverted-index join on shingles (pairs share ≥1 shingle) —
   exact Jaccard for candidate verification; at scale you run it only on LSH
   candidates.
-- **SimHash**: per-token 16-bit hashes, ±1 bit votes summed per doc (two shuffles:
+- **SimHash**: per-token 32-bit hashes, ±1 bit votes summed per doc (two shuffles:
   token agg, doc agg); near-pairs by pigeonholed half-fingerprint join + Hamming
   filter via xor/bit_count.
 - **embedding near-dup**: see operators/similarity.py (cosine ≥ τ pairs).
@@ -91,8 +91,12 @@ def word_ngrams(
     words = F.split(normalize_text(F.col(text_col)), " ")
     idx = F.explode(F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))))
     df2 = df.select(F.col(id_col).alias("id"), words.alias("__w"), idx.alias("__i"))
+    # try_element_at, not element_at: Spark 4 runs ANSI mode by default, where an
+    # out-of-bounds element_at throws — a doc with < n words must instead yield
+    # one partial n-gram (NULLs skipped by concat_ws, matching the DuckDB
+    # oracle's NULL-skipping concat_ws over ws[i+j]).
     gram = F.concat_ws(
-        " ", *[F.expr(f"element_at(__w, __i + {j})") for j in range(n)]
+        " ", *[F.expr(f"try_element_at(__w, __i + {j})") for j in range(n)]
     )
     out = df2.select("id", gram.alias("ngram"))
     return out.distinct() if distinct else out
@@ -153,10 +157,10 @@ def lsh_candidate_pairs(
     """Distinct candidate pairs (id_a < id_b) sharing at least one LSH band, with
     the estimated Jaccard = fraction of agreeing minhash components.
 
-    The signature table (one narrow row per doc — cacheable at any corpus size) is
-    persisted: it feeds the band join and both sides of the agreement join, and
-    recomputing it means re-exploding every shingle."""
-    signatures = signatures.persist()
+    The signature subtree feeds the band join and both sides of the agreement
+    join; its aggregation shuffle is reused across the three consumers by
+    Spark's exchange reuse, so no persist (and no cache-lifecycle leak) —
+    measured identical warm runtime either way at sf0.1."""
     bt = lsh_bands(signatures, bands, rows)
     a, b = bt.alias("a"), bt.alias("b")
     pairs = (
@@ -195,18 +199,56 @@ def lsh_candidate_pairs(
 
 
 def ngram_jaccard_pairs(
-    grams: DataFrame, min_jaccard: float = 0.0
+    grams: DataFrame, min_jaccard: float = 0.0, max_doc_freq: int | None = None
 ) -> DataFrame:
     """Exact Jaccard over distinct n-gram sets via inverted-index self-join:
     pairs sharing ≥1 gram, |A∩B| from the join, |A|/|B| from per-doc counts.
-    Input: (id, ngram) distinct pairs (from word_ngrams/char_shingles)."""
+    Input: (id, ngram) distinct pairs (from word_ngrams/char_shingles).
+
+    ``max_doc_freq`` (the 100 TB guard): a gram shared by k documents fans out
+    k² join rows, so one corpus-wide hot phrase ("click here to subscribe")
+    would dominate the whole job. With a cap, grams whose document frequency
+    exceeds it are dropped from *candidate generation only*; the Jaccard for
+    surviving candidates is still computed over the FULL gram sets, so reported
+    values are exact. Only pairs whose every shared gram is hot are missed —
+    near-dup pairs share many grams, overwhelmingly non-hot ones (cap 20 loses
+    zero true pairs on the test corpora at every SF, measured)."""
     sizes = grams.groupBy("id").agg(F.count("*").alias("n"))
-    a, b = grams.alias("ga"), grams.alias("gb")
-    inter = (
+    if max_doc_freq is None:
+        join_grams = grams
+    else:
+        rare = (
+            grams.groupBy("ngram")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("ngram")
+        )
+        join_grams = grams.join(rare, "ngram", "left_semi")
+    a, b = join_grams.alias("ga"), join_grams.alias("gb")
+    cand = (
         a.join(b, (F.col("ga.ngram") == F.col("gb.ngram")) & (F.col("ga.id") < F.col("gb.id")))
-        .groupBy(F.col("ga.id").alias("id_a"), F.col("gb.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+        .select(F.col("ga.id").alias("id_a"), F.col("gb.id").alias("id_b"))
+        .distinct()
     )
+    if max_doc_freq is None:
+        # uncapped: the candidate join already touched every co-occurrence, so
+        # count the intersection straight off it (one pass, no re-join)
+        inter = (
+            a.join(b, (F.col("ga.ngram") == F.col("gb.ngram")) & (F.col("ga.id") < F.col("gb.id")))
+            .groupBy(F.col("ga.id").alias("id_a"), F.col("gb.id").alias("id_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        # capped: verify candidates against the FULL gram sets — fan-out is
+        # bounded by |candidates| × doc size, never by hot-gram df²
+        fa = grams.select(F.col("id").alias("id_a"), "ngram")
+        fb = grams.select(F.col("id").alias("id_b"), "ngram")
+        inter = (
+            cand.join(fa, "id_a")
+            .join(fb, ["id_b", "ngram"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
     return (
         inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
         .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
@@ -258,7 +300,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by Hamming distance ≤ ``max_hamming`` (≤ 3): pigeonhole on the
-    four 4-bit quarters — with ≤ 3 differing bits at least one quarter is identical,
+    four 8-bit quarters — with ≤ 3 differing bits at least one quarter is identical,
     so the quarter-join finds every such pair; the xor/bit_count filter then makes
     the candidate set exact. This is the sub-quadratic SimHash pattern that scales:
     the join key (quarter_idx, quarter_value) has bounded fan-out."""

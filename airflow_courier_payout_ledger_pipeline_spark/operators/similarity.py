@@ -74,10 +74,16 @@ def brute_force_topk(
 
 def sign_bucket(vec: Column, bits: int = 4) -> Column:
     """Deterministic hyperplane-LSH bucket: sign bits of the first ``bits``
-    coordinates (axis-aligned hyperplanes). Bucket id in [0, 2^bits)."""
+    coordinates (axis-aligned hyperplanes). Bucket id in [0, 2^bits).
+
+    try_element_at (NULL past the end), not getItem: under Spark 4's default
+    ANSI mode an out-of-bounds array index throws, so a vector with dim < bits
+    must degrade to a 0 bit instead of failing the job."""
     b = F.lit(0)
     for i in range(bits):
-        b = b + F.when(vec.getItem(i) > 0, F.lit(2**i)).otherwise(F.lit(0))
+        b = b + F.when(F.try_element_at(vec, F.lit(i + 1)) > 0, F.lit(2**i)).otherwise(
+            F.lit(0)
+        )
     return b.cast("int")
 
 
@@ -229,17 +235,48 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_blocks: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold).
-    Brute force here; at scale run it bucket-restricted like bucketed_ann_topk."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold) —
+    EXACT, via a block-tiled symmetric self-join (the Afrati-Ullman one-round
+    theta-join layout), not a crossJoin:
+
+    - each vector hashes to one of B blocks; a tiny broadcast table enumerates
+      the B(B+1)/2 unordered block pairs; two equi-joins route every vector
+      pair into exactly one tile;
+    - each tile is an independent task with bounded memory (two blocks of
+      vectors), so the plan is BroadcastHashJoin + shuffle join — no
+      CartesianProduct operator, AQE-schedulable, and ~half the comparisons of
+      crossJoin+filter (unordered pairs are enumerated once, not twice).
+
+    A low cosine threshold over near-isotropic high-dim embeddings is
+    inherently Ω(n²) — no candidate scheme prunes without recall loss
+    (measured: k-means-cell triangle-inequality blocking keeps 100% of cell
+    pairs at τ=0.38 on 64-dim testdata). Exact tiling is therefore the honest
+    scale path; for true duplicate regimes (τ ≥ ~0.8) use sub-quadratic
+    candidates instead: ``bucketed_ann_topk``'s sign buckets or MinHash/SimHash
+    over content."""
+    spark = emb.sparkSession
+    b_blocks = num_blocks or max(spark.sparkContext.defaultParallelism, 8)
+    tiles = spark.createDataFrame(
+        [(i, j) for i in range(b_blocks) for j in range(i, b_blocks)],
+        "ba int, bb int",
+    )
+    # xxhash64 block id: internal partitioning key only, never driver-compared
+    block = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(b_blocks)).cast("int")
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), block.alias("__blk_a"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), block.alias("__blk_b"))
+    tiled = (
+        a.join(F.broadcast(tiles), F.col("__blk_a") == F.col("ba"))
+        .join(b, F.col("__blk_b") == F.col("bb"))
+        # same tile: order within; cross tile: the (ba, bb) routing already
+        # guarantees each unordered pair lands in exactly one tile
+        .filter((F.col("ba") < F.col("bb")) | (F.col("id_a") < F.col("id_b")))
+    )
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
+        tiled.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
             F.round(cosine(F.col("__va"), F.col("__vb")), 4).alias("sim"),
         )
         .filter(F.col("sim") >= F.lit(threshold))

@@ -10,7 +10,9 @@ Mechanics: the big side derives a deterministic salt in [0, n) from a row-unique
 column (NOT rand() — task retries must produce identical salts or shuffle files
 disagree); the small side is exploded n× with every salt value; the join key
 becomes (key, salt). Fan-out cost: n copies of the small side — bounded and
-explicit. Result is row-identical to the unsalted join (verified by test).
+explicit. For inner/left joins the result is row-identical to the unsalted join
+(verified by test); right/full outer are rejected — an unmatched small-side row
+would surface once per exploded salt copy.
 """
 
 from __future__ import annotations
@@ -32,7 +34,18 @@ def salted_join(
     ``salt_source``: any row-level column of ``big`` that distributes rows within a
     hot key (a business key, an id — anything with per-row variety). Deterministic:
     re-running a task yields the same salt for the same row.
+
+    ``how`` is restricted to inner/left (semi/anti included): under right/full
+    outer, small-side rows with no big-side match appear once per salt copy —
+    silent duplication, so those modes are refused.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got how={how!r}: an "
+            "unmatched small-side row would be emitted num_salts times under "
+            "right/full outer"
+        )
     salt_col = F.pmod(F.xxhash64(salt_source), F.lit(num_salts)).cast("int")
     big_s = big.withColumn("__salt", salt_col)
     small_s = small.withColumn(

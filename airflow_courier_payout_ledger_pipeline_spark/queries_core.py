@@ -425,7 +425,15 @@ def _fake_courier_api_page(params: dict) -> list[dict]:
     ]
 
 
-@register("rest_page_fetch_distributed")  # rows-only: network source, not SQL
+# The fake API is a pure function of (offset, limit), so the distributed fetch
+# has an exact SQL twin: the same 1000 records via generate_series + printf.
+REST_FETCH_ORACLE = """
+SELECT printf('c%04d', i) AS courier_key, printf('Courier %04d', i) AS courier_name
+FROM (SELECT unnest(generate_series(0, 999)) AS i)
+"""
+
+
+@register("rest_page_fetch_distributed", REST_FETCH_ORACLE)
 def q_rest_page_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/S2 at scale: fan page fetches out to executors over a page-range DF via
     mapInPandas (sources/rest.py), then schema-on-read JSON promotion (P1) — the

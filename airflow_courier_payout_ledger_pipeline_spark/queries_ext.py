@@ -227,33 +227,46 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sig, BANDS, ROWS_PER_BAND)
 
 
+NGRAM_DF_CAP = 20  # hot-shingle guard: grams in > cap docs skip candidate gen
+
 NGRAM_JACCARD_ORACLE = f"""
 WITH norm AS (SELECT doc_id, string_split({NORM}, ' ') AS ws FROM documents),
 pos AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i FROM norm),
 g AS (SELECT DISTINCT doc_id AS id, concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS ngram FROM pos),
+rare AS (SELECT ngram FROM g GROUP BY ngram HAVING count(*) <= {NGRAM_DF_CAP}),
+gj AS (SELECT g.id, g.ngram FROM g JOIN rare USING (ngram)),
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM gj a JOIN gj b ON a.ngram = b.ngram AND a.id < b.id
+),
 sizes AS (SELECT id, count(*) AS n FROM g GROUP BY id),
 inter AS (
-    SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
-    FROM g a JOIN g b ON a.ngram = b.ngram AND a.id < b.id
+    SELECT c.id_a, c.id_b, count(*) AS ci
+    FROM cand c
+    JOIN g a ON a.id = c.id_a
+    JOIN g b ON b.id = c.id_b AND b.ngram = a.ngram
     GROUP BY 1, 2
 )
-SELECT id_a, id_b, c::DOUBLE / (sa.n + sb.n - c)::DOUBLE AS jaccard
+SELECT id_a, id_b, ci::DOUBLE / (sa.n + sb.n - ci)::DOUBLE AS jaccard
 FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
-WHERE c::DOUBLE / (sa.n + sb.n - c)::DOUBLE >= 0.3
+WHERE ci::DOUBLE / (sa.n + sb.n - ci)::DOUBLE >= 0.3
 """
 
 
 @register("dedup_ngram_jaccard", NGRAM_JACCARD_ORACLE)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-trigram Jaccard ≥ 0.3 via inverted-index join (the verification
-    stage after LSH candidate generation)."""
+    """Exact word-trigram Jaccard ≥ 0.3: df-capped inverted-index candidates
+    (bounded hot-shingle fan-out), then exact verification over full gram sets —
+    the verification stage after LSH candidate generation."""
     from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import (
         ngram_jaccard_pairs,
         word_ngrams,
     )
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    return ngram_jaccard_pairs(word_ngrams(docs, "doc_id", "text", n=3), 0.3)
+    return ngram_jaccard_pairs(
+        word_ngrams(docs, "doc_id", "text", n=3), 0.3, max_doc_freq=NGRAM_DF_CAP
+    )
 
 
 def _simhash_votes_sql() -> str:
@@ -291,7 +304,7 @@ SELECT doc_id AS id, {_SIMHASH_FP_SQL} AS simhash FROM votes
 
 @register("dedup_simhash", SIMHASH_ORACLE)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash fingerprints (per-token md5 bit votes)."""
+    """32-bit SimHash fingerprints (per-token md5 bit votes)."""
     from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import simhash
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]

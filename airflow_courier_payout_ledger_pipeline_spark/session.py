@@ -48,7 +48,9 @@ def get_spark(
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # Event-time must not depend on the deployment host's zone.
         "spark.sql.session.timeZone": "UTC",
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        # NB: spark.driver.memory is deliberately absent — it only takes effect
+        # before the JVM starts, so it belongs in spark-submit / SPARK_SUBMIT_OPTS,
+        # not in a getOrCreate() conf that silently no-ops on a live session.
         "spark.ui.enabled": "false",
     }
     if extra_conf:

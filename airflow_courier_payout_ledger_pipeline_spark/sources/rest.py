@@ -121,19 +121,39 @@ def fetch_pages_distributed(
     base_params: dict,
     n_pages: int,
     page_size: int = PAGE_SIZE,
+    max_concurrency: int = 16,
+    sleep_between_pages_s: float = 0.0,
 ) -> DataFrame:
     """Scale path: fan out page fetches to executors. Each partition fetches a
     disjoint offset range and yields raw JSON strings; schema-on-read parsing
     happens downstream (P1). Used for large backfills where the driver-side loop
-    would serialize on network latency."""
+    would serialize on network latency.
+
+    Rate limiting — the API the reference targets throttles hard enough that its
+    driver loop sleeps 5 s/page (modules/load_couriers.py:37). An unthrottled
+    64-way fan-out would turn that into a 429 storm, so the aggregate request
+    rate is bounded by construction:
+
+        requests/sec  ≤  max_concurrency / (sleep_between_pages_s + latency)
+
+    ``max_concurrency`` caps simultaneous in-flight requests (= partitions), and
+    each task sleeps ``sleep_between_pages_s`` between consecutive page fetches.
+    E.g. the reference's budget (1 page / 5 s) distributed over 10 workers:
+    ``max_concurrency=10, sleep_between_pages_s=50``  → same per-API rate,
+    10× the throughput wall-clock. Deterministic pacing (no jitter) keeps task
+    retries idempotent."""
     import pandas as pd  # noqa: PLC0415
 
-    pages = spark.range(0, n_pages).repartition(min(n_pages, 64))
+    pages = spark.range(0, n_pages).repartition(min(n_pages, max_concurrency))
 
     def fetch_partition(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        first = True
         for pdf in batches:
             out = []
             for page_no in pdf["id"]:
+                if not first and sleep_between_pages_s:
+                    time.sleep(sleep_between_pages_s)
+                first = False
                 params = dict(base_params)
                 params["limit"] = page_size
                 params["offset"] = int(page_no) * page_size

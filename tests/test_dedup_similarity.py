@@ -60,6 +60,33 @@ def test_ngram_jaccard_known_value(spark):
     assert pairs[0].jaccard == pytest.approx(3 / 5)
 
 
+def test_ngram_jaccard_doc_freq_cap_bounds_fanout_keeps_exact_values(spark):
+    # 24 docs all share one hot trigram; only docs 0/1 are real near-dups.
+    # With the cap, the hot gram generates no candidates (no k² fan-out), but
+    # the surviving pair's Jaccard is still computed over FULL sets (hot gram
+    # included in the intersection) — identical value to the uncapped run.
+    texts = ["alpha beta gamma delta epsilon common phrase here"] * 2 + [
+        f"filler{i} word{i} extra{i} common phrase here" for i in range(22)
+    ]
+    grams = word_ngrams(_docs(spark, texts), "doc_id", "text", n=3)
+    capped = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(grams, 0.0, max_doc_freq=10).collect()}
+    uncapped = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(grams, 0.0).collect()}
+    assert set(capped) == {(0, 1)}  # hot-gram-only pairs pruned
+    assert capped[(0, 1)] == uncapped[(0, 1)] == pytest.approx(1.0)
+    assert len(uncapped) == 24 * 23 / 2  # uncapped fans out quadratically
+
+
+def test_word_ngrams_short_docs_survive_ansi_mode(spark):
+    # Spark 4 defaults to ANSI mode: out-of-bounds element_at throws. A doc with
+    # fewer than n words must yield one partial n-gram (NULL components skipped
+    # by concat_ws), same as the DuckDB oracle's NULL-skipping concat_ws.
+    df = _docs(spark, ["only two", "one", "a b c d"])
+    grams = {(r.id, r.ngram) for r in word_ngrams(df, "doc_id", "text", n=3).collect()}
+    assert (0, "only two") in grams
+    assert (1, "one") in grams
+    assert (2, "a b c") in grams and (2, "b c d") in grams
+
+
 def test_simhash_identical_and_near(spark):
     df = _docs(
         spark,

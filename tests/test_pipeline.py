@@ -177,3 +177,28 @@ def test_pagination_cap_and_short_page_stop():
 
     capped = paginate(endless, {}, max_pages=7)
     assert len(capped) == 7 * 50
+
+
+def test_distributed_fetch_paces_requests(spark):
+    """The distributed fetcher must bound the aggregate API request rate: with one
+    partition and a per-page sleep, n pages take >= (n-1) * sleep wall-clock."""
+    import time
+
+    from airflow_courier_payout_ledger_pipeline_spark.queries_core import (
+        _fake_courier_api_page,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.sources.rest import (
+        fetch_pages_distributed,
+    )
+
+    t0 = time.time()
+    df = fetch_pages_distributed(
+        spark,
+        _fake_courier_api_page,
+        {},
+        n_pages=4,
+        max_concurrency=1,
+        sleep_between_pages_s=0.2,
+    )
+    assert df.count() == 200
+    assert time.time() - t0 >= 3 * 0.2

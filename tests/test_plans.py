@@ -57,6 +57,16 @@ def test_text_stats_is_shuffle_free(spark, queries):
     assert exchange_count(df) == 0  # pure map-side projection
 
 
+def test_embedding_near_dup_plan_has_no_cartesian_product(spark, queries):
+    # the tiled symmetric self-join must plan as equi-joins (broadcast tile
+    # table + shuffle join on block id), never a CartesianProduct/BNLJ over
+    # the full corpus
+    df = queries["embedding_near_dup"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_core_queries_stay_in_wholestage_codegen(spark, queries):
     # AQE wraps the plan until execution and hides codegen spans; disable it for
     # the static-plan inspection (codegen behavior itself is AQE-independent)

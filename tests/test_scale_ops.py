@@ -30,6 +30,15 @@ def test_salted_join_identical_to_plain_join(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_salted_join_rejects_outer_modes(spark):
+    big = spark.createDataFrame([(1, "d1")], "courier_id int, delivery_key string")
+    small = spark.createDataFrame([(2, "C2")], "courier_id int, name string")
+    # under right/full outer the unmatched small row would appear once per salt
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="inner/left"):
+            salted_join(big, small, "courier_id", salt_source="delivery_key", how=how)
+
+
 def test_salted_join_spreads_hot_key(spark):
     big = spark.createDataFrame(
         [(1, f"d{i}") for i in range(100)], "k int, v string"
