@@ -450,6 +450,84 @@ def q_rest_page_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- S2+M3: two-run watermark progression (the repo's signature incremental path) ---
+
+# Emulates two successive incremental promotion runs against static data
+# (sql/deliveries_stg_to_dds.sql:2-58, modules/load_deliveries.py:21-79):
+# run 1 sees rows in (w0, snapshot1]; its cursor = max(ts) of that increment;
+# run 2 extracts strictly after that cursor (S5), SCD0-deduped against run-1
+# keys (M2); the final 'cursor' row materializes the advanced watermark (S6).
+# delivery_key is NOT unique in the testdata, so within-batch dedup orders by
+# (ts, order_sum) — mirrored by the oracle's QUALIFY row_number().
+INCREMENTAL_PROMOTION_ORACLE = """
+WITH base AS (
+    SELECT l_orderkey || '-' || l_linenumber AS delivery_key,
+           l_shipdate AS ts,
+           CAST(l_extendedprice AS DECIMAL(14,2))::DOUBLE AS order_sum
+    FROM lineitem
+),
+run1 AS (
+    SELECT * FROM base
+    WHERE ts > TIMESTAMP '1997-06-01 00:00:00' AND ts <= TIMESTAMP '1997-09-01 00:00:00'
+),
+run2 AS (
+    SELECT * FROM base WHERE ts > (SELECT max(ts) FROM run1)
+),
+new2 AS (
+    SELECT * FROM run2 r2
+    WHERE NOT EXISTS (SELECT 1 FROM run1 r1 WHERE r1.delivery_key = r2.delivery_key)
+    QUALIFY row_number() OVER (PARTITION BY delivery_key ORDER BY ts, order_sum) = 1
+),
+facts AS (
+    SELECT delivery_key, ts, order_sum, 1 AS run_no FROM run1
+    UNION ALL
+    SELECT delivery_key, ts, order_sum, 2 AS run_no FROM new2
+)
+SELECT * FROM facts
+UNION ALL
+SELECT 'cursor', (SELECT max(ts) FROM facts), NULL::DOUBLE, 0
+"""
+
+
+@register("incremental_promotion", INCREMENTAL_PROMOTION_ORACLE)
+def q_incremental_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+S5+S6+M2/M3 end-to-end: watermark-windowed increment, driver-side cursor
+    bind (constant-folds into the second scan's pushed filter), SCD0 insert-ignore
+    across runs, and the advanced cursor emitted last — the facts-first/
+    cursor-last promotion pattern of plans/promotions.py, driver-checkable."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.merge import scd0_new_rows
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    base = li.select(
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("delivery_key"),
+        F.col("l_shipdate").alias("ts"),
+        F.col("l_extendedprice").cast(MONEY).alias("order_sum"),
+    )
+    w0 = F.lit("1997-06-01 00:00:00").cast("timestamp")
+    snapshot1 = F.lit("1997-09-01 00:00:00").cast("timestamp")
+    run1 = base.filter((F.col("ts") > w0) & (F.col("ts") <= snapshot1))
+    # S6→S5 round-trip: run 1's cursor binds driver-side, exactly like
+    # WatermarkStore.read_last_loaded_ts feeding the next run's filter
+    cursor1 = run1.agg(F.max("ts")).first()[0]
+    run2 = base.filter(F.col("ts") > F.lit(cursor1))
+    new2 = scd0_new_rows(
+        run2,
+        run1.select("delivery_key"),
+        ["delivery_key"],
+        tiebreaker=F.struct(F.col("ts"), F.col("order_sum")),
+    )
+    facts = run1.withColumn("run_no", F.lit(1)).unionByName(
+        new2.withColumn("run_no", F.lit(2))
+    )
+    cursor_row = facts.agg(F.max("ts").alias("ts")).select(
+        F.lit("cursor").alias("delivery_key"),
+        "ts",
+        F.lit(None).cast(MONEY).alias("order_sum"),
+        F.lit(0).alias("run_no"),
+    )
+    return facts.unionByName(cursor_row)
+
+
 # --- Set operations & multi-level aggregation (general analytics surface) -----------
 
 SET_OPS_ORACLE = """
