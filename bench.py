@@ -58,10 +58,12 @@ def main() -> None:
     for name in names:
         queries[name](spark, sf_dir).count()
 
+    # best-of-3: this box shows ±30% run-to-run noise under background load;
+    # two reps were not enough for a stable steady-state number
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
