@@ -12,9 +12,11 @@ from __future__ import annotations
 
 import shutil
 import uuid
+from collections.abc import Sequence
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -62,3 +64,65 @@ class Lakehouse:
         tmp.rename(final)
         if old.exists():
             shutil.rmtree(old)
+
+    def merge_upsert_partitioned(
+        self,
+        spark: SparkSession,
+        increment: DataFrame,
+        layer: str,
+        table: str,
+        schema: StructType,
+        keys: Sequence[str],
+        partition_col: str,
+    ) -> list:
+        """MERGE-shaped SCD1 upsert against a ``partition_col``-partitioned table:
+        only partitions the increment touches are read, merged, and swapped —
+        untouched partition directories are never opened. This is the plain-parquet
+        shape of Delta's ``MERGE INTO`` with partition pruning: at 100 TB a daily
+        increment touches a handful of date partitions, so the full-table
+        staging-swap of :meth:`overwrite` (correct, but a complete rewrite per
+        run) becomes a rewrite of only the affected slices.
+
+        Crash-safety: merged data lands in a staging dir first, then affected
+        partition directories are swapped one at a time. A crash mid-swap leaves
+        each partition either old or new — and because SCD1 upsert is idempotent,
+        re-running the merge converges. Returns the affected partition values.
+
+        Requires every increment row to carry a non-null ``partition_col``; rows
+        may NOT move between partitions (standard MERGE-with-pruning contract —
+        a key that changes its partition value would be duplicated, exactly as a
+        partition-pruned Delta MERGE would)."""
+        from airflow_courier_payout_ledger_pipeline_spark.operators.merge import scd1_upsert
+
+        parts = [
+            r[0] for r in increment.select(partition_col).distinct().collect()
+        ]  # O(#affected partitions) driver-side — the same scalar class as a cursor
+        assert None not in parts, f"increment has NULL {partition_col} rows"
+        if not parts:
+            return []
+
+        if self.exists(layer, table):
+            existing = (
+                spark.read.schema(schema)
+                .option("basePath", self.path(layer, table))
+                .parquet(self.path(layer, table))
+                .filter(F.col(partition_col).isin(parts))
+            )
+        else:
+            existing = spark.createDataFrame([], schema)
+        merged = scd1_upsert(existing, increment, list(keys))
+
+        final = Path(self.path(layer, table))
+        tmp = final.with_name(f"{final.name}.__tmp_{uuid.uuid4().hex[:8]}")
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(str(tmp))
+        try:
+            final.mkdir(parents=True, exist_ok=True)
+            for pdir in sorted(tmp.glob(f"{partition_col}=*")):
+                dest = final / pdir.name
+                old = tmp / f"__old_{pdir.name}"
+                if dest.exists():
+                    dest.rename(old)
+                pdir.rename(dest)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return parts

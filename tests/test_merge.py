@@ -59,3 +59,36 @@ def test_scd1_idempotent(spark):
     once = scd1_upsert(target, source, ["k"])
     twice = scd1_upsert(once, source, ["k"])
     assert {(r.k, r.v) for r in twice.collect()} == {("a", "fresh")}
+
+
+def test_partitioned_merge_rewrites_only_affected_partitions(spark, tmp_path):
+    """merge_upsert_partitioned = Delta-MERGE-with-pruning on plain parquet:
+    the increment's partitions are merged and swapped, every other partition
+    directory keeps its exact files (same inodes — never rewritten)."""
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    lake = Lakehouse(str(tmp_path))
+    schema = StructType.fromDDL("k string, v string, d int")
+    seed = _df(spark, [("a", "v1", 1), ("b", "v1", 2), ("c", "v1", 3)], "k string, v string, d int")
+    assert sorted(lake.merge_upsert_partitioned(spark, seed, "dds", "t", schema, ["k"], "d")) == [1, 2, 3]
+
+    d1 = tmp_path / "dds" / "t" / "d=1"
+    before = {p: os.stat(p).st_ino for p in d1.rglob("*.parquet")}
+    assert before
+
+    inc = _df(spark, [("b", "v2", 2), ("x", "new", 4)], "k string, v string, d int")
+    assert sorted(lake.merge_upsert_partitioned(spark, inc, "dds", "t", schema, ["k"], "d")) == [2, 4]
+
+    out = {(r.k): (r.v, r.d) for r in lake.read(spark, "dds", "t", schema).collect()}
+    assert out == {"a": ("v1", 1), "b": ("v2", 2), "c": ("v1", 3), "x": ("new", 4)}
+    after = {p: os.stat(p).st_ino for p in d1.rglob("*.parquet")}
+    assert after == before  # untouched partition: identical files, never rewritten
+
+    # idempotent re-run (crash-replay): same increment converges to same state
+    lake.merge_upsert_partitioned(spark, inc, "dds", "t", schema, ["k"], "d")
+    again = {(r.k): (r.v, r.d) for r in lake.read(spark, "dds", "t", schema).collect()}
+    assert again == out
