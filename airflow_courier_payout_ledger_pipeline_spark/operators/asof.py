@@ -1,0 +1,94 @@
+"""As-of (time-travel) join: for every left row, the most recent right row at or
+before its timestamp, per key — the canonical enrichment for event streams against
+slowly-changing state (price books, model versions, dim history). The reference
+has no temporal joins (SURVEY.md §2.4 is equi-join only); a training-data pipeline
+at 100 TB needs this constantly (label events with the feature value as-of event
+time, never the future one).
+
+Scale shape — union + ordered window, NOT a range join:
+
+    left(key, ts)  ∪  right(key, ts)   →  one shuffle on key
+    last(right_value, ignorenulls) over (partition by key order by ts, side)
+
+A naive ``l JOIN r ON l.key = r.key AND r.ts <= l.ts`` + max-per-row explodes to
+|left|×|right-per-key| rows before pruning; the union trick is linear: each row
+is touched once, the per-key ordered scan carries the latest right payload
+forward. Ties (left.ts == right.ts) resolve to "right visible" (backward
+inclusive), matching DuckDB/pandas ``ASOF JOIN`` / ``merge_asof`` semantics.
+
+Known 100 TB hazard: one pathologically hot key serializes into one task's sort.
+Mitigation is the standard two-phase split — window by (key, time_bucket) with a
+per-bucket carry-in — documented here, not implemented (the single-window form is
+the right default; the carry-in variant only pays off past ~10^8 rows per key).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of-backward join: every ``left`` row, enriched with ``right_values``
+    from the latest ``right`` row with ``right.ts <= left.ts`` for the same key
+    (NULLs when no such row). Also emits the matched timestamp as
+    ``{right_ts}{suffix}``.
+
+    ``right`` should be unique per (key, right_ts) — pre-aggregate if not, or
+    the carried payload at a tied timestamp is tie-broken by nothing.
+    """
+    lcols = left.columns
+    ltypes = dict(left.dtypes)
+    rpay = [F.col(c).alias(f"__r_{c}") for c in (right_ts, *right_values)]
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *rpay,
+        *[
+            F.lit(None).cast(ltypes[c]).alias(f"__l_{c}")
+            for c in lcols
+            if c != key
+        ],
+    )
+    l = left.select(
+        F.col(key),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in (right_ts, *right_values)],
+        *[F.col(c).alias(f"__l_{c}") for c in lcols if c != key],
+    )
+    u = l.unionByName(r)
+    # right rows sort before left rows at the same instant → backward-inclusive
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.select(
+        key,
+        "__ts",
+        "__side",
+        *[F.col(f"__l_{c}") for c in lcols if c != key],
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in (right_ts, *right_values)
+        ],
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        key,
+        *[F.col(f"__l_{c}").alias(c) for c in lcols if c != key],
+        F.col(f"__m_{right_ts}").alias(f"{right_ts}{suffix}"),
+        *[F.col(f"__m_{c}").alias(c) for c in right_values],
+    )

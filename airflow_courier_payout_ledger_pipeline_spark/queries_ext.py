@@ -511,6 +511,131 @@ def q_event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================================
+# As-of join (temporal enrichment)
+# =====================================================================================
+
+# Right side pre-aggregated to one row per (user, instant) so tied purchase
+# timestamps carry a deterministic payload in both engines.
+ASOF_ORACLE = """
+WITH p AS (
+    SELECT user_id, ts AS pts, max(CAST(value AS DECIMAL(14,2))) AS pval
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts, e.event_type,
+       p.pts AS pts_asof,
+       p.pval::DOUBLE AS last_purchase_value
+FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.pts
+"""
+
+
+@register("asof_join_events", ASOF_ORACLE)
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of-backward join: each event enriched with the user's most recent
+    purchase at or before it (union + ordered-window carry — one shuffle,
+    linear; see operators/asof.py). Oracle is DuckDB's native ASOF JOIN."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.asof import asof_join
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    left = events.select("event_id", "user_id", "ts", "event_type")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("pts"))
+        .agg(F.max(F.col("value").cast("decimal(14,2)")).alias("last_purchase_value"))
+    )
+    return asof_join(
+        left, purchases, "user_id", "ts", "pts", ["last_purchase_value"]
+    )
+
+
+# =====================================================================================
+# Analytic window functions
+# =====================================================================================
+
+WINDOW_ANALYTICS_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(row_number() OVER w AS INT) AS rn,
+       CAST(lag(o_orderkey) OVER w AS BIGINT) AS prev_orderkey,
+       CAST(lead(o_orderkey) OVER w AS BIGINT) AS next_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER
+            (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2))::DOUBLE AS running_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("window_analytics", WINDOW_ANALYTICS_ORACLE)
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order sequence analytics: row_number / lag / lead / running
+    Decimal sum over a deterministic (date, key) total order. One shuffle on
+    customer; all four functions share a single window ordering (one sort)."""
+    from pyspark.sql.window import Window
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.row_number().over(w).alias("rn"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("decimal(18,2)")
+        .alias("running_spend"),
+    )
+
+
+# =====================================================================================
+# Distributional aggregates (exact quantiles over integer cents)
+# =====================================================================================
+
+# Quartile fractions (0.25/0.5/0.75) are binary-exact and the inputs are exact
+# integer cents, so every interpolation step is exact in double arithmetic —
+# identical across engines regardless of interpolation formula. (0.9-style
+# fractions are NOT binary-exact; see SCALE.md.)
+DISTRIBUTION_ORACLE = """
+WITH c AS (
+    SELECT l_suppkey AS courier_sk,
+           CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+           l_partkey
+    FROM lineitem
+)
+SELECT courier_sk,
+       count(*) AS n,
+       count(DISTINCT l_partkey) AS n_parts,
+       (min(cents)::DOUBLE / 100) AS price_min,
+       (quantile_cont(cents, 0.25)::DOUBLE / 100) AS price_p25,
+       (quantile_cont(cents, 0.50)::DOUBLE / 100) AS price_median,
+       (quantile_cont(cents, 0.75)::DOUBLE / 100) AS price_p75,
+       (max(cents)::DOUBLE / 100) AS price_max
+FROM c GROUP BY 1
+"""
+
+
+@register("distribution_stats", DISTRIBUTION_ORACLE)
+def q_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-courier price distribution: exact interpolated quartiles over integer
+    cents (engine-portable, see oracle note) + exact distinct part count. At
+    100 TB the same shape runs with approx_percentile / approx_count_distinct —
+    one pass, mergeable sketches — at the cost of the oracle; the exact form is
+    the correctness baseline."""
+    orders = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    c = orders.select(F.col("l_suppkey").alias("courier_sk"), cents.alias("cents"), "l_partkey")
+    return c.groupBy("courier_sk").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        (F.min("cents").cast("double") / 100).alias("price_min"),
+        (F.percentile("cents", F.lit(0.25)).cast("double") / 100).alias("price_p25"),
+        (F.percentile("cents", F.lit(0.50)).cast("double") / 100).alias("price_median"),
+        (F.percentile("cents", F.lit(0.75)).cast("double") / 100).alias("price_p75"),
+        (F.max("cents").cast("double") / 100).alias("price_max"),
+    )
+
+
+# =====================================================================================
 # Multimodal: binary payload → decoded scalar features (Arrow-batched mapInPandas)
 # =====================================================================================
 
