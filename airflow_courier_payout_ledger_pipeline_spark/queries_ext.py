@@ -636,6 +636,97 @@ def q_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================================
+# Range (interval) join
+# =====================================================================================
+
+RANGE_JOIN_ORACLE = """
+WITH incidents AS (
+    SELECT event_id AS incident_id, user_id, ts AS t0, ts + INTERVAL 30 MINUTE AS t1
+    FROM events WHERE event_type = 'error'
+)
+SELECT i.incident_id, i.user_id,
+       count(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(14,2))) AS DECIMAL(14,2))::DOUBLE AS value_sum
+FROM incidents i
+JOIN events e ON e.user_id = i.user_id AND e.ts >= i.t0 AND e.ts < i.t1
+GROUP BY 1, 2
+"""
+
+
+@register("range_join_incidents", RANGE_JOIN_ORACLE)
+def q_range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment join at scale: every 'error' event opens a 30-minute
+    incident window; count and sum the same user's events inside it. Bucketed
+    equi-join shape (operators/rangejoin.py) — never a nested-loop range join."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.rangejoin import (
+        range_join_bucketed,
+    )
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    incidents = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        "user_id",
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t1"),
+    )
+    matched = range_join_bucketed(
+        events.select("user_id", "ts", "value"), incidents, "user_id", "ts", "t0", "t1", 30
+    )
+    return matched.groupBy("incident_id", "user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("decimal(14,2)").alias("value_sum"),
+    )
+
+
+# =====================================================================================
+# Pivot & deterministic sampling
+# =====================================================================================
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+PIVOT_ORACLE = f"""
+SELECT user_id,
+       {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in EVENT_TYPES)}
+FROM events GROUP BY 1
+"""
+
+
+@register("pivot_event_counts", PIVOT_ORACLE)
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user activity profile via pivot. The value list is explicit —
+    an unlisted pivot triggers an extra distinct pass AND makes the output
+    schema data-dependent (schema drift at scale); missing combos surface as 0
+    like the SQL FILTER form, not NULL."""
+    events = load_tables(spark, sf_dir, "events")["events"]
+    wide = (
+        events.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    )
+    return wide.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
+    )
+
+
+SAMPLE_ORACLE = """
+SELECT doc_id, lang
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
+"""
+
+
+@register("deterministic_sample", SAMPLE_ORACLE)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~1/8 sample by content-independent key hash — the sampling a
+    training pipeline can re-run months later and get byte-identical splits
+    (df.sample() depends on partitioning and seed plumbing; a hash predicate
+    depends on nothing). md5 keeps it engine-portable; pushdown-friendly map-side
+    filter, zero shuffles."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return docs.select("doc_id", "lang").filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "20"
+    )
+
+
+# =====================================================================================
 # Multimodal: binary payload → decoded scalar features (Arrow-batched mapInPandas)
 # =====================================================================================
 
