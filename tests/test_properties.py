@@ -1,0 +1,176 @@
+"""Property-based spot checks (SURVEY.md §5.4): randomized inputs, invariants
+from the reference DDLs, and independent pure-Python reference implementations.
+Few examples per property (each runs real Spark jobs); hypothesis still explores
+the edge space (empty groups, all-unrated, ties) far better than hand cases.
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_right
+from decimal import ROUND_HALF_UP, Decimal
+
+import hypothesis.strategies as st
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _d2(x) -> Decimal:
+    return Decimal(x).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+
+
+# --- mart invariants (sql/courier_ledger_update.sql, DDL_cdm.dm_courier_ledger) -----
+
+deliveries_strategy = st.lists(
+    st.tuples(
+        st.integers(1, 3),                                  # courier
+        st.integers(1, 4),                                  # order
+        st.integers(100, 100_000),                          # order_sum cents
+        st.integers(0, 5),                                  # rating (0 = unrated)
+        st.integers(0, 20_000),                             # tips cents
+        st.integers(1, 3),                                  # month
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@SET
+@given(rows=deliveries_strategy)
+def test_mart_invariants_on_random_deliveries(spark, rows):
+    from airflow_courier_payout_ledger_pipeline_spark.plans.ledger import courier_ledger
+
+    deliveries = spark.createDataFrame(
+        [
+            (
+                i,
+                f"{oid}-{m}",
+                oid * 10 + m,
+                Decimal(cents) / 100,
+                c,
+                r,
+                Decimal(tips) / 100,
+            )
+            for i, (c, oid, cents, r, tips, m) in enumerate(rows)
+        ],
+        "id long, delivery_key string, order_id long, order_sum decimal(14,2), "
+        "courier_id long, rating smallint, tips decimal(14,2)",
+    )
+    dm_couriers = spark.createDataFrame(
+        [(c, f"C{c}") for c in {r[0] for r in rows}], "id long, courier_name string"
+    )
+    dm_orders = spark.createDataFrame(
+        [(oid * 10 + m, 1000 + m) for oid, m in {(r[1], r[5]) for r in rows}],
+        "id long, timestamp_id long",
+    )
+    dm_timestamps = spark.createDataFrame(
+        [(1000 + m, 2023, m) for m in {r[5] for r in rows}],
+        "id long, year smallint, month smallint",
+    )
+    out = courier_ledger(deliveries, dm_couriers, dm_orders, dm_timestamps).collect()
+
+    # reference aggregation in exact Decimal
+    groups: dict = {}
+    for c, oid, cents, r, tips, m in rows:
+        g = groups.setdefault((str(c), 2023, m), {"n": 0, "sum": Decimal(0), "tips": Decimal(0), "rates": []})
+        g["n"] += 1
+        g["sum"] += Decimal(cents) / 100
+        g["tips"] += Decimal(tips) / 100
+        if 1 <= r <= 5:
+            g["rates"].append(r)
+
+    assert len(out) == len(groups)  # mart unique on (courier, year, month)
+    tiers = [(4, Decimal("0.05"), 100), (Decimal("4.5"), Decimal("0.07"), 150),
+             (Decimal("4.9"), Decimal("0.08"), 175), (None, Decimal("0.10"), 200)]
+    for row in out:
+        g = groups[(row.courier_id, row.settlement_year, row.settlement_month)]
+        assert row.orders_count == g["n"]
+        assert row.orders_total_sum == g["sum"]
+        assert row.courier_tips_sum == g["tips"]
+        assert row.order_processing_fee == _d2(g["sum"] * Decimal("0.25"))
+        if not g["rates"]:
+            # §2.3 NULL hazard: all-unrated month → NULL payout chain
+            assert row.rate_avg is None and row.courier_order_sum is None
+            continue
+        avg = Decimal(sum(g["rates"])) / len(g["rates"])
+        pct, floor_unit = next(
+            (p, f) for cut, p, f in tiers if cut is None or avg < cut
+        )
+        payout = max(g["sum"] * pct, Decimal(floor_unit * g["n"]))
+        assert row.courier_order_sum == _d2(payout)
+        assert row.courier_reward_sum == _d2(payout + g["tips"] * Decimal("0.95"))
+
+
+# --- as-of join vs bisect reference -------------------------------------------------
+
+asof_strategy = st.tuples(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=20),
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=0, max_size=10),
+)
+
+
+@SET
+@given(data=asof_strategy)
+def test_asof_join_matches_bisect_reference(spark, data):
+    from airflow_courier_payout_ledger_pipeline_spark.operators.asof import asof_join
+
+    lefts, rights = data
+    rights = sorted({(k, t) for k, t in rights})  # unique per (key, ts)
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)], "lid int, k int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(k, t, f"p{k}:{t}") for k, t in rights] or [],
+        "k int, rts int, payload string",
+    )
+    out = {
+        r.lid: (r.rts_asof, r.payload)
+        for r in asof_join(left, right, "k", "ts", "rts", ["payload"]).collect()
+    }
+    by_key: dict = {}
+    for k, t in rights:
+        by_key.setdefault(k, []).append(t)
+    for lid, (k, t) in enumerate(lefts):
+        ts_list = by_key.get(k, [])
+        i = bisect_right(ts_list, t)  # backward-inclusive
+        expect = (ts_list[i - 1], f"p{k}:{ts_list[i - 1]}") if i else (None, None)
+        assert out[lid] == expect
+    assert len(out) == len(lefts)
+
+
+# --- tiled near-dup ≡ numpy brute force ---------------------------------------------
+
+vectors_strategy = st.lists(
+    st.lists(st.integers(-5, 5), min_size=4, max_size=4).filter(lambda v: any(v)),
+    min_size=2,
+    max_size=15,
+)
+
+
+@SET
+@given(vecs=vectors_strategy)
+def test_tiled_near_dup_equals_brute_force(spark, vecs):
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(emb, 0.5, num_blocks=4).collect()}
+    X = np.array(vecs, dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = np.round(Xn @ Xn.T, 4)
+    expect = {
+        (i, j)
+        for i in range(len(vecs))
+        for j in range(i + 1, len(vecs))
+        if S[i, j] >= 0.5
+    }
+    assert got == expect
