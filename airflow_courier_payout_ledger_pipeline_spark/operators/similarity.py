@@ -191,6 +191,25 @@ def kmeans_centroids(
     return centroids
 
 
+def _centroid_probes(vec_col: str, centroids: list[tuple[int, list[float]]], nprobe: int) -> Column:
+    """Array of the ``nprobe`` nearest centroid ids (squared L2, ties to lower
+    id) — codegen'd array_sort over (distance, id) structs, no Python."""
+    entries = []
+    for cid, cvec in centroids:
+        d = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in cvec]),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        entries.append(F.struct(d.alias("d"), F.lit(cid).alias("c")))
+    ranked = F.array_sort(F.array(*entries))  # struct order: d, then c
+    return F.slice(ranked, 1, nprobe).getField("c")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -198,11 +217,14 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF search: both sides assigned to their nearest centroid (inverted lists);
-    candidates restricted to the query's list. Same join topology as the sign-bucket
-    LSH path — swap the quantizer, keep the plan. Multi-probe = assign queries to
-    their n nearest centroids (not done here; changes recall, not topology)."""
+    """IVF search: the corpus is assigned to its nearest centroid (inverted
+    lists); each query probes its ``nprobe`` nearest lists. Same join topology
+    as the sign-bucket LSH path — swap the quantizer, keep the plan. Raising
+    ``nprobe`` multiplies the candidate volume by ~nprobe and recovers the
+    neighbors that sit just across a Voronoi boundary (the standard
+    recall/latency dial; topology unchanged)."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
@@ -211,7 +233,7 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        _assign_to_centroids(queries, centroids, vec_col).alias("centroid"),
+        F.explode(_centroid_probes(vec_col, centroids, nprobe)).alias("centroid"),
     )
     sims = (
         c.join(F.broadcast(q), "centroid")

@@ -40,16 +40,27 @@ def stream_scd1_sink(
     keys: list[str],
     checkpoint: str,
     query_name: str = "scd1_sink",
+    partition_col: str | None = None,
 ) -> StreamingQuery:
     """Continuously upsert a stream into a lakehouse table: per micro-batch,
     source rows win on key conflict (the couriers full-reload contract,
-    sql/couriers_stg_to_dds.sql:21-27), unmatched target rows survive."""
+    sql/couriers_stg_to_dds.sql:21-27), unmatched target rows survive.
+
+    With ``partition_col`` set, each micro-batch rewrites only the partitions it
+    touches (``Lakehouse.merge_upsert_partitioned``) instead of the whole table —
+    the difference between O(batch) and O(table) work per trigger, which is what
+    keeps a continuous upsert viable on a large target."""
     schema = stream.schema
 
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        existing = lake.read(spark, layer, table, schema)
-        lake.overwrite(scd1_upsert(existing, batch_df, keys), layer, table)
+        if partition_col is not None:
+            lake.merge_upsert_partitioned(
+                spark, batch_df, layer, table, schema, keys, partition_col
+            )
+        else:
+            existing = lake.read(spark, layer, table, schema)
+            lake.overwrite(scd1_upsert(existing, batch_df, keys), layer, table)
 
     return (
         stream.writeStream.foreachBatch(upsert_batch)

@@ -50,3 +50,17 @@ def test_ivf_restricts_candidates(clustered):
     out = ivf_topk(clustered, queries, cents, k=100)
     ids = {r.neighbor_id for r in out.collect()}
     assert ids and all(i % 2 == 0 for i in ids)  # only same-cluster candidates
+
+
+def test_ivf_multiprobe_widens_candidates_and_recovers_recall(clustered):
+    """nprobe=2 probes both inverted lists: candidates span both clusters and
+    the result equals brute force even for boundary-ish queries."""
+    cents = kmeans_centroids(clustered, k=2, iters=4)
+    queries = clustered.filter(F.col("vec_id") == 0)
+    ids = {r.neighbor_id for r in ivf_topk(clustered, queries, cents, k=100, nprobe=2).collect()}
+    assert any(i % 2 for i in ids) and any(not i % 2 for i in ids)  # both clusters
+    brute = brute_force_topk(clustered, queries, k=10)
+    probe2 = ivf_topk(clustered, queries, cents, k=10, nprobe=2)
+    assert {(r.query_id, r.rank, r.neighbor_id) for r in probe2.collect()} == {
+        (r.query_id, r.rank, r.neighbor_id) for r in brute.collect()
+    }

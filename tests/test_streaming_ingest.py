@@ -89,3 +89,43 @@ def test_stream_scd1_sink_converges_to_batch_state(spark, tmp_path):
     )
     q2.awaitTermination()
     assert tbl() == {"c1": "Alice Cooper", "c2": "Bob", "c3": "Cara"}
+
+
+def test_stream_scd1_sink_partitioned_rewrites_only_touched(spark, tmp_path):
+    """foreachBatch + merge_upsert_partitioned: a micro-batch touching one
+    partition leaves every other partition's files byte-identical (inodes)."""
+    import os
+
+    src = tmp_path / "src"
+    lake = Lakehouse(str(tmp_path / "lake"))
+    schema = "courier_key string, courier_name string, region int"
+
+    _write_batch(spark, src, [("c1", "Alice", 1), ("c2", "Bob", 2)], schema)
+    q = stream_scd1_sink(
+        spark.readStream.schema(schema).parquet(str(src)),
+        lake, "dds", "dm_p", ["courier_key"], str(tmp_path / "ck1"),
+        partition_col="region",
+    )
+    q.awaitTermination()
+    r1 = Path(lake.path("dds", "dm_p")) / "region=1"
+    before = {p: os.stat(p).st_ino for p in r1.rglob("*.parquet")}
+    assert before
+
+    # same checkpoint: only the NEW file forms micro-batch 2 (region 2 only)
+    _write_batch(spark, src, [("c2", "Bobby", 2), ("c3", "Cara", 2)], schema)
+    q = stream_scd1_sink(
+        spark.readStream.schema(schema).parquet(str(src)),
+        lake, "dds", "dm_p", ["courier_key"], str(tmp_path / "ck1"),
+        partition_col="region",
+    )
+    q.awaitTermination()
+
+    from pyspark.sql.types import StructType
+
+    got = {
+        r.courier_key: (r.courier_name, r.region)
+        for r in lake.read(spark, "dds", "dm_p", StructType.fromDDL(schema)).collect()
+    }
+    assert got == {"c1": ("Alice", 1), "c2": ("Bobby", 2), "c3": ("Cara", 2)}
+    after = {p: os.stat(p).st_ino for p in r1.rglob("*.parquet")}
+    assert after == before  # region=1 never rewritten
