@@ -65,6 +65,38 @@ class Lakehouse:
         if old.exists():
             shutil.rmtree(old)
 
+    def compact(
+        self,
+        spark: SparkSession,
+        layer: str,
+        table: str,
+        schema: StructType,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Small-file compaction: append-mode SCD0 writes and per-micro-batch
+        streaming sinks each add a task's worth of files, and a table of many
+        KB-sized parquet files is a scan-planning and footer-reading tax long
+        before it is an IO problem. Rewrite the table into
+        ``ceil(total_bytes / target_file_bytes)`` files (per partition when
+        ``partition_by`` is given) via the same crash-safe staging swap as
+        :meth:`overwrite`. Returns the number of output partitions requested.
+
+        128 MB default matches ``spark.sql.files.maxPartitionBytes`` — one scan
+        task per compacted file downstream."""
+        root = Path(self.path(layer, table))
+        total = sum(p.stat().st_size for p in root.rglob("*.parquet"))
+        n_out = max(1, -(-total // target_file_bytes))  # ceil
+        df = self.read(spark, layer, table, schema)
+        if partition_by:
+            # one shuffle on the partition columns → files land grouped per
+            # partition dir instead of every task writing into every partition
+            df = df.repartition(int(n_out), *partition_by)
+        else:
+            df = df.coalesce(int(n_out))
+        self.overwrite(df, layer, table, partition_by=partition_by)
+        return int(n_out)
+
     def merge_upsert_partitioned(
         self,
         spark: SparkSession,

@@ -92,3 +92,30 @@ def test_partitioned_merge_rewrites_only_affected_partitions(spark, tmp_path):
     lake.merge_upsert_partitioned(spark, inc, "dds", "t", schema, ["k"], "d")
     again = {(r.k): (r.v, r.d) for r in lake.read(spark, "dds", "t", schema).collect()}
     assert again == out
+
+
+def test_compaction_collapses_small_files_keeps_data(spark, tmp_path):
+    from pyspark.sql.types import StructType
+
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    lake = Lakehouse(str(tmp_path))
+    schema = StructType.fromDDL("k long, v string")
+    for i in range(8):  # 8 appends -> >= 8 files
+        lake.append(
+            spark.createDataFrame([(i * 10 + j, f"v{i}-{j}") for j in range(5)], schema).coalesce(1),
+            "stg",
+            "small",
+        )
+    import pathlib
+
+    root = pathlib.Path(lake.path("stg", "small"))
+    before_files = len(list(root.rglob("*.parquet")))
+    assert before_files >= 8
+    before = sorted((r.k, r.v) for r in lake.read(spark, "stg", "small", schema).collect())
+
+    lake.compact(spark, "stg", "small", schema)
+    after_files = len(list(root.rglob("*.parquet")))
+    after = sorted((r.k, r.v) for r in lake.read(spark, "stg", "small", schema).collect())
+    assert after == before
+    assert after_files == 1  # tiny table -> single 128MB-target file
