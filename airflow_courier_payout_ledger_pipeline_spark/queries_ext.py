@@ -679,6 +679,32 @@ def q_range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================================
+# Column profiling (data-quality stats, one pass)
+# =====================================================================================
+
+_PROFILE_COLS = ["doc_id", "lang", "text", "source", "n_chars"]
+
+PROFILE_ORACLE = " UNION ALL ".join(
+    f"""SELECT '{c}' AS column, count(*) AS n_rows,
+        sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+        count(DISTINCT {c}) AS n_distinct FROM documents"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("profile_documents", PROFILE_ORACLE)
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column row/null/exact-distinct counts for the documents table in one
+    scan (single agg + stack unpivot, operators/profile.py)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.profile import (
+        profile_columns,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return profile_columns(docs, _PROFILE_COLS)
+
+
+# =====================================================================================
 # Pivot & deterministic sampling
 # =====================================================================================
 
