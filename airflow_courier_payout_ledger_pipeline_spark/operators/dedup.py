@@ -214,6 +214,38 @@ def lsh_candidate_pairs(
     )
 
 
+def verify_pairs_ngram_jaccard(
+    candidates: DataFrame, grams: DataFrame, min_jaccard: float
+) -> DataFrame:
+    """Stage-2 verification: exact n-gram Jaccard computed ONLY for candidate
+    pairs (id_a < id_b), joined back to the full gram sets — the production
+    two-stage shape where stage 1 (LSH) bounds the pair count and this stage
+    never touches the n² space. Cost: |candidates| × doc size."""
+    sizes = grams.groupBy("id").agg(F.count("*").alias("n"))
+    fa = grams.select(F.col("id").alias("id_a"), "ngram")
+    fb = grams.select(F.col("id").alias("id_b"), "ngram")
+    inter = (
+        candidates.select("id_a", "id_b")
+        .join(fa, "id_a")
+        .join(fb, ["id_b", "ngram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(min_jaccard))
+    )
+
+
 # --- exact n-gram Jaccard ------------------------------------------------------------
 
 

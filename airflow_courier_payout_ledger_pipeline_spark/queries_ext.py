@@ -269,6 +269,56 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- two-stage production dedup: LSH candidates -> exact verification ---------------
+
+TWO_STAGE_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+bands AS ({_BANDS_SQL}),
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
+),
+wnorm AS (SELECT doc_id, string_split({NORM}, ' ') AS ws FROM documents),
+wpos AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i FROM wnorm),
+g AS (SELECT DISTINCT doc_id AS id, concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS ngram FROM wpos),
+sizes AS (SELECT id, count(*) AS n FROM g GROUP BY id),
+inter AS (
+    SELECT c.id_a, c.id_b, count(*) AS ci
+    FROM cand c
+    JOIN g a ON a.id = c.id_a
+    JOIN g b ON b.id = c.id_b AND b.ngram = a.ngram
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, ci::DOUBLE / (sa.n + sb.n - ci)::DOUBLE AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+WHERE ci::DOUBLE / (sa.n + sb.n - ci)::DOUBLE >= 0.3
+"""
+
+
+@register("dedup_two_stage", TWO_STAGE_ORACLE)
+def q_dedup_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup pipeline in one plan: MinHash+LSH candidate
+    generation (sub-quadratic) feeding exact word-trigram Jaccard verification
+    computed only for candidates — the n² space is never touched; stage-2 cost
+    is |candidates| × doc size."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import (
+        char_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        verify_pairs_ngram_jaccard,
+        word_ngrams,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    sig = minhash_signatures(
+        char_shingles(docs, "doc_id", "text", k=9, distinct=False), NUM_HASHES
+    )
+    candidates = lsh_candidate_pairs(sig, BANDS, ROWS_PER_BAND)
+    grams = word_ngrams(docs, "doc_id", "text", n=3)
+    return verify_pairs_ngram_jaccard(candidates, grams, 0.3)
+
+
 def _simhash_votes_sql() -> str:
     from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import SIMHASH_BITS
 
