@@ -34,9 +34,12 @@ def range_join_bucketed(
     interval spans); the <=2-buckets-per-interval cost bound holds when
     ``bucket_minutes`` >= the maximum interval length — size it accordingly."""
     width_us = bucket_minutes * 60 * 1_000_000
-    ev_bucket = (F.unix_micros(F.col(ts)) / width_us).cast("long")
-    iv_start_b = (F.unix_micros(F.col(start)) / width_us).cast("long")
-    iv_end_b = (F.unix_micros(F.col(end)) / width_us).cast("long")
+    # cast first: unix_micros rejects TIMESTAMP_NTZ (parquet micros columns);
+    # the bucket key is internal, so session-tz interpretation is consistent
+    # across both join sides
+    ev_bucket = (F.unix_micros(F.col(ts).cast("timestamp")) / width_us).cast("long")
+    iv_start_b = (F.unix_micros(F.col(start).cast("timestamp")) / width_us).cast("long")
+    iv_end_b = (F.unix_micros(F.col(end).cast("timestamp")) / width_us).cast("long")
 
     e = events.withColumn("__bucket", ev_bucket)
     i = intervals.withColumn(

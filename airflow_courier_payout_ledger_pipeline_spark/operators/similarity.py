@@ -184,6 +184,8 @@ def kmeans_centroids(
     per-dimension avg agg); only the k×dim centroid table ever reaches the driver."""
     init = emb.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = [(i, [float(x) for x in r[0]]) for i, r in enumerate(init)]
+    if not centroids:  # empty corpus: no quantizer to train
+        return []
     for _ in range(iters):
         assigned = emb.select(
             F.col(vec_col).alias("__v"),
@@ -246,6 +248,14 @@ def ivf_topk(
     ``nprobe`` multiplies the candidate volume by ~nprobe and recovers the
     neighbors that sit just across a Voronoi boundary (the standard
     recall/latency dial; topology unchanged)."""
+    if not centroids:
+        # cold start: no corpus → no quantizer → no neighbors (not a crash)
+        return (
+            corpus.select(F.col(id_col).alias("neighbor_id"))
+            .limit(0)
+            .crossJoin(queries.select(F.col(id_col).alias("query_id")).limit(0))
+            .select("query_id", "neighbor_id", F.lit(0.0).alias("sim"), F.lit(0).alias("rank"))
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),

@@ -565,15 +565,33 @@ GROUP BY ROLLUP (1, 2)
 @register("rollup_totals", ROLLUP_ORACLE)
 def q_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level aggregation via ROLLUP (year, month → year → grand total) —
-    one pass, NULL-filled subtotal levels identical across engines."""
+    one pass, NULL-filled subtotal levels identical across engines.
+
+    SQL standard (and DuckDB): the () grouping set yields its grand-total row
+    even over EMPTY input; Spark's expand-based rollup yields zero rows there.
+    So the () level is computed as a plain global aggregate (always 1 row) and
+    the expand handles only (y,m)/(y) — identical output on non-empty data,
+    standard-conformant on empty."""
     orders = load_tables(spark, sf_dir, "orders")["orders"]
-    return orders.rollup(
-        F.year("o_orderdate").cast("smallint").alias("y"),
-        F.month("o_orderdate").cast("smallint").alias("m"),
-    ).agg(
+    y = F.year("o_orderdate").cast("smallint").alias("y")
+    m = F.month("o_orderdate").cast("smallint").alias("m")
+    aggs = [
         F.count("*").alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("decimal(18,2)").alias("total"),
+    ]
+    levels = (
+        orders.rollup(y, m)
+        .agg(*aggs, F.grouping_id().alias("__gid"))
+        .filter(F.col("__gid") < 3)  # keep (y,m) and (y); () comes from the global agg
+        .drop("__gid")
     )
+    grand = orders.agg(*aggs).select(
+        F.lit(None).cast("smallint").alias("y"),
+        F.lit(None).cast("smallint").alias("m"),
+        "n_orders",
+        "total",
+    )
+    return levels.unionByName(grand)
 
 
 # --- S5/S6: watermark state round-trip (JSON KV document store) ---------------------
@@ -595,7 +613,10 @@ def q_watermark_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
     return li.agg(F.max("l_shipdate").alias("mx")).select(
         F.lit("deliveries_stg_to_dds").alias("workflow_key"),
+        # ignoreNullFields=false: a NULL cursor (cold start, empty table) must
+        # serialize as {"last_loaded_ts":null} like every other engine, not {}
         F.to_json(
-            F.struct(F.date_format("mx", "yyyy-MM-dd HH:mm:ss").alias("last_loaded_ts"))
+            F.struct(F.date_format("mx", "yyyy-MM-dd HH:mm:ss").alias("last_loaded_ts")),
+            {"ignoreNullFields": "false"},
         ).alias("workflow_settings"),
     )
