@@ -67,6 +67,39 @@ def test_embedding_near_dup_plan_has_no_cartesian_product(spark, queries):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_range_join_plan_is_equi_join_not_nested_loop(spark, queries):
+    # the time-bucket blocking must plan as a shuffle/broadcast EQUI join; a
+    # range predicate alone would fall back to BroadcastNestedLoopJoin
+    plan = queries["range_join_incidents"](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_is_windowed_union_not_a_join(spark, queries):
+    # union + per-key window: no join operator at all in the plan, and only
+    # two exchanges total — the query's purchase pre-aggregation plus the
+    # as-of window itself (the operator adds exactly one)
+    df = queries["asof_join_events"](spark, SF_DIR)
+    assert exchange_count(df) == 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_incremental_promotion_cursor_pushes_down(spark, queries):
+    # run 2's cursor binds driver-side → both scans show pushed l_shipdate
+    # predicates (the second one strictly greater than the derived cursor)
+    plan = _plan(spark, queries["incremental_promotion"](spark, SF_DIR))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "GreaterThan(l_shipdate" in l]
+    assert pushed, "derived cursor must reach the parquet scan"
+
+
+def test_profile_is_single_aggregation_pass(spark, queries):
+    # one scan + expand for the multi-count-distinct; no per-column jobs
+    plan = queries["profile_documents"](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" in plan
+
+
 def test_core_queries_stay_in_wholestage_codegen(spark, queries):
     # AQE wraps the plan until execution and hides codegen spans; disable it for
     # the static-plan inspection (codegen behavior itself is AQE-independent)

@@ -74,3 +74,37 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_facts")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_single_hot_key_correctness_sessionize_and_asof(spark):
+    """Pathological skew (every row one key) must stay CORRECT — the per-key
+    window serializes into one task but the semantics hold."""
+    from datetime import datetime, timedelta
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.asof import asof_join
+    from airflow_courier_payout_ledger_pipeline_spark.operators.windows import sessionize
+
+    base = datetime(2023, 1, 1)
+    # 200 events, one user; a 40-minute gap after every 50th event -> 4 sessions
+    rows, t = [], base
+    for i in range(200):
+        t += timedelta(minutes=40 if i and i % 50 == 0 else 1)
+        rows.append((1, t, float(i)))
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    sess = sessionize(events, gap_minutes=30).collect()
+    assert len(sess) == 4
+    assert sorted(r.n_events for r in sess) == [50, 50, 50, 50]
+
+    right = spark.createDataFrame(
+        [(1, base + timedelta(minutes=30), "v1"), (1, base + timedelta(minutes=120), "v2")],
+        "user_id long, rts timestamp, tag string",
+    )
+    out = asof_join(events, right, "user_id", "ts", "rts", ["tag"]).collect()
+    assert len(out) == 200
+    for r in out:
+        if r.ts < base + timedelta(minutes=30):
+            assert r.tag is None
+        elif r.ts < base + timedelta(minutes=120):
+            assert r.tag == "v1"
+        else:
+            assert r.tag == "v2"
