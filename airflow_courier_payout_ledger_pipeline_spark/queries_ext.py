@@ -395,6 +395,66 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(simhash(docs, "doc_id", "text"), 3)
 
 
+# --- dedup clustering: pair edges → connected components → canonical doc ------------
+
+COMPONENTS_ORACLE = f"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id, unnest(string_split({NORM}, ' ')) AS tok FROM documents
+),
+votes AS (
+    SELECT doc_id, {{votes}}
+    FROM toks WHERE tok != '' GROUP BY doc_id
+),
+fp AS (SELECT doc_id AS id, {{fp}} AS simhash FROM votes),
+qq AS (
+    SELECT id, simhash, k AS q, (simhash // (256 ** k)::BIGINT) % 256 AS qv
+    FROM fp, (SELECT unnest(generate_series(0, 3)) AS k)
+),
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.simhash AS sa, b.simhash AS sb
+    FROM qq a JOIN qq b ON a.q = b.q AND a.qv = b.qv AND a.id < b.id
+),
+pairs AS (
+    SELECT id_a, id_b FROM cand WHERE bit_count(xor(sa::BIGINT, sb::BIGINT)) <= 3
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+    SELECT doc_id AS id, doc_id AS r FROM documents
+    UNION
+    SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+"""
+
+
+def _components_oracle() -> str:
+    return COMPONENTS_ORACLE.format(votes=_simhash_votes_sql(), fp=_SIMHASH_FP_SQL)
+
+
+@register("dedup_components", _components_oracle())
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise near-dup edges (SimHash, Hamming ≤ 3) collapsed into dedup
+    clusters: every document labeled with its component's min doc_id (the
+    canonical representative) via distributed min-label propagation
+    (operators/graph.py). Oracle: recursive-CTE transitive closure — the
+    iterative Spark loop and the fixpoint recursion agree exactly."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import (
+        simhash,
+        simhash_near_pairs,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = simhash_near_pairs(simhash(docs, "doc_id", "text"), 3)
+    comp = connected_components(docs.select("doc_id"), pairs, id_col="doc_id")
+    return comp.select(F.col("id").alias("doc_id"), "component")
+
+
 # =====================================================================================
 # Similarity search
 # =====================================================================================
@@ -725,6 +785,41 @@ def q_range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matched.groupBy("incident_id", "user_id").agg(
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(14,2)")).cast("decimal(14,2)").alias("value_sum"),
+    )
+
+
+# =====================================================================================
+# Fuzzy (edit-distance) matching with blocking
+# =====================================================================================
+
+FUZZY_ORACLE = """
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_distance
+FROM names a
+JOIN names b
+  ON string_split(a.p_name, ' ')[-1] = string_split(b.p_name, ' ')[-1]
+ AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
+@register("fuzzy_name_pairs", FUZZY_ORACLE)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-match: candidate pairs share a blocking key (last
+    token — at scale: phonetic/sorted-neighborhood keys), then exact
+    Levenshtein ≤ 3 verifies. The equi-join on the block key keeps the pair
+    space |block|² instead of n² — the textbook entity-resolution shape;
+    unit-cost edit distance is identical in every engine (exact int oracle)."""
+    parts = load_tables(spark, sf_dir, "part")["part"]
+    names = parts.select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    block = lambda c: F.element_at(F.split(F.col(c), " "), -1)  # noqa: E731
+    return (
+        a.join(b, (block("name_a") == block("name_b")) & (F.col("name_a") < F.col("name_b")))
+        .withColumn("edit_distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_distance") <= 3)
     )
 
 
