@@ -789,6 +789,68 @@ def q_range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================================
+# Term importance (TF-IDF family) — vocabulary + per-doc top terms
+# =====================================================================================
+
+# Exact rational importance: tf * (N / df). The classic log-idf would hash-
+# mismatch across engines (ln() is not bit-specified); tf*N/df is one correctly-
+# rounded division of exact ints — identical doubles everywhere, same ranking
+# monotonicity in df as log-idf for fixed tf.
+TERM_IMPORTANCE_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split({NORM}, ' ')) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks WHERE term != '' GROUP BY 1, 2
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf,
+           (tf.tf * (SELECT n_docs FROM n))::DOUBLE / df.df::DOUBLE AS importance
+    FROM tf JOIN df USING (term)
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY importance DESC, term) AS INT) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tf::BIGINT AS tf, importance, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register("term_importance", TERM_IMPORTANCE_ORACLE)
+def q_term_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 terms by tf × (N/df): token explode → (doc, term) tf
+    agg → document-frequency agg → broadcast-joined scoring → per-doc top-k
+    window. The df table is vocabulary-sized (small) → broadcast; the heavy
+    (doc, term) side shuffles once for the tf groupBy and once for the window."""
+    from airflow_courier_payout_ledger_pipeline_spark.functions.text import normalize_text
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    n_docs = docs.count()  # O(1) driver scalar, same class as a watermark cursor
+    toks = docs.select(
+        "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("bigint").alias("tf"),
+        ((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df").cast("double")).alias(
+            "importance"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("importance"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "term", "tf", "importance", "rank")
+    )
+
+
+# =====================================================================================
 # Fuzzy (edit-distance) matching with blocking
 # =====================================================================================
 
