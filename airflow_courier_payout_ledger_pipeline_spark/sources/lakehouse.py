@@ -65,6 +65,23 @@ class Lakehouse:
         if old.exists():
             shutil.rmtree(old)
 
+    def write_sorted(
+        self,
+        df: DataFrame,
+        layer: str,
+        table: str,
+        sort_cols: list[str],
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Overwrite with rows sorted *within each output file* on ``sort_cols``
+        (sortWithinPartitions — no global shuffle-sort). Parquet records per-
+        row-group min/max for every column, so a table laid out sorted on its
+        hot filter key (event time, courier id) lets any engine skip whole row
+        groups on point/range predicates — the poor man's z-order, free at
+        write time."""
+        out = df.sortWithinPartitions(*sort_cols)
+        self.overwrite(out, layer, table, partition_by=partition_by)
+
     def compact(
         self,
         spark: SparkSession,

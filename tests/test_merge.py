@@ -119,3 +119,24 @@ def test_compaction_collapses_small_files_keeps_data(spark, tmp_path):
     after = sorted((r.k, r.v) for r in lake.read(spark, "stg", "small", schema).collect())
     assert after == before
     assert after_files == 1  # tiny table -> single 128MB-target file
+
+
+def test_write_sorted_orders_rows_within_files(spark, tmp_path):
+    import pathlib
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import StructType
+
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    lake = Lakehouse(str(tmp_path))
+    schema = StructType.fromDDL("k long, v string")
+    df = spark.createDataFrame([( (i * 37) % 100, f"v{i}") for i in range(100)], schema).repartition(4)
+    lake.write_sorted(df, "dds", "sorted_t", ["k"])
+    files = list(pathlib.Path(lake.path("dds", "sorted_t")).rglob("*.parquet"))
+    assert files
+    for f in files:
+        ks = pq.read_table(str(f), columns=["k"]).column("k").to_pylist()
+        assert ks == sorted(ks)  # row-group min/max stats are tight per file
+    got = sorted((r.k, r.v) for r in lake.read(spark, "dds", "sorted_t", schema).collect())
+    assert len(got) == 100
