@@ -1,0 +1,105 @@
+"""Corpus-quality operators for training-data curation: Gopher-style repetition
+signals and benchmark n-gram contamination screening.
+
+Both are pure built-in-expression plans (no Python UDFs): explode → hash-agg
+shapes whose shuffles carry (doc, gram) pairs — linear in corpus size, never
+pairwise. Patterns follow the published filters (Gopher/MassiveText repetition
+thresholds; the GPT-3/PaLM n-gram train-test overlap check) re-expressed as
+Spark plans; the reference pipeline has no corpus operators (its compute is
+Postgres SQL, cf. sql/courier_ledger_update.sql), so these extend SURVEY §2's
+surface for the 100 TB training-data story.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from airflow_courier_payout_ledger_pipeline_spark.functions.text import normalize_text
+from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import _spread
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document repetition signals (the Gopher repetition filter family):
+
+    - ``dup_token_frac``   — fraction of tokens that are repeats of an earlier
+      token (1 − distinct/total);
+    - ``top_token_frac``   — share of the single most frequent token;
+    - ``top_bigram_frac``  — share of the most frequent bigram (NULL for
+      one-token documents, which have no bigrams).
+
+    Plan: two explodes (tokens, bigrams) each followed by two partial-agg
+    shuffles keyed by doc — linear in corpus size, and the (doc, gram) keys are
+    near-unique so there is no skew. Fractions divide identical int64 counts,
+    so the doubles (and their round(·, 4)) are bit-identical across engines.
+
+    Cross-engine contract (mirrors the DuckDB oracle): tokens come from a
+    single-space split of the normalized text; empty documents vanish (their
+    only token is '' and is filtered on both sides); bigrams are built only for
+    docs with ≥ 2 tokens so no partial grams are ever counted.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    base = _spread(df).select(F.col(id_col).alias("id"), words.alias("__w"))
+
+    toks = base.select("id", F.explode("__w").alias("tok")).filter(F.col("tok") != "")
+    ucnt = toks.groupBy("id", "tok").agg(F.count("*").alias("c"))
+    ustats = ucnt.groupBy("id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("__top_tok"),
+    )
+
+    bi = (
+        base.filter(F.size("__w") >= 2)
+        .select(
+            "id",
+            "__w",
+            F.explode(F.sequence(F.lit(1), F.size("__w") - 1)).alias("__i"),
+        )
+        .select(
+            "id",
+            F.concat_ws(
+                " ",
+                F.expr("try_element_at(__w, __i)"),
+                F.expr("try_element_at(__w, __i + 1)"),
+            ).alias("bigram"),
+        )
+    )
+    bcnt = bi.groupBy("id", "bigram").agg(F.count("*").alias("c"))
+    bstats = bcnt.groupBy("id").agg(
+        F.sum("c").alias("__n_bi"), F.max("c").alias("__top_bi")
+    )
+
+    n = F.col("n_tokens").cast("double")
+    return ustats.join(bstats, "id", "left").select(
+        "id",
+        "n_tokens",
+        "n_distinct",
+        F.round((F.col("n_tokens") - F.col("n_distinct")).cast("double") / n, 4).alias(
+            "dup_token_frac"
+        ),
+        F.round(F.col("__top_tok").cast("double") / n, 4).alias("top_token_frac"),
+        F.round(
+            F.col("__top_bi").cast("double") / F.col("__n_bi").cast("double"), 4
+        ).alias("top_bigram_frac"),
+    )
+
+
+def ngram_contamination(corpus_grams: DataFrame, bench_grams: DataFrame) -> DataFrame:
+    """Benchmark-contamination screen: for each corpus document, how many of its
+    distinct n-grams appear in ANY benchmark document, and how many benchmark
+    documents it overlaps. Inputs are (id, ngram) pair tables (see
+    ``dedup.word_ngrams``; 8-grams are the published standard).
+
+    Scale shape: a benchmark suite is fixed-size (thousands of docs) while the
+    corpus is the 100 TB side — so the benchmark gram set is **broadcast** and
+    the corpus is never shuffled for the probe; the only shuffle is the final
+    per-doc aggregation over matching rows (contaminated docs only, a tiny
+    fraction of the corpus). Uncontaminated documents produce no output row.
+    """
+    b = bench_grams.select(F.col("id").alias("bench_id"), "ngram")
+    hits = corpus_grams.join(F.broadcast(b), "ngram")
+    return hits.groupBy("id").agg(
+        F.countDistinct("ngram").alias("n_shared_ngrams"),
+        F.countDistinct("bench_id").alias("n_bench_docs"),
+    )

@@ -594,6 +594,147 @@ def q_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return levels.unionByName(grand)
 
 
+# --- Semi / anti joins (EXISTS / NOT EXISTS surface) --------------------------------
+
+SEMI_ANTI_ORACLE = """
+SELECT c_custkey, c_name, 'active' AS segment
+FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT c_custkey, c_name, 'dormant' AS segment
+FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@register("semi_anti_join", SEMI_ANTI_ORACLE)
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS as left-semi / left-anti joins: customer segmentation
+    by order activity. Catalyst plans both as hash joins that carry only the
+    probe side's columns (no orders payload is shuffled); at 100 TB the orders
+    side reduces to its distinct join keys before the exchange."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    cust = t["customer"].select("c_custkey", "c_name")
+    keys = t["orders"].select("o_custkey")
+    cond = F.col("c_custkey") == F.col("o_custkey")
+    active = cust.join(keys, cond, "left_semi").withColumn("segment", F.lit("active"))
+    dormant = cust.join(keys, cond, "left_anti").withColumn("segment", F.lit("dormant"))
+    return active.unionByName(dormant)
+
+
+# --- GROUPING SETS (multi-dimensional aggregate in one pass) ------------------------
+
+GROUPING_SETS_ORACLE = """
+WITH e AS (
+    SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+           CAST(value AS DECIMAL(14,2)) AS v
+    FROM events
+)
+SELECT event_type, hr,
+       CAST(grouping(event_type) AS INT) AS g_type,
+       CAST(grouping(hr) AS INT) AS g_hr,
+       count(*) AS n_events,
+       CAST(SUM(v) AS DECIMAL(18,2))::DOUBLE AS value_total
+FROM e
+GROUP BY GROUPING SETS ((event_type, hr), (event_type), (hr))
+"""
+
+GROUPING_SETS_SPARK_SQL = """
+SELECT event_type, hr,
+       CAST(grouping(event_type) AS INT) AS g_type,
+       CAST(grouping(hr) AS INT) AS g_hr,
+       count(*) AS n_events,
+       CAST(SUM(v) AS DECIMAL(18,2)) AS value_total
+FROM {events}
+GROUP BY GROUPING SETS ((event_type, hr), (event_type), (hr))
+"""
+
+
+@register("grouping_sets_hourly", GROUPING_SETS_ORACLE)
+def q_grouping_sets_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS: (type, hour) / (type) / (hour) marginals in ONE scan — the
+    expand operator multiplies rows by the number of sets map-side, then a single
+    shuffle aggregates all levels together (vs. 3 scans + a union). grouping()
+    flags disambiguate subtotal NULLs. The empty set () is deliberately absent:
+    Spark's expand emits no grand-total row on empty input where the SQL standard
+    does (see rollup_totals for the conformant pattern)."""
+    events = load_tables(spark, sf_dir, "events")["events"]
+    e = events.select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hr"),
+        F.col("value").cast("decimal(14,2)").alias("v"),
+    )
+    e.createOrReplaceTempView("__gs_events")
+    return spark.sql(GROUPING_SETS_SPARK_SQL.format(events="__gs_events"))
+
+
+# --- Fixed-width histogram (distribution profiling) ---------------------------------
+
+PRICE_HISTOGRAM_ORACLE = """
+WITH c AS (
+    SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+           CAST(o_totalprice AS DECIMAL(14,2)) AS price
+    FROM orders
+)
+SELECT CAST(floor(cents / 5000000) AS INT) AS bucket,
+       CAST(floor(cents / 5000000) AS INT) * 50000.0 AS bucket_lo,
+       count(*) AS n_orders,
+       (min(cents)::DOUBLE / 100) AS bucket_min,
+       (max(cents)::DOUBLE / 100) AS bucket_max,
+       CAST(SUM(price) AS DECIMAL(18,2))::DOUBLE AS bucket_total
+FROM c GROUP BY 1
+"""
+
+
+@register("price_histogram", PRICE_HISTOGRAM_ORACLE)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width ($50k) histogram over order totals: bucketing on exact integer
+    cents (engine-portable floor; the int→double quotient is exact below 2^53),
+    one shuffle on ~20 bucket keys with map-side partial aggregation — the
+    distribution-profiling primitive that stays one pass at any scale."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    c = orders.select(
+        cents.alias("cents"),
+        F.col("o_totalprice").cast("decimal(14,2)").alias("price"),
+    )
+    bucket = F.floor(F.col("cents") / F.lit(5000000)).cast("int")
+    return c.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_orders"),
+        (F.min("cents").cast("double") / 100).alias("bucket_min"),
+        (F.max("cents").cast("double") / 100).alias("bucket_max"),
+        F.sum("price").cast("decimal(18,2)").alias("bucket_total"),
+    ).select(
+        "bucket",
+        (F.col("bucket") * F.lit(50000.0)).alias("bucket_lo"),
+        "n_orders",
+        "bucket_min",
+        "bucket_max",
+        "bucket_total",
+    )
+
+
+# --- Ordered string aggregation (LISTAGG surface) -----------------------------------
+
+LIST_AGG_ORACLE = """
+SELECT o_custkey,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+       count(DISTINCT o_orderpriority) AS n_priorities
+FROM orders GROUP BY 1
+"""
+
+
+@register("list_agg_priorities", LIST_AGG_ORACLE)
+def q_list_agg_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG/string_agg: per-customer sorted distinct priority list. collect_set
+    is order-nondeterministic across partitions — array_sort before array_join
+    makes the result total-order deterministic (the only portable way to emit an
+    aggregated list across engines)."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    return orders.groupBy("o_custkey").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias("priorities"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
 # --- S5/S6: watermark state round-trip (JSON KV document store) ---------------------
 
 WATERMARK_STATE_ORACLE = """

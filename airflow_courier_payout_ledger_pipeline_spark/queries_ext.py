@@ -1006,3 +1006,169 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("doc_id") % 8) + 4).cast("int").alias("declared_h"),
     )
     return extract_image_features(synthesize_payloads(media)).drop("feature")
+
+
+# =====================================================================================
+# Corpus quality: repetition signals & benchmark contamination (operators/quality.py)
+# =====================================================================================
+
+REPETITION_ORACLE = f"""
+WITH norm AS (SELECT doc_id, string_split({NORM}, ' ') AS ws FROM documents),
+toks AS (
+    SELECT doc_id, unnest(ws) AS tok FROM norm
+),
+ucnt AS (SELECT doc_id, tok, count(*) AS c FROM toks WHERE tok != '' GROUP BY 1, 2),
+ustats AS (
+    SELECT doc_id, SUM(c)::BIGINT AS n_tokens, count(*) AS n_distinct,
+           max(c) AS top_tok
+    FROM ucnt GROUP BY 1
+),
+bpos AS (
+    SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+    FROM norm WHERE len(ws) >= 2
+),
+bcnt AS (
+    SELECT doc_id, concat_ws(' ', ws[i], ws[i+1]) AS bigram, count(*) AS c
+    FROM bpos GROUP BY 1, 2
+),
+bstats AS (SELECT doc_id, SUM(c)::BIGINT AS n_bi, max(c) AS top_bi FROM bcnt GROUP BY 1)
+SELECT u.doc_id AS id, u.n_tokens, u.n_distinct,
+       round((u.n_tokens - u.n_distinct)::DOUBLE / u.n_tokens::DOUBLE, 4) AS dup_token_frac,
+       round(u.top_tok::DOUBLE / u.n_tokens::DOUBLE, 4) AS top_token_frac,
+       round(b.top_bi::DOUBLE / b.n_bi::DOUBLE, 4) AS top_bigram_frac
+FROM ustats u LEFT JOIN bstats b USING (doc_id)
+"""
+
+
+@register("repetition_stats", REPETITION_ORACLE)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition filters: duplicate-token fraction, top-token
+    share, top-bigram share per document (operators/quality.repetition_stats —
+    explode → hash-agg, linear, no UDFs)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.quality import (
+        repetition_stats,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return repetition_stats(docs, "doc_id", "text")
+
+
+CONTAMINATION_N = 8  # published standard for train-test overlap screening
+
+_C8 = ", ".join(f"ws[i+{j}]" for j in range(CONTAMINATION_N))
+
+CONTAMINATION_ORACLE = f"""
+WITH norm AS (SELECT doc_id, string_split({NORM}, ' ') AS ws FROM documents),
+pos AS (
+    SELECT doc_id, ws,
+           unnest(generate_series(1, greatest(len(ws) - {CONTAMINATION_N - 1}, 1))) AS i
+    FROM norm
+),
+g AS (SELECT DISTINCT doc_id AS id, concat_ws(' ', {_C8}) AS ngram FROM pos),
+b AS (SELECT id AS bench_id, ngram FROM g WHERE id % 20 = 0),
+c AS (SELECT id, ngram FROM g WHERE id % 20 != 0)
+SELECT c.id, count(DISTINCT c.ngram) AS n_shared_ngrams,
+       count(DISTINCT b.bench_id) AS n_bench_docs
+FROM c JOIN b ON c.ngram = b.ngram
+GROUP BY 1
+"""
+
+
+@register("ngram_contamination", CONTAMINATION_ORACLE)
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination screen: corpus docs sharing any word 8-gram with
+    the held-out suite (here: every 20th doc stands in for the benchmark). The
+    benchmark gram set is broadcast — the corpus side never shuffles for the
+    probe (operators/quality.ngram_contamination)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import word_ngrams
+    from airflow_courier_payout_ledger_pipeline_spark.operators.quality import (
+        ngram_contamination,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    grams = word_ngrams(docs, "doc_id", "text", n=CONTAMINATION_N)
+    bench = grams.filter(F.col("id") % 20 == 0)
+    corpus = grams.filter(F.col("id") % 20 != 0)
+    return ngram_contamination(corpus, bench)
+
+
+# =====================================================================================
+# Structured Streaming, driver-checked: availableNow drain ≡ SQL over the same data
+# =====================================================================================
+
+# Append mode emits a window only once the watermark (max event time − 1 h) passes
+# its end: window_end <= max_ts − 1 h  ⇔  window_start <= max_ts − 2 h. On empty
+# input the scalar subquery is NULL and both engines emit nothing.
+STREAMING_TUMBLING_ORACLE = """
+WITH agg AS (
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS v
+    FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n_events, v::DOUBLE AS value_sum
+FROM agg
+WHERE window_start + INTERVAL '2 hours' <= (SELECT max(ts) FROM events)
+"""
+
+
+@register("streaming_windows_tumbling", STREAMING_TUMBLING_ORACLE)
+def q_streaming_windows_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming under the driver's gate: readStream over the
+    events parquet → 1 h watermark → tumbling-window agg → availableNow drain
+    into a memory sink. The oracle encodes append-mode semantics exactly (only
+    watermark-closed windows are emitted), so incremental streaming execution is
+    hash-checked against one SQL statement — the stream ≡ batch contract."""
+    from airflow_courier_payout_ledger_pipeline_spark.streaming.events import (
+        read_event_stream,
+        run_available_now,
+        windowed_counts_stream,
+    )
+
+    stream = read_event_stream(spark, sf_dir)
+    return run_available_now(windowed_counts_stream(stream), "drv_stream_tumbling")
+
+
+# One availableNow pass emits exactly the gap-CLOSED sessions; each user's final
+# session stays open in state (QUALIFY drops the per-user last session). Money
+# accumulates as integer cents in state — the emitted doubles are exact.
+STREAMING_SESSION_ORACLE = """
+WITH o AS (
+    SELECT user_id, ts, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+    SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS seq
+    FROM o
+),
+agg AS (
+    SELECT user_id, seq, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events, SUM(cents)::BIGINT AS cents
+    FROM s GROUP BY 1, 2
+)
+SELECT user_id, session_start, session_end, n_events,
+       (cents::DOUBLE / 100) AS value_sum
+FROM agg
+QUALIFY seq < max(seq) OVER (PARTITION BY user_id)
+"""
+
+
+@register("streaming_sessionization", STREAMING_SESSION_ORACLE)
+def q_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator (applyInPandasWithState sessionizer) executed
+    as a real stream and hash-checked: one availableNow pass emits every
+    gap-closed session; the oracle reproduces that emission set in SQL by
+    dropping each user's open last session. Proves the Pandas state machine
+    agrees µs- and cent-exactly with the declarative window formulation."""
+    from airflow_courier_payout_ledger_pipeline_spark.streaming.events import (
+        read_event_stream,
+        run_available_now,
+        sessionize_stream,
+    )
+
+    stream = read_event_stream(spark, sf_dir)
+    return run_available_now(
+        sessionize_stream(stream, idle_timeout=False), "drv_stream_sessions"
+    )

@@ -42,15 +42,28 @@ def read_event_stream(
 ) -> DataFrame:
     """File-source stream over an events directory (testdata: nanos → micros like
     the batch reader; a real deployment points this at Kafka with the same
-    downstream plan)."""
+    downstream plan).
+
+    readStream needs a declared schema, but the physical ts type varies
+    (TIMESTAMP(NANOS) testdata surfaces as bigint under nanosAsLong; re-written
+    micros tables surface as timestamp) — so peek at the batch footer schema
+    (metadata-only, no data scan) and adapt exactly like ``read_events``."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_ts = dict(spark.read.parquet(f"{path}/events.parquet").dtypes).get("ts")
+    ts_decl = "bigint" if batch_ts == "bigint" else "timestamp"
     raw = (
-        spark.readStream.schema("event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string")
+        spark.readStream.schema(
+            "event_id bigint, ts "
+            + ts_decl
+            + ", user_id bigint, event_type string, value double, props string"
+        )
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("pathGlobFilter", "events.parquet")
         .parquet(path)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_decl == "bigint":
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
 
 
 def windowed_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -67,7 +80,7 @@ def windowed_counts_stream(events: DataFrame, watermark: str = "1 hour") -> Data
     )
 
 
-SESSION_STATE_SCHEMA = "start bigint, last bigint, n bigint, value double"
+SESSION_STATE_SCHEMA = "start bigint, last bigint, n bigint, cents bigint"
 SESSION_OUT_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, "
     "n_events bigint, value_sum double"
@@ -82,7 +95,12 @@ def _sessionize_group(
 ) -> Iterator["pd.DataFrame"]:
     """Per-user stateful sessionizer: merge the batch's events into the open
     session, emit every session closed by a > 30 min gap, keep the last one open
-    in state (closed on timeout)."""
+    in state (closed on timeout).
+
+    Money accumulates as exact integer CENTS in state (the input doubles are
+    2-decimal): float accumulation order would differ from a SQL engine's sum
+    in the last bits, so cents are what keep the emitted value_sum oracle-exact
+    (cf. registry.py's Decimal-sums rule)."""
     import pandas as pd  # noqa: PLC0415
 
     (user_id,) = key
@@ -90,7 +108,7 @@ def _sessionize_group(
     ts_all, val_all = [], []
     for pdf in pdfs:
         ts_all.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
-        val_all.extend(float(v) for v in pdf["value"])
+        val_all.extend(int(round(float(v) * 100)) for v in pdf["value"])
     order = sorted(range(len(ts_all)), key=lambda i: ts_all[i])
     ts_all = [ts_all[i] for i in order]
     val_all = [val_all[i] for i in order]
@@ -104,7 +122,7 @@ def _sessionize_group(
         if state.exists:
             start, last, n, value = state.get
         else:
-            start, last, n, value = None, None, 0, 0.0
+            start, last, n, value = None, None, 0, 0
         for t, v in zip(ts_all, val_all):
             if start is None:
                 start, last, n, value = t, t, 1, v
@@ -126,6 +144,7 @@ def _sessionize_group(
     if not out.empty:
         out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
         out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+        out["value_sum"] = out["value_sum"] / 100.0  # cents → dollars, exact
     else:
         out = out.astype(
             {"user_id": "int64", "n_events": "int64", "value_sum": "float64"}

@@ -1,0 +1,71 @@
+"""Unit tests for operators/quality.py: Gopher repetition signals and n-gram
+contamination — edge cases the registry queries can't hit (the testdata has no
+one-word or empty docs) plus the broadcast plan-shape guarantee."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import word_ngrams
+from airflow_courier_payout_ledger_pipeline_spark.operators.quality import (
+    ngram_contamination,
+    repetition_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_repetition_fractions_exact(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a a a a"),          # one token repeated 4x
+            (2, "a b c d"),          # all distinct
+            (3, "x y x y x"),        # top bigram 'x y' 2/4, 'y x' 2/4
+        ],
+    )
+    out = {r["id"]: r for r in repetition_stats(docs, "doc_id", "text").collect()}
+    assert out[1]["n_tokens"] == 4 and out[1]["n_distinct"] == 1
+    assert out[1]["dup_token_frac"] == 0.75 and out[1]["top_token_frac"] == 1.0
+    assert out[1]["top_bigram_frac"] == 1.0  # 'a a' is every bigram
+    assert out[2]["dup_token_frac"] == 0.0 and out[2]["top_token_frac"] == 0.25
+    assert out[3]["n_tokens"] == 5 and out[3]["top_token_frac"] == 0.6  # 'x' 3/5
+    assert out[3]["top_bigram_frac"] == 0.5  # max count 2 over 4 bigrams
+
+
+def test_repetition_one_word_and_empty_docs(spark):
+    docs = _docs(spark, [(1, "solo"), (2, ""), (3, "   "), (4, "a b")])
+    rows = {r["id"]: r for r in repetition_stats(docs, "doc_id", "text").collect()}
+    # empty / whitespace-only docs vanish (no tokens after normalization)
+    assert set(rows) == {1, 4}
+    assert rows[1]["n_tokens"] == 1 and rows[1]["top_bigram_frac"] is None
+    assert rows[4]["top_bigram_frac"] == 1.0
+
+
+def test_contamination_flags_overlap_only(spark):
+    shared = "one two three four five six seven eight"
+    docs = _docs(
+        spark,
+        [
+            (0, f"benchmark prefix {shared} suffix words"),  # benchmark doc
+            (1, f"corpus copy {shared} trailing tail here"),  # contaminated
+            (2, "totally unrelated text with no overlap at all ok"),
+        ],
+    )
+    grams = word_ngrams(docs, "doc_id", "text", n=8)
+    bench = grams.filter(F.col("id") == 0)
+    corpus = grams.filter(F.col("id") != 0)
+    out = ngram_contamination(corpus, bench).collect()
+    assert [(r["id"], r["n_bench_docs"]) for r in out] == [(1, 1)]
+    assert out[0]["n_shared_ngrams"] >= 1
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    docs = _docs(spark, [(i, f"w{i} x y z p q r s t") for i in range(10)])
+    grams = word_ngrams(docs, "doc_id", "text", n=8)
+    plan = ngram_contamination(
+        grams.filter(F.col("id") > 0), grams.filter(F.col("id") == 0)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
