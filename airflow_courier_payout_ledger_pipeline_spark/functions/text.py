@@ -103,6 +103,35 @@ def predict_lang(text: Column) -> Column:
     return F.when(best > 0, expr).otherwise(F.lit("und"))
 
 
+#: PII patterns for corpus scrubbing, ordered — earlier kinds are redacted first,
+#: so phone/ssn never match inside an already-redacted email. Conservative,
+#: precision-leaning regexes (a production deployment swaps in its compliance
+#: set; the operator shape — ordered regexp_replace chain, map-side, no UDF —
+#: is the deliverable).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "phone": r"\+?[0-9][0-9()\-\s.]{7,}[0-9]",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (audit metric before/after scrubbing)."""
+    return {kind: F.regexp_count(text, F.lit(p)) for kind, p in PII_PATTERNS.items()}
+
+
+def redact_pii(text: Column, kinds: list[str] | None = None) -> Column:
+    """Replace each PII match with its ``[KIND]`` token — a chained
+    ``regexp_replace`` (global, map-side, whole-stage codegen; zero shuffles at
+    any corpus size). Order follows PII_PATTERNS so overlapping patterns can't
+    double-redact."""
+    out = text
+    for kind, pattern in PII_PATTERNS.items():
+        if kinds is None or kind in kinds:
+            out = F.regexp_replace(out, pattern, f"[{kind.upper()}]")
+    return out
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical form for exact dedup/fingerprinting: lowercase, collapse runs of
     whitespace, trim."""

@@ -69,3 +69,38 @@ def test_contamination_broadcasts_benchmark_side(spark):
         grams.filter(F.col("id") > 0), grams.filter(F.col("id") == 0)
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan
+
+
+def test_redact_pii_and_counts(spark):
+    from airflow_courier_payout_ledger_pipeline_spark.functions.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "mail me at jane.doe+x@corp.example.com or call +1 (555) 123-4567"),
+            (2, "ssn 123-45-6789 hidden in text"),
+            (3, "clean document, nothing to scrub"),
+        ],
+    )
+    t = F.col("text")
+    out = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            redact_pii(t).alias("redacted"),
+            *[c.alias(k) for k, c in pii_counts(t).items()],
+        ).collect()
+    }
+    assert "[EMAIL]" in out[1]["redacted"] and "@" not in out[1]["redacted"]
+    assert "[PHONE]" in out[1]["redacted"]
+    assert out[1]["email"] == 1 and out[1]["phone"] == 1
+    assert out[2]["redacted"] == "ssn [SSN] hidden in text" and out[2]["ssn"] == 1
+    assert out[3]["redacted"] == "clean document, nothing to scrub"
+    # selective redaction keeps other kinds intact
+    sel = docs.filter(F.col("doc_id") == 1).select(
+        redact_pii(t, kinds=["email"]).alias("r")
+    ).first()["r"]
+    assert "[EMAIL]" in sel and "[PHONE]" not in sel
