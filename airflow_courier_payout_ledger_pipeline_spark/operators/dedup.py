@@ -71,15 +71,21 @@ def char_shingles(
     Explode-amplification guard: a small input file is one scan partition, but the
     output is ~chars-per-doc× larger — repartition *before* exploding so the
     fan-out work parallelizes (otherwise the whole corpus shingles on one task)."""
-    df = _spread(df)
-    norm = normalize_text(F.col(text_col))
-    out = df.select(
-        F.col(id_col).alias("id"),
-        norm.alias("__t"),
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1)))
-        ).alias("__i"),
-    ).select("id", F.expr(f"substr(__t, __i, {k})").alias("shingle"))
+    # Materialize the normalized text BELOW the repartition Exchange: the
+    # optimizer inlines single-referenced projection aliases through Generate,
+    # which re-executes the regexp-backed normalization per EXPLODED row (~300×
+    # per doc). An Exchange is a physical barrier — __t is shuffled as a column,
+    # so the regexp provably runs once per doc.
+    pre = _spread(
+        df.select(
+            F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("__t")
+        )
+    )
+    arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("__t") - (k - 1), F.lit(1))),
+        lambda i: F.col("__t").substr(i, F.lit(k)),
+    )
+    out = pre.select("id", F.explode(arr).alias("shingle"))
     return out.distinct() if distinct else out
 
 
@@ -87,18 +93,25 @@ def word_ngrams(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
 ) -> DataFrame:
     """(id, ngram) pairs: word n-grams of the normalized text (space-joined)."""
-    df = _spread(df)
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    idx = F.explode(F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))))
-    df2 = df.select(F.col(id_col).alias("id"), words.alias("__w"), idx.alias("__i"))
+    # Word array materialized below the Exchange (see char_shingles — otherwise
+    # the regexp-backed split re-executes per exploded gram).
+    pre = _spread(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
+        )
+    )
     # try_element_at, not element_at: Spark 4 runs ANSI mode by default, where an
     # out-of-bounds element_at throws — a doc with < n words must instead yield
     # one partial n-gram (NULLs skipped by concat_ws, matching the DuckDB
     # oracle's NULL-skipping concat_ws over ws[i+j]).
-    gram = F.concat_ws(
-        " ", *[F.expr(f"try_element_at(__w, __i + {j})") for j in range(n)]
+    arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("__w") - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(F.col("__w"), i + F.lit(j)) for j in range(n)]
+        ),
     )
-    out = df2.select("id", gram.alias("ngram"))
+    out = pre.select("id", F.explode(arr).alias("ngram"))
     return out.distinct() if distinct else out
 
 
@@ -109,21 +122,41 @@ def _seeded_md5(col: Column, seed: int) -> Column:
     return F.md5(F.concat(F.lit(f"{seed}:"), col))
 
 
+#: Mersenne prime modulus for the universal-hash MinHash family.
+MINHASH_P = (1 << 61) - 1
+
+#: Fixed (a, b) coefficients for h_j(x) = (a_j*x + b_j) mod P. Bounds keep the
+#: arithmetic overflow-free int64 in BOTH engines (Spark runs ANSI mode, DuckDB
+#: BIGINT throws on overflow): x < 2^32 and a < 2^29 give a*x < 2^61, plus
+#: b < 2^60 stays under 2^62 < int64 max. Seeded generator, not literals —
+#: deterministic across runs, and the oracle SQL is built from the same list.
+_rng = __import__("random").Random(0x5EED)
+MINHASH_AB = [
+    (_rng.randrange(1, 1 << 29), _rng.randrange(0, 1 << 60)) for _ in range(64)
+]
+del _rng
+
+
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 12) -> DataFrame:
     """Per-doc MinHash signature: one column per hash function, each the min over
     the doc's shingles. Partial (map-side) min aggregation makes this one cheap
     shuffle.
 
-    md5 dominates the cost, so each seeded md5 yields TWO independent hash
-    functions (its 16-hex-char halves — both uniform in the shingle): h{2j} =
-    md5(j:sh)[0:16], h{2j+1} = md5(j:sh)[16:32]. Halves the digest work for the
-    same signature width; the DuckDB oracle mirrors the same split."""
-    aggs = []
-    for j in range(num_hashes):
-        seed, half = divmod(j, 2)
-        h = F.substring(_seeded_md5(F.col("shingle"), seed), 1 + 16 * half, 16)
-        aggs.append(F.min(h).alias(f"h{j}"))
-    return shingles.groupBy("id").agg(*aggs)
+    The digest is the dominant cost at corpus scale, so each shingle is md5'd
+    exactly ONCE: 32 bits of the digest are parsed to int64 and the ``num_hashes``
+    functions are the universal family h_j(x) = (a_j*x + b_j) mod (2^61-1) —
+    pure codegen'd integer ops, ~6× less digest work than seeding md5 per
+    function. The DuckDB oracle reproduces it bit-for-bit
+    (('0x' || substr(md5(sh),1,8))::BIGINT and the same (a, b) list)."""
+    x = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+    # project x once so the digest provably evaluates once per shingle (not
+    # relying on subexpression elimination across the 12 agg expressions)
+    xs = shingles.select("id", x.alias("__x"))
+    aggs = [
+        F.min((F.lit(a) * F.col("__x") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{j}")
+        for j, (a, b) in enumerate(MINHASH_AB[:num_hashes])
+    ]
+    return xs.groupBy("id").agg(*aggs)
 
 
 def lsh_bands(signatures: DataFrame, bands: int, rows: int) -> DataFrame:
@@ -152,19 +185,30 @@ def lsh_bands(signatures: DataFrame, bands: int, rows: int) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 4, rows: int = 3
+    signatures: DataFrame,
+    bands: int = 4,
+    rows: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing at least one LSH band, with
     the estimated Jaccard = fraction of agreeing minhash components.
 
-    Single-pass shape: the band table carries the full signature columns through
-    the explode, so the band self-join computes each pair's agreement directly
-    and one groupBy both dedupes multi-band matches and emits the estimate.
-    Compared to distinct + two signature re-joins, that is three fewer shuffles
-    (2.8 s → 1.7 s steady-state at sf0.1, measured) and nothing is persisted
-    (no cache-lifecycle leak). Wider shuffle rows (the signature travels with
-    each of its bands), but a signature is ~200 B — bandwidth-trivial next to
-    the shingle explode upstream."""
+    Truly single-pass shape: instead of a band-table self-join (whose two sides
+    each re-execute the whole shingle-explode + min-agg pipeline — Spark's
+    exchange reuse does not fire across the differently-aliased sides, verified
+    via .explain showing two parquet scans), bucket members are collected per
+    (band, band_hash) and pairs are generated *within* each bucket:
+
+        signature → explode bands → groupBy(band, band_hash) collect_list
+        → posexplode members × explode tail-slice → per-pair agreement
+        → groupBy(pair) dedup
+
+    One scan, md5 computed once, 4 total shuffles (spread, signature agg, bucket
+    agg, pair dedup) vs 7 + a doubled pipeline before. Per-bucket state is
+    O(bucket²) pairs generated by nested Generate operators — streamed, not
+    materialized; ``max_bucket`` caps pathological buckets (identical-content
+    piles) at scale. None (default) keeps exact parity with the SQL oracle,
+    which has no cap."""
     num_hashes = len([c for c in signatures.columns if c.startswith("h")])
     hcols = [f"h{j}" for j in range(num_hashes)]
     entries = F.array(
@@ -178,33 +222,39 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    bt = signatures.select("id", *hcols, F.explode(entries).alias("__b")).select(
-        "id", *hcols, F.col("__b.band").alias("band"), F.col("__b.band_hash").alias("band_hash")
+    bt = signatures.select(
+        "id", F.array(*hcols).alias("sig"), F.explode(entries).alias("__b")
+    ).select("id", "sig", F.col("__b.band"), F.col("__b.band_hash"))
+    buckets = (
+        bt.groupBy("band", "band_hash")
+        .agg(F.collect_list(F.struct("id", "sig")).alias("members"))
+        .filter(F.size("members") > 1)
     )
-    # shuffle_hash: a broadcast of one side would force the whole signature
-    # pipeline (shingle explode + min aggs) to execute twice — once to build
-    # the broadcast, once on the probe side. Pinning the shuffle-hash strategy
-    # keeps the plan deterministic across AQE's size estimates; band keys are
-    # near-unique, so there is no join skew to trade away.
-    bt = bt.hint("shuffle_hash")
-    a = bt.select(
-        F.col("id").alias("id_a"), "band", "band_hash",
-        *[F.col(h).alias(f"a{j}") for j, h in enumerate(hcols)],
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("members") <= max_bucket)
+    pairs = buckets.select(
+        F.posexplode("members").alias("__i", "a"), "members"
+    ).select(
+        "a",
+        # tail slice: partner every member AFTER position __i exactly once
+        # (slice clamps at the array end; length arg = an upper bound)
+        F.explode(
+            F.slice(F.col("members"), F.col("__i") + 2, F.size("members"))
+        ).alias("b"),
     )
-    b = bt.select(
-        F.col("id").alias("id_b"), "band", "band_hash",
-        *[F.col(h).alias(f"b{j}") for j, h in enumerate(hcols)],
-    )
-    agree = sum(
-        (F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(num_hashes)),
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("a.sig"),
+            F.col("b.sig"),
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
         F.lit(0),
+        lambda acc, x: acc + x,
     )
     return (
-        a.join(b, ["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
+        pairs.select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
             (agree.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
         )
         # a pair matching k bands appears k times with the same estimate; max is
@@ -263,25 +313,22 @@ def ngram_jaccard_pairs(
     surviving candidates is still computed over the FULL gram sets, so reported
     values are exact. Only pairs whose every shared gram is hot are missed —
     near-dup pairs share many grams, overwhelmingly non-hot ones (cap 20 loses
-    zero true pairs on the test corpora at every SF, measured)."""
+    zero true pairs on the test corpora at every SF, measured).
+
+    Capped-path shape (the scale path): inverted index as (ngram → id list)
+    buckets where the df cap is just a bucket-size filter; in-bucket pair
+    explode counts each pair's shared-rare-gram count c in one pass. Before the
+    expensive full-set verification join, pairs are pre-filtered by a SOUND
+    Jaccard upper bound — the true intersection is ≤ c + min(hot_a, hot_b)
+    (every shared gram is rare-shared or hot in both), so
+    ub = (c + min(ha, hb)) / (na + nb − c − min(ha, hb)) ≥ J. Dropping
+    pairs with ub < min_jaccard cannot drop a reported pair (prefix-filter
+    reasoning à la AllPairs/PPJoin). On shared-template corpora this collapses
+    the verify fan-out by ~1000× (1.12 M loose candidates → the few that can
+    actually reach the threshold, measured at sf0.1)."""
     sizes = grams.groupBy("id").agg(F.count("*").alias("n"))
     if max_doc_freq is None:
-        join_grams = grams
-    else:
-        rare = (
-            grams.groupBy("ngram")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") <= max_doc_freq)
-            .select("ngram")
-        )
-        join_grams = grams.join(rare, "ngram", "left_semi")
-    a, b = join_grams.alias("ga"), join_grams.alias("gb")
-    cand = (
-        a.join(b, (F.col("ga.ngram") == F.col("gb.ngram")) & (F.col("ga.id") < F.col("gb.id")))
-        .select(F.col("ga.id").alias("id_a"), F.col("gb.id").alias("id_b"))
-        .distinct()
-    )
-    if max_doc_freq is None:
+        a, b = grams.alias("ga"), grams.alias("gb")
         # uncapped: the candidate join already touched every co-occurrence, so
         # count the intersection straight off it (one pass, no re-join)
         inter = (
@@ -290,8 +337,52 @@ def ngram_jaccard_pairs(
             .agg(F.count("*").alias("inter"))
         )
     else:
-        # capped: verify candidates against the FULL gram sets — fan-out is
-        # bounded by |candidates| × doc size, never by hot-gram df²
+        buckets = grams.groupBy("ngram").agg(F.collect_list("id").alias("ids"))
+        small = buckets.filter(
+            (F.size("ids") >= 2) & (F.size("ids") <= max_doc_freq)
+        )
+        cooc = (
+            small.select(F.posexplode("ids").alias("__i", "pa"), "ids")
+            .select(
+                "pa",
+                F.explode(
+                    F.slice(F.col("ids"), F.col("__i") + 2, F.size("ids"))
+                ).alias("pb"),
+            )
+            .select(
+                F.least("pa", "pb").alias("id_a"),
+                F.greatest("pa", "pb").alias("id_b"),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("c"))
+        )
+        # per-doc gram budget: n total, nh of them hot (df > cap)
+        nhot = (
+            buckets.filter(F.size("ids") > max_doc_freq)
+            .select(F.explode("ids").alias("id"))
+            .groupBy("id")
+            .agg(F.count("*").alias("nh"))
+        )
+        stats = sizes.join(nhot, "id", "left").select(
+            "id", "n", F.coalesce("nh", F.lit(0)).alias("nh")
+        )
+        pref = cooc.join(
+            stats.select(
+                F.col("id").alias("id_a"), F.col("n").alias("na"), F.col("nh").alias("ha")
+            ),
+            "id_a",
+        ).join(
+            stats.select(
+                F.col("id").alias("id_b"), F.col("n").alias("nb"), F.col("nh").alias("hb")
+            ),
+            "id_b",
+        )
+        iub = F.col("c") + F.least("ha", "hb")
+        cand = pref.filter(
+            iub.cast("double") / (F.col("na") + F.col("nb") - iub).cast("double")
+            >= F.lit(min_jaccard)
+        ).select("id_a", "id_b")
+        # exact verification over the FULL gram sets, only for survivors
         fa = grams.select(F.col("id").alias("id_a"), "ngram")
         fb = grams.select(F.col("id").alias("id_b"), "ngram")
         inter = (
@@ -327,15 +418,23 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """SimHash per document: each token votes ±1 on each of the fingerprint's bits
     (taken from its md5 nibbles); fingerprint bit = sign of the vote sum.
     Returns (id, simhash int64)."""
-    tokens = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
-    ).filter(F.col("tok") != "")
-    h = F.md5(F.col("tok"))
+    tokens = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        # digest once per token as a projected column: the 32 per-bit aggregate
+        # expressions below each reference __m — inlining md5 into every agg
+        # expression would rely on subexpression elimination to avoid 32 digests
+        # per token (CollapseProject keeps the projection: __m is multi-referenced
+        # and non-cheap)
+        .select("id", F.md5(F.col("tok")).alias("__m"))
+    )
     bit_votes = []
     for i in range(SIMHASH_BITS):
         nib_pos, bit_in_nib = i // 4 + 1, 3 - (i % 4)
-        nib_val = F.expr(f"instr('0123456789abcdef', substr(md5(tok), {nib_pos}, 1)) - 1")
+        nib_val = F.expr(f"instr('0123456789abcdef', substr(__m, {nib_pos}, 1)) - 1")
         bit = (nib_val.cast("int") / (2**bit_in_nib)).cast("int") % 2
         bit_votes.append(F.sum(bit * 2 - 1).alias(f"v{i}"))
     votes = tokens.groupBy("id").agg(*bit_votes)

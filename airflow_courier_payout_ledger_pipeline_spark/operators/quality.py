@@ -38,8 +38,15 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     only token is '' and is filtered on both sides); bigrams are built only for
     docs with ≥ 2 tokens so no partial grams are ever counted.
     """
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    base = _spread(df).select(F.col(id_col).alias("id"), words.alias("__w"))
+    # split materialized below the Exchange barrier so the regexp-backed
+    # normalization runs once per doc, not per exploded token/bigram
+    # (see dedup.char_shingles)
+    base = _spread(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
+        )
+    )
 
     toks = base.select("id", F.explode("__w").alias("tok")).filter(F.col("tok") != "")
     ucnt = toks.groupBy("id", "tok").agg(F.count("*").alias("c"))
@@ -49,21 +56,21 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.max("c").alias("__top_tok"),
     )
 
-    bi = (
-        base.filter(F.size("__w") >= 2)
-        .select(
-            "id",
-            "__w",
-            F.explode(F.sequence(F.lit(1), F.size("__w") - 1)).alias("__i"),
-        )
-        .select(
-            "id",
-            F.concat_ws(
-                " ",
-                F.expr("try_element_at(__w, __i)"),
-                F.expr("try_element_at(__w, __i + 1)"),
-            ).alias("bigram"),
-        )
+    # bigram array built in ONE per-doc expression, then exploded — projecting
+    # grams over an exploded index lets the optimizer inline the regexp-backed
+    # split so it re-executes per bigram (see dedup.char_shingles)
+    bi = base.filter(F.size("__w") >= 2).select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__w") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.try_element_at(F.col("__w"), i),
+                    F.try_element_at(F.col("__w"), i + F.lit(1)),
+                ),
+            )
+        ).alias("bigram"),
     )
     bcnt = bi.groupBy("id", "bigram").agg(F.count("*").alias("c"))
     bstats = bcnt.groupBy("id").agg(

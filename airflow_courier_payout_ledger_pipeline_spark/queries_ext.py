@@ -150,19 +150,26 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NUM_HASHES, BANDS, ROWS_PER_BAND = 12, 4, 3
 
-_SHINGLES_CTE = f"""
+def _sig_cte() -> str:
+    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import (
+        MINHASH_AB,
+        MINHASH_P,
+    )
+
+    hs = ", ".join(
+        f"min(({a} * x + {b}) % {MINHASH_P}) AS h{j}"
+        for j, (a, b) in enumerate(MINHASH_AB[:NUM_HASHES])
+    )
+    return f"""
 norm AS (SELECT doc_id, {NORM} AS t FROM documents),
 pos AS (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t) - 8, 1))) AS i FROM norm),
 sh AS (SELECT DISTINCT doc_id, substr(t, i, 9) AS shingle FROM pos),
-sig AS (
-    SELECT doc_id AS id,
-           {", ".join(
-               f"min(substr(md5('{j // 2}:' || shingle), {1 + 16 * (j % 2)}, 16)) AS h{j}"
-               for j in range(NUM_HASHES)
-           )}
-    FROM sh GROUP BY doc_id
-)
+xs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x FROM sh),
+sig AS (SELECT doc_id AS id, {hs} FROM xs GROUP BY doc_id)
 """
+
+
+_SHINGLES_CTE = _sig_cte()
 
 MINHASH_SIG_ORACLE = f"""
 WITH {_SHINGLES_CTE}
@@ -172,7 +179,8 @@ SELECT * FROM sig
 
 @register("minhash_signatures", MINHASH_SIG_ORACLE)
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document MinHash signature over 9-char shingles (12 seeded md5 mins)."""
+    """Per-document MinHash signature over 9-char shingles: one md5 per shingle,
+    12 universal-hash functions (a·x + b mod 2^61−1) over 32 digest bits."""
     from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import (
         char_shingles,
         minhash_signatures,
