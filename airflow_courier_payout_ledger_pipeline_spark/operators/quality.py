@@ -92,6 +92,111 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def quality_rule_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_len: int = 2,
+    max_mean_len: int = 12,
+    max_digit_pct: int = 20,
+    min_stopword_hits: int = 1,
+) -> DataFrame:
+    """Gopher/C4-style per-document quality rules, each surfaced as its own flag
+    plus the combined ``keep`` verdict (audit-friendly: a curation run wants to
+    know *why* a document was dropped, not just that it was).
+
+    Rules (defaults follow the published MassiveText ranges):
+    - ``words_ok``    — word count within [min_words, max_words];
+    - ``mean_len_ok`` — mean word length within [min_mean_len, max_mean_len];
+    - ``stopword_ok`` — at least ``min_stopword_hits`` common-stopword hits
+      (natural-language signal);
+    - ``digit_ok``    — digit characters ≤ ``max_digit_pct``% of raw length.
+
+    Scale shape: ZERO shuffles — every rule is a map-side codegen expression, so
+    at 100 TB this is a pure scan-speed filter (the cheapest possible plan; the
+    ideal first stage of a curation funnel, shrinking the corpus before any
+    shuffle-bearing dedup runs).
+
+    Determinism: no explode — word count and summed word length come from
+    arithmetic identities on the whitespace-collapsed text (sum of token lengths
+    = length(norm) − (n_words − 1) separators), and every threshold compares
+    exact int64s (e.g. mean-length bounds as ``sum_len BETWEEN lo·n AND hi·n``),
+    so the booleans — and the one derived double, ``mean_word_len`` — are
+    bit-identical in any engine.
+    """
+    from airflow_courier_payout_ledger_pipeline_spark.functions.text import (
+        LANG_MARKERS,
+        digit_count,
+        substring_count,
+    )
+
+    norm = normalize_text(F.col(text_col))
+    n_words = F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " "))).cast("int")
+    sum_len = F.when(norm == "", F.lit(0)).otherwise(
+        F.length(norm) - (F.size(F.split(norm, " ")) - F.lit(1))
+    ).cast("long")
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
+    stop_hits = sum(
+        (substring_count(padded, m) for m in LANG_MARKERS["en"]), F.lit(0.0)
+    ).cast("long")
+    nw = n_words.cast("long")
+    words_ok = (n_words >= min_words) & (n_words <= max_words)
+    mean_len_ok = (
+        (n_words > 0)
+        & (sum_len >= min_mean_len * nw)
+        & (sum_len <= max_mean_len * nw)
+    )
+    stopword_ok = stop_hits >= min_stopword_hits
+    digit_ok = (100 * digit_count(F.col(text_col)).cast("long")) <= (
+        max_digit_pct * F.length(text_col).cast("long")
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        F.when(
+            n_words > 0, F.round(sum_len.cast("double") / nw.cast("double"), 4)
+        ).alias("mean_word_len"),
+        words_ok.alias("words_ok"),
+        mean_len_ok.alias("mean_len_ok"),
+        stopword_ok.alias("stopword_ok"),
+        digit_ok.alias("digit_ok"),
+        (words_ok & mean_len_ok & stopword_ok & digit_ok).alias("keep"),
+    )
+
+
+def vocab_counts(
+    df: DataFrame, id_col: str, text_col: str, min_count: int = 2
+) -> DataFrame:
+    """Corpus vocabulary table: per token, total occurrences (``tf``) and the
+    number of distinct documents containing it (``df``) — the input to tokenizer
+    training, stopword discovery, and idf weighting.
+
+    Scale shape: explode → one grouped aggregation keyed by token. Hot tokens
+    ('the') are absorbed by map-side partial aggregation for ``tf``; the
+    distinct-doc count shuffles (token, id) pairs once (Spark plans the mixed
+    count/count-distinct agg as a single Expand + two-phase agg). Never pairwise,
+    linear in corpus token count. The ``min_count`` filter applies post-agg
+    (HAVING), pruning the hapax-legomena long tail from the output only.
+    """
+    base = _spread(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
+        )
+    )
+    toks = base.select("id", F.explode("__w").alias("token")).filter(
+        F.col("token") != ""
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("tf"), F.countDistinct("id").alias("df"))
+        .filter(F.col("tf") >= min_count)
+    )
+
+
 def ngram_contamination(corpus_grams: DataFrame, bench_grams: DataFrame) -> DataFrame:
     """Benchmark-contamination screen: for each corpus document, how many of its
     distinct n-grams appear in ANY benchmark document, and how many benchmark

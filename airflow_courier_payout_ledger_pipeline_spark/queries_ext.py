@@ -1061,6 +1061,79 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs, "doc_id", "text")
 
 
+_QSTOP_SQL = " + ".join(
+    f"(length(padded) - length(replace(padded, '{m}', ''))) / {len(m)}"
+    for m in [" the ", " and ", " of "]
+)
+
+QUALITY_RULES_ORACLE = f"""
+WITH c AS (
+    SELECT doc_id, {NORM} AS norm, length(text) AS rawlen,
+           len(regexp_extract_all(text, '[0-9]'))::BIGINT AS digits
+    FROM documents
+),
+t AS (
+    SELECT doc_id, rawlen, digits,
+           CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END::INTEGER AS n_words,
+           CASE WHEN norm = '' THEN 0
+                ELSE length(norm) - (len(string_split(norm, ' ')) - 1) END::BIGINT AS sum_len,
+           concat(' ', norm, ' ') AS padded
+    FROM c
+),
+f AS (
+    SELECT doc_id, n_words, sum_len,
+           n_words BETWEEN 10 AND 100000 AS words_ok,
+           n_words > 0 AND sum_len >= 2 * n_words AND sum_len <= 12 * n_words AS mean_len_ok,
+           ({_QSTOP_SQL})::BIGINT >= 1 AS stopword_ok,
+           100 * digits <= 20 * rawlen AS digit_ok
+    FROM t
+)
+SELECT doc_id AS id, n_words,
+       CASE WHEN n_words > 0
+            THEN round(sum_len::DOUBLE / n_words::DOUBLE, 4) END AS mean_word_len,
+       words_ok, mean_len_ok, stopword_ok, digit_ok,
+       words_ok AND mean_len_ok AND stopword_ok AND digit_ok AS keep
+FROM f
+"""
+
+
+@register("quality_rules", QUALITY_RULES_ORACLE)
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style rule flags per document (word-count band, mean-word-length
+    band, stopword presence, digit density) plus the combined keep verdict —
+    zero-shuffle map-side codegen, the cheapest first stage of a curation funnel
+    (operators/quality.quality_rule_flags)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.quality import (
+        quality_rule_flags,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return quality_rule_flags(docs, "doc_id", "text")
+
+
+VOCAB_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split({NORM}, ' ')) AS token FROM documents
+)
+SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM toks WHERE token != ''
+GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
+@register("vocab_counts", VOCAB_ORACLE)
+def q_vocab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (token → total occurrences + document frequency), the
+    tokenizer-training / idf input: explode → single grouped agg keyed by token,
+    map-side partials absorbing hot tokens (operators/quality.vocab_counts)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.quality import (
+        vocab_counts,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return vocab_counts(docs, "doc_id", "text", min_count=2)
+
+
 CONTAMINATION_N = 8  # published standard for train-test overlap screening
 
 _C8 = ", ".join(f"ws[i+{j}]" for j in range(CONTAMINATION_N))

@@ -71,6 +71,65 @@ def test_contamination_broadcasts_benchmark_side(spark):
     assert "BroadcastExchange" in plan
 
 
+def test_quality_rule_flags_edges(spark):
+    from airflow_courier_payout_ledger_pipeline_spark.operators.quality import (
+        quality_rule_flags,
+    )
+
+    good = "the quick brown fox and the lazy dog of the north " * 3  # 33 words
+    docs = _docs(
+        spark,
+        [
+            (1, good),                           # passes every rule
+            (2, ""),                             # empty: 0 words, NULL mean len
+            (3, "   "),                          # whitespace-only ≡ empty
+            (4, "one two three"),                # too few words
+            (5, "the " + "x " * 20),             # short mean length ok (>=2? 'x'=1)
+            (6, ("12345 " * 12) + "the end of and it"),  # digit-heavy
+        ],
+    )
+    out = {r["id"]: r for r in quality_rule_flags(docs, "doc_id", "text").collect()}
+    assert out[1]["keep"] and out[1]["n_words"] == 33
+    assert out[2]["n_words"] == 0 and out[2]["mean_word_len"] is None
+    assert not out[2]["keep"] and not out[2]["words_ok"] and not out[2]["mean_len_ok"]
+    assert out[3]["n_words"] == 0
+    assert not out[4]["words_ok"] and out[4]["mean_len_ok"]
+    # doc 5: mean length (3+20)/21 < 2 → mean_len_ok False
+    assert not out[5]["mean_len_ok"] and out[5]["stopword_ok"]
+    # doc 6: 60 digit chars of 90 raw → digit_ok False; stopwords present
+    assert not out[6]["digit_ok"] and out[6]["stopword_ok"] and not out[6]["keep"]
+
+
+def test_quality_rule_flags_zero_shuffle_plan(spark):
+    from airflow_courier_payout_ledger_pipeline_spark.operators.quality import (
+        quality_rule_flags,
+    )
+
+    docs = _docs(spark, [(1, "a few words here")])
+    plan = (
+        quality_rule_flags(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # pure map-side: the curation-funnel fast path
+
+
+def test_vocab_counts_tf_df(spark):
+    from airflow_courier_payout_ledger_pipeline_spark.operators.quality import (
+        vocab_counts,
+    )
+
+    docs = _docs(
+        spark,
+        [(1, "a b a"), (2, "a c"), (3, "  A  b  "), (4, "")],  # norm folds case/space
+    )
+    out = {r["token"]: r for r in vocab_counts(docs, "doc_id", "text", 2).collect()}
+    assert out["a"]["tf"] == 4 and out["a"]["df"] == 3
+    assert out["b"]["tf"] == 2 and out["b"]["df"] == 2
+    assert "c" not in out  # below min_count
+
+
 def test_redact_pii_and_counts(spark):
     from airflow_courier_payout_ledger_pipeline_spark.functions.text import (
         pii_counts,
