@@ -1236,6 +1236,81 @@ QUALIFY seq < max(seq) OVER (PARTITION BY user_id)
 """
 
 
+STREAMING_DEDUP_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+@register("streaming_dedup", STREAMING_DEDUP_ORACLE)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD0 under the driver's gate: watermarked dropDuplicates state
+    emits each (user_id, event_type) key once across micro-batches; projecting
+    the keys (not the arbitrary winning row) makes the emission set equal to
+    batch SELECT DISTINCT regardless of arrival order — the stream ≡ batch
+    contract for insert-ignore (streaming/ingest.stream_dedup). The 3650-day
+    horizon spans the whole bounded replay; a live deployment sets it to the
+    source's max lateness so state stays bounded."""
+    from airflow_courier_payout_ledger_pipeline_spark.streaming.events import (
+        read_event_stream,
+        run_available_now,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.streaming.ingest import (
+        stream_dedup,
+    )
+
+    stream = read_event_stream(spark, sf_dir)
+    dd = stream_dedup(
+        stream, ["user_id", "event_type"], ts_col="ts", watermark="3650 days"
+    ).select("user_id", "event_type")
+    return run_available_now(dd, "drv_stream_dedup")
+
+
+STREAMING_COMPACT_ORACLE = """
+SELECT user_id, ts AS last_ts, event_type AS last_event_type, value AS last_value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+@register("streaming_compact_latest", STREAMING_COMPACT_ORACLE)
+def q_streaming_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction as a real stream: foreachBatch folds each micro-batch
+    into a latest-row-per-key lakehouse table via argmax on (ts, event_id) —
+    associative, so the final state is hash-identical to one batch QUALIFY
+    statement under any micro-batch split (streaming/ingest.stream_compact_latest)."""
+    import tempfile
+
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+    from airflow_courier_payout_ledger_pipeline_spark.streaming.events import (
+        read_event_stream,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.streaming.ingest import (
+        stream_compact_latest,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="compact_latest_")
+    lake = Lakehouse(f"{tmp}/lake")
+    stream = read_event_stream(spark, sf_dir)
+    schema = stream.schema
+    q = stream_compact_latest(
+        stream,
+        lake,
+        "dds",
+        "latest_events",
+        keys=["user_id"],
+        order_cols=["ts", "event_id"],
+        checkpoint=f"{tmp}/ckpt",
+        query_name="drv_compact_latest",
+    )
+    q.awaitTermination()
+    return lake.read(spark, "dds", "latest_events", schema).select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 @register("streaming_sessionization", STREAMING_SESSION_ORACLE)
 def q_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom stateful operator (applyInPandasWithState sessionizer) executed

@@ -52,6 +52,47 @@ def test_stream_dedup_drops_resubmissions(spark, tmp_path):
     assert got == {"d1": "first", "d2": "ok"}
 
 
+def test_stream_compact_latest_is_batch_split_independent(spark, tmp_path):
+    """The CDC compaction sink must converge to the same latest-per-key state no
+    matter how the change log is split into micro-batches — newer versions here
+    arrive in an EARLIER file than older ones to prove argmax ≠ source-wins."""
+    from airflow_courier_payout_ledger_pipeline_spark.streaming.ingest import (
+        latest_by_key,
+        stream_compact_latest,
+    )
+
+    schema = "k string, ver bigint, seq bigint, v string"
+    src = tmp_path / "src"
+    # file 1 carries the NEWEST version of k1; file 2 an older resend
+    _write_batch(spark, src, [("k1", 5, 1, "new"), ("k2", 1, 2, "only")], schema)
+    _write_batch(spark, src, [("k1", 3, 3, "stale"), ("k3", 2, 4, "x")], schema)
+    _write_batch(spark, src, [("k2", 1, 5, "tie-later-seq")], schema)  # tie on ver
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force one micro-batch per file
+        .parquet(str(src))
+    )
+    lake = Lakehouse(str(tmp_path / "lake"))
+    q = stream_compact_latest(
+        stream, lake, "dds", "t", ["k"], ["ver", "seq"], str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    got = {
+        r.k: (r.ver, r.v)
+        for r in lake.read(spark, "dds", "t", stream.schema).collect()
+    }
+    assert got == {"k1": (5, "new"), "k2": (1, "tie-later-seq"), "k3": (2, "x")}
+
+    # batch equivalence: one-shot latest_by_key over the full log agrees
+    full = spark.read.schema(schema).parquet(str(src))
+    batch = {
+        r.k: (r.ver, r.v)
+        for r in latest_by_key(full, ["k"], ["ver", "seq"]).collect()
+    }
+    assert batch == got
+
+
 def test_stream_scd1_sink_converges_to_batch_state(spark, tmp_path):
     src = tmp_path / "src"
     lake = Lakehouse(str(tmp_path / "lake"))
