@@ -112,6 +112,96 @@ def extract_image_features(media: DataFrame, batch_rows: int = 256) -> DataFrame
     return media.select("media_id", "payload").mapInPandas(decode_batch, FEATURE_SCHEMA)
 
 
+#: video header: magic 'FVID' + uint16 n_frames + uint16 width + uint16 height
+FAKE_VIDEO_HEADER = struct.Struct(">4sHHH")
+
+VIDEO_SCHEMA = "media_id bigint, payload binary"
+
+FRAME_SCHEMA = (
+    "media_id bigint, frame_idx int, frame_w int, frame_h int, frame_mean double"
+)
+
+
+def encode_fake_video(media_id: int, n_frames: int, w: int, h: int) -> bytes:
+    """Deterministic fake video: header + ``n_frames`` grayscale frames of
+    ``w*h`` bytes each; frame ``f`` is the constant byte ``(id*31 + f*7) % 256``
+    (stands in for an MP4 container in tests — the closed-form pixel value is
+    what lets a SQL oracle hash-check the decoded output)."""
+    frames = b"".join(
+        bytes([(media_id * 31 + f * 7) % 256]) * (w * h) for f in range(n_frames)
+    )
+    return FAKE_VIDEO_HEADER.pack(b"FVID", n_frames, w, h) + frames
+
+
+def synthesize_video_payloads(media: DataFrame) -> DataFrame:
+    """Attach a deterministic FVID ``payload`` to (media_id, n_frames, w, h)
+    metadata rows, Arrow-batch-wise (the test stand-in for a parquet binary
+    column of real containers)."""
+    import pandas as pd  # noqa: PLC0415
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        encode_fake_video(int(m), int(n), int(w), int(h))
+                        for m, n, w, h in zip(
+                            pdf["media_id"], pdf["n_frames"], pdf["w"], pdf["h"]
+                        )
+                    ],
+                }
+            )
+
+    return media.mapInPandas(gen, VIDEO_SCHEMA)
+
+
+def _decode_video(payload: bytes) -> tuple[int, int, int, bytes]:
+    """STUB container demux — replace with ffmpeg/pyav in production."""
+    if len(payload) < FAKE_VIDEO_HEADER.size or payload[:4] != b"FVID":
+        raise NotImplementedError(
+            "real video codecs are not available in this environment; "
+            "payload is not in the deterministic FVID test format"
+        )
+    _, n_frames, w, h = FAKE_VIDEO_HEADER.unpack(payload[: FAKE_VIDEO_HEADER.size])
+    return n_frames, w, h, payload[FAKE_VIDEO_HEADER.size :]
+
+
+def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Frame sampling: one binary video row → one output row per ``every_k``-th
+    frame (frame index, dims, exact per-frame mean byte). The 1→N row fan-out
+    INSIDE mapInPandas is the shape real frame extraction needs — Arrow batches
+    out can be larger than batches in, no explode of materialized frame arrays
+    through a shuffle.
+
+    Scale notes: a 100 TB video corpus is dominated by payload bytes, so the
+    sampler runs directly against the scan with zero shuffles; partition sizing
+    comes from ``spark.sql.files.maxPartitionBytes`` (bytes, not row counts, are
+    the unit that matters for binary columns). Means use exact int64 sums so the
+    emitted doubles are engine-portable."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    def demux(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "frame_idx", "frame_w", "frame_h", "frame_mean")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n_frames, w, h, body = _decode_video(bytes(payload))
+                arr = np.frombuffer(body, dtype=np.uint8).reshape(n_frames, w * h)
+                for f in range(0, n_frames, every_k):
+                    frame = arr[f]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(f)
+                    out["frame_w"].append(w)
+                    out["frame_h"].append(h)
+                    out["frame_mean"].append(
+                        float(frame.sum(dtype=np.int64)) / len(frame)
+                    )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(demux, FRAME_SCHEMA)
+
+
 def media_metadata_only(media: DataFrame) -> DataFrame:
     """Metadata projection that never touches the binary column — Catalyst prunes
     ``payload`` out of the parquet scan entirely (verify with .explain: ReadSchema

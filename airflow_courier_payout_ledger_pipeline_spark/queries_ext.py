@@ -1016,6 +1016,46 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(synthesize_payloads(media)).drop("feature")
 
 
+# The FVID payload's frame f is the constant byte (media_id*31 + f*7) % 256, so
+# each sampled frame's exact mean is closed-form — the full demux path
+# (synthesize binary container → mapInPandas frame sampler) hash-checks in SQL.
+VIDEO_FRAMES_ORACLE = """
+WITH fr AS (
+    SELECT doc_id AS media_id,
+           unnest(generate_series(0, doc_id % 8 + 3, 2)) AS f
+    FROM documents
+)
+SELECT media_id,
+       f::INT AS frame_idx,
+       8::INT AS frame_w,
+       6::INT AS frame_h,
+       ((media_id * 31 + f * 7) % 256)::DOUBLE AS frame_mean
+FROM fr
+"""
+
+
+@register("video_frame_sample", VIDEO_FRAMES_ORACLE)
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: binary FVID containers (synthesized Arrow-batch-wise
+    from the documents table: doc_id % 8 + 4 frames of 8×6 grayscale) demuxed by
+    a mapInPandas sampler that emits every 2nd frame's index and exact mean —
+    the 1→N-rows-per-payload decode shape a real ffmpeg-backed pipeline needs
+    (operators/multimodal.sample_frames)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.multimodal import (
+        sample_frames,
+        synthesize_video_payloads,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        ((F.col("doc_id") % 8) + 4).cast("int").alias("n_frames"),
+        F.lit(8).cast("int").alias("w"),
+        F.lit(6).cast("int").alias("h"),
+    )
+    return sample_frames(synthesize_video_payloads(media), every_k=2)
+
+
 # =====================================================================================
 # Corpus quality: repetition signals & benchmark contamination (operators/quality.py)
 # =====================================================================================

@@ -52,3 +52,38 @@ def test_foreign_payload_raises_like_real_codec(spark):
     )
     with pytest.raises(Exception, match="real image codecs|NotImplementedError"):
         extract_image_features(bad).collect()
+
+
+def test_video_frame_sampling_exact(spark):
+    from airflow_courier_payout_ledger_pipeline_spark.operators.multimodal import (
+        sample_frames,
+        synthesize_video_payloads,
+    )
+
+    meta = spark.createDataFrame(
+        [(7, 5, 4, 3), (2, 1, 2, 2)],  # 5-frame and single-frame videos
+        "media_id bigint, n_frames int, w int, h int",
+    )
+    rows = sample_frames(synthesize_video_payloads(meta), every_k=2).collect()
+    got = {(r.media_id, r.frame_idx): r for r in rows}
+    # media 7: frames 0,2,4 sampled; frame f mean == (7*31 + f*7) % 256 exactly
+    assert sorted(k for k in got if k[0] == 7) == [(7, 0), (7, 2), (7, 4)]
+    for f in (0, 2, 4):
+        r = got[(7, f)]
+        assert r.frame_mean == (7 * 31 + f * 7) % 256
+        assert (r.frame_w, r.frame_h) == (4, 3)
+    # media 2: single frame → exactly frame 0
+    assert sorted(k for k in got if k[0] == 2) == [(2, 0)]
+    assert got[(2, 0)].frame_mean == (2 * 31) % 256
+
+
+def test_video_foreign_payload_raises(spark):
+    from airflow_courier_payout_ledger_pipeline_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"RIFFnot-a-fake-video"))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="real video codecs|NotImplementedError"):
+        sample_frames(bad).collect()
