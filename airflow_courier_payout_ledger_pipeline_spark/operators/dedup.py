@@ -53,6 +53,57 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(keep, id_col, "left_semi")
 
 
+def incremental_exact_dedup(
+    incoming: DataFrame,
+    corpus_fingerprints: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Dedup an increment against an already-deduped corpus — the shape a 100 TB
+    pipeline actually runs nightly: you never re-dedup history, you probe the
+    increment against a persisted **fingerprint index** (one md5 per corpus doc,
+    ~3 orders of magnitude smaller than the corpus) and within itself.
+
+    Per incoming document:
+    - ``dup_of_corpus``     — its content already exists in the corpus index;
+    - ``dup_within_increment`` — a smaller-id duplicate exists in the same
+      increment (the first occurrence keeps ``False`` and is the survivor);
+    - ``keep``              — neither.
+
+    Scale shape: the daily increment is the small side, so BOTH probes avoid
+    shuffling the big data — the corpus index probe is an equi-join on uniform
+    md5 keys (AQE broadcasts the increment's fingerprint set when it fits), and
+    the within-increment check is one groupBy over increment fingerprints. The
+    corpus itself (the 100 TB of text) is never read. The same index-probe shape
+    extends to near-dup: persist MinHash band buckets alongside and probe those
+    (``lsh_candidate_pairs``); exact fingerprints keep this operator
+    SQL-checkable end-to-end.
+
+    ``corpus_fingerprints``: one column ``fp`` (md5 hex), e.g. from
+    ``exact_dedup_groups(...).select("fp")``.
+    """
+    inc = incoming.select(
+        F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp")
+    )
+    in_corpus = corpus_fingerprints.select("fp").distinct().withColumn(
+        "__hit", F.lit(True)
+    )
+    first_in_inc = inc.groupBy("fp").agg(F.min("id").alias("__first_id"))
+    out = (
+        inc.join(in_corpus, "fp", "left")
+        .join(first_in_inc, "fp", "inner")
+        .select(
+            "id",
+            "fp",
+            F.coalesce(F.col("__hit"), F.lit(False)).alias("dup_of_corpus"),
+            (F.col("id") != F.col("__first_id")).alias("dup_within_increment"),
+        )
+    )
+    return out.withColumn(
+        "keep", ~F.col("dup_of_corpus") & ~F.col("dup_within_increment")
+    )
+
+
 # --- shingling -----------------------------------------------------------------------
 
 

@@ -968,6 +968,104 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================================
+# Curation sampling & packing (operators/sampling.py)
+# =====================================================================================
+
+# thresholds = hash_threshold(f): 0.9→e666, 0.6→999a, 0.3→4ccd, 0.1→199a, 0.05→0ccd
+_MIX = {"src0": 0.9, "src1": 0.6, "src2": 0.3, "src3": 0.1}
+_MIX_DEFAULT = 0.05
+
+STRATIFIED_ORACLE = """
+SELECT doc_id, source FROM documents
+WHERE substring(md5(doc_id::VARCHAR), 1, 4) <
+      CASE source WHEN 'src0' THEN 'e666' WHEN 'src1' THEN '999a'
+                  WHEN 'src2' THEN '4ccd' WHEN 'src3' THEN '199a'
+                  ELSE '0ccd' END
+"""
+
+
+@register("stratified_sample", STRATIFIED_ORACLE)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix sampling: per-source keep fractions (curated sources
+    up-weighted, long-tail crawl at 5%) applied as a deterministic md5-threshold
+    CASE — zero shuffles, reproducible across runs/cluster sizes
+    (operators/sampling.stratified_sample)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return stratified_sample(
+        docs.select("doc_id", "source"), "doc_id", "source", _MIX, _MIX_DEFAULT
+    )
+
+
+PACKING_ORACLE = """
+WITH cs AS (
+    SELECT doc_id, n_chars,
+           SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c
+    FROM documents
+)
+SELECT (c - n_chars) // 2000 AS bin_id, count(*) AS n_docs,
+       SUM(n_chars)::BIGINT AS tokens_total,
+       min(c - n_chars) AS first_offset
+FROM cs GROUP BY 1
+"""
+
+
+@register("sequence_packing", PACKING_ORACLE)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-based packing of documents into 2000-token training bins, built on
+    a two-pass distributed prefix sum (range repartition → local window →
+    broadcast partition offsets) — never the single-partition global-window
+    trap. Emits the per-bin fill report (operators/sampling.pack_sequences)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sampling import (
+        pack_sequences,
+        pack_stats,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    packed = pack_sequences(
+        docs.select("doc_id", "n_chars"), "doc_id", "n_chars", target=2000
+    )
+    return pack_stats(packed, "n_chars")
+
+
+INCREMENTAL_DEDUP_ORACLE = f"""
+WITH f AS (SELECT doc_id, md5({NORM}) AS fp FROM documents),
+corpus AS (SELECT DISTINCT fp FROM f WHERE doc_id % 5 != 0),
+inc AS (SELECT doc_id AS id, fp FROM f WHERE doc_id % 5 = 0),
+firsts AS (SELECT fp, min(id) AS first_id FROM inc GROUP BY 1)
+SELECT i.id, i.fp,
+       (c.fp IS NOT NULL) AS dup_of_corpus,
+       (i.id != fi.first_id) AS dup_within_increment,
+       (c.fp IS NULL AND i.id = fi.first_id) AS keep
+FROM inc i
+LEFT JOIN corpus c ON i.fp = c.fp
+JOIN firsts fi ON i.fp = fi.fp
+"""
+
+
+@register("dedup_incremental", INCREMENTAL_DEDUP_ORACLE)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly-increment dedup against a persisted corpus fingerprint index
+    (every 5th doc stands in for the increment): flags corpus dups and
+    within-increment dups without ever reading corpus text — the O(increment)
+    pattern that replaces full re-dedup at 100 TB
+    (operators/dedup.incremental_exact_dedup)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import (
+        exact_dedup_groups,
+        incremental_exact_dedup,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus_fp = exact_dedup_groups(corpus, "doc_id", "text").select("fp")
+    return incremental_exact_dedup(incoming, corpus_fp, "doc_id", "text")
+
+
+# =====================================================================================
 # Multimodal: binary payload → decoded scalar features (Arrow-batched mapInPandas)
 # =====================================================================================
 
