@@ -968,6 +968,72 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================================
+# Data layout: Z-order clustering (operators/layout.py)
+# =====================================================================================
+
+from airflow_courier_payout_ledger_pipeline_spark.operators.layout import morton_sql  # noqa: E402
+
+ZORDER_ORACLE = f"""
+WITH d AS (
+    SELECT event_id,
+           (user_id % 1024)::BIGINT AS x,
+           (hour(ts) * 60 + minute(ts))::BIGINT AS y
+    FROM events
+)
+SELECT event_id, x, y, ({morton_sql(["x", "y"], bits=11)})::BIGINT AS zvalue
+FROM d
+"""
+
+
+@register("zorder_values", ZORDER_ORACLE)
+def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-value of (user bucket, minute-of-day) per event — the interleaved
+    sort key behind multi-column row-group skipping (Delta's OPTIMIZE ZORDER
+    shape on vanilla parquet; pure shift/mask codegen, SQL-reproducible so any
+    engine can audit the layout). Write path: operators/layout.zorder_layout."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.layout import (
+        morton_zvalue,
+    )
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    x = F.pmod(F.col("user_id"), F.lit(1024)).cast("long")
+    y = (F.hour("ts") * 60 + F.minute("ts")).cast("long")
+    return ev.select(
+        "event_id",
+        x.alias("x"),
+        y.alias("y"),
+        morton_zvalue([x, y], bits=11).alias("zvalue"),
+    )
+
+
+TOPK_PER_GROUP_ORACLE = """
+SELECT source, doc_id, n_chars,
+       CAST(row_number() OVER (PARTITION BY source
+                               ORDER BY n_chars DESC, doc_id) AS INT) AS rn
+FROM documents
+QUALIFY rn <= 3
+"""
+
+
+@register("topk_per_group", TOPK_PER_GROUP_ORACLE)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 longest documents per source (deterministic (len desc, id)
+    tiebreak) — the per-domain selection shape of curation. Spark 3.5+ rewrites
+    the rank-filter into WindowGroupLimit: each map task keeps only k rows per
+    group BEFORE the shuffle, so the sort never sees the full corpus
+    (plan-asserted in tests)."""
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        docs.select("source", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# =====================================================================================
 # Curation sampling & packing (operators/sampling.py)
 # =====================================================================================
 
