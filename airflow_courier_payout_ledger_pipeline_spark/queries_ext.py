@@ -1515,6 +1515,67 @@ def q_streaming_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STREAM_JOIN_ORACLE = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       c.ts AS click_ts,
+       p.event_id AS purchase_id,
+       p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM events c
+JOIN events p
+  ON c.event_type = 'click' AND p.event_type = 'purchase'
+ AND c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+"""
+
+
+@register("streaming_stream_join", STREAM_JOIN_ORACLE)
+def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: clicks joined to same-user
+    purchases within [click, click + 30 min], both sides watermarked so Spark
+    can expire join state (state size = watermark horizon × per-user rate, not
+    stream length). Inner-join emission is match-time, not watermark-time, so
+    one availableNow drain emits exactly the batch range-join's pair set —
+    hash-checked against the SQL twin."""
+    from airflow_courier_payout_ledger_pipeline_spark.streaming.events import (
+        read_event_stream,
+        run_available_now,
+    )
+
+    stream = read_event_stream(spark, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + INTERVAL 30 MINUTES"
+        ),
+        "inner",
+    ).select(
+        "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value"
+    )
+    return run_available_now(joined, "drv_stream_join")
+
+
 @register("streaming_sessionization", STREAMING_SESSION_ORACLE)
 def q_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom stateful operator (applyInPandasWithState sessionizer) executed

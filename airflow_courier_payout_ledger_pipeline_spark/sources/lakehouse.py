@@ -65,6 +65,83 @@ class Lakehouse:
         if old.exists():
             shutil.rmtree(old)
 
+    # --- snapshot versioning (time travel) -------------------------------------------
+    #
+    # Delta/Iceberg-style snapshot isolation on plain parquet: every versioned
+    # overwrite writes a NEW directory ``table/v=N`` and then atomically flips a
+    # one-line pointer file. Readers resolve the pointer once and read an
+    # immutable snapshot — a concurrent writer can never make them see a half
+    # table (the non-versioned ``overwrite`` swap protects against torn reads,
+    # but a reader that planned its scan before the swap races file deletion;
+    # versioned snapshots remove that race entirely because old versions are
+    # only removed by an explicit ``vacuum``). The pointer flip is a POSIX
+    # rename — atomic on any local/NFS filesystem; on object stores the pointer
+    # maps to a conditional PUT, same protocol as Delta's _last_checkpoint.
+
+    def _pointer(self, layer: str, table: str) -> Path:
+        return self.root / layer / table / "_LATEST"
+
+    def current_version(self, layer: str, table: str) -> int | None:
+        p = self._pointer(layer, table)
+        if not p.exists():
+            return None
+        return int(p.read_text().strip())
+
+    def versions(self, layer: str, table: str) -> list[int]:
+        root = self.root / layer / table
+        return sorted(
+            int(d.name[2:]) for d in root.glob("v=*") if d.is_dir()
+        ) if root.exists() else []
+
+    def overwrite_versioned(self, df: DataFrame, layer: str, table: str) -> int:
+        """Write the next snapshot version and flip the pointer. Returns the new
+        version number. Crash-safe: a crash before the pointer flip leaves an
+        orphan ``v=N`` dir (invisible to readers, removed by vacuum); the flip
+        itself is an atomic rename."""
+        cur = self.current_version(layer, table)
+        nxt = 0 if cur is None else cur + 1
+        root = self.root / layer / table
+        df.write.mode("overwrite").parquet(str(root / f"v={nxt}"))
+        tmp = root / f"_LATEST.__tmp_{uuid.uuid4().hex[:8]}"
+        tmp.write_text(str(nxt))
+        tmp.rename(self._pointer(layer, table))
+        return nxt
+
+    def read_versioned(
+        self,
+        spark: SparkSession,
+        layer: str,
+        table: str,
+        schema: StructType,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read a snapshot: the pointer's version by default, or any retained
+        historical ``version`` (time travel). Never-written tables read empty."""
+        v = self.current_version(layer, table) if version is None else version
+        if v is None:
+            return spark.createDataFrame([], schema)
+        path = self.root / layer / table / f"v={v}"
+        if not path.exists():
+            raise FileNotFoundError(
+                f"{layer}.{table} version {v} not retained (vacuumed?); "
+                f"available: {self.versions(layer, table)}"
+            )
+        return spark.read.schema(schema).parquet(str(path))
+
+    def vacuum(self, layer: str, table: str, keep_last: int = 2) -> list[int]:
+        """Drop all but the newest ``keep_last`` snapshots (never the current
+        pointer target). Returns removed versions. The retention window is the
+        time-travel horizon — identical contract to Delta VACUUM."""
+        cur = self.current_version(layer, table)
+        vs = self.versions(layer, table)
+        keep = set(vs[-keep_last:]) | ({cur} if cur is not None else set())
+        removed = []
+        for v in vs:
+            if v not in keep:
+                shutil.rmtree(self.root / layer / table / f"v={v}")
+                removed.append(v)
+        return removed
+
     def write_sorted(
         self,
         df: DataFrame,

@@ -140,3 +140,35 @@ def test_write_sorted_orders_rows_within_files(spark, tmp_path):
         assert ks == sorted(ks)  # row-group min/max stats are tight per file
     got = sorted((r.k, r.v) for r in lake.read(spark, "dds", "sorted_t", schema).collect())
     assert len(got) == 100
+
+
+def test_versioned_snapshots_time_travel_and_vacuum(spark, tmp_path):
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    schema = "k bigint, v string"
+    # never-written reads empty; no current version
+    assert lake.current_version("dds", "t") is None
+    assert lake.read_versioned(spark, "dds", "t", schema).count() == 0
+
+    for i in range(4):
+        df = spark.createDataFrame([(j, f"run{i}") for j in range(i + 1)], schema)
+        assert lake.overwrite_versioned(df, "dds", "t") == i
+    assert lake.versions("dds", "t") == [0, 1, 2, 3]
+    assert lake.current_version("dds", "t") == 3
+
+    # latest read sees run3; time travel sees run1 exactly as written
+    assert {r.v for r in lake.read_versioned(spark, "dds", "t", schema).collect()} == {"run3"}
+    old = lake.read_versioned(spark, "dds", "t", schema, version=1)
+    assert old.count() == 2 and {r.v for r in old.collect()} == {"run1"}
+
+    # vacuum retains the newest 2 + the pointer target; old versions error clearly
+    removed = lake.vacuum("dds", "t", keep_last=2)
+    assert removed == [0, 1]
+    assert lake.versions("dds", "t") == [2, 3]
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="not retained"):
+        lake.read_versioned(spark, "dds", "t", schema, version=0)
+    # current read unaffected by vacuum
+    assert lake.read_versioned(spark, "dds", "t", schema).count() == 4
