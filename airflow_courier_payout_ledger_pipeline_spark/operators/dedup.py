@@ -258,8 +258,10 @@ def lsh_candidate_pairs(
     agg, pair dedup) vs 7 + a doubled pipeline before. Per-bucket state is
     O(bucket²) pairs generated by nested Generate operators — streamed, not
     materialized; ``max_bucket`` caps pathological buckets (identical-content
-    piles) at scale. None (default) keeps exact parity with the SQL oracle,
-    which has no cap."""
+    piles, the dominant real-corpus skew) at scale. The registered query passes
+    ``queries_ext.LSH_MAX_BUCKET`` and its oracle mirrors the cap as a
+    HAVING-filtered bucket CTE; None disables the guard for exact all-pairs
+    candidate generation."""
     num_hashes = len([c for c in signatures.columns if c.startswith("h")])
     hcols = [f"h{j}" for j in range(num_hashes)]
     entries = F.array(

@@ -205,12 +205,26 @@ _AGREE_SQL = " + ".join(
     f"(CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END)" for j in range(NUM_HASHES)
 )
 
+# In-bucket pair generation is O(bucket²): one pile of identical boilerplate —
+# the #1 real-corpus skew — makes a single bucket quadratic at 100×. The cap
+# drops any band bucket holding more than LSH_MAX_BUCKET members (such buckets
+# carry no dedup information anyway: everything in them is near-identical, and
+# the exact-hash dedup path already collapses identical piles). Mirrored in the
+# oracle as a HAVING-capped bucket CTE so the registered artifact is the
+# skew-safe configuration, not just the small-SF-correct one.
+LSH_MAX_BUCKET = 50
+
 MINHASH_LSH_ORACLE = f"""
 WITH {_SHINGLES_CTE},
 bands AS ({_BANDS_SQL}),
+ok AS (
+    SELECT band, band_hash FROM bands
+    GROUP BY band, band_hash HAVING count(*) <= {LSH_MAX_BUCKET}
+),
+capped AS (SELECT b.* FROM bands b JOIN ok USING (band, band_hash)),
 pairs AS (
     SELECT DISTINCT a.id AS id_a, b.id AS id_b
-    FROM bands a JOIN bands b
+    FROM capped a JOIN capped b
       ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
 )
 SELECT p.id_a, p.id_b, ({_AGREE_SQL}) / {NUM_HASHES}.0 AS est_jaccard
@@ -221,7 +235,10 @@ FROM pairs p JOIN sig sa ON p.id_a = sa.id JOIN sig sb ON p.id_b = sb.id
 @register("dedup_minhash_lsh", MINHASH_LSH_ORACLE)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs (4 bands × 3 rows) with the estimated
-    Jaccard from signature agreement — the sub-quadratic dedup path at scale."""
+    Jaccard from signature agreement — the sub-quadratic dedup path at scale.
+    Registered with the skew guard (max_bucket=LSH_MAX_BUCKET) so a pathological
+    identical-content pile can't turn one bucket quadratic; the oracle applies
+    the same cap."""
     from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import (
         char_shingles,
         lsh_candidate_pairs,
@@ -232,7 +249,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(
         char_shingles(docs, "doc_id", "text", k=9, distinct=False), NUM_HASHES
     )
-    return lsh_candidate_pairs(sig, BANDS, ROWS_PER_BAND)
+    return lsh_candidate_pairs(sig, BANDS, ROWS_PER_BAND, max_bucket=LSH_MAX_BUCKET)
 
 
 NGRAM_DF_CAP = 20  # hot-shingle guard: grams in > cap docs skip candidate gen
@@ -282,9 +299,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 TWO_STAGE_ORACLE = f"""
 WITH {_SHINGLES_CTE},
 bands AS ({_BANDS_SQL}),
+ok AS (
+    SELECT band, band_hash FROM bands
+    GROUP BY band, band_hash HAVING count(*) <= {LSH_MAX_BUCKET}
+),
+capped AS (SELECT b.* FROM bands b JOIN ok USING (band, band_hash)),
 cand AS (
     SELECT DISTINCT a.id AS id_a, b.id AS id_b
-    FROM bands a JOIN bands b
+    FROM capped a JOIN capped b
       ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
 ),
 wnorm AS (SELECT doc_id, string_split({NORM}, ' ') AS ws FROM documents),
@@ -322,7 +344,7 @@ def q_dedup_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(
         char_shingles(docs, "doc_id", "text", k=9, distinct=False), NUM_HASHES
     )
-    candidates = lsh_candidate_pairs(sig, BANDS, ROWS_PER_BAND)
+    candidates = lsh_candidate_pairs(sig, BANDS, ROWS_PER_BAND, max_bucket=LSH_MAX_BUCKET)
     grams = word_ngrams(docs, "doc_id", "text", n=3)
     return verify_pairs_ngram_jaccard(candidates, grams, 0.3)
 
@@ -543,19 +565,60 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, 0.38)
 
 
-@register("similarity_ivf_topk")  # rows-only: iterative k-means quantizer
+# Fixed-centroid IVF: the quantizer is the k=8 lowest-id embedding vectors (the
+# same deterministic init Lloyd's k-means starts from, operators/similarity.py
+# kmeans_centroids). Freezing the centroids makes the SEARCH plan — inverted-list
+# assignment, nprobe probing, list-restricted cosine top-k, i.e. the part that
+# runs at 100 TB — expressible as one SQL statement, so the driver hash-checks
+# it end-to-end. The trained-quantizer path (3 Lloyd iterations) reuses the
+# identical search topology and stays covered by tests/test_ivf.py; training is
+# an offline O(k·dim) driver artifact either way.
+IVF_K = 8
+
+IVF_TOPK_ORACLE = f"""
+WITH cent AS (
+    SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+    FROM embeddings WHERE vec_id < {IVF_K}
+),
+d AS (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_distance(e.embedding::DOUBLE[], c.cvec), c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (SELECT vec_id, embedding, cid AS centroid FROM d WHERE rn = 1),
+q AS (SELECT * FROM assigned WHERE vec_id < 20),
+s AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+    FROM assigned c JOIN q ON c.centroid = q.centroid AND c.vec_id != q.vec_id
+),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s)
+SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
+"""
+
+
+@register("similarity_ivf_topk", IVF_TOPK_ORACLE)
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: deterministic Lloyd's k-means coarse quantizer (3 distributed
-    iterations) + inverted-list-restricted cosine top-5. Iterative → not
-    SQL-expressible as one statement; recall/latency tradeoff mirrors
-    similarity_ann_bucketed with a learned partitioner instead of hyperplanes."""
+    """IVF ANN top-5 with a fixed deterministic coarse quantizer (the k=8
+    lowest-id vectors): corpus assigned to nearest centroid (squared L2, ties to
+    the lower centroid id), queries probe their nprobe=1 nearest inverted list,
+    cosine top-5 within the list. Hash-checked against a DuckDB twin of the same
+    assignment + search; swapping in Lloyd-trained centroids
+    (kmeans_centroids, tests/test_ivf.py) changes recall, not the plan."""
     from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
         ivf_topk,
-        kmeans_centroids,
     )
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    cents = kmeans_centroids(emb, k=8, iters=3)
+    cent_rows = (
+        emb.filter(F.col("vec_id") < IVF_K).select("vec_id", "embedding").collect()
+    )
+    cents = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in cent_rows
+    )
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 20), cents, k=5)
 
 
@@ -1444,16 +1507,28 @@ STREAMING_DEDUP_ORACLE = """
 SELECT DISTINCT user_id, event_type FROM events
 """
 
+# Streaming-dedup state = (#distinct keys whose last arrival is within the
+# watermark horizon) × key width, so the horizon is THE state-size knob:
+# horizon × key-arrival-rate bounds the HDFSBackedStateStore footprint. A live
+# deployment sets it to the source's max lateness (DEDUP_DEPLOY_HORIZON — keys
+# quieter than that can be re-emitted, which insert-ignore sinks absorb
+# idempotently). The driver's gate replays years of bounded history in one
+# availableNow pass, where exact set-equality with SELECT DISTINCT requires the
+# horizon to cover the whole replayed span (DEDUP_REPLAY_HORIZON). Same code
+# path either way — the checked artifact and the deployable default differ only
+# by this argument.
+DEDUP_DEPLOY_HORIZON = "1 hour"
+DEDUP_REPLAY_HORIZON = "3650 days"
 
-@register("streaming_dedup", STREAMING_DEDUP_ORACLE)
-def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming SCD0 under the driver's gate: watermarked dropDuplicates state
-    emits each (user_id, event_type) key once across micro-batches; projecting
-    the keys (not the arbitrary winning row) makes the emission set equal to
-    batch SELECT DISTINCT regardless of arrival order — the stream ≡ batch
-    contract for insert-ignore (streaming/ingest.stream_dedup). The 3650-day
-    horizon spans the whole bounded replay; a live deployment sets it to the
-    source's max lateness so state stays bounded."""
+
+def streaming_dedup(
+    spark: SparkSession, sf_dir: str, watermark: str = DEDUP_DEPLOY_HORIZON
+) -> DataFrame:
+    """Streaming SCD0: watermarked dropDuplicates state emits each
+    (user_id, event_type) key once across micro-batches; projecting the keys
+    (not the arbitrary winning row) makes the emission set equal to batch
+    SELECT DISTINCT regardless of arrival order — the stream ≡ batch contract
+    for insert-ignore (streaming/ingest.stream_dedup)."""
     from airflow_courier_payout_ledger_pipeline_spark.streaming.events import (
         read_event_stream,
         run_available_now,
@@ -1464,9 +1539,17 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_event_stream(spark, sf_dir)
     dd = stream_dedup(
-        stream, ["user_id", "event_type"], ts_col="ts", watermark="3650 days"
+        stream, ["user_id", "event_type"], ts_col="ts", watermark=watermark
     ).select("user_id", "event_type")
     return run_available_now(dd, "drv_stream_dedup")
+
+
+@register("streaming_dedup", STREAMING_DEDUP_ORACLE)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-replay configuration of ``streaming_dedup``: full-span
+    horizon so one availableNow drain is set-equal to SELECT DISTINCT (see the
+    DEDUP_*_HORIZON note above for the deployable state-bounded default)."""
+    return streaming_dedup(spark, sf_dir, watermark=DEDUP_REPLAY_HORIZON)
 
 
 STREAMING_COMPACT_ORACLE = """
