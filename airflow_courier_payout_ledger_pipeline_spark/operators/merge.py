@@ -76,3 +76,49 @@ def idempotent_append(
 ) -> DataFrame:
     """Convenience: full new state for an SCD0 target = existing ∪ never-seen rows."""
     return existing.unionByName(scd0_new_rows(increment, existing, keys))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """CDC-style reconciliation of two snapshots of one table: which keys were
+    ``added``, ``removed``, or ``changed`` between versions (the read side of
+    Delta Change-Data-Feed; pairs with ``Lakehouse.read_versioned`` snapshots).
+    Unchanged keys drop out, so the output is the minimal changelog that
+    replays old → new through ``scd1_upsert`` + delete.
+
+    One full-outer shuffle join on the key — at 100 TB bucket or co-partition
+    both snapshots on the key so the exchange disappears; comparison is
+    null-safe (``<=>``) column algebra, zero UDFs."""
+    o = old.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_new"),
+    )
+    j = o.join(n, on=list(keys), how="full_outer")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change_type = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change_type", change_type)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *keys,
+            "change_type",
+            *[f"old_{c}" for c in compare_cols],
+            *[f"new_{c}" for c in compare_cols],
+        )
+    )

@@ -150,7 +150,15 @@ def bucketed_ann_topk(
 def _assign_to_centroids(df: DataFrame, centroids: list[tuple[int, list[float]]], vec_col: str) -> Column:
     """Column: id of the nearest centroid (squared L2), ties to the lower id.
     Centroids are driver-side state (O(k·dim) — the standard MLlib layout) unrolled
-    into a codegen'd expression, so assignment is a pure map stage."""
+    into a codegen'd expression, so assignment is a pure map stage.
+
+    Validity bound: the unrolled-literal quantizer embeds k·dim literals in the
+    plan — right for k·dim ≲ 10⁴ (k=8 × dim=64 here ⇒ ~0.5k literals, trivial).
+    Past that, plan size and codegen time grow linearly (k=1024 × dim=1024 would
+    be a ~100 MB plan): hand the quantizer to ``pyspark.ml.clustering.KMeans``
+    (broadcast centroid matrix + vectorized assignment) and keep this module's
+    join topology for the search — the IVF layout is unchanged, only the
+    assignment expression moves out of the plan."""
     best_id, best_d = None, None
     for cid, cvec in centroids:
         d = F.aggregate(
@@ -181,7 +189,10 @@ def kmeans_centroids(
 ) -> list[tuple[int, list[float]]]:
     """Deterministic Lloyd's k-means (init = k lowest-id vectors): the iterative
     coarse quantizer for IVF. Each iteration is one distributed pass (assign map +
-    per-dimension avg agg); only the k×dim centroid table ever reaches the driver."""
+    per-dimension avg agg); only the k×dim centroid table ever reaches the driver.
+    Same k·dim ≲ 10⁴ bound as ``_assign_to_centroids`` (the assignment expression
+    is unrolled per iteration); above it, train with MLlib KMeans and pass the
+    fitted centers straight into ``ivf_topk``."""
     init = emb.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = [(i, [float(x) for x in r[0]]) for i, r in enumerate(init)]
     if not centroids:  # empty corpus: no quantizer to train

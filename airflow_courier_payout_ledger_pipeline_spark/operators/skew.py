@@ -52,3 +52,31 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
     )
     return big_s.join(small_s, [key, "__salt"], how).drop("__salt")
+
+
+def key_skew_profile(
+    df: DataFrame, key: str, hot_ratio: float = 2.0
+) -> DataFrame:
+    """Per-key skew diagnosis — the measurement step before reaching for
+    ``salted_join`` or trusting AQE's skew split: one row per join key with its
+    count and its ratio to the mean key load; ``is_hot`` marks keys whose
+    partitions will run ``hot_ratio``× longer than average.
+
+    Shape: one grouped count (single shuffle on the key — the same shuffle the
+    join being diagnosed would do) + a broadcast of the 1-row global mean; no
+    windows, no global sort, so the profile costs one pass at any cardinality.
+    The mean is computed as exact integer sum / count so the ratio is
+    engine-reproducible."""
+    counts = df.groupBy(F.col(key)).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("__mean")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            key,
+            "n",
+            F.round(F.col("n").cast("double") / F.col("__mean"), 4).alias("skew_ratio"),
+        )
+        .withColumn("is_hot", F.col("skew_ratio") > F.lit(hot_ratio))
+    )

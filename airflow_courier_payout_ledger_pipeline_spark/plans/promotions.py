@@ -19,7 +19,6 @@ from pyspark.sql import functions as F
 from airflow_courier_payout_ledger_pipeline_spark import schemas as S
 from airflow_courier_payout_ledger_pipeline_spark.operators.merge import (
     scd0_new_rows,
-    scd1_upsert,
 )
 from airflow_courier_payout_ledger_pipeline_spark.operators.watermark import (
     TS_FMT,
@@ -66,9 +65,9 @@ def load_couriers_job(
     if not records:
         return 0
     fresh = records_to_bronze(spark, records, "_id", "courier_key")
-    existing = lake.read(spark, "stg", "deliverysystem_couriers", S.STG_COURIERS_SCHEMA)
-    lake.overwrite(
-        scd1_upsert(existing, fresh, ["courier_key"]), "stg", "deliverysystem_couriers"
+    lake.upsert_scd1(
+        spark, fresh, "stg", "deliverysystem_couriers", S.STG_COURIERS_SCHEMA,
+        ["courier_key"],
     )
     return len(records)
 
@@ -141,8 +140,9 @@ def couriers_stg_to_dds_job(spark: SparkSession, lake: Lakehouse) -> None:
         "courier_key",
         F.get_json_object("json_response", "$.name").alias("courier_name"),
     )
-    existing = lake.read(spark, "dds", "dm_couriers", S.DM_COURIERS_SCHEMA)
-    lake.overwrite(scd1_upsert(existing, named, ["courier_key"]), "dds", "dm_couriers")
+    lake.upsert_scd1(
+        spark, named, "dds", "dm_couriers", S.DM_COURIERS_SCHEMA, ["courier_key"]
+    )
 
 
 def timestamps_stg_to_dds_job(spark: SparkSession, lake: Lakehouse) -> None:
@@ -276,13 +276,14 @@ def courier_ledger_update_job(spark: SparkSession, lake: Lakehouse) -> None:
 
     clean, bad = quarantine(mart, ledger_checks())
     lake.overwrite(bad, "cdm", "dm_courier_ledger_quarantine")
-    existing = lake.read(spark, "cdm", "dm_courier_ledger", S.DM_COURIER_LEDGER_SCHEMA)
-    lake.overwrite(
-        scd1_upsert(
-            existing, clean, ["courier_id", "settlement_year", "settlement_month"]
-        ),
-        "cdm",
-        "dm_courier_ledger",
+    # Generic SCD1 entry: against an unpartitioned mart this is the full
+    # staging-swap; partition the mart by settlement_month (month is part of
+    # the upsert key, so rows never migrate partitions) and the same call
+    # rewrites only the months present in the recompute — the MERGE-with-
+    # pruning shape a 100 TB deployment wants.
+    lake.upsert_scd1(
+        spark, clean, "cdm", "dm_courier_ledger", S.DM_COURIER_LEDGER_SCHEMA,
+        ["courier_id", "settlement_year", "settlement_month"],
     )
 
 

@@ -1676,3 +1676,264 @@ def q_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         sessionize_stream(stream, idle_timeout=False), "drv_stream_sessions"
     )
+
+
+# =====================================================================================
+# Round-3 surface: snapshot reconciliation, funnel analytics, skew diagnosis,
+# PII scrubbing, corpus curation, embedding column stats
+# =====================================================================================
+
+# Snapshot diff simulates two versions of the orders table from one base (the
+# testdata has no version axis): v_old drops every 7th key (later inserts),
+# v_new drops every 11th (deletes) and bumps price by 10 on every 5th key
+# (updates). Decimal + integer is exact in both engines, so 'changed' is an
+# exact comparison, never a float tolerance.
+SNAPSHOT_DIFF_ORACLE = """
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus AS status,
+           CAST(o_totalprice AS DECIMAL(14,2)) AS price
+    FROM orders
+),
+v_old AS (SELECT * FROM base WHERE o_orderkey % 7 != 0),
+v_new AS (
+    SELECT o_orderkey, status,
+           CAST(price + CASE WHEN o_orderkey % 5 = 0 THEN 10 ELSE 0 END
+                AS DECIMAL(14,2)) AS price
+    FROM base WHERE o_orderkey % 11 != 0
+),
+j AS (
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           o.status AS old_status, n.status AS new_status,
+           o.price AS old_price, n.price AS new_price,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.status IS DISTINCT FROM n.status
+                     OR o.price IS DISTINCT FROM n.price THEN 'changed'
+           END AS change_type
+    FROM v_old o FULL OUTER JOIN v_new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey, change_type, old_status, new_status,
+       old_price::DOUBLE AS old_price, new_price::DOUBLE AS new_price
+FROM j WHERE change_type IS NOT NULL
+"""
+
+
+@register("snapshot_diff_orders", SNAPSHOT_DIFF_ORACLE)
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal changelog between two table snapshots (added/removed/changed keys
+    with before/after values) — the read side of CDC, pairing with
+    Lakehouse.read_versioned time travel (operators/merge.snapshot_diff)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.merge import snapshot_diff
+
+    base = load_tables(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("decimal(14,2)").alias("price"),
+    )
+    v_old = base.filter(F.col("o_orderkey") % 7 != 0)
+    v_new = base.filter(F.col("o_orderkey") % 11 != 0).withColumn(
+        "price",
+        (
+            F.col("price")
+            + F.when(F.col("o_orderkey") % 5 == 0, F.lit(10)).otherwise(F.lit(0))
+        ).cast("decimal(14,2)"),
+    )
+    return snapshot_diff(v_old, v_new, ["o_orderkey"], ["status", "price"])
+
+
+FUNNEL_ORACLE = """
+WITH f AS (
+    SELECT user_id,
+           min(ts) FILTER (WHERE event_type = 'view') AS first_view,
+           min(ts) FILTER (WHERE event_type = 'click') AS first_click,
+           min(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+    FROM events GROUP BY user_id
+)
+SELECT user_id, first_view, first_click, first_purchase,
+       (first_click IS NOT NULL AND first_view IS NOT NULL
+        AND first_click > first_view) AS clicked_after_view,
+       (first_purchase IS NOT NULL AND first_click IS NOT NULL
+        AND first_purchase > first_click) AS converted
+FROM f WHERE first_view IS NOT NULL
+"""
+
+
+@register("funnel_conversion", FUNNEL_ORACLE)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user view → click → purchase funnel: first event time per stage
+    (conditional min — one grouped agg, one shuffle on user_id regardless of
+    stage count) and strict-progression flags. The canonical product-analytics
+    query a training-events pipeline materializes daily."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    first_of = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    f = ev.groupBy("user_id").agg(
+        first_of("view").alias("first_view"),
+        first_of("click").alias("first_click"),
+        first_of("purchase").alias("first_purchase"),
+    )
+    return f.filter(F.col("first_view").isNotNull()).select(
+        "user_id",
+        "first_view",
+        "first_click",
+        "first_purchase",
+        (
+            F.col("first_click").isNotNull()
+            & (F.col("first_click") > F.col("first_view"))
+        ).alias("clicked_after_view"),
+        (
+            F.col("first_purchase").isNotNull()
+            & F.col("first_click").isNotNull()
+            & (F.col("first_purchase") > F.col("first_click"))
+        ).alias("converted"),
+    )
+
+
+SKEW_PROFILE_ORACLE = """
+WITH c AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1),
+t AS (SELECT SUM(n)::DOUBLE / count(*) AS mean FROM c)
+SELECT c.l_suppkey, c.n,
+       round(c.n::DOUBLE / t.mean, 4) AS skew_ratio,
+       (round(c.n::DOUBLE / t.mean, 4) > 2.0) AS is_hot
+FROM c CROSS JOIN t
+"""
+
+
+@register("key_skew_profile", SKEW_PROFILE_ORACLE)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis over the fact table's courier key: per-key load
+    vs the mean, flagging keys that would dominate a shuffle partition — the
+    measurement that decides between AQE skew split and operators/skew.salted_join."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.skew import (
+        key_skew_profile,
+    )
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return key_skew_profile(li.select("l_suppkey"), "l_suppkey", hot_ratio=2.0)
+
+
+# --- PII scrubbing -------------------------------------------------------------------
+
+from airflow_courier_payout_ledger_pipeline_spark.functions.text import (  # noqa: E402
+    PII_PATTERNS,
+)
+
+# The synthetic docs carry no PII, so the query plants deterministic markers
+# (per-doc email, phone on every 3rd doc, ssn on every 5th) in BOTH engines and
+# then audits + scrubs them. Counts are measured against the same augmented
+# text for every kind (a phone-shaped ssn counts in both audits — intentional:
+# the audit is per-pattern exposure, the scrub is order-aware).
+_PII_AUG_SQL = (
+    "text || ' contact u' || doc_id::VARCHAR || '@example.com'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' call 555-010-2233' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END"
+)
+_PII_COUNTS_SQL = ", ".join(
+    f"len(regexp_extract_all(aug, '{p}'))::BIGINT AS {k}_n"
+    for k, p in PII_PATTERNS.items()
+)
+_PII_RED_SQL = "aug"
+for _k, _p in PII_PATTERNS.items():
+    _PII_RED_SQL = f"regexp_replace({_PII_RED_SQL}, '{_p}', '[{_k.upper()}]', 'g')"
+
+PII_SCRUB_ORACLE = f"""
+WITH a AS (SELECT doc_id, {_PII_AUG_SQL} AS aug FROM documents)
+SELECT doc_id, {_PII_COUNTS_SQL}, md5({_PII_RED_SQL}) AS redacted_fp
+FROM a
+"""
+
+
+@register("pii_scrub", PII_SCRUB_ORACLE)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PII scrubbing: per-kind audit counts + ordered regexp_replace
+    redaction (functions/text.redact_pii) — pure map-side codegen, zero
+    shuffles at any corpus size; the redacted text is fingerprinted so the
+    full scrub output is hash-checked without shipping megabytes of text
+    through the driver compare."""
+    from airflow_courier_payout_ledger_pipeline_spark.functions.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" call 555-010-2233")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" ssn 123-45-6789")).otherwise(
+            F.lit("")
+        ),
+    )
+    a = docs.select("doc_id", aug.alias("aug"))
+    counts = pii_counts(F.col("aug"))
+    return a.select(
+        "doc_id",
+        *[c.cast("long").alias(f"{k}_n") for k, c in counts.items()],
+        F.md5(redact_pii(F.col("aug"))).alias("redacted_fp"),
+    )
+
+
+# --- End-to-end corpus curation ------------------------------------------------------
+
+CURATION_ORACLE = f"""
+WITH kept AS (
+    SELECT doc_id, md5({NORM}) AS fp
+    FROM documents
+    WHERE length(text) BETWEEN 100 AND 20000
+),
+dedup AS (SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp)
+SELECT doc_id, fp FROM dedup
+WHERE substr(md5(doc_id::VARCHAR), 1, 2) < '40'
+"""
+
+
+@register("corpus_curation", CURATION_ORACLE)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical curation pipeline in one plan: length gate (map-side,
+    pushed to the scan) → exact near-free dedup on the normalized-content
+    fingerprint keeping the lowest doc_id (one shuffle) → deterministic ~25%
+    md5-threshold sample (map-side, reproducible across runs and cluster
+    sizes). Order matters and is the production order: dedup before sampling
+    so the sample rate applies to unique content, not to duplicate mass."""
+    from airflow_courier_payout_ledger_pipeline_spark.functions.text import fingerprint
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    kept = docs.filter(F.length("text").between(100, 20000)).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    dedup = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return dedup.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "40"
+    ).select("doc_id", "fp")
+
+
+# --- Embedding column statistics -----------------------------------------------------
+
+LABEL_CENTROID_ORACLE = """
+SELECT label, count(*) AS n,
+       round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))), 4) AS avg_norm,
+       round(avg(embedding[1]::DOUBLE), 4) AS dim0_mean
+FROM embeddings GROUP BY label
+"""
+
+
+@register("label_centroid_stats", LABEL_CENTROID_ORACLE)
+def q_label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding profile (row count, mean L2 norm, mean of the first
+    coordinate): grouped agg over JVM higher-order array functions — the sanity
+    sweep a training pipeline runs before trusting an embedding table. Rounded
+    to 4 decimals before the driver hash (float sum order differs across
+    engines at ~1e-15)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import norm
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(norm(F.col("embedding"))), 4).alias("avg_norm"),
+        F.round(F.avg(F.element_at("embedding", 1).cast("double")), 4).alias(
+            "dim0_mean"
+        ),
+    )

@@ -191,6 +191,51 @@ class Lakehouse:
         self.overwrite(df, layer, table, partition_by=partition_by)
         return int(n_out)
 
+    def detect_partition_col(self, layer: str, table: str) -> str | None:
+        """Partition column of an on-disk table, inferred from the Hive
+        ``col=value`` directory layout (None for unpartitioned/missing tables).
+        Lets the generic upsert path opt into partition pruning without the
+        caller re-stating how the table was written."""
+        root = self.root / layer / table
+        if not root.exists():
+            return None
+        for d in root.iterdir():
+            if d.is_dir() and "=" in d.name and not d.name.startswith(("_", ".")):
+                return d.name.split("=", 1)[0]
+        return None
+
+    def upsert_scd1(
+        self,
+        spark: SparkSession,
+        increment: DataFrame,
+        layer: str,
+        table: str,
+        schema: StructType,
+        keys: Sequence[str],
+        partition_col: str | None = None,
+        tiebreaker=None,
+    ) -> list:
+        """The generic SCD1 write path (the reference's ``ON CONFLICT DO UPDATE``,
+        ``modules/load_couriers.py:43-49``): routes to the partition-pruned merge
+        whenever the target is partitioned — passed explicitly or detected from
+        the ``col=value`` directory layout — so a daily increment rewrites only
+        the partitions it touches; unpartitioned tables take the full
+        staging-swap. Returns the affected partition values ([] = full rewrite)."""
+        from airflow_courier_payout_ledger_pipeline_spark.operators.merge import scd1_upsert
+
+        pcol = partition_col or self.detect_partition_col(layer, table)
+        if pcol is not None and pcol in increment.columns:
+            return self.merge_upsert_partitioned(
+                spark, increment, layer, table, schema, keys, pcol, tiebreaker=tiebreaker
+            )
+        existing = self.read(spark, layer, table, schema)
+        self.overwrite(
+            scd1_upsert(existing, increment, list(keys), tiebreaker=tiebreaker),
+            layer,
+            table,
+        )
+        return []
+
     def merge_upsert_partitioned(
         self,
         spark: SparkSession,
@@ -200,6 +245,7 @@ class Lakehouse:
         schema: StructType,
         keys: Sequence[str],
         partition_col: str,
+        tiebreaker=None,
     ) -> list:
         """MERGE-shaped SCD1 upsert against a ``partition_col``-partitioned table:
         only partitions the increment touches are read, merged, and swapped —
@@ -236,7 +282,7 @@ class Lakehouse:
             )
         else:
             existing = spark.createDataFrame([], schema)
-        merged = scd1_upsert(existing, increment, list(keys))
+        merged = scd1_upsert(existing, increment, list(keys), tiebreaker=tiebreaker)
 
         final = Path(self.path(layer, table))
         tmp = final.with_name(f"{final.name}.__tmp_{uuid.uuid4().hex[:8]}")

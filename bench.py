@@ -38,6 +38,13 @@ HEADLINE = [
     "text_stats",
     "event_windows_tumbling",
     "event_sessionization",
+    # round-3 additions: one representative each of the curation/layout/streaming
+    # surface (original 15 above kept unchanged for round-over-round comparability)
+    "stratified_sample",
+    "sequence_packing",
+    "zorder_values",
+    "topk_per_group",
+    "streaming_windows_tumbling",
 ]
 
 

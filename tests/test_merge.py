@@ -172,3 +172,88 @@ def test_versioned_snapshots_time_travel_and_vacuum(spark, tmp_path):
         lake.read_versioned(spark, "dds", "t", schema, version=0)
     # current read unaffected by vacuum
     assert lake.read_versioned(spark, "dds", "t", schema).count() == 4
+
+
+def test_generic_upsert_autodetects_partitioning_and_prunes(spark, tmp_path):
+    """upsert_scd1 is THE generic SCD1 entry point: against a table laid out
+    with Hive ``col=value`` dirs it detects the partition column itself and
+    routes to the pruned merge — an increment touching 1 month rewrites exactly
+    1 partition directory; the others keep their exact files."""
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    lake = Lakehouse(str(tmp_path))
+    schema = StructType.fromDDL("k string, v string, month int")
+    seed = _df(
+        spark,
+        [("a", "v1", 1), ("b", "v1", 2), ("c", "v1", 3)],
+        "k string, v string, month int",
+    )
+    lake.overwrite(seed, "cdm", "mart", partition_by=["month"])
+    assert lake.detect_partition_col("cdm", "mart") == "month"
+
+    untouched = {
+        p: os.stat(p).st_ino
+        for m in (1, 3)
+        for p in (tmp_path / "cdm" / "mart" / f"month={m}").rglob("*.parquet")
+    }
+    assert untouched
+
+    inc = _df(spark, [("b", "v2", 2)], "k string, v string, month int")
+    parts = lake.upsert_scd1(spark, inc, "cdm", "mart", schema, ["k", "month"])
+    assert parts == [2]  # exactly the touched month
+
+    out = {r.k: (r.v, r.month) for r in lake.read(spark, "cdm", "mart", schema).collect()}
+    assert out == {"a": ("v1", 1), "b": ("v2", 2), "c": ("v1", 3)}
+    after = {
+        p: os.stat(p).st_ino
+        for m in (1, 3)
+        for p in (tmp_path / "cdm" / "mart" / f"month={m}").rglob("*.parquet")
+    }
+    assert after == untouched  # months 1 and 3 never rewritten
+
+
+def test_generic_upsert_falls_back_to_full_swap_when_unpartitioned(spark, tmp_path):
+    from pyspark.sql.types import StructType
+
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    lake = Lakehouse(str(tmp_path))
+    schema = StructType.fromDDL("k string, v string, month int")
+    seed = _df(spark, [("a", "v1", 1)], "k string, v string, month int")
+    lake.overwrite(seed, "dds", "dim")
+    assert lake.detect_partition_col("dds", "dim") is None
+
+    inc = _df(spark, [("a", "v2", 1), ("b", "new", 2)], "k string, v string, month int")
+    assert lake.upsert_scd1(spark, inc, "dds", "dim", schema, ["k"]) == []
+    out = {r.k: r.v for r in lake.read(spark, "dds", "dim", schema).collect()}
+    assert out == {"a": "v2", "b": "new"}
+
+
+def test_snapshot_diff_changelog(spark):
+    from airflow_courier_payout_ledger_pipeline_spark.operators.merge import snapshot_diff
+
+    old = _df(spark, [("a", "same", 1), ("b", "was", 1), ("c", "gone", 1), ("n", None, 1)])
+    new = _df(spark, [("a", "same", 1), ("b", "now", 1), ("d", "born", 1), ("n", None, 1)])
+    out = {
+        r.k: (r.change_type, r.old_v, r.new_v)
+        for r in snapshot_diff(old, new, ["k"], ["v"]).collect()
+    }
+    # unchanged keys (incl. the null-valued one — null-safe compare) drop out
+    assert out == {
+        "b": ("changed", "was", "now"),
+        "c": ("removed", "gone", None),
+        "d": ("added", None, "born"),
+    }
+
+
+def test_snapshot_diff_null_transition_is_changed(spark):
+    from airflow_courier_payout_ledger_pipeline_spark.operators.merge import snapshot_diff
+
+    old = _df(spark, [("a", None, 1)])
+    new = _df(spark, [("a", "filled", 1)])
+    [r] = snapshot_diff(old, new, ["k"], ["v"]).collect()
+    assert (r.change_type, r.old_v, r.new_v) == ("changed", None, "filled")

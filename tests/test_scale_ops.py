@@ -108,3 +108,13 @@ def test_single_hot_key_correctness_sessionize_and_asof(spark):
             assert r.tag == "v1"
         else:
             assert r.tag == "v2"
+
+
+def test_key_skew_profile_flags_hot_key(spark):
+    from airflow_courier_payout_ledger_pipeline_spark.operators.skew import key_skew_profile
+
+    rows = [("hot",)] * 30 + [(k,) for k in "abcdef"]  # mean = 36/7 ≈ 5.14
+    df = spark.createDataFrame(rows, "k string")
+    out = {r.k: (r.n, r.is_hot) for r in key_skew_profile(df, "k").collect()}
+    assert out["hot"] == (30, True)
+    assert all(not hot for k, (_, hot) in out.items() if k != "hot")
