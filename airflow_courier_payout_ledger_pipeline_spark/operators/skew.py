@@ -65,8 +65,11 @@ def key_skew_profile(
     Shape: one grouped count (single shuffle on the key — the same shuffle the
     join being diagnosed would do) + a broadcast of the 1-row global mean; no
     windows, no global sort, so the profile costs one pass at any cardinality.
-    The mean is computed as exact integer sum / count so the ratio is
-    engine-reproducible."""
+    The counts subtree feeds both the output and the mean, and AQE's exchange
+    reuse materializes its shuffle ONCE at runtime (verified: the mean branch
+    shows ``ReusedExchange`` in the post-AQE plan — the scan+agg is not
+    recomputed). The mean is computed as exact integer sum / count so the
+    ratio is engine-reproducible."""
     counts = df.groupBy(F.col(key)).agg(F.count(F.lit(1)).alias("n"))
     totals = counts.agg(
         (F.sum("n").cast("double") / F.count(F.lit(1))).alias("__mean")

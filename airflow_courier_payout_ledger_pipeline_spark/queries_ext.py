@@ -1937,3 +1937,144 @@ def q_label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim0_mean"
         ),
     )
+
+
+# --- Document chunking ---------------------------------------------------------------
+
+CHUNK_SIZE, CHUNK_STRIDE = 500, 400  # 100-char overlap between adjacent chunks
+
+CHUNKING_ORACLE = f"""
+WITH c AS (
+    SELECT doc_id, text, greatest(length(text), 1) AS n FROM documents
+),
+starts AS (
+    SELECT doc_id, text, unnest(generate_series(0, (n - 1) // {CHUNK_STRIDE})) AS i
+    FROM c
+)
+SELECT doc_id, i::INT AS chunk_idx,
+       length(substr(text, i * {CHUNK_STRIDE} + 1, {CHUNK_SIZE}))::BIGINT AS chunk_len,
+       md5(substr(text, i * {CHUNK_STRIDE} + 1, {CHUNK_SIZE})) AS chunk_fp
+FROM starts
+"""
+
+
+@register("doc_chunking", CHUNKING_ORACLE)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width chunking (500-char windows, 400-char stride) —
+    the doc → embedding-unit explosion every retrieval/training pipeline runs.
+    Pure JVM generate: sequence + posexplode-style explode + substr, zero
+    Python, zero shuffles; output fan-out is len/stride per doc and each chunk
+    is fingerprinted so the driver hash covers content, not just counts."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    n = F.greatest(F.length("text"), F.lit(1))
+    idx = F.explode(
+        F.sequence(F.lit(0).cast("long"), F.floor((n - 1) / F.lit(CHUNK_STRIDE)))
+    ).alias("i")
+    chunks = docs.select("doc_id", "text", idx)
+    chunk = F.col("text").substr(
+        (F.col("i") * CHUNK_STRIDE + 1).cast("int"), F.lit(CHUNK_SIZE)
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_idx"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_fp"),
+    )
+
+
+# --- OOV rate vs learned vocabulary --------------------------------------------------
+
+OOV_VOCAB_K = 10  # testdata's word salad has ~50 distinct tokens; production: ~1e5
+
+OOV_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split({NORM}, ' ')) AS token FROM documents
+),
+t AS (SELECT doc_id, token FROM tok WHERE token != ''),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY token),
+vocab AS (SELECT token FROM dfreq ORDER BY df DESC, token LIMIT {OOV_VOCAB_K}),
+per AS (
+    SELECT t.doc_id, count(*) AS n_tok,
+           count(*) FILTER (WHERE v.token IS NULL) AS oov
+    FROM t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY t.doc_id
+)
+SELECT doc_id, n_tok::BIGINT AS n_tokens, oov::BIGINT AS oov_tokens,
+       round(oov::DOUBLE / n_tok, 4) AS oov_rate
+FROM per
+"""
+
+
+@register("oov_rate", OOV_ORACLE)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against a corpus-learned top-k
+    vocabulary (df-ranked, ties broken by token — deterministic at any
+    parallelism). Two-phase plan that scales: the vocab is a driver-bounded
+    top-k (TakeOrdered, O(k) per partition — never a global sort of the term
+    table) broadcast into a map-side membership join; the corpus tokens
+    shuffle once for the per-doc aggregation."""
+    from airflow_courier_payout_ledger_pipeline_spark.functions.text import (
+        normalize_text,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    tok = (
+        docs.select("doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    vocab = (
+        dfreq.orderBy(F.desc("df"), F.asc("token"))
+        .limit(OOV_VOCAB_K)
+        .select(F.col("token").alias("v_token"))
+    )
+    joined = tok.join(
+        F.broadcast(vocab), tok["token"] == vocab["v_token"], "left"
+    )
+    per = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count(F.when(F.col("v_token").isNull(), F.lit(1))).alias("oov_tokens"),
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "oov_tokens",
+        F.round(F.col("oov_tokens").cast("double") / F.col("n_tokens"), 4).alias(
+            "oov_rate"
+        ),
+    )
+
+
+# --- Per-source cap (domain balancing) -----------------------------------------------
+
+SOURCE_CAP = 50
+
+SOURCE_CAP_ORACLE = f"""
+SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           row_number() OVER (
+               PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id
+           ) AS rn
+    FROM documents
+) WHERE rn <= {SOURCE_CAP}
+"""
+
+
+@register("per_source_cap", SOURCE_CAP_ORACLE)
+def q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: keep at most 50 documents per source, selected by a
+    deterministic content-independent order (md5 of the id — a reshuffleable
+    random-but-reproducible draw). Same WindowGroupLimit pushdown family as
+    topk_per_group: the per-group limit prunes before the full sort."""
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SOURCE_CAP)
+        .select("doc_id", "source")
+    )
