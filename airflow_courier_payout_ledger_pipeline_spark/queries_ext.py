@@ -2078,3 +2078,162 @@ def q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= SOURCE_CAP)
         .select("doc_id", "source")
     )
+
+
+# --- Streaming incremental mart maintenance ------------------------------------------
+
+from airflow_courier_payout_ledger_pipeline_spark.registry import LEDGER_ORACLE  # noqa: E402
+
+
+@register("streaming_ledger_maintenance", LEDGER_ORACLE)
+def q_streaming_ledger_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship mart maintained CONTINUOUSLY: the fact table replayed as a
+    4-file stream (maxFilesPerTrigger=1 → 4 micro-batches), each batch folded
+    into the mergeable ledger state via foreachBatch (stream-static dim joins +
+    additive Decimal state, streaming/ingest.stream_fold_state), then finalized
+    once. Hash-checked against the FULL-recompute oracle — the streaming fold
+    must be indistinguishable from recomputing history under any batch split,
+    the contract that licenses O(increment) continuous maintenance at 100 TB."""
+    import tempfile
+
+    from airflow_courier_payout_ledger_pipeline_spark.plans.ledger import (
+        finalize_ledger_state,
+        ledger_state,
+        merge_ledger_states,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.plans.tpch_adapter import (
+        courier_domain,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+    from airflow_courier_payout_ledger_pipeline_spark.streaming.ingest import (
+        stream_fold_state,
+    )
+
+    d = courier_domain(spark, sf_dir)
+    fct = d["fct_deliveries"]
+    dims = (d["dm_couriers"], d["dm_orders"], d["dm_timestamps"])
+
+    tmp = tempfile.mkdtemp(prefix="stream_mart_")
+    src = f"{tmp}/fct"
+    fct.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(fct.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    lake = Lakehouse(f"{tmp}/lake")
+    state_schema = ledger_state(fct, *dims).schema
+    q = stream_fold_state(
+        stream,
+        lake,
+        "cdm",
+        "ledger_state",
+        state_fn=lambda b: ledger_state(b, *dims),
+        merge_fn=lambda existing, s: merge_ledger_states(existing, s),
+        checkpoint=f"{tmp}/ckpt",
+        query_name="drv_stream_mart",
+    )
+    q.awaitTermination()
+    return finalize_ledger_state(lake.read(spark, "cdm", "ledger_state", state_schema))
+
+
+# --- CUBE / date spine / rolling range windows ---------------------------------------
+
+CUBE_ORACLE = """
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       grouping(o_orderstatus)::INT AS g_status,
+       grouping(o_orderpriority)::INT AS g_priority,
+       count(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(14,2))::DOUBLE AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("cube_status_priority", CUBE_ORACLE)
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (status, priority): all 4 grouping combinations in ONE
+    expand + single shuffle (never 4 scans unioned); grouping() flags
+    disambiguate subtotal NULLs from genuine NULL group values."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("decimal(14,2)")
+            .alias("total"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "g_status",
+            "g_priority",
+            "n",
+            "total",
+        )
+    )
+
+
+DATE_SPINE_ORACLE = """
+WITH bounds AS (SELECT min(ts)::DATE AS lo, max(ts)::DATE AS hi FROM events),
+days AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM bounds
+),
+per AS (SELECT ts::DATE AS day, count(*) AS n FROM events GROUP BY 1)
+SELECT d.day, coalesce(p.n, 0)::BIGINT AS n_events
+FROM days d LEFT JOIN per p USING (day)
+"""
+
+
+@register("date_spine_fill", DATE_SPINE_ORACLE)
+def q_date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap filling: generate the min..max day spine with
+    sequence+explode (distributed from a 1-row bounds agg — no driver literals,
+    no Python date loop) and left-join the per-day counts so missing days
+    surface as explicit zeros — the mart shape time-series dashboards need."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    days = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    per = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n"))
+    return days.join(per, "day", "left").select(
+        "day", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events")
+    )
+
+
+ROLLING_ORACLE = """
+WITH per AS (
+    SELECT user_id, ts::DATE AS day, count(*) AS n FROM events GROUP BY 1, 2
+)
+SELECT user_id, day, n::BIGINT AS n,
+       SUM(n) OVER (
+           PARTITION BY user_id ORDER BY (day - DATE '1970-01-01')
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       )::BIGINT AS n_7d
+FROM per
+"""
+
+
+@register("rolling_7d_counts", ROLLING_ORACLE)
+def q_rolling_7d_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 7-day event counts: day-grain pre-aggregation first
+    (shrinks the window input from events to user-days), then a RANGE frame
+    over epoch-day numbers — the interval window that skips missing days
+    correctly, partitioned by user so no global sort exists."""
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    per = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dn = F.datediff(F.col("day"), F.lit("1970-01-01"))
+    w = Window.partitionBy("user_id").orderBy(dn).rangeBetween(-6, 0)
+    return per.select(
+        "user_id",
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.sum("n").over(w).cast("long").alias("n_7d"),
+    )
