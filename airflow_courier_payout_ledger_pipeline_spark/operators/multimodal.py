@@ -209,3 +209,99 @@ def media_metadata_only(media: DataFrame) -> DataFrame:
     return media.select(
         "media_id", "media_type", "declared_w", "declared_h"
     ).withColumn("declared_pixels", F.col("declared_w") * F.col("declared_h"))
+
+
+#: audio header: magic 'FAUD' + uint32 sample_rate + uint32 n_samples + uint8 channels
+FAKE_AUDIO_HEADER = struct.Struct(">4sIIB")
+
+AUDIO_SCHEMA = "media_id bigint, payload binary"
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id bigint, sample_rate int, n_samples int, duration_s double, "
+    "mean_amp double, zero_crossings bigint"
+)
+
+
+def encode_fake_audio(media_id: int, sample_rate: int, n_samples: int) -> bytes:
+    """Deterministic fake PCM clip: header + big-endian int16 samples
+    ``s_i = (media_id*37 + i*11) % 201 - 100`` (stands in for WAV/FLAC bytes —
+    closed-form, so every decoded feature is SQL-reproducible)."""
+    import numpy as np  # noqa: PLC0415
+
+    i = np.arange(n_samples, dtype=np.int64)
+    s = ((media_id * 37 + i * 11) % 201 - 100).astype(">i2")
+    return FAKE_AUDIO_HEADER.pack(b"FAUD", sample_rate, n_samples, 1) + s.tobytes()
+
+
+def synthesize_audio_payloads(media: DataFrame) -> DataFrame:
+    """Attach deterministic FAUD payloads Arrow-batch-wise (columns required:
+    media_id, sample_rate, n_samples)."""
+    import pandas as pd  # noqa: PLC0415
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        encode_fake_audio(int(m), int(sr), int(n))
+                        for m, sr, n in zip(
+                            pdf["media_id"], pdf["sample_rate"], pdf["n_samples"]
+                        )
+                    ],
+                }
+            )
+
+    return media.mapInPandas(gen, AUDIO_SCHEMA)
+
+
+def _decode_audio(payload: bytes) -> tuple[int, int, int, bytes]:
+    """STUB decode — replace with soundfile/ffmpeg in production. Raises on a
+    foreign format exactly like a real decoder would."""
+    if len(payload) < FAKE_AUDIO_HEADER.size or payload[:4] != b"FAUD":
+        raise NotImplementedError(
+            "real audio codecs are not available in this environment; "
+            "payload is not in the deterministic FAUD test format"
+        )
+    _, sr, n, c = FAKE_AUDIO_HEADER.unpack(payload[: FAKE_AUDIO_HEADER.size])
+    return sr, n, c, payload[FAKE_AUDIO_HEADER.size :]
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """binary payload → (rate, length, duration, mean amplitude, zero-crossing
+    count) via Arrow-batched mapInPandas. All arithmetic is exact int64 sums +
+    one division, so every emitted double is bit-identical to the SQL oracle's;
+    zero crossings are strict sign flips (``s_i · s_{i+1} < 0`` — a zero sample
+    neither starts nor ends a crossing)."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    def decode_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id",
+                    "sample_rate",
+                    "n_samples",
+                    "duration_s",
+                    "mean_amp",
+                    "zero_crossings",
+                )
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                sr, n, _c, body = _decode_audio(bytes(payload))
+                s = np.frombuffer(body, dtype=">i2").astype(np.int64)
+                rows["media_id"].append(mid)
+                rows["sample_rate"].append(sr)
+                rows["n_samples"].append(n)
+                rows["duration_s"].append(float(n) / sr if sr else 0.0)
+                rows["mean_amp"].append(float(s.sum()) / len(s) if len(s) else 0.0)
+                rows["zero_crossings"].append(
+                    int(((s[:-1] * s[1:]) < 0).sum()) if len(s) > 1 else 0
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        decode_batch, AUDIO_FEATURE_SCHEMA
+    )

@@ -2237,3 +2237,53 @@ def q_rolling_7d_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.sum("n").over(w).cast("long").alias("n_7d"),
     )
+
+
+# --- Audio features (multimodal triad: image / video / audio) ------------------------
+
+# FAUD sample i of clip m is (m*37 + i*11) % 201 - 100 — closed-form, so the
+# whole decode path (synthesize binary → mapInPandas feature extraction)
+# hash-checks against SQL that re-derives every sample.
+AUDIO_FEATURES_ORACLE = """
+WITH meta AS (
+    SELECT doc_id AS media_id, (doc_id % 400 + 100)::INT AS n FROM documents
+),
+s AS (SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i FROM meta),
+v AS (
+    SELECT media_id, n, i,
+           ((media_id * 37 + i * 11) % 201 - 100) AS si,
+           CASE WHEN i < n - 1
+                THEN ((media_id * 37 + (i + 1) * 11) % 201 - 100) END AS sj
+    FROM s
+),
+agg AS (
+    SELECT media_id, n,
+           SUM(si)::DOUBLE / COUNT(*)::DOUBLE AS mean_amp,
+           SUM(CASE WHEN si * sj < 0 THEN 1 ELSE 0 END)::BIGINT AS zero_crossings
+    FROM v GROUP BY 1, 2
+)
+SELECT media_id, 8000::INT AS sample_rate, n AS n_samples,
+       n::DOUBLE / 8000 AS duration_s, mean_amp, zero_crossings
+FROM agg
+"""
+
+
+@register("audio_features", AUDIO_FEATURES_ORACLE)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio as an opaque binary column: deterministic FAUD clips (8 kHz,
+    100-499 samples per doc) synthesized and decoded Arrow-batch-wise into
+    duration / exact mean amplitude / zero-crossing counts — the third modality
+    of the multimodal path, same mapInPandas contract as images and video
+    (operators/multimodal.extract_audio_features)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.multimodal import (
+        extract_audio_features,
+        synthesize_audio_payloads,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(8000).cast("int").alias("sample_rate"),
+        (F.col("doc_id") % 400 + 100).cast("int").alias("n_samples"),
+    )
+    return extract_audio_features(synthesize_audio_payloads(media))

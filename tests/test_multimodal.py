@@ -87,3 +87,41 @@ def test_video_foreign_payload_raises(spark):
     )
     with pytest.raises(Exception, match="real video codecs|NotImplementedError"):
         sample_frames(bad).collect()
+
+
+def test_audio_features_exact(spark):
+    from airflow_courier_payout_ledger_pipeline_spark.operators.multimodal import (
+        extract_audio_features,
+        synthesize_audio_payloads,
+    )
+
+    meta = spark.createDataFrame(
+        [(3, 8000, 5), (9, 16000, 1)], "media_id bigint, sample_rate int, n_samples int"
+    )
+    rows = {
+        r.media_id: r
+        for r in extract_audio_features(synthesize_audio_payloads(meta)).collect()
+    }
+    # media 3, n=5: samples (3*37 + i*11) % 201 - 100 for i in 0..4
+    s = [(3 * 37 + i * 11) % 201 - 100 for i in range(5)]
+    r = rows[3]
+    assert (r.sample_rate, r.n_samples) == (8000, 5)
+    assert r.duration_s == 5 / 8000
+    assert r.mean_amp == sum(s) / 5
+    assert r.zero_crossings == sum(1 for a, b in zip(s, s[1:]) if a * b < 0)
+    # single-sample clip: no pair to cross
+    assert rows[9].zero_crossings == 0
+
+
+def test_audio_foreign_payload_raises(spark):
+    import pytest
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"RIFFWAVEnot-faud-data"))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="real audio codecs|NotImplementedError"):
+        extract_audio_features(bad).collect()
