@@ -122,3 +122,43 @@ def snapshot_diff(
             *[f"new_{c}" for c in compare_cols],
         )
     )
+
+
+def scd2_from_changelog(
+    changes: DataFrame,
+    keys: Sequence[str],
+    attr: str,
+    ts_col: str,
+    tiebreaker: str | None = None,
+) -> DataFrame:
+    """SCD2 (type-2 history) built from an attribute changelog: one validity
+    interval per *distinct consecutive* attribute value, with
+    ``valid_from``/``valid_to``/``is_current`` — the historical-dimension
+    pattern the reference's SCD0/SCD1-only design omits
+    (``DWH Design (ENG).md`` keeps no history; this is the standard extension).
+
+    Consecutive rows with an unchanged attribute collapse into their interval's
+    first row (lag compare), then ``valid_to`` = the next interval's start
+    (lead) and the open interval is flagged current. All window algebra over a
+    per-key ordered scan — one shuffle on the key, no self-joins, no state
+    explosion: output rows = number of value CHANGES, not number of events."""
+    order = [F.col(ts_col).asc()] + ([F.col(tiebreaker).asc()] if tiebreaker else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    changed = (
+        changes.withColumn("__prev", F.lag(F.col(attr)).over(w))
+        # __first distinguishes "no previous row" from "previous value was NULL"
+        # (ts is never null in a changelog, so lag(ts) NULL ⇔ first row)
+        .withColumn("__first", F.lag(F.col(ts_col)).over(w).isNull())
+        # the first row per key always opens an interval; later rows only when
+        # the attribute actually changes (null-safe compare)
+        .filter(F.col("__first") | ~F.col(attr).eqNullSafe(F.col("__prev")))
+        .drop("__prev", "__first")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return changed.select(
+        *keys,
+        F.col(attr),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w2).alias("valid_to"),
+        F.lead(F.col(ts_col)).over(w2).isNull().alias("is_current"),
+    )

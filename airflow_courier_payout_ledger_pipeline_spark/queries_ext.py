@@ -2146,6 +2146,11 @@ SELECT o_orderstatus AS status, o_orderpriority AS priority,
        count(*) AS n,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(14,2))::DOUBLE AS total
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+-- Spark's cube over an EMPTY relation emits no rows; ANSI (and DuckDB) emit a
+-- lone grand-total row with count 0. Pin the engine's observed-rows semantics:
+-- on any non-empty input every grouping-set row aggregates >= 1 row, so this
+-- only removes the empty-input phantom total.
+HAVING count(*) > 0
 """
 
 
@@ -2287,3 +2292,45 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 400 + 100).cast("int").alias("n_samples"),
     )
     return extract_audio_features(synthesize_audio_payloads(media))
+
+
+# --- SCD2 history from a changelog ---------------------------------------------------
+
+SCD2_ORACLE = """
+WITH o AS (
+    SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER w AS prev,
+           (lag(ts) OVER w IS NULL) AS is_first
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ch AS (
+    SELECT user_id, event_type, ts, event_id FROM o
+    WHERE is_first OR event_type IS DISTINCT FROM prev
+)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER w2 AS valid_to,
+       (lead(ts) OVER w2 IS NULL) AS is_current
+FROM ch WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("scd2_history", SCD2_ORACLE)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history of each user's event_type attribute: consecutive
+    duplicates collapse, each surviving change opens a validity interval closed
+    by the next change (valid_from/valid_to/is_current) — the SCD2 dimension
+    pattern the reference's SCD0/SCD1 design omits
+    (operators/merge.scd2_from_changelog; window algebra, one shuffle, output
+    rows = value changes, not events)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.merge import (
+        scd2_from_changelog,
+    )
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    return scd2_from_changelog(
+        ev.select("user_id", "event_type", "ts", "event_id"),
+        ["user_id"],
+        "event_type",
+        "ts",
+        tiebreaker="event_id",
+    )

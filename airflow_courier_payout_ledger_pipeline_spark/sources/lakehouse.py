@@ -39,6 +39,21 @@ class Lakehouse:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(self.path(layer, table))
 
+    def read_evolved(self, spark: SparkSession, layer: str, table: str) -> DataFrame:
+        """Read a table whose files were written under EVOLVING schemas: the
+        union schema across all footers (``mergeSchema``), with columns absent
+        from older files surfacing as NULL — additive evolution (new nullable
+        columns) needs no rewrite of history, the Delta/Iceberg contract on
+        plain parquet. Renames/type-narrowing still require a migration
+        rewrite; this helper makes the common case (appended columns) free.
+
+        Scale note: mergeSchema reads every file footer at planning time —
+        metadata-only, but O(#files); after ``compact`` the footer count is
+        bounded by table_bytes / target_file_bytes."""
+        return spark.read.option("mergeSchema", "true").parquet(
+            self.path(layer, table)
+        )
+
     def append(
         self, df: DataFrame, layer: str, table: str, partition_by: list[str] | None = None
     ) -> None:

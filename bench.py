@@ -84,6 +84,10 @@ def main() -> None:
     except ValueError:
         pass
 
+    # r1/r2 benched exactly the first 15 queries; the total over that subset is
+    # reported separately so round-over-round comparisons aren't skewed by the
+    # round-3 additions (which include a full Structured Streaming drain).
+    original15 = [n for n in HEADLINE[:15] if n in timings]
     print(
         json.dumps(
             {
@@ -92,6 +96,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "value_original15": round(sum(timings[n] for n in original15), 4),
             }
         )
     )

@@ -257,3 +257,46 @@ def test_snapshot_diff_null_transition_is_changed(spark):
     new = _df(spark, [("a", "filled", 1)])
     [r] = snapshot_diff(old, new, ["k"], ["v"]).collect()
     assert (r.change_type, r.old_v, r.new_v) == ("changed", None, "filled")
+
+
+def test_schema_evolution_additive_columns(spark, tmp_path):
+    """Appending files with a NEW nullable column must not require rewriting
+    history: read_evolved unions footer schemas and backfills NULL."""
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    lake = Lakehouse(str(tmp_path))
+    v1 = spark.createDataFrame([("a", 1)], "k string, v int")
+    lake.append(v1, "dds", "evolving")
+    v2 = spark.createDataFrame([("b", 2, "fresh")], "k string, v int, note string")
+    lake.append(v2, "dds", "evolving")
+
+    out = {r.k: (r.v, r.note) for r in lake.read_evolved(spark, "dds", "evolving").collect()}
+    assert out == {"a": (1, None), "b": (2, "fresh")}
+
+
+def test_scd2_collapses_consecutive_duplicates(spark):
+    from airflow_courier_payout_ledger_pipeline_spark.operators.merge import (
+        scd2_from_changelog,
+    )
+
+    rows = [
+        ("u", "a", 1, 10),
+        ("u", "a", 2, 11),  # unchanged -> collapses into the first interval
+        ("u", "b", 3, 12),
+        ("u", None, 4, 13),  # value -> NULL is a real change
+        ("u", None, 5, 14),  # NULL -> NULL is not
+        ("u", "a", 6, 15),
+    ]
+    df = spark.createDataFrame(rows, "k string, v string, ts int, eid int")
+    out = [
+        (r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_from_changelog(df, ["k"], "v", "ts", tiebreaker="eid")
+        .orderBy("valid_from")
+        .collect()
+    ]
+    assert out == [
+        ("a", 1, 3, False),
+        ("b", 3, 4, False),
+        (None, 4, 6, False),
+        ("a", 6, None, True),
+    ]

@@ -174,3 +174,52 @@ def test_tiled_near_dup_equals_brute_force(spark, vecs):
         if S[i, j] >= 0.5
     }
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.sampled_from(["x", "y", "z", None]),
+        ),
+        max_size=25,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.sampled_from(["x", "y", "z", None]),
+        ),
+        max_size=25,
+    ),
+)
+@SET
+def test_snapshot_diff_changelog_replays_old_to_new(spark, old_rows, new_rows):
+    """Applying the diff to the old snapshot must reproduce the new snapshot
+    exactly: upsert added+changed, delete removed — the CDC replay contract."""
+    from pyspark.sql import functions as F
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.merge import (
+        scd1_upsert,
+        snapshot_diff,
+    )
+
+    dedup_old = {k: v for k, v in old_rows}
+    dedup_new = {k: v for k, v in new_rows}
+    old = spark.createDataFrame(
+        [(k, v) for k, v in dedup_old.items()] or [(None, None)], "k int, v string"
+    ).filter(F.col("k").isNotNull())
+    new = spark.createDataFrame(
+        [(k, v) for k, v in dedup_new.items()] or [(None, None)], "k int, v string"
+    ).filter(F.col("k").isNotNull())
+
+    diff = snapshot_diff(old, new, ["k"], ["v"]).cache()
+    upserts = diff.filter(F.col("change_type").isin("added", "changed")).select(
+        "k", F.col("new_v").alias("v")
+    )
+    removed = diff.filter(F.col("change_type") == "removed").select("k")
+    replayed = scd1_upsert(old, upserts, ["k"]).join(removed, "k", "left_anti")
+
+    assert {(r.k, r.v) for r in replayed.collect()} == {
+        (k, v) for k, v in dedup_new.items()
+    }
+    diff.unpersist()
