@@ -2334,3 +2334,110 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         tiebreaker="event_id",
     )
+
+
+# --- Retention cohorts & co-occurrence lift ------------------------------------------
+
+RETENTION_ORACLE = """
+WITH f AS (SELECT user_id, min(ts::DATE) AS first_day FROM events GROUP BY 1),
+cohort AS (
+    SELECT user_id, ((first_day - DATE '1970-01-01') // 7)::BIGINT AS cohort_week
+    FROM f
+),
+active AS (
+    SELECT DISTINCT user_id, ((ts::DATE - DATE '1970-01-01') // 7)::BIGINT AS week
+    FROM events
+)
+SELECT c.cohort_week, (a.week - c.cohort_week)::BIGINT AS week_offset,
+       count(*) AS n_active
+FROM active a JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@register("retention_cohorts", RETENTION_ORACLE)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by first-seen week, then
+    distinct active (user, week) pairs counted per (cohort, week offset) — the
+    standard growth-analytics mart. Three aggregations, all key-partitioned
+    (first-seen per user, distinct activity, final matrix); the user-grain
+    cohort table rides the same user_id shuffle as the activity dedup."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    day = F.to_date("ts")
+    week = F.floor(F.datediff(day, F.lit("1970-01-01")) / 7).cast("long")
+    cohort = (
+        ev.groupBy("user_id")
+        .agg(F.min(day).alias("first_day"))
+        .select(
+            "user_id",
+            F.floor(F.datediff("first_day", F.lit("1970-01-01")) / 7)
+            .cast("long")
+            .alias("cohort_week"),
+        )
+    )
+    active = ev.select("user_id", week.alias("week")).distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).cast("long").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+COOCCURRENCE_ORACLE = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+tot AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+per AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+pair AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+    FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both::BIGINT AS n_both,
+       round((n_both::DOUBLE * n_users) / (pa.n::DOUBLE * pb.n), 4) AS lift
+FROM pair
+JOIN per pa ON type_a = pa.event_type
+JOIN per pb ON type_b = pb.event_type
+CROSS JOIN tot
+"""
+
+
+@register("event_type_cooccurrence", COOCCURRENCE_ORACLE)
+def q_event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift between event types: the per-user self-join runs on
+    the DEDUPLICATED (user, type) table, so fan-out is bounded by (types per
+    user choose 2) — never |events|²; the type-frequency and user-count sides
+    are tiny broadcast aggregates. lift = P(a,b) / (P(a)·P(b)), computed with
+    the identical multiply/divide order in both engines before the 4-decimal
+    round."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    ut = ev.select("user_id", "event_type").distinct()
+    tot = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    per = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pair = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    pa = per.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    pb = per.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pair.join(F.broadcast(pa), "type_a")
+        .join(F.broadcast(pb), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                (F.col("n_both").cast("double") * F.col("n_users"))
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+    )
