@@ -251,6 +251,59 @@ class Lakehouse:
         )
         return []
 
+    def delete_keys(
+        self,
+        spark: SparkSession,
+        layer: str,
+        table: str,
+        schema: StructType,
+        keys_df: DataFrame,
+        keys: Sequence[str],
+        partition_col: str | None = None,
+    ) -> int:
+        """Hard delete by key (GDPR erasure / retention enforcement): rewrite
+        the table without the matching rows via a single anti-join — the
+        lakehouse twin of ``DELETE WHERE key IN (...)`` (Delta deployments map
+        this to ``DELETE FROM``). Returns the number of rows removed
+        (count delta — two cheap aggregates, not a collected diff).
+
+        With ``partition_col`` (or a detected ``col=value`` layout) AND the
+        keys_df carrying that column, only touched partitions are rewritten —
+        erasure of one user's last month never rewrites years of history."""
+        if not self.exists(layer, table):
+            return 0
+        pcol = partition_col or self.detect_partition_col(layer, table)
+        existing = self.read(spark, layer, table, schema)
+        before = existing.count()
+        if pcol is not None and pcol in keys_df.columns:
+            parts = [r[0] for r in keys_df.select(pcol).distinct().collect()]
+            touched = (
+                spark.read.schema(schema)
+                .option("basePath", self.path(layer, table))
+                .parquet(self.path(layer, table))
+                .filter(F.col(pcol).isin(parts))
+            )
+            kept = touched.join(keys_df.select(*keys), on=list(keys), how="left_anti")
+            removed = touched.count() - kept.count()
+            final = Path(self.path(layer, table))
+            tmp = final.with_name(f"{final.name}.__tmp_{uuid.uuid4().hex[:8]}")
+            kept.write.mode("overwrite").partitionBy(pcol).parquet(str(tmp))
+            try:
+                for pv in parts:
+                    dest = final / f"{pcol}={pv}"
+                    src = tmp / f"{pcol}={pv}"
+                    old = tmp / f"__old_{pcol}={pv}"
+                    if dest.exists():
+                        dest.rename(old)
+                    if src.exists():  # partition fully erased → no new dir
+                        src.rename(dest)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+            return int(removed)
+        kept = existing.join(keys_df.select(*keys), on=list(keys), how="left_anti")
+        self.overwrite(kept, layer, table)
+        return int(before - self.read(spark, layer, table, schema).count())
+
     def merge_upsert_partitioned(
         self,
         spark: SparkSession,

@@ -300,3 +300,51 @@ def test_scd2_collapses_consecutive_duplicates(spark):
         (None, 4, 6, False),
         ("a", 6, None, True),
     ]
+
+
+def test_delete_keys_unpartitioned(spark, tmp_path):
+    from pyspark.sql.types import StructType
+
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    lake = Lakehouse(str(tmp_path))
+    schema = StructType.fromDDL("k string, v string, month int")
+    lake.overwrite(
+        _df(spark, [("a", "x", 1), ("b", "y", 1), ("c", "z", 2)], "k string, v string, month int"),
+        "dds", "t",
+    )
+    gone = spark.createDataFrame([("b",), ("nope",)], "k string")
+    assert lake.delete_keys(spark, "dds", "t", schema, gone, ["k"]) == 1
+    assert {r.k for r in lake.read(spark, "dds", "t", schema).collect()} == {"a", "c"}
+
+
+def test_delete_keys_partition_pruned(spark, tmp_path):
+    """Erasure carrying the partition column rewrites ONLY touched partitions —
+    untouched month dirs keep their exact files."""
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    lake = Lakehouse(str(tmp_path))
+    schema = StructType.fromDDL("k string, v string, month int")
+    lake.overwrite(
+        _df(spark, [("a", "x", 1), ("b", "y", 2), ("c", "z", 3)], "k string, v string, month int"),
+        "dds", "t", partition_by=["month"],
+    )
+    untouched = {
+        p: os.stat(p).st_ino
+        for m in (1, 3)
+        for p in (tmp_path / "dds" / "t" / f"month={m}").rglob("*.parquet")
+    }
+    gone = spark.createDataFrame([("b", 2)], "k string, month int")
+    assert lake.delete_keys(spark, "dds", "t", schema, gone, ["k"]) == 1
+    out = {r.k for r in lake.read(spark, "dds", "t", schema).collect()}
+    assert out == {"a", "c"}
+    after = {
+        p: os.stat(p).st_ino
+        for m in (1, 3)
+        for p in (tmp_path / "dds" / "t" / f"month={m}").rglob("*.parquet")
+    }
+    assert after == untouched
