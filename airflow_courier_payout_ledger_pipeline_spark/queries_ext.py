@@ -2441,3 +2441,62 @@ def q_event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --- Bigram LM quality score ---------------------------------------------------------
+
+BIGRAM_LM_ORACLE = f"""
+WITH norm AS (SELECT doc_id, string_split({NORM}, ' ') AS ws FROM documents),
+pos AS (
+    SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+    FROM norm WHERE len(ws) >= 2
+),
+bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM pos),
+c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY 1),
+scored AS (
+    SELECT b.doc_id, c2.n2::DOUBLE / c1.n1::DOUBLE AS p
+    FROM bg b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+)
+SELECT doc_id, count(*) AS n_bigrams, round(avg(p), 4) AS avg_cond_prob
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("bigram_lm_score", BIGRAM_LM_ORACLE)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model fluency score: each document's mean
+    conditional probability P(w2|w1) under the corpus's own bigram counts — the
+    probability-domain twin of perplexity (monotone in it, but free of ln(),
+    whose last-ulp behavior differs across libm implementations and would break
+    the cross-engine hash). Plan: one token explode feeding both count tables
+    and the scoring join — three key-partitioned shuffles, no broadcast of the
+    (unbounded) vocabulary."""
+    from airflow_courier_payout_ledger_pipeline_spark.functions.text import (
+        normalize_text,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("ws")
+    ).filter(F.size("ws") >= 2)
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .select("doc_id", (F.col("n2").cast("double") / F.col("n1").cast("double")).alias("p"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("p"), 4).alias("avg_cond_prob"),
+    )
