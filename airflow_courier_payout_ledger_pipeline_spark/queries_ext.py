@@ -2500,3 +2500,96 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("p"), 4).alias("avg_cond_prob"),
     )
+
+
+# --- Time-series linear interpolation ------------------------------------------------
+
+INTERP_ORACLE = """
+WITH per AS (
+    SELECT user_id, ts::DATE AS day,
+           CAST(round(SUM(CAST(value AS DECIMAL(14,2))), 2) AS DECIMAL(14,2))::DOUBLE AS v
+    FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM per GROUP BY 1),
+spine AS (
+    SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+    FROM bounds
+),
+j AS (SELECT s.user_id, s.day, p.v FROM spine s LEFT JOIN per p USING (user_id, day)),
+f AS (
+    SELECT user_id, day, v,
+           last_value(v IGNORE NULLS) OVER w AS pv,
+           last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER w AS pd,
+           first_value(v IGNORE NULLS) OVER w2 AS nv,
+           first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER w2 AS nd
+    FROM j
+    WINDOW w AS (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w2 AS (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, day,
+       round(CASE WHEN v IS NOT NULL THEN v
+             ELSE pv + (nv - pv) * ((day - pd)::DOUBLE / (nd - pd)::DOUBLE)
+             END, 4) AS v_interp,
+       (v IS NULL) AS interpolated
+FROM f
+"""
+
+
+@register("timeseries_interpolate", INTERP_ORACLE)
+def q_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation of each user's daily value series: per-user day
+    spine (sequence from the user's own min..max — no cross of users × global
+    calendar), exact-Decimal daily sums at the anchors, then forward/backward
+    IGNORE-NULLS window carries supply the bracketing anchors for the linear
+    blend. Per-user partitioned windows — no global sort; spine rows are
+    bounded by Σ per-user day spans, not users × calendar."""
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    per = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum(F.col("value").cast("decimal(14,2)")), 2)
+        .cast("decimal(14,2)")
+        .cast("double")
+        .alias("v")
+    )
+    bounds = per.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select("user_id", F.explode(F.sequence("lo", "hi")).alias("day"))
+    j = spine.join(per, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    day_if_v = F.when(F.col("v").isNotNull(), F.col("day"))
+    f = j.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("pv"),
+        F.last(day_if_v, ignorenulls=True).over(w).alias("pd"),
+        F.first("v", ignorenulls=True).over(w2).alias("nv"),
+        F.first(day_if_v, ignorenulls=True).over(w2).alias("nd"),
+    )
+    frac = F.datediff(F.col("day"), F.col("pd")).cast("double") / F.datediff(
+        F.col("nd"), F.col("pd")
+    ).cast("double")
+    return f.select(
+        "user_id",
+        "day",
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+                F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+            ),
+            4,
+        ).alias("v_interp"),
+        F.col("v").isNull().alias("interpolated"),
+    )
