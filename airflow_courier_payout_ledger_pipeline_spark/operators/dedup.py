@@ -547,3 +547,47 @@ def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFra
         cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def minhash_signatures_inline(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 9,
+    num_hashes: int = 12,
+) -> DataFrame:
+    """Zero-shuffle MinHash signatures: shingling, digest, and each hash
+    family's min all evaluate IN-ARRAY per document (transform + array_min) —
+    no exploded-row materialization and no aggregation shuffle, so the only
+    shuffle left in an LSH dedup pipeline is the band-bucket groupBy.
+    Bit-identical to ``minhash_signatures`` over ``char_shingles(distinct=
+    False)``: the min over a multiset equals the min over its set.
+
+    Expression-inlining notes (the correctness-of-cost details):
+    - ``__t`` is materialized by the repartition Exchange (physical barrier),
+      so the regexp normalization runs once per doc — same guard as
+      ``char_shingles``;
+    - ``__xs`` (the per-shingle digests) is referenced by all ``num_hashes``
+      array_min columns, but CollapseProject refuses to duplicate expensive
+      multi-referenced aliases (SPARK-36718), so the md5 work provably runs
+      once per shingle, not once per hash function."""
+    pre = _spread(
+        df.select(
+            F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("__t")
+        )
+    )
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("__t") - (k - 1), F.lit(1))),
+        lambda i: F.col("__t").substr(i, F.lit(k)),
+    )
+    xs = F.transform(
+        shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+    with_digests = pre.select("id", xs.alias("__xs"))
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("__xs"), lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P))
+        ).alias(f"h{j}")
+        for j, (a, b) in enumerate(MINHASH_AB[:num_hashes])
+    ]
+    return with_digests.select("id", *sig_cols)

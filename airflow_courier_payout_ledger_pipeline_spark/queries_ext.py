@@ -182,16 +182,14 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signature over 9-char shingles: one md5 per shingle,
     12 universal-hash functions (a·x + b mod 2^61−1) over 32 digest bits."""
     from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import (
-        char_shingles,
-        minhash_signatures,
+        minhash_signatures_inline,
     )
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    # distinct=False: min over a multiset equals min over the set, so the
-    # signature is identical and we skip a full shuffle of the exploded shingles
-    return minhash_signatures(
-        char_shingles(docs, "doc_id", "text", k=9, distinct=False), NUM_HASHES
-    )
+    # in-array formulation: shingling, digest, and the 12 mins all evaluate
+    # per-document with no explode and no aggregation shuffle (bit-identical
+    # to the exploded path — min over a multiset equals min over the set)
+    return minhash_signatures_inline(docs, "doc_id", "text", k=9, num_hashes=NUM_HASHES)
 
 
 _BANDS_SQL = " UNION ALL ".join(
@@ -240,15 +238,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical-content pile can't turn one bucket quadratic; the oracle applies
     the same cap."""
     from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import (
-        char_shingles,
         lsh_candidate_pairs,
-        minhash_signatures,
+        minhash_signatures_inline,
     )
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    sig = minhash_signatures(
-        char_shingles(docs, "doc_id", "text", k=9, distinct=False), NUM_HASHES
-    )
+    sig = minhash_signatures_inline(docs, "doc_id", "text", k=9, num_hashes=NUM_HASHES)
     return lsh_candidate_pairs(sig, BANDS, ROWS_PER_BAND, max_bucket=LSH_MAX_BUCKET)
 
 
@@ -333,17 +328,14 @@ def q_dedup_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed only for candidates — the n² space is never touched; stage-2 cost
     is |candidates| × doc size."""
     from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import (
-        char_shingles,
         lsh_candidate_pairs,
-        minhash_signatures,
+        minhash_signatures_inline,
         verify_pairs_ngram_jaccard,
         word_ngrams,
     )
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    sig = minhash_signatures(
-        char_shingles(docs, "doc_id", "text", k=9, distinct=False), NUM_HASHES
-    )
+    sig = minhash_signatures_inline(docs, "doc_id", "text", k=9, num_hashes=NUM_HASHES)
     candidates = lsh_candidate_pairs(sig, BANDS, ROWS_PER_BAND, max_bucket=LSH_MAX_BUCKET)
     grams = word_ngrams(docs, "doc_id", "text", n=3)
     return verify_pairs_ngram_jaccard(candidates, grams, 0.3)
