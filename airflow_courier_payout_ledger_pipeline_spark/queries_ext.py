@@ -2461,9 +2461,11 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional probability P(w2|w1) under the corpus's own bigram counts — the
     probability-domain twin of perplexity (monotone in it, but free of ln(),
     whose last-ulp behavior differs across libm implementations and would break
-    the cross-engine hash). Plan: one token explode feeding both count tables
-    and the scoring join — three key-partitioned shuffles, no broadcast of the
-    (unbounded) vocabulary."""
+    the cross-engine hash). Plan: the bigram explode is referenced by both
+    count tables and the scoring join — each reference re-runs the map-side
+    explode (cheap relative to the three key-partitioned shuffles it feeds; a
+    100 TB run would persist the bigram table once instead). The (unbounded)
+    vocabulary is never broadcast or collected."""
     from airflow_courier_payout_ledger_pipeline_spark.functions.text import (
         normalize_text,
     )

@@ -59,3 +59,14 @@ def test_cube_single_expand(spark):
     df = all_queries()["cube_status_priority"](spark, SF)
     plan = _simple_plan(df)
     assert plan.count("Expand") == 1  # all 4 grouping sets in one pass
+
+
+def test_lsh_pipeline_shuffle_budget(spark):
+    """In-array signatures leave exactly three exchanges in the LSH pipeline:
+    the parallelism spread, the band-bucket groupBy, and the pair dedup —
+    no signature-aggregation shuffle survives."""
+    from airflow_courier_payout_ledger_pipeline_spark.registry import all_queries
+
+    df = all_queries()["dedup_minhash_lsh"](spark, SF)
+    plan = _simple_plan(df)
+    assert plan.count("Exchange") <= 3, plan
