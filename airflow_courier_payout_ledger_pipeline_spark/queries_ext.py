@@ -2587,3 +2587,94 @@ def q_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v_interp"),
         F.col("v").isNull().alias("interpolated"),
     )
+
+
+# --- Data-quality violation report ---------------------------------------------------
+
+# The testdata facts are clean, so violations are PLANTED deterministically in
+# both engines (NULL courier every 13th order, out-of-range rating every 19th,
+# negative tips every 17th) and the report counts them per rule — including
+# zero-violation rules, which must still appear as rows.
+DQ_REPORT_ORACLE = """
+WITH del AS (
+    SELECT l_orderkey AS order_id, l_suppkey AS courier_id,
+           CAST(l_extendedprice AS DECIMAL(14,2)) AS order_sum,
+           CAST(l_linenumber % 6 AS SMALLINT) AS rating,
+           CAST(round(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(4,2)), 2)
+                AS DECIMAL(14,2)) AS tips
+    FROM lineitem
+),
+corrupted AS (
+    SELECT order_id,
+           CASE WHEN order_id % 13 = 0 THEN NULL ELSE courier_id END AS courier_id,
+           order_sum,
+           CASE WHEN order_id % 19 = 0 THEN CAST(9 AS SMALLINT) ELSE rating END AS rating,
+           CASE WHEN order_id % 17 = 0 THEN -tips ELSE tips END AS tips
+    FROM del
+),
+agg AS (
+    SELECT count(*) AS total,
+           count(*) FILTER (WHERE courier_id IS NULL) AS c_null,
+           count(*) FILTER (WHERE rating NOT BETWEEN 0 AND 5) AS c_rating,
+           count(*) FILTER (WHERE tips < 0) AS c_tips,
+           count(*) FILTER (WHERE order_sum < 0) AS c_sum
+    FROM corrupted
+)
+SELECT 'courier_id_not_null' AS rule, c_null::BIGINT AS n_violations, total AS n_rows FROM agg
+UNION ALL SELECT 'rating_between_0_5', c_rating::BIGINT, total FROM agg
+UNION ALL SELECT 'tips_non_negative', c_tips::BIGINT, total FROM agg
+UNION ALL SELECT 'order_sum_non_negative', c_sum::BIGINT, total FROM agg
+"""
+
+
+@register("dq_violation_report", DQ_REPORT_ORACLE)
+def q_dq_violation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule violation counts over the (deterministically corrupted) fact
+    increment, computed through the write-path validator machinery
+    (operators/validate.annotate → one aggregation over the violations array,
+    unpivoted via stack) — zero-violation rules still report a row, the dbt-
+    test/Great-Expectations shape on Spark. Single pass, map-side flags."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.validate import (
+        annotate,
+        between,
+        non_negative,
+        not_null,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.plans.tpch_adapter import (
+        courier_domain,
+    )
+
+    fct = courier_domain(spark, sf_dir)["fct_deliveries"]
+    corrupted = fct.select(
+        "order_id",
+        F.when(F.col("order_id") % 13 == 0, F.lit(None)).otherwise(
+            F.col("courier_id")
+        ).alias("courier_id"),
+        "order_sum",
+        F.when(F.col("order_id") % 19 == 0, F.lit(9).cast("smallint")).otherwise(
+            F.col("rating")
+        ).alias("rating"),
+        F.when(F.col("order_id") % 17 == 0, -F.col("tips")).otherwise(
+            F.col("tips")
+        ).alias("tips"),
+    )
+    checks = [
+        not_null("courier_id")[0],
+        between("rating", 0, 5),
+        non_negative("tips")[0],
+        non_negative("order_sum")[0],
+    ]
+    flagged = annotate(corrupted, checks)
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.count(F.when(F.array_contains("violations", c.name), F.lit(1)))
+            .cast("long")
+            .alias(c.name)
+            for c in checks
+        ],
+    )
+    stack = ", ".join(f"'{c.name}', {c.name}" for c in checks)
+    return agg.select(
+        F.expr(f"stack({len(checks)}, {stack}) AS (rule, n_violations)"), "n_rows"
+    )
