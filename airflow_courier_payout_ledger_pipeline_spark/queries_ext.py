@@ -2678,3 +2678,41 @@ def q_dq_violation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.expr(f"stack({len(checks)}, {stack}) AS (rule, n_violations)"), "n_rows"
     )
+
+
+# --- Embedding normalization + int8 quantization -------------------------------------
+
+QUANTIZE_ORACLE = """
+WITH n AS (
+    SELECT vec_id,
+           sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm,
+           embedding::DOUBLE[] AS v
+    FROM embeddings
+)
+SELECT vec_id,
+       round(nrm, 4) AS norm,
+       to_json(list_transform(v, x -> CAST(round(x / nrm * 127, 0) AS INTEGER)))::VARCHAR AS qvec
+FROM n
+"""
+
+
+@register("embedding_quantize", QUANTIZE_ORACLE)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization of L2-normalized embeddings (the 4× storage / SIMD
+    compression step before ANN indexing): per-row norm computed once, each
+    coordinate scaled to [-127, 127] — pure JVM higher-order array expressions,
+    zero shuffles, zero Python. The quantized vector round-trips through the
+    driver's array→JSON canonicalization, hash-checked element-for-element."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import norm
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    with_norm = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"),
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    q = F.transform(
+        F.col("v"), lambda x: F.round(x / F.col("nrm") * 127, 0).cast("int")
+    )
+    return with_norm.select(
+        "vec_id", F.round(F.col("nrm"), 4).alias("norm"), q.alias("qvec")
+    )
