@@ -2716,3 +2716,62 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_norm.select(
         "vec_id", F.round(F.col("nrm"), 4).alias("norm"), q.alias("qvec")
     )
+
+
+# --- Daily volume anomaly detection --------------------------------------------------
+
+ANOMALY_ORACLE = """
+WITH per AS (
+    SELECT event_type, ts::DATE AS day, count(*) AS n FROM events GROUP BY 1, 2
+),
+s AS (
+    SELECT event_type, SUM(n) AS s1, SUM(n * n) AS s2, count(*) AS k
+    FROM per GROUP BY 1
+),
+z AS (
+    SELECT p.event_type, p.day, p.n,
+           round((p.n - s1::DOUBLE / k)
+                 / sqrt((s2::DOUBLE - s1::DOUBLE * s1 / k) / (k - 1)), 4) AS zscore
+    FROM per p JOIN s USING (event_type) WHERE k > 1
+)
+SELECT event_type, day, n::BIGINT AS n, zscore FROM z WHERE abs(zscore) > 2
+"""
+
+
+@register("daily_anomaly_zscore", ANOMALY_ORACLE)
+def q_daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly detection: days whose per-type event count deviates more
+    than 2σ from that type's mean. Mean and variance are derived from EXACT
+    integer sums (Σn, Σn², k) so every double is bit-identical across engines —
+    never stddev_samp(), whose streaming accumulation order differs. Two
+    grouped aggs + a broadcast of the per-type stats; the day-grain
+    pre-aggregation bounds everything downstream by (types × days)."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    per = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    s = per.groupBy("event_type").agg(
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    z = (
+        per.join(F.broadcast(s.filter(F.col("k") > 1)), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                (F.col("n") - F.col("s1").cast("double") / F.col("k"))
+                / F.sqrt(
+                    (
+                        F.col("s2").cast("double")
+                        - F.col("s1").cast("double") * F.col("s1") / F.col("k")
+                    )
+                    / (F.col("k") - 1)
+                ),
+                4,
+            ).alias("zscore"),
+        )
+    )
+    return z.filter(F.abs(F.col("zscore")) > 2)
