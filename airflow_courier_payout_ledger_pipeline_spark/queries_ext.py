@@ -2775,3 +2775,51 @@ def q_daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return z.filter(F.abs(F.col("zscore")) > 2)
+
+
+# nprobe=2: each query probes its TWO nearest inverted lists — the recall dial.
+# Same plan topology as nprobe=1; candidate volume ×~2. The oracle ranks each
+# query's centroids and keeps rn <= 2, exactly mirroring _centroid_probes.
+IVF_NPROBE2_ORACLE = f"""
+WITH cent AS (
+    SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+    FROM embeddings WHERE vec_id < {IVF_K}
+),
+d AS (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_distance(e.embedding::DOUBLE[], c.cvec), c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (SELECT vec_id, embedding, cid AS centroid FROM d WHERE rn = 1),
+qprobe AS (SELECT vec_id, embedding, cid AS centroid FROM d WHERE rn <= 2 AND vec_id < 20),
+s AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+    FROM assigned c JOIN qprobe q ON c.centroid = q.centroid AND c.vec_id != q.vec_id
+),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s)
+SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
+"""
+
+
+@register("similarity_ivf_nprobe2", IVF_NPROBE2_ORACLE)
+def q_similarity_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF recall dial, hash-checked: nprobe=2 recovers neighbors sitting
+    just across a Voronoi boundary at ~2× candidate volume with the identical
+    join topology (operators/similarity.ivf_topk's explode of the two nearest
+    probe lists)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    cent_rows = (
+        emb.filter(F.col("vec_id") < IVF_K).select("vec_id", "embedding").collect()
+    )
+    cents = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in cent_rows
+    )
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 20), cents, k=5, nprobe=2)
