@@ -88,6 +88,18 @@ def distributed_prefix_sum(
     d = df.repartitionByRange(n, F.col(order_col)).withColumn(
         "__pid", F.spark_partition_id()
     )
+    # PIN the range assignment: repartitionByRange picks its boundaries by
+    # SAMPLING, and this frame is executed three times (totals collect, the
+    # offset join, the caller's action) — without a materialization barrier
+    # each execution may re-sample different boundaries, so rows near a
+    # boundary change __pid between the totals pass and the join and the
+    # reconciled offsets go stale (observed at sf0.1: bins corrupted from the
+    # first boundary onward, nondeterministically). localCheckpoint
+    # materializes the partitioned projection once; every downstream action
+    # reuses those blocks. Cost: one cached copy of the (order, value)
+    # projection — the caller should pass a pruned frame, as pack_sequences
+    # does.
+    d = d.localCheckpoint()
     w = Window.partitionBy("__pid").orderBy(order_col)
     local = d.withColumn("__local", F.sum(F.col(value_col)).over(w))
 
