@@ -10,7 +10,9 @@ same operators map to ``MERGE INTO`` — the plan layer is storage-agnostic.
 
 from __future__ import annotations
 
+import re
 import shutil
+import urllib.parse
 import uuid
 from collections.abc import Sequence
 from pathlib import Path
@@ -63,22 +65,39 @@ class Lakehouse:
         w.parquet(self.path(layer, table))
 
     def overwrite(
-        self, df: DataFrame, layer: str, table: str, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        layer: str,
+        table: str,
+        partition_by: list[str] | None = None,
+        sidecar: dict[str, str] | None = None,
     ) -> None:
         """Full-state rewrite via staging dir + swap — safe even when ``df`` reads
-        from the table being replaced (parquet can't self-overwrite)."""
+        from the table being replaced (parquet can't self-overwrite).
+
+        ``sidecar`` files (name → text; names must start with ``_`` so Spark's
+        reader ignores them) are written INTO the staging dir before the swap,
+        so data and metadata commit in the same atomic rename — the mechanism
+        behind ``stream_fold_state``'s exactly-once batch marker."""
         final = Path(self.path(layer, table))
         tmp = final.with_name(f"{final.name}.__tmp_{uuid.uuid4().hex[:8]}")
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(str(tmp))
+        for name, text in (sidecar or {}).items():
+            assert name.startswith("_"), f"sidecar {name!r} must start with '_'"
+            (tmp / name).write_text(text)
         old = final.with_name(f"{final.name}.__old_{uuid.uuid4().hex[:8]}")
         if final.exists():
             final.rename(old)
         tmp.rename(final)
         if old.exists():
             shutil.rmtree(old)
+
+    def read_sidecar(self, layer: str, table: str, name: str) -> str | None:
+        p = self.root / layer / table / name
+        return p.read_text() if p.exists() else None
 
     # --- snapshot versioning (time travel) -------------------------------------------
     #
@@ -210,14 +229,39 @@ class Lakehouse:
         """Partition column of an on-disk table, inferred from the Hive
         ``col=value`` directory layout (None for unpartitioned/missing tables).
         Lets the generic upsert path opt into partition pruning without the
-        caller re-stating how the table was written."""
+        caller re-stating how the table was written.
+
+        A table with a ``_LATEST`` pointer is a *versioned* table whose ``v=N``
+        snapshot dirs merely look Hive-partitioned — never report those as a
+        partition column (an upsert routed to the pruned path would rewrite
+        snapshot dirs as if they were partitions and corrupt the layout)."""
         root = self.root / layer / table
-        if not root.exists():
+        if not root.exists() or self._pointer(layer, table).exists():
             return None
         for d in root.iterdir():
             if d.is_dir() and "=" in d.name and not d.name.startswith(("_", ".")):
                 return d.name.split("=", 1)[0]
         return None
+
+    @staticmethod
+    def _written_partition_dirs(df: DataFrame, pcol: str) -> list[str]:
+        """On-disk partition directory names (``pcol=<encoded>``) backing the
+        rows of ``df``, taken from the files Spark is actually reading — never
+        reconstructed from Python values, so Hive's value escaping
+        (``%3A`` for ``:``, ``__HIVE_DEFAULT_PARTITION__`` for NULL, date/
+        timestamp formatting) can't drift from our naming. ``input_file_name``
+        yields a URI, so one ``unquote`` recovers the on-disk name. One
+        distinct-collect, O(#touched partitions)."""
+        comp = F.regexp_extract(
+            F.input_file_name(), "/(" + re.escape(pcol) + "=[^/]+)/", 1
+        )
+        return sorted(
+            {
+                urllib.parse.unquote(r[0])
+                for r in df.select(comp.alias("d")).distinct().collect()
+                if r[0]
+            }
+        )
 
     def upsert_scd1(
         self,
@@ -274,7 +318,6 @@ class Lakehouse:
             return 0
         pcol = partition_col or self.detect_partition_col(layer, table)
         existing = self.read(spark, layer, table, schema)
-        before = existing.count()
         if pcol is not None and pcol in keys_df.columns:
             parts = [r[0] for r in keys_df.select(pcol).distinct().collect()]
             touched = (
@@ -283,23 +326,53 @@ class Lakehouse:
                 .parquet(self.path(layer, table))
                 .filter(F.col(pcol).isin(parts))
             )
+            before_touched = touched.count()
             kept = touched.join(keys_df.select(*keys), on=list(keys), how="left_anti")
-            removed = touched.count() - kept.count()
             final = Path(self.path(layer, table))
             tmp = final.with_name(f"{final.name}.__tmp_{uuid.uuid4().hex[:8]}")
+            # Touched dir names come from the files Spark READ (not from Python
+            # formatting of the collected values) — fully-erased partitions are
+            # covered because `touched` still holds the rows being deleted.
+            touched_dirs = self._written_partition_dirs(touched, pcol)
             kept.write.mode("overwrite").partitionBy(pcol).parquet(str(tmp))
+            # Old partitions are stashed OUTSIDE tmp and removed only after every
+            # swap succeeds; on failure the stash is restored, so no point in the
+            # protocol leaves a live partition's only copy in a dir we delete.
+            stash = final.with_name(f"{final.name}.__stash_{uuid.uuid4().hex[:8]}")
+            stash.mkdir()
+            stashed: list[str] = []
             try:
-                for pv in parts:
-                    dest = final / f"{pcol}={pv}"
-                    src = tmp / f"{pcol}={pv}"
-                    old = tmp / f"__old_{pcol}={pv}"
+                for dname in touched_dirs:
+                    dest = final / dname
                     if dest.exists():
-                        dest.rename(old)
+                        dest.rename(stash / dname)
+                        stashed.append(dname)
+                    src = tmp / dname
                     if src.exists():  # partition fully erased → no new dir
                         src.rename(dest)
+            except BaseException:
+                for dname in stashed:
+                    dest = final / dname
+                    if not dest.exists():
+                        (stash / dname).rename(dest)
+                raise
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
-            return int(removed)
+            shutil.rmtree(stash, ignore_errors=True)
+            # Honest removed-count: derived from a post-swap read, not from the
+            # pre-swap plan — a no-op swap can't report deletions that didn't
+            # happen.
+            after_touched = (
+                spark.read.schema(schema)
+                .option("basePath", self.path(layer, table))
+                .parquet(self.path(layer, table))
+                .filter(F.col(pcol).isin(parts))
+                .count()
+                if self.exists(layer, table)
+                else 0
+            )
+            return int(before_touched - after_touched)
+        before = existing.count()
         kept = existing.join(keys_df.select(*keys), on=list(keys), how="left_anti")
         self.overwrite(kept, layer, table)
         return int(before - self.read(spark, layer, table, schema).count())
@@ -355,14 +428,27 @@ class Lakehouse:
         final = Path(self.path(layer, table))
         tmp = final.with_name(f"{final.name}.__tmp_{uuid.uuid4().hex[:8]}")
         merged.write.mode("overwrite").partitionBy(partition_col).parquet(str(tmp))
+        # Old partitions are stashed OUTSIDE tmp and dropped only after every
+        # swap succeeds; a failure mid-protocol restores the stash, so the
+        # cleanup rmtree can never hold a live partition's only copy.
+        stash = final.with_name(f"{final.name}.__stash_{uuid.uuid4().hex[:8]}")
+        stash.mkdir()
+        stashed: list[str] = []
         try:
             final.mkdir(parents=True, exist_ok=True)
             for pdir in sorted(tmp.glob(f"{partition_col}=*")):
                 dest = final / pdir.name
-                old = tmp / f"__old_{pdir.name}"
                 if dest.exists():
-                    dest.rename(old)
+                    dest.rename(stash / pdir.name)
+                    stashed.append(pdir.name)
                 pdir.rename(dest)
+        except BaseException:
+            for dname in stashed:
+                dest = final / dname
+                if not dest.exists():
+                    (stash / dname).rename(dest)
+            raise
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(stash, ignore_errors=True)
         return parts

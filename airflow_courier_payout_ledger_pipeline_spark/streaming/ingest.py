@@ -152,13 +152,34 @@ def stream_fold_state(
     At 100 TB: the state table is group-grain (courier-months), orders of
     magnitude smaller than the facts; partition it and swap in
     ``merge_upsert_partitioned`` as the writer to make each trigger O(batch +
-    touched groups)."""
+    touched groups).
+
+    Exactly-once under at-least-once foreachBatch: the fold is ADDITIVE (unlike
+    the per-batch-idempotent scd1/argmax sinks), so a batch replayed after a
+    crash between the state write and the checkpoint commit must NOT fold
+    twice. The last-applied ``batch_id`` is therefore committed in the SAME
+    atomic directory swap as the state it produced (a ``_APPLIED_BATCH``
+    sidecar inside the staging dir — see ``Lakehouse.overwrite``), and the fold
+    skips any batch with ``batch_id <= stored``: the standard foreachBatch
+    exactly-once pattern, with no window in which state and marker disagree.
+    Batch ids are monotonically increasing within one checkpoint lineage; a
+    NEW checkpoint against an existing state table must clear the sidecar (or
+    use a fresh table) — the marker deliberately refuses to re-fold history.
+    """
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        applied = lake.read_sidecar(layer, table, "_APPLIED_BATCH")
+        if applied is not None and batch_id <= int(applied):
+            return  # replayed batch: already folded into the committed state
         slice_ = state_fn(batch_df)
         existing = lake.read(spark, layer, table, slice_.schema)
-        lake.overwrite(merge_fn(existing, slice_), layer, table)
+        lake.overwrite(
+            merge_fn(existing, slice_),
+            layer,
+            table,
+            sidecar={"_APPLIED_BATCH": str(batch_id)},
+        )
 
     return (
         stream.writeStream.foreachBatch(fold)

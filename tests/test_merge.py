@@ -202,6 +202,10 @@ def test_generic_upsert_autodetects_partitioning_and_prunes(spark, tmp_path):
     }
     assert untouched
 
+    touched_before = {
+        os.stat(p).st_ino
+        for p in (tmp_path / "cdm" / "mart" / "month=2").rglob("*.parquet")
+    }
     inc = _df(spark, [("b", "v2", 2)], "k string, v string, month int")
     parts = lake.upsert_scd1(spark, inc, "cdm", "mart", schema, ["k", "month"])
     assert parts == [2]  # exactly the touched month
@@ -214,6 +218,13 @@ def test_generic_upsert_autodetects_partitioning_and_prunes(spark, tmp_path):
         for p in (tmp_path / "cdm" / "mart" / f"month={m}").rglob("*.parquet")
     }
     assert after == untouched  # months 1 and 3 never rewritten
+    # ...and the ONE touched partition dir really was rewritten (fresh inodes):
+    # a pruning regression in either direction fails one of these two asserts
+    touched_after = {
+        os.stat(p).st_ino
+        for p in (tmp_path / "cdm" / "mart" / "month=2").rglob("*.parquet")
+    }
+    assert touched_after and touched_after.isdisjoint(touched_before)
 
 
 def test_generic_upsert_falls_back_to_full_swap_when_unpartitioned(spark, tmp_path):
@@ -348,3 +359,80 @@ def test_delete_keys_partition_pruned(spark, tmp_path):
         for p in (tmp_path / "dds" / "t" / f"month={m}").rglob("*.parquet")
     }
     assert after == untouched
+
+
+def test_delete_keys_hive_escaped_partition_values(spark, tmp_path):
+    """Partition values Spark Hive-escapes in dir names (':' -> %3A) must still
+    be found and deleted — dir names are derived from what Spark wrote, never
+    reconstructed from Python values (a naive f'{col}={val}' would silently
+    no-op while reporting a positive removed count)."""
+    from pyspark.sql.types import StructType
+
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    lake = Lakehouse(str(tmp_path))
+    schema = StructType.fromDDL("k string, v string, hour string")
+    lake.overwrite(
+        _df(
+            spark,
+            [("a", "x", "2024-01-01 10:00"), ("b", "y", "2024-01-01 10:00"), ("c", "z", "2024-01-01 11:00")],
+            "k string, v string, hour string",
+        ),
+        "dds", "t", partition_by=["hour"],
+    )
+    # the ':' really is escaped on disk — the f-string dir name would not exist
+    assert not (tmp_path / "dds" / "t" / "hour=2024-01-01 10:00").exists()
+    gone = spark.createDataFrame([("b", "2024-01-01 10:00")], "k string, hour string")
+    assert lake.delete_keys(spark, "dds", "t", schema, gone, ["k"]) == 1
+    out = {r.k for r in lake.read(spark, "dds", "t", schema).collect()}
+    assert out == {"a", "c"}
+
+
+def test_delete_keys_full_partition_erasure_removes_dir(spark, tmp_path):
+    """Deleting every row of a partition removes its directory (no stale data),
+    and the removed count reflects the post-swap state."""
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    lake = Lakehouse(str(tmp_path))
+    schema = StructType.fromDDL("k string, v string, month int")
+    lake.overwrite(
+        _df(spark, [("a", "x", 1), ("b", "y", 1), ("c", "z", 2)], "k string, v string, month int"),
+        "dds", "t", partition_by=["month"],
+    )
+    keep = {
+        p: os.stat(p).st_ino
+        for p in (tmp_path / "dds" / "t" / "month=2").rglob("*.parquet")
+    }
+    gone = spark.createDataFrame([("a", 1), ("b", 1)], "k string, month int")
+    assert lake.delete_keys(spark, "dds", "t", schema, gone, ["k"]) == 2
+    assert not (tmp_path / "dds" / "t" / "month=1").exists()
+    assert {r.k for r in lake.read(spark, "dds", "t", schema).collect()} == {"c"}
+    after = {
+        p: os.stat(p).st_ino
+        for p in (tmp_path / "dds" / "t" / "month=2").rglob("*.parquet")
+    }
+    assert after == keep  # untouched partition never rewritten
+    # no stash/tmp litter after a clean run
+    assert not list(tmp_path.glob("dds/*__stash*")) and not list(tmp_path.glob("dds/*__tmp*"))
+
+
+def test_detect_partition_col_ignores_versioned_snapshot_dirs(spark, tmp_path):
+    """A versioned table's v=N snapshot dirs look Hive-partitioned; detection
+    must return None (routing an upsert to the pruned path would corrupt the
+    snapshot layout — especially when the data itself has a column named 'v')."""
+    from pyspark.sql.types import StructType
+
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    lake = Lakehouse(str(tmp_path))
+    schema = StructType.fromDDL("k string, v string, ts int")
+    df = _df(spark, [("a", "x", 1)])
+    lake.overwrite_versioned(df, "dds", "snap")
+    assert lake.detect_partition_col("dds", "snap") is None
+    # generic upsert therefore takes the safe full-swap path, not the pruned one
+    inc = _df(spark, [("a", "y", 2)])
+    assert lake.upsert_scd1(spark, inc, "dds", "snap2", schema, ["k"]) == []

@@ -220,3 +220,53 @@ def test_stream_fold_state_restart_is_exactly_once(spark, tmp_path):
     _write_batch(spark, src, [("a", 10)], schema)
     drain()  # only the new file folds in
     assert read() == {"a": 11, "b": 2}
+
+
+def test_stream_fold_state_batch_replay_does_not_double_fold(spark, tmp_path):
+    """At-least-once replay protection: foreachBatch may re-deliver a batch
+    whose state write already committed (crash before the checkpoint commit).
+    Simulated here by draining the SAME source into the SAME state table from a
+    FRESH checkpoint — every batch id is re-delivered; the _APPLIED_BATCH
+    sidecar (committed atomically with the state swap) must make each replayed
+    fold a no-op instead of doubling the additive state."""
+    from airflow_courier_payout_ledger_pipeline_spark.streaming.ingest import (
+        stream_fold_state,
+    )
+
+    src = tmp_path / "src"
+    schema = "k string, n int"
+    _write_batch(spark, src, [("a", 1), ("b", 2)], schema)
+    lake = Lakehouse(str(tmp_path / "lake"))
+
+    def state_fn(batch):
+        return batch.groupBy("k").agg(F.sum("n").cast("long").alias("total"))
+
+    def merge_fn(existing, s):
+        return (
+            existing.unionByName(s)
+            .groupBy("k")
+            .agg(F.sum("total").cast("long").alias("total"))
+        )
+
+    def drain(ckpt):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = stream_fold_state(
+            stream, lake, "cdm", "state2", state_fn, merge_fn, str(ckpt), "t_fold2"
+        )
+        q.awaitTermination()
+
+    drain(tmp_path / "ck_a")
+    from pyspark.sql.types import StructType
+
+    read = lambda: {
+        r.k: r.total
+        for r in lake.read(
+            spark, "cdm", "state2", StructType.fromDDL("k string, total long")
+        ).collect()
+    }
+    assert read() == {"a": 1, "b": 2}
+    assert lake.read_sidecar("cdm", "state2", "_APPLIED_BATCH") == "0"
+
+    # replay: fresh checkpoint re-delivers batch 0 against the committed state
+    drain(tmp_path / "ck_b")
+    assert read() == {"a": 1, "b": 2}  # NOT doubled
