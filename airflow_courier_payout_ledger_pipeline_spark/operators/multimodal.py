@@ -2,11 +2,18 @@
 metadata, processed by Arrow-batched pandas functions over ``mapInPandas``.
 
 The Spark-side plumbing is real and tested — schema contracts, partition sizing,
-Arrow batch shapes, deterministic outputs. The actual codec calls are stubbed
-behind ``decode_image_stub`` (the container ships no PIL/ffmpeg): the stub parses a
-tiny deterministic fake header instead of JPEG markers, so tests validate the full
-dataflow (binary in → feature vectors out) byte-for-byte. Swap ``_decode`` for a
-real decoder without touching any Spark code.
+Arrow batch shapes, deterministic outputs. Each decoder is a format CHAIN:
+
+- a deterministic synthetic format (FIMG/FVID/FAUD) whose closed-form pixels/
+  samples let SQL oracles hash-check the decoded output end-to-end;
+- a real, dependency-free format parsed with the stdlib (binary PPM images,
+  RIFF/WAV audio via ``wave``, YUV4MPEG2 video) — exercised by tests in THIS
+  container;
+- an optional library binding (Pillow / soundfile / PyAV), feature-detected at
+  call time, for JPEG/PNG/FLAC/MP4 in deployments that install them.
+
+An undecodable payload raises, exactly like a real decoder would — no Spark
+code changes between backends.
 
 Scale notes: ``mapInPandas`` streams Arrow batches (no per-row pickling);
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds decoder memory; binary
@@ -67,17 +74,48 @@ def synthesize_payloads(media: DataFrame, batch_rows: int = 256) -> DataFrame:
     return media.mapInPandas(gen, MEDIA_SCHEMA)
 
 
-def _decode(payload: bytes) -> tuple[int, int, int, bytes]:
-    """STUB decode — replace with PIL/libvips in production.
+def _decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Binary PPM (``P6``) decode, pure stdlib: header tokens w, h, maxval
+    (``#`` comments allowed), then w*h*3 raw RGB bytes."""
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    w, h, _maxval = tokens
+    body = payload[pos + 1 : pos + 1 + w * h * 3]
+    return w, h, 3, body
 
-    Raises on a foreign format exactly like a real decoder would."""
-    if len(payload) < FAKE_HEADER.size or payload[:4] != b"FIMG":
+
+def _decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Image decode chain: the deterministic FIMG test format, then binary PPM
+    (a real format, stdlib-parsed), then Pillow if installed (JPEG/PNG/...).
+    Raises on an undecodable format exactly like a real decoder would —
+    feeding e.g. WebP without Pillow present is a deployment gap, not silent
+    garbage."""
+    if payload[:4] == b"FIMG" and len(payload) >= FAKE_HEADER.size:
+        _, w, h, c = FAKE_HEADER.unpack(payload[: FAKE_HEADER.size])
+        return w, h, c, payload[FAKE_HEADER.size :]
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    try:  # optional real-codec binding; the container ships without Pillow
+        import io  # noqa: PLC0415
+
+        from PIL import Image  # noqa: PLC0415
+
+        img = Image.open(io.BytesIO(payload))
+        return img.width, img.height, len(img.getbands()), img.tobytes()
+    except ImportError:
         raise NotImplementedError(
-            "real image codecs are not available in this environment; "
-            "payload is not in the deterministic FIMG test format"
-        )
-    _, w, h, c = FAKE_HEADER.unpack(payload[: FAKE_HEADER.size])
-    return w, h, c, payload[FAKE_HEADER.size :]
+            "payload is neither FIMG nor PPM and Pillow is not installed; "
+            "install Pillow to decode JPEG/PNG/WebP payloads"
+        ) from None
 
 
 def extract_image_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
@@ -156,15 +194,61 @@ def synthesize_video_payloads(media: DataFrame) -> DataFrame:
     return media.mapInPandas(gen, VIDEO_SCHEMA)
 
 
+def _decode_y4m(payload: bytes) -> tuple[int, int, int, bytes]:
+    """YUV4MPEG2 (``.y4m``) demux, pure stdlib: text header with W/H/C tags,
+    then ``FRAME\\n`` + raw planar frames. Returns concatenated luma (Y)
+    planes — the grayscale contract the frame sampler consumes."""
+    nl = payload.index(b"\n")
+    w = h = 0
+    chroma = b"420"
+    for tag in payload[:nl].split(b" ")[1:]:
+        if tag[:1] == b"W":
+            w = int(tag[1:])
+        elif tag[:1] == b"H":
+            h = int(tag[1:])
+        elif tag[:1] == b"C":
+            chroma = tag[1:]
+    luma = w * h
+    frame_bytes = {
+        b"420": luma * 3 // 2, b"420jpeg": luma * 3 // 2, b"420mpeg2": luma * 3 // 2,
+        b"422": luma * 2, b"444": luma * 3, b"mono": luma,
+    }[chroma]
+    pos, planes = nl + 1, []
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)  # "FRAME" + optional params
+        planes.append(payload[fnl + 1 : fnl + 1 + luma])
+        pos = fnl + 1 + frame_bytes
+    return len(planes), w, h, b"".join(planes)
+
+
 def _decode_video(payload: bytes) -> tuple[int, int, int, bytes]:
-    """STUB container demux — replace with ffmpeg/pyav in production."""
-    if len(payload) < FAKE_VIDEO_HEADER.size or payload[:4] != b"FVID":
+    """Video demux chain: the deterministic FVID test format, then YUV4MPEG2
+    (a real uncompressed container, stdlib-parsed), then PyAV if installed
+    (MP4/MKV/...). Raises on an undecodable container like a real demuxer
+    would."""
+    if payload[:4] == b"FVID" and len(payload) >= FAKE_VIDEO_HEADER.size:
+        _, n_frames, w, h = FAKE_VIDEO_HEADER.unpack(payload[: FAKE_VIDEO_HEADER.size])
+        return n_frames, w, h, payload[FAKE_VIDEO_HEADER.size :]
+    if payload[:9] == b"YUV4MPEG2":
+        return _decode_y4m(payload)
+    try:  # optional real-codec binding; the container ships without PyAV
+        import io  # noqa: PLC0415
+
+        import av  # noqa: PLC0415
+
+        frames = []
+        with av.open(io.BytesIO(payload)) as container:
+            for frame in container.decode(video=0):
+                g = frame.reformat(format="gray8")
+                frames.append(bytes(g.planes[0]))
+        if not frames:
+            raise ValueError("container has no decodable video frames")
+        return len(frames), frame.width, frame.height, b"".join(frames)
+    except ImportError:
         raise NotImplementedError(
-            "real video codecs are not available in this environment; "
-            "payload is not in the deterministic FVID test format"
-        )
-    _, n_frames, w, h = FAKE_VIDEO_HEADER.unpack(payload[: FAKE_VIDEO_HEADER.size])
-    return n_frames, w, h, payload[FAKE_VIDEO_HEADER.size :]
+            "payload is neither FVID nor YUV4MPEG2 and PyAV is not installed; "
+            "install av to demux MP4/MKV payloads"
+        ) from None
 
 
 def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
@@ -255,16 +339,41 @@ def synthesize_audio_payloads(media: DataFrame) -> DataFrame:
     return media.mapInPandas(gen, AUDIO_SCHEMA)
 
 
-def _decode_audio(payload: bytes) -> tuple[int, int, int, bytes]:
-    """STUB decode — replace with soundfile/ffmpeg in production. Raises on a
-    foreign format exactly like a real decoder would."""
-    if len(payload) < FAKE_AUDIO_HEADER.size or payload[:4] != b"FAUD":
+def _decode_audio(payload: bytes):
+    """Audio decode chain → ``(sample_rate, n_samples, channels, samples)``
+    with ``samples`` an int64 ndarray (first channel): the deterministic FAUD
+    test format, then RIFF/WAV via the stdlib ``wave`` module (a real codec
+    path with zero dependencies), then soundfile if installed (FLAC/OGG/...).
+    Raises on an undecodable format exactly like a real decoder would."""
+    import numpy as np  # noqa: PLC0415
+
+    if payload[:4] == b"FAUD" and len(payload) >= FAKE_AUDIO_HEADER.size:
+        _, sr, n, c = FAKE_AUDIO_HEADER.unpack(payload[: FAKE_AUDIO_HEADER.size])
+        s = np.frombuffer(payload[FAKE_AUDIO_HEADER.size :], dtype=">i2").astype(np.int64)
+        return sr, n, c, s
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import io  # noqa: PLC0415
+        import wave  # noqa: PLC0415
+
+        with wave.open(io.BytesIO(payload), "rb") as f:
+            sr, c, n = f.getframerate(), f.getnchannels(), f.getnframes()
+            width = f.getsampwidth()
+            raw = f.readframes(n)
+        dtype = {1: np.int8, 2: "<i2", 4: "<i4"}[width]
+        s = np.frombuffer(raw, dtype=dtype).astype(np.int64)[::c]  # first channel
+        return sr, n, c, s
+    try:  # optional real-codec binding; the container ships without soundfile
+        import io  # noqa: PLC0415
+
+        import soundfile as sf  # noqa: PLC0415
+
+        data, sr = sf.read(io.BytesIO(payload), dtype="int16", always_2d=True)
+        return sr, data.shape[0], data.shape[1], data[:, 0].astype(np.int64)
+    except ImportError:
         raise NotImplementedError(
-            "real audio codecs are not available in this environment; "
-            "payload is not in the deterministic FAUD test format"
-        )
-    _, sr, n, c = FAKE_AUDIO_HEADER.unpack(payload[: FAKE_AUDIO_HEADER.size])
-    return sr, n, c, payload[FAKE_AUDIO_HEADER.size :]
+            "payload is neither FAUD nor RIFF/WAV and soundfile is not "
+            "installed; install soundfile to decode FLAC/OGG payloads"
+        ) from None
 
 
 def extract_audio_features(media: DataFrame) -> DataFrame:
@@ -290,8 +399,7 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                 )
             }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                sr, n, _c, body = _decode_audio(bytes(payload))
-                s = np.frombuffer(body, dtype=">i2").astype(np.int64)
+                sr, n, _c, s = _decode_audio(bytes(payload))
                 rows["media_id"].append(mid)
                 rows["sample_rate"].append(sr)
                 rows["n_samples"].append(n)
