@@ -316,7 +316,14 @@ ADJUDICATION_WINDOW_FIRST: list[str] = [
     "courier_ledger",
     "courier_ledger_sql",
     "incremental_mart_maintenance",
-    # -- round-4 additions land here (slots 44-50) --
+    # -- round-4 additions (slots 44-50): driver-proven the round they land --
+    "salted_join_agg",
+    "dedup_keep_best",
+    "length_decile_bands",
+    "partition_stats_manifest",
+    "rolling_distinct_users_7d",
+    "minhash_calibration",
+    "decontaminated_corpus",
 ]
 
 
