@@ -591,3 +591,70 @@ def minhash_signatures_inline(
         for j, (a, b) in enumerate(MINHASH_AB[:num_hashes])
     ]
     return with_digests.select("id", *sig_cols)
+
+
+def lsh_probe_pairs(
+    increment_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    bands: int = 4,
+    rows: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Cross-corpus LSH probe: near-dup candidates between an INCREMENT and an
+    already-indexed CORPUS — the O(increment) nightly shape of near-dedup (the
+    exact-dup twin is ``incremental_exact_dedup``). Corpus signatures are the
+    persisted index; history is never re-paired against itself.
+
+    Scale shape: the increment's distinct band hashes are broadcast and the
+    corpus band table is semi-filtered by them FIRST, so bucket capping, pair
+    generation, and agreement scoring all run over O(matched) rows, never
+    O(corpus). ``max_bucket`` caps the corpus-side bucket population per
+    matched (band, band_hash) — the identical-boilerplate pile guard of
+    ``lsh_candidate_pairs``, applied to the probe side."""
+    num_hashes = len([c for c in increment_sigs.columns if c.startswith("h")])
+    hcols = [f"h{j}" for j in range(num_hashes)]
+    inc_b = lsh_bands(increment_sigs, bands, rows).select(
+        F.col("id").alias("inc_id"), "band", "band_hash"
+    )
+    cor_b = lsh_bands(corpus_sigs, bands, rows).select(
+        F.col("id").alias("corpus_id"), "band", "band_hash"
+    )
+    hot = inc_b.select("band", "band_hash").distinct()
+    matched = cor_b.join(F.broadcast(hot), ["band", "band_hash"])
+    if max_bucket is not None:
+        ok = (
+            matched.groupBy("band", "band_hash")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("band", "band_hash")
+        )
+        matched = matched.join(F.broadcast(ok), ["band", "band_hash"])
+    pairs = (
+        inc_b.join(matched, ["band", "band_hash"])
+        .select("inc_id", "corpus_id")
+        .distinct()
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("__sa"),
+            F.col("__sb"),
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    sa = increment_sigs.select(
+        F.col("id").alias("inc_id"), F.array(*hcols).alias("__sa")
+    )
+    sb = corpus_sigs.select(
+        F.col("id").alias("corpus_id"), F.array(*hcols).alias("__sb")
+    )
+    return (
+        pairs.join(sa, "inc_id")
+        .join(sb, "corpus_id")
+        .select(
+            "inc_id",
+            "corpus_id",
+            (agree.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+    )

@@ -3122,3 +3122,200 @@ def q_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+# =====================================================================================
+# Round-4 breadth beyond the full window (r5 rotation candidates — see OPERATORS.md):
+# stream-static enrichment, data-derived mix rates, token budgets, cross-corpus probe.
+# =====================================================================================
+
+STREAM_STATIC_ORACLE = """
+SELECT e.event_id, e.user_id, c.c_name AS user_name,
+       c.c_mktsegment AS segment, e.event_type, e.value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+@register("streaming_static_enrich", STREAM_STATIC_ORACLE)
+def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: an unbounded event stream joined to a
+    batch dimension table. Spark plans the static side as a broadcast into
+    every micro-batch — no stream state at all (unlike stream-stream joins),
+    which is why dimension enrichment is the one join you do freely at any
+    scale. Drained with availableNow and hash-checked against the batch SQL
+    join — stream ≡ batch on bounded input."""
+    from airflow_courier_payout_ledger_pipeline_spark.streaming.events import (
+        read_event_stream,
+        run_available_now,
+    )
+
+    stream = read_event_stream(spark, sf_dir)
+    cust = load_tables(spark, sf_dir, "customer")["customer"].select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_name").alias("user_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    enriched = stream.join(F.broadcast(cust), "user_id").select(
+        "event_id", "user_id", "user_name", "segment", "event_type", "value"
+    )
+    return run_available_now(enriched, "drv_stream_static")
+
+
+# Target mix: named sources get explicit shares, the long tail splits the rest
+# evenly. Rates are DERIVED from the actual per-source counts (two small aggs),
+# not hard-coded — the operator a training-mix planner actually runs.
+_MIX_SHARES = {"src0": 0.4, "src1": 0.2, "src2": 0.1}
+_MIX_OTHER = 0.3 / 17  # remaining share split across the 17 tail sources
+
+# all share arithmetic in IEEE doubles in BOTH engines — bare 0.3/17 would be
+# DECIMAL division in DuckDB (different truncation than Spark's double math)
+TARGET_MIX_ORACLE = f"""
+WITH counts AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+tot AS (SELECT SUM(n_s)::BIGINT AS n FROM counts),
+rates AS (
+    SELECT source, n_s,
+           least(1.0::DOUBLE, ((CASE source
+                         WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.2 WHEN 'src2' THEN 0.1
+                         ELSE 0.3::DOUBLE / 17 END)::DOUBLE
+                       * (tot.n // 2)) / n_s) AS rate
+    FROM counts, tot
+),
+kept AS (
+    SELECT d.source,
+           CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+                     < floor(r.rate * 65536) THEN 1 ELSE 0 END AS keep
+    FROM documents d JOIN rates r USING (source)
+)
+SELECT r.source, r.n_s AS n_candidates, SUM(k.keep)::BIGINT AS n_kept,
+       round(r.rate, 6) AS applied_rate
+FROM kept k JOIN rates r USING (source)
+GROUP BY 1, 2, 4
+"""
+
+
+@register("target_mix_sample", TARGET_MIX_ORACLE)
+def q_target_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix sampling with DATA-DERIVED rates: per-source keep rates are
+    computed from target shares × a total budget (half the corpus) over the
+    actual per-source counts, then applied as the same deterministic
+    md5-threshold predicate ``stratified_sample`` uses. The rates table is
+    tiny (|sources| rows, broadcast); the corpus pass stays a zero-shuffle
+    map-side filter. Up-capped at 1.0 — a source smaller than its target share
+    contributes everything it has."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    total = counts.agg(F.sum("n_s").cast("bigint").alias("n"))
+    share = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(v))
+            for s, v in _MIX_SHARES.items()
+        ],
+        F.lit(_MIX_OTHER),
+    )
+    rates = counts.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_s",
+        F.least(F.lit(1.0), share * F.expr("n div 2") / F.col("n_s")).alias("rate"),
+    )
+    draw = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .select(
+            "source",
+            "n_s",
+            "rate",
+            F.when(draw < F.floor(F.col("rate") * 65536), 1).otherwise(0).alias("keep"),
+        )
+    )
+    return kept.groupBy(
+        "source", F.col("n_s").alias("n_candidates"), F.round("rate", 6).alias("applied_rate")
+    ).agg(F.sum("keep").cast("bigint").alias("n_kept")).select(
+        "source", "n_candidates", "n_kept", "applied_rate"
+    )
+
+
+TOKEN_BUDGET = 30_000  # chars per source (stand-in for a per-domain token budget)
+
+TOKEN_BUDGET_ORACLE = f"""
+WITH ordered AS (
+    SELECT doc_id, source, n_chars,
+           SUM(n_chars) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS cum
+    FROM documents
+)
+SELECT doc_id, source, (cum - n_chars)::BIGINT AS chars_before
+FROM ordered WHERE cum - n_chars < {TOKEN_BUDGET}
+"""
+
+
+@register("token_budget_cap", TOKEN_BUDGET_ORACLE)
+def q_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TOKEN-budget cap (the volume twin of per_source_cap's row
+    cap): documents admitted in deterministic md5 order until the source's
+    budget is spent — a doc is kept iff the budget wasn't already exhausted
+    before it. One window per source partition (key-partitioned, never
+    global); the md5 order makes the admitted set reproducible across runs
+    and cluster sizes."""
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = docs.select(
+        "doc_id",
+        "source",
+        (F.sum("n_chars").over(w) - F.col("n_chars")).cast("bigint").alias("chars_before"),
+    )
+    return out.filter(F.col("chars_before") < TOKEN_BUDGET)
+
+
+CROSS_PROBE_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+bands AS ({_BANDS_SQL}),
+inc_b AS (SELECT id AS inc_id, band, band_hash FROM bands WHERE id % 5 = 0),
+cor_b AS (SELECT id AS corpus_id, band, band_hash FROM bands WHERE id % 5 != 0),
+hot AS (SELECT DISTINCT band, band_hash FROM inc_b),
+matched AS (SELECT c.* FROM cor_b c JOIN hot USING (band, band_hash)),
+ok AS (
+    SELECT band, band_hash FROM matched
+    GROUP BY 1, 2 HAVING count(*) <= {LSH_MAX_BUCKET}
+),
+capped AS (SELECT m.* FROM matched m JOIN ok USING (band, band_hash)),
+pairs AS (
+    SELECT DISTINCT i.inc_id, c.corpus_id
+    FROM inc_b i JOIN capped c USING (band, band_hash)
+)
+SELECT p.inc_id, p.corpus_id, ({_AGREE_SQL}) / {NUM_HASHES}.0 AS est_jaccard
+FROM pairs p JOIN sig sa ON p.inc_id = sa.id JOIN sig sb ON p.corpus_id = sb.id
+"""
+
+
+@register("dedup_cross_corpus", CROSS_PROBE_ORACLE)
+def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dedup: tonight's increment (doc_id % 5 = 0 stands in)
+    LSH-probed against the persisted corpus signature index — candidates and
+    estimates only for increment×corpus, never corpus×corpus. The increment's
+    band hashes are broadcast and the corpus band table is filtered by them
+    before any capping or pairing, so the whole probe is O(increment +
+    matched), the nightly cost a 100 TB near-dedup actually pays
+    (operators/dedup.lsh_probe_pairs; exact-dup twin: dedup_incremental)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import (
+        lsh_probe_pairs,
+        minhash_signatures_inline,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    sigs = minhash_signatures_inline(docs, "doc_id", "text", k=9, num_hashes=NUM_HASHES)
+    inc = sigs.filter(F.col("id") % 5 == 0)
+    corpus = sigs.filter(F.col("id") % 5 != 0)
+    return lsh_probe_pairs(
+        inc, corpus, BANDS, ROWS_PER_BAND, max_bucket=LSH_MAX_BUCKET
+    )
