@@ -68,3 +68,20 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull())
     return clean, bad
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """ORC with declared schema — the other columnar interchange format a
+    lakehouse edge receives (Hive/Trino estates). Columnar like parquet:
+    column pruning and predicate pushdown apply, so unlike CSV/JSONL an ORC
+    table is queryable in place; promotion to parquet is a convention choice,
+    not a performance rescue."""
+    return spark.read.schema(schema).orc(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC writer (interchange with Hive/Trino consumers)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

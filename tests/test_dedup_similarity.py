@@ -172,3 +172,57 @@ def test_text_quality_and_lang_and_fingerprint(spark):
     )
     fp2 = df2.select(fingerprint(F.col("text")).alias("fp")).first().fp
     assert fp2 == rows[0].fp
+
+
+def test_lsh_probe_is_restriction_of_self_join_pairs(spark):
+    """Cross-corpus probe soundness: probing increment sigs against corpus sigs
+    must yield exactly the self-join candidate pairs restricted to
+    increment x corpus (same bands/rows, no bucket cap), with identical
+    estimates."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_probe_pairs,
+        minhash_signatures_inline,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again!",  # near-dup
+        "a completely different document about distributed query engines",
+        "the quick brown fox jumps over the lazy cat again and again",
+        "yet another unrelated text concerning parquet column pruning",
+    ]
+    docs = _docs(spark, texts)
+    sigs = minhash_signatures_inline(docs, "doc_id", "text", k=9, num_hashes=12)
+    inc = sigs.filter(F.col("id") % 2 == 0)
+    corpus = sigs.filter(F.col("id") % 2 == 1)
+
+    probe = {
+        (r.inc_id, r.corpus_id): round(r.est_jaccard, 6)
+        for r in lsh_probe_pairs(inc, corpus, 4, 3).collect()
+    }
+    self_pairs = {}
+    for r in lsh_candidate_pairs(sigs, 4, 3).collect():
+        a, b = r.id_a, r.id_b
+        if a % 2 == 0 and b % 2 == 1:
+            self_pairs[(a, b)] = round(r.est_jaccard, 6)
+        elif b % 2 == 0 and a % 2 == 1:
+            self_pairs[(b, a)] = round(r.est_jaccard, 6)
+    assert probe == self_pairs and probe  # non-trivial: the near-dup pair found
+
+
+def test_lsh_probe_bucket_cap_drops_pile(spark):
+    """max_bucket on the probe caps the CORPUS-side bucket population: a pile
+    of identical corpus docs larger than the cap produces no candidates."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import (
+        lsh_probe_pairs,
+        minhash_signatures_inline,
+    )
+
+    pile = ["identical boilerplate text repeated in every mirror copy"] * 6
+    docs = _docs(spark, pile)
+    sigs = minhash_signatures_inline(docs, "doc_id", "text", k=9, num_hashes=12)
+    inc = sigs.filter(F.col("id") == 0)
+    corpus = sigs.filter(F.col("id") != 0)
+    assert lsh_probe_pairs(inc, corpus, 4, 3, max_bucket=3).count() == 0
+    assert lsh_probe_pairs(inc, corpus, 4, 3, max_bucket=10).count() == 5

@@ -40,3 +40,26 @@ def test_csv_declared_schema_and_corrupt_capture(spark, tmp_path):
     assert {(r.delivery_key, r.sum) for r in clean.collect()} == {("d1", 10.5), ("d3", 7.25)}
     # collect, not count: corrupt-column-only queries are unsupported by Spark
     assert len(bad.collect()) == 1  # the unparseable 'sum' lands in quarantine
+
+
+def test_orc_roundtrip_with_pruning(spark, tmp_path):
+    """ORC interchange: roundtrip preserves values, and a projection prunes
+    columns at the scan (ReadSchema excludes the unused column)."""
+    from pyspark.sql.types import StructType
+
+    from airflow_courier_payout_ledger_pipeline_spark.sources.files import (
+        read_orc,
+        write_orc,
+    )
+
+    schema = StructType.fromDDL("k string, v int, extra string")
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 2, "y")], schema
+    )
+    path = str(tmp_path / "t.orc")
+    write_orc(df, path)
+    back = read_orc(spark, path, schema)
+    assert {(r.k, r.v, r.extra) for r in back.collect()} == {("a", 1, "x"), ("b", 2, "y")}
+    plan = back.select("k").queryExecution if False else back.select("k")
+    phys = plan._jdf.queryExecution().executedPlan().toString()
+    assert "extra" not in phys.split("ReadSchema")[-1]

@@ -94,3 +94,32 @@ def test_incremental_dedup_flags(spark):
     # 12 exact dup of 11; 13 dup after normalization (case/whitespace fold)
     assert out[12].dup_within_increment and not out[12].keep
     assert out[13].dup_within_increment and not out[13].keep
+
+
+def test_token_budget_cap_invariants(spark):
+    """Budget admission: per source, admitted chars_before < budget for every
+    kept row, the admitted set is a deterministic prefix (same output under
+    different partition counts), and at least one doc is admitted per
+    non-empty source (the first one, whatever its size)."""
+    from airflow_courier_payout_ledger_pipeline_spark.queries_ext import TOKEN_BUDGET
+    from airflow_courier_payout_ledger_pipeline_spark.registry import all_queries
+
+    q = all_queries()["token_budget_cap"]
+    out = q(spark, "/root/testdata/sf0.001").collect()
+    assert out
+    by_source = {}
+    for r in out:
+        by_source.setdefault(r.source, []).append(r)
+        assert r.chars_before < TOKEN_BUDGET
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_sources = docs.select("source").distinct().count()
+    assert len(by_source) == n_sources  # every source admits >= 1 doc
+
+    # determinism under a different partitioning of the input
+    repart = {(r.doc_id, r.source, r.chars_before) for r in out}
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        again = {(r.doc_id, r.source, r.chars_before) for r in q(spark, "/root/testdata/sf0.001").collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert again == repart
