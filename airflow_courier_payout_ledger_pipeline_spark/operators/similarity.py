@@ -361,3 +361,32 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("sim") >= F.lit(threshold))
     )
+
+
+def kmeans_centroids_mllib(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0,
+    max_iter: int = 3,
+) -> list[tuple[int, list[float]]]:
+    """The documented large-quantizer handoff made concrete: past the
+    k·dim ≲ 10⁴ unrolled-literal bound of ``_assign_to_centroids`` /
+    ``kmeans_centroids``, train the coarse quantizer with MLlib KMeans
+    (broadcast centroid matrix + vectorized assignment inside the JVM) and
+    feed the fitted centers straight into ``ivf_topk`` — the search topology
+    (inverted lists, nprobe probing, list-restricted top-k) is unchanged.
+
+    Deterministic for a fixed ``seed``. Returns the same
+    ``[(centroid_id, vector), ...]`` layout as ``kmeans_centroids``."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    data = emb.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter, initMode="k-means||").fit(data)
+    return [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]

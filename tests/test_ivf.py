@@ -64,3 +64,34 @@ def test_ivf_multiprobe_widens_candidates_and_recovers_recall(clustered):
     assert {(r.query_id, r.rank, r.neighbor_id) for r in probe2.collect()} == {
         (r.query_id, r.rank, r.neighbor_id) for r in brute.collect()
     }
+
+
+def test_mllib_quantizer_feeds_same_search_topology(spark):
+    """The large-scale quantizer path: MLlib-trained centers drive ivf_topk
+    unchanged — k centers come back in the canonical layout, the search
+    returns well-formed ranked neighbors, and nprobe=2 recall is at least
+    nprobe=1 recall against the exact brute-force top-k."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids_mllib,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = kmeans_centroids_mllib(emb, k=4, seed=7)
+    assert len(cents) == 4 and all(len(v) > 0 for _, v in cents)
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(nprobe):
+        got = ivf_topk(emb, queries, cents, k=5, nprobe=nprobe).collect()
+        for r in got:
+            assert -1.0 <= r.sim <= 1.0 and 1 <= r.rank <= 5
+        return len({(r.query_id, r.neighbor_id) for r in got} & exact) / len(exact)
+
+    r1, r2 = recall(1), recall(2)
+    assert 0.0 < r1 <= r2 <= 1.0
