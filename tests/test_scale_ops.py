@@ -118,3 +118,21 @@ def test_key_skew_profile_flags_hot_key(spark):
     out = {r.k: (r.n, r.is_hot) for r in key_skew_profile(df, "k").collect()}
     assert out["hot"] == (30, True)
     assert all(not hot for k, (_, hot) in out.items() if k != "hot")
+
+
+def test_approx_sketches_bound_error_vs_exact(spark):
+    """The documented at-scale substitutes (SCALE.md): HLL approx distinct and
+    approx percentile must land within their stated error of the exact values
+    computed on the same data — the evidence that swapping them in at 100 TB
+    (where exact distinct/percentile shuffles dominate) is a bounded trade."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    exact_d, approx_d, exact_p50, approx_p50 = ev.select(
+        F.countDistinct("user_id").alias("d"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("ad"),
+        F.expr("percentile(value, 0.5)").alias("p"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("ap"),
+    ).first()
+    assert abs(approx_d - exact_d) <= max(3, 0.06 * exact_d)  # 3 sigma of rsd
+    assert abs(approx_p50 - exact_p50) <= 0.01 * max(1.0, abs(exact_p50))

@@ -1,0 +1,53 @@
+"""Shuffle-budget regression guard for the bench surface: every headline query's
+count of shuffle Exchanges (BroadcastExchange excluded — broadcasts are the
+cheap alternative we WANT) is pinned at its current value. A code or Catalyst
+change that adds a shuffle to a hot query fails here long before it shows up as
+a bench regression; budgets are exact today's counts, so tightening is free and
+loosening is a reviewed decision.
+"""
+
+from airflow_courier_payout_ledger_pipeline_spark.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+#: name -> max shuffle Exchanges (current exact counts at sf0.001, AQE on)
+SHUFFLE_BUDGET = {
+    "courier_ledger": 2,  # fact⨝orders join + final groupBy (3 dims broadcast)
+    "dim_lookup_join": 0,  # both dims broadcast
+    "filtered_agg": 1,
+    "tier_payout": 1,
+    "watermark_filter": 0,  # pure scan+filter
+    "scd0_insert_ignore": 1,
+    "scd1_upsert": 2,
+    "timestamp_dim": 1,  # the DISTINCT
+    "json_extract": 0,
+    "dedup_exact": 1,  # fingerprint groupBy
+    "dedup_minhash_lsh": 3,  # signature agg + bucket agg + pair dedup
+    "similarity_topk": 1,
+    "text_stats": 0,  # fully map-side
+    "event_windows_tumbling": 1,
+    "event_sessionization": 1,  # one user_id partitioning for both windows
+    "stratified_sample": 0,  # zero-shuffle md5 filter
+    "sequence_packing": 2,  # range partition + bin rollup
+    "zorder_values": 0,
+    "topk_per_group": 1,
+    "salted_join_agg": 1,  # salted dim still broadcasts; one agg shuffle
+    "rolling_distinct_users_7d": 4,  # (day,user) distinct + spine + 2-phase distinct agg
+}
+
+
+def test_headline_queries_stay_within_shuffle_budget(spark):
+    qs = all_queries()
+    over = {}
+    for name, budget in SHUFFLE_BUDGET.items():
+        plan = qs[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+        shuffles = len(
+            [
+                line
+                for line in plan.splitlines()
+                if "Exchange" in line and "BroadcastExchange" not in line
+            ]
+        )
+        if shuffles > budget:
+            over[name] = (shuffles, budget)
+    assert not over, f"shuffle budget exceeded (got, budget): {over}"
