@@ -3319,3 +3319,77 @@ def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_probe_pairs(
         inc, corpus, BANDS, ROWS_PER_BAND, max_bucket=LSH_MAX_BUCKET
     )
+
+
+CDC_ROUNDTRIP_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 11 = 0 THEN o_orderstatus || 'X' ELSE o_orderstatus END
+           AS status,
+       CAST(o_totalprice AS DECIMAL(14,2)) AS price
+FROM orders WHERE o_orderkey % 5 != 0
+"""
+
+
+@register("cdc_apply_roundtrip", CDC_ROUNDTRIP_ORACLE)
+def q_cdc_apply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC round-trip law, driver-checked: diff two order snapshots
+    (yesterday = keys % 7 != 0; today = keys % 5 != 0 with % 11 == 0 statuses
+    mutated), then APPLY the changelog back onto yesterday — the result must
+    hash-equal today's snapshot computed directly (the oracle). Proves
+    snapshot_diff and apply_changelog are exact inverses over adds, drops,
+    changes, and pass-throughs, i.e. ship-the-diff replication reconstructs
+    the table exactly (operators/merge.snapshot_diff / apply_changelog)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.merge import (
+        apply_changelog,
+        snapshot_diff,
+    )
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("decimal(14,2)").alias("price"),
+    )
+    old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "status",
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.concat(F.col("status"), F.lit("X"))
+        ).otherwise(F.col("status")),
+    )
+    diff = snapshot_diff(old, new, ["o_orderkey"], ["status", "price"])
+    return apply_changelog(old, diff, ["o_orderkey"], ["status", "price"])
+
+
+TRANSITIONS_ORACLE = """
+WITH o AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+    FROM events
+)
+SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n_transitions
+FROM o WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@register("event_transitions", TRANSITIONS_ORACLE)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (the Markov-chain input of user-journey
+    analysis): per-user lag over (ts, event_id) — deterministic under
+    timestamp ties — then one global count per (from, to) pair. The window is
+    user-partitioned; the final agg is |types|² rows regardless of SF."""
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = events.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        o.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
