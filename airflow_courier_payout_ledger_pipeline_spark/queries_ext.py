@@ -3393,3 +3393,115 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type"))
         .agg(F.count("*").alias("n_transitions"))
     )
+
+
+K_ANON = 5
+
+K_ANONYMITY_ORACLE = f"""
+SELECT c_nationkey AS nation_key, c_mktsegment AS segment,
+       count(*) AS group_size,
+       count(*) >= {K_ANON} AS meets_k
+FROM customer GROUP BY 1, 2
+"""
+
+
+@register("k_anonymity_audit", K_ANONYMITY_ORACLE)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy governance: k-anonymity audit over the quasi-identifier tuple
+    (nation, market segment) — groups smaller than k are re-identification
+    risks a release/training-data policy must suppress or generalize. One
+    grouped count; the output is |QI-combinations| rows regardless of SF, and
+    the same grouping feeds the suppression step (filter meets_k) at no extra
+    shuffle."""
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    return cust.groupBy(
+        F.col("c_nationkey").alias("nation_key"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(
+        F.count("*").alias("group_size"),
+        (F.count("*") >= K_ANON).alias("meets_k"),
+    )
+
+
+# Winsorization thresholds as integer RANKS (ceil(n/20), ceil(19n/20)) over the
+# per-type cents histogram — no float percentile math anywhere, so both engines
+# pick identical thresholds by construction.
+WINSORIZE_ORACLE = """
+WITH c AS (
+    SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events
+),
+h AS (SELECT event_type, cents, count(*) AS cnt FROM c GROUP BY 1, 2),
+cum AS (
+    SELECT event_type, cents, cnt,
+           SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cm,
+           SUM(cnt) OVER (PARTITION BY event_type) AS n
+    FROM h
+),
+thr AS (
+    SELECT event_type,
+           min(CASE WHEN cm >= (n + 19) // 20 THEN cents END) AS lo,
+           min(CASE WHEN cm >= (19 * n + 19) // 20 THEN cents END) AS hi
+    FROM cum GROUP BY 1
+)
+SELECT c.event_type,
+       count(*) AS n_values,
+       (t.lo::DOUBLE / 100) AS p05,
+       (t.hi::DOUBLE / 100) AS p95,
+       SUM(CASE WHEN c.cents < t.lo THEN 1 WHEN c.cents > t.hi THEN 1 ELSE 0 END)::BIGINT
+           AS n_clipped,
+       (SUM(least(greatest(c.cents, t.lo), t.hi))::DOUBLE / 100) AS winsorized_sum
+FROM c JOIN thr t USING (event_type)
+GROUP BY 1, 3, 4
+"""
+
+
+@register("value_winsorize", WINSORIZE_ORACLE)
+def q_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact winsorization (outlier clipping at p05/p95) with engine-portable
+    thresholds: per-type integer-cents histogram → cumulative counts →
+    thresholds picked by integer RANK (ceil(n/20), ceil(19n/20)) — no float
+    percentile interpolation, so any engine picks the same cents. The
+    histogram window is per-type over |distinct cents| rows; the thresholds
+    table (|types| rows) broadcasts back into a map-side clip. The standard
+    pre-normalization step before value statistics feed a training mix."""
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    c = events.select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("bigint").alias("cents")
+    )
+    h = c.groupBy("event_type", "cents").agg(F.count("*").alias("cnt"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = h.select(
+        "event_type",
+        "cents",
+        F.sum("cnt").over(wcum).alias("cm"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    thr = cum.groupBy("event_type").agg(
+        F.min(F.when(F.col("cm") >= F.expr("(n + 19) div 20"), F.col("cents"))).alias("lo"),
+        F.min(F.when(F.col("cm") >= F.expr("(19 * n + 19) div 20"), F.col("cents"))).alias("hi"),
+    )
+    clipped = c.join(F.broadcast(thr), "event_type").select(
+        "event_type",
+        "lo",
+        "hi",
+        F.when(F.col("cents") < F.col("lo"), 1)
+        .when(F.col("cents") > F.col("hi"), 1)
+        .otherwise(0)
+        .alias("was_clipped"),
+        F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi")).alias("w"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count("*").alias("n_values"),
+        (F.first("lo").cast("double") / 100).alias("p05"),
+        (F.first("hi").cast("double") / 100).alias("p95"),
+        F.sum("was_clipped").cast("bigint").alias("n_clipped"),
+        (F.sum("w").cast("double") / 100).alias("winsorized_sum"),
+    )
