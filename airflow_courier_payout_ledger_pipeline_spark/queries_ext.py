@@ -3505,3 +3505,51 @@ def q_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("was_clipped").cast("bigint").alias("n_clipped"),
         (F.sum("w").cast("double") / 100).alias("winsorized_sum"),
     )
+
+
+W_CAP = 2000  # weight cap: chars beyond this add no selection mass
+
+WEIGHTED_SAMPLE_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, source, n_chars, least(n_chars, {W_CAP})::BIGINT AS wt
+    FROM documents
+),
+k AS (
+    SELECT source, n_chars,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                     * {W_CAP} < 65536 * wt
+                THEN 1 ELSE 0 END AS keep
+    FROM w
+)
+SELECT source, count(*) AS n_docs, SUM(keep)::BIGINT AS n_kept,
+       SUM(CASE WHEN keep = 1 THEN n_chars ELSE 0 END)::BIGINT AS kept_chars
+FROM k GROUP BY 1
+"""
+
+
+@register("weighted_sample", WEIGHTED_SAMPLE_ORACLE)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional (importance) sampling: each document kept with
+    probability weight/cap, weight = min(n_chars, cap) — the up-weight-long-
+    documents policy of token-aware corpus subsampling. The Bernoulli draw is
+    PURE INTEGER arithmetic (draw16 · cap < 65536 · weight): no float rate
+    anywhere, so the kept set is bit-identical on any engine, partitioning,
+    or cluster size, and the filter is a zero-shuffle map-side predicate fused
+    into the scan (cf. stratified_sample's fixed-rate variant)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    draw = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    wt = F.least(F.col("n_chars"), F.lit(W_CAP)).cast("long")
+    k = docs.select(
+        "source",
+        "n_chars",
+        F.when(draw * W_CAP < 65536 * wt, 1).otherwise(0).alias("keep"),
+    )
+    return k.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("keep").cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("keep") == 1, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chars"),
+    )
