@@ -320,11 +320,18 @@ class Lakehouse:
         existing = self.read(spark, layer, table, schema)
         if pcol is not None and pcol in keys_df.columns:
             parts = [r[0] for r in keys_df.select(pcol).distinct().collect()]
+            # NULL partition values live in __HIVE_DEFAULT_PARTITION__; isin()
+            # never matches NULL, so target it with an explicit isNull branch
+            # (silently skipping it would under-delete on an erasure API).
+            nonnull = [p for p in parts if p is not None]
+            pred = F.col(pcol).isin(nonnull) if nonnull else F.lit(False)
+            if any(p is None for p in parts):
+                pred = pred | F.col(pcol).isNull()
             touched = (
                 spark.read.schema(schema)
                 .option("basePath", self.path(layer, table))
                 .parquet(self.path(layer, table))
-                .filter(F.col(pcol).isin(parts))
+                .filter(pred)
             )
             before_touched = touched.count()
             kept = touched.join(keys_df.select(*keys), on=list(keys), how="left_anti")
@@ -366,7 +373,7 @@ class Lakehouse:
                 spark.read.schema(schema)
                 .option("basePath", self.path(layer, table))
                 .parquet(self.path(layer, table))
-                .filter(F.col(pcol).isin(parts))
+                .filter(pred)
                 .count()
                 if self.exists(layer, table)
                 else 0

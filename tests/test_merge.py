@@ -436,3 +436,25 @@ def test_detect_partition_col_ignores_versioned_snapshot_dirs(spark, tmp_path):
     # generic upsert therefore takes the safe full-swap path, not the pruned one
     inc = _df(spark, [("a", "y", 2)])
     assert lake.upsert_scd1(spark, inc, "dds", "snap2", schema, ["k"]) == []
+
+
+def test_delete_keys_null_partition_value(spark, tmp_path):
+    """Erasure rows whose partition value is NULL must reach the
+    __HIVE_DEFAULT_PARTITION__ directory (isin() never matches NULL — a naive
+    predicate silently under-deletes)."""
+    from pyspark.sql.types import StructType
+
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    lake = Lakehouse(str(tmp_path))
+    schema = StructType.fromDDL("k string, v string, month string")
+    lake.overwrite(
+        _df(spark, [("a", "x", "m1"), ("b", "y", None), ("c", "z", None)],
+            "k string, v string, month string"),
+        "dds", "t", partition_by=["month"],
+    )
+    assert (tmp_path / "dds" / "t" / "month=__HIVE_DEFAULT_PARTITION__").exists()
+    gone = spark.createDataFrame([("b", None)], "k string, month string")
+    assert lake.delete_keys(spark, "dds", "t", schema, gone, ["k"]) == 1
+    out = {r.k for r in lake.read(spark, "dds", "t", schema).collect()}
+    assert out == {"a", "c"}
