@@ -76,7 +76,9 @@ def synthesize_payloads(media: DataFrame, batch_rows: int = 256) -> DataFrame:
 
 def _decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
     """Binary PPM (``P6``) decode, pure stdlib: header tokens w, h, maxval
-    (``#`` comments allowed), then w*h*3 raw RGB bytes."""
+    (``#`` comments allowed), then w*h*3 raw RGB bytes. 16-bit PPMs
+    (maxval > 255) and truncated bodies raise — a real decoder never returns
+    silently-wrong pixels."""
     pos, tokens = 2, []
     while len(tokens) < 3:
         while pos < len(payload) and payload[pos : pos + 1].isspace():
@@ -88,8 +90,17 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
         while pos < len(payload) and not payload[pos : pos + 1].isspace():
             pos += 1
         tokens.append(int(payload[start:pos]))
-    w, h, _maxval = tokens
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError(
+            f"16-bit PPM (maxval={maxval}) not supported by the stdlib decoder; "
+            "install Pillow for 2-byte-per-sample images"
+        )
     body = payload[pos + 1 : pos + 1 + w * h * 3]
+    if len(body) != w * h * 3:
+        raise ValueError(
+            f"truncated PPM body: expected {w * h * 3} bytes, got {len(body)}"
+        )
     return w, h, 3, body
 
 
@@ -239,8 +250,9 @@ def _decode_video(payload: bytes) -> tuple[int, int, int, bytes]:
         frames = []
         with av.open(io.BytesIO(payload)) as container:
             for frame in container.decode(video=0):
-                g = frame.reformat(format="gray8")
-                frames.append(bytes(g.planes[0]))
+                # to_ndarray strips per-row stride padding (planes[0] would
+                # include linesize alignment bytes and break the w*h contract)
+                frames.append(frame.to_ndarray(format="gray8").tobytes())
         if not frames:
             raise ValueError("container has no decodable video frames")
         return len(frames), frame.width, frame.height, b"".join(frames)
@@ -350,7 +362,7 @@ def _decode_audio(payload: bytes):
     if payload[:4] == b"FAUD" and len(payload) >= FAKE_AUDIO_HEADER.size:
         _, sr, n, c = FAKE_AUDIO_HEADER.unpack(payload[: FAKE_AUDIO_HEADER.size])
         s = np.frombuffer(payload[FAKE_AUDIO_HEADER.size :], dtype=">i2").astype(np.int64)
-        return sr, n, c, s
+        return sr, n, c, s[::c] if c > 1 else s  # first channel, like every branch
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         import io  # noqa: PLC0415
         import wave  # noqa: PLC0415
@@ -359,9 +371,12 @@ def _decode_audio(payload: bytes):
             sr, c, n = f.getframerate(), f.getnchannels(), f.getnframes()
             width = f.getsampwidth()
             raw = f.readframes(n)
-        dtype = {1: np.int8, 2: "<i2", 4: "<i4"}[width]
-        s = np.frombuffer(raw, dtype=dtype).astype(np.int64)[::c]  # first channel
-        return sr, n, c, s
+        if width == 1:
+            # 8-bit WAV is UNSIGNED (0..255, midpoint 128) per the RIFF spec
+            s = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+        else:
+            s = np.frombuffer(raw, dtype={2: "<i2", 4: "<i4"}[width]).astype(np.int64)
+        return sr, n, c, s[::c]  # first channel
     try:  # optional real-codec binding; the container ships without soundfile
         import io  # noqa: PLC0415
 

@@ -366,7 +366,6 @@ def embedding_near_dup_pairs(
 def kmeans_centroids_mllib(
     emb: DataFrame,
     k: int = 8,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 0,
     max_iter: int = 3,
@@ -378,8 +377,12 @@ def kmeans_centroids_mllib(
     feed the fitted centers straight into ``ivf_topk`` — the search topology
     (inverted lists, nprobe probing, list-restricted top-k) is unchanged.
 
-    Deterministic for a fixed ``seed``. Returns the same
-    ``[(centroid_id, vector), ...]`` layout as ``kmeans_centroids``."""
+    Returns the same ``[(centroid_id, vector), ...]`` layout as
+    ``kmeans_centroids``. Deterministic for a fixed ``seed`` AND a fixed
+    input partitioning — k-means|| init aggregates per partition, so unlike
+    the lowest-id init of ``kmeans_centroids`` the fitted centers can differ
+    across cluster sizes; persist the trained quantizer (it is the index
+    contract) rather than re-deriving it per run."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 

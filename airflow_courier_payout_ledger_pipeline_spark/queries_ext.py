@@ -3063,7 +3063,13 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     sig = minhash_signatures_inline(docs, "doc_id", "text", k=9, num_hashes=NUM_HASHES)
-    cand = lsh_candidate_pairs(sig, BANDS, ROWS_PER_BAND, max_bucket=LSH_MAX_BUCKET)
+    # materialize the candidate set once: it feeds BOTH the join's left side
+    # and the exact-verify subquery, whose column-pruned copy defeats
+    # ReusedExchange — without the barrier the whole shingle+minhash+bucket
+    # pipeline (the expensive part) would execute twice
+    cand = lsh_candidate_pairs(
+        sig, BANDS, ROWS_PER_BAND, max_bucket=LSH_MAX_BUCKET
+    ).localCheckpoint(eager=True)
     grams = word_ngrams(docs, "doc_id", "text", n=3)
     exact = verify_pairs_ngram_jaccard(cand.select("id_a", "id_b"), grams, 0.0)
     return (

@@ -282,6 +282,16 @@ class Lakehouse:
         staging-swap. Returns the affected partition values ([] = full rewrite)."""
         from airflow_courier_payout_ledger_pipeline_spark.operators.merge import scd1_upsert
 
+        if self._pointer(layer, table).exists():
+            # A versioned table: the flat read would union every v=N snapshot
+            # (duplicated keys) and the flat overwrite would destroy the
+            # snapshot layout + _LATEST. Refuse loudly; the versioned write
+            # path is overwrite_versioned(scd1_upsert(read_versioned(...))).
+            raise ValueError(
+                f"{layer}.{table} is a versioned table (_LATEST pointer); "
+                "upsert via read_versioned + scd1_upsert + overwrite_versioned, "
+                "not the flat upsert_scd1 path"
+            )
         pcol = partition_col or self.detect_partition_col(layer, table)
         if pcol is not None and pcol in increment.columns:
             return self.merge_upsert_partitioned(

@@ -157,28 +157,46 @@ def stream_fold_state(
     Exactly-once under at-least-once foreachBatch: the fold is ADDITIVE (unlike
     the per-batch-idempotent scd1/argmax sinks), so a batch replayed after a
     crash between the state write and the checkpoint commit must NOT fold
-    twice. The last-applied ``batch_id`` is therefore committed in the SAME
-    atomic directory swap as the state it produced (a ``_APPLIED_BATCH``
-    sidecar inside the staging dir — see ``Lakehouse.overwrite``), and the fold
-    skips any batch with ``batch_id <= stored``: the standard foreachBatch
+    twice. The last-applied ``(checkpoint lineage, batch_id)`` is therefore
+    committed in the SAME atomic directory swap as the state it produced (a
+    ``_APPLIED_BATCH`` sidecar inside the staging dir — see
+    ``Lakehouse.overwrite``), and the fold skips any batch with
+    ``batch_id <= stored`` from the same lineage: the standard foreachBatch
     exactly-once pattern, with no window in which state and marker disagree.
-    Batch ids are monotonically increasing within one checkpoint lineage; a
-    NEW checkpoint against an existing state table must clear the sidecar (or
-    use a fresh table) — the marker deliberately refuses to re-fold history.
+    Batch ids restart at 0 under a NEW checkpoint, where the <= guard would
+    silently swallow genuinely-new batches — so a lineage mismatch RAISES
+    instead of skipping; rebuilding over existing state is a deliberate act
+    (clear the sidecar or use a fresh table), never a silent data drop.
     """
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         applied = lake.read_sidecar(layer, table, "_APPLIED_BATCH")
-        if applied is not None and batch_id <= int(applied):
-            return  # replayed batch: already folded into the committed state
+        if applied is not None:
+            stored_lineage, _, stored_id = applied.partition("\n")
+            if stored_lineage != checkpoint:
+                # A DIFFERENT checkpoint lineage is writing into existing
+                # state: its batch ids restart at 0, so the <= guard would
+                # silently swallow genuinely-new batches until they pass the
+                # old high-water mark. Fail loudly — resuming over existing
+                # state requires either the original checkpoint or a
+                # deliberate reset (clear the sidecar / fresh table).
+                raise ValueError(
+                    f"state table {layer}.{table} was written by checkpoint "
+                    f"{stored_lineage!r}; folding from {checkpoint!r} would "
+                    "double-count or drop batches — clear the state (or its "
+                    "_APPLIED_BATCH sidecar) to rebuild, or resume the "
+                    "original checkpoint"
+                )
+            if batch_id <= int(stored_id):
+                return  # replayed batch: already folded into committed state
         slice_ = state_fn(batch_df)
         existing = lake.read(spark, layer, table, slice_.schema)
         lake.overwrite(
             merge_fn(existing, slice_),
             layer,
             table,
-            sidecar={"_APPLIED_BATCH": str(batch_id)},
+            sidecar={"_APPLIED_BATCH": f"{checkpoint}\n{batch_id}"},
         )
 
     return (

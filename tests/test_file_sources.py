@@ -60,6 +60,5 @@ def test_orc_roundtrip_with_pruning(spark, tmp_path):
     write_orc(df, path)
     back = read_orc(spark, path, schema)
     assert {(r.k, r.v, r.extra) for r in back.collect()} == {("a", 1, "x"), ("b", 2, "y")}
-    plan = back.select("k").queryExecution if False else back.select("k")
-    phys = plan._jdf.queryExecution().executedPlan().toString()
+    phys = back.select("k")._jdf.queryExecution().executedPlan().toString()
     assert "extra" not in phys.split("ReadSchema")[-1]

@@ -433,9 +433,26 @@ def test_detect_partition_col_ignores_versioned_snapshot_dirs(spark, tmp_path):
     df = _df(spark, [("a", "x", 1)])
     lake.overwrite_versioned(df, "dds", "snap")
     assert lake.detect_partition_col("dds", "snap") is None
-    # generic upsert therefore takes the safe full-swap path, not the pruned one
+    # the flat upsert path must REFUSE a versioned table outright (a flat read
+    # would union every snapshot; a flat overwrite would destroy the layout)
+    import pytest
+
     inc = _df(spark, [("a", "y", 2)])
+    with pytest.raises(ValueError, match="versioned table"):
+        lake.upsert_scd1(spark, inc, "dds", "snap", schema, ["k"])
+    # a sibling non-versioned table still takes the normal full-swap path
     assert lake.upsert_scd1(spark, inc, "dds", "snap2", schema, ["k"]) == []
+    # the versioned-safe upsert shape works and preserves time travel
+    merged = spark.createDataFrame([("a", "y", 2)], schema)
+    from airflow_courier_payout_ledger_pipeline_spark.operators.merge import scd1_upsert
+
+    v1 = lake.overwrite_versioned(
+        scd1_upsert(lake.read_versioned(spark, "dds", "snap", schema), merged, ["k"]),
+        "dds", "snap",
+    )
+    assert v1 == 1 and lake.versions("dds", "snap") == [0, 1]
+    assert {r.v for r in lake.read_versioned(spark, "dds", "snap", schema).collect()} == {"y"}
+    assert {r.v for r in lake.read_versioned(spark, "dds", "snap", schema, version=0).collect()} == {"x"}
 
 
 def test_delete_keys_null_partition_value(spark, tmp_path):

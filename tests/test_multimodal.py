@@ -221,3 +221,46 @@ def test_foreign_format_still_raises_without_optional_libs(spark):
     df = spark.createDataFrame([(1, bytearray(jpeg_ish))], "media_id bigint, payload binary")
     with pytest.raises(Exception, match="Pillow"):
         extract_image_features(df).collect()
+
+
+def test_audio_8bit_wav_is_unsigned(spark):
+    """8-bit WAV PCM is UNSIGNED (midpoint 128): silence (all 0x80) must
+    decode to mean_amp 0 with no zero crossings — a signed read would report
+    -128 silence and phantom crossings."""
+    import io
+    import wave
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(1)
+        f.setframerate(8000)
+        f.writeframes(bytes([0x80]) * 64)
+    df = spark.createDataFrame(
+        [(9, bytearray(buf.getvalue()))], "media_id bigint, payload binary"
+    )
+    [r] = extract_audio_features(df).collect()
+    assert r.mean_amp == 0.0 and r.zero_crossings == 0
+
+
+def test_ppm_16bit_and_truncated_raise(spark):
+    """Spec-valid-but-unsupported (maxval > 255) and truncated PPMs raise
+    through the Spark task instead of emitting garbage features."""
+    import pytest
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    deep = b"P6\n2 2\n65535\n" + bytes(2 * 2 * 3 * 2)
+    short = b"P6\n4 4\n255\n" + bytes(5)
+    for payload, match in ((deep, "16-bit PPM"), (short, "truncated")):
+        df = spark.createDataFrame(
+            [(1, bytearray(payload))], "media_id bigint, payload binary"
+        )
+        with pytest.raises(Exception, match=match):
+            extract_image_features(df).collect()

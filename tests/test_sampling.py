@@ -117,9 +117,10 @@ def test_token_budget_cap_invariants(spark):
 
     # determinism under a different partitioning of the input
     repart = {(r.doc_id, r.source, r.chars_before) for r in out}
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "3")
     try:
         again = {(r.doc_id, r.source, r.chars_before) for r in q(spark, "/root/testdata/sf0.001").collect()}
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
     assert again == repart

@@ -224,11 +224,17 @@ def test_stream_fold_state_restart_is_exactly_once(spark, tmp_path):
 
 def test_stream_fold_state_batch_replay_does_not_double_fold(spark, tmp_path):
     """At-least-once replay protection: foreachBatch may re-deliver a batch
-    whose state write already committed (crash before the checkpoint commit).
-    Simulated here by draining the SAME source into the SAME state table from a
-    FRESH checkpoint — every batch id is re-delivered; the _APPLIED_BATCH
-    sidecar (committed atomically with the state swap) must make each replayed
-    fold a no-op instead of doubling the additive state."""
+    whose state write already committed (crash before the checkpoint commit —
+    same checkpoint lineage, batch id restarts). Simulated by deleting the
+    checkpoint dir and re-draining the same path: batch 0 is re-delivered
+    under the SAME lineage; the _APPLIED_BATCH sidecar (committed atomically
+    with the state swap) must make the replayed fold a no-op instead of
+    doubling the additive state. A DIFFERENT checkpoint path over the same
+    state table must refuse loudly instead of silently swallowing batches."""
+    import shutil
+
+    import pytest
+
     from airflow_courier_payout_ledger_pipeline_spark.streaming.ingest import (
         stream_fold_state,
     )
@@ -255,7 +261,8 @@ def test_stream_fold_state_batch_replay_does_not_double_fold(spark, tmp_path):
         )
         q.awaitTermination()
 
-    drain(tmp_path / "ck_a")
+    ck = tmp_path / "ck_a"
+    drain(ck)
     from pyspark.sql.types import StructType
 
     read = lambda: {
@@ -265,8 +272,16 @@ def test_stream_fold_state_batch_replay_does_not_double_fold(spark, tmp_path):
         ).collect()
     }
     assert read() == {"a": 1, "b": 2}
-    assert lake.read_sidecar("cdm", "state2", "_APPLIED_BATCH") == "0"
+    assert lake.read_sidecar("cdm", "state2", "_APPLIED_BATCH") == f"{ck}\n0"
 
-    # replay: fresh checkpoint re-delivers batch 0 against the committed state
-    drain(tmp_path / "ck_b")
+    # replay under the SAME lineage: lost checkpoint dir, same path — batch 0
+    # is re-delivered and must be a no-op
+    shutil.rmtree(ck)
+    drain(ck)
     assert read() == {"a": 1, "b": 2}  # NOT doubled
+
+    # a DIFFERENT lineage over existing state raises instead of silently
+    # skipping (its fresh batch ids would be swallowed by the <= guard)
+    with pytest.raises(Exception, match="checkpoint"):
+        drain(tmp_path / "ck_b")
+    assert read() == {"a": 1, "b": 2}  # state untouched by the refused fold
