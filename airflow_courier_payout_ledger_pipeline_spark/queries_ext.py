@@ -3559,3 +3559,201 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kept_chars"),
     )
+
+
+# =====================================================================================
+# Round-4 additions II: span-level dup profiling, split leakage, quantile norm
+# =====================================================================================
+
+# Cross-document duplicated-span coverage (the exact-substring dedup signal of
+# "Deduplicating Training Data Makes Language Models Better", Lee et al. 2022:
+# a position is duplicated when its n-gram also occurs in another document).
+SPAN_N = 5
+
+SPAN_PROFILE_ORACLE = f"""
+WITH norm AS (SELECT doc_id, string_split({NORM}, ' ') AS ws FROM documents),
+pos AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - {SPAN_N - 1}, 1))) AS i FROM norm),
+g AS (SELECT doc_id AS id,
+             concat_ws(' ', {", ".join(f"ws[i+{j}]" for j in range(SPAN_N))}) AS ngram
+      FROM pos),
+shared AS (
+    SELECT ngram FROM (SELECT DISTINCT id, ngram FROM g)
+    GROUP BY ngram HAVING count(*) >= 2
+),
+sizes AS (SELECT id, count(*) AS n_grams FROM g GROUP BY id),
+dup AS (SELECT g.id, count(*) AS n_dup FROM g JOIN shared USING (ngram) GROUP BY g.id)
+SELECT s.id AS doc_id,
+       s.n_grams,
+       coalesce(d.n_dup, 0)::BIGINT AS n_dup_grams,
+       coalesce(d.n_dup, 0)::DOUBLE / s.n_grams::DOUBLE AS dup_frac
+FROM sizes s LEFT JOIN dup d ON s.id = d.id
+"""
+
+
+@register("dedup_span_profile", SPAN_PROFILE_ORACLE)
+def q_dedup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span coverage: the fraction of word-5-gram
+    positions whose gram also appears in >= 2 distinct documents — the
+    exact-substring dedup signal (Lee et al. 2022) that pairwise Jaccard
+    queries can't see (a doc can be 30%% boilerplate yet near-dup to nothing).
+
+    Scale shape: three shuffles, all keyed on uniform values — gram
+    doc-frequency (distinct (doc, gram) -> groupBy gram), the positional-gram
+    join against the shared-gram set (join fan-out is exactly 1 because the
+    shared side is distinct grams), and the per-doc count. A hot boilerplate
+    gram multiplies nothing: each position row matches one shared row. The
+    corpus text is read once; positions are never materialized wider than
+    (id, gram)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import (
+        word_ngrams,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    grams = word_ngrams(docs, "doc_id", "text", n=SPAN_N, distinct=False)
+    shared = (
+        grams.select("id", "ngram")
+        .distinct()
+        .groupBy("ngram")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") >= 2)
+        .select("ngram")
+    )
+    sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    dup = grams.join(shared, "ngram").groupBy("id").agg(F.count("*").alias("__nd"))
+    return sizes.join(dup, "id", "left").select(
+        F.col("id").alias("doc_id"),
+        "n_grams",
+        F.coalesce(F.col("__nd"), F.lit(0)).cast("bigint").alias("n_dup_grams"),
+        (
+            F.coalesce(F.col("__nd"), F.lit(0)).cast("double")
+            / F.col("n_grams").cast("double")
+        ).alias("dup_frac"),
+    )
+
+
+# Train/test assignment is a pure function of doc_id (salted md5 draw), so the
+# leakage audit needs NO join against a split table — the partition label is
+# recomputed inline on both pair sides. ~80% train: first hex byte < 0xcc.
+SPLIT_TRAIN_HEX = "cc"
+
+def _split_part_sql(idcol: str) -> str:
+    return (
+        f"CASE WHEN substr(md5('split:' || CAST({idcol} AS VARCHAR)), 1, 2)"
+        f" < '{SPLIT_TRAIN_HEX}' THEN 'train' ELSE 'test' END"
+    )
+
+
+SPLIT_LEAKAGE_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+bands AS ({_BANDS_SQL}),
+ok AS (
+    SELECT band, band_hash FROM bands
+    GROUP BY band, band_hash HAVING count(*) <= {LSH_MAX_BUCKET}
+),
+capped AS (SELECT b.* FROM bands b JOIN ok USING (band, band_hash)),
+pairs AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
+),
+est AS (
+    SELECT p.id_a, p.id_b, ({_AGREE_SQL}) / {NUM_HASHES}.0 AS est_jaccard,
+           {_split_part_sql('p.id_a')} AS part_a,
+           {_split_part_sql('p.id_b')} AS part_b
+    FROM pairs p JOIN sig sa ON p.id_a = sa.id JOIN sig sb ON p.id_b = sb.id
+)
+SELECT CASE WHEN part_a = 'train' THEN id_a ELSE id_b END AS train_doc_id,
+       CASE WHEN part_a = 'train' THEN id_b ELSE id_a END AS test_doc_id,
+       est_jaccard
+FROM est
+WHERE part_a <> part_b
+"""
+
+
+@register("split_leakage_audit", SPLIT_LEAKAGE_ORACLE)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: near-dup candidate pairs (MinHash+LSH,
+    same banding and skew cap as dedup_minhash_lsh) that STRADDLE a
+    deterministic 80/20 split — the document pairs that would leak evaluation
+    content into training. Emits (train_doc_id, test_doc_id, est_jaccard).
+
+    Scale shape: identical to the LSH pair query (sub-quadratic, capped
+    buckets) plus a zero-cost filter — the split label is a pure salted-md5
+    function of doc_id recomputed inline on both pair sides, so no split
+    table is joined, shuffled, or even materialized."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_inline,
+    )
+
+    def part(idcol: str):
+        return F.when(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col(idcol).cast("string"))), 1, 2
+            )
+            < SPLIT_TRAIN_HEX,
+            "train",
+        ).otherwise("test")
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    sig = minhash_signatures_inline(docs, "doc_id", "text", k=9, num_hashes=NUM_HASHES)
+    pairs = lsh_candidate_pairs(sig, BANDS, ROWS_PER_BAND, max_bucket=LSH_MAX_BUCKET)
+    labeled = pairs.select(
+        "id_a", "id_b", "est_jaccard", part("id_a").alias("pa"), part("id_b").alias("pb")
+    ).filter(F.col("pa") != F.col("pb"))
+    return labeled.select(
+        F.when(F.col("pa") == "train", F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("train_doc_id"),
+        F.when(F.col("pa") == "train", F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("test_doc_id"),
+        "est_jaccard",
+    )
+
+
+QUANTILE_NORM_ORACLE = """
+SELECT doc_id, source, n_chars,
+       percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pct_rank
+FROM documents
+"""
+
+
+@register("score_quantile_norm", QUANTILE_NORM_ORACLE)
+def q_score_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of a quality signal (n_chars):
+    percent_rank = (rank - 1) / (n - 1) with RANK tie semantics — the
+    calibration step that makes per-domain quality thresholds comparable
+    before mixing sources.
+
+    The oracle states the semantics as the naive corpus-wide window; the Spark
+    plan computes the IDENTICAL values from the per-source value histogram
+    (cf. length_decile_bands): rank - 1 = cumulative count of strictly-smaller
+    values, so the window sort runs over distinct (source, n_chars) rows —
+    histogram-sized, never corpus-sized — and the corpus is touched only by a
+    map-side broadcast join attaching the precomputed rank. At 100 TB the
+    naive form is a per-source global sort; this form is one grouped count
+    plus a window over thousands of rows."""
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    hist = docs.groupBy("source", "n_chars").agg(F.count("*").alias("__c"))
+    w = Window.partitionBy("source").orderBy("n_chars")
+    ranked = hist.select(
+        "source",
+        "n_chars",
+        F.coalesce(
+            F.sum("__c").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__below"),
+        F.sum("__c").over(Window.partitionBy("source")).alias("__tot"),
+    )
+    pct = (
+        F.when(F.col("__tot") > 1,
+               F.col("__below").cast("double") / (F.col("__tot") - 1).cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("pct_rank")
+    )
+    return docs.join(
+        F.broadcast(ranked), ["source", "n_chars"]
+    ).select("doc_id", "source", "n_chars", pct)

@@ -25,8 +25,35 @@ def test_no_cartesian_in_any_round4_query(spark):
         "target_mix_sample",
         "token_budget_cap",
         "dedup_cross_corpus",
+        "dedup_span_profile",
+        "split_leakage_audit",
+        "score_quantile_norm",
     ):
         assert "CartesianProduct" not in _plan(spark, name), name
+
+
+def test_quantile_norm_window_runs_over_histogram_not_corpus(spark):
+    """The per-source percent_rank window must sort the (source, n_chars)
+    HISTOGRAM (below an aggregate of the scan), and the corpus only sees a
+    broadcast join attaching the precomputed rank — never a corpus-wide sort."""
+    p = _plan(spark, "score_quantile_norm")
+    assert "Window" in p
+    # rank attach is broadcast: the histogram side builds the hashed relation
+    assert "BroadcastHashJoin [source" in p
+    # the window's input is the aggregated histogram, so its partitioning
+    # exchange is (source, n_chars) — the histogram grain, not row grain
+    assert "hashpartitioning(source" in p
+
+
+def test_split_leakage_joins_no_split_table(spark):
+    """The split label is a pure function of doc_id computed inline — the plan
+    must contain exactly the LSH-pair joins (sig attach) and no extra join or
+    exchange for a split assignment."""
+    p = _plan(spark, "split_leakage_audit")
+    lsh = _plan(spark, "dedup_minhash_lsh")
+    assert p.count("Exchange") <= lsh.count("Exchange"), (
+        "leakage audit added exchanges beyond the underlying LSH pair plan"
+    )
 
 
 def test_salted_join_small_side_broadcasts(spark):
