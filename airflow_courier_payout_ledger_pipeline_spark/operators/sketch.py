@@ -1,0 +1,102 @@
+"""Mergeable HyperLogLog sketch state: incremental distinct counting at 100 TB.
+
+The exact distinct-user queries (``rolling_distinct_users_7d``, ``retention_cohorts``)
+carry a (day, user) dedup grain — correct, but an *incremental* nightly pipeline
+recomputing them re-reads every user id ever seen. The mergeable alternative is the
+standard lakehouse pattern: persist one HLL sketch per (grain) row (~KBs each,
+Apache DataSketches binary format via Spark's ``hll_sketch_agg``), and fold each
+increment in with a register-wise-max union — the same algebraic shape as
+``plans/ledger.merge_ledger_states`` (count/sum states), extended to DISTINCT,
+which has no exact bounded-size mergeable state.
+
+Laws the tests pin (``tests/test_sketch.py``):
+- **merge law (registers)**: HLL union is register-wise max, so a merged state
+  carries the same information as sketching the concatenated inputs — the
+  merged ESTIMATE therefore obeys the identical published error envelope as a
+  full recompute, for any increment split or fold order. The estimates are not
+  bit-identical across build topologies: DataSketches estimates a
+  directly-built sketch with the stream-order HIP estimator but a unioned
+  sketch with the composite estimator (and keeps exact hash lists below a
+  promotion threshold), so two fold shapes of the same data may differ by a
+  fraction of σ while both staying inside the envelope. Consumers must treat
+  the estimate as a value with published error, never as a reproducible hash
+  input.
+- **idempotence / commutativity**: re-folding the same increment or reordering
+  increments leaves every estimate unchanged — replay-safe under
+  at-least-once delivery;
+- **accuracy**: estimate within the published relative-error envelope of
+  lgK (±3σ · 1.04/√2^lgK) against the exact count — for direct, merged, and
+  rolled-up states alike.
+
+Approximate estimates cannot hash-match a DuckDB oracle (different sketch
+implementations), so this operator is library-level: the laws above are the
+correctness contract, exactly as SCALE.md documents for approx_percentile.
+
+No reference twin: the reference pipeline has no distinct-count surface
+(sql/courier_ledger_update.sql aggregates sums/avgs only); this is part of the
+100 TB extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Default DataSketches log2(K): 4096 registers ≈ 1.6 % relative standard error,
+#: ~2 KB per sketch — one day×segment row costs ~2 KB regardless of cardinality.
+DEFAULT_LGK = 12
+
+
+def sketch_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lgk: int = DEFAULT_LGK,
+) -> DataFrame:
+    """Per-group HLL sketch of ``value_col``: the persistable distinct-count
+    state. One grouped aggregation (map-side partial sketches merge before the
+    shuffle, so the exchange carries one ~2 KB sketch per group per map task,
+    never raw values)."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(lgk)).alias("distinct_sketch")
+    )
+
+
+def merge_sketch_states(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Fold two sketch-state tables: full-outer on the grain, register-wise-max
+    union where both sides have the group. The merged state carries the same
+    register information as sketching the concatenated inputs (the merge law),
+    so nightly increments compose associatively, may be folded in any order,
+    and the estimate keeps the full-recompute error envelope.
+
+    ``allowDifferentLgConfigK`` stays False: silently unioning sketches of
+    different precision would downgrade every later estimate — a config drift
+    bug this surfaces loudly instead."""
+    an = a.select(*group_cols, F.col("distinct_sketch").alias("__sa"))
+    bn = b.select(*group_cols, F.col("distinct_sketch").alias("__sb"))
+    joined = an.join(bn, group_cols, "full_outer")
+    merged = (
+        F.when(F.col("__sa").isNull(), F.col("__sb"))
+        .when(F.col("__sb").isNull(), F.col("__sa"))
+        .otherwise(F.hll_union(F.col("__sa"), F.col("__sb")))
+    )
+    return joined.select(*group_cols, merged.alias("distinct_sketch"))
+
+
+def estimate_distinct(state: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Finalize: per-group distinct estimate (bigint) from the sketch state."""
+    return state.select(
+        *group_cols,
+        F.hll_sketch_estimate("distinct_sketch").cast("bigint").alias("n_distinct_est"),
+    )
+
+
+def rollup_sketches(state: DataFrame, keep_cols: list[str]) -> DataFrame:
+    """Re-aggregate a fine-grained sketch state to a coarser grain (day → month,
+    day×segment → day) WITHOUT touching raw data: union the sketches under the
+    surviving key. This is the property exact distinct counts lack entirely —
+    distinct-per-day rows cannot produce distinct-per-month — and the reason the
+    sketch state is the right persisted artifact at 100 TB."""
+    return state.groupBy(*keep_cols).agg(
+        F.hll_union_agg("distinct_sketch").alias("distinct_sketch")
+    )
