@@ -3597,37 +3597,42 @@ def q_dedup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-substring dedup signal (Lee et al. 2022) that pairwise Jaccard
     queries can't see (a doc can be 30%% boilerplate yet near-dup to nothing).
 
-    Scale shape: three shuffles, all keyed on uniform values — gram
-    doc-frequency (distinct (doc, gram) -> groupBy gram), the positional-gram
-    join against the shared-gram set (join fan-out is exactly 1 because the
-    shared side is distinct grams), and the per-doc count. A hot boilerplate
-    gram multiplies nothing: each position row matches one shared row. The
-    corpus text is read once; positions are never materialized wider than
-    (id, gram)."""
+    Scale shape: ONE explode pass and three keyed shuffles. The positional
+    grams roll up to (ngram, doc, occurrences) first — the only corpus-sized
+    shuffle, keyed on near-unique (ngram, doc). Doc-frequency is then a count
+    window over ngram on that rolled-up grain (one row per containing doc,
+    never per position), and the per-doc fold computes total and duplicated
+    positions in a single aggregation — no self-join, no re-reading the
+    corpus, no branch recomputing the explode. A hot boilerplate gram costs
+    one linear count over its containing-doc rows."""
+    from pyspark.sql.window import Window
+
     from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import (
         word_ngrams,
     )
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     grams = word_ngrams(docs, "doc_id", "text", n=SPAN_N, distinct=False)
-    shared = (
-        grams.select("id", "ngram")
-        .distinct()
-        .groupBy("ngram")
-        .agg(F.count("*").alias("__df"))
-        .filter(F.col("__df") >= 2)
-        .select("ngram")
+    per_doc_gram = grams.groupBy("ngram", "id").agg(F.count("*").alias("__c"))
+    with_df = per_doc_gram.withColumn(
+        "__df", F.count("*").over(Window.partitionBy("ngram"))
     )
-    sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
-    dup = grams.join(shared, "ngram").groupBy("id").agg(F.count("*").alias("__nd"))
-    return sizes.join(dup, "id", "left").select(
-        F.col("id").alias("doc_id"),
-        "n_grams",
-        F.coalesce(F.col("__nd"), F.lit(0)).cast("bigint").alias("n_dup_grams"),
-        (
-            F.coalesce(F.col("__nd"), F.lit(0)).cast("double")
-            / F.col("n_grams").cast("double")
-        ).alias("dup_frac"),
+    return (
+        with_df.groupBy("id")
+        .agg(
+            F.sum("__c").alias("n_grams"),
+            F.sum(F.when(F.col("__df") >= 2, F.col("__c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_grams"),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_grams",
+            "n_dup_grams",
+            (
+                F.col("n_dup_grams").cast("double") / F.col("n_grams").cast("double")
+            ).alias("dup_frac"),
+        )
     )
 
 

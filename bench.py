@@ -48,6 +48,8 @@ HEADLINE = [
     # round-4 additions: skew-salted join equivalence + rolling distinct
     "salted_join_agg",
     "rolling_distinct_users_7d",
+    # round-4 late addition: duplicated-span coverage (positional-gram df join)
+    "dedup_span_profile",
 ]
 
 

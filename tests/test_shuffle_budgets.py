@@ -33,6 +33,9 @@ SHUFFLE_BUDGET = {
     "topk_per_group": 1,
     "salted_join_agg": 1,  # salted dim still broadcasts; one agg shuffle
     "rolling_distinct_users_7d": 4,  # (day,user) distinct + spine + 2-phase distinct agg
+    "dedup_span_profile": 4,  # explode spread + (ngram,id) rollup + df window + doc fold
+    "split_leakage_audit": 3,  # same budget as dedup_minhash_lsh (split label is inline)
+    "score_quantile_norm": 2,  # histogram agg + per-source window (corpus side broadcast-joined)
 }
 
 
