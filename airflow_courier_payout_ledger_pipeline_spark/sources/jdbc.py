@@ -236,3 +236,119 @@ def insert_ignore(
         update_on_match=False, staging=staging, driver=driver,
         check_unique=check_unique,
     )
+
+
+class JdbcWatermarkStore:
+    """The reference's ``srv_wf_settings`` cursor table on its ACTUAL medium —
+    a JDBC warehouse (modules/load_deliveries.py:28-38: key→jsonb document in
+    Postgres) — with the same API as the parquet ``operators.watermark.
+    WatermarkStore`` so pipelines swap stores without touching plan code.
+
+    Scale/correctness notes:
+    - state is one row per workflow key — driver-side control-plane work;
+      reads bind the cursor as a literal so the watermark predicate stays
+      constant-foldable into the fact scan, exactly like the parquet store;
+    - the advance is GUARDED IN SQL (``... AND cursor_ts < ?``): a replayed
+      run carrying an older cursor (the at-least-once case) is a no-op at the
+      database, not just by driver-side convention;
+    - write-after-data ordering is the caller's contract (facts first, cursor
+      last — SURVEY.md §3.3); a crash before the cursor write reprocesses an
+      increment that the SCD0/SCD1 merges absorb idempotently.
+
+    Values travel through PreparedStatement parameters — no SQL-literal
+    escaping of user-controlled strings.
+    """
+
+    TS_FMT = "%Y-%m-%d %H:%M:%S"
+
+    def __init__(self, url: str, table: str = "srv_wf_settings", driver: str | None = None) -> None:
+        self.url = url
+        self.table = table
+        self.driver = driver
+
+    def _conn(self, spark: SparkSession):
+        jvm = spark._jvm
+        if self.driver:
+            jvm.java.lang.Class.forName(self.driver)
+        return jvm.java.sql.DriverManager.getConnection(self.url)
+
+    def ensure_table(self, spark: SparkSession) -> None:
+        conn = self._conn(spark)
+        try:
+            stmt = conn.createStatement()
+            try:
+                stmt.execute(
+                    f"CREATE TABLE {self.table} (wk VARCHAR(256) PRIMARY KEY, "
+                    "cursor_ts VARCHAR(19), ws VARCHAR(4096))"
+                )
+            except Exception as e:  # already exists (Derby X0Y32 / PG 42P07)
+                if "exist" not in str(e).lower() and "X0Y32" not in str(e):
+                    raise
+            finally:
+                stmt.close()
+        finally:
+            conn.close()
+
+    def read_last_loaded_ts(self, spark: SparkSession, workflow_key: str, default):
+        """coalesce((settings->>'last_loaded_ts')::timestamp, default)."""
+        from datetime import datetime
+
+        conn = self._conn(spark)
+        try:
+            ps = conn.prepareStatement(
+                f"SELECT cursor_ts FROM {self.table} WHERE wk = ?"
+            )
+            ps.setString(1, workflow_key)
+            rs = ps.executeQuery()
+            raw = rs.getString(1) if rs.next() else None
+            ps.close()
+        finally:
+            conn.close()
+        if raw is None:
+            return default
+        return datetime.strptime(raw[:19], self.TS_FMT)
+
+    def write_last_loaded_ts(self, spark: SparkSession, workflow_key: str, ts) -> None:
+        """Advance the cursor, forward-only: the UPDATE carries the guard in its
+        WHERE (older/equal replays no-op inside the database); a missing key is
+        inserted. Skipped entirely for an empty increment (ts is None) —
+        sql/deliveries_stg_to_dds.sql:54."""
+        import json as _json
+
+        if ts is None:
+            return
+        val = ts.strftime(self.TS_FMT)
+        doc = _json.dumps({"last_loaded_ts": val})
+        conn = self._conn(spark)
+        try:
+            conn.setAutoCommit(False)
+            try:
+                upd = conn.prepareStatement(
+                    f"UPDATE {self.table} SET cursor_ts = ?, ws = ? "
+                    "WHERE wk = ? AND cursor_ts < ?"
+                )
+                upd.setString(1, val); upd.setString(2, doc)
+                upd.setString(3, workflow_key); upd.setString(4, val)
+                updated = upd.executeUpdate()
+                upd.close()
+                if updated == 0:
+                    chk = conn.prepareStatement(
+                        f"SELECT 1 FROM {self.table} WHERE wk = ?"
+                    )
+                    chk.setString(1, workflow_key)
+                    exists = chk.executeQuery().next()
+                    chk.close()
+                    if not exists:
+                        ins = conn.prepareStatement(
+                            f"INSERT INTO {self.table} (wk, cursor_ts, ws) VALUES (?, ?, ?)"
+                        )
+                        ins.setString(1, workflow_key)
+                        ins.setString(2, val); ins.setString(3, doc)
+                        ins.executeUpdate()
+                        ins.close()
+                conn.commit()
+            except Exception:
+                conn.rollback()
+                raise
+        finally:
+            conn.close()

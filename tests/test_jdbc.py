@@ -119,3 +119,55 @@ def test_failed_merge_rolls_back_and_keeps_target(spark, url):
         )
     got = jdbc.read_table(spark, url, "t_rb", driver=DRIVER)
     assert _rows(got, ["k", "name"]) == [(1, "a")]  # first statement rolled back
+
+
+def test_jdbc_watermark_cursor_guarded_advance(spark, url):
+    from datetime import datetime
+
+    from airflow_courier_payout_ledger_pipeline_spark.sources.jdbc import (
+        JdbcWatermarkStore,
+    )
+
+    store = JdbcWatermarkStore(url, driver=DRIVER)
+    store.ensure_table(spark)
+    store.ensure_table(spark)  # idempotent
+    d0 = datetime(2022, 1, 1)
+    assert store.read_last_loaded_ts(spark, "wf_a", d0) == d0  # coalesce default
+    t1, t2 = datetime(2022, 5, 1, 12, 0, 0), datetime(2022, 6, 1, 8, 30, 0)
+    store.write_last_loaded_ts(spark, "wf_a", t1)
+    assert store.read_last_loaded_ts(spark, "wf_a", d0) == t1
+    store.write_last_loaded_ts(spark, "wf_a", t2)  # forward: advances
+    assert store.read_last_loaded_ts(spark, "wf_a", d0) == t2
+    store.write_last_loaded_ts(spark, "wf_a", t1)  # replayed older run: no-op
+    assert store.read_last_loaded_ts(spark, "wf_a", d0) == t2
+    store.write_last_loaded_ts(spark, "wf_a", None)  # empty increment: no-op
+    assert store.read_last_loaded_ts(spark, "wf_a", d0) == t2
+    # keys are independent
+    store.write_last_loaded_ts(spark, "wf_b", t1)
+    assert store.read_last_loaded_ts(spark, "wf_b", d0) == t1
+    assert store.read_last_loaded_ts(spark, "wf_a", d0) == t2
+
+
+def test_jdbc_watermark_interchangeable_with_parquet_store(spark, url, tmp_path):
+    """Same API, same observable behavior as operators.watermark.WatermarkStore:
+    a pipeline can swap stores without changing plan code."""
+    from datetime import datetime
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.watermark import (
+        WatermarkStore,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.sources.jdbc import (
+        JdbcWatermarkStore,
+    )
+
+    jw = JdbcWatermarkStore(url, driver=DRIVER)
+    jw.ensure_table(spark)
+    pw = WatermarkStore(str(tmp_path / "wm"))
+    d0 = datetime(2022, 1, 1)
+    seq = [datetime(2022, 3, 1), datetime(2022, 2, 1), datetime(2022, 4, 1)]
+    for ts in seq:
+        jw.write_last_loaded_ts(spark, "wf", ts)
+        pw.write_last_loaded_ts(spark, "wf", ts)
+    # NOTE: the parquet store trusts caller ordering (write-after-data), the
+    # JDBC store additionally guards in SQL; on a monotone caller both agree.
+    assert jw.read_last_loaded_ts(spark, "wf", d0) == datetime(2022, 4, 1)
