@@ -40,11 +40,13 @@ DDS_WM_DEFAULT = datetime(2022, 1, 1)  # sql/deliveries_stg_to_dds.sql:16
 
 
 def _stg_store(lake: Lakehouse) -> WatermarkStore:
-    return WatermarkStore(lake.path("stg", "srv_wf_settings"))
+    # storage provides its cursor store (parquet store here; the JDBC warehouse
+    # returns its SQL-guarded JdbcWatermarkStore) — jobs stay backend-agnostic
+    return lake.wm_store("stg")
 
 
 def _dds_store(lake: Lakehouse) -> WatermarkStore:
-    return WatermarkStore(lake.path("dds", "srv_wf_settings"))
+    return lake.wm_store("dds")
 
 
 def _sk(col: str | F.Column) -> F.Column:

@@ -101,10 +101,19 @@ def write_append(
     batchsize: int = DEFAULT_BATCHSIZE,
     driver: str | None = None,
     mode: str = "append",
+    varchar_len: int | None = 4096,
 ) -> None:
     """Parallel JDBC write: each partition opens one connection and streams
     batched INSERTs — N-way parallel for an N-partition DataFrame. ``overwrite``
-    drops/recreates the table from the DataFrame schema (used for staging)."""
+    drops/recreates the table from the DataFrame schema (used for staging).
+
+    String columns are declared ``VARCHAR(varchar_len)`` instead of the
+    dialect default (Derby maps StringType to CLOB, which can't be a MERGE
+    join key and is pathological as any key type); an over-length value fails
+    the INSERT loudly rather than truncating. ``varchar_len=None`` restores
+    the dialect default."""
+    from pyspark.sql.types import StringType
+
     w = (
         df.write.format("jdbc")
         .option("url", url)
@@ -112,6 +121,13 @@ def write_append(
         .option("batchsize", str(batchsize))
         .mode(mode)
     )
+    if varchar_len is not None:
+        strings = [f.name for f in df.schema.fields if isinstance(f.dataType, StringType)]
+        if strings:
+            w = w.option(
+                "createTableColumnTypes",
+                ", ".join(f"{c} VARCHAR({varchar_len})" for c in strings),
+            )
     if driver:
         w = w.option("driver", driver)
     w.save()
@@ -352,3 +368,112 @@ class JdbcWatermarkStore:
                 raise
         finally:
             conn.close()
+
+
+class JdbcWarehouse:
+    """Drop-in storage backend for the promotion jobs (``plans/promotions.py``)
+    over a JDBC warehouse — the reference's ACTUAL deployment topology (Airflow
+    tasks promoting stg→dds→cdm inside Postgres). Implements the same surface
+    the parquet ``Lakehouse`` exposes to the jobs (``read`` / ``append`` /
+    ``overwrite`` / ``upsert_scd1`` / ``wm_store``), so ``run_daily`` executes
+    the full DAG against a database without touching plan code —
+    tests/test_jdbc.py runs the two-day e2e on Derby and pins mart equality
+    with the lakehouse run.
+
+    Tables live as ``{layer}_{table}``. Reads conform to the declared schema
+    (cast per column) so JDBC type round-trips (e.g. DECIMAL scale) can't leak
+    into plan semantics; a never-created table reads as empty with its schema
+    (first-run bootstrap), exactly like the parquet store. Array/map/struct
+    columns cross the JDBC boundary as JSON text (the reference's own jsonb
+    convention) — serialized on write, ``from_json``-restored on read."""
+
+    def __init__(self, url: str, driver: str | None = None) -> None:
+        self.url = url
+        self.driver = driver
+
+    def _name(self, layer: str, table: str) -> str:
+        return f"{layer}_{table}"
+
+    @staticmethod
+    def _to_sql_types(df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        exprs = [
+            F.to_json(F.col(f.name)).alias(f.name)
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+        return df.select(*exprs)
+
+    def read(self, spark: SparkSession, layer: str, table: str, schema) -> DataFrame:
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        try:
+            df = read_table(spark, self.url, self._name(layer, table), driver=self.driver)
+        except Exception as e:
+            if "does not exist" not in str(e) and "42X05" not in str(e):
+                raise
+            return spark.createDataFrame([], schema)
+        return df.select(
+            *[
+                F.from_json(F.col(f.name), f.dataType).alias(f.name)
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+                else F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+
+    def append(self, df: DataFrame, layer: str, table: str) -> None:
+        write_append(
+            self._to_sql_types(df), self.url, self._name(layer, table), driver=self.driver
+        )
+
+    def overwrite(self, df: DataFrame, layer: str, table: str) -> None:
+        write_append(
+            self._to_sql_types(df), self.url, self._name(layer, table),
+            driver=self.driver, mode="overwrite",
+        )
+
+    def upsert_scd1(
+        self, spark: SparkSession, df: DataFrame, layer: str, table: str, schema, keys
+    ) -> None:
+        name = self._name(layer, table)
+        existing = self.read(spark, layer, table, schema)
+        sql_df = self._to_sql_types(df)
+        if existing.isEmpty():
+            # bootstrap: no target yet (or an empty one) — plain create/replace
+            write_append(sql_df, self.url, name, driver=self.driver, mode="overwrite")
+            return
+        upsert_scd1(sql_df, self.url, name, list(keys), driver=self.driver)
+
+    def wm_store(self, layer: str, table: str = "srv_wf_settings"):
+        store = JdbcWatermarkStore(
+            self.url, table=self._name(layer, table), driver=self.driver
+        )
+        return _EnsuringStore(store)
+
+
+class _EnsuringStore:
+    """Lazily creates the cursor table on first use so wm_store() stays cheap
+    and side-effect-free (parquet-store parity: reading a missing store yields
+    the default; writing creates it)."""
+
+    def __init__(self, inner: JdbcWatermarkStore) -> None:
+        self._inner = inner
+        self._ensured = False
+
+    def _ensure(self, spark: SparkSession) -> None:
+        if not self._ensured:
+            self._inner.ensure_table(spark)
+            self._ensured = True
+
+    def read_last_loaded_ts(self, spark: SparkSession, workflow_key: str, default):
+        self._ensure(spark)
+        return self._inner.read_last_loaded_ts(spark, workflow_key, default)
+
+    def write_last_loaded_ts(self, spark: SparkSession, workflow_key: str, ts) -> None:
+        self._ensure(spark)
+        return self._inner.write_last_loaded_ts(spark, workflow_key, ts)

@@ -32,6 +32,16 @@ class Lakehouse:
     def exists(self, layer: str, table: str) -> bool:
         return (self.root / layer / table).exists()
 
+    def wm_store(self, layer: str, table: str = "srv_wf_settings"):
+        """The layer's watermark cursor store. Storage backends each provide
+        their own (`JdbcWarehouse.wm_store` returns the SQL-guarded JDBC one),
+        which is what lets the promotion jobs run unchanged on either."""
+        from airflow_courier_payout_ledger_pipeline_spark.operators.watermark import (
+            WatermarkStore,
+        )
+
+        return WatermarkStore(self.path(layer, table))
+
     def read(
         self, spark: SparkSession, layer: str, table: str, schema: StructType
     ) -> DataFrame:

@@ -171,3 +171,47 @@ def test_jdbc_watermark_interchangeable_with_parquet_store(spark, url, tmp_path)
     # NOTE: the parquet store trusts caller ordering (write-after-data), the
     # JDBC store additionally guards in SQL; on a monotone caller both agree.
     assert jw.read_last_loaded_ts(spark, "wf", d0) == datetime(2022, 4, 1)
+
+
+def test_full_dag_runs_on_jdbc_warehouse_and_matches_lakehouse(spark, url, tmp_path):
+    """The complete reference DAG (load → stg → dds → cdm, two daily runs with
+    renames, duplicates, and late arrivals) executed UNCHANGED against a JDBC
+    warehouse — the reference's actual deployment topology — and the resulting
+    mart must equal the parquet-lakehouse run row for row (cross-storage
+    equivalence of the whole pipeline, not just one operator)."""
+    from airflow_courier_payout_ledger_pipeline_spark import schemas as S
+    from airflow_courier_payout_ledger_pipeline_spark.plans import promotions as P
+    from airflow_courier_payout_ledger_pipeline_spark.sources.jdbc import JdbcWarehouse
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+    from tests.test_pipeline import (
+        DAY1_COURIERS,
+        DAY1_DELIVERIES,
+        DAY2_COURIERS,
+        DAY2_DELIVERIES,
+        fake_api,
+    )
+
+    wh = JdbcWarehouse(url, driver=DRIVER)
+    lake = Lakehouse(str(tmp_path / "lake"))
+    for store in (wh, lake):
+        P.run_daily(
+            spark, store, fake_api(DAY1_COURIERS),
+            fake_api(DAY1_DELIVERIES, "delivery_ts"), "2023-05-11",
+        )
+        P.run_daily(
+            spark, store, fake_api(DAY2_COURIERS),
+            fake_api(DAY2_DELIVERIES, "delivery_ts"), "2023-05-12",
+        )
+
+    cols = [f.name for f in S.DM_COURIER_LEDGER_SCHEMA.fields]
+    jdbc_mart = wh.read(spark, "cdm", "dm_courier_ledger", S.DM_COURIER_LEDGER_SCHEMA)
+    lake_mart = lake.read(spark, "cdm", "dm_courier_ledger", S.DM_COURIER_LEDGER_SCHEMA)
+    assert _rows(jdbc_mart, cols) == _rows(lake_mart, cols)
+    assert jdbc_mart.count() > 0
+    # and the JDBC run is idempotent: replaying day 2 changes nothing
+    P.run_daily(
+        spark, wh, fake_api(DAY2_COURIERS),
+        fake_api(DAY2_DELIVERIES, "delivery_ts"), "2023-05-12",
+    )
+    again = wh.read(spark, "cdm", "dm_courier_ledger", S.DM_COURIER_LEDGER_SCHEMA)
+    assert _rows(again, cols) == _rows(lake_mart, cols)
