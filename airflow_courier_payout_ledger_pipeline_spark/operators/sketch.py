@@ -71,16 +71,40 @@ def merge_sketch_states(a: DataFrame, b: DataFrame, group_cols: list[str]) -> Da
 
     ``allowDifferentLgConfigK`` stays False: silently unioning sketches of
     different precision would downgrade every later estimate — a config drift
-    bug this surfaces loudly instead."""
-    an = a.select(*group_cols, F.col("distinct_sketch").alias("__sa"))
-    bn = b.select(*group_cols, F.col("distinct_sketch").alias("__sb"))
-    joined = an.join(bn, group_cols, "full_outer")
+    bug this surfaces loudly instead.
+
+    The grain join is NULL-SAFE (``eqNullSafe``): a NULL grain value (events
+    with no day, an unattributed segment) is one group — the same grouping
+    contract ``sketch_distinct``'s groupBy and ``rollup_sketches`` apply — so
+    both sides' NULL-grain sketches union instead of surviving as two
+    conflicting partial rows."""
+    an = a.select(
+        *[F.col(c).alias(f"__a_{c}") for c in group_cols],
+        F.col("distinct_sketch").alias("__sa"),
+    )
+    bn = b.select(
+        *[F.col(c).alias(f"__b_{c}") for c in group_cols],
+        F.col("distinct_sketch").alias("__sb"),
+    )
+    cond = None
+    for c in group_cols:
+        eq = F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))
+        cond = eq if cond is None else cond & eq
+    joined = an.join(bn, cond, "full_outer")
     merged = (
         F.when(F.col("__sa").isNull(), F.col("__sb"))
         .when(F.col("__sb").isNull(), F.col("__sa"))
         .otherwise(F.hll_union(F.col("__sa"), F.col("__sb")))
     )
-    return joined.select(*group_cols, merged.alias("distinct_sketch"))
+    # left side's sketch is null exactly when the left grain columns are all
+    # absent — take the key from whichever side has the row
+    keys = [
+        F.when(F.col("__sa").isNull(), F.col(f"__b_{c}"))
+        .otherwise(F.col(f"__a_{c}"))
+        .alias(c)
+        for c in group_cols
+    ]
+    return joined.select(*keys, merged.alias("distinct_sketch"))
 
 
 def estimate_distinct(state: DataFrame, group_cols: list[str]) -> DataFrame:

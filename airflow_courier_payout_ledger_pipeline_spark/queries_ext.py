@@ -3717,10 +3717,15 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NULL-signal rows are excluded EXPLICITLY: a NULL n_chars has no rank (and
+# Spark/DuckDB disagree on default NULL ordering inside a window), and a NULL
+# source is not a calibratable domain. The filter makes that a stated
+# contract in both engines instead of an accidental inner-join drop.
 QUANTILE_NORM_ORACLE = """
 SELECT doc_id, source, n_chars,
        percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pct_rank
 FROM documents
+WHERE source IS NOT NULL AND n_chars IS NOT NULL
 """
 
 
@@ -3742,6 +3747,7 @@ def q_score_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
+    docs = docs.filter(F.col("source").isNotNull() & F.col("n_chars").isNotNull())
     hist = docs.groupBy("source", "n_chars").agg(F.count("*").alias("__c"))
     w = Window.partitionBy("source").orderBy("n_chars")
     ranked = hist.select(

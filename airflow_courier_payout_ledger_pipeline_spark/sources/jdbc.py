@@ -297,8 +297,12 @@ class JdbcWatermarkStore:
                     f"CREATE TABLE {self.table} (wk VARCHAR(256) PRIMARY KEY, "
                     "cursor_ts VARCHAR(19), ws VARCHAR(4096))"
                 )
-            except Exception as e:  # already exists (Derby X0Y32 / PG 42P07)
-                if "exist" not in str(e).lower() and "X0Y32" not in str(e):
+            except Exception as e:
+                # already-exists ONLY (Derby X0Y32 / Postgres 42P07 / the ANSI
+                # message). A missing schema or bad database also says
+                # "... does not exist" — those must propagate, not be swallowed.
+                msg = str(e)
+                if not ("X0Y32" in msg or "42P07" in msg or "already exists" in msg.lower()):
                     raise
             finally:
                 stmt.close()
@@ -335,19 +339,27 @@ class JdbcWatermarkStore:
             return
         val = ts.strftime(self.TS_FMT)
         doc = _json.dumps({"last_loaded_ts": val})
+
+        def _guarded_update(conn) -> int:
+            # IS NULL arm: a row seeded with a NULL cursor (external tooling,
+            # migration) must be advanceable — plain `cursor_ts < ?` is UNKNOWN
+            # against NULL and would freeze the watermark forever.
+            upd = conn.prepareStatement(
+                f"UPDATE {self.table} SET cursor_ts = ?, ws = ? "
+                "WHERE wk = ? AND (cursor_ts IS NULL OR cursor_ts < ?)"
+            )
+            upd.setString(1, val); upd.setString(2, doc)
+            upd.setString(3, workflow_key); upd.setString(4, val)
+            try:
+                return upd.executeUpdate()
+            finally:
+                upd.close()
+
         conn = self._conn(spark)
         try:
             conn.setAutoCommit(False)
             try:
-                upd = conn.prepareStatement(
-                    f"UPDATE {self.table} SET cursor_ts = ?, ws = ? "
-                    "WHERE wk = ? AND cursor_ts < ?"
-                )
-                upd.setString(1, val); upd.setString(2, doc)
-                upd.setString(3, workflow_key); upd.setString(4, val)
-                updated = upd.executeUpdate()
-                upd.close()
-                if updated == 0:
+                if _guarded_update(conn) == 0:
                     chk = conn.prepareStatement(
                         f"SELECT 1 FROM {self.table} WHERE wk = ?"
                     )
@@ -355,13 +367,23 @@ class JdbcWatermarkStore:
                     exists = chk.executeQuery().next()
                     chk.close()
                     if not exists:
-                        ins = conn.prepareStatement(
-                            f"INSERT INTO {self.table} (wk, cursor_ts, ws) VALUES (?, ?, ?)"
-                        )
-                        ins.setString(1, workflow_key)
-                        ins.setString(2, val); ins.setString(3, doc)
-                        ins.executeUpdate()
-                        ins.close()
+                        try:
+                            ins = conn.prepareStatement(
+                                f"INSERT INTO {self.table} (wk, cursor_ts, ws) "
+                                "VALUES (?, ?, ?)"
+                            )
+                            ins.setString(1, workflow_key)
+                            ins.setString(2, val); ins.setString(3, doc)
+                            ins.executeUpdate()
+                            ins.close()
+                        except Exception as e:
+                            # two first-ever runs raced: the loser's INSERT hits
+                            # the primary key (SQLState 23505). Fall back to the
+                            # guarded UPDATE against the winner's row.
+                            if "23505" not in str(e) and "duplicate" not in str(e).lower():
+                                raise
+                            conn.rollback()
+                            _guarded_update(conn)
                 conn.commit()
             except Exception:
                 conn.rollback()
@@ -407,14 +429,25 @@ class JdbcWarehouse:
         ]
         return df.select(*exprs)
 
+    def _is_missing_table(self, e: Exception, name: str) -> bool:
+        """Missing-TABLE errors only (Derby 42X05 / Postgres 42P01), and the
+        message must actually name this table: a missing schema or database
+        also phrases itself as "... does not exist" and must propagate —
+        swallowing it would bootstrap-overwrite a live target on a typo'd URL."""
+        msg = str(e)
+        states = "42X05" in msg or "42P01" in msg
+        named = name.lower() in msg.lower() and "does not exist" in msg.lower()
+        return states or named
+
     def read(self, spark: SparkSession, layer: str, table: str, schema) -> DataFrame:
         from pyspark.sql import functions as F
         from pyspark.sql.types import ArrayType, MapType, StructType
 
+        name = self._name(layer, table)
         try:
-            df = read_table(spark, self.url, self._name(layer, table), driver=self.driver)
+            df = read_table(spark, self.url, name, driver=self.driver)
         except Exception as e:
-            if "does not exist" not in str(e) and "42X05" not in str(e):
+            if not self._is_missing_table(e, name):
                 raise
             return spark.createDataFrame([], schema)
         return df.select(
@@ -437,23 +470,53 @@ class JdbcWarehouse:
             driver=self.driver, mode="overwrite",
         )
 
+    def _is_empty_or_missing(self, spark: SparkSession, name: str) -> bool:
+        """Cheap bootstrap probe: 1-row scan, no schema-cast projection."""
+        try:
+            probe = read_table(spark, self.url, name, driver=self.driver)
+        except Exception as e:
+            if not self._is_missing_table(e, name):
+                raise
+            return True
+        return probe.limit(1).isEmpty()
+
     def upsert_scd1(
-        self, spark: SparkSession, df: DataFrame, layer: str, table: str, schema, keys
+        self, spark: SparkSession, df: DataFrame, layer: str, table: str, schema, keys,
+        tiebreaker=None,
     ) -> None:
+        from airflow_courier_payout_ledger_pipeline_spark.operators.merge import (
+            _dedup_within_batch,
+        )
+
         name = self._name(layer, table)
-        existing = self.read(spark, layer, table, schema)
-        sql_df = self._to_sql_types(df)
-        if existing.isEmpty():
+        # Lakehouse-parity semantics: within-batch duplicates collapse to one
+        # row per key (last wins under a tiebreaker) BEFORE the merge — a page
+        # overlap in an at-least-once extract must upsert, not crash the MERGE.
+        deduped = _dedup_within_batch(df, list(keys), tiebreaker, keep_last=True)
+        sql_df = self._to_sql_types(deduped)
+        if self._is_empty_or_missing(spark, name):
             # bootstrap: no target yet (or an empty one) — plain create/replace
             write_append(sql_df, self.url, name, driver=self.driver, mode="overwrite")
             return
-        upsert_scd1(sql_df, self.url, name, list(keys), driver=self.driver)
+        upsert_scd1(
+            sql_df, self.url, name, list(keys), driver=self.driver,
+            check_unique=False,  # just deduplicated above
+        )
 
     def wm_store(self, layer: str, table: str = "srv_wf_settings"):
-        store = JdbcWatermarkStore(
-            self.url, table=self._name(layer, table), driver=self.driver
-        )
-        return _EnsuringStore(store)
+        key = (layer, table)
+        cache = getattr(self, "_wm_stores", None)
+        if cache is None:
+            cache = self._wm_stores = {}
+        if key not in cache:
+            # cached per layer: the ensure-once flag survives across the DAG's
+            # jobs instead of re-paying a CREATE round-trip per store lookup
+            cache[key] = _EnsuringStore(
+                JdbcWatermarkStore(
+                    self.url, table=self._name(layer, table), driver=self.driver
+                )
+            )
+        return cache[key]
 
 
 class _EnsuringStore:

@@ -189,7 +189,8 @@ def run_available_now(
     store per shuffle partition per stateful operator per micro-batch, so the
     partition count must track STATE SIZE, not the batch session's CPU-oriented
     default — 32 stores over a few thousand state rows is pure fixed overhead
-    (measured 2.8 s → 1.4 s drain at sf0.1 going 32 → 8). At deployment scale
+    (measured 2.8 s → 1.4 s drain at sf0.1 going 32 → 8 in the controlled A/B;
+    SCALE.md cites the same measurement). At deployment scale
     size it to state volume (hundreds for multi-GB state); the value is baked
     into the checkpoint at first start, so pick it before going live. ``None``
     keeps the session default."""

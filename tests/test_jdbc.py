@@ -215,3 +215,64 @@ def test_full_dag_runs_on_jdbc_warehouse_and_matches_lakehouse(spark, url, tmp_p
     )
     again = wh.read(spark, "cdm", "dm_courier_ledger", S.DM_COURIER_LEDGER_SCHEMA)
     assert _rows(again, cols) == _rows(lake_mart, cols)
+
+
+def test_warehouse_upsert_dedupes_within_batch_like_lakehouse(spark, url):
+    """A page-overlap increment carrying the same key twice must upsert (one
+    row per key), exactly like the parquet Lakehouse path — not crash the
+    MERGE, and not persist duplicates through the bootstrap branch."""
+    from airflow_courier_payout_ledger_pipeline_spark.sources.jdbc import JdbcWarehouse
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [StructField("k", IntegerType()), StructField("name", StringType())]
+    )
+    wh = JdbcWarehouse(url, driver=DRIVER)
+    dup_inc = spark.createDataFrame([(1, "x"), (1, "x"), (2, "y")], schema)
+    # bootstrap day: duplicates must collapse before the create
+    wh.upsert_scd1(spark, dup_inc, "dds", "t_dedup", schema, ["k"])
+    got = wh.read(spark, "dds", "t_dedup", schema)
+    assert got.count() == 2
+    # steady-state day: overlap again, still one row per key, update applied
+    dup_inc2 = spark.createDataFrame([(2, "Y2"), (2, "Y2"), (3, "z")], schema)
+    wh.upsert_scd1(spark, dup_inc2, "dds", "t_dedup", schema, ["k"])
+    got2 = {r["k"]: r["name"] for r in wh.read(spark, "dds", "t_dedup", schema).collect()}
+    assert got2 == {1: "x", 2: "Y2", 3: "z"}
+
+
+def test_jdbc_watermark_advances_over_null_cursor_row(spark, url):
+    """A row seeded with a NULL cursor (external tooling/migration) must be
+    advanceable — a plain `cursor_ts < ?` guard is UNKNOWN against NULL and
+    would freeze the watermark forever."""
+    from datetime import datetime
+
+    from airflow_courier_payout_ledger_pipeline_spark.sources.jdbc import (
+        JdbcWatermarkStore,
+    )
+
+    store = JdbcWatermarkStore(url, driver=DRIVER)
+    store.ensure_table(spark)
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.execute("INSERT INTO srv_wf_settings (wk, cursor_ts, ws) VALUES ('wf_n', NULL, NULL)")
+    st.close(); conn.close()
+    d0 = datetime(2022, 1, 1)
+    assert store.read_last_loaded_ts(spark, "wf_n", d0) == d0  # NULL -> default
+    store.write_last_loaded_ts(spark, "wf_n", datetime(2022, 7, 1))
+    assert store.read_last_loaded_ts(spark, "wf_n", d0) == datetime(2022, 7, 1)
+
+
+def test_missing_schema_error_propagates_not_bootstraps(spark, tmp_path):
+    """A typo'd database path must raise, never silently read-as-empty (which
+    would flip upsert into a destructive bootstrap overwrite)."""
+    from airflow_courier_payout_ledger_pipeline_spark.sources.jdbc import JdbcWarehouse
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType([StructField("k", IntegerType())])
+    # create=true omitted -> connecting to a nonexistent database errors
+    wh = JdbcWarehouse(f"jdbc:derby:{tmp_path}/no_such_db", driver=DRIVER)
+    with pytest.raises(Exception):
+        wh.read(spark, "dds", "t", schema)

@@ -150,3 +150,30 @@ def test_estimates_within_published_error_envelope(spark):
     rse = 1.04 / math.sqrt(2**DEFAULT_LGK)
     for day, n in exact.items():
         assert abs(est[day] - n) <= 3 * rse * n + 1, (day, est[day], n)
+
+
+def test_null_grain_folds_as_one_group(spark):
+    """A NULL grain value is ONE group (the groupBy contract): both sides' NULL
+    sketches must union, not survive as two conflicting partial rows."""
+    ev = spark.range(600).select(
+        F.when(F.col("id") % 3 == 0, None).otherwise((F.col("id") % 2)).cast("int").alias("day"),
+        (F.col("id") % 100).cast("long").alias("user_id"),
+    )
+    a, b = ev.filter(F.col("user_id") % 2 == 0), ev.filter(F.col("user_id") % 2 == 1)
+    merged = merge_sketch_states(
+        sketch_distinct(a, GRAIN, "user_id"),
+        sketch_distinct(b, GRAIN, "user_id"),
+        GRAIN,
+    )
+    rows = merged.collect()
+    assert len(rows) == 3  # day 0, day 1, day NULL — exactly one row each
+    exact = {
+        r["day"]: r["n"]
+        for r in ev.groupBy("day").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    ests = {
+        r["day"]: r["n_distinct_est"]
+        for r in estimate_distinct(merged, GRAIN).collect()
+    }
+    for day, n in exact.items():
+        assert abs(ests[day] - n) <= 0.05 * n + 1, (day, ests[day], n)
