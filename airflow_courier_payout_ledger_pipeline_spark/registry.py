@@ -327,6 +327,74 @@ ADJUDICATION_WINDOW_FIRST: list[str] = [
 ]
 
 
+# ------------------------------------------------------------------------------------
+# PLANNED round-5 window (do NOT activate during round 4 — the driver must
+# adjudicate the list above first). At the START of round 5, set
+# ADJUDICATION_WINDOW_FIRST = ADJUDICATION_WINDOW_R5_PLAN and update
+# OPERATORS.md's history. Composition: the 12 queries registered in round 4
+# outside the r4 window (never adjudicated), the flagship canary trio, then
+# the 35 longest-unproven of the veterans rotated out in r4 (registration
+# order). The remaining 12 veterans take the r6 window; tracked in
+# OPERATORS.md. test_registry_window.py checks this plan stays consistent
+# with the registry as queries are added.
+# ------------------------------------------------------------------------------------
+ADJUDICATION_WINDOW_R5_PLAN: list[str] = [
+    # -- registered r4, never adjudicated --
+    "streaming_static_enrich",
+    "target_mix_sample",
+    "token_budget_cap",
+    "dedup_cross_corpus",
+    "cdc_apply_roundtrip",
+    "event_transitions",
+    "k_anonymity_audit",
+    "value_winsorize",
+    "weighted_sample",
+    "dedup_span_profile",
+    "split_leakage_audit",
+    "score_quantile_norm",
+    # -- flagship canary --
+    "courier_ledger",
+    "courier_ledger_sql",
+    "incremental_mart_maintenance",
+    # -- 35 veterans (green r1-r3, rotated out in r4), registration order --
+    "json_extract",
+    "json_struct_parse",
+    "paged_scan",
+    "watermark_filter",
+    "timestamp_dim",
+    "broadcast_enrich",
+    "dim_lookup_join",
+    "watermark_cursor",
+    "filtered_agg",
+    "tier_payout",
+    "scd0_insert_ignore",
+    "scd1_upsert",
+    "rest_page_fetch_distributed",
+    "incremental_promotion",
+    "set_ops",
+    "rollup_totals",
+    "semi_anti_join",
+    "grouping_sets_hourly",
+    "price_histogram",
+    "list_agg_priorities",
+    "watermark_state",
+    "text_stats",
+    "lang_id",
+    "doc_fingerprint",
+    "dedup_exact",
+    "minhash_signatures",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_two_stage",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_components",
+    "similarity_topk",
+    "similarity_ann_bucketed",
+    "embedding_near_dup",
+]
+
+
 def _window_ordered(d: dict) -> dict:
     first = {n: d[n] for n in ADJUDICATION_WINDOW_FIRST if n in d}
     return {**first, **{n: v for n, v in d.items() if n not in first}}

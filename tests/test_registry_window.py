@@ -39,3 +39,45 @@ def test_flagship_canary_stays_in_window():
 def test_queries_and_oracles_share_order():
     q, o = list(all_queries()), list(all_oracles())
     assert q[: len(o)] == o[: len(q)] or [n for n in q if n in set(o)] == o
+
+
+def test_r5_window_plan_is_consistent_with_registry():
+    """The planned round-5 rotation must stay valid as queries are added: every
+    name registered+oracled, exactly 50 slots, canary in, and every query never
+    adjudicated through r4 (registered after the r4 window) occupies a slot."""
+    from airflow_courier_payout_ledger_pipeline_spark.registry import (
+        ADJUDICATION_WINDOW_R5_PLAN,
+    )
+
+    q, o = all_queries(), all_oracles()
+    assert len(ADJUDICATION_WINDOW_R5_PLAN) == WINDOW
+    assert len(set(ADJUDICATION_WINDOW_R5_PLAN)) == WINDOW
+    missing = [n for n in ADJUDICATION_WINDOW_R5_PLAN if n not in q or n not in o]
+    assert not missing, f"r5 plan names without query/oracle: {missing}"
+    assert CANARY <= set(ADJUDICATION_WINDOW_R5_PLAN)
+    # every never-adjudicated query (outside BOTH the r4 window and the r1-r3
+    # adjudicated set) must be in the r5 plan — new round-4 work waits one
+    # round at most
+    never = [n for n in q if n not in ADJUDICATION_WINDOW_FIRST and n not in _R1_R3_GREEN]
+    not_planned = [n for n in never if n not in ADJUDICATION_WINDOW_R5_PLAN]
+    assert not not_planned, f"never-adjudicated queries missing from r5 plan: {not_planned}"
+
+
+#: queries with green driver rows in CORRECTNESS_r01-r03 (rotated out in r4)
+_R1_R3_GREEN = {
+    "json_extract", "json_struct_parse", "paged_scan", "watermark_filter",
+    "timestamp_dim", "broadcast_enrich", "dim_lookup_join", "watermark_cursor",
+    "filtered_agg", "tier_payout", "scd0_insert_ignore", "scd1_upsert",
+    "rest_page_fetch_distributed", "incremental_promotion", "set_ops",
+    "rollup_totals", "semi_anti_join", "grouping_sets_hourly",
+    "price_histogram", "list_agg_priorities", "watermark_state", "text_stats",
+    "lang_id", "doc_fingerprint", "dedup_exact", "minhash_signatures",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_two_stage",
+    "dedup_simhash", "dedup_simhash_pairs", "dedup_components",
+    "similarity_topk", "similarity_ann_bucketed", "embedding_near_dup",
+    "similarity_ivf_topk", "event_windows_tumbling", "event_windows_sliding",
+    "event_sessionization", "asof_join_events", "window_analytics",
+    "distribution_stats", "range_join_incidents", "term_importance",
+    "fuzzy_name_pairs", "profile_documents", "pivot_event_counts",
+    "courier_ledger", "courier_ledger_sql", "incremental_mart_maintenance",
+}
