@@ -276,3 +276,58 @@ def test_missing_schema_error_propagates_not_bootstraps(spark, tmp_path):
     wh = JdbcWarehouse(f"jdbc:derby:{tmp_path}/no_such_db", driver=DRIVER)
     with pytest.raises(Exception):
         wh.read(spark, "dds", "t", schema)
+
+
+# --- property: staged-MERGE upsert ≡ DataFrame SCD1 on arbitrary increments -------
+
+import hypothesis.strategies as st  # noqa: E402
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+
+_SET = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_state_strategy = st.tuples(
+    # target: key -> value (unique keys by construction)
+    st.dictionaries(st.integers(0, 8), st.integers(0, 99), min_size=1, max_size=6),
+    # increment: list of (key, value) — duplicate keys ALLOWED (page overlap)
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(100, 199)), min_size=1, max_size=8
+    ),
+)
+
+
+@_SET
+@given(data=_state_strategy)
+def test_staged_merge_equals_dataframe_scd1_on_random_states(spark, tmp_path_factory, data):
+    """For ANY target state and ANY increment (overlapping, disjoint, duplicate
+    keys), the JDBC staged MERGE converges to the same state as the DataFrame
+    scd1_upsert with the same deterministic tiebreaker (last = highest value)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        IntegerType, StructField, StructType,
+    )
+
+    from airflow_courier_payout_ledger_pipeline_spark.sources.jdbc import JdbcWarehouse
+
+    target0, inc_rows = data
+    schema = StructType(
+        [StructField("k", IntegerType()), StructField("v", IntegerType())]
+    )
+    tdf = spark.createDataFrame(sorted(target0.items()), schema)
+    idf = spark.createDataFrame(inc_rows, schema)
+
+    url = f"jdbc:derby:{tmp_path_factory.mktemp('prop')}/db;create=true"
+    wh = JdbcWarehouse(url, driver=DRIVER)
+    wh.overwrite(tdf, "dds", "t_prop", )
+    wh.upsert_scd1(spark, idf, "dds", "t_prop", schema, ["k"], tiebreaker=F.col("v"))
+    got = sorted(
+        (r["k"], r["v"]) for r in wh.read(spark, "dds", "t_prop", schema).collect()
+    )
+
+    expected_state = dict(target0)
+    for k, v in sorted(inc_rows, key=lambda t: t[1]):  # highest v wins per key
+        expected_state[k] = v
+    assert got == sorted(expected_state.items())
