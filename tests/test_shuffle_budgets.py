@@ -54,3 +54,23 @@ def test_headline_queries_stay_within_shuffle_budget(spark):
         if shuffles > budget:
             over[name] = (shuffles, budget)
     assert not over, f"shuffle budget exceeded (got, budget): {over}"
+
+
+def test_every_nonstreaming_headline_query_has_a_budget():
+    """bench.py's headline set and this budget table must stay in sync: a
+    query added to the bench without a pinned budget silently escapes the
+    plan-regression guard."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", Path(__file__).resolve().parents[1] / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    unbudgeted = [
+        n
+        for n in bench.HEADLINE
+        if not n.startswith("streaming_") and n not in SHUFFLE_BUDGET
+    ]
+    assert not unbudgeted, f"headline queries without a shuffle budget: {unbudgeted}"
