@@ -44,45 +44,73 @@ if TYPE_CHECKING:
 def embedding_moments(emb: DataFrame, vec_col: str = "embedding"):
     """One distributed pass → (n, mean vector, covariance matrix) as numpy.
 
-    Partial per Arrow batch: Gram (d×d), column sums (d), count — batch-level
-    numpy matmuls. The reduce is a single ``sum`` aggregation over flattened
-    partials; the driver sees one row of d²+d+1 doubles, never data rows."""
+    ONE partial per PARTITION (not per Arrow batch): the generator accumulates
+    Gram (d×d), column sums, and count across the partition's batches in numpy
+    and yields a single d²+d+1-wide row — so the downstream explode/aggregate
+    handles exactly (#partitions × (d²+d+1)) values however many batches a
+    partition holds. The reduce folds each position's partials in SORTED
+    partition-id order (array_sort + ordered fold), because float addition is
+    not associative: an order-free SUM would differ by ULPs between runs as
+    shuffle fetch order varies, and with a near-flat eigenspectrum ULP noise
+    can reorder near-equal eigenvalues — the determinism contract is
+    bit-stable moments GIVEN deterministic input partitioning (a file scan).
+    Driver transfer: d²+d+1 doubles (d=1024 → ~8 MB), corpus-size-independent.
+    (A flat row of d² sum-expressions would not even codegen at d≈1024.)"""
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
+    first = emb.select(F.size(vec_col)).first()
+    if first is None:
+        raise ValueError("embedding_moments: input DataFrame is empty")
+    d = first[0]
+    if d is None or d < 1:
+        raise ValueError(
+            f"embedding_moments: first row's {vec_col!r} is NULL/empty (size={d})"
+        )
+
     def partials(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        gram = np.zeros((d, d), dtype=np.float64)
+        sums = np.zeros(d, dtype=np.float64)
+        n = 0
+        pid = None
         for b in batches:
             if not len(b):
                 continue
+            if pid is None:
+                pid = int(b["pid"].iloc[0])
             x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
-            gram = x.T @ x
+            gram += x.T @ x
+            sums += x.sum(axis=0)
+            n += len(x)
+        if n:
             yield pd.DataFrame(
                 {
-                    "n": [float(len(x))],
-                    "sums": [x.sum(axis=0).tolist()],
-                    "gram": [gram.ravel().tolist()],
+                    "pid": [pid],
+                    "vals": [[float(n), *sums.tolist(), *gram.ravel().tolist()]],
                 }
             )
 
-    d = emb.select(F.size(vec_col)).first()[0]
-
-    part = emb.select(vec_col).mapInPandas(
-        partials, "n double, sums array<double>, gram array<double>"
+    part = emb.select(vec_col, F.spark_partition_id().alias("pid")).mapInPandas(
+        partials, "pid int, vals array<double>"
     )
-    # Reduce the per-batch partials positionally: explode to (pos, val) and sum
-    # per pos — ONE shuffle of (#partials × (d²+d+1)) scalar rows, and the sole
-    # driver transfer is d²+d+1 doubles (d=1024 → ~8 MB) regardless of corpus
-    # size. (A flat row of d² sum-expressions would not even codegen at d≈1024.)
-    flat = part.select(
-        F.posexplode(
-            F.concat(F.array(F.col("n")), F.col("sums"), F.col("gram"))
-        ).alias("pos", "val")
+    flat = part.select("pid", F.posexplode("vals").alias("pos", "val"))
+    rows = (
+        flat.groupBy("pos")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("pid", "val"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["val"],
+            ).alias("v")
+        )
+        .collect()
     )
-    rows = flat.groupBy("pos").agg(F.sum("val").alias("v")).collect()
     acc = np.zeros(1 + d + d * d, dtype=np.float64)
     for r in rows:
         acc[r["pos"]] = r["v"]
     n = int(acc[0])
+    if n == 0:
+        raise ValueError("embedding_moments: no non-empty partitions")
     mean = acc[1 : 1 + d] / n
     gram = acc[1 + d :].reshape(d, d)
     cov = gram / n - np.outer(mean, mean)
@@ -132,9 +160,10 @@ def project_embeddings(
             out[out_col] = list(red.astype(np.float32))
             yield out
 
-    fields = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in emb.schema.fields
-        if f.name != vec_col
+    from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
+
+    out_schema = StructType(
+        [f for f in emb.schema.fields if f.name != vec_col]
+        + [StructField(out_col, ArrayType(FloatType()))]
     )
-    return emb.mapInPandas(proj, f"{fields}, {out_col} array<float>")
+    return emb.mapInPandas(proj, out_schema)

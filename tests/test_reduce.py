@@ -113,3 +113,33 @@ def test_pca_reduced_ann_recall_against_full_dim(spark, emb):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(t & a) / len(t)
     assert recall >= 0.4, f"recall@10 in PCA space collapsed: {recall:.3f}"
+
+
+def test_moments_deterministic_across_repartitionings(spark, emb, x):
+    """The ordered-fold reduce makes the moments bit-stable for a FIXED
+    partitioning, and within float tolerance across different partition
+    counts (float addition order differs, values must still agree)."""
+    n1, m1, c1 = embedding_moments(emb.repartition(7, "vec_id"))
+    n1b, m1b, c1b = embedding_moments(emb.repartition(7, "vec_id"))
+    np.testing.assert_array_equal(m1, m1b)
+    np.testing.assert_array_equal(c1, c1b)  # bit-stable: same partitioning
+    n2, m2, c2 = embedding_moments(emb.repartition(3, "vec_id"))
+    assert n1 == n2 == len(x)
+    np.testing.assert_allclose(c1, c2, rtol=1e-9, atol=1e-12)
+
+
+def test_empty_and_null_inputs_fail_loudly(spark, emb):
+    with pytest.raises(ValueError, match="empty"):
+        embedding_moments(emb.filter(F.col("vec_id") < 0))
+    nulled = emb.withColumn(
+        "embedding", F.when(F.lit(True), F.lit(None).cast("array<float>"))
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        embedding_moments(nulled)
+
+
+def test_projection_with_no_passthrough_columns(spark, emb):
+    comps, _, mean = pca_components(emb, k=4)
+    out = project_embeddings(emb.select("embedding"), comps, mean)
+    assert out.columns == ["reduced"]
+    assert out.count() == emb.count()
