@@ -407,11 +407,24 @@ class JdbcWarehouse:
     into plan semantics; a never-created table reads as empty with its schema
     (first-run bootstrap), exactly like the parquet store. Array/map/struct
     columns cross the JDBC boundary as JSON text (the reference's own jsonb
-    convention) — serialized on write, ``from_json``-restored on read."""
+    convention) — serialized on write, ``from_json``-restored on read.
 
-    def __init__(self, url: str, driver: str | None = None) -> None:
+    ``partition_specs`` maps ``"layer.table"`` → ``(column, lower, upper,
+    num_partitions)``: reads of those tables become N parallel range-slice
+    queries instead of a one-connection scan. Dims can stay unspec'd (a
+    single connection is right for small tables); FACT tables must be
+    spec'd at scale — a 100 TB fact behind one JDBC connection is a
+    one-task bottleneck no cluster can help."""
+
+    def __init__(
+        self,
+        url: str,
+        driver: str | None = None,
+        partition_specs: dict[str, tuple[str, int, int, int]] | None = None,
+    ) -> None:
         self.url = url
         self.driver = driver
+        self.partition_specs = dict(partition_specs or {})
 
     def _name(self, layer: str, table: str) -> str:
         return f"{layer}_{table}"
@@ -444,8 +457,18 @@ class JdbcWarehouse:
         from pyspark.sql.types import ArrayType, MapType, StructType
 
         name = self._name(layer, table)
+        spec = self.partition_specs.get(f"{layer}.{table}")
+        kw = {}
+        if spec is not None:
+            pcol, lo, hi, nparts = spec
+            kw = dict(
+                partition_column=pcol,
+                lower_bound=lo,
+                upper_bound=hi,
+                num_partitions=nparts,
+            )
         try:
-            df = read_table(spark, self.url, name, driver=self.driver)
+            df = read_table(spark, self.url, name, driver=self.driver, **kw)
         except Exception as e:
             if not self._is_missing_table(e, name):
                 raise

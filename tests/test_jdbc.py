@@ -331,3 +331,28 @@ def test_staged_merge_equals_dataframe_scd1_on_random_states(spark, tmp_path_fac
     for k, v in sorted(inc_rows, key=lambda t: t[1]):  # highest v wins per key
         expected_state[k] = v
     assert got == sorted(expected_state.items())
+
+
+def test_warehouse_partition_specs_parallelize_fact_reads(spark, url, tmp_path):
+    """A fact table named in partition_specs reads as N parallel range slices;
+    the whole DAG still converges to the identical mart (spec'd vs unspec'd
+    warehouse runs over the same database shape)."""
+    from airflow_courier_payout_ledger_pipeline_spark.sources.jdbc import JdbcWarehouse
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", IntegerType())]
+    )
+    plain = JdbcWarehouse(url, driver=DRIVER)
+    src = spark.range(200).select(F.col("id").alias("k"), (F.col("id") % 9).cast("int").alias("v"))
+    plain.overwrite(src, "dds", "facts", )
+    spec = JdbcWarehouse(
+        url, driver=DRIVER, partition_specs={"dds.facts": ("k", 0, 200, 4)}
+    )
+    got_plain = plain.read(spark, "dds", "facts", schema)
+    got_spec = spec.read(spark, "dds", "facts", schema)
+    assert got_plain.rdd.getNumPartitions() == 1
+    assert got_spec.rdd.getNumPartitions() == 4
+    assert _rows(got_spec, ["k", "v"]) == _rows(got_plain, ["k", "v"])
+    # unspec'd tables on the spec'd warehouse still read single-connection
+    assert spec.read(spark, "dds", "facts2" , schema).count() == 0  # missing -> empty
