@@ -356,3 +356,27 @@ def test_warehouse_partition_specs_parallelize_fact_reads(spark, url, tmp_path):
     assert _rows(got_spec, ["k", "v"]) == _rows(got_plain, ["k", "v"])
     # unspec'd tables on the spec'd warehouse still read single-connection
     assert spec.read(spark, "dds", "facts2" , schema).count() == 0  # missing -> empty
+
+
+def test_empty_first_run_bootstraps_cleanly_on_jdbc(spark, url):
+    """Cold start with an API returning NOTHING: every job must no-op cleanly
+    (no tables half-created, no cursor written), and a later real run must
+    proceed as if it were day one."""
+    from airflow_courier_payout_ledger_pipeline_spark import schemas as S
+    from airflow_courier_payout_ledger_pipeline_spark.plans import promotions as P
+    from airflow_courier_payout_ledger_pipeline_spark.sources.jdbc import JdbcWarehouse
+    from tests.test_pipeline import DAY1_COURIERS, DAY1_DELIVERIES, fake_api
+
+    wh = JdbcWarehouse(url, driver=DRIVER)
+    P.run_daily(spark, wh, fake_api([]), fake_api([], "delivery_ts"), "2023-05-11")
+    assert (
+        wh.read(spark, "cdm", "dm_courier_ledger", S.DM_COURIER_LEDGER_SCHEMA).count()
+        == 0
+    )
+    # real day after the empty one: full pipeline output appears
+    P.run_daily(
+        spark, wh, fake_api(DAY1_COURIERS),
+        fake_api(DAY1_DELIVERIES, "delivery_ts"), "2023-05-11",
+    )
+    mart = wh.read(spark, "cdm", "dm_courier_ledger", S.DM_COURIER_LEDGER_SCHEMA)
+    assert mart.count() > 0
