@@ -78,6 +78,21 @@ def embedding_moments(emb: DataFrame, vec_col: str = "embedding"):
                 continue
             if pid is None:
                 pid = int(b["pid"].iloc[0])
+            # Loud-failure contract (test_empty_and_null_inputs_fail_loudly):
+            # the first-row guard above only covers row 0 — a NULL or ragged
+            # vector deeper in the corpus would otherwise surface as an opaque
+            # numpy stack/astype error inside this task.
+            if b[vec_col].isna().any():
+                raise ValueError(
+                    f"embedding_moments: NULL {vec_col!r} encountered mid-corpus "
+                    "(drop or impute NULL embeddings upstream)"
+                )
+            lens = b[vec_col].map(len)
+            if (lens != d).any():
+                raise ValueError(
+                    f"embedding_moments: ragged {vec_col!r} (expected dim {d}, "
+                    f"saw {sorted(set(lens[lens != d]))[:5]})"
+                )
             x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
             gram += x.T @ x
             sums += x.sum(axis=0)

@@ -1141,9 +1141,13 @@ WITH cs AS (
            SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c
     FROM documents
 )
-SELECT (c - n_chars) // 2000 AS bin_id, count(*) AS n_docs,
+-- ::BIGINT on every column derived from the windowed SUM: DuckDB's SUM(int) is
+-- HUGEINT, which its pandas bridge converts to float64 — the driver hashes
+-- float 3.0 != Spark int64 3 even though fetchall()'s Python ints agree
+-- (CORRECTNESS_r04's one hash_match=false; guarded in oracle_harness.compare).
+SELECT ((c - n_chars) // 2000)::BIGINT AS bin_id, count(*) AS n_docs,
        SUM(n_chars)::BIGINT AS tokens_total,
-       min(c - n_chars) AS first_offset
+       min(c - n_chars)::BIGINT AS first_offset
 FROM cs GROUP BY 1
 """
 

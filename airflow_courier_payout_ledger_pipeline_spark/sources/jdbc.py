@@ -27,6 +27,7 @@ equivalence laws JDBC upsert ≡ ``operators.merge.scd1_upsert`` /
 
 from __future__ import annotations
 
+import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -200,15 +201,30 @@ def _staged_merge(
         # At very large increments pre-dedupe with merge._dedup_within_batch
         # and pass check_unique=False.
         assert_unique(increment, keys)
-    staging = staging or f"{target}_stg"
+    # Per-run staging name: two concurrent upserts to the same target must not
+    # overwrite each other's staging rows mid-merge. Target-level MERGE
+    # serialization is still the database's job (row locks); the unique name
+    # only removes the staging collision. Callers pinning `staging` explicitly
+    # accept single-writer semantics for that name.
+    staging = staging or f"{target}_stg_{uuid.uuid4().hex[:12]}"
     write_append(increment, url, staging, driver=driver, mode="overwrite")
-    execute(
-        increment.sparkSession,
-        url,
-        _merge_sql(target, staging, increment.columns, keys, update_on_match=update_on_match),
-        f"DROP TABLE {staging}",
-        driver=driver,
-    )
+    try:
+        execute(
+            increment.sparkSession,
+            url,
+            _merge_sql(target, staging, increment.columns, keys, update_on_match=update_on_match),
+            f"DROP TABLE {staging}",
+            driver=driver,
+        )
+    except Exception:
+        # The MERGE transaction rolled back; the staging table was committed
+        # by the bulk load above and would otherwise linger. Best-effort drop
+        # (its own transaction), never masking the original failure.
+        try:
+            execute(increment.sparkSession, url, f"DROP TABLE {staging}", driver=driver)
+        except Exception:
+            pass
+        raise
 
 
 def upsert_scd1(
@@ -442,15 +458,53 @@ class JdbcWarehouse:
         ]
         return df.select(*exprs)
 
+    #: SQLStates meaning "table/view not found": Derby 42X05, Postgres 42P01,
+    #: SQL-standard / MySQL-family 42S02.
+    _MISSING_TABLE_STATES = frozenset({"42X05", "42P01", "42S02"})
+
+    @staticmethod
+    def _java_sqlstates(e: Exception) -> set[str]:
+        """Walk the py4j exception's Java cause / SQLException chains and
+        collect every getSQLState() value. Empty set = no Java SQLException
+        reachable (pure-Python error, or a wrapper without a SQL cause)."""
+        states: set[str] = set()
+        seen: set[int] = set()
+        stack = [getattr(e, "java_exception", None)]
+        while stack:
+            je = stack.pop()
+            if je is None or id(je) in seen or len(seen) > 16:
+                continue
+            seen.add(id(je))
+            try:
+                s = je.getSQLState()
+                if s:
+                    states.add(str(s))
+            except Exception:
+                pass  # not a SQLException — still follow its cause
+            for meth in ("getCause", "getNextException"):
+                try:
+                    stack.append(getattr(je, meth)())
+                except Exception:
+                    pass
+        return states
+
     def _is_missing_table(self, e: Exception, name: str) -> bool:
-        """Missing-TABLE errors only (Derby 42X05 / Postgres 42P01), and the
-        message must actually name this table: a missing schema or database
-        also phrases itself as "... does not exist" and must propagate —
-        swallowing it would bootstrap-overwrite a live target on a typo'd URL."""
+        """Missing-TABLE errors only — a false positive here silently turns a
+        read failure into an empty bootstrap frame, and the upsert's bootstrap
+        branch would then overwrite a live target. Primary signal: the REAL
+        SQLState read off the Java exception chain (Derby 42X05 / Postgres
+        42P01 / 42S02). When any SQLState is present, it alone decides —
+        message text is driver- and locale-dependent. Only when no SQLState is
+        reachable do we fall back to the message naming THIS table: a missing
+        schema or database also phrases itself as "... does not exist" and
+        must propagate."""
+        states = self._java_sqlstates(e)
+        if states:
+            return bool(states & self._MISSING_TABLE_STATES)
         msg = str(e)
-        states = "42X05" in msg or "42P01" in msg
-        named = name.lower() in msg.lower() and "does not exist" in msg.lower()
-        return states or named
+        if any(st in msg for st in self._MISSING_TABLE_STATES):
+            return True
+        return name.lower() in msg.lower() and "does not exist" in msg.lower()
 
     def read(self, spark: SparkSession, layer: str, table: str, schema) -> DataFrame:
         from pyspark.sql import functions as F

@@ -193,7 +193,15 @@ def run_available_now(
     SCALE.md cites the same measurement). At deployment scale
     size it to state volume (hundreds for multi-GB state); the value is baked
     into the checkpoint at first start, so pick it before going live. ``None``
-    keeps the session default."""
+    keeps the session default.
+
+    NOT concurrency-safe: the pin mutates the session-global
+    ``spark.sql.shuffle.partitions`` for the drain's duration, so any query
+    planned concurrently in the same SparkSession inherits the streaming-sized
+    value, and interleaved calls can restore the wrong previous value. Fine
+    for the single-threaded test/oracle harness this helper serves; a
+    concurrent deployment should plan the stream in its own
+    ``spark.newSession()`` clone (separate conf, shared catalog/state)."""
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:

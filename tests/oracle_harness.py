@@ -82,6 +82,16 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "que
         f"{name}: driver-unsafe output column types {unsafe} — Decimal fails the "
         "driver's pandas hash, array/map crashes it; wrap with registry.driver_canonical"
     )
+    # DuckDB HUGEINT (the implicit result of SUM/arithmetic on integers) becomes
+    # float64 in the driver's pandas canonicalizer, hash-mismatching Spark's
+    # int64 — while fetchall()'s Python ints below would agree. DESCRIBE is a
+    # bind-only check, so this guard is free. (CORRECTNESS_r04: sequence_packing.)
+    described = con.execute(f"DESCRIBE {sql}").fetchall()
+    huge = [c for c, t, *_ in described if "HUGEINT" in str(t).upper()]
+    assert not huge, (
+        f"{name}: oracle columns {huge} are HUGEINT — pandas floats them on the "
+        "driver; add an explicit ::BIGINT cast in the oracle SQL"
+    )
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     res = con.execute(sql)

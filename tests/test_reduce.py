@@ -136,6 +136,25 @@ def test_empty_and_null_inputs_fail_loudly(spark, emb):
     )
     with pytest.raises(ValueError, match="NULL"):
         embedding_moments(nulled)
+    # mid-corpus defects: first row valid, a LATER row NULL / wrong dimension —
+    # must still be the module's loud ValueError, not an opaque numpy error
+    # inside a task (advisor finding on the first-row-only guard)
+    mid_null = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 3, F.lit(None).cast("array<float>")).otherwise(
+            F.col("embedding")
+        ),
+    ).repartition(1)
+    with pytest.raises(Exception, match="NULL"):
+        embedding_moments(mid_null)
+    ragged = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 3, F.slice("embedding", 1, 2)).otherwise(
+            F.col("embedding")
+        ),
+    ).repartition(1)
+    with pytest.raises(Exception, match="ragged"):
+        embedding_moments(ragged)
 
 
 def test_projection_with_no_passthrough_columns(spark, emb):

