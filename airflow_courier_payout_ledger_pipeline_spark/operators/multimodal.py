@@ -104,17 +104,214 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
     return w, h, 3, body
 
 
+#: PNG 8-byte signature
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: color type → samples per pixel (type 3 = palette, expanded to RGB)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytearray:
+    """Reverse PNG scanline filtering (types 0–4, RFC 2083 §6). Sequential by
+    construction — recon[x] depends on recon[x-bpp] and the prior row — so this
+    is a per-byte loop; fine for the decode path (a deployment that needs
+    C-speed PNG installs Pillow and takes the next link in the chain)."""
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return out
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """PNG decode, pure stdlib (zlib): chunk walk → IHDR dims → concatenated
+    IDAT inflate → scanline defilter → (palette-expanded) pixels. Supports
+    bit depth 8, color types gray/RGB/palette/gray+alpha/RGBA, non-interlaced
+    — the shapes a data pipeline actually stores. 16-bit and Adam7 raise
+    toward the Pillow link of the chain rather than emitting wrong pixels."""
+    import zlib  # noqa: PLC0415
+
+    pos = len(_PNG_SIG)
+    w = h = depth = ctype = interlace = None
+    idat: list[bytes] = []
+    plte = b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + body + CRC
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"PLTE":
+            plte = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("malformed PNG: missing IHDR or IDAT")
+    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} / color type {ctype} / interlace {interlace} "
+            "not supported by the stdlib decoder; install Pillow"
+        )
+    c = _PNG_CHANNELS[ctype]
+    stride = w * c
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"truncated PNG pixel data: expected {h * (stride + 1)} filtered "
+            f"bytes, got {len(raw)}"
+        )
+    pixels = _png_unfilter(raw, h, stride, c)
+    if ctype == 3:  # palette → RGB
+        if not plte:
+            raise ValueError("palette PNG without PLTE chunk")
+        pixels = bytearray(
+            b for i in pixels for b in plte[3 * i : 3 * i + 3]
+        )
+        c = 3
+    return w, h, c, bytes(pixels)
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib  # noqa: PLC0415
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body))
+    )
+
+
+def encode_png(
+    w: int, h: int, channels: int, pixels: bytes, filter_cycle: bool = True
+) -> bytes:
+    """Minimal REAL PNG encoder, pure stdlib: 8-bit gray/gray+alpha/RGB/RGBA,
+    non-interlaced, scanlines forward-filtered (cycling None/Sub/Up/Average/
+    Paeth per row when ``filter_cycle`` — so a decode round-trip exercises
+    every defilter branch, not just type 0). Output opens in any PNG viewer;
+    used both by tests and as the thumbnail-sink shape a curation pipeline
+    writes back to parquet."""
+    import zlib  # noqa: PLC0415
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = w * channels
+    if len(pixels) != h * stride:
+        raise ValueError(f"expected {h * stride} pixel bytes, got {len(pixels)}")
+    bpp = channels
+    filtered = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        row = pixels[y * stride : (y + 1) * stride]
+        ftype = (y % 5) if filter_cycle else 0
+        filtered.append(ftype)
+        if ftype == 0:
+            filtered += row
+        elif ftype == 1:  # Sub
+            filtered += bytes(
+                (row[x] - (row[x - bpp] if x >= bpp else 0)) & 0xFF
+                for x in range(stride)
+            )
+        elif ftype == 2:  # Up
+            filtered += bytes((row[x] - prev[x]) & 0xFF for x in range(stride))
+        elif ftype == 3:  # Average
+            filtered += bytes(
+                (row[x] - (((row[x - bpp] if x >= bpp else 0) + prev[x]) >> 1)) & 0xFF
+                for x in range(stride)
+            )
+        else:  # Paeth
+            out = bytearray()
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out.append((row[x] - pred) & 0xFF)
+            filtered += out
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def synthesize_png_payloads(media: DataFrame) -> DataFrame:
+    """Attach REAL PNG payloads (same closed-form pixels as FIMG, so the same
+    SQL oracle hash-checks the decoded output) Arrow-batch-wise. The cycling
+    row filters mean the driver-checked decode covers every PNG defilter
+    branch end-to-end."""
+    import pandas as pd  # noqa: PLC0415
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                encode_png(
+                    int(w),
+                    int(h),
+                    3,
+                    bytes(
+                        ((int(m) * 31 + i * 7) % 251)
+                        for i in range(int(w) * int(h) * 3)
+                    ),
+                )
+                for m, w, h in zip(pdf["media_id"], pdf["declared_w"], pdf["declared_h"])
+            ]
+            yield pdf[["media_id", "payload", "media_type", "declared_w", "declared_h"]]
+
+    return media.mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def _decode(payload: bytes) -> tuple[int, int, int, bytes]:
     """Image decode chain: the deterministic FIMG test format, then binary PPM
-    (a real format, stdlib-parsed), then Pillow if installed (JPEG/PNG/...).
-    Raises on an undecodable format exactly like a real decoder would —
-    feeding e.g. WebP without Pillow present is a deployment gap, not silent
-    garbage."""
+    and PNG (real formats, stdlib-parsed — PNG's inflate is stdlib zlib), then
+    Pillow if installed (JPEG/WebP/16-bit/interlaced PNG/...). Raises on an
+    undecodable format exactly like a real decoder would — feeding e.g. WebP
+    without Pillow present is a deployment gap, not silent garbage."""
     if payload[:4] == b"FIMG" and len(payload) >= FAKE_HEADER.size:
         _, w, h, c = FAKE_HEADER.unpack(payload[: FAKE_HEADER.size])
         return w, h, c, payload[FAKE_HEADER.size :]
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        try:
+            return _decode_png(payload)
+        except NotImplementedError:
+            pass  # 16-bit / interlaced: fall through to the Pillow link
     try:  # optional real-codec binding; the container ships without Pillow
         import io  # noqa: PLC0415
 
@@ -124,8 +321,9 @@ def _decode(payload: bytes) -> tuple[int, int, int, bytes]:
         return img.width, img.height, len(img.getbands()), img.tobytes()
     except ImportError:
         raise NotImplementedError(
-            "payload is neither FIMG nor PPM and Pillow is not installed; "
-            "install Pillow to decode JPEG/PNG/WebP payloads"
+            "payload is not FIMG / PPM / stdlib-decodable PNG and Pillow is "
+            "not installed; install Pillow to decode JPEG/WebP/16-bit or "
+            "interlaced PNG payloads"
         ) from None
 
 

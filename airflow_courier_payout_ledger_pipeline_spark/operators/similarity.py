@@ -393,3 +393,127 @@ def kmeans_centroids_mllib(
     return [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
+
+
+# --- Product quantization (IVF-PQ's memory layout): 32x vector compression --------
+
+
+def _sub_sq_l2(sub: Column, centroid: list[float]) -> Column:
+    """Squared L2 between a subvector slice and a literal centroid, sequential
+    double fold (deterministic order, engine-portable)."""
+    lit = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(
+            sub, lit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebooks_from_seeds(
+    seeds: list[tuple[int, list[float]]], m: int
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: split each seed vector into ``m`` subvectors;
+    ``codebooks[j][c]`` = subspace-``j`` slice of seed ``c`` (seed-id order).
+    The same fixed-seed convention as the IVF coarse quantizer — swapping in
+    per-subspace k-means codebooks changes recall, not the topology."""
+    seeds = sorted(seeds)
+    d = len(seeds[0][1])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible into {m} subspaces")
+    sub = d // m
+    return [
+        [[float(x) for x in vec[j * sub : (j + 1) * sub]] for _, vec in seeds]
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Product-quantize vectors: per subspace ``j``, the code is the argmin
+    squared-L2 codebook entry (ties → lower centroid id, via struct-ordered
+    array_min). Output is ``array<tinyint>`` — for d=64 float vectors and m=8,
+    a 256-byte embedding becomes 8 bytes (32×), which is what makes a 100 TB
+    vector corpus fit an ANN serving tier. Entirely JVM expressions: the
+    codebooks are unrolled literals (m·k·(d/m) = k·d doubles, same k·dim ≲ 10⁴
+    driver bound as the IVF quantizer; past it, hold codebooks in an MLlib
+    model and encode via a vectorized Pandas UDF with the identical contract).
+    At deployment the encoded corpus is persisted once and reused per query
+    batch — encoding is a write-path cost, not a search-path cost."""
+    sub = len(codebooks[0][0])
+    codes = []
+    for j, book in enumerate(codebooks):
+        s = F.slice(F.col(vec_col), j * sub + 1, sub)
+        candidates = F.array(
+            *[
+                F.struct(_sub_sq_l2(s, centroid).alias("d"), F.lit(c).alias("c"))
+                for c, centroid in enumerate(book)
+            ]
+        )
+        codes.append(F.array_min(candidates)["c"])
+    return df.select(
+        F.col(id_col), F.array(*codes).cast("array<tinyint>").alias(out_col)
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: each query
+    precomputes an m×k_c table of subspace distances to every codebook entry
+    (one pass over the query's own vector), then a corpus row's approximate
+    distance is m table lookups summed — the corpus VECTORS are never touched
+    at search time, only the tiny code arrays.
+
+    Scale shape: queries (with their ADC tables) broadcast against the encoded
+    corpus — a map-side nested loop like brute_force_topk but over 8-byte codes
+    instead of 256-byte vectors, no shuffle until the per-query top-k window on
+    rank. Compose with the IVF router (``ivf_topk``'s assignment) to restrict
+    the scan to probed lists → IVF-PQ, the standard billion-vector layout.
+    Distances are rounded to 4 decimals before ranking (id tiebreak) for
+    engine-portable determinism."""
+    m = len(codebooks)
+    encoded = pq_encode(corpus, codebooks, id_col, vec_col)
+    adc = F.array(
+        *[
+            F.array(
+                *[
+                    _sub_sq_l2(
+                        F.slice(F.col(vec_col), j * len(codebooks[0][0]) + 1, len(codebooks[0][0])),
+                        centroid,
+                    )
+                    for centroid in book
+                ]
+            )
+            for j, book in enumerate(codebooks)
+        ]
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), adc.alias("__adc"))
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.get(F.get(F.col("__adc"), j), F.get(F.col("pq_codes"), j).cast("int")),
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(encoded.withColumnRenamed(id_col, "neighbor_id"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(dist, 4).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

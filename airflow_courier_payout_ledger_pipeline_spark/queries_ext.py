@@ -537,6 +537,78 @@ def q_similarity_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed_ann_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, bits=4)
 
 
+ANN_RECALL_ORACLE = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+s AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+    FROM embeddings c, q WHERE c.vec_id != q.vec_id
+),
+truth AS (SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM s) WHERE rank <= 5),
+b AS (
+    SELECT vec_id, embedding,
+           (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+    FROM embeddings
+),
+qb AS (SELECT * FROM b WHERE vec_id < 20),
+sb AS (
+    SELECT qb.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(qb.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+    FROM b c JOIN qb ON c.bucket = qb.bucket AND c.vec_id != qb.vec_id
+),
+ann AS (SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM sb) WHERE rank <= 5)
+SELECT t.query_id,
+       count(*) AS n_truth,
+       SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+       round(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 4) AS recall
+FROM truth t
+LEFT JOIN ann a ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+GROUP BY 1
+"""
+
+
+@register("ann_recall_eval", ANN_RECALL_ORACLE)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH-bucketed ANN against the exact brute-force baseline,
+    per query — the measure-don't-guess harness every approximate index needs
+    before it replaces the exact path at scale (run it on a sampled query set;
+    both sides are existing operators, the eval is one broadcast-sized join).
+    Driver-hash-checked: the recall NUMBERS, not just the pipeline, match the
+    SQL twin."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        bucketed_ann_topk,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    q = emb.filter(F.col("vec_id") < 20)
+    truth = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    ann = (
+        bucketed_ann_topk(emb, q, k=5)
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        truth.join(ann, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_truth"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(
+                F.coalesce(F.sum("__hit"), F.lit(0)).cast("double") / F.count("*"), 4
+            ).alias("recall"),
+        )
+    )
+
+
 EMB_NEAR_DUP_ORACLE = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
@@ -626,6 +698,62 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 20), _ivf_seed_centroids(emb), k=5)
+
+
+# PQ layout constants: d=64 → m=8 subspaces × 8 dims, k_c=4 codebook entries
+# per subspace seeded from the 4 lowest-id vectors (the deterministic-seed
+# convention of the IVF quantizer; per-subspace k-means swaps in for recall).
+PQ_M, PQ_SUB, PQ_KC = 8, 8, 4
+
+PQ_ADC_ORACLE = f"""
+WITH grid AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j),
+seeds AS (SELECT vec_id AS c, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < {PQ_KC}),
+cb AS (SELECT g.j, s.c, list_slice(s.v, g.j*{PQ_SUB}+1, g.j*{PQ_SUB}+{PQ_SUB}) AS sv
+       FROM seeds s CROSS JOIN grid g),
+esub AS (SELECT e.vec_id, g.j, list_slice(e.embedding::DOUBLE[], g.j*{PQ_SUB}+1, g.j*{PQ_SUB}+{PQ_SUB}) AS sv
+         FROM embeddings e CROSS JOIN grid g),
+dd AS (SELECT e.vec_id, e.j, cb.c,
+              list_sum(list_transform(list_zip(e.sv, cb.sv), x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+       FROM esub e JOIN cb ON e.j = cb.j),
+codes AS (SELECT vec_id, j, c FROM (
+            SELECT vec_id, j, c,
+                   row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+            FROM dd) WHERE rn = 1),
+pairs AS (SELECT a.vec_id AS query_id, co.vec_id AS neighbor_id,
+                 list_sum(list(a.d2 ORDER BY a.j)) AS adc
+          FROM codes co JOIN dd a ON a.j = co.j AND a.c = co.c
+          WHERE a.vec_id < 20 AND a.vec_id != co.vec_id
+          GROUP BY 1, 2),
+r AS (SELECT query_id, neighbor_id, round(adc, 4) AS adc_dist,
+             CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY round(adc, 4), neighbor_id
+             ) AS INT) AS rank
+      FROM pairs)
+SELECT query_id, neighbor_id, adc_dist, rank FROM r WHERE rank <= 5
+"""
+
+
+@register("similarity_pq_adc", PQ_ADC_ORACLE)
+def q_similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the IVF-PQ memory layout): the corpus is
+    encoded to 8 tinyint codes per 64-dim vector (32× compression), queries
+    precompute per-subspace ADC tables, and top-5 search is table lookups over
+    the codes — corpus vectors never touched at search time. Codebooks are the
+    deterministic 4 lowest-id seeds per subspace so a DuckDB twin hash-checks
+    encode AND search end-to-end (operators/similarity.pq_encode /
+    pq_adc_topk)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks_from_seeds,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    seeds = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < PQ_KC).select("vec_id", "embedding").collect()
+    ]
+    books = pq_codebooks_from_seeds(seeds, PQ_M)
+    return pq_adc_topk(emb, emb.filter(F.col("vec_id") < 20), books, k=5)
 
 
 # =====================================================================================
@@ -1251,6 +1379,29 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("doc_id") % 8) + 4).cast("int").alias("declared_h"),
     )
     return extract_image_features(synthesize_payloads(media)).drop("feature")
+
+
+@register("image_png_features", MULTIMODAL_ORACLE)
+def q_image_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME decoded-feature contract as multimodal_features, but through a
+    REAL codec end-to-end: payloads are genuine PNGs (stdlib-zlib encoder with
+    per-row cycling None/Sub/Up/Average/Paeth filters) and the decode is the
+    stdlib PNG path of the chain (operators/multimodal._decode_png) — chunk
+    walk, IDAT inflate, full scanline defilter. Pixels keep the FIMG
+    closed form, so the identical SQL oracle hash-checks real-codec output."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.multimodal import (
+        extract_image_features,
+        synthesize_png_payloads,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image/png").alias("media_type"),
+        ((F.col("doc_id") % 16) + 4).cast("int").alias("declared_w"),
+        ((F.col("doc_id") % 8) + 4).cast("int").alias("declared_h"),
+    )
+    return extract_image_features(synthesize_png_payloads(media)).drop("feature")
 
 
 # The FVID payload's frame f is the constant byte (media_id*31 + f*7) % 256, so

@@ -358,6 +358,9 @@ ADJUDICATION_WINDOW_R6_PLAN: list[str] = [
     "profile_documents",
     "pivot_event_counts",
     # -- round-5 additions registered outside the active window append here --
+    "image_png_features",
+    "similarity_pq_adc",
+    "ann_recall_eval",
 ]
 
 

@@ -50,6 +50,10 @@ HEADLINE = [
     "rolling_distinct_users_7d",
     # round-4 late addition: duplicated-span coverage (positional-gram df join)
     "dedup_span_profile",
+    # round-5 additions: real-codec PNG decode chain + product-quantization ANN
+    # (the compressed-codes scale path next to similarity_topk's exact baseline)
+    "image_png_features",
+    "similarity_pq_adc",
 ]
 
 

@@ -95,3 +95,85 @@ def test_mllib_quantizer_feeds_same_search_topology(spark):
 
     r1, r2 = recall(1), recall(2)
     assert 0.0 < r1 <= r2 <= 1.0
+
+
+# --- product quantization (pq_encode / pq_adc_topk) -------------------------------
+
+
+def test_pq_codes_are_tinyint_and_deterministic(clustered):
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        pq_codebooks_from_seeds,
+        pq_encode,
+    )
+
+    seeds = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in clustered.filter(F.col("vec_id") < 4).collect()
+    ]
+    books = pq_codebooks_from_seeds(seeds, m=2)  # d=4 → 2 subspaces × 2 dims
+    enc = pq_encode(clustered, books)
+    assert dict(enc.dtypes)["pq_codes"] == "array<tinyint>"
+    got = {r.vec_id: list(r.pq_codes) for r in enc.collect()}
+    again = {r.vec_id: list(r.pq_codes) for r in pq_encode(clustered, books).collect()}
+    assert got == again
+    assert all(len(v) == 2 and all(0 <= c < 4 for c in v) for v in got.values())
+    # seeds quantize to themselves: seed c's nearest codebook entry in every
+    # subspace is its own slice (distance 0)
+    for c in range(4):
+        assert got[c] == [c, c]
+
+
+def test_pq_adc_recall_on_separated_clusters(clustered):
+    """Clusters are 10 apart, PQ reconstruction error is the sub-unit jitter —
+    every ADC top-3 neighbor must come from the query's own cluster (the
+    coarse-grained correctness PQ promises; exact ranks may differ from
+    brute force inside a cluster)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks_from_seeds,
+    )
+
+    seeds = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in clustered.filter(F.col("vec_id") < 4).collect()
+    ]
+    books = pq_codebooks_from_seeds(seeds, m=2)
+    out = pq_adc_topk(clustered, clustered.filter(F.col("vec_id") < 4), books, k=3)
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {0, 1, 2, 3}
+    for r in rows:
+        assert r.query_id % 2 == r.neighbor_id % 2, (r.query_id, r.neighbor_id)
+        assert r.rank <= 3 and r.adc_dist >= 0.0
+
+
+def test_pq_search_plan_broadcasts_queries_and_drops_vectors(clustered):
+    """The search side must be a broadcast nested loop over CODES: corpus
+    embedding vectors may appear only below the encode projection, never as a
+    join input column (that is the 32x memory point of PQ)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks_from_seeds,
+    )
+
+    seeds = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in clustered.filter(F.col("vec_id") < 4).collect()
+    ]
+    books = pq_codebooks_from_seeds(seeds, m=2)
+    out = pq_adc_topk(clustered, clustered.filter(F.col("vec_id") < 2), books, k=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    # the join's streamed (corpus) side projects only id + codes
+    join_part = plan.split("BroadcastNestedLoopJoin")[1]
+    assert "pq_codes" in join_part
+
+
+def test_pq_codebooks_reject_indivisible_dim():
+    import pytest as _pytest
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        pq_codebooks_from_seeds,
+    )
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_codebooks_from_seeds([(0, [1.0, 2.0, 3.0])], m=2)

@@ -121,6 +121,55 @@ def test_failed_merge_rolls_back_and_keeps_target(spark, url):
     assert _rows(got, ["k", "name"]) == [(1, "a")]  # first statement rolled back
 
 
+def test_failed_upsert_drops_unique_staging_table(spark, url):
+    """A failed MERGE must not leave its committed staging table behind, and
+    concurrent-safe staging names are unique per run (no fixed {target}_stg
+    that two writers would clobber)."""
+    target0 = spark.createDataFrame([(1, "a")], "k int, v string")
+    jdbc.write_append(target0, url, "t_clean", driver=DRIVER, mode="overwrite")
+    # increment carries a column the target lacks -> MERGE INSERT list fails
+    inc = spark.createDataFrame([(2, "b", "extra")], "k int, v string, w string")
+    with pytest.raises(Exception):
+        jdbc.upsert_scd1(inc, url, "t_clean", ["k"], driver=DRIVER)
+    leftovers = jdbc.read_table(
+        spark, url,
+        '(SELECT TABLENAME FROM SYS.SYSTABLES WHERE TABLETYPE = \'T\') cat',
+        driver=DRIVER,
+    )
+    names = [r["TABLENAME"] for r in leftovers.collect()]
+    assert not [n for n in names if "_STG" in n.upper()], names
+    got = jdbc.read_table(spark, url, "t_clean", driver=DRIVER)
+    assert _rows(got, ["k", "v"]) == [(1, "a")]  # target untouched
+
+
+def test_missing_table_classified_by_real_sqlstate(spark, url):
+    """The bootstrap branch keys off the REAL SQLState walked from the Java
+    exception chain (Derby 42X05), not message text; a different SQL error
+    (missing COLUMN, 42X04) must not classify as a missing table even though
+    its message also says 'not in any table'."""
+    from airflow_courier_payout_ledger_pipeline_spark.sources.jdbc import JdbcWarehouse
+
+    wh = JdbcWarehouse(url, driver=DRIVER)
+    try:
+        jdbc.read_table(spark, url, "dds_nope", driver=DRIVER).collect()
+        raise AssertionError("read of missing table should raise")
+    except Exception as e:
+        assert "42X05" in wh._java_sqlstates(e)
+        assert wh._is_missing_table(e, "dds_nope")
+
+    t = spark.createDataFrame([(1,)], "k int")
+    jdbc.write_append(t, url, "t_state", driver=DRIVER, mode="overwrite")
+    try:
+        jdbc.read_table(
+            spark, url, '(SELECT "no_such_col" FROM t_state) q', driver=DRIVER
+        ).collect()
+        raise AssertionError("read of missing column should raise")
+    except Exception as e:
+        states = wh._java_sqlstates(e)
+        assert states and "42X05" not in states, states
+        assert not wh._is_missing_table(e, "t_state")
+
+
 def test_jdbc_watermark_cursor_guarded_advance(spark, url):
     from datetime import datetime
 

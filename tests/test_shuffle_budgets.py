@@ -36,6 +36,8 @@ SHUFFLE_BUDGET = {
     "dedup_span_profile": 4,  # explode spread + (ngram,id) rollup + df window + doc fold
     "split_leakage_audit": 3,  # same budget as dedup_minhash_lsh (split label is inline)
     "score_quantile_norm": 2,  # histogram agg + per-source window (corpus side broadcast-joined)
+    "image_png_features": 0,  # synth + decode fused map-side, zero shuffles
+    "similarity_pq_adc": 1,  # broadcast ADC tables; one per-query top-k window
 }
 
 
