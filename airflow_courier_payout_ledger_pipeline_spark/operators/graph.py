@@ -71,3 +71,77 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} min-propagation rounds"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Weighted PageRank, fixed iteration count, engine-portable determinism:
+    r_{t+1}(v) = (1-d)/N + d · Σ_{u→v} r_t(u) · w(u,v)/out_w(u), with the
+    incoming-contribution sum folded in SOURCE-ID ORDER (array_sort of
+    (src, contrib) structs + a sequential aggregate) — a bare SUM's float
+    addition order varies with partitioning, and three iterations compound
+    the drift; the ordered fold makes every iteration bit-identical to a SQL
+    twin's ``list_sum(list(x ORDER BY src))``. Dangling mass (nodes with no
+    out-edges) is dropped, the common search-engine simplification — stated
+    contract, mirrored by the oracle.
+
+    Scale shape: per iteration one broadcast-sized join (ranks table = |V|
+    rows, tiny next to |E|) and one groupBy-dst shuffle of the edge list;
+    driver holds nothing. |V| for an event-type / domain graph is thousands —
+    the edge list is the corpus-sized side and it is never collected. A fixed
+    ``iters`` (not convergence-probed) keeps the plan finite and
+    SQL-unrollable; the loop localCheckpoints each round like
+    connected_components to stop plan growth."""
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    e = e.join(out_w, "src").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()  # O(1) driver scalar, like a watermark cursor
+    if n_nodes == 0:  # cold start: empty edge list → empty ranking, not a crash
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                "dst",
+                "src",
+                (F.col("rank") * F.col("w") / F.col("out_w")).alias("contrib"),
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("src", "contrib"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["contrib"],
+                ).alias("in_sum")
+            )
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

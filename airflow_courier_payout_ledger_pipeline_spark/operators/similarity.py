@@ -418,6 +418,8 @@ def pq_codebooks_from_seeds(
     ``codebooks[j][c]`` = subspace-``j`` slice of seed ``c`` (seed-id order).
     The same fixed-seed convention as the IVF coarse quantizer — swapping in
     per-subspace k-means codebooks changes recall, not the topology."""
+    if not seeds:  # cold start: empty corpus → no codebooks (mirrors kmeans_centroids)
+        return []
     seeds = sorted(seeds)
     d = len(seeds[0][1])
     if d % m:
@@ -427,6 +429,70 @@ def pq_codebooks_from_seeds(
         [[float(x) for x in vec[j * sub : (j + 1) * sub]] for _, vec in seeds]
         for j in range(m)
     ]
+
+
+def _pq_codes(vec_col: str, codebooks: list[list[list[float]]]) -> Column:
+    """array<tinyint> of per-subspace argmin codebook entries (ties → lower
+    centroid id, via struct-ordered array_min)."""
+    sub = len(codebooks[0][0])
+    codes = []
+    for j, book in enumerate(codebooks):
+        s = F.slice(F.col(vec_col), j * sub + 1, sub)
+        candidates = F.array(
+            *[
+                F.struct(_sub_sq_l2(s, centroid).alias("d"), F.lit(c).alias("c"))
+                for c, centroid in enumerate(book)
+            ]
+        )
+        codes.append(F.array_min(candidates)["c"])
+    return F.array(*codes).cast("array<tinyint>")
+
+
+def _pq_adc_table(vec_col: str, codebooks: list[list[list[float]]]) -> Column:
+    """array<array<double>> ADC table: entry [j][c] = squared L2 between the
+    row's subspace-j slice and codebook entry c — computed once per QUERY row,
+    then every corpus distance is m lookups into it."""
+    sub = len(codebooks[0][0])
+    return F.array(
+        *[
+            F.array(
+                *[
+                    _sub_sq_l2(F.slice(F.col(vec_col), j * sub + 1, sub), centroid)
+                    for centroid in book
+                ]
+            )
+            for j, book in enumerate(codebooks)
+        ]
+    )
+
+
+def _pq_adc_dist(m: int) -> Column:
+    """Σ_j __adc[j][pq_codes[j]] — sequential double fold in subspace order
+    (deterministic, engine-portable)."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.get(F.get(F.col("__adc"), j), F.get(F.col("pq_codes"), j).cast("int")),
+    )
+
+
+def _empty_adc_result(corpus: DataFrame, queries: DataFrame, id_col: str) -> DataFrame:
+    """Cold-start result for the PQ searches: empty corpus → no codebooks → no
+    neighbors, with the standard (query_id, neighbor_id, adc_dist, rank)
+    schema (not a crash) — the same contract as ivf_topk's empty-centroid
+    branch."""
+    return (
+        corpus.select(F.col(id_col).alias("neighbor_id"))
+        .limit(0)
+        .crossJoin(queries.select(F.col(id_col).alias("query_id")).limit(0))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.lit(0.0).alias("adc_dist"),
+            F.lit(0).alias("rank"),
+        )
+    )
 
 
 def pq_encode(
@@ -446,20 +512,7 @@ def pq_encode(
     model and encode via a vectorized Pandas UDF with the identical contract).
     At deployment the encoded corpus is persisted once and reused per query
     batch — encoding is a write-path cost, not a search-path cost."""
-    sub = len(codebooks[0][0])
-    codes = []
-    for j, book in enumerate(codebooks):
-        s = F.slice(F.col(vec_col), j * sub + 1, sub)
-        candidates = F.array(
-            *[
-                F.struct(_sub_sq_l2(s, centroid).alias("d"), F.lit(c).alias("c"))
-                for c, centroid in enumerate(book)
-            ]
-        )
-        codes.append(F.array_min(candidates)["c"])
-    return df.select(
-        F.col(id_col), F.array(*codes).cast("array<tinyint>").alias(out_col)
-    )
+    return df.select(F.col(id_col), _pq_codes(vec_col, codebooks).alias(out_col))
 
 
 def pq_adc_topk(
@@ -483,34 +536,67 @@ def pq_adc_topk(
     the scan to probed lists → IVF-PQ, the standard billion-vector layout.
     Distances are rounded to 4 decimals before ranking (id tiebreak) for
     engine-portable determinism."""
-    m = len(codebooks)
+    if not codebooks:
+        return _empty_adc_result(corpus, queries, id_col)
     encoded = pq_encode(corpus, codebooks, id_col, vec_col)
-    adc = F.array(
-        *[
-            F.array(
-                *[
-                    _sub_sq_l2(
-                        F.slice(F.col(vec_col), j * len(codebooks[0][0]) + 1, len(codebooks[0][0])),
-                        centroid,
-                    )
-                    for centroid in book
-                ]
-            )
-            for j, book in enumerate(codebooks)
-        ]
-    )
-    q = queries.select(F.col(id_col).alias("query_id"), adc.alias("__adc"))
-    dist = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc
-        + F.get(F.get(F.col("__adc"), j), F.get(F.col("pq_codes"), j).cast("int")),
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _pq_adc_table(vec_col, codebooks).alias("__adc")
     )
     pairs = (
         F.broadcast(q)
         .crossJoin(encoded.withColumnRenamed(id_col, "neighbor_id"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(dist, 4).alias("adc_dist"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_pq_adc_dist(len(codebooks)), 4).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF-PQ: the billion-vector layout — the IVF coarse quantizer routes each
+    query to its ``nprobe`` inverted lists, and WITHIN a list distances are ADC
+    lookups over PQ codes. Relative to ``pq_adc_topk`` the candidate set drops
+    ~k_centroids-fold; relative to ``ivf_topk`` the per-candidate cost drops
+    from a d-dim cosine fold to m table lookups and the corpus storage from
+    d floats to m bytes. One equi-join on centroid id (queries broadcast), one
+    per-query top-k window — the identical topology as every ANN variant in
+    this module, so swapping index layouts never changes the plan shape."""
+    if not codebooks or not centroids:
+        return _empty_adc_result(corpus, queries, id_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _pq_codes(vec_col, codebooks).alias("pq_codes"),
+        _assign_to_centroids(corpus, centroids, vec_col).alias("centroid"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _pq_adc_table(vec_col, codebooks).alias("__adc"),
+        F.explode(_centroid_probes(vec_col, centroids, nprobe)).alias("centroid"),
+    )
+    pairs = (
+        c.join(F.broadcast(q), "centroid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_pq_adc_dist(len(codebooks)), 4).alias("adc_dist"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     return (

@@ -733,6 +733,74 @@ SELECT query_id, neighbor_id, adc_dist, rank FROM r WHERE rank <= 5
 """
 
 
+IVF_PQ_ORACLE = f"""
+WITH grid AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j),
+pqseeds AS (SELECT vec_id AS c, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < {PQ_KC}),
+cb AS (SELECT g.j, s.c, list_slice(s.v, g.j*{PQ_SUB}+1, g.j*{PQ_SUB}+{PQ_SUB}) AS sv
+       FROM pqseeds s CROSS JOIN grid g),
+esub AS (SELECT e.vec_id, g.j, list_slice(e.embedding::DOUBLE[], g.j*{PQ_SUB}+1, g.j*{PQ_SUB}+{PQ_SUB}) AS sv
+         FROM embeddings e CROSS JOIN grid g),
+dd AS (SELECT e.vec_id, e.j, cb.c,
+              list_sum(list_transform(list_zip(e.sv, cb.sv), x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+       FROM esub e JOIN cb ON e.j = cb.j),
+codes AS (SELECT vec_id, j, c FROM (
+            SELECT vec_id, j, c,
+                   row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+            FROM dd) WHERE rn = 1),
+cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+         FROM embeddings WHERE vec_id < 8),
+ca AS (SELECT e.vec_id, c.cid,
+              row_number() OVER (
+                  PARTITION BY e.vec_id
+                  ORDER BY list_sum(list_transform(
+                               list_zip(e.embedding::DOUBLE[], c.cvec),
+                               x -> (x[1] - x[2]) * (x[1] - x[2]))),
+                           c.cid
+              ) AS rn
+       FROM embeddings e CROSS JOIN cent c),
+assigned AS (SELECT vec_id, cid AS centroid FROM ca WHERE rn = 1),
+qprobe AS (SELECT vec_id, cid AS centroid FROM ca WHERE rn <= 1 AND vec_id < 20),
+pairs AS (SELECT a.vec_id AS query_id, co.vec_id AS neighbor_id,
+                 list_sum(list(a.d2 ORDER BY a.j)) AS adc
+          FROM codes co
+          JOIN dd a ON a.j = co.j AND a.c = co.c
+          JOIN assigned nc ON nc.vec_id = co.vec_id
+          JOIN qprobe qp ON qp.vec_id = a.vec_id AND qp.centroid = nc.centroid
+          WHERE a.vec_id != co.vec_id
+          GROUP BY 1, 2),
+r AS (SELECT query_id, neighbor_id, round(adc, 4) AS adc_dist,
+             CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY round(adc, 4), neighbor_id
+             ) AS INT) AS rank
+      FROM pairs)
+SELECT query_id, neighbor_id, adc_dist, rank FROM r WHERE rank <= 5
+"""
+
+
+@register("similarity_ivf_pq", IVF_PQ_ORACLE)
+def q_similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the coarse quantizer (k=8 lowest-id seeds, nprobe=1) routes
+    queries to inverted lists, and within a list distances are ADC lookups over
+    the PQ codes: the standard billion-vector layout, candidate volume cut
+    ~8-fold vs flat PQ and per-candidate cost cut from a 64-dim fold to 8 table
+    lookups vs IVF-cosine. Assignment, encoding, and search all hash-check
+    against one DuckDB statement (operators/similarity.ivf_pq_topk)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_codebooks_from_seeds,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    seeds = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < PQ_KC).select("vec_id", "embedding").collect()
+    ]
+    books = pq_codebooks_from_seeds(seeds, PQ_M)
+    return ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") < 20), _ivf_seed_centroids(emb), books, k=5
+    )
+
+
 @register("similarity_pq_adc", PQ_ADC_ORACLE)
 def q_similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (the IVF-PQ memory layout): the corpus is
@@ -3554,6 +3622,63 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type"))
         .agg(F.count("*").alias("n_transitions"))
     )
+
+
+PAGERANK_ORACLE = """
+WITH o AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+    FROM events
+),
+e0 AS (SELECT prev_type AS src, event_type AS dst, count(*)::DOUBLE AS w
+       FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+ow AS (SELECT src, SUM(w) AS out_w FROM e0 GROUP BY 1),
+e AS (SELECT e0.src, e0.dst, e0.w, ow.out_w FROM e0 JOIN ow USING (src)),
+nodes AS (SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+c1 AS (SELECT e.dst AS node, list_sum(list(r.rank * e.w / e.out_w ORDER BY e.src)) AS s
+       FROM e JOIN r0 r ON r.node = e.src GROUP BY 1),
+r1 AS (SELECT n.node, 0.15 / nn.n + 0.85 * coalesce(c.s, 0.0) AS rank
+       FROM nodes n CROSS JOIN nn LEFT JOIN c1 c ON c.node = n.node),
+c2 AS (SELECT e.dst AS node, list_sum(list(r.rank * e.w / e.out_w ORDER BY e.src)) AS s
+       FROM e JOIN r1 r ON r.node = e.src GROUP BY 1),
+r2 AS (SELECT n.node, 0.15 / nn.n + 0.85 * coalesce(c.s, 0.0) AS rank
+       FROM nodes n CROSS JOIN nn LEFT JOIN c2 c ON c.node = n.node),
+c3 AS (SELECT e.dst AS node, list_sum(list(r.rank * e.w / e.out_w ORDER BY e.src)) AS s
+       FROM e JOIN r2 r ON r.node = e.src GROUP BY 1),
+r3 AS (SELECT n.node, 0.15 / nn.n + 0.85 * coalesce(c.s, 0.0) AS rank
+       FROM nodes n CROSS JOIN nn LEFT JOIN c3 c ON c.node = n.node)
+SELECT node, round(rank, 6) AS rank FROM r3
+"""
+
+
+@register("event_pagerank", PAGERANK_ORACLE)
+def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (3 iterations, d=0.85) over the event-type transition
+    graph — the iterative-algorithm pattern made driver-checkable by unrolling
+    the fixed iterations into one SQL statement, with every float fold pinned
+    to source-id order in both engines (a bare SUM's addition order varies
+    with partitioning and compounds across iterations). Edge building is the
+    corpus-sized work (per-user lag + one grouped count); the rank loop
+    touches only the |types|² transition matrix
+    (operators/graph.pagerank)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.graph import pagerank
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        events.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count("*").alias("weight"))
+    )
+    return pagerank(edges, iters=3, damping=0.85)
 
 
 K_ANON = 5

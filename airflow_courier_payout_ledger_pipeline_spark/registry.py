@@ -361,6 +361,8 @@ ADJUDICATION_WINDOW_R6_PLAN: list[str] = [
     "image_png_features",
     "similarity_pq_adc",
     "ann_recall_eval",
+    "similarity_ivf_pq",
+    "event_pagerank",
 ]
 
 

@@ -54,6 +54,7 @@ HEADLINE = [
     # (the compressed-codes scale path next to similarity_topk's exact baseline)
     "image_png_features",
     "similarity_pq_adc",
+    "similarity_ivf_pq",
 ]
 
 

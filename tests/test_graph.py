@@ -22,3 +22,37 @@ def test_components_long_chain_converges(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
     out = {r.id: r.component for r in connected_components(nodes, edges).collect()}
     assert out == {i: 0 for i in range(n)}
+
+
+def test_pagerank_hand_computed_and_partition_invariant(spark):
+    from airflow_courier_payout_ledger_pipeline_spark.operators.graph import pagerank
+
+    # A -> B (w2), A -> C (w1), B -> C (w1); C dangling (mass dropped)
+    edges = spark.createDataFrame(
+        [("A", "B", 2), ("A", "C", 1), ("B", "C", 1)], "src string, dst string, weight long"
+    )
+    got = {r.node: r.rank for r in pagerank(edges, iters=2, damping=0.85).collect()}
+
+    # replicate in plain python: same fold order (contribs sorted by src)
+    n = 3
+    ranks = {x: 1.0 / n for x in "ABC"}
+    e = [("A", "B", 2.0, 3.0), ("A", "C", 1.0, 3.0), ("B", "C", 1.0, 1.0)]
+    for _ in range(2):
+        inc = {}
+        for src, dst, w, ow in e:
+            inc.setdefault(dst, []).append((src, ranks[src] * w / ow))
+        new = {}
+        for node in "ABC":
+            s = 0.0
+            for _, c in sorted(inc.get(node, [])):
+                s += c
+            new[node] = 0.15 / n + 0.85 * s
+        ranks = new
+    expected = {k: round(v, 6) for k, v in ranks.items()}
+    assert got == expected
+    # partition-count invariance: the ordered fold pins the float order
+    got7 = {
+        r.node: r.rank
+        for r in pagerank(edges.repartition(7), iters=2, damping=0.85).collect()
+    }
+    assert got7 == expected

@@ -177,3 +177,34 @@ def test_pq_codebooks_reject_indivisible_dim():
 
     with _pytest.raises(ValueError, match="not divisible"):
         pq_codebooks_from_seeds([(0, [1.0, 2.0, 3.0])], m=2)
+
+
+def test_ivf_pq_routes_then_adc_ranks(clustered):
+    """IVF-PQ: candidates restricted to the query's inverted list (never a
+    cross-cluster neighbor with separated clusters), distances from PQ code
+    lookups. k=100 surfaces the FULL candidate set — it must be the query's
+    own cluster minus self, proving the router cut, not just top-k luck."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        ivf_pq_topk,
+        kmeans_centroids,
+        pq_codebooks_from_seeds,
+    )
+
+    cents = kmeans_centroids(clustered, k=2, iters=4)
+    seeds = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in clustered.filter(F.col("vec_id") < 4).collect()
+    ]
+    books = pq_codebooks_from_seeds(seeds, m=2)
+    out = ivf_pq_topk(
+        clustered, clustered.filter(F.col("vec_id") < 2), cents, books, k=100
+    ).collect()
+    by_q = {}
+    for r in out:
+        assert r.query_id % 2 == r.neighbor_id % 2, (r.query_id, r.neighbor_id)
+        by_q.setdefault(r.query_id, []).append(r)
+    # full inverted list = 20 same-parity vectors minus the query itself
+    assert {q: len(v) for q, v in by_q.items()} == {0: 19, 1: 19}
+    for rows in by_q.values():
+        dists = [r.adc_dist for r in sorted(rows, key=lambda r: r.rank)]
+        assert dists == sorted(dists)  # rank follows ADC distance

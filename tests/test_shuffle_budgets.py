@@ -38,6 +38,7 @@ SHUFFLE_BUDGET = {
     "score_quantile_norm": 2,  # histogram agg + per-source window (corpus side broadcast-joined)
     "image_png_features": 0,  # synth + decode fused map-side, zero shuffles
     "similarity_pq_adc": 1,  # broadcast ADC tables; one per-query top-k window
+    "similarity_ivf_pq": 1,  # broadcast centroid-routed join; one top-k window
 }
 
 
