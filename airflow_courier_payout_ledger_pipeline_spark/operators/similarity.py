@@ -158,26 +158,22 @@ def _assign_to_centroids(df: DataFrame, centroids: list[tuple[int, list[float]]]
     be a ~100 MB plan): hand the quantizer to ``pyspark.ml.clustering.KMeans``
     (broadcast centroid matrix + vectorized assignment) and keep this module's
     join topology for the search — the IVF layout is unchanged, only the
-    assignment expression moves out of the plan."""
-    best_id, best_d = None, None
-    for cid, cvec in centroids:
-        d = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(float(x)) for x in cvec]),
-                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        if best_id is None:
-            best_id, best_d = F.lit(cid), d
-        else:
-            cond = d < best_d
-            best_id = F.when(cond, F.lit(cid)).otherwise(best_id)
-            best_d = F.when(cond, d).otherwise(best_d)
-    assert best_id is not None
-    return best_id
+    assignment expression moves out of the plan.
+
+    Expression shape matters: the argmin is array_min over (distance, id)
+    structs — LINEAR in k. The tempting fold ``best = when(d < best_d, ...)
+    .otherwise(best)`` embeds the previous best TWICE per step, so the
+    expression tree doubles per centroid (2^k copies of the early distance
+    folds at k=8 → measured ~7× slowdown of the IVF-PQ query before this
+    rewrite); semantics here are identical — ties go to the lower id. Built as
+    one SQL string (see the PQ builders' note: py4j-per-literal construction
+    cost, not execution, dominates these columns)."""
+    d = len(centroids[0][1])
+    cands = ", ".join(
+        f"named_struct('d', {_sq_l2_sql(vec_col, 1, d, cvec)}, 'c', {cid})"
+        for cid, cvec in centroids
+    )
+    return F.expr(f"array_min(array({cands})).c")
 
 
 def kmeans_centroids(
@@ -227,21 +223,15 @@ def kmeans_centroids(
 
 def _centroid_probes(vec_col: str, centroids: list[tuple[int, list[float]]], nprobe: int) -> Column:
     """Array of the ``nprobe`` nearest centroid ids (squared L2, ties to lower
-    id) — codegen'd array_sort over (distance, id) structs, no Python."""
-    entries = []
-    for cid, cvec in centroids:
-        d = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(float(x)) for x in cvec]),
-                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        entries.append(F.struct(d.alias("d"), F.lit(cid).alias("c")))
-    ranked = F.array_sort(F.array(*entries))  # struct order: d, then c
-    return F.slice(ranked, 1, nprobe).getField("c")
+    id) — array_sort over (distance, id) structs, built as one SQL string
+    (construction-cost note on the PQ builders), no Python in the data path."""
+    d = len(centroids[0][1])
+    cands = ", ".join(
+        f"named_struct('d', {_sq_l2_sql(vec_col, 1, d, cvec)}, 'c', {cid})"
+        for cid, cvec in centroids
+    )
+    # struct order: d, then c
+    return F.expr(f"slice(array_sort(array({cands})), 1, {nprobe}).c")
 
 
 def ivf_topk(
@@ -398,16 +388,31 @@ def kmeans_centroids_mllib(
 # --- Product quantization (IVF-PQ's memory layout): 32x vector compression --------
 
 
-def _sub_sq_l2(sub: Column, centroid: list[float]) -> Column:
-    """Squared L2 between a subvector slice and a literal centroid, sequential
-    double fold (deterministic order, engine-portable)."""
-    lit = F.array(*[F.lit(float(v)) for v in centroid])
-    return F.aggregate(
-        F.zip_with(
-            sub, lit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+# The PQ/IVF expression builders below emit ONE Spark-SQL string per column
+# (F.expr) instead of composing pyspark Column objects. Composition is the
+# slow path here, not execution: a codes column is 8 subspaces x 4 centroids
+# of (slice + literal array + zip_with + fold), and building that through the
+# Python API costs hundreds of py4j round-trips (each F.lit, each lambda) —
+# measured ~10 s of per-CALL construction latency at query build time, pure
+# driver overhead that the one-shot SQL parse eliminates (~100 ms). The parsed
+# expressions are identical — same fold order, same values, bit-identical
+# results (oracle parity re-verified after the rewrite).
+
+
+def _dlit(v: float) -> str:
+    """Exact double literal: repr() round-trips the IEEE value; 'D' marks a
+    Spark SQL double (so 0.5 doesn't parse as DECIMAL)."""
+    return f"{float(v)!r}D"
+
+
+def _sq_l2_sql(vec_col: str, start: int, n: int, centroid: list[float]) -> str:
+    """SQL text: squared L2 between slice(vec, start, n) and a literal
+    centroid, sequential double fold (deterministic order, engine-portable)."""
+    vals = ", ".join(_dlit(v) for v in centroid)
+    return (
+        f"aggregate(zip_with(slice(`{vec_col}`, {start}, {n}), array({vals}), "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "0.0D, (acc, v) -> acc + v)"
     )
 
 
@@ -435,17 +440,14 @@ def _pq_codes(vec_col: str, codebooks: list[list[list[float]]]) -> Column:
     """array<tinyint> of per-subspace argmin codebook entries (ties → lower
     centroid id, via struct-ordered array_min)."""
     sub = len(codebooks[0][0])
-    codes = []
+    per_j = []
     for j, book in enumerate(codebooks):
-        s = F.slice(F.col(vec_col), j * sub + 1, sub)
-        candidates = F.array(
-            *[
-                F.struct(_sub_sq_l2(s, centroid).alias("d"), F.lit(c).alias("c"))
-                for c, centroid in enumerate(book)
-            ]
+        cands = ", ".join(
+            f"named_struct('d', {_sq_l2_sql(vec_col, j * sub + 1, sub, centroid)}, 'c', {c})"
+            for c, centroid in enumerate(book)
         )
-        codes.append(F.array_min(candidates)["c"])
-    return F.array(*codes).cast("array<tinyint>")
+        per_j.append(f"array_min(array({cands})).c")
+    return F.expr(f"CAST(array({', '.join(per_j)}) AS ARRAY<TINYINT>)")
 
 
 def _pq_adc_table(vec_col: str, codebooks: list[list[list[float]]]) -> Column:
@@ -453,28 +455,35 @@ def _pq_adc_table(vec_col: str, codebooks: list[list[list[float]]]) -> Column:
     row's subspace-j slice and codebook entry c — computed once per QUERY row,
     then every corpus distance is m lookups into it."""
     sub = len(codebooks[0][0])
-    return F.array(
-        *[
-            F.array(
-                *[
-                    _sub_sq_l2(F.slice(F.col(vec_col), j * sub + 1, sub), centroid)
-                    for centroid in book
-                ]
-            )
-            for j, book in enumerate(codebooks)
-        ]
+    rows = ", ".join(
+        "array("
+        + ", ".join(_sq_l2_sql(vec_col, j * sub + 1, sub, centroid) for centroid in book)
+        + ")"
+        for j, book in enumerate(codebooks)
     )
+    return F.expr(f"array({rows})")
 
 
 def _pq_adc_dist(m: int) -> Column:
-    """Σ_j __adc[j][pq_codes[j]] — sequential double fold in subspace order
-    (deterministic, engine-portable)."""
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc
-        + F.get(F.get(F.col("__adc"), j), F.get(F.col("pq_codes"), j).cast("int")),
-    )
+    """Σ_j __adc[j][pq_codes[j]] — UNROLLED left-to-right addition (subspace
+    order, deterministic, engine-portable). Unrolled rather than a
+    higher-order ``aggregate`` fold on purpose: HOFs evaluate interpreted
+    (outside whole-stage codegen) and this expression runs once per
+    (query, candidate) PAIR — the hot path. The unrolled element_at chain
+    stays inside codegen; measured ~20× on the per-pair distance at sf0.1.
+    Addition order matches the fold (0.0 + t_0 + … exactly equals
+    t_0 + … in IEEE for finite t), so results are bit-identical."""
+    terms = [
+        F.element_at(
+            F.element_at(F.col("__adc"), j + 1),
+            F.element_at(F.col("pq_codes"), j + 1).cast("int") + 1,
+        )
+        for j in range(m)
+    ]
+    dist = terms[0]
+    for t in terms[1:]:
+        dist = dist + t
+    return dist
 
 
 def _empty_adc_result(corpus: DataFrame, queries: DataFrame, id_col: str) -> DataFrame:

@@ -1,0 +1,98 @@
+"""Distributed BPE tokenizer training: the byte-pair-merge loop that produces
+the merge table every LLM tokenizer ships, run as Spark aggregations.
+
+Shape (Sennrich et al. 2016, the standard subword-NMT algorithm):
+1. ONE corpus-sized pass aggregates documents into a (word, count) frequency
+   table — the corpus text is never read again;
+2. each merge iteration counts adjacent symbol pairs over the DISTINCT-WORD
+   table (orders of magnitude smaller than the corpus), picks the most
+   frequent pair (ties → lexicographically smallest, so training is
+   deterministic), and merges it in every word;
+3. the chosen (pair, count) per iteration IS the tokenizer artifact.
+
+Symbol sequences are space-joined strings (``"h e l l o"``), so a merge is a
+literal ``replace(seq, 'l l', 'll')`` — engine-portable, and replace's
+non-overlapping left-to-right semantics exactly matches BPE's greedy merge
+(``a a a`` → ``aa a``). Driver state per iteration: ONE (pair, count) row —
+the same O(1) class as a watermark cursor. The word table localCheckpoints
+each round to stop plan growth (the connected_components discipline).
+
+A fixed iteration count keeps the loop SQL-unrollable: the registered query's
+DuckDB oracle replays two full iterations (count → argmax → replace → recount)
+in one statement and hash-checks the chosen merges — the iterative-training
+pattern proven driver-checkable, like graph.pagerank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: lowercase word extraction: runs of ASCII letters (the reference corpora are
+#: synthetic English-ish text; swap the pattern for real multilingual corpora)
+WORD_RE = "[a-z]+"
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) frequency table — the single corpus-sized pass of BPE
+    training. One explode + one groupBy shuffle on near-unique word keys."""
+    return (
+        docs.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _spaced(word: Column) -> Column:
+    """'hello' → 'h e l l o' (space-joined symbol sequence)."""
+    return F.trim(F.regexp_replace(word, "(.)", "$1 "))
+
+
+def _adjacent_pairs(seq_col: Column) -> Column:
+    """array of adjacent symbol pairs of a spaced sequence: 'h e l' →
+    ['h e', 'e l'] (zip of the symbol list with its own tail — JVM-side)."""
+    syms = F.split(seq_col, " ")
+    return F.when(F.size(syms) < 2, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.slice(syms, 1, F.size(syms) - 1),
+            F.slice(syms, 2, F.size(syms) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    )
+
+
+def bpe_train_merges(
+    docs: DataFrame, iters: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Run ``iters`` BPE merge iterations; returns one row per iteration:
+    (iter, pair, pair_count) — the ordered merge rules. Deterministic: the
+    argmax pair breaks count ties lexicographically."""
+    spark = docs.sparkSession
+    words = (
+        word_frequencies(docs, text_col)
+        .select(_spaced(F.col("word")).alias("seq"), "n")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, int]] = []
+    for it in range(1, iters + 1):
+        top = (
+            words.select(F.explode(_adjacent_pairs(F.col("seq"))).alias("pair"), "n")
+            .groupBy("pair")
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.desc("c"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:  # corpus exhausted (all words single-symbol) or empty
+            break
+        pair, count = top[0]["pair"], int(top[0]["c"])
+        merges.append((it, pair, count))
+        merged = pair.replace(" ", "")
+        words = words.select(
+            F.replace(F.col("seq"), F.lit(pair), F.lit(merged)).alias("seq"), "n"
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(merges, "iter int, pair string, pair_count bigint")

@@ -3624,6 +3624,52 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_ORACLE = """
+WITH w0 AS (
+    SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq, count(*)::BIGINT AS n
+    FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents)
+    GROUP BY 1
+),
+pc1 AS (
+    SELECT syms[i] || ' ' || syms[i+1] AS pair, SUM(n)::BIGINT AS c
+    FROM (SELECT string_split(seq, ' ') AS syms, n FROM w0) t,
+         unnest(generate_series(1, len(t.syms) - 1)) AS g(i)
+    GROUP BY 1
+),
+p1 AS (SELECT pair, c FROM pc1 ORDER BY c DESC, pair LIMIT 1),
+w1 AS (
+    SELECT replace(w0.seq, p1.pair, replace(p1.pair, ' ', '')) AS seq, w0.n
+    FROM w0 CROSS JOIN p1
+),
+pc2 AS (
+    SELECT syms[i] || ' ' || syms[i+1] AS pair, SUM(n)::BIGINT AS c
+    FROM (SELECT string_split(seq, ' ') AS syms, n FROM w1) t,
+         unnest(generate_series(1, len(t.syms) - 1)) AS g(i)
+    GROUP BY 1
+),
+p2 AS (SELECT pair, c FROM pc2 ORDER BY c DESC, pair LIMIT 1)
+SELECT 1::INT AS iter, pair, c AS pair_count FROM p1
+UNION ALL
+SELECT 2::INT AS iter, pair, c AS pair_count FROM p2
+"""
+
+
+@register("bpe_merges", BPE_ORACLE)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (2 merge iterations) as a driver-checked query:
+    one corpus pass builds the word-frequency table, then each iteration
+    counts adjacent symbol pairs over DISTINCT WORDS only, argmaxes with a
+    lexicographic tiebreak, and merges via literal string replace — the
+    subword-NMT algorithm whose chosen merges the DuckDB oracle replays and
+    hash-checks (operators/tokenize.bpe_train_merges)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.tokenize import (
+        bpe_train_merges,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return bpe_train_merges(docs, iters=2)
+
+
 PAGERANK_ORACLE = """
 WITH o AS (
     SELECT user_id, event_type,

@@ -363,6 +363,7 @@ ADJUDICATION_WINDOW_R6_PLAN: list[str] = [
     "ann_recall_eval",
     "similarity_ivf_pq",
     "event_pagerank",
+    "bpe_merges",
 ]
 
 

@@ -1,0 +1,52 @@
+"""BPE merge training: hand-computed merges, tie-breaks, greedy overlap."""
+
+from __future__ import annotations
+
+from airflow_courier_payout_ledger_pipeline_spark.operators.tokenize import (
+    bpe_train_merges,
+    word_frequencies,
+)
+
+
+def test_word_frequencies_lowercase_letters_only(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello, hello WORLD!"), (2, "world 123 world")], "doc_id long, text string"
+    )
+    got = {r.word: r.n for r in word_frequencies(docs).collect()}
+    assert got == {"hello": 2, "world": 3}
+
+
+def test_bpe_merges_hand_computed(spark):
+    # corpus: 'abab' x3, 'ab' x2 → pairs over DISTINCT words weighted by count:
+    # 'a b': abab contributes 2 per occurrence? NO — pairs count per word type
+    # weighted by word frequency: abab(3): a b, b a, a b → 'a b'x2*3=6, 'b a'x3
+    # ab(2): 'a b'x2 → total 'a b'=8, 'b a'=3 → merge1 = 'a b' (8)
+    # after merge: 'ab ab'(3), 'ab'(2) → pairs: 'ab ab'x3 → merge2 = 'ab ab' (3)
+    docs = spark.createDataFrame(
+        [(1, "abab abab abab ab ab")], "doc_id long, text string"
+    )
+    got = [(r.iter, r.pair, r.pair_count) for r in bpe_train_merges(docs, iters=2).collect()]
+    assert got == [(1, "a b", 8), (2, "ab ab", 3)]
+
+
+def test_bpe_tie_breaks_lexicographically(spark):
+    # 'xy' and 'xz' both appear twice → pairs 'x y'=2, 'x z'=2 → pick 'x y'
+    docs = spark.createDataFrame([(1, "xy xy xz xz")], "doc_id long, text string")
+    got = [(r.iter, r.pair) for r in bpe_train_merges(docs, iters=1).collect()]
+    assert got == [(1, "x y")]
+
+
+def test_bpe_greedy_overlap_matches_replace_semantics(spark):
+    # 'aaa': pairs 'a a'x2 per word; merge 'a a' → replace left-to-right
+    # gives 'aa a' (NOT 'a aa'), the greedy BPE convention
+    docs = spark.createDataFrame([(1, "aaa aaa")], "doc_id long, text string")
+    out = bpe_train_merges(docs, iters=2).collect()
+    assert (out[0].iter, out[0].pair, out[0].pair_count) == (1, "a a", 4)
+    # second iteration sees 'aa a' → top pair is 'aa a'
+    assert (out[1].iter, out[1].pair, out[1].pair_count) == (2, "aa a", 2)
+
+
+def test_bpe_exhausted_corpus_stops_early(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    # all words single-symbol: no pairs at all → zero merge rows, no crash
+    assert bpe_train_merges(docs, iters=3).count() == 0
