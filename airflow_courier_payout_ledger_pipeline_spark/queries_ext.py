@@ -3624,6 +3624,28 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUBSTRING_SEARCH_ORACLE = """
+SELECT doc_id, strpos(text, 'batch stream')::INT AS first_pos
+FROM documents WHERE contains(text, 'batch stream')
+"""
+
+
+@register("substring_search", SUBSTRING_SEARCH_ORACLE)
+def q_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus grep through a trigram inverted index (pg_trgm layout): the
+    needle's posting lists intersect to a candidate set, and only candidates
+    are read for exact verification — contaminated-phrase / PII-string search
+    over 100 TB without a per-query full scan. The oracle states the naive
+    full-scan contains(); the indexed plan must return the identical rows
+    (operators/search.substring_search)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import (
+        substring_search,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return substring_search(docs, "batch stream")
+
+
 BPE_ORACLE = """
 WITH w0 AS (
     SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq, count(*)::BIGINT AS n

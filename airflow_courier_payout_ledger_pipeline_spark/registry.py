@@ -364,6 +364,7 @@ ADJUDICATION_WINDOW_R6_PLAN: list[str] = [
     "similarity_ivf_pq",
     "event_pagerank",
     "bpe_merges",
+    "substring_search",
 ]
 
 
