@@ -62,7 +62,10 @@ def substring_search(
     candidates = (
         idx.filter(F.col("tg").isin(grams))
         .groupBy(id_col)
-        .agg(F.count("*").alias("__k"))  # index rows are distinct → count == distinct
+        # DISTINCT, not count(*): a streaming-maintained index is appended
+        # at-least-once (stream_index_sink), so replayed postings may repeat —
+        # the probe must not over-count a doc into a false candidate
+        .agg(F.countDistinct("tg").alias("__k"))
         .filter(F.col("__k") == len(grams))
         .select(id_col)
     )

@@ -206,3 +206,44 @@ def stream_fold_state(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_index_sink(
+    stream: DataFrame,
+    lake: Lakehouse,
+    layer: str,
+    postings_table: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_name: str = "index_sink",
+) -> StreamingQuery:
+    """Continuous search-index maintenance: per micro-batch, the new docs'
+    (trigram, doc) postings APPEND to the persisted inverted index — O(batch)
+    work per trigger, never an index rebuild. foreachBatch is at-least-once,
+    so a replayed batch may duplicate postings; the probe side
+    (``operators.search.substring_search``) counts DISTINCT trigrams per doc,
+    making duplicates a bytes cost, not a correctness cost (fold them away
+    periodically with ``Lakehouse.compact`` + distinct, or swap the writer for
+    ``merge_upsert_partitioned`` keyed on (tg, doc) for exactly-once storage).
+
+    The ANN twin needs no dedicated sink: ``pq_encode`` is a map-side
+    projection, so ``stream_scd1_sink(pq_encode(stream, books), ...)``
+    continuously upserts fresh codes with latest-embedding-wins semantics —
+    one code path for batch and streaming index builds (tested in
+    test_streaming_ingest.py)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import (
+        trigram_index,
+    )
+
+    def index_batch(batch_df: DataFrame, batch_id: int) -> None:
+        postings = trigram_index(batch_df, id_col, text_col)
+        lake.append(postings, layer, postings_table)
+
+    return (
+        stream.writeStream.foreachBatch(index_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

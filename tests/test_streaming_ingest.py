@@ -285,3 +285,85 @@ def test_stream_fold_state_batch_replay_does_not_double_fold(spark, tmp_path):
     with pytest.raises(Exception, match="checkpoint"):
         drain(tmp_path / "ck_b")
     assert read() == {"a": 1, "b": 2}  # state untouched by the refused fold
+
+
+def test_stream_index_sink_maintains_search_and_ann_indexes(spark, tmp_path):
+    """Docs stream in across two micro-batch rounds; the trigram index appends
+    per batch and a PQ-codes table upserts via the scd1 sink (pq_encode is a
+    map-side projection → one code path batch/streaming). After the drain:
+    searching with the MAINTAINED index must equal a fresh full-corpus search,
+    and the codes table must equal a batch encode."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import (
+        substring_search,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        pq_codebooks_from_seeds,
+        pq_encode,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.streaming.ingest import (
+        stream_index_sink,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    src = tmp_path / "docs"
+    doc_schema = "doc_id long, text string"
+    rows1 = [(1, "alpha beta gamma"), (2, "beta gamma delta")]
+    rows2 = [(3, "gamma delta alpha"), (4, "omega")]
+    _write_batch(spark, src, rows1, doc_schema)
+
+    def drain(tag):
+        stream = spark.readStream.schema(doc_schema).parquet(str(src))
+        q = stream_index_sink(
+            stream, lake, "idx", "postings",
+            checkpoint=str(tmp_path / "ck_idx"), query_name=f"idx_{tag}",
+        )
+        q.awaitTermination()
+
+    drain("r1")
+    _write_batch(spark, src, rows2, doc_schema)
+    drain("r2")
+
+    docs = spark.createDataFrame(rows1 + rows2, doc_schema)
+    from pyspark.sql.types import StructType
+    postings = lake.read(
+        spark, "idx", "postings", StructType.fromDDL("doc_id long, tg string")
+    )
+    maintained = {
+        r.doc_id for r in substring_search(docs, "gamma", index=postings).collect()
+    }
+    fresh = {r.doc_id for r in substring_search(docs, "gamma").collect()}
+    assert maintained == fresh == {1, 2, 3}
+
+    # replayed postings (at-least-once) must not corrupt the probe
+    lake.append(postings.limit(3), "idx", "postings")
+    replayed = lake.read(
+        spark, "idx", "postings", StructType.fromDDL("doc_id long, tg string")
+    )
+    assert {
+        r.doc_id for r in substring_search(docs, "gamma", index=replayed).collect()
+    } == {1, 2, 3}
+
+    # ANN twin: stream PQ codes through the scd1 sink, converge to batch encode
+    emb_schema = "vec_id long, embedding array<float>"
+    vecs = [(i, [float((i * 7 + j) % 5) for j in range(4)]) for i in range(8)]
+    books = pq_codebooks_from_seeds([(v, list(e)) for v, e in vecs[:2]], m=2)
+    esrc = tmp_path / "emb"
+    _write_batch(spark, esrc, vecs[:5], emb_schema)
+    _write_batch(spark, esrc, vecs[5:], emb_schema)
+    estream = spark.readStream.schema(emb_schema).parquet(str(esrc))
+    q = stream_scd1_sink(
+        pq_encode(estream, books), lake, "idx", "codes", ["vec_id"],
+        checkpoint=str(tmp_path / "ck_codes"), query_name="codes_sink",
+    )
+    q.awaitTermination()
+    got = {
+        r.vec_id: list(r.pq_codes)
+        for r in lake.read(
+            spark, "idx", "codes", StructType.fromDDL("vec_id long, pq_codes array<tinyint>")
+        ).collect()
+    }
+    want = {
+        r.vec_id: list(r.pq_codes)
+        for r in pq_encode(spark.createDataFrame(vecs, emb_schema), books).collect()
+    }
+    assert got == want
