@@ -612,3 +612,68 @@ def ivf_pq_topk(
         pairs.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def pq_hamming_pairs(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    max_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs over PQ CODES: two vectors are candidate
+    dups when their code arrays differ in at most ``max_hamming`` of the m
+    subspaces. Blocking is the pigeonhole band trick (the dedup_simhash_pairs
+    layout applied to PQ): for each of m leave-one-out bands, bucket by the
+    remaining m-1 codes — any pair within Hamming ≤ 1 MUST collide on the band
+    that excludes the differing position, so recall over the code metric is
+    exact, never probabilistic. The join compares 8-byte codes, not
+    d-dim vectors: near-dup screening over a 100 TB embedding corpus at the
+    cost of a string-keyed self-join on tiny signatures.
+
+    Only max_hamming=1 is exact with single-position bands; higher thresholds
+    need (m choose h) band combinations — raise rather than silently under-
+    recall."""
+    if max_hamming != 1:
+        raise NotImplementedError(
+            "exact pigeonhole banding implemented for max_hamming=1; "
+            "h>1 needs combination bands (m choose h)"
+        )
+    if not codebooks:
+        return (
+            emb.select(F.col(id_col).alias("id_a"))
+            .limit(0)
+            .crossJoin(emb.select(F.col(id_col).alias("id_b")).limit(0))
+            .select("id_a", "id_b", F.lit(0).alias("hamming"))
+        )
+    m = len(codebooks)
+    coded = pq_encode(emb, codebooks, id_col, vec_col)
+    sigs = ", ".join(
+        f"to_json(concat(slice(pq_codes, 1, {b}), slice(pq_codes, {b + 2}, {m - b - 1})))"
+        for b in range(m)
+    )
+    bands = coded.select(
+        F.col(id_col),
+        "pq_codes",
+        F.posexplode(F.expr(f"array({sigs})")).alias("band", "sig"),
+    )
+    hamming = F.expr(
+        "aggregate(zip_with(a_codes, b_codes, (x, y) -> IF(x = y, 0, 1)), 0, (acc, v) -> acc + v)"
+    )
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            ["band", "sig"],
+        )
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.pq_codes").alias("a_codes"),
+            F.col("b.pq_codes").alias("b_codes"),
+        )
+        .distinct()  # a Hamming-0 pair collides on every band — emit once
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

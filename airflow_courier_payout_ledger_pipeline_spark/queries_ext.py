@@ -733,6 +733,49 @@ SELECT query_id, neighbor_id, adc_dist, rank FROM r WHERE rank <= 5
 """
 
 
+PQ_HAMMING_ORACLE = f"""
+WITH grid AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j),
+pqseeds AS (SELECT vec_id AS c, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < {PQ_KC}),
+cb AS (SELECT g.j, s.c, list_slice(s.v, g.j*{PQ_SUB}+1, g.j*{PQ_SUB}+{PQ_SUB}) AS sv
+       FROM pqseeds s CROSS JOIN grid g),
+esub AS (SELECT e.vec_id, g.j, list_slice(e.embedding::DOUBLE[], g.j*{PQ_SUB}+1, g.j*{PQ_SUB}+{PQ_SUB}) AS sv
+         FROM embeddings e CROSS JOIN grid g),
+dd AS (SELECT e.vec_id, e.j, cb.c,
+              list_sum(list_transform(list_zip(e.sv, cb.sv), x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+       FROM esub e JOIN cb ON e.j = cb.j),
+codes AS (SELECT vec_id, j, c FROM (
+            SELECT vec_id, j, c,
+                   row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+            FROM dd) WHERE rn = 1),
+codes_v AS (SELECT vec_id, list(c ORDER BY j) AS cs FROM codes GROUP BY 1)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       len(list_filter(list_zip(a.cs, b.cs), x -> x[1] != x[2]))::INT AS hamming
+FROM codes_v a JOIN codes_v b ON a.vec_id < b.vec_id
+WHERE len(list_filter(list_zip(a.cs, b.cs), x -> x[1] != x[2])) <= 1
+"""
+
+
+@register("dedup_pq_hamming", PQ_HAMMING_ORACLE)
+def q_dedup_pq_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup candidates over PQ CODES (Hamming ≤ 1 of m=8):
+    pigeonhole leave-one-out bands make recall over the code metric EXACT —
+    every qualifying pair collides on the band excluding its differing
+    position — while the join compares 8-byte signatures, never vectors. The
+    oracle states the naive all-pairs comparison; the banded plan must return
+    identical rows (operators/similarity.pq_hamming_pairs)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        pq_codebooks_from_seeds,
+        pq_hamming_pairs,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    seeds = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < PQ_KC).select("vec_id", "embedding").collect()
+    ]
+    return pq_hamming_pairs(emb, pq_codebooks_from_seeds(seeds, PQ_M))
+
+
 IVF_PQ_ORACLE = f"""
 WITH grid AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j),
 pqseeds AS (SELECT vec_id AS c, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < {PQ_KC}),

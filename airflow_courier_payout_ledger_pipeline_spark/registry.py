@@ -365,6 +365,7 @@ ADJUDICATION_WINDOW_R6_PLAN: list[str] = [
     "event_pagerank",
     "bpe_merges",
     "substring_search",
+    "dedup_pq_hamming",
 ]
 
 

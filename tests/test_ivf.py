@@ -208,3 +208,43 @@ def test_ivf_pq_routes_then_adc_ranks(clustered):
     for rows in by_q.values():
         dists = [r.adc_dist for r in sorted(rows, key=lambda r: r.rank)]
         assert dists == sorted(dists)  # rank follows ADC distance
+
+
+def test_pq_hamming_banding_is_exact_vs_naive(spark):
+    """The leave-one-out band join must return EXACTLY the naive all-pairs
+    Hamming<=1 set — pigeonhole recall is a guarantee, not a probability."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        pq_codebooks_from_seeds,
+        pq_encode,
+        pq_hamming_pairs,
+    )
+
+    rows = [(i, [float((i * 13 + j * 5) % 7) for j in range(8)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    seeds = [(v, list(e)) for v, e in rows[:3]]
+    books = pq_codebooks_from_seeds(seeds, m=4)
+
+    got = {(r.id_a, r.id_b, r.hamming) for r in pq_hamming_pairs(emb, books).collect()}
+
+    codes = {r.vec_id: list(r.pq_codes) for r in pq_encode(emb, books).collect()}
+    want = set()
+    ids = sorted(codes)
+    for x in ids:
+        for y in ids:
+            if x < y:
+                h = sum(1 for a, b in zip(codes[x], codes[y]) if a != b)
+                if h <= 1:
+                    want.add((x, y, h))
+    assert got == want and want  # non-trivial: the test corpus has dup pairs
+
+
+def test_pq_hamming_rejects_wider_thresholds(spark):
+    import pytest as _pytest
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        pq_hamming_pairs,
+    )
+
+    emb = spark.createDataFrame([(0, [1.0, 2.0])], "vec_id long, embedding array<float>")
+    with _pytest.raises(NotImplementedError, match="combination bands"):
+        pq_hamming_pairs(emb, [[[1.0]], [[2.0]]], max_hamming=2)
