@@ -926,6 +926,59 @@ FROM s GROUP BY 1, 2
 """
 
 
+# Boundary semantics differ from SESSION_ORACLE on purpose: Spark's native
+# session_window is half-open [start, last+gap) — an event landing EXACTLY at
+# last+gap starts a NEW session — so this oracle breaks on `>=` where the
+# custom sessionizer (and its oracle above) breaks on `>`. Pinning the builtin
+# against lag-reconstructed SQL is the point of this query: it proves the
+# builtin's gap semantics, not just that it runs.
+SESSION_NATIVE_ORACLE = """
+WITH o AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+    SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS seq
+    FROM o
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(14,2))::DOUBLE AS value_sum
+FROM s GROUP BY user_id, seq
+"""
+
+
+@register("session_window_native", SESSION_NATIVE_ORACLE)
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization through Spark's BUILT-IN session_window (dynamic gap
+    merging inside the aggregation operator — the same primitive Structured
+    Streaming uses for stateful session aggs), hash-checked against a
+    lag-reconstruction oracle with the builtin's exact half-open boundary
+    semantics. Batch and streaming share this operator; proving it here is
+    what licenses the streaming session marts."""
+    events = load_tables(spark, sf_dir, "events")["events"]
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,2)"))
+            .cast("decimal(14,2)")
+            .alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
 @register("event_sessionization", SESSION_ORACLE)
 def q_event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions (30-min inactivity), lag + running-sum formulation —
@@ -3664,6 +3717,62 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.filter(F.col("prev_type").isNotNull())
         .groupBy(F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type"))
         .agg(F.count("*").alias("n_transitions"))
+    )
+
+
+# target token-mix shares for the epochs planner (long-tail sources pooled)
+_MIX_TARGET = {"src0": 0.4, "src1": 0.3, "src2": 0.2}
+_MIX_TARGET_OTHER = 0.1
+_MIX_BUDGET = 1_000_000
+
+# shares carried as integer TENTHS: wanted = budget/10 * tenths stays in exact
+# integer arithmetic in both engines (1e6 * 0.3 in binary double is
+# 299999.99999999994 and would truncate differently per engine's cast)
+MIX_EPOCHS_ORACLE = f"""
+WITH r AS (
+    SELECT CASE WHEN source IN ('src0','src1','src2') THEN source ELSE 'other' END AS mix_source,
+           n_chars,
+           CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 3 WHEN 'src2' THEN 2 ELSE 1 END AS tenths
+    FROM documents
+)
+SELECT mix_source,
+       SUM(n_chars)::BIGINT AS tokens_available,
+       ({_MIX_BUDGET} // 10 * max(tenths))::BIGINT AS tokens_wanted,
+       round(({_MIX_BUDGET} // 10 * max(tenths))::DOUBLE / SUM(n_chars)::DOUBLE, 4) AS epochs
+FROM r GROUP BY 1
+"""
+
+
+@register("mix_epochs_report", MIX_EPOCHS_ORACLE)
+def q_mix_epochs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mix planning: per target source (long tail pooled as 'other'),
+    available tokens vs the tokens a {_MIX_BUDGET}-token training budget wants
+    at the target shares, and the implied EPOCH count (wanted/available > 1 =
+    the source repeats; the number every mixture decision hangs on). One
+    grouped agg over source — the corpus is scanned once, n_chars only."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    pooled = F.when(
+        F.col("source").isin(*_MIX_TARGET), F.col("source")
+    ).otherwise(F.lit("other"))
+    tenths = (
+        F.when(F.col("source") == "src0", F.lit(4))
+        .when(F.col("source") == "src1", F.lit(3))
+        .when(F.col("source") == "src2", F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    # integer-exact: budget/10 * tenths (a double 1e6*0.3 would truncate to
+    # 299999 on cast; the oracle mirrors the same integer form)
+    wanted = (F.lit(_MIX_BUDGET // 10) * F.max(tenths)).cast("bigint")
+    return (
+        docs.select(pooled.alias("mix_source"), F.col("n_chars"), F.col("source"))
+        .groupBy("mix_source")
+        .agg(
+            F.sum("n_chars").cast("bigint").alias("tokens_available"),
+            wanted.alias("tokens_wanted"),
+            F.round(
+                wanted.cast("double") / F.sum("n_chars").cast("double"), 4
+            ).alias("epochs"),
+        )
     )
 
 

@@ -366,6 +366,8 @@ ADJUDICATION_WINDOW_R6_PLAN: list[str] = [
     "bpe_merges",
     "substring_search",
     "dedup_pq_hamming",
+    "session_window_native",
+    "mix_epochs_report",
 ]
 
 
