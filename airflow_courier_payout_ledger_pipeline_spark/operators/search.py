@@ -42,6 +42,92 @@ def trigram_index(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25-ranked top-``k`` documents for a bag-of-words query — the retrieval
+    primitive behind contamination lookup, RAG corpus probes, and dedup-by-
+    retrieval. Returns (id, bm25, n_terms_hit, rank).
+
+    Scale shape: ONE token pass and ONE doc-grain shuffle — per-doc length and
+    every query-term tf come out of a single conditional aggregation (map-side
+    partials compact the exchange to a row per doc per map task), corpus stats
+    (N, Σdl, per-term df) collapse to one O(1) driver row, and scoring is pure
+    map-side projection. Global top-k goes through ``orderBy().limit(k)`` —
+    Spark's TakeOrderedAndProject, a per-partition heap + driver merge of
+    k×partitions rows — never a single-partition window over the corpus; rank
+    is assigned AFTER the limit, over k rows.
+
+    Cross-engine determinism (the repo's oracle discipline): idf is the raw
+    Robertson odds (N - df + 0.5)/(df + 0.5) — monotone in the usual
+    ln-idf but free of ``ln()``, which is not bit-specified across engines.
+    Every float op is a single correctly-rounded IEEE op in a fixed order, and
+    the per-term scores fold in FIXED query-term order (float addition is not
+    associative; a SUM() in arbitrary order would not reproduce)."""
+    if not query_terms or len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be non-empty and distinct")
+    from airflow_courier_payout_ledger_pipeline_spark.functions.text import normalize_text
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    # ONE token pass, ONE doc-grain shuffle: dl and every query-term tf come out
+    # of the same conditional aggregation (map-side partials compact the
+    # exchange to one row per doc per map task — no separate postings shuffle,
+    # no dl⨝tf join afterwards)
+    per_doc = toks.groupBy(id_col).agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count("*"),
+        F.sum("dl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("int")) for i in range(len(query_terms))],
+    ).first()  # one row — O(1) driver state, same class as a watermark cursor
+    n_docs, sum_dl, *dfs = stats
+    avgdl = sum_dl / n_docs  # one IEEE division of exact ints — engines agree
+    # per-term score, all map-side now; idf folds to a Python double literal
+    # via the same correctly-rounded op sequence the oracle states
+    norm_len = F.lit(1.0 - b) + (F.lit(b) * F.col("dl").cast("double")) / F.lit(avgdl)
+
+    def term_score(i: int):
+        idf = (n_docs - dfs[i] + 0.5) / (dfs[i] + 0.5)
+        tf = F.col(f"tf_{i}").cast("double")
+        return F.when(
+            F.col(f"tf_{i}") > 0,
+            F.lit(idf) * ((tf * F.lit(k1 + 1.0)) / (tf + F.lit(k1) * norm_len)),
+        ).otherwise(F.lit(0.0))
+
+    # fixed-order fold: term_0 + term_1 + ... (left-assoc; float + is not
+    # associative, so the order is part of the operator's contract)
+    total = term_score(0)
+    for i in range(1, len(query_terms)):
+        total = total + term_score(i)
+    hits = F.col("tf_0") > 0
+    n_hit = (F.col("tf_0") > 0).cast("int")
+    for i in range(1, len(query_terms)):
+        hits = hits | (F.col(f"tf_{i}") > 0)
+        n_hit = n_hit + (F.col(f"tf_{i}") > 0).cast("int")
+    scored = per_doc.filter(hits).select(
+        F.col(id_col), total.alias("bm25"), n_hit.cast("int").alias("n_terms_hit")
+    )
+    from pyspark.sql.window import Window
+
+    top = scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
 def substring_search(
     docs: DataFrame,
     needle: str,

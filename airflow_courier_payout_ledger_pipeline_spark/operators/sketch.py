@@ -115,6 +115,62 @@ def estimate_distinct(state: DataFrame, group_cols: list[str]) -> DataFrame:
     )
 
 
+#: Count-min defaults: 4 rows × 1024 buckets ≈ overestimate ≤ e·N/1024 with
+#: probability 1 - e^-4 per probe — 4096 bigint rows of state regardless of
+#: vocabulary size.
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_state(df: DataFrame, value_col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """Count-min sketch as a mergeable DataFrame state: (seed, bucket, cnt),
+    ≤ depth×width rows total. Each value lands in one bucket per seed row
+    (xxhash64 over (value, seed) — JVM-side, no Python); one grouped agg with
+    map-side partials builds the state, so the exchange carries ≤ depth×width
+    rows per map task, never raw values. Unlike HLL this state supports
+    FREQUENCY queries: estimate(v) = min over seeds of its bucket count, an
+    OVERESTIMATE with probability-1 one-sided error — the property the
+    heavy-hitters prune relies on (no false negatives)."""
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("seed")
+    return (
+        df.select(F.col(value_col).alias("__v"), seeds)
+        .select("seed", F.pmod(F.xxhash64("__v", "seed"), F.lit(width)).alias("bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def merge_cms_states(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two CMS states built with the same (depth, width): bucket-wise sum.
+    Exactly the count/sum merge algebra of plans/ledger.merge_ledger_states —
+    associative, commutative, increment-order-free."""
+    return a.unionByName(b).groupBy("seed", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    items: DataFrame,
+    state: DataFrame,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Estimated frequency per item: min over seeds of the item's bucket count.
+    The state is ≤ depth×width rows → broadcast; an absent bucket means a true
+    zero (left join + coalesce 0, not an inner join that would silently drop
+    the item and overreport the min)."""
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("seed")
+    probes = items.select(F.col(value_col), seeds).select(
+        value_col,
+        "seed",
+        F.pmod(F.xxhash64(value_col, "seed"), F.lit(width)).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(state), ["seed", "bucket"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("freq_est"))
+    )
+
+
 def rollup_sketches(state: DataFrame, keep_cols: list[str]) -> DataFrame:
     """Re-aggregate a fine-grained sketch state to a coarser grain (day → month,
     day×segment → day) WITHOUT touching raw data: union the sketches under the

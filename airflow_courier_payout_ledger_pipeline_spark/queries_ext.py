@@ -3798,6 +3798,108 @@ def q_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_search(docs, "batch stream")
 
 
+# The idf is the raw Robertson odds (N - df + 0.5)/(df + 0.5) — monotone in
+# the textbook ln-idf but free of ln(), which is not bit-specified across
+# engines (same discipline as TERM_IMPORTANCE_ORACLE). Per-term scores fold in
+# FIXED query-term order (float + is non-associative; SUM() in engine order
+# would not reproduce). Constants are exact-double identities (2.2 == 1.2+1.0,
+# 0.25 == 1.0-0.75 bit-exact; DuckDB DECIMAL→DOUBLE is correctly rounded).
+BM25_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split({NORM}, ' ')) AS term FROM documents
+),
+t AS (SELECT * FROM tok WHERE term != ''),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM t GROUP BY 1),
+st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+qtf AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf FROM t
+    WHERE term IN ('vector', 'stream', 'hash') GROUP BY 1, 2
+),
+dfq AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM qtf GROUP BY 1),
+sc AS (
+    SELECT q.doc_id, q.term,
+           (((st.n_docs - dfq.df)::DOUBLE + 0.5) / (dfq.df::DOUBLE + 0.5))
+           * ((q.tf::DOUBLE * 2.2) /
+              (q.tf::DOUBLE + 1.2 * (0.25 + (0.75 * dl.dl::DOUBLE)
+                                            / (st.sum_dl::DOUBLE / st.n_docs::DOUBLE)))) AS score
+    FROM qtf q JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN st
+),
+pd AS (
+    SELECT doc_id,
+           coalesce(max(CASE WHEN term = 'vector' THEN score END), 0.0)
+           + coalesce(max(CASE WHEN term = 'stream' THEN score END), 0.0)
+           + coalesce(max(CASE WHEN term = 'hash' THEN score END), 0.0) AS bm25,
+           count(DISTINCT term)::INT AS n_terms_hit
+    FROM sc GROUP BY 1
+),
+r AS (SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id)::INT AS rank FROM pd)
+SELECT doc_id, bm25, n_terms_hit, rank FROM r WHERE rank <= 10
+"""
+
+
+@register("bm25_search", BM25_ORACLE)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked top-10 retrieval for the query {vector, stream, hash} — the
+    ranked-retrieval primitive behind contamination lookup and dedup-by-
+    retrieval. Scale shape (operators/search.bm25_topk): query-term postings
+    filtered BEFORE the tf shuffle, df broadcast, global top-k via
+    TakeOrderedAndProject (per-partition heaps), never a corpus-wide
+    single-partition window; the oracle reconstructs the identical
+    fixed-order float fold."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import bm25_topk
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return bm25_topk(docs, ["vector", "stream", "hash"], k=10)
+
+
+# The CMS is internal pruning state: estimates OVERESTIMATE (one-sided error),
+# so candidates(est ≥ T) ⊇ true heavy hitters, and the exact verify restores
+# equality with the naive oracle — the same prune-then-verify contract as the
+# trigram index. The threshold is integer-relative (freq·100 ≥ total tokens):
+# no float, scale-invariant across SFs.
+HEAVY_HITTERS_ORACLE = f"""
+WITH t AS (
+    SELECT unnest(string_split({NORM}, ' ')) AS term FROM documents
+),
+tok AS (SELECT term FROM t WHERE term != '')
+SELECT term, count(*)::BIGINT AS freq
+FROM tok GROUP BY 1
+HAVING count(*) * 100 >= (SELECT count(*) FROM tok)
+"""
+
+
+@register("heavy_hitters", HEAVY_HITTERS_ORACLE)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-term mining (all terms with ≥1% of total token mass) through a
+    count-min sketch prune: the ≤4×1024-row CMS state estimates every distinct
+    term's frequency via a broadcast probe, only candidates (a guaranteed
+    superset — CMS error is one-sided) reach the exact count, and the exact
+    filter restores oracle equality. At 100 TB the exact-count shuffle carries
+    only candidate postings instead of the full vocabulary (13-gram vocabs are
+    corpus-sized), and the CMS state is mergeable across increments
+    (operators/sketch.cms_state / merge_cms_states / cms_estimate)."""
+    from airflow_courier_payout_ledger_pipeline_spark.functions.text import normalize_text
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sketch import (
+        cms_estimate,
+        cms_state,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    total = toks.count()  # O(1) driver scalar, same class as a watermark cursor
+    state = cms_state(toks, "term")
+    est = cms_estimate(toks.distinct(), state, "term")
+    cand = est.filter(F.col("freq_est") * 100 >= F.lit(total)).select("term")
+    return (
+        toks.join(F.broadcast(cand), "term", "leftsemi")
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .filter(F.col("freq") * 100 >= F.lit(total))
+    )
+
+
 BPE_ORACLE = """
 WITH w0 AS (
     SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq, count(*)::BIGINT AS n

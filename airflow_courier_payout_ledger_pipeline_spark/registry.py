@@ -368,6 +368,8 @@ ADJUDICATION_WINDOW_R6_PLAN: list[str] = [
     "dedup_pq_hamming",
     "session_window_native",
     "mix_epochs_report",
+    "bm25_search",
+    "heavy_hitters",
 ]
 
 

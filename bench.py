@@ -55,6 +55,9 @@ HEADLINE = [
     "image_png_features",
     "similarity_pq_adc",
     "similarity_ivf_pq",
+    # round-5 late additions: ranked retrieval + sketch-pruned frequency mining
+    "bm25_search",
+    "heavy_hitters",
 ]
 
 

@@ -59,3 +59,67 @@ def test_short_needle_falls_back_to_scan(spark):
 
 def test_no_match_returns_empty(spark):
     assert substring_search(_docs(spark), "zebra").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+import pytest
+
+from airflow_courier_payout_ledger_pipeline_spark.operators.search import bm25_topk
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark stream stream stream"),
+            (2, "spark batch"),
+            (3, "stream"),
+            (4, "batch batch batch batch"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_bm25_matches_hand_computed_reference(spark):
+    """Pin the exact formula (raw-odds idf × k1/b tf saturation, fixed-order
+    fold) against a pure-Python replica on a corpus small enough to audit."""
+    docs = _corpus(spark)
+    got = {r["doc_id"]: (r["bm25"], r["n_terms_hit"], r["rank"]) for r in bm25_topk(docs, ["stream", "batch"], k=4).collect()}
+
+    toks = {1: ["spark", "stream", "stream", "stream"], 2: ["spark", "batch"], 3: ["stream"], 4: ["batch"] * 4}
+    n_docs, sum_dl = 4, sum(len(v) for v in toks.values())
+    avgdl = sum_dl / n_docs
+    df = {"stream": 2, "batch": 2}
+    k1, b = 1.2, 0.75
+
+    def score(doc, term):
+        tf = toks[doc].count(term)
+        if tf == 0:
+            return 0.0
+        idf = (n_docs - df[term] + 0.5) / (df[term] + 0.5)
+        return idf * ((tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + (b * len(toks[doc])) / avgdl)))
+
+    want = {d: score(d, "stream") + score(d, "batch") for d in toks}
+    ranked = sorted(want, key=lambda d: (-want[d], d))
+    for d in toks:
+        bm, hits, rank = got[d]
+        assert bm == want[d], (d, bm, want[d])
+        assert hits == sum(1 for t in ("stream", "batch") if t in toks[d])
+        assert rank == ranked.index(d) + 1
+
+
+def test_bm25_topk_uses_take_ordered_not_global_sort(spark):
+    """The corpus-wide top-k must plan as TakeOrderedAndProject (per-partition
+    heaps + driver merge of k·partitions rows), never a full global Sort or a
+    single-partition Window over the corpus."""
+    plan = bm25_topk(_corpus(spark), ["stream"], k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_rejects_empty_or_duplicate_query(spark):
+    with pytest.raises(ValueError):
+        bm25_topk(_corpus(spark), [])
+    with pytest.raises(ValueError):
+        bm25_topk(_corpus(spark), ["a", "a"])

@@ -39,6 +39,8 @@ SHUFFLE_BUDGET = {
     "image_png_features": 0,  # synth + decode fused map-side, zero shuffles
     "similarity_pq_adc": 1,  # broadcast ADC tables; one per-query top-k window
     "similarity_ivf_pq": 1,  # broadcast centroid-routed join; one top-k window
+    "bm25_search": 1,  # single conditional-agg doc shuffle; stats are a driver row
+    "heavy_hitters": 3,  # CMS state agg + vocab distinct + candidate-only exact count
 }
 
 

@@ -177,3 +177,55 @@ def test_null_grain_folds_as_one_group(spark):
     }
     for day, n in exact.items():
         assert abs(ests[day] - n) <= 0.05 * n + 1, (day, ests[day], n)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (frequency state)
+# ---------------------------------------------------------------------------
+
+from airflow_courier_payout_ledger_pipeline_spark.operators.sketch import (  # noqa: E402
+    cms_estimate,
+    cms_state,
+    merge_cms_states,
+)
+
+
+def _words(spark):
+    rows = [("alpha",)] * 40 + [("beta",)] * 25 + [("gamma",)] * 3 + [("delta",)] * 1
+    return spark.createDataFrame(rows, "term string")
+
+
+def test_cms_never_underestimates_and_is_exact_without_full_collision(spark):
+    """One-sided error: estimate ≥ exact for every value, always; equality
+    unless a value collides with another in ALL depth seed rows (xxhash64 is
+    fixed → this dataset's outcome is deterministic, and it doesn't)."""
+    words = _words(spark)
+    state = cms_state(words, "term")
+    exact = {r["term"]: r["n"] for r in words.groupBy("term").agg(F.count("*").alias("n")).collect()}
+    est = {r["term"]: r["freq_est"] for r in cms_estimate(words.distinct(), state, "term").collect()}
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        assert est[t] >= n, (t, est[t], n)
+        assert est[t] == n, (t, est[t], n)
+
+
+def test_cms_merge_of_splits_is_bucket_exact_vs_direct(spark):
+    """The count/sum merge algebra: CMS(a) ⊕ CMS(b) is row-for-row identical
+    to CMS(a ∪ b) — not just estimate-equivalent — so increments fold in any
+    order/split with zero drift."""
+    words = _words(spark).withColumn("pid", F.monotonically_increasing_id())
+    a, b = words.filter(F.col("pid") % 2 == 0), words.filter(F.col("pid") % 2 == 1)
+    direct = cms_state(words.select("term"), "term")
+    merged = merge_cms_states(cms_state(a.select("term"), "term"), cms_state(b.select("term"), "term"))
+    key = lambda r: (r["seed"], r["bucket"], r["cnt"])  # noqa: E731
+    assert sorted(map(key, direct.collect())) == sorted(map(key, merged.collect()))
+
+
+def test_cms_unseen_value_estimates_zero_via_absent_bucket(spark):
+    """An absent bucket is a true zero: the estimate path must LEFT-join the
+    state (coalesce 0), not inner-join — an unseen value whose buckets are all
+    empty estimates exactly 0 (deterministic for this fixed dataset)."""
+    state = cms_state(_words(spark), "term")
+    probe = spark.createDataFrame([("omega",)], "term string")
+    [row] = cms_estimate(probe, state, "term").collect()
+    assert row["freq_est"] == 0

@@ -367,3 +367,57 @@ def test_stream_index_sink_maintains_search_and_ann_indexes(spark, tmp_path):
         for r in pq_encode(spark.createDataFrame(vecs, emb_schema), books).collect()
     }
     assert got == want
+
+
+def test_stream_fold_state_maintains_cms_frequency_state(spark, tmp_path):
+    """The CMS frequency sketch rides the SAME continuous-maintenance rail as
+    the ledger state: fold micro-batches with cms_state/merge_cms_states and
+    the streamed state is row-for-row IDENTICAL to a direct batch build over
+    the concatenated input (the bucket-exact merge law), so heavy-hitter
+    candidates probed from the streamed state equal the batch answer — a
+    frequency monitor over an ingest stream with O(batch + 4096 rows) per
+    trigger and no history re-read."""
+    from pyspark.sql.types import StructType
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sketch import (
+        cms_estimate,
+        cms_state,
+        merge_cms_states,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.streaming.ingest import (
+        stream_fold_state,
+    )
+
+    src = tmp_path / "src"
+    schema = "term string"
+    batch1 = [("alpha",)] * 30 + [("beta",)] * 5
+    batch2 = [("alpha",)] * 10 + [("gamma",)] * 40 + [("beta",)] * 1
+    _write_batch(spark, src, batch1, schema)
+    _write_batch(spark, src, batch2, schema)
+    lake = Lakehouse(str(tmp_path / "lake"))
+
+    q = stream_fold_state(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src)),
+        lake,
+        "cdm",
+        "term_cms",
+        lambda b: cms_state(b, "term"),
+        merge_cms_states,
+        str(tmp_path / "ckpt"),
+        "t_cms_fold",
+    )
+    q.awaitTermination()
+
+    streamed = lake.read(
+        spark, "cdm", "term_cms", StructType.fromDDL("seed int, bucket long, cnt long")
+    )
+    allrows = spark.createDataFrame(batch1 + batch2, schema)
+    direct = cms_state(allrows, "term")
+    key = lambda r: (r["seed"], r["bucket"], r["cnt"])  # noqa: E731
+    assert sorted(map(key, streamed.collect())) == sorted(map(key, direct.collect()))
+
+    est = {
+        r["term"]: r["freq_est"]
+        for r in cms_estimate(allrows.distinct(), streamed, "term").collect()
+    }
+    assert est == {"alpha": 40, "beta": 6, "gamma": 40}
