@@ -95,6 +95,13 @@ def bm25_topk(
         *[F.sum((F.col(f"tf_{i}") > 0).cast("int")) for i in range(len(query_terms))],
     ).first()  # one row — O(1) driver state, same class as a watermark cursor
     n_docs, sum_dl, *dfs = stats
+    if not n_docs:  # cold-start corpus: no docs → typed empty result
+        return per_doc.select(
+            F.col(id_col),
+            F.lit(0.0).alias("bm25"),
+            F.lit(0).cast("int").alias("n_terms_hit"),
+            F.lit(0).cast("int").alias("rank"),
+        ).limit(0)
     avgdl = sum_dl / n_docs  # one IEEE division of exact ints — engines agree
     # per-term score, all map-side now; idf folds to a Python double literal
     # via the same correctly-rounded op sequence the oracle states

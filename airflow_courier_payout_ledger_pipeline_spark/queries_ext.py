@@ -3884,12 +3884,17 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_state,
     )
 
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sketch import CMS_DEPTH
+
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     toks = docs.select(
         F.explode(F.split(normalize_text(F.col("text")), " ")).alias("term")
     ).filter(F.col("term") != "")
-    total = toks.count()  # O(1) driver scalar, same class as a watermark cursor
-    state = cms_state(toks, "term")
+    # materialize the ≤4×1024-row state once (localCheckpoint): the probe join
+    # reuses it and the total token count reads off it exactly (Σcnt = depth·N
+    # — every token lands in depth buckets), saving a separate corpus count
+    state = cms_state(toks, "term").localCheckpoint()
+    total = (state.agg(F.sum("cnt")).first()[0] or 0) // CMS_DEPTH
     est = cms_estimate(toks.distinct(), state, "term")
     cand = est.filter(F.col("freq_est") * 100 >= F.lit(total)).select("term")
     return (

@@ -123,3 +123,15 @@ def test_bm25_rejects_empty_or_duplicate_query(spark):
         bm25_topk(_corpus(spark), [])
     with pytest.raises(ValueError):
         bm25_topk(_corpus(spark), ["a", "a"])
+
+
+def test_bm25_is_partitioning_invariant(spark):
+    """Bit-identical scores under any input partitioning: per-doc tf/dl are
+    exact-integer aggregates and the per-term fold is fixed-order, so no float
+    ever folds in partition order — the same discipline that makes the oracle
+    hash reproducible (and pagerank repartition-stable)."""
+    docs = _corpus(spark)
+    base = sorted(map(tuple, bm25_topk(docs, ["stream", "batch"], k=4).collect()))
+    for n in (1, 7):
+        got = sorted(map(tuple, bm25_topk(docs.repartition(n), ["stream", "batch"], k=4).collect()))
+        assert got == base, n
