@@ -677,3 +677,89 @@ def pq_hamming_pairs(
         .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def contrastive_triplets(
+    emb: DataFrame,
+    bits: int = 4,
+    pool_size: int = 128,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(anchor, positive, negative) mining for contrastive embedding training —
+    the triplet generator a representation-learning pipeline feeds from its
+    corpus. Per anchor: positive = the lowest-id OTHER member of the anchor's
+    hyperplane-LSH bucket (semantically close by construction; anchors alone in
+    their bucket emit no triplet), negative = a deterministic md5 draw from a
+    fixed ``pool_size`` candidate pool, with ``neg_is_clean`` flagging draws
+    that landed outside the anchor's bucket (the usual training filter).
+
+    Scale shape — everything is O(n) + tiny state, NO self-join:
+    - the positive comes from per-bucket (min, second-min) tables — two grouped
+      aggs whose exchanges carry 2^bits rows per map task, broadcast back;
+    - the pool is the ``pool_size`` smallest-md5 ids (a uniform deterministic
+      sample) via TakeOrderedAndProject, indexed by a window over pool_size
+      rows, broadcast; the draw is a 16-bit md5 integer mod |pool| (the
+      weighted_sample integer-hash discipline — exact in both engines).
+    """
+    b = emb.select(F.col(id_col), sign_bucket(F.col(vec_col), bits).alias("bucket"))
+    m1 = b.groupBy("bucket").agg(F.min(id_col).alias("m1"))
+    m2 = (
+        b.join(F.broadcast(m1), "bucket")
+        .filter(F.col(id_col) != F.col("m1"))
+        .groupBy("bucket")
+        .agg(F.min(id_col).alias("m2"))
+    )
+    pool = (
+        b.select(
+            F.col(id_col).alias("negative_id"),
+            F.col("bucket").alias("neg_bucket"),
+            F.md5(F.concat(F.lit("pool:"), F.col(id_col).cast("string"))).alias("__h"),
+        )
+        .orderBy("__h", "negative_id")
+        .limit(pool_size)
+    )
+    n_pool = pool.count()  # ≤ pool_size — O(1) driver scalar
+    if n_pool == 0:  # cold start: no corpus → no triplets, typed empty
+        return b.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(id_col).alias("positive_id"),
+            F.col(id_col).alias("negative_id"),
+            F.lit(True).alias("neg_is_clean"),
+        ).limit(0)
+    from pyspark.sql.window import Window
+
+    indexed = pool.withColumn(
+        "__idx",
+        F.row_number().over(Window.orderBy("__h", "negative_id")) - 1,
+    ).drop("__h")
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("neg:"), F.col(id_col).cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_pool
+    )
+    return (
+        b.join(F.broadcast(m1), "bucket")
+        .join(F.broadcast(m2), "bucket", "left")
+        .select(
+            F.col(id_col).alias("anchor_id"),
+            F.col("bucket"),
+            F.when(F.col(id_col) == F.col("m1"), F.col("m2"))
+            .otherwise(F.col("m1"))
+            .alias("positive_id"),
+            draw.alias("__draw"),
+        )
+        .filter(F.col("positive_id").isNotNull())
+        .join(F.broadcast(indexed), F.col("__draw") == F.col("__idx"))
+        .select(
+            "anchor_id",
+            "positive_id",
+            "negative_id",
+            (F.col("neg_bucket") != F.col("bucket")).alias("neg_is_clean"),
+        )
+    )

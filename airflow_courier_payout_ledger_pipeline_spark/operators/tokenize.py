@@ -96,3 +96,41 @@ def bpe_train_merges(
             F.replace(F.col("seq"), F.lit(pair), F.lit(merged)).alias("seq"), "n"
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(merges, "iter int, pair string, pair_count bigint")
+
+
+def bpe_encode_counts(
+    docs: DataFrame,
+    merges: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document token count under a TRAINED merge list — the apply half of
+    the tokenizer (train = ``bpe_train_merges``): (id, n_words, bpe_tokens).
+    ``bpe_tokens`` is what every batch-size / packing / mix-budget decision
+    consumes, and applying the learned merges (not whitespace) is what makes
+    the number honest.
+
+    Encoding is pure map-side JVM expression work: each word's spaced symbol
+    sequence gets the merge rules applied IN TRAINING ORDER via chained
+    literal ``replace`` (non-overlapping left-to-right = BPE's greedy
+    convention, identical in DuckDB — the same portability argument as
+    training), then the token count is the surviving symbol count. One
+    explode + ONE doc-grain shuffle; the merge table rides the closure as
+    literals (tokenizers are KBs — broadcast-by-construction)."""
+    seq = _spaced(F.col("word"))
+    for pair in merges:
+        seq = F.replace(seq, F.lit(pair), F.lit(pair.replace(" ", "")))
+    words = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)")
+        ).alias("word"),
+    )
+    return (
+        words.select(F.col(id_col), F.size(F.split(seq, " ")).alias("__ntok"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("__ntok").cast("bigint").alias("bpe_tokens"),
+        )
+    )

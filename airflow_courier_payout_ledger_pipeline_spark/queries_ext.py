@@ -3951,6 +3951,127 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(docs, iters=2)
 
 
+# Re-derives the two trained merges exactly as BPE_ORACLE does, then applies
+# them per word IN TRAINING ORDER (nested replace — greedy left-to-right in
+# both engines) and counts surviving symbols per doc.
+BPE_ENCODE_ORACLE = """
+WITH w0 AS (
+    SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq, count(*)::BIGINT AS n
+    FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents)
+    GROUP BY 1
+),
+pc1 AS (
+    SELECT syms[i] || ' ' || syms[i+1] AS pair, SUM(n)::BIGINT AS c
+    FROM (SELECT string_split(seq, ' ') AS syms, n FROM w0) t,
+         unnest(generate_series(1, len(t.syms) - 1)) AS g(i)
+    GROUP BY 1
+),
+p1 AS (SELECT pair FROM pc1 ORDER BY c DESC, pair LIMIT 1),
+w1 AS (
+    SELECT replace(w0.seq, p1.pair, replace(p1.pair, ' ', '')) AS seq, w0.n
+    FROM w0 CROSS JOIN p1
+),
+pc2 AS (
+    SELECT syms[i] || ' ' || syms[i+1] AS pair, SUM(n)::BIGINT AS c
+    FROM (SELECT string_split(seq, ' ') AS syms, n FROM w1) t,
+         unnest(generate_series(1, len(t.syms) - 1)) AS g(i)
+    GROUP BY 1
+),
+p2 AS (SELECT pair FROM pc2 ORDER BY c DESC, pair LIMIT 1),
+docw AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    FROM documents
+),
+enc AS (
+    SELECT doc_id,
+           len(string_split(
+               replace(
+                   replace(trim(regexp_replace(word, '(.)', '\\1 ', 'g')),
+                           (SELECT pair FROM p1),
+                           replace((SELECT pair FROM p1), ' ', '')),
+                   (SELECT pair FROM p2),
+                   replace((SELECT pair FROM p2), ' ', '')),
+               ' ')) AS ntok
+    FROM docw
+)
+SELECT doc_id, count(*)::BIGINT AS n_words, SUM(ntok)::BIGINT AS bpe_tokens
+FROM enc GROUP BY 1
+"""
+
+
+@register("bpe_token_counts", BPE_ENCODE_ORACLE)
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply half of the tokenizer: train two BPE merges on the corpus
+    (`bpe_train_merges` — O(1) driver state), then encode every document with
+    them and report per-doc word and TOKEN counts — the number packing, batch
+    sizing, and mix budgeting actually consume. Encoding is map-side chained
+    literal replace; one explode + one doc-grain shuffle
+    (operators/tokenize.bpe_encode_counts). The oracle re-derives the same two
+    merges and replays the same greedy replace chain."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.tokenize import (
+        bpe_encode_counts,
+        bpe_train_merges,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    merges = [r["pair"] for r in bpe_train_merges(docs, iters=2).collect()]
+    return bpe_encode_counts(docs, merges)
+
+
+# Mirrors operators/similarity.contrastive_triplets exactly: sign-bucket LSH,
+# per-bucket (min, second-min) positives, fixed-128 md5-ordered negative pool,
+# 16-bit md5 draw mod |pool| (the weighted_sample integer-hash discipline).
+CONTRASTIVE_ORACLE = """
+WITH b AS (
+    SELECT vec_id,
+           (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+    FROM embeddings
+),
+m1 AS (SELECT bucket, min(vec_id) AS m1 FROM b GROUP BY 1),
+m2 AS (
+    SELECT b.bucket, min(b.vec_id) AS m2
+    FROM b JOIN m1 USING (bucket) WHERE b.vec_id != m1.m1 GROUP BY 1
+),
+pool AS (
+    SELECT vec_id AS negative_id, bucket AS neg_bucket,
+           row_number() OVER (ORDER BY md5('pool:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS idx
+    FROM b
+    ORDER BY md5('pool:' || CAST(vec_id AS VARCHAR)), vec_id
+    LIMIT 128
+),
+ps AS (SELECT count(*) AS m FROM pool),
+tri AS (
+    SELECT b.vec_id AS anchor_id, b.bucket,
+           CASE WHEN b.vec_id = m1.m1 THEN m2.m2 ELSE m1.m1 END AS positive_id,
+           ('0x' || substr(md5('neg:' || CAST(b.vec_id AS VARCHAR)), 1, 4))::BIGINT % ps.m AS draw
+    FROM b JOIN m1 USING (bucket) LEFT JOIN m2 USING (bucket) CROSS JOIN ps
+)
+SELECT anchor_id, positive_id, negative_id,
+       (pool.neg_bucket != tri.bucket) AS neg_is_clean
+FROM tri JOIN pool ON tri.draw = pool.idx
+WHERE positive_id IS NOT NULL
+"""
+
+
+@register("contrastive_triplets", CONTRASTIVE_ORACLE)
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, negative) triplet mining for contrastive embedding
+    training: positives from the anchor's hyperplane-LSH bucket via per-bucket
+    (min, second-min) tables — O(n) + 2^bits state, NO self-join — and
+    negatives drawn deterministically (16-bit md5 mod |pool|) from a fixed
+    128-id pool, `neg_is_clean` marking out-of-bucket draws
+    (operators/similarity.contrastive_triplets)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        contrastive_triplets,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return contrastive_triplets(emb)
+
+
 PAGERANK_ORACLE = """
 WITH o AS (
     SELECT user_id, event_type,

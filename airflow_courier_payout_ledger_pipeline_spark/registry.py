@@ -370,6 +370,8 @@ ADJUDICATION_WINDOW_R6_PLAN: list[str] = [
     "mix_epochs_report",
     "bm25_search",
     "heavy_hitters",
+    "bpe_token_counts",
+    "contrastive_triplets",
 ]
 
 

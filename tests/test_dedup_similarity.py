@@ -226,3 +226,49 @@ def test_lsh_probe_bucket_cap_drops_pile(spark):
     corpus = sigs.filter(F.col("id") != 0)
     assert lsh_probe_pairs(inc, corpus, 4, 3, max_bucket=3).count() == 0
     assert lsh_probe_pairs(inc, corpus, 4, 3, max_bucket=10).count() == 5
+
+
+def test_contrastive_triplets_properties(spark):
+    """Structural contract: positive shares the anchor's LSH bucket and is the
+    lowest other id there; the negative comes from the fixed pool; neg_is_clean
+    ⟺ the negative's bucket differs; lone-bucket anchors emit nothing."""
+    import pyspark.sql.functions as F
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        contrastive_triplets,
+        sign_bucket,
+    )
+
+    # 4-dim vectors: bucket = sign bits; ids 0,1,2 share bucket 0 (all negative
+    # coords), id 3 is alone in bucket 15, ids 4,5 share bucket 1
+    rows = [
+        (0, [-1.0, -1.0, -1.0, -1.0]),
+        (1, [-2.0, -1.0, -1.0, -1.0]),
+        (2, [-3.0, -1.0, -1.0, -1.0]),
+        (3, [1.0, 1.0, 1.0, 1.0]),
+        (4, [1.0, -1.0, -1.0, -1.0]),
+        (5, [2.0, -1.0, -1.0, -1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.anchor_id: r for r in contrastive_triplets(emb).collect()}
+    # anchor 3 is alone in its bucket: no triplet
+    assert set(got) == {0, 1, 2, 4, 5}
+    # positives: lowest OTHER id in the bucket
+    assert got[0].positive_id == 1 and got[1].positive_id == 0 and got[2].positive_id == 0
+    assert got[4].positive_id == 5 and got[5].positive_id == 4
+    buckets = {r.vec_id: r.b for r in emb.select("vec_id", sign_bucket(F.col("embedding")).alias("b")).collect()}
+    ids = set(buckets)
+    for a, r in got.items():
+        assert r.negative_id in ids
+        assert r.neg_is_clean == (buckets[r.negative_id] != buckets[a])
+
+
+def test_contrastive_triplets_empty_corpus_is_typed_empty(spark):
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        contrastive_triplets,
+    )
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = contrastive_triplets(emb)
+    assert out.columns == ["anchor_id", "positive_id", "negative_id", "neg_is_clean"]
+    assert out.count() == 0

@@ -61,3 +61,25 @@ def test_bpe_iterations_run_over_checkpointed_word_table(spark):
     # the returned merges frame is driver-built rows (iteration results were
     # consumed by O(1) collects); the corpus never appears in the final plan
     assert "parquet" not in plan.lower()
+
+
+def test_contrastive_triplets_all_joins_broadcast_no_self_join(spark):
+    """Triplet mining must stay O(n): the bucket min-tables and the negative
+    pool attach via broadcast hash joins — never a corpus-side shuffle join or
+    an all-pairs candidate product."""
+    plan = _plan(spark, "contrastive_triplets")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_token_counts_single_doc_grain_shuffle(spark):
+    """Encoding is map-side (merges ride the closure as literal replaces); the
+    only exchange is the per-doc count aggregation."""
+    plan = _plan(spark, "bpe_token_counts")
+    shuffles = [
+        line
+        for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    ]
+    assert len(shuffles) <= 1, shuffles

@@ -50,3 +50,36 @@ def test_bpe_exhausted_corpus_stops_early(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     # all words single-symbol: no pairs at all → zero merge rows, no crash
     assert bpe_train_merges(docs, iters=3).count() == 0
+
+
+def test_bpe_encode_counts_hand_computed(spark):
+    """Apply trained merges to text: 'hello' spaced is 'h e l l o'; merge
+    'l l' → 'h e ll o' (4 symbols), then 'h e' → 'he ll o' (3 symbols)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.tokenize import (
+        bpe_encode_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello hell"), (2, "ho")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_words, r.bpe_tokens)
+        for r in bpe_encode_counts(docs, ["l l", "h e"]).collect()
+    }
+    # doc 1: 'hello' → 'he ll o' = 3 toks; 'hell' → 'he ll' = 2 toks
+    # doc 2: 'ho' → 'h o' = 2 toks (no merge applies)
+    assert got == {1: (2, 5), 2: (1, 2)}
+
+
+def test_bpe_encode_applies_merges_in_training_order(spark):
+    """Order matters: merging 'a a' before 'aa a' reproduces training's greedy
+    cascade; the reverse order would leave 'aa a' unmatched."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.tokenize import (
+        bpe_encode_counts,
+    )
+
+    docs = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+    fwd = bpe_encode_counts(docs, ["a a", "aa a"]).collect()[0]
+    assert (fwd.n_words, fwd.bpe_tokens) == (1, 1)  # 'a a a'→'aa a'→'aaa'
+    rev = bpe_encode_counts(docs, ["aa a", "a a"]).collect()[0]
+    assert (rev.n_words, rev.bpe_tokens) == (1, 2)  # 'aa a' never matches first
