@@ -763,3 +763,58 @@ def contrastive_triplets(
             (F.col("neg_bucket") != F.col("bucket")).alias("neg_is_clean"),
         )
     )
+
+
+def semdedup_pairs(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs, cluster-scoped: the corpus
+    is assigned to its nearest coarse centroid (the IVF quantizer — map-side
+    unrolled argmin), and candidate pairs exist only WITHIN a cluster, so the
+    pair space is Σ|cluster|² instead of n². Returns (cluster, id_a, id_b,
+    sim) for same-cluster pairs with round(cosine, 4) ≥ ``threshold`` —
+    the Abbas et al. SemDeDup topology, with the same recall caveat as IVF
+    search: a pair straddling a Voronoi boundary is unseen (dial k /
+    cluster size; the exact global twin is embedding_near_dup_pairs).
+
+    At deployment k grows with the corpus (k ≈ n/target_cluster_size), keeping
+    each cluster's pair block memory-bounded — the same argument as the
+    near-dup tiling, but with semantically coherent blocks."""
+    if not centroids:
+        return emb.select(
+            F.lit(0).alias("cluster"),
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(0.0).alias("sim"),
+        ).limit(0)
+    assigned = emb.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        norm(F.col(vec_col)).alias("__n"),
+        _assign_to_centroids(emb, centroids, vec_col).alias("cluster"),
+    )
+    a = assigned.select(
+        "cluster",
+        F.col(id_col).alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = assigned.select(
+        "cluster",
+        F.col(id_col).alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    sim = F.round(
+        _prenorm_cosine(F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")), 4
+    )
+    return (
+        a.join(b, ["cluster"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("cluster", "id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= F.lit(threshold))
+    )

@@ -674,6 +674,49 @@ SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
 
 IVF_TOPK_ORACLE = _IVF_ORACLE_TEMPLATE.format(k=IVF_K, nprobe=1)
 
+# SemDeDup (cluster-scoped semantic near-dup): same fixed-centroid assignment
+# CTE as the IVF oracle, then pairs restricted to one cluster. The exact
+# global twin is EMB_NEAR_DUP_ORACLE (same 0.38 threshold) — the cluster scope
+# is what bounds the pair space at scale, at the price of boundary pairs.
+SEMDEDUP_ORACLE = f"""
+WITH cent AS (
+    SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+    FROM embeddings WHERE vec_id < {IVF_K}
+),
+d AS (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_sum(list_transform(
+                            list_zip(e.embedding::DOUBLE[], c.cvec),
+                            x -> (x[1] - x[2]) * (x[1] - x[2]))),
+                        c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+),
+a AS (SELECT vec_id, embedding, cid FROM d WHERE rn = 1)
+SELECT x.cid AS cluster, x.vec_id AS id_a, y.vec_id AS id_b,
+       round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) AS sim
+FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+WHERE round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) >= 0.38
+"""
+
+
+@register("semdedup_pairs", SEMDEDUP_ORACLE)
+def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: semantic near-duplicate pairs (round(cosine,4) ≥ 0.38) scoped
+    to coarse k-means clusters (the IVF quantizer), so the pair space is
+    Σ|cluster|² instead of n² — the semantic twin of LSH-blocked text dedup,
+    hash-checked against a DuckDB replay of the same assignment + pair scan
+    (operators/similarity.semdedup_pairs; exact global twin:
+    embedding_near_dup)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        semdedup_pairs,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return semdedup_pairs(emb, _ivf_seed_centroids(emb), 0.38)
+
 
 def _ivf_seed_centroids(emb: DataFrame) -> list[tuple[int, list[float]]]:
     """The fixed deterministic coarse quantizer: the k=8 lowest-id embedding

@@ -372,6 +372,7 @@ ADJUDICATION_WINDOW_R6_PLAN: list[str] = [
     "heavy_hitters",
     "bpe_token_counts",
     "contrastive_triplets",
+    "semdedup_pairs",
 ]
 
 

@@ -272,3 +272,51 @@ def test_contrastive_triplets_empty_corpus_is_typed_empty(spark):
     out = contrastive_triplets(emb)
     assert out.columns == ["anchor_id", "positive_id", "negative_id", "neg_is_clean"]
     assert out.count() == 0
+
+
+def test_semdedup_pairs_subset_of_global_near_dups_and_cluster_scoped(spark):
+    """Cluster scoping trades recall for Σ|cluster|² cost: every reported pair
+    must appear in the exact global near-dup set at the same threshold, and
+    both members must share the reported cluster; pairs straddling clusters
+    are (by design) absent."""
+    import pyspark.sql.functions as F
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        _assign_to_centroids,
+        embedding_near_dup_pairs,
+        semdedup_pairs,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.plans.tpch_adapter import (
+        load_tables,
+    )
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", "embeddings")["embeddings"]
+    cents = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    )
+    got = semdedup_pairs(emb, cents, 0.38).collect()
+    assert got  # threshold chosen so the testdata yields pairs
+    global_pairs = {
+        (r.id_a, r.id_b) for r in embedding_near_dup_pairs(emb, 0.38).collect()
+    }
+    clusters = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id", _assign_to_centroids(emb, cents, "embedding").alias("c")
+        ).collect()
+    }
+    for r in got:
+        assert (r.id_a, r.id_b) in global_pairs
+        assert clusters[r.id_a] == r.cluster == clusters[r.id_b]
+
+
+def test_semdedup_pairs_empty_centroids_is_typed_empty(spark):
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        semdedup_pairs,
+    )
+
+    emb = spark.createDataFrame([(1, [0.5, 0.5])], "vec_id long, embedding array<double>")
+    out = semdedup_pairs(emb, [], 0.9)
+    assert out.columns == ["cluster", "id_a", "id_b", "sim"]
+    assert out.count() == 0
