@@ -4419,6 +4419,52 @@ def _split_part_sql(idcol: str) -> str:
     )
 
 
+# Integer split thresholds over a 16-bit md5 draw: floor(0.8·65536) and
+# floor(0.9·65536) — exact in both engines (the weighted_sample discipline).
+GSPLIT_TRAIN_MAX = 52428
+GSPLIT_VAL_MAX = 58982
+
+# The draw is keyed on the CONTENT FINGERPRINT, not the doc id: every document
+# with identical normalized text lands in the same split by construction —
+# the leakage class split_leakage_audit measures cannot occur for exact dups.
+GROUPED_SPLIT_ORACLE = f"""
+WITH f AS (
+    SELECT doc_id,
+           ('0x' || substr(md5('gsplit:' || md5({NORM})), 1, 4))::BIGINT AS h
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN h < {GSPLIT_TRAIN_MAX} THEN 'train'
+            WHEN h < {GSPLIT_VAL_MAX} THEN 'val'
+            ELSE 'test' END AS split
+FROM f
+"""
+
+
+@register("grouped_split_assign", GROUPED_SPLIT_ORACLE)
+def q_grouped_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/10/10 train/val/test assignment: the split draw hashes
+    the content FINGERPRINT (md5 of normalized text), so exact duplicates —
+    however many ids they hide behind — always share a split; hashing the doc
+    id instead is exactly the leakage `split_leakage_audit` quantifies.
+    Zero-shuffle map-side projection; thresholds are exact 16-bit integers."""
+    from airflow_courier_payout_ledger_pipeline_spark.functions.text import fingerprint
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("gsplit:"), fingerprint(F.col("text")))), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        F.when(h < GSPLIT_TRAIN_MAX, F.lit("train"))
+        .when(h < GSPLIT_VAL_MAX, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
 SPLIT_LEAKAGE_ORACLE = f"""
 WITH {_SHINGLES_CTE},
 bands AS ({_BANDS_SQL}),

@@ -373,6 +373,7 @@ ADJUDICATION_WINDOW_R6_PLAN: list[str] = [
     "bpe_token_counts",
     "contrastive_triplets",
     "semdedup_pairs",
+    "grouped_split_assign",
 ]
 
 

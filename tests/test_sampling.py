@@ -124,3 +124,42 @@ def test_token_budget_cap_invariants(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
     assert again == repart
+
+
+def test_grouped_split_assign_exact_dups_share_a_split(spark):
+    """The leakage guarantee: identical normalized text → identical split,
+    regardless of doc id; and every split value is one of train/val/test."""
+    from airflow_courier_payout_ledger_pipeline_spark.registry import all_queries
+    import pyspark.sql.functions as F
+
+    q = all_queries()["grouped_split_assign"]
+    out = q(spark, "/root/testdata/sf0.001")
+    assert set(r.split for r in out.select("split").distinct().collect()) <= {
+        "train",
+        "val",
+        "test",
+    }
+    # synthetic check with planted dups (the testdata has no exact dups):
+    # identical text under different ids must land in one split
+    from airflow_courier_payout_ledger_pipeline_spark.functions.text import fingerprint
+    from airflow_courier_payout_ledger_pipeline_spark.queries_ext import (
+        GSPLIT_TRAIN_MAX,
+        GSPLIT_VAL_MAX,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "Same  Text"), (2, "same text"), (3, "other words")],
+        "doc_id long, text string",
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("gsplit:"), fingerprint(F.col("text")))), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    split = (
+        F.when(h < GSPLIT_TRAIN_MAX, F.lit("train"))
+        .when(h < GSPLIT_VAL_MAX, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    got = {r.doc_id: r.s for r in docs.select("doc_id", split.alias("s")).collect()}
+    assert got[1] == got[2]  # normalization folds case/whitespace → same group
