@@ -4419,6 +4419,62 @@ def _split_part_sql(idcol: str) -> str:
     )
 
 
+# Every metric is an exact BIGINT (counts, sums, basis points via integer
+# floor-div) so the card hashes identically in both engines — no float rates.
+DATASET_CARD_ORACLE = f"""
+WITH f AS (SELECT doc_id, source, n_chars, md5({NORM}) AS fp FROM documents),
+s AS (
+    SELECT count(*)::BIGINT AS n_docs,
+           SUM(n_chars)::BIGINT AS total_chars,
+           count(DISTINCT source)::BIGINT AS n_sources,
+           count(DISTINCT fp)::BIGINT AS n_unique
+    FROM f
+)
+SELECT 'n_docs' AS metric, n_docs AS value FROM s
+UNION ALL SELECT 'total_chars', total_chars FROM s
+UNION ALL SELECT 'n_sources', n_sources FROM s
+UNION ALL SELECT 'n_unique_docs', n_unique FROM s
+UNION ALL SELECT 'n_exact_dup_docs', n_docs - n_unique FROM s
+UNION ALL SELECT 'dup_rate_bp',
+    CASE WHEN n_docs = 0 THEN 0 ELSE ((n_docs - n_unique) * 10000) // n_docs END
+FROM s
+"""
+
+
+@register("dataset_card", DATASET_CARD_ORACLE)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary: the headline numbers a corpus release ships
+    (docs, chars, sources, unique-content count, exact-dup count and rate) as
+    one scan + one single-row aggregate, pivoted to (metric, value) rows.
+    All metrics are exact BIGINTs — the dup rate is basis points via integer
+    floor-div — so the card is engine-exact and diffable run-over-run."""
+    from airflow_courier_payout_ledger_pipeline_spark.functions.text import fingerprint
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    s = docs.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct(fingerprint(F.col("text"))).cast("bigint").alias("n_unique"),
+    )
+    dup = F.col("n_docs") - F.col("n_unique")
+    rate = F.when(F.col("n_docs") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.expr("(n_docs - n_unique) * 10000 DIV n_docs")
+    )
+    return s.select(
+        F.explode(
+            F.create_map(
+                F.lit("n_docs"), F.col("n_docs"),
+                F.lit("total_chars"), F.col("total_chars"),
+                F.lit("n_sources"), F.col("n_sources"),
+                F.lit("n_unique_docs"), F.col("n_unique"),
+                F.lit("n_exact_dup_docs"), dup,
+                F.lit("dup_rate_bp"), rate,
+            )
+        ).alias("metric", "value")
+    )
+
+
 # Integer split thresholds over a 16-bit md5 draw: floor(0.8·65536) and
 # floor(0.9·65536) — exact in both engines (the weighted_sample discipline).
 GSPLIT_TRAIN_MAX = 52428

@@ -374,6 +374,7 @@ ADJUDICATION_WINDOW_R6_PLAN: list[str] = [
     "contrastive_triplets",
     "semdedup_pairs",
     "grouped_split_assign",
+    "dataset_card",
 ]
 
 
