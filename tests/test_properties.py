@@ -223,3 +223,86 @@ def test_snapshot_diff_changelog_replays_old_to_new(spark, old_rows, new_rows):
         (k, v) for k, v in dedup_new.items()
     }
     diff.unpersist()
+
+
+# --- round-5 operators: BM25 vs a pure-Python replica, CMS one-sided error ----------
+
+corpus_strategy = st.lists(
+    st.lists(st.sampled_from(["ant", "bee", "cat", "dog", "elk", "fox"]), min_size=0, max_size=8),
+    min_size=1,
+    max_size=10,
+)
+
+
+@SET
+@given(docs=corpus_strategy)
+def test_bm25_matches_pure_python_reference_on_random_corpora(spark, docs):
+    """The whole formula — raw-odds idf, k1/b saturation, fixed-order fold,
+    top-k with (score desc, id) ties — against an independent float replica.
+    Equality is EXACT (==): every engine op is a single correctly-rounded IEEE
+    step mirrored in the replica, which is the property the DuckDB oracle
+    relies on."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import bm25_topk
+
+    terms = ["bee", "dog"]
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    got = {
+        r["doc_id"]: (r["bm25"], r["rank"])
+        for r in bm25_topk(
+            spark.createDataFrame(rows, "doc_id long, text string"), terms, k=5
+        ).collect()
+    }
+
+    toks = {i: ws for i, ws in enumerate(docs) if ws}
+    if not toks:
+        assert got == {}
+        return
+    n, sum_dl = len(toks), sum(len(w) for w in toks.values())
+    avgdl = sum_dl / n
+    k1, b = 1.2, 0.75
+
+    def score(ws, t):
+        tf = ws.count(t)
+        if tf == 0:
+            return 0.0
+        df = sum(1 for w in toks.values() if t in w)
+        return ((n - df + 0.5) / (df + 0.5)) * (
+            (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + (b * len(ws)) / avgdl))
+        )
+
+    want = {
+        i: score(ws, terms[0]) + score(ws, terms[1])
+        for i, ws in toks.items()
+        if any(t in ws for t in terms)
+    }
+    ranked = sorted(want, key=lambda i: (-want[i], i))[:5]
+    assert set(got) == set(ranked)
+    for rank, i in enumerate(ranked, 1):
+        assert got[i] == (want[i], rank), (i, got[i], want[i])
+
+
+@SET
+@given(
+    values=st.lists(st.sampled_from(list("abcdefgh")), min_size=1, max_size=60),
+    width=st.sampled_from([4, 16, 1024]),
+)
+def test_cms_one_sided_error_holds_at_any_width(spark, values, width):
+    """The heavy-hitters prune is sound iff estimate ≥ exact for EVERY value —
+    including tiny widths where collisions are guaranteed. (Exactness at the
+    default width is a separate, dataset-specific test.)"""
+    from collections import Counter
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sketch import (
+        cms_estimate,
+        cms_state,
+    )
+
+    df = spark.createDataFrame([(v,) for v in values], "term string")
+    state = cms_state(df, "term", width=width)
+    est = {
+        r["term"]: r["freq_est"]
+        for r in cms_estimate(df.distinct(), state, "term", width=width).collect()
+    }
+    exact = Counter(values)
+    for t, c in exact.items():
+        assert est[t] >= c, (t, est[t], c, width)
