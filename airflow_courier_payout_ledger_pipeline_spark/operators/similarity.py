@@ -39,7 +39,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL for a zero-norm side (cosine is undefined there): ``try_divide``
+    keeps the plan ANSI-safe — one zero embedding (an empty doc's vector) must
+    drop out of threshold filters and rank last, not kill the job with
+    DIVIDE_BY_ZERO (hypothesis-found; Spark 4 is ANSI by default)."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def _prenorm_cosine(qv: Column, cv: Column, qn: Column, cn: Column) -> Column:
@@ -47,8 +51,9 @@ def _prenorm_cosine(qv: Column, cv: Column, qn: Column, cn: Column) -> Column:
     would re-fold every vector once per PAIR (3 higher-order aggregates per
     cosine); hoisting the norms to the inputs computes them once per ROW —
     ~40% faster on the brute-force path at sf0.1, bit-identical results (same
-    fold order, same product/division order)."""
-    return dot(qv, cv) / (qn * cn)
+    fold order, same product/division order). NULL on a zero-norm side, as
+    ``cosine``."""
+    return F.try_divide(dot(qv, cv), qn * cn)
 
 
 def brute_force_topk(

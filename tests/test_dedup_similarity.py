@@ -320,3 +320,23 @@ def test_semdedup_pairs_empty_centroids_is_typed_empty(spark):
     out = semdedup_pairs(emb, [], 0.9)
     assert out.columns == ["cluster", "id_a", "id_b", "sim"]
     assert out.count() == 0
+
+
+def test_zero_norm_embedding_yields_null_cosine_not_a_crash(spark):
+    """A zero embedding (empty doc's vector) has undefined cosine: it must
+    drop out of threshold filters and rank last — under Spark 4's default
+    ANSI mode a plain division here kills the whole job (hypothesis-found)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(emb, 0.5).collect()}
+    assert pairs == {(1, 2)}  # the zero vector pairs with nothing
+    top = brute_force_topk(emb, emb.filter("vec_id = 1"), k=2).collect()
+    # neighbors ranked: real cosine first; the zero vector's NULL sim ranks last
+    assert [r.neighbor_id for r in top] == [2, 0]

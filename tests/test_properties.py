@@ -306,3 +306,73 @@ def test_cms_one_sided_error_holds_at_any_width(spark, values, width):
     exact = Counter(values)
     for t, c in exact.items():
         assert est[t] >= c, (t, est[t], c, width)
+
+
+vec_corpus_strategy = st.lists(
+    st.lists(st.floats(-1.0, 1.0, allow_nan=False, width=32), min_size=4, max_size=4),
+    min_size=2,
+    max_size=14,
+)
+
+
+@SET
+@given(vecs=vec_corpus_strategy)
+def test_semdedup_pairs_subset_property_on_random_vectors(spark, vecs):
+    """For ANY corpus: cluster-scoped pairs ⊆ exact global pairs at the same
+    threshold, and both members of every pair share the reported cluster —
+    the recall trade is the ONLY difference from the exact twin."""
+    import pyspark.sql.functions as F
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        _assign_to_centroids,
+        embedding_near_dup_pairs,
+        semdedup_pairs,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = sorted((i, v) for i, v in rows[: min(3, len(rows))])
+    got = semdedup_pairs(emb, cents, 0.2).collect()
+    global_pairs = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(emb, 0.2).collect()}
+    clusters = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id", _assign_to_centroids(emb, cents, "embedding").alias("c")
+        ).collect()
+    }
+    for r in got:
+        assert (r.id_a, r.id_b) in global_pairs
+        assert clusters[r.id_a] == r.cluster == clusters[r.id_b]
+
+
+@SET
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6), min_size=1, max_size=12
+    ),
+    merges=st.lists(
+        st.sampled_from(["a b", "b a", "a a", "c c", "ab c", "b c"]),
+        min_size=0,
+        max_size=3,
+        unique=True,
+    ),
+)
+def test_bpe_encode_counts_matches_python_replica(spark, words, merges):
+    """Encoding under ANY merge list equals a pure-Python replay of the same
+    greedy left-to-right replace chain — token counts are exact integers, so
+    equality is exact."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.tokenize import (
+        bpe_encode_counts,
+    )
+
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    [row] = bpe_encode_counts(docs, merges).collect()
+
+    def encode(word):
+        seq = " ".join(word)
+        for m in merges:
+            seq = seq.replace(m, m.replace(" ", ""))
+        return len(seq.split(" "))
+
+    assert row.n_words == len(words)
+    assert row.bpe_tokens == sum(encode(w) for w in words)
