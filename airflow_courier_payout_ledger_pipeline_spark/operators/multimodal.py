@@ -273,23 +273,34 @@ def synthesize_png_payloads(media: DataFrame) -> DataFrame:
     """Attach REAL PNG payloads (same closed-form pixels as FIMG, so the same
     SQL oracle hash-checks the decoded output) Arrow-batch-wise. The cycling
     row filters mean the driver-checked decode covers every PNG defilter
-    branch end-to-end."""
+    branch end-to-end.
+
+    If the input carries a ``content_id`` column, pixels derive from it
+    instead of ``media_id`` (several media rows can share identical pixel
+    content), and the row-filter strategy toggles on media_id parity — so two
+    copies of the same content have byte-DIFFERENT payloads that decode to
+    identical pixels, the setup content-grain dedup must see through."""
     import pandas as pd  # noqa: PLC0415
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             pdf = pdf.copy()
+            has_content = "content_id" in pdf.columns
+            content = pdf["content_id"] if has_content else pdf["media_id"]
             pdf["payload"] = [
                 encode_png(
                     int(w),
                     int(h),
                     3,
                     bytes(
-                        ((int(m) * 31 + i * 7) % 251)
+                        ((int(c) * 31 + i * 7) % 251)
                         for i in range(int(w) * int(h) * 3)
                     ),
+                    filter_cycle=(bool(int(m) % 2) if has_content else True),
                 )
-                for m, w, h in zip(pdf["media_id"], pdf["declared_w"], pdf["declared_h"])
+                for m, c, w, h in zip(
+                    pdf["media_id"], content, pdf["declared_w"], pdf["declared_h"]
+                )
             ]
             yield pdf[["media_id", "payload", "media_type", "declared_w", "declared_h"]]
 

@@ -1611,6 +1611,72 @@ def q_image_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(synthesize_png_payloads(media)).drop("feature")
 
 
+# Planted duplicates: content id = doc_id % 50, so ~10 docs share pixel-
+# identical images at sf0.01 — but their PNG BYTES differ (the encoder cycles
+# row filters per payload), which is the point: payload-hash dedup misses
+# them; decoding and grouping on content stats finds them. The oracle replays
+# the closed-form pixels per content id.
+IMAGE_DEDUP_ORACLE = """
+WITH meta AS (
+    SELECT doc_id % 50 AS cid,
+           ((doc_id % 50) % 16 + 4)::INT AS width,
+           ((doc_id % 50) % 8 + 4)::INT AS height
+    FROM documents
+),
+m AS (SELECT DISTINCT cid, width, height FROM meta),
+pm AS (
+    SELECT cid, width, height,
+           SUM((cid * 31 + i * 7) % 251)::DOUBLE / COUNT(*)::DOUBLE AS mean_byte
+    FROM (SELECT cid, width, height,
+                 unnest(generate_series(0, width * height * 3 - 1)) AS i
+          FROM m) t
+    GROUP BY 1, 2, 3
+),
+cnt AS (SELECT cid, count(*)::BIGINT AS n_copies FROM meta GROUP BY 1),
+g AS (
+    SELECT width, height, mean_byte,
+           SUM(n_copies)::BIGINT AS n_copies, MIN(cid)::BIGINT AS rep_id
+    FROM pm JOIN cnt USING (cid)
+    GROUP BY 1, 2, 3
+)
+SELECT rep_id, width, height, mean_byte, n_copies FROM g WHERE n_copies >= 2
+"""
+
+
+@register("image_content_dedup", IMAGE_DEDUP_ORACLE)
+def q_image_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-content image dedup: payloads whose PNG BYTES all differ (the
+    encoder cycles row filters) but whose PIXELS are identical are grouped by
+    decoded content stats after a real stdlib-PNG decode — the content-dedup
+    pattern byte-level hashing cannot do. Per duplicate group (≥2 copies):
+    representative id, dims, exact mean byte, copy count. Arrow-batched
+    decode, one content-grain shuffle; oracle replays the closed-form pixels
+    per planted content id (doc_id % 50)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.multimodal import (
+        extract_image_features,
+        synthesize_png_payloads,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    media = docs.select(
+        F.col("doc_id").cast("bigint").alias("media_id"),  # unique owner
+        (F.col("doc_id") % 50).cast("bigint").alias("content_id"),
+        F.lit("image/png").alias("media_type"),
+        ((F.col("doc_id") % 50) % 16 + 4).cast("int").alias("declared_w"),
+        ((F.col("doc_id") % 50) % 8 + 4).cast("int").alias("declared_h"),
+    )
+    feats = extract_image_features(synthesize_png_payloads(media))
+    return (
+        feats.groupBy("width", "height", "mean_byte")
+        .agg(
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.min(F.col("media_id") % 50).cast("bigint").alias("rep_id"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .select("rep_id", "width", "height", "mean_byte", "n_copies")
+    )
+
+
 # The FVID payload's frame f is the constant byte (media_id*31 + f*7) % 256, so
 # each sampled frame's exact mean is closed-form — the full demux path
 # (synthesize binary container → mapInPandas frame sampler) hash-checks in SQL.

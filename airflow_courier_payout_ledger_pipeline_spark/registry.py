@@ -375,6 +375,7 @@ ADJUDICATION_WINDOW_R6_PLAN: list[str] = [
     "semdedup_pairs",
     "grouped_split_assign",
     "dataset_card",
+    "image_content_dedup",
 ]
 
 

@@ -370,3 +370,27 @@ def test_png_features_through_spark_match_fimg(spark):
     assert got_png.keys() == got_fimg.keys()
     for k in got_png:
         assert got_png[k] == got_fimg[k]
+
+
+def test_content_id_copies_are_byte_different_but_pixel_identical(spark):
+    """The setup content dedup must see through: two owners of the same
+    content_id get byte-DIFFERENT PNGs (filter strategy toggles on owner
+    parity) that decode to identical pixels/features — so payload-hash dedup
+    misses them and decoded-stats dedup finds them."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.multimodal import (
+        extract_image_features,
+        synthesize_png_payloads,
+    )
+
+    media = spark.createDataFrame(
+        [(2, 7, "image/png", 5, 4), (3, 7, "image/png", 5, 4)],
+        "media_id bigint, content_id bigint, media_type string, declared_w int, declared_h int",
+    )
+    with_payloads = synthesize_png_payloads(media)
+    payloads = {r.media_id: bytes(r.payload) for r in with_payloads.collect()}
+    assert payloads[2] != payloads[3]
+    feats = {
+        r.media_id: (r.width, r.height, r.n_bytes, r.mean_byte, tuple(r.feature))
+        for r in extract_image_features(with_payloads).collect()
+    }
+    assert feats[2] == feats[3]
