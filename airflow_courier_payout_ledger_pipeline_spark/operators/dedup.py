@@ -658,3 +658,57 @@ def lsh_probe_pairs(
             (agree.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
         )
     )
+
+
+def ngram_containment_pairs(
+    grams: DataFrame, min_containment: float = 0.0, max_doc_freq: int | None = None
+) -> DataFrame:
+    """ASYMMETRIC near-dup: set containment |A∩B| / min(|A|, |B|) over distinct
+    n-gram sets — the quote/subset detector. A short doc fully embedded in a
+    long one scores ~1.0 here while its Jaccard stays tiny (the union is
+    dominated by the long doc), so this catches exactly the overlap class
+    ``ngram_jaccard_pairs`` is blind to: quotations, boilerplate wrapping,
+    excerpt reposts.
+
+    Same inverted-index candidate topology as the Jaccard path: ``max_doc_freq``
+    drops hot grams from CANDIDATE GENERATION only (k-doc grams fan out k²),
+    while the reported containment is verified over the FULL gram sets — exact
+    values, bounded fan-out."""
+    sizes = grams.groupBy("id").agg(F.count("*").alias("n"))
+    pool = grams
+    if max_doc_freq is not None:
+        rare = (
+            grams.groupBy("ngram")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("ngram")
+        )
+        pool = grams.join(rare, "ngram", "leftsemi")
+    a = pool.select(F.col("id").alias("id_a"), "ngram")
+    b = pool.select(F.col("id").alias("id_b"), "ngram")
+    cand = (
+        a.join(b, ["ngram"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fa = grams.select(F.col("id").alias("id_a"), "ngram")
+    fb = grams.select(F.col("id").alias("id_b"), "ngram")
+    inter = (
+        cand.join(fa, "id_a")
+        .join(fb, ["id_b", "ngram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter").cast("double") / F.least("na", "nb").cast("double")).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= F.lit(min_containment))
+    )

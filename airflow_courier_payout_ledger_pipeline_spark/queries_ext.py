@@ -289,6 +289,51 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Asymmetric twin of NGRAM_JACCARD_ORACLE: same candidate CTEs, score is
+# containment ci / min(|A|,|B|) — a short doc embedded in a long one scores
+# ~1.0 here while its Jaccard stays tiny (union dominated by the long doc).
+NGRAM_CONTAINMENT_ORACLE = f"""
+WITH norm AS (SELECT doc_id, string_split({NORM}, ' ') AS ws FROM documents),
+pos AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i FROM norm),
+g AS (SELECT DISTINCT doc_id AS id, concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS ngram FROM pos),
+rare AS (SELECT ngram FROM g GROUP BY ngram HAVING count(*) <= {NGRAM_DF_CAP}),
+gj AS (SELECT g.id, g.ngram FROM g JOIN rare USING (ngram)),
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM gj a JOIN gj b ON a.ngram = b.ngram AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS n FROM g GROUP BY id),
+inter AS (
+    SELECT c.id_a, c.id_b, count(*) AS ci
+    FROM cand c
+    JOIN g a ON a.id = c.id_a
+    JOIN g b ON b.id = c.id_b AND b.ngram = a.ngram
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, ci::DOUBLE / least(sa.n, sb.n)::DOUBLE AS containment
+FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+WHERE ci::DOUBLE / least(sa.n, sb.n)::DOUBLE >= 0.4
+"""
+
+
+@register("ngram_containment", NGRAM_CONTAINMENT_ORACLE)
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote/subset detection: word-trigram CONTAINMENT ≥ 0.4 — the asymmetric
+    overlap class symmetric Jaccard is blind to (a short doc fully embedded in
+    a long one: containment ~1.0, Jaccard tiny). Same df-capped inverted-index
+    candidates as the Jaccard path, exact verification over full gram sets
+    (operators/dedup.ngram_containment_pairs)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import (
+        ngram_containment_pairs,
+        word_ngrams,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return ngram_containment_pairs(
+        word_ngrams(docs, "doc_id", "text", n=3), 0.4, max_doc_freq=NGRAM_DF_CAP
+    )
+
+
 # --- two-stage production dedup: LSH candidates -> exact verification ---------------
 
 TWO_STAGE_ORACLE = f"""

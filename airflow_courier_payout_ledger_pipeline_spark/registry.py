@@ -376,6 +376,7 @@ ADJUDICATION_WINDOW_R6_PLAN: list[str] = [
     "grouped_split_assign",
     "dataset_card",
     "image_content_dedup",
+    "ngram_containment",
 ]
 
 

@@ -340,3 +340,27 @@ def test_zero_norm_embedding_yields_null_cosine_not_a_crash(spark):
     top = brute_force_topk(emb, emb.filter("vec_id = 1"), k=2).collect()
     # neighbors ranked: real cosine first; the zero vector's NULL sim ranks last
     assert [r.neighbor_id for r in top] == [2, 0]
+
+
+def test_containment_catches_embedded_quote_that_jaccard_misses(spark):
+    """The asymmetric class: a short doc fully embedded in a long one has
+    containment 1.0 but Jaccard far below any dedup threshold — the overlap
+    family (quotes, boilerplate wrapping, excerpt reposts) symmetric scores
+    are blind to."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+        word_ngrams,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i}" for i in range(60))  # 58 distinct filler trigrams
+    long_doc = f"{filler} {quote}"
+    docs = spark.createDataFrame(
+        [(1, quote), (2, long_doc)], "doc_id long, text string"
+    )
+    grams = word_ngrams(docs, "doc_id", "text", n=3)
+    [c] = ngram_containment_pairs(grams, 0.9).collect()
+    assert (c.id_a, c.id_b) == (1, 2) and c.containment == 1.0
+    jac = ngram_jaccard_pairs(grams, 0.0).collect()
+    assert all(r.jaccard < 0.3 for r in jac)  # same pair, sub-threshold Jaccard
