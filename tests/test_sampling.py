@@ -163,3 +163,29 @@ def test_grouped_split_assign_exact_dups_share_a_split(spark):
     )
     got = {r.doc_id: r.s for r in docs.select("doc_id", split.alias("s")).collect()}
     assert got[1] == got[2]  # normalization folds case/whitespace → same group
+
+
+def test_pack_sequences_is_partitioning_invariant(spark):
+    """The r4 scale bug class, pinned as an explicit invariance: the two-pass
+    distributed prefix sum must produce IDENTICAL bin assignments under any
+    input partitioning (the original bug was range-partition boundary
+    resampling corrupting offsets — localCheckpoint barrier fixed it)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    rows = [(i, 100 + (i * 37) % 400) for i in range(200)]
+    base_df = spark.createDataFrame(rows, "doc_id long, n_chars int")
+    base = sorted(
+        map(tuple, pack_sequences(base_df, "doc_id", "n_chars", target=1000).collect())
+    )
+    for n in (1, 7, 32):
+        got = sorted(
+            map(
+                tuple,
+                pack_sequences(
+                    base_df.repartition(n), "doc_id", "n_chars", target=1000
+                ).collect(),
+            )
+        )
+        assert got == base, n
