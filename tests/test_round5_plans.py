@@ -83,3 +83,33 @@ def test_bpe_token_counts_single_doc_grain_shuffle(spark):
         if "Exchange" in line and "BroadcastExchange" not in line
     ]
     assert len(shuffles) <= 1, shuffles
+
+
+def test_semdedup_assignment_is_fully_map_side(spark):
+    """Cluster assignment is an unrolled-literal argmin and the pair join is
+    cluster-equi with broadcast — zero shuffle exchanges in the whole plan."""
+    plan = _plan(spark, "semdedup_pairs")
+    shuffles = [
+        line
+        for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    ]
+    assert not shuffles, shuffles
+    assert "CartesianProduct" not in plan
+
+
+def test_image_content_dedup_one_stats_shuffle_arrow_decode(spark):
+    plan = _plan(spark, "image_content_dedup")
+    shuffles = [
+        line
+        for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    ]
+    assert len(shuffles) <= 1, shuffles
+    assert "MapInPandas" in plan  # Arrow-batched decode
+    assert "BatchEvalPython" not in plan  # never row-at-a-time Python
+
+
+def test_grouped_split_assign_zero_shuffle(spark):
+    plan = _plan(spark, "grouped_split_assign")
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")
