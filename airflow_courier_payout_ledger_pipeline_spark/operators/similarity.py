@@ -776,6 +776,7 @@ def semdedup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs, cluster-scoped: the corpus
     is assigned to its nearest coarse centroid (the IVF quantizer — map-side
@@ -787,8 +788,16 @@ def semdedup_pairs(
     cluster size; the exact global twin is embedding_near_dup_pairs).
 
     At deployment k grows with the corpus (k ≈ n/target_cluster_size), keeping
-    each cluster's pair block memory-bounded — the same argument as the
-    near-dup tiling, but with semantically coherent blocks."""
+    each cluster's pair block memory-bounded. ``max_cluster`` ENFORCES that
+    bound in code (the LSH_MAX_BUCKET of this operator): a cluster larger than
+    ``max_cluster`` is split into ceil(size / max_cluster) sub-shards by a
+    deterministic md5 draw on the id, and pairs are scoped to (cluster,
+    shard) — one under-provisioned quantizer (a fat Voronoi cell around the
+    corpus mode) degrades recall inside that cell instead of reintroducing an
+    unbounded quadratic tile. Expected per-shard pair work is
+    ≤ ~(2·max_cluster)² regardless of cluster skew; the shard draw is
+    replayable in SQL so oracle parity covers the capped path. None disables
+    the guard (exact within-cluster pairs)."""
     if not centroids:
         return emb.select(
             F.lit(0).alias("cluster"),
@@ -802,14 +811,31 @@ def semdedup_pairs(
         norm(F.col(vec_col)).alias("__n"),
         _assign_to_centroids(emb, centroids, vec_col).alias("cluster"),
     )
+    keys = ["cluster"]
+    if max_cluster is not None:
+        # k-row count table → broadcast; shards = ceil(size/max_cluster) via
+        # integer DIV (exact both engines); md5 16-bit draw % shards
+        sizes = assigned.groupBy("cluster").agg(F.count("*").alias("__csize"))
+        shards = F.expr(f"(__csize + {max_cluster - 1}) DIV {max_cluster}")
+        draw = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sem:"), F.col(id_col).cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        assigned = assigned.join(F.broadcast(sizes), "cluster").withColumn(
+            "shard", (draw % F.greatest(shards, F.lit(1))).cast("int")
+        )
+        keys = ["cluster", "shard"]
     a = assigned.select(
-        "cluster",
+        *keys,
         F.col(id_col).alias("id_a"),
         F.col("__v").alias("__va"),
         F.col("__n").alias("__na"),
     )
     b = assigned.select(
-        "cluster",
+        *keys,
         F.col(id_col).alias("id_b"),
         F.col("__v").alias("__vb"),
         F.col("__n").alias("__nb"),
@@ -818,7 +844,7 @@ def semdedup_pairs(
         _prenorm_cosine(F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")), 4
     )
     return (
-        a.join(b, ["cluster"])
+        a.join(b, keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("cluster", "id_a", "id_b", sim.alias("sim"))
         .filter(F.col("sim") >= F.lit(threshold))

@@ -151,14 +151,34 @@ def cms_estimate(
     items: DataFrame,
     state: DataFrame,
     value_col: str,
-    depth: int = CMS_DEPTH,
+    depth: int | None = None,
     width: int = CMS_WIDTH,
 ) -> DataFrame:
     """Estimated frequency per item: min over seeds of the item's bucket count.
     The state is ≤ depth×width rows → broadcast; an absent bucket means a true
     zero (left join + coalesce 0, not an inner join that would silently drop
-    the item and overreport the min)."""
-    seeds = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("seed")
+    the item and overreport the min).
+
+    The probe's depth is DERIVED from the state (max seed + 1 — every seed row
+    appears in a non-empty state, since each value lands in one bucket per
+    seed): probing with more seeds than the state was built with would
+    left-join absent rows, coalesce to 0, and silently UNDER-estimate,
+    breaking the one-sided-error guarantee the heavy-hitters prune relies on.
+    Passing ``depth`` explicitly asserts it matches the state (raises on
+    mismatch); a state bucket ≥ ``width`` likewise raises (width drift). The
+    bounds read is one O(depth×width) action on the (localCheckpoint-ed)
+    state."""
+    mx = state.agg(F.max("seed").alias("s"), F.max("bucket").alias("b")).first()
+    state_depth = (mx["s"] + 1) if mx["s"] is not None else (depth or CMS_DEPTH)
+    if depth is not None and mx["s"] is not None and depth != state_depth:
+        raise ValueError(
+            f"CMS depth mismatch: probe depth={depth}, state depth={state_depth}"
+        )
+    if mx["b"] is not None and mx["b"] >= width:
+        raise ValueError(
+            f"CMS width mismatch: state has bucket {mx['b']} >= probe width {width}"
+        )
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(state_depth)])).alias("seed")
     probes = items.select(F.col(value_col), seeds).select(
         value_col,
         "seed",
@@ -169,6 +189,35 @@ def cms_estimate(
         .groupBy(value_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("freq_est"))
     )
+
+
+def cms_probe_expr(state_rows: list, value_col, width: int = CMS_WIDTH):
+    """Map-side CMS estimate as a pure column expression over a COLLECTED state
+    (≤ depth×width rows — the same O(1) driver-state bound as the watermark
+    cursor and k×dim centroids): per seed, the bucket counts become a literal
+    array and the estimate is ``least`` over seeds of ``counts[seed][bucket]``.
+
+    This is the zero-shuffle probe: ``cms_estimate`` needs the probed items as
+    rows (explode ×depth + broadcast join + a groupBy back to item grain — a
+    full-vocabulary exchange when the items are a corpus's distinct terms),
+    while this expression evaluates inline in the scan, so a prune built on it
+    pays NO pre-prune exchange at all. The one-sided-error contract is
+    identical (same xxhash64(value, seed) buckets, min over the state's own
+    seeds)."""
+    by_seed: dict[int, dict[int, int]] = {}
+    for r in state_rows:
+        by_seed.setdefault(r["seed"], {})[r["bucket"]] = r["cnt"]
+    if not by_seed:
+        return F.lit(0).cast("bigint")
+    value_col = F.col(value_col) if isinstance(value_col, str) else value_col
+    per_seed = []
+    for seed in sorted(by_seed):
+        counts = by_seed[seed]
+        arr = F.array(*[F.lit(int(counts.get(b, 0))) for b in range(width)])
+        bucket = F.pmod(F.xxhash64(value_col, F.lit(seed)), F.lit(width))
+        per_seed.append(F.element_at(arr, (bucket + 1).cast("int")))
+    est = F.least(*per_seed) if len(per_seed) > 1 else per_seed[0]
+    return est.cast("bigint")
 
 
 def rollup_sketches(state: DataFrame, keep_cols: list[str]) -> DataFrame:

@@ -723,6 +723,12 @@ IVF_TOPK_ORACLE = _IVF_ORACLE_TEMPLATE.format(k=IVF_K, nprobe=1)
 # CTE as the IVF oracle, then pairs restricted to one cluster. The exact
 # global twin is EMB_NEAR_DUP_ORACLE (same 0.38 threshold) — the cluster scope
 # is what bounds the pair space at scale, at the price of boundary pairs.
+# SEMDEDUP_MAX_CLUSTER enforces the bound: clusters above it split into
+# ceil(size/cap) md5 sub-shards (pairs scoped to (cluster, shard)); the oracle
+# replays the identical shard draw so parity covers the capped path. At sf0.01
+# (500 vecs / 8 clusters) the cap never triggers; at sf0.1 (2000 vecs) it does.
+SEMDEDUP_MAX_CLUSTER = 150
+
 SEMDEDUP_ORACLE = f"""
 WITH cent AS (
     SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
@@ -739,10 +745,17 @@ d AS (
            ) AS rn
     FROM embeddings e CROSS JOIN cent c
 ),
-a AS (SELECT vec_id, embedding, cid FROM d WHERE rn = 1)
+a0 AS (SELECT vec_id, embedding, cid FROM d WHERE rn = 1),
+csz AS (SELECT cid, count(*)::BIGINT AS csize FROM a0 GROUP BY 1),
+a AS (
+    SELECT a0.*,
+           (('0x' || substr(md5('sem:' || CAST(a0.vec_id AS VARCHAR)), 1, 4))::BIGINT
+            % GREATEST((csz.csize + {SEMDEDUP_MAX_CLUSTER - 1}) // {SEMDEDUP_MAX_CLUSTER}, 1))::INT AS shard
+    FROM a0 JOIN csz ON a0.cid = csz.cid
+)
 SELECT x.cid AS cluster, x.vec_id AS id_a, y.vec_id AS id_b,
        round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) AS sim
-FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+FROM a x JOIN a y ON x.cid = y.cid AND x.shard = y.shard AND x.vec_id < y.vec_id
 WHERE round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) >= 0.38
 """
 
@@ -752,15 +765,18 @@ def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: semantic near-duplicate pairs (round(cosine,4) ≥ 0.38) scoped
     to coarse k-means clusters (the IVF quantizer), so the pair space is
     Σ|cluster|² instead of n² — the semantic twin of LSH-blocked text dedup,
-    hash-checked against a DuckDB replay of the same assignment + pair scan
-    (operators/similarity.semdedup_pairs; exact global twin:
-    embedding_near_dup)."""
+    hash-checked against a DuckDB replay of the same assignment + shard draw +
+    pair scan (operators/similarity.semdedup_pairs; exact global twin:
+    embedding_near_dup). max_cluster caps fat Voronoi cells into md5
+    sub-shards so the pair block stays memory-bounded under quantizer skew."""
     from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
         semdedup_pairs,
     )
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    return semdedup_pairs(emb, _ivf_seed_centroids(emb), 0.38)
+    return semdedup_pairs(
+        emb, _ivf_seed_centroids(emb), 0.38, max_cluster=SEMDEDUP_MAX_CLUSTER
+    )
 
 
 def _ivf_seed_centroids(emb: DataFrame) -> list[tuple[int, list[float]]]:
@@ -4025,34 +4041,36 @@ HAVING count(*) * 100 >= (SELECT count(*) FROM tok)
 @register("heavy_hitters", HEAVY_HITTERS_ORACLE)
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-term mining (all terms with ≥1% of total token mass) through a
-    count-min sketch prune: the ≤4×1024-row CMS state estimates every distinct
-    term's frequency via a broadcast probe, only candidates (a guaranteed
-    superset — CMS error is one-sided) reach the exact count, and the exact
-    filter restores oracle equality. At 100 TB the exact-count shuffle carries
-    only candidate postings instead of the full vocabulary (13-gram vocabs are
-    corpus-sized), and the CMS state is mergeable across increments
-    (operators/sketch.cms_state / merge_cms_states / cms_estimate)."""
+    count-min sketch prune: the ≤4×1024-row CMS state is collected (O(1)
+    driver state) and probed as a PURE MAP EXPRESSION inline in the token
+    scan — every token's estimate is 4 hash + array lookups, candidates (a
+    guaranteed superset — CMS error is one-sided) pass the inline filter, and
+    the exact count + filter restore oracle equality. The ONLY post-state
+    exchange is the exact count over candidate postings: no ``distinct()``
+    vocabulary shuffle before the prune (a 13-gram vocab at 100 TB is
+    corpus-sized, so a pre-prune distinct would itself be the bottleneck the
+    sketch exists to avoid). The state stays mergeable across increments
+    (operators/sketch.cms_state / merge_cms_states / cms_probe_expr)."""
     from airflow_courier_payout_ledger_pipeline_spark.functions.text import normalize_text
     from airflow_courier_payout_ledger_pipeline_spark.operators.sketch import (
-        cms_estimate,
+        CMS_DEPTH,
+        cms_probe_expr,
         cms_state,
     )
-
-    from airflow_courier_payout_ledger_pipeline_spark.operators.sketch import CMS_DEPTH
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     toks = docs.select(
         F.explode(F.split(normalize_text(F.col("text")), " ")).alias("term")
     ).filter(F.col("term") != "")
-    # materialize the ≤4×1024-row state once (localCheckpoint): the probe join
-    # reuses it and the total token count reads off it exactly (Σcnt = depth·N
-    # — every token lands in depth buckets), saving a separate corpus count
-    state = cms_state(toks, "term").localCheckpoint()
-    total = (state.agg(F.sum("cnt")).first()[0] or 0) // CMS_DEPTH
-    est = cms_estimate(toks.distinct(), state, "term")
-    cand = est.filter(F.col("freq_est") * 100 >= F.lit(total)).select("term")
+    # one grouped agg builds the ≤4×1024-row state; collect is the same O(1)
+    # driver-state bound as watermark cursors / k×dim centroids. The total
+    # token count reads off it exactly (Σcnt = depth·N — every token lands in
+    # depth buckets), saving a separate corpus count.
+    state_rows = cms_state(toks, "term").collect()
+    total = sum(r["cnt"] for r in state_rows) // CMS_DEPTH
+    est = cms_probe_expr(state_rows, "term")
     return (
-        toks.join(F.broadcast(cand), "term", "leftsemi")
+        toks.filter(est * 100 >= F.lit(total))  # map-side prune, zero pre-prune shuffle
         .groupBy("term")
         .agg(F.count("*").cast("bigint").alias("freq"))
         .filter(F.col("freq") * 100 >= F.lit(total))

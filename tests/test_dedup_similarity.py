@@ -322,6 +322,46 @@ def test_semdedup_pairs_empty_centroids_is_typed_empty(spark):
     assert out.count() == 0
 
 
+def test_semdedup_max_cluster_caps_fat_cluster_pair_space(spark):
+    """One fat Voronoi cell (200 near-identical vectors, a single centroid)
+    must NOT produce the unbounded 200·199/2 quadratic tile when max_cluster
+    is set: the cluster splits into ceil(200/20)=10 deterministic md5 shards
+    and the result is EXACTLY the same-shard subset of the uncapped pairs —
+    bounded work, replayable draw (the oracle mirrors it in SQL)."""
+    import hashlib
+    import math
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        semdedup_pairs,
+    )
+
+    n, cap = 200, 20
+    rows = [(i, [1.0, 0.0]) for i in range(n)]  # all identical → sim 1.0, one cluster
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0])]
+
+    capped = semdedup_pairs(emb, cents, 0.9, max_cluster=cap).collect()
+
+    shards = math.ceil(n / cap)
+    shard_of = {
+        i: int(hashlib.md5(f"sem:{i}".encode()).hexdigest()[:4], 16) % shards
+        for i in range(n)
+    }
+    expected = {
+        (a, b)
+        for a in range(n)
+        for b in range(a + 1, n)
+        if shard_of[a] == shard_of[b]
+    }
+    assert {(r.id_a, r.id_b) for r in capped} == expected
+    assert len(capped) < n * (n - 1) // 2  # strictly below the quadratic tile
+    # Σ s_i·(s_i−1)/2 bound: per-shard pair blocks, never the full cluster²
+    sizes: dict[int, int] = {}
+    for s in shard_of.values():
+        sizes[s] = sizes.get(s, 0) + 1
+    assert len(capped) == sum(s * (s - 1) // 2 for s in sizes.values())
+
+
 def test_zero_norm_embedding_yields_null_cosine_not_a_crash(spark):
     """A zero embedding (empty doc's vector) has undefined cosine: it must
     drop out of threshold filters and rank last — under Spark 4's default

@@ -40,7 +40,7 @@ SHUFFLE_BUDGET = {
     "similarity_pq_adc": 1,  # broadcast ADC tables; one per-query top-k window
     "similarity_ivf_pq": 1,  # broadcast centroid-routed join; one top-k window
     "bm25_search": 1,  # single conditional-agg doc shuffle; stats are a driver row
-    "heavy_hitters": 3,  # CMS state agg + vocab distinct + candidate-only exact count
+    "heavy_hitters": 2,  # CMS state agg + candidate-only exact count (probe is map-side)
 }
 
 
