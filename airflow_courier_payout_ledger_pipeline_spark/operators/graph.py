@@ -114,7 +114,12 @@ def pagerank(
     n_nodes = nodes.count()  # O(1) driver scalar, like a watermark cursor
     if n_nodes == 0:  # cold start: empty edge list → empty ranking, not a crash
         return nodes.select("node", F.lit(0.0).alias("rank"))
-    base = (1.0 - damping) / n_nodes
+    # residual as the exact decimal literal an oracle writes (0.15 for
+    # damping=0.85): `1.0 - 0.85` is one ulp ABOVE float(0.15), and that ulp
+    # survives the iteration into round(rank, 6) boundary cases — a latent
+    # cross-engine hash mismatch. round(·, 10) lands on the nearest decimal,
+    # i.e. the same float both engines parse from the literal.
+    base = round(1.0 - damping, 10) / n_nodes
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(iters):
         contribs = (

@@ -194,6 +194,14 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     if ctype == 3:  # palette → RGB
         if not plte:
             raise ValueError("palette PNG without PLTE chunk")
+        n_entries = len(plte) // 3
+        bad = max(pixels, default=0)
+        if bad >= n_entries:
+            # an out-of-range index would slice past PLTE and silently SHRINK
+            # the RGB buffer (corrupt stats downstream) — fail loudly instead
+            raise ValueError(
+                f"palette index {bad} out of range: PLTE has {n_entries} entries"
+            )
         pixels = bytearray(
             b for i in pixels for b in plte[3 * i : 3 * i + 3]
         )

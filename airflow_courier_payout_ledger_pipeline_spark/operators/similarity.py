@@ -39,11 +39,16 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """NULL for a zero-norm side (cosine is undefined there): ``try_divide``
-    keeps the plan ANSI-safe — one zero embedding (an empty doc's vector) must
-    drop out of threshold filters and rank last, not kill the job with
-    DIVIDE_BY_ZERO (hypothesis-found; Spark 4 is ANSI by default)."""
-    return F.try_divide(dot(a, b), norm(a) * norm(b))
+    """-1.0 for a zero-norm side — the PINNED cross-engine contract: cosine is
+    undefined there, and the two engines' native answers differ (Spark ANSI
+    division kills the job, a bare ``try_divide`` yields NULL, DuckDB's
+    ``list_cosine_similarity`` returns -1.0). -1.0 ranks last and drops out of
+    every positive threshold filter, matches the DuckDB oracles bit-for-bit if
+    testdata ever gains a zero-norm embedding (an empty doc's vector), and
+    stays ANSI-safe (the zero product never reaches the division —
+    hypothesis-found; Spark 4 is ANSI by default). A NULL input vector still
+    propagates NULL (both engines agree on that)."""
+    return _prenorm_cosine(a, b, norm(a), norm(b))
 
 
 def _prenorm_cosine(qv: Column, cv: Column, qn: Column, cn: Column) -> Column:
@@ -51,9 +56,12 @@ def _prenorm_cosine(qv: Column, cv: Column, qn: Column, cn: Column) -> Column:
     would re-fold every vector once per PAIR (3 higher-order aggregates per
     cosine); hoisting the norms to the inputs computes them once per ROW —
     ~40% faster on the brute-force path at sf0.1, bit-identical results (same
-    fold order, same product/division order). NULL on a zero-norm side, as
-    ``cosine``."""
-    return F.try_divide(dot(qv, cv), qn * cn)
+    fold order, same product/division order). -1.0 on a zero-norm side, NULL
+    on a NULL side, as ``cosine``."""
+    prod = qn * cn
+    return F.when(prod == F.lit(0.0), F.lit(-1.0)).otherwise(
+        F.try_divide(dot(qv, cv), prod)
+    )
 
 
 def brute_force_topk(
@@ -629,21 +637,19 @@ def pq_hamming_pairs(
     """Embedding near-duplicate pairs over PQ CODES: two vectors are candidate
     dups when their code arrays differ in at most ``max_hamming`` of the m
     subspaces. Blocking is the pigeonhole band trick (the dedup_simhash_pairs
-    layout applied to PQ): for each of m leave-one-out bands, bucket by the
-    remaining m-1 codes — any pair within Hamming ≤ 1 MUST collide on the band
-    that excludes the differing position, so recall over the code metric is
-    exact, never probabilistic. The join compares 8-byte codes, not
-    d-dim vectors: near-dup screening over a 100 TB embedding corpus at the
-    cost of a string-keyed self-join on tiny signatures.
+    layout applied to PQ): one band per (m choose h) way of EXCLUDING h of the
+    m positions, bucketing by the m-h kept codes — a pair differing in ≤ h
+    positions MUST collide on any band whose excluded set covers its differing
+    positions (such a band exists because |diff| ≤ h), so recall over the code
+    metric is exact, never probabilistic. h=1 degenerates to the m
+    leave-one-out bands; h=2 is the (m choose 2) leave-two-out family. The
+    join compares 8-byte codes, not d-dim vectors: near-dup screening over a
+    100 TB embedding corpus at the cost of a string-keyed self-join on tiny
+    signatures, with band fan-out C(m,h) per row (8 for m=8,h=1; 28 for h=2).
 
-    Only max_hamming=1 is exact with single-position bands; higher thresholds
-    need (m choose h) band combinations — raise rather than silently under-
-    recall."""
-    if max_hamming != 1:
-        raise NotImplementedError(
-            "exact pigeonhole banding implemented for max_hamming=1; "
-            "h>1 needs combination bands (m choose h)"
-        )
+    ``max_hamming`` must be < m: at h ≥ m every pair collides on the empty
+    band — that's an all-pairs join, the thing this blocking exists to avoid —
+    so it raises rather than silently going quadratic."""
     if not codebooks:
         return (
             emb.select(F.col(id_col).alias("id_a"))
@@ -651,11 +657,20 @@ def pq_hamming_pairs(
             .crossJoin(emb.select(F.col(id_col).alias("id_b")).limit(0))
             .select("id_a", "id_b", F.lit(0).alias("hamming"))
         )
+    if not 0 <= max_hamming < len(codebooks):
+        raise ValueError(
+            f"max_hamming must be in [0, m); got h={max_hamming}, m={len(codebooks)} "
+            "(h >= m would make every band empty -> an unblocked all-pairs join)"
+        )
+    from itertools import combinations
+
     m = len(codebooks)
     coded = pq_encode(emb, codebooks, id_col, vec_col)
     sigs = ", ".join(
-        f"to_json(concat(slice(pq_codes, 1, {b}), slice(pq_codes, {b + 2}, {m - b - 1})))"
-        for b in range(m)
+        "to_json(array({}))".format(
+            ", ".join(f"pq_codes[{i}]" for i in range(m) if i not in excl)
+        )
+        for excl in combinations(range(m), max_hamming)
     )
     bands = coded.select(
         F.col(id_col),
@@ -797,7 +812,16 @@ def semdedup_pairs(
     unbounded quadratic tile. Expected per-shard pair work is
     ≤ ~(2·max_cluster)² regardless of cluster skew; the shard draw is
     replayable in SQL so oracle parity covers the capped path. None disables
-    the guard (exact within-cluster pairs)."""
+    the guard (exact within-cluster pairs).
+
+    The per-cluster sizes that drive the shard count are COLLECTED (one O(k)
+    action — k = len(centroids) rows after partial aggregation, the same
+    driver-state bound as the CMS state and the centroids themselves) and
+    re-enter the plan as a literal ``map<cluster, nshards>`` lookup, so the
+    RETURNED plan stays fully map-side: zero shuffle exchanges (pinned by
+    tests/test_round5_plans.py). Embedding the size agg as a joined subquery
+    instead would duplicate its exchange under both pair sides — the round-6
+    regression this collect removes."""
     if not centroids:
         return emb.select(
             F.lit(0).alias("cluster"),
@@ -813,10 +837,20 @@ def semdedup_pairs(
     )
     keys = ["cluster"]
     if max_cluster is not None:
-        # k-row count table → broadcast; shards = ceil(size/max_cluster) via
-        # integer DIV (exact both engines); md5 16-bit draw % shards
-        sizes = assigned.groupBy("cluster").agg(F.count("*").alias("__csize"))
-        shards = F.expr(f"(__csize + {max_cluster - 1}) DIV {max_cluster}")
+        # shards = ceil(size/max_cluster), exact in both engines. The k-row
+        # size table is collected (O(k) driver state) and becomes a literal
+        # map lookup — not a joined subquery, which would duplicate the size
+        # agg's exchange under both pair sides of the self-join below.
+        size_rows = assigned.groupBy("cluster").agg(
+            F.count("*").alias("__csize")
+        ).collect()
+        nshards = {
+            r["cluster"]: max((r["__csize"] + max_cluster - 1) // max_cluster, 1)
+            for r in size_rows
+        }
+        shard_map = F.create_map(
+            *[F.lit(x) for c in sorted(nshards) for x in (c, nshards[c])]
+        )
         draw = F.conv(
             F.substring(
                 F.md5(F.concat(F.lit("sem:"), F.col(id_col).cast("string"))), 1, 4
@@ -824,8 +858,9 @@ def semdedup_pairs(
             16,
             10,
         ).cast("long")
-        assigned = assigned.join(F.broadcast(sizes), "cluster").withColumn(
-            "shard", (draw % F.greatest(shards, F.lit(1))).cast("int")
+        assigned = assigned.withColumn(
+            "shard",
+            (draw % F.coalesce(shard_map[F.col("cluster")], F.lit(1))).cast("int"),
         )
         keys = ["cluster", "shard"]
     a = assigned.select(

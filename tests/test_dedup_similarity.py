@@ -362,12 +362,16 @@ def test_semdedup_max_cluster_caps_fat_cluster_pair_space(spark):
     assert len(capped) == sum(s * (s - 1) // 2 for s in sizes.values())
 
 
-def test_zero_norm_embedding_yields_null_cosine_not_a_crash(spark):
-    """A zero embedding (empty doc's vector) has undefined cosine: it must
-    drop out of threshold filters and rank last — under Spark 4's default
-    ANSI mode a plain division here kills the whole job (hypothesis-found)."""
+def test_zero_norm_embedding_yields_minus_one_cosine_not_a_crash(spark):
+    """A zero embedding (empty doc's vector) has undefined cosine: the PINNED
+    contract is -1.0 — DuckDB's list_cosine_similarity answer — so both
+    engines agree if testdata ever gains a zero-norm vector; it drops out of
+    positive threshold filters and ranks deterministically last. Under Spark
+    4's default ANSI mode a plain division here kills the whole job
+    (hypothesis-found)."""
     from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
         brute_force_topk,
+        cosine,
         embedding_near_dup_pairs,
     )
 
@@ -378,8 +382,19 @@ def test_zero_norm_embedding_yields_null_cosine_not_a_crash(spark):
     pairs = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(emb, 0.5).collect()}
     assert pairs == {(1, 2)}  # the zero vector pairs with nothing
     top = brute_force_topk(emb, emb.filter("vec_id = 1"), k=2).collect()
-    # neighbors ranked: real cosine first; the zero vector's NULL sim ranks last
+    # neighbors ranked: real cosine first; the zero vector's -1.0 sim is last
     assert [r.neighbor_id for r in top] == [2, 0]
+    assert [r.sim for r in top][-1] == -1.0
+    # NULL input still propagates NULL (both engines agree on that already)
+    row = (
+        emb.filter("vec_id = 0")
+        .select(
+            cosine(F.col("embedding"), F.col("embedding")).alias("zz"),
+            cosine(F.lit(None).cast("array<double>"), F.col("embedding")).alias("nz"),
+        )
+        .first()
+    )
+    assert row["zz"] == -1.0 and row["nz"] is None
 
 
 def test_containment_catches_embedded_quote_that_jaccard_misses(spark):

@@ -210,9 +210,12 @@ def test_ivf_pq_routes_then_adc_ranks(clustered):
         assert dists == sorted(dists)  # rank follows ADC distance
 
 
-def test_pq_hamming_banding_is_exact_vs_naive(spark):
-    """The leave-one-out band join must return EXACTLY the naive all-pairs
-    Hamming<=1 set — pigeonhole recall is a guarantee, not a probability."""
+@pytest.mark.parametrize("h", [0, 1, 2])
+def test_pq_hamming_banding_is_exact_vs_naive(spark, h):
+    """The (m choose h) leave-h-out band join must return EXACTLY the naive
+    all-pairs Hamming<=h set — pigeonhole recall is a guarantee at every
+    supported threshold, not a probability (h=0 full-code equality, h=1
+    leave-one-out, h=2 combination bands)."""
     from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
         pq_codebooks_from_seeds,
         pq_encode,
@@ -224,7 +227,10 @@ def test_pq_hamming_banding_is_exact_vs_naive(spark):
     seeds = [(v, list(e)) for v, e in rows[:3]]
     books = pq_codebooks_from_seeds(seeds, m=4)
 
-    got = {(r.id_a, r.id_b, r.hamming) for r in pq_hamming_pairs(emb, books).collect()}
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in pq_hamming_pairs(emb, books, max_hamming=h).collect()
+    }
 
     codes = {r.vec_id: list(r.pq_codes) for r in pq_encode(emb, books).collect()}
     want = set()
@@ -232,13 +238,15 @@ def test_pq_hamming_banding_is_exact_vs_naive(spark):
     for x in ids:
         for y in ids:
             if x < y:
-                h = sum(1 for a, b in zip(codes[x], codes[y]) if a != b)
-                if h <= 1:
-                    want.add((x, y, h))
-    assert got == want and want  # non-trivial: the test corpus has dup pairs
+                d = sum(1 for a, b in zip(codes[x], codes[y]) if a != b)
+                if d <= h:
+                    want.add((x, y, d))
+    assert got == want and want  # non-trivial: dup pairs exist at every h
 
 
-def test_pq_hamming_rejects_wider_thresholds(spark):
+def test_pq_hamming_rejects_unblocked_thresholds(spark):
+    """h >= m degenerates every band to the empty signature — an all-pairs
+    join — so it must raise, not silently go quadratic."""
     import pytest as _pytest
 
     from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
@@ -246,5 +254,5 @@ def test_pq_hamming_rejects_wider_thresholds(spark):
     )
 
     emb = spark.createDataFrame([(0, [1.0, 2.0])], "vec_id long, embedding array<float>")
-    with _pytest.raises(NotImplementedError, match="combination bands"):
+    with _pytest.raises(ValueError, match="all-pairs"):
         pq_hamming_pairs(emb, [[[1.0]], [[2.0]]], max_hamming=2)

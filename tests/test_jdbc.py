@@ -429,3 +429,27 @@ def test_empty_first_run_bootstraps_cleanly_on_jdbc(spark, url):
     )
     mart = wh.read(spark, "cdm", "dm_courier_ledger", S.DM_COURIER_LEDGER_SCHEMA)
     assert mart.count() > 0
+
+
+def test_sweep_stale_staging_drops_only_orphans(spark, url):
+    """A hard death between the staging load's commit and the MERGE leaves an
+    orphan {target}_stg_<hex12> table no except-block can clean (the process
+    is gone). The startup sweep must drop exactly those — never the target,
+    never a human-named table that happens to share the prefix shape."""
+    src = spark.range(5).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    jdbc.write_append(src, url, "t_swp", driver=DRIVER, mode="overwrite")
+    # simulate the orphan: a committed staging load whose merging process died
+    jdbc.write_append(src, url, "t_swp_stg_deadbeef0123", driver=DRIVER)
+    # near-misses that must survive: wrong hex length / non-hex suffix
+    jdbc.write_append(src, url, "t_swp_stg_xyz", driver=DRIVER)
+    jdbc.write_append(src, url, "t_swp_stg_0123", driver=DRIVER)
+
+    swept = jdbc.sweep_stale_staging(spark, url, "t_swp", driver=DRIVER)
+    assert [s.lower() for s in swept] == ["t_swp_stg_deadbeef0123"]
+    # target and near-misses intact; the orphan is gone
+    assert jdbc.read_table(spark, url, "t_swp", driver=DRIVER).count() == 5
+    assert jdbc.read_table(spark, url, "t_swp_stg_xyz", driver=DRIVER).count() == 5
+    with pytest.raises(Exception):
+        jdbc.read_table(spark, url, "t_swp_stg_deadbeef0123", driver=DRIVER).count()
+    # idempotent: a second sweep finds nothing
+    assert jdbc.sweep_stale_staging(spark, url, "t_swp", driver=DRIVER) == []

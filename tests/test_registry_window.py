@@ -1,10 +1,13 @@
 """The driver adjudicates the FIRST 50 entries of queries() in dict order
-(observed r1-r5). These tests pin the round-6 rotation: the 19 round-5
-additions with no driver evidence plus the 13 veterans last proven in r3 must
-occupy the window (this is the ADJUDICATION_WINDOW_R6_PLAN staged and pinned
-in round 5, activated verbatim), the flagship trio stays in-window as a
-canary, and every window name resolves to a registered query with an oracle.
-The planned r7 window must absorb every round-6 addition that doesn't fit the
+(observed r1-r6). These tests pin the round-7 rotation: everything round 7
+CHANGED (the semdedup/heavy-hitters fixes, the pagerank residual, the
+generalized pq-hamming bands, the pinned zero-norm cosine contract) must be
+re-proven in-window, the stalest veterans (last driver row r4) fill the rest,
+the flagship trio stays in-window as a canary, and every window name resolves
+to a registered query WITH an oracle (rows-only queries may exist in the
+registry, but a window slot without an oracle would burn driver evidence on a
+weaker rows-only check — keep them out). The planned r8 window must absorb
+the 7 deferred r4 veterans and every round-7 addition that doesn't fit the
 active window, so nothing waits more than one round for a driver row.
 """
 
@@ -18,15 +21,23 @@ from airflow_courier_payout_ledger_pipeline_spark.registry import (
 WINDOW = 50
 CANARY = {"courier_ledger", "courier_ledger_sql", "incremental_mart_maintenance"}
 
-#: the 19 round-5 additions that had never been adjudicated through r5 — the
-#: whole point of the r6 window is landing driver rows for these
-_NEVER_ADJUDICATED_PRE_R6 = {
-    "image_png_features", "similarity_pq_adc", "ann_recall_eval",
-    "similarity_ivf_pq", "event_pagerank", "bpe_merges", "substring_search",
-    "dedup_pq_hamming", "session_window_native", "mix_epochs_report",
-    "bm25_search", "heavy_hitters", "bpe_token_counts",
-    "contrastive_triplets", "semdedup_pairs", "grouped_split_assign",
-    "dataset_card", "image_content_dedup", "ngram_containment",
+#: queries whose implementing code round 7 touched — the window must land
+#: fresh driver rows on these or the fixes have no adjudicated evidence
+_CHANGED_R7 = {
+    "semdedup_pairs",        # cluster-size cap now fires at sf0.01 (literal shard map)
+    "heavy_hitters",         # CMS candidate IN-list probe (4096-literal fix)
+    "event_pagerank",        # shared exact residual literal
+    "dedup_pq_hamming",      # (m choose h) combination bands
+    # the _prenorm_cosine family: zero-norm contract pinned to -1.0
+    "similarity_topk", "similarity_ann_bucketed", "similarity_ivf_topk",
+    "similarity_ivf_nprobe2", "embedding_near_dup",
+}
+
+#: r4-proven veterans deferred from the r7 rotation — must head the r8 plan
+_DEFERRED_R4 = {
+    "cube_status_priority", "date_spine_fill", "retention_cohorts",
+    "scd2_history", "snapshot_diff_orders", "timeseries_interpolate",
+    "event_type_cooccurrence",
 }
 
 
@@ -34,7 +45,8 @@ def test_window_first_names_are_registered_with_oracles():
     q, o = all_queries(), all_oracles()
     missing_q = [n for n in ADJUDICATION_WINDOW_FIRST if n not in q]
     assert not missing_q, f"window names without a query: {missing_q}"
-    # rows-only queries (no oracle) are allowed in-window but must be known
+    # a window slot without an oracle would downgrade to a rows-only check —
+    # every in-window name must carry full hash-checked evidence
     no_oracle = [n for n in ADJUDICATION_WINDOW_FIRST if n not in o]
     assert not no_oracle, f"window names without an oracle: {no_oracle}"
 
@@ -53,10 +65,15 @@ def test_flagship_canary_stays_in_window():
     assert CANARY <= set(order)
 
 
-def test_never_adjudicated_round5_queries_are_in_window():
-    """The 19 round-5 additions with no driver row through r5 must all sit in
-    the active window so CORRECTNESS_r06 makes the registry 100% driver-proven."""
-    assert _NEVER_ADJUDICATED_PRE_R6 <= set(ADJUDICATION_WINDOW_FIRST[:WINDOW])
+def test_round7_changed_queries_are_in_window():
+    """Everything round 7 changed must sit in the active window: a fix without
+    a fresh driver row is unadjudicated — the round-6 lesson (the capped
+    SemDeDup path landed green without its new code ever running)."""
+    assert _CHANGED_R7 <= set(ADJUDICATION_WINDOW_FIRST[:WINDOW])
+
+
+def test_deferred_veterans_head_the_r8_plan():
+    assert _DEFERRED_R4 <= set(ADJUDICATION_WINDOW_NEXT_PLAN)
 
 
 def test_queries_and_oracles_share_order():
@@ -66,24 +83,24 @@ def test_queries_and_oracles_share_order():
 
 def test_every_query_has_driver_evidence_or_a_window_slot():
     """No query may be unproven AND unscheduled: every registered query must be
-    (a) green in some prior round, (b) in the active r6 window, or (c) in the
-    planned r7 window. Round-6 additions therefore must be appended to
+    (a) green in some prior round, (b) in the active r7 window, or (c) in the
+    planned r8 window. Round-7 additions therefore must be appended to
     ADJUDICATION_WINDOW_NEXT_PLAN as they are registered."""
     q, o = all_queries(), all_oracles()
     covered = _GREEN_EVER | set(ADJUDICATION_WINDOW_FIRST) | set(ADJUDICATION_WINDOW_NEXT_PLAN)
     orphans = [n for n in q if n not in covered]
     assert not orphans, f"queries with no driver evidence and no window slot: {orphans}"
     missing = [n for n in ADJUDICATION_WINDOW_NEXT_PLAN if n not in q or n not in o]
-    assert not missing, f"r7 plan names without query/oracle: {missing}"
+    assert not missing, f"r8 plan names without query/oracle: {missing}"
     assert len(ADJUDICATION_WINDOW_NEXT_PLAN) <= WINDOW
     assert CANARY <= set(ADJUDICATION_WINDOW_NEXT_PLAN)
 
 
-#: queries with at least one fully-green driver row through round 5
-#: (CORRECTNESS_r01-r03 first-50 set + CORRECTNESS_r04's 49 green rows +
-#: CORRECTNESS_r05's 50/50 green rows, which closed sequence_packing)
+#: queries with at least one fully-green driver row through round 6
+#: (CORRECTNESS_r01-r05 as pinned last round, plus CORRECTNESS_r06's 50/50
+#: green window — with r6 every registered query has been driver-proven)
 _GREEN_EVER = {
-    # green r1-r3 (re-proven r5 where rotated back in)
+    # green r1-r3 (re-proven r5/r6 where rotated back in)
     "json_extract", "json_struct_parse", "paged_scan", "watermark_filter",
     "timestamp_dim", "broadcast_enrich", "dim_lookup_join", "watermark_cursor",
     "filtered_agg", "tier_payout", "scd0_insert_ignore", "scd1_upsert",
@@ -121,4 +138,11 @@ _GREEN_EVER = {
     "k_anonymity_audit", "value_winsorize", "weighted_sample",
     "dedup_span_profile", "split_leakage_audit", "score_quantile_norm",
     "sequence_packing",
+    # green r6 (the 19 round-5 additions' first driver rows)
+    "image_png_features", "similarity_pq_adc", "ann_recall_eval",
+    "similarity_ivf_pq", "event_pagerank", "bpe_merges", "substring_search",
+    "dedup_pq_hamming", "session_window_native", "mix_epochs_report",
+    "bm25_search", "heavy_hitters", "bpe_token_counts",
+    "contrastive_triplets", "semdedup_pairs", "grouped_split_assign",
+    "dataset_card", "image_content_dedup", "ngram_containment",
 }

@@ -63,3 +63,23 @@ def test_streaming_sessionize_matches_batch_closed_sessions(spark):
     bc = Counter(u for u, *_ in brows)
     for u in users:
         assert sc[u] == bc[u] - 1
+
+
+def test_run_available_now_leaves_caller_session_conf_untouched(spark):
+    """The state-sized shuffle-partition pin must live in a newSession() clone:
+    the caller's session-global spark.sql.shuffle.partitions is NEVER mutated,
+    even transiently, so concurrently planned batch queries keep their
+    CPU-oriented default (the old mutate-then-restore leaked the streaming
+    value to interleaved planners)."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    stream = read_event_stream(spark, SF_DIR)
+    got = run_available_now(
+        windowed_counts_stream(stream), "stream_conf_scope", state_partitions=4
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert got.count() > 0
+    # the drain really ran at the pinned width: its session is the clone
+    assert got.sparkSession is not spark
+    assert got.sparkSession.conf.get("spark.sql.shuffle.partitions") == "4"
+    # the memory sink registered in the clone, not the caller's catalog
+    assert not spark.catalog.tableExists("stream_conf_scope")

@@ -409,7 +409,10 @@ def test_stream_fold_state_maintains_cms_frequency_state(spark, tmp_path):
     q.awaitTermination()
 
     streamed = lake.read(
-        spark, "cdm", "term_cms", StructType.fromDDL("seed int, bucket long, cnt long")
+        spark,
+        "cdm",
+        "term_cms",
+        StructType.fromDDL("seed int, bucket long, cnt long, width int"),
     )
     allrows = spark.createDataFrame(batch1 + batch2, schema)
     direct = cms_state(allrows, "term")
