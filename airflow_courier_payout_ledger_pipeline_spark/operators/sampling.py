@@ -159,3 +159,129 @@ def pack_stats(packed: DataFrame, size_col: str) -> DataFrame:
         F.sum(size_col).cast("bigint").alias("tokens_total"),
         F.min("start_offset").alias("first_offset"),
     )
+
+
+# --- DSIR-style hashed n-gram importance scoring -------------------------------------
+
+#: hashed n-gram feature-space width: 1024 buckets ≈ the CMS width — O(B)
+#: driver state regardless of vocabulary or corpus size
+DSIR_BUCKETS = 1024
+
+
+def _gram_bucket(gram: Column, buckets: int) -> Column:
+    """Hashed-feature bucket for a word n-gram: first 8 md5 hex chars as an
+    integer mod ``buckets`` — replayable bit-for-bit in any engine with md5
+    (DuckDB: ``('0x' || substr(md5(g),1,8))::BIGINT % B``), unlike xxhash64
+    which exists only JVM-side. 32 hash bits over ≤ 2^16 buckets keeps the
+    modulo unbiased to < 2^-16."""
+    return (
+        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long") % buckets
+    ).cast("int")
+
+
+def dsir_gram_counts(
+    docs: DataFrame,
+    target: Column,
+    buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashed n-gram (unigram + bigram) bucket counts over the corpus and over
+    its target subset, in ONE pass: (bucket, raw_n, tgt_n), ≤ ``buckets`` rows.
+    This is the sufficient statistic of DSIR's two hashed n-gram models — the
+    raw (proposal) distribution and the target distribution — and, like the
+    CMS state, it is mergeable across increments by bucket-wise sum and small
+    enough to collect (O(B) driver state).
+
+    Scale shape: the gram explode is map-side; the grouped agg's exchange
+    carries ≤ ``buckets`` rows per map task after partial aggregation — never
+    raw grams. The target indicator rides the same pass (`count_if`), so the
+    target model costs no second corpus read."""
+    from airflow_courier_payout_ledger_pipeline_spark.functions.text import (
+        normalize_text,
+    )
+
+    ws = F.split(normalize_text(F.col(text_col)), " ")
+    grams = F.expr(
+        "concat(ws, CASE WHEN size(ws) < 2 THEN CAST(array() AS ARRAY<STRING>) "
+        "ELSE transform(sequence(1, size(ws) - 1), "
+        "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1))) END)"
+    )
+    g = (
+        docs.select(target.alias("__t"), ws.alias("ws"))
+        .filter((F.size("ws") > 1) | (F.element_at("ws", 1) != ""))
+        .select("__t", F.explode(grams).alias("gram"))
+        .filter(F.col("gram") != "")
+    )
+    return g.groupBy(_gram_bucket(F.col("gram"), buckets).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("raw_n"),
+        F.count_if(F.col("__t")).alias("tgt_n"),
+    )
+
+
+def dsir_importance_scores(
+    docs: DataFrame,
+    target: Column,
+    buckets: int = DSIR_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance score per document: how much more likely the
+    document's hashed n-gram features are under the TARGET distribution than
+    under the RAW corpus distribution — the data-selection signal of Xie et
+    al.'s "Data Selection for Language Models via Importance Resampling"
+    (hashed n-gram feature space, add-1-smoothed bag-of-grams models). Keeping
+    the top-scored documents (or weighted-sampling by score with the
+    ``weighted_sample`` integer-hash draw) tilts a raw 100 TB crawl toward a
+    curated target mix.
+
+    Emits (id, n_grams, dsir_score) for every document with ≥ 1 gram, where
+    ``dsir_score = round(avg over grams of p_target(bucket)/p_raw(bucket), 4)``
+    with add-1 smoothing. The PROBABILITY-DOMAIN mean replaces the paper's
+    mean log-ratio (this repo's cross-engine discipline: ln() is not
+    bit-specified across libm implementations and would break oracle hashes —
+    same monotone-signal rationale as ``bigram_lm_score`` / the ln-free BM25
+    idf). Per-gram ratios are EXACT across engines: each is
+    ``((tgt_b+1)·(R+B)) / ((raw_b+1)·(T+B))`` computed driver-side with exact
+    integer arithmetic (Python's correctly-rounded int/int division); an
+    oracle computing the same quotient from BIGINT products gets the same
+    double as long as both products stay < 2^53 (corpora to ~10^15 grams —
+    beyond 100 TB of text).
+
+    Scale shape: TWO corpus passes, ONE exchange each — (1) the O(B)-row
+    count state (``dsir_gram_counts``, collected like the CMS state), (2)
+    scoring, where the B ratios re-enter the plan as ONE literal-array lookup
+    (``F.lit(list)``, a single plan node — the heavy-hitters lesson) and the
+    only exchange is the doc-grain mean. No joins, no vocabulary broadcast,
+    nothing corpus-sized on the driver."""
+    from airflow_courier_payout_ledger_pipeline_spark.functions.text import (
+        normalize_text,
+    )
+
+    state = {r["bucket"]: (r["raw_n"], r["tgt_n"]) for r in
+             dsir_gram_counts(docs, target, buckets, text_col).collect()}
+    big_r = sum(v[0] for v in state.values())
+    big_t = sum(v[1] for v in state.values())
+    ratios = [
+        ((state.get(b, (0, 0))[1] + 1) * (big_r + buckets))
+        / ((state.get(b, (0, 0))[0] + 1) * (big_t + buckets))
+        for b in range(buckets)
+    ]
+    ws = F.split(normalize_text(F.col(text_col)), " ")
+    grams = F.expr(
+        "concat(ws, CASE WHEN size(ws) < 2 THEN CAST(array() AS ARRAY<STRING>) "
+        "ELSE transform(sequence(1, size(ws) - 1), "
+        "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1))) END)"
+    )
+    g = (
+        docs.select(F.col(id_col), ws.alias("ws"))
+        .filter((F.size("ws") > 1) | (F.element_at("ws", 1) != ""))
+        .select(id_col, F.explode(grams).alias("gram"))
+        .filter(F.col("gram") != "")
+    )
+    ratio = F.element_at(
+        F.lit(ratios), (_gram_bucket(F.col("gram"), buckets) + 1).cast("int")
+    )
+    return g.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.round(F.avg(ratio), 4).alias("dsir_score"),
+    )

@@ -4778,3 +4778,70 @@ def q_score_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(
         F.broadcast(ranked), ["source", "n_chars"]
     ).select("doc_id", "source", "n_chars", pct)
+
+
+# --- DSIR importance scoring (hashed n-gram data selection) --------------------------
+
+# DuckDB twin of operators/sampling.dsir_importance_scores: same normalize →
+# unigram+bigram explode → md5-bucket → add-1-smoothed target/raw ratio → doc
+# mean. The per-gram ratio is exact cross-engine: Spark computes it driver-side
+# with Python's exact int/int division; here both BIGINT products are exact in
+# DOUBLE (< 2^53 far beyond bench scale), so the single division is the same
+# correctly-rounded quotient.
+DSIR_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, (lang = 'en') AS t, string_split({NORM}, ' ') AS ws
+    FROM documents
+),
+w2 AS (SELECT * FROM w WHERE len(ws) > 1 OR ws[1] != ''),
+uni AS (SELECT doc_id, t, unnest(ws) AS gram FROM w2),
+bi AS (
+    SELECT doc_id, t, ws[i] || ' ' || ws[i + 1] AS gram
+    FROM w2, unnest(generate_series(1, len(ws) - 1)) AS g(i)
+),
+g AS (
+    SELECT * FROM uni WHERE gram != ''
+    UNION ALL
+    SELECT * FROM bi WHERE gram != ''
+),
+gb AS (
+    SELECT doc_id, t,
+           (('0x' || substr(md5(gram), 1, 8))::BIGINT % 1024)::INT AS bucket
+    FROM g
+),
+cnt AS (
+    SELECT bucket, count(*)::BIGINT AS raw_n,
+           count(*) FILTER (WHERE t)::BIGINT AS tgt_n
+    FROM gb GROUP BY 1
+),
+tot AS (SELECT SUM(raw_n)::BIGINT AS big_r, SUM(tgt_n)::BIGINT AS big_t FROM cnt),
+r AS (
+    SELECT gb.doc_id,
+           CAST((c.tgt_n + 1) * (tot.big_r + 1024) AS DOUBLE)
+         / CAST((c.raw_n + 1) * (tot.big_t + 1024) AS DOUBLE) AS ratio
+    FROM gb JOIN cnt c USING (bucket) CROSS JOIN tot
+)
+SELECT doc_id, count(*)::BIGINT AS n_grams, round(avg(ratio), 4) AS dsir_score
+FROM r GROUP BY 1
+"""
+
+
+@register("dsir_importance", DSIR_ORACLE)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance score per document against an English-target mix
+    (operators/sampling.dsir_importance_scores): hashed unigram+bigram models
+    of the target subset vs the raw corpus, add-1 smoothed, probability-domain
+    mean ratio (ln-free — the bigram_lm_score discipline). The top of this
+    ranking is what a curated-target resample of a raw crawl keeps; the
+    deterministic keep-draw is `weighted_sample`'s integer-hash machinery.
+
+    Plan: the O(1024)-row (bucket, raw_n, tgt_n) state is its own action
+    (collected like the CMS state, one map-side-partial exchange); the
+    RETURNED scoring plan re-enters the ratios as one literal-array lookup —
+    no join, no vocabulary anywhere — and pays a single doc-grain exchange."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sampling import (
+        dsir_importance_scores,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return dsir_importance_scores(docs, F.col("lang") == "en")

@@ -357,6 +357,7 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "timeseries_interpolate",
     "event_type_cooccurrence",
     # -- round-7 additions registered outside the active window append here --
+    "dsir_importance",
 ]
 
 

@@ -58,6 +58,8 @@ HEADLINE = [
     # round-5 late additions: ranked retrieval + sketch-pruned frequency mining
     "bm25_search",
     "heavy_hitters",
+    # round-7 addition: hashed n-gram importance scoring (DSIR-style selection)
+    "dsir_importance",
 ]
 
 

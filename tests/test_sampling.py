@@ -189,3 +189,76 @@ def test_pack_sequences_is_partitioning_invariant(spark):
             )
         )
         assert got == base, n
+
+
+# --- DSIR importance scoring ---------------------------------------------------------
+
+
+def _dsir_docs(spark):
+    # "target-like" docs share the 'alpha beta' gram mass; off-target docs use
+    # disjoint vocabulary, so their buckets carry no target mass
+    rows = [
+        (1, "alpha beta alpha beta", "en"),
+        (2, "alpha beta gamma", "en"),
+        (3, "delta epsilon zeta delta", "de"),
+        (4, "alpha beta alpha", "de"),      # target-like text, off-target label
+        (5, "eta theta iota kappa", "zh"),
+        (6, "", "en"),                      # empty: zero grams, must drop out
+        (7, "solo", "de"),                  # single word: unigram only, no bigram
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_dsir_scores_rank_target_affine_docs_higher(spark):
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sampling import (
+        dsir_importance_scores,
+    )
+
+    got = {
+        r.doc_id: (r.n_grams, r.dsir_score)
+        for r in dsir_importance_scores(
+            _dsir_docs(spark), F.col("lang") == "en"
+        ).collect()
+    }
+    # empty doc emits nothing; single-word doc has exactly one gram
+    assert 6 not in got
+    assert got[7][0] == 1
+    # gram counts: n words + (n-1) bigrams
+    assert got[1][0] == 7 and got[3][0] == 7
+    # doc 4 shares the target's gram mass -> scores above every off-target doc
+    scores = {d: s for d, (_, s) in got.items()}
+    assert scores[4] > scores[3] and scores[4] > scores[5] and scores[4] > scores[7]
+    # target docs themselves score above the disjoint-vocabulary docs
+    assert min(scores[1], scores[2]) > max(scores[3], scores[5])
+
+
+def test_dsir_gram_counts_state_is_bucket_bounded_and_mass_conserving(spark):
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sampling import (
+        dsir_gram_counts,
+    )
+
+    state = dsir_gram_counts(_dsir_docs(spark), F.col("lang") == "en").collect()
+    assert len(state) <= 1024
+    assert all(0 <= r.bucket < 1024 for r in state)
+    # total gram mass: docs 1-5,7 contribute words + bigrams = 7+5+7+5+7+1 = 32
+    assert sum(r.raw_n for r in state) == 32
+    # target mass (en docs 1,2): 7 + 5
+    assert sum(r.tgt_n for r in state) == 12
+    assert all(r.tgt_n <= r.raw_n for r in state)
+
+
+def test_dsir_scoring_plan_is_single_exchange_no_join(spark):
+    """The B-row count state is a separate collected action; the RETURNED
+    scoring plan must look up ratios via one literal array — no join anywhere,
+    and the only exchange is the doc-grain mean."""
+    from airflow_courier_payout_ledger_pipeline_spark.registry import all_queries
+
+    df = all_queries()["dsir_importance"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    shuffles = [
+        line
+        for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    ]
+    assert len(shuffles) == 1, shuffles
+    assert "Join" not in plan and "CartesianProduct" not in plan
