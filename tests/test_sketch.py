@@ -229,3 +229,84 @@ def test_cms_unseen_value_estimates_zero_via_absent_bucket(spark):
     probe = spark.createDataFrame([("omega",)], "term string")
     [row] = cms_estimate(probe, state, "term").collect()
     assert row["freq_est"] == 0
+
+
+def test_cms_width_drift_raises_in_both_directions(spark):
+    """Width drift silently UNDER-estimates (mis-hashed buckets miss the
+    state), breaking the one-sided contract — so it must raise loudly. The
+    build width rides the state as a column, which catches the direction a
+    data-only bucket-range check cannot: a state built NARROWER than the
+    probe width."""
+    import pytest as _pytest
+
+    words = _words(spark)
+    narrow = cms_state(words, "term", width=512)
+    with _pytest.raises(ValueError, match="width"):
+        cms_estimate(words.distinct(), narrow, "term", width=1024).collect()
+    wide = cms_state(words, "term", width=2048)
+    with _pytest.raises(ValueError, match="width"):
+        cms_estimate(words.distinct(), wide, "term", width=1024).collect()
+
+
+def test_cms_merge_of_mismatched_widths_raises_lazily(spark):
+    """Merging states built at different widths is meaningless (the same
+    bucket id indexes different hash ranges): the merged width column must
+    raise at execution, not produce a silently wrong state."""
+    import pytest as _pytest
+
+    words = _words(spark)
+    merged = merge_cms_states(
+        cms_state(words, "term", width=512), cms_state(words, "term", width=1024)
+    )
+    with _pytest.raises(Exception, match="width mismatch"):
+        merged.collect()
+
+
+def test_cms_candidate_expr_is_exact_superset_with_tiny_in_lists(spark):
+    """The candidate predicate must equal (estimate >= min_count): a guaranteed
+    superset of the true heavy hitters, encoded as per-seed IN lists whose
+    sizes are bounded by mass conservation (sum of per-seed counts = N, so at
+    most N/min_count buckets pass per seed)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sketch import (
+        cms_candidate_expr,
+    )
+
+    words = _words(spark)  # alpha:40 beta:25 gamma:3 delta:1, N=69
+    state_rows = cms_state(words, "term").collect()
+    total = sum(r["cnt"] for r in state_rows) // 4
+    assert total == 69
+    min_count = 10  # true passers: alpha, beta
+    cand = {
+        r["term"]
+        for r in words.distinct()
+        .filter(cms_candidate_expr(state_rows, "term", min_count))
+        .collect()
+    }
+    exact = {
+        r["term"]
+        for r in words.groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .collect()
+    }
+    assert exact <= cand  # one-sided: never a false negative
+    # with the default 4x1024 state and 4 distinct values, no full-row
+    # collision occurs -> the candidate set is exactly the true passers
+    assert cand == exact
+    # mass conservation bound on the IN lists
+    for seed in {r["seed"] for r in state_rows}:
+        passing = [r for r in state_rows if r["seed"] == seed and r["cnt"] >= min_count]
+        assert len(passing) <= 69 // min_count
+
+
+def test_cms_candidate_expr_impossible_threshold_is_false(spark):
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sketch import (
+        cms_candidate_expr,
+    )
+
+    words = _words(spark)
+    state_rows = cms_state(words, "term").collect()
+    # a threshold above every bucket count -> some seed has no passing bucket
+    # -> the predicate short-circuits to literal FALSE
+    expr = cms_candidate_expr(state_rows, "term", 10_000)
+    assert words.filter(expr).count() == 0
