@@ -839,7 +839,10 @@ SELECT query_id, neighbor_id, adc_dist, rank FROM r WHERE rank <= 5
 """
 
 
-PQ_HAMMING_ORACLE = f"""
+def _pq_hamming_oracle(h: int) -> str:
+    """Naive all-pairs PQ-code Hamming ≤ h — the recall statement the banded
+    plan must reproduce exactly, at any supported threshold."""
+    return f"""
 WITH grid AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j),
 pqseeds AS (SELECT vec_id AS c, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < {PQ_KC}),
 cb AS (SELECT g.j, s.c, list_slice(s.v, g.j*{PQ_SUB}+1, g.j*{PQ_SUB}+{PQ_SUB}) AS sv
@@ -857,8 +860,11 @@ codes_v AS (SELECT vec_id, list(c ORDER BY j) AS cs FROM codes GROUP BY 1)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        len(list_filter(list_zip(a.cs, b.cs), x -> x[1] != x[2]))::INT AS hamming
 FROM codes_v a JOIN codes_v b ON a.vec_id < b.vec_id
-WHERE len(list_filter(list_zip(a.cs, b.cs), x -> x[1] != x[2])) <= 1
+WHERE len(list_filter(list_zip(a.cs, b.cs), x -> x[1] != x[2])) <= {h}
 """
+
+
+PQ_HAMMING_ORACLE = _pq_hamming_oracle(1)
 
 
 @register("dedup_pq_hamming", PQ_HAMMING_ORACLE)
@@ -880,6 +886,29 @@ def q_dedup_pq_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in emb.filter(F.col("vec_id") < PQ_KC).select("vec_id", "embedding").collect()
     ]
     return pq_hamming_pairs(emb, pq_codebooks_from_seeds(seeds, PQ_M))
+
+
+@register("dedup_pq_hamming2", _pq_hamming_oracle(2))
+def q_dedup_pq_hamming2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming ≤ 2 via (m choose 2) leave-two-out COMBINATION bands — the
+    wider-radius screen for noisier embeddings (two subspaces may disagree
+    before a pair stops being a near-dup candidate). Recall over the code
+    metric stays EXACT by pigeonhole: a pair differing in ≤ 2 of the m=8
+    positions collides on every band excluding both differing positions. Band
+    fan-out is C(8,2)=28 signatures per row vs 8 at h=1 — the linear-in-bands
+    cost of radius, never a quadratic pair scan. Same all-pairs oracle at the
+    wider threshold (operators/similarity.pq_hamming_pairs, max_hamming=2)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        pq_codebooks_from_seeds,
+        pq_hamming_pairs,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    seeds = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < PQ_KC).select("vec_id", "embedding").collect()
+    ]
+    return pq_hamming_pairs(emb, pq_codebooks_from_seeds(seeds, PQ_M), max_hamming=2)
 
 
 IVF_PQ_ORACLE = f"""
@@ -4845,3 +4874,52 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     return dsir_importance_scores(docs, F.col("lang") == "en")
+
+
+# DSIR step 2 — the RESAMPLE: keep each document with probability
+# min(1, score/2) using the repo's deterministic integer-hash Bernoulli
+# (weighted_sample's machinery): draw16(doc_id)·CAP < 65536·min(w, CAP) with
+# w = round(score·10⁴) exact in both engines (score is already 4-decimal).
+# Zero extra shuffles beyond scoring: the draw and the keep test are map-side
+# column expressions over the score output.
+DSIR_RESAMPLE_CAP = 20_000  # score 2.0 -> kept with certainty
+
+DSIR_RESAMPLE_ORACLE = f"""
+WITH scored AS ({DSIR_ORACLE}),
+k AS (
+    SELECT doc_id, n_grams, dsir_score,
+           CAST(round(dsir_score * 10000) AS BIGINT) AS w
+    FROM scored
+)
+SELECT doc_id, n_grams, dsir_score
+FROM k
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+      * {DSIR_RESAMPLE_CAP} < 65536 * least(w, {DSIR_RESAMPLE_CAP})
+"""
+
+
+@register("dsir_resample", DSIR_RESAMPLE_ORACLE)
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end DSIR data selection: score every document against the
+    English-target mix (`dsir_importance`), then KEEP each with probability
+    proportional to its importance (min(1, score/2)) — the resampling step
+    that actually tilts a raw crawl toward the target distribution. The keep
+    decision is the deterministic integer-hash Bernoulli of
+    `weighted_sample` (draw·cap < 65536·weight, no float rate, no rand()):
+    re-running months later on re-partitioned data keeps byte-identical rows,
+    and the filter is a map-side predicate over the scoring output — zero
+    exchanges beyond the score's own doc-grain mean."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sampling import (
+        dsir_importance_scores,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    scored = dsir_importance_scores(docs, F.col("lang") == "en")
+    draw = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    w = F.round(F.col("dsir_score") * 10000).cast("bigint")
+    return scored.filter(
+        draw * DSIR_RESAMPLE_CAP
+        < 65536 * F.least(w, F.lit(DSIR_RESAMPLE_CAP))
+    )

@@ -358,6 +358,8 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "event_type_cooccurrence",
     # -- round-7 additions registered outside the active window append here --
     "dsir_importance",
+    "dsir_resample",
+    "dedup_pq_hamming2",
 ]
 
 
