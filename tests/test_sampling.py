@@ -262,3 +262,54 @@ def test_dsir_scoring_plan_is_single_exchange_no_join(spark):
     ]
     assert len(shuffles) == 1, shuffles
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_dsir_gram_counts_merge_law_and_partition_invariance(spark):
+    """The (bucket, raw_n, tgt_n) state must obey the CMS-style fold laws that
+    make it a persistable, incrementally-maintainable artifact: counts over a
+    split corpus merge by bucket-wise sum into exactly the direct build, and
+    the build is independent of partitioning."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sampling import (
+        dsir_gram_counts,
+    )
+
+    docs = _dsir_docs(spark)
+    key = lambda r: (r.bucket, r.raw_n, r.tgt_n)  # noqa: E731
+    direct = sorted(map(key, dsir_gram_counts(docs, F.col("lang") == "en").collect()))
+    repart = sorted(
+        map(
+            key,
+            dsir_gram_counts(docs.repartition(7), F.col("lang") == "en").collect(),
+        )
+    )
+    assert direct == repart
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    merged: dict[int, list[int]] = {}
+    for part in (a, b):
+        for r in dsir_gram_counts(part, F.col("lang") == "en").collect():
+            m = merged.setdefault(r.bucket, [0, 0])
+            m[0] += r.raw_n
+            m[1] += r.tgt_n
+    assert sorted((b_, n[0], n[1]) for b_, n in merged.items()) == direct
+
+
+def test_dsir_scores_partition_invariant(spark):
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sampling import (
+        dsir_importance_scores,
+    )
+
+    docs = _dsir_docs(spark)
+    one = {
+        r.doc_id: (r.n_grams, r.dsir_score)
+        for r in dsir_importance_scores(
+            docs.coalesce(1), F.col("lang") == "en"
+        ).collect()
+    }
+    many = {
+        r.doc_id: (r.n_grams, r.dsir_score)
+        for r in dsir_importance_scores(
+            docs.repartition(11), F.col("lang") == "en"
+        ).collect()
+    }
+    assert one == many
