@@ -712,3 +712,91 @@ def ngram_containment_pairs(
         )
         .filter(F.col("containment") >= F.lit(min_containment))
     )
+
+
+# --- Duplicated-span removal (the scrub step of Lee et al. 2022) ---------------------
+
+
+def duplicated_span_scrub(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """REMOVE cross-document duplicated spans from each document — the rewrite
+    step of "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2022) that `dedup_span_profile`'s coverage metric only measures: a
+    word position is duplicated when any word n-gram covering it also occurs
+    in ≥ 2 distinct documents, and the scrubbed text is the remaining words
+    (original order, single-space joined). Returns (id, n_words, n_dup_words,
+    scrubbed_text) for every document.
+
+    Scale shape — the span_profile plan plus one uniform doc-keyed join:
+    1. positional n-grams roll up to (ngram, id, starts[]) — the one
+       corpus-sized exchange, keyed on near-unique (ngram, id); a hot
+       boilerplate gram is ONE row per containing doc with its start list,
+       never a row per occurrence;
+    2. doc-frequency is a count window over ngram on that rolled-up grain
+       (the span_profile trick — no self-join, no gram-keyed re-shuffle);
+    3. shared-gram start lists explode to covered positions and fold to one
+       array per doc (doc-keyed, uniform);
+    4. the rewrite joins that per-doc array back to the word arrays (doc-keyed
+       shuffle join, uniform keys) and filters words by position map-side —
+       `filter(ws, (w, i) -> NOT array_contains(cov, i+1))`.
+    Nothing is collected; the only window runs on the rolled-up gram grain.
+    Like every text operator here, grams use try_element_at + NULL-skipping
+    concat_ws so sub-n documents yield one partial gram (ANSI-safe, oracle-
+    identical)."""
+    from pyspark.sql.window import Window
+
+    norm = _spread(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
+        )
+    )
+    starts = F.sequence(F.lit(1), F.greatest(F.size("__w") - (n - 1), F.lit(1)))
+    gram = lambda s: F.concat_ws(  # noqa: E731
+        " ", *[F.try_element_at(F.col("__w"), s + F.lit(j)) for j in range(n)]
+    )
+    g = norm.select(
+        "id",
+        "__w",
+        F.size("__w").alias("__nw"),
+        F.explode(starts).alias("s"),
+    ).select("id", "__nw", "s", gram(F.col("s")).alias("ngram"))
+    rolled = g.groupBy("ngram", "id").agg(
+        F.collect_list("s").alias("__starts"), F.first("__nw").alias("__nw")
+    )
+    with_df = rolled.withColumn(
+        "__df", F.count("*").over(Window.partitionBy("ngram"))
+    )
+    covered = (
+        with_df.filter(F.col("__df") >= 2)
+        .select(
+            "id",
+            F.explode("__starts").alias("s"),
+            F.col("__nw"),
+        )
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("s"), F.least(F.col("s") + (n - 1), F.col("__nw")))
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("id")
+        .agg(F.collect_list("p").alias("__cov"))
+    )
+    joined = norm.join(covered, "id", "left").select(
+        "id",
+        "__w",
+        F.coalesce(F.col("__cov"), F.array().cast("array<int>")).alias("__cov"),
+    )
+    kept = F.filter(
+        F.col("__w"),
+        lambda w, i: ~F.array_contains(F.col("__cov"), (i + F.lit(1)).cast("int")),
+    )
+    return joined.select(
+        "id",
+        F.size("__w").cast("bigint").alias("n_words"),
+        F.size("__cov").cast("bigint").alias("n_dup_words"),
+        F.array_join(kept, " ").alias("scrubbed_text"),
+    )

@@ -4923,3 +4923,64 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         draw * DSIR_RESAMPLE_CAP
         < 65536 * F.least(w, F.lit(DSIR_RESAMPLE_CAP))
     )
+
+
+# --- Duplicated-span removal (the scrub step of Lee et al. 2022) ---------------------
+
+# Same positional-gram topology as SPAN_PROFILE_ORACLE, then: shared-gram
+# occurrences expand to covered word positions, and each doc is rebuilt from
+# its uncovered words (order preserved). Sub-n docs yield one partial gram via
+# NULL-skipping concat_ws in both engines.
+SPAN_SCRUB_ORACLE = f"""
+WITH norm AS (SELECT doc_id, string_split({NORM}, ' ') AS ws FROM documents),
+pos AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - {SPAN_N - 1}, 1))) AS s FROM norm),
+g AS (SELECT doc_id, s,
+             concat_ws(' ', {", ".join(f"ws[s+{j}]" for j in range(SPAN_N))}) AS ngram
+      FROM pos),
+shared AS (
+    SELECT ngram FROM (SELECT DISTINCT doc_id, ngram FROM g)
+    GROUP BY ngram HAVING count(*) >= 2
+),
+cov AS (
+    SELECT DISTINCT doc_id, p FROM (
+        SELECT g.doc_id,
+               unnest(generate_series(g.s, least(g.s + {SPAN_N - 1}, len(n.ws)))) AS p
+        FROM g JOIN shared USING (ngram) JOIN norm n USING (doc_id)
+    )
+),
+kept AS (
+    SELECT n.doc_id, t.i AS p, n.ws[t.i] AS w
+    FROM norm n, unnest(generate_series(1, len(n.ws))) AS t(i)
+    WHERE NOT EXISTS (SELECT 1 FROM cov WHERE cov.doc_id = n.doc_id AND cov.p = t.i)
+),
+rebuilt AS (
+    SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS scrubbed_text FROM kept GROUP BY 1
+),
+ncov AS (SELECT doc_id, count(*)::BIGINT AS n_dup FROM cov GROUP BY 1)
+SELECT n.doc_id,
+       len(n.ws)::BIGINT AS n_words,
+       coalesce(c.n_dup, 0)::BIGINT AS n_dup_words,
+       coalesce(r.scrubbed_text, '') AS scrubbed_text
+FROM norm n
+LEFT JOIN ncov c USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+@register("dedup_span_scrub", SPAN_SCRUB_ORACLE)
+def q_dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span REMOVAL (Lee et al. 2022's rewrite step;
+    `dedup_span_profile` is the measurement): every word position covered by a
+    5-gram shared across ≥ 2 documents is cut, and the document is rebuilt
+    from the surviving words. The whole corpus comes back rewritten —
+    (doc_id, n_words, n_dup_words, scrubbed_text) — hash-checked against a
+    DuckDB replay including the rebuilt strings
+    (operators/dedup.duplicated_span_scrub)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import (
+        duplicated_span_scrub,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return duplicated_span_scrub(docs, "doc_id", "text", n=SPAN_N).select(
+        F.col("id").alias("doc_id"), "n_words", "n_dup_words", "scrubbed_text"
+    )

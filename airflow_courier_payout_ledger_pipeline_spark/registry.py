@@ -360,6 +360,7 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "dsir_importance",
     "dsir_resample",
     "dedup_pq_hamming2",
+    "dedup_span_scrub",
 ]
 
 

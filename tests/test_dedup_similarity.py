@@ -419,3 +419,59 @@ def test_containment_catches_embedded_quote_that_jaccard_misses(spark):
     assert (c.id_a, c.id_b) == (1, 2) and c.containment == 1.0
     jac = ngram_jaccard_pairs(grams, 0.0).collect()
     assert all(r.jaccard < 0.3 for r in jac)  # same pair, sub-threshold Jaccard
+
+
+def test_span_scrub_removes_shared_spans_and_keeps_unique_text(spark):
+    """The rewrite step of Lee et al. 2022: positions covered by a cross-doc
+    shared 5-gram are cut; everything else survives verbatim (order intact).
+    Docs 1 and 2 share an 8-word run (all its 5-grams match), wrapped in
+    distinct prefixes/suffixes; doc 3 shares nothing."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import (
+        duplicated_span_scrub,
+    )
+
+    boiler = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro a {boiler} outro a"),
+            (2, f"intro b {boiler} outro b"),
+            (3, "totally unrelated text with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.id: (r.n_words, r.n_dup_words, r.scrubbed_text)
+        for r in duplicated_span_scrub(docs, "doc_id", "text").collect()
+    }
+    # 12 words each. Covered = positions 3-11: the boiler's own grams (starts
+    # 3-6) cover 3-10, and the gram at start 7 ("five six seven eight outro")
+    # ALSO matches because both docs share the word "outro" — coverage extends
+    # through any shared run, not just the planted block. The distinct words
+    # ("intro a/b" at 1-2 via differing grams, the trailing a/b at 12) survive.
+    assert got[1] == (12, 9, "intro a a")
+    assert got[2] == (12, 9, "intro b b")
+    # the unique doc is untouched
+    assert got[3] == (8, 0, "totally unrelated text with no overlap at all")
+
+
+def test_span_scrub_consistent_with_span_profile_counts(spark):
+    """n_dup_words (positions) and span_profile's n_dup_grams (gram starts)
+    measure the same sharing: every doc with dup grams has dup words, covering
+    at least as many positions as there are duplicated starts."""
+    from airflow_courier_payout_ledger_pipeline_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    scrub = {
+        r.doc_id: r.n_dup_words
+        for r in all_queries()["dedup_span_scrub"](spark, sf).collect()
+    }
+    prof = {
+        r.doc_id: r.n_dup_grams
+        for r in all_queries()["dedup_span_profile"](spark, sf).collect()
+    }
+    assert set(scrub) == set(prof)
+    for d, n_grams_dup in prof.items():
+        if n_grams_dup > 0:
+            assert scrub[d] >= min(n_grams_dup, 1)
+        else:
+            assert scrub[d] == 0
