@@ -735,10 +735,14 @@ def duplicated_span_scrub(
        never a row per occurrence;
     2. doc-frequency is a count window over ngram on that rolled-up grain
        (the span_profile trick — no self-join, no gram-keyed re-shuffle);
-    3. shared-gram start lists explode to covered positions and fold to one
-       array per doc (doc-keyed, uniform);
+    3. shared-gram start lists explode to covered positions and fold straight
+       to one deduped array per doc — ``collect_set`` dedups overlapping-gram
+       repeats inside the aggregation (map-side partials), so there is no
+       separate (id, p) DISTINCT exchange;
     4. the rewrite joins that per-doc array back to the word arrays (doc-keyed
-       shuffle join, uniform keys) and filters words by position map-side —
+       join over the UNSPREAD doc scan — the round-robin spread guards only
+       the explode side; spreading the join side would round-robin-shuffle the
+       whole corpus for nothing) and filters words by position map-side —
        `filter(ws, (w, i) -> NOT array_contains(cov, i+1))`.
     Nothing is collected; the only window runs on the rolled-up gram grain.
     Like every text operator here, grams use try_element_at + NULL-skipping
@@ -746,17 +750,15 @@ def duplicated_span_scrub(
     identical)."""
     from pyspark.sql.window import Window
 
-    norm = _spread(
-        df.select(
-            F.col(id_col).alias("id"),
-            F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
-        )
+    norm = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
     )
     starts = F.sequence(F.lit(1), F.greatest(F.size("__w") - (n - 1), F.lit(1)))
     gram = lambda s: F.concat_ws(  # noqa: E731
         " ", *[F.try_element_at(F.col("__w"), s + F.lit(j)) for j in range(n)]
     )
-    g = norm.select(
+    g = _spread(norm).select(
         "id",
         "__w",
         F.size("__w").alias("__nw"),
@@ -781,9 +783,8 @@ def duplicated_span_scrub(
                 F.sequence(F.col("s"), F.least(F.col("s") + (n - 1), F.col("__nw")))
             ).alias("p"),
         )
-        .distinct()
         .groupBy("id")
-        .agg(F.collect_list("p").alias("__cov"))
+        .agg(F.collect_set("p").alias("__cov"))
     )
     joined = norm.join(covered, "id", "left").select(
         "id",

@@ -475,3 +475,23 @@ def test_span_scrub_consistent_with_span_profile_counts(spark):
             assert scrub[d] >= min(n_grams_dup, 1)
         else:
             assert scrub[d] == 0
+
+
+def test_span_scrub_shuffle_budget(spark):
+    """Pinned plan shape: round-robin spread ahead of the gram explode, the
+    rolled (ngram, id) agg, the ngram count window, and the per-doc
+    collect_set fold — 4 data exchanges total. No separate (id, p) DISTINCT
+    exchange (collect_set dedups inside the aggregation), no second corpus
+    round-robin on the join side, no SortMergeJoin-forced extra sorts beyond
+    the window's, no CartesianProduct."""
+    from airflow_courier_payout_ledger_pipeline_spark.registry import all_queries
+
+    df = all_queries()["dedup_span_scrub"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    shuffles = [
+        line
+        for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    ]
+    assert len(shuffles) <= 4, shuffles
+    assert "CartesianProduct" not in plan
