@@ -376,3 +376,57 @@ def test_bpe_encode_counts_matches_python_replica(spark, words, merges):
 
     assert row.n_words == len(words)
     assert row.bpe_tokens == sum(encode(w) for w in words)
+
+
+# --- duplicated-span scrub vs pure-Python reference ----------------------------------
+
+scrub_corpus_strategy = st.lists(
+    st.lists(st.sampled_from(list("abcd")), min_size=0, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+
+@SET
+@given(texts=scrub_corpus_strategy)
+def test_span_scrub_matches_python_reference(spark, texts):
+    """Differential check over a tiny 4-word alphabet (dense gram collisions,
+    sub-n docs, empty docs): the distributed scrub must equal an independent
+    pure-Python implementation of the same contract — positions covered by an
+    n-gram occurring in >= 2 distinct docs are cut, the rest survive in
+    order."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import (
+        duplicated_span_scrub,
+    )
+
+    n = 3  # denser collisions than the query's 5 at these lengths
+    docs = list(enumerate(texts))
+
+    # reference: same normalize (lower/collapse/trim is identity here), same
+    # partial-gram rule (one gram from start 1, NULL-skipping join)
+    words = {i: t.split(" ") for i, t in docs}  # '' splits to ['']
+    grams: dict[int, list[tuple[int, str]]] = {}
+    for i, ws in words.items():
+        out = []
+        for s in range(1, max(len(ws) - (n - 1), 1) + 1):
+            out.append((s, " ".join(w for w in ws[s - 1 : s + n - 1])))
+        grams[i] = out
+    by_gram: dict[str, set[int]] = {}
+    for i, gs in grams.items():
+        for _, g in gs:
+            by_gram.setdefault(g, set()).add(i)
+    want = {}
+    for i, ws in words.items():
+        cov = set()
+        for s, g in grams[i]:
+            if len(by_gram[g]) >= 2:
+                cov.update(range(s, min(s + n - 1, len(ws)) + 1))
+        kept = [w for p, w in enumerate(ws, 1) if p not in cov]
+        want[i] = (len(ws), len(cov), " ".join(kept))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.id: (r.n_words, r.n_dup_words, r.scrubbed_text)
+        for r in duplicated_span_scrub(df, "doc_id", "text", n=n).collect()
+    }
+    assert got == want
