@@ -41,6 +41,7 @@ SHUFFLE_BUDGET = {
     "similarity_ivf_pq": 1,  # broadcast centroid-routed join; one top-k window
     "bm25_search": 1,  # single conditional-agg doc shuffle; stats are a driver row
     "heavy_hitters": 2,  # CMS state agg + candidate-only exact count (probe is map-side)
+    "dsir_importance": 1,  # ratios are a literal-array lookup; only the doc-grain mean
 }
 
 
