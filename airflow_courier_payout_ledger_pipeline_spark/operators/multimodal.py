@@ -378,6 +378,56 @@ def extract_image_features(media: DataFrame, batch_rows: int = 256) -> DataFrame
     return media.select("media_id", "payload").mapInPandas(decode_batch, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id bigint, src_w int, src_h int, width int, height int, payload binary"
+)
+
+
+def resize_images(
+    media: DataFrame, target_w: int, target_h: int, batch_rows: int = 256
+) -> DataFrame:
+    """Nearest-neighbor resize of a binary image column, Arrow-batched: decode
+    (any format ``_decode`` accepts), index-map with exact integer floor
+    arithmetic — source pixel for target (tx, ty) is
+    ``(tx*src_w DIV target_w, ty*src_h DIV target_h)`` — and re-encode as real
+    PNG (``encode_png``), so the output column is itself a decodable image
+    corpus (the thumbnail/normalize stage of a multimodal training pipeline,
+    where a downstream embed/filter stage wants uniform dims).
+
+    Determinism note: floor-index nearest neighbor over integer grids is
+    bit-exact and engine-replayable (no float interpolation kernel), which is
+    what lets the registered query hash-match a SQL oracle END-TO-END through
+    decode -> resize -> PNG encode -> PNG decode. The resize itself is pure
+    numpy fancy-indexing over one Arrow batch at a time — no row-at-a-time
+    Python, nothing leaves the executor."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    if target_w < 1 or target_h < 1:
+        raise ValueError(f"target dims must be >= 1, got {target_w}x{target_h}")
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "src_w", "src_h", "width", "height", "payload")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, c, body = _decode(bytes(payload))
+                arr = np.frombuffer(body, dtype=np.uint8).reshape(h, w, c)
+                xs = (np.arange(target_w, dtype=np.int64) * w) // target_w
+                ys = (np.arange(target_h, dtype=np.int64) * h) // target_h
+                resized = arr[ys][:, xs]
+                out["media_id"].append(mid)
+                out["src_w"].append(w)
+                out["src_h"].append(h)
+                out["width"].append(target_w)
+                out["height"].append(target_h)
+                out["payload"].append(
+                    encode_png(target_w, target_h, c, resized.tobytes())
+                )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(gen, RESIZED_SCHEMA)
+
+
 #: video header: magic 'FVID' + uint16 n_frames + uint16 width + uint16 height
 FAKE_VIDEO_HEADER = struct.Struct(">4sHHH")
 

@@ -4984,3 +4984,73 @@ def q_dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_span_scrub(docs, "doc_id", "text", n=SPAN_N).select(
         F.col("id").alias("doc_id"), "n_words", "n_dup_words", "scrubbed_text"
     )
+
+
+# --- Image resize (thumbnail/normalize stage) ----------------------------------------
+
+# End-to-end oracle through FOUR codec stages — FIMG decode -> nearest-neighbor
+# resize -> PNG encode -> PNG decode -> features — possible because floor-index
+# nearest neighbor over the closed-form FIMG pixels is replayable in SQL:
+# source index for resized byte t is exact integer arithmetic, and mean_byte is
+# an exact int sum / exact division (identical double both engines).
+RESIZE_W, RESIZE_H = 8, 6
+
+IMAGE_RESIZE_ORACLE = f"""
+WITH meta AS (
+    SELECT doc_id AS media_id,
+           ((doc_id % 16) + 4)::BIGINT AS w,
+           ((doc_id % 8) + 4)::BIGINT AS h
+    FROM documents
+),
+t AS (
+    SELECT media_id, w, h,
+           unnest(generate_series(0, {RESIZE_W * RESIZE_H * 3} - 1)) AS t
+    FROM meta
+),
+src AS (
+    SELECT media_id, w, h, t,
+           (((((t // {RESIZE_W * 3}) * h) // {RESIZE_H}) * w
+             + ((((t % {RESIZE_W * 3}) // 3) * w) // {RESIZE_W})) * 3
+            + (t % 3)) AS i
+    FROM t
+)
+SELECT media_id,
+       {RESIZE_W}::INT AS width,
+       {RESIZE_H}::INT AS height,
+       3::INT AS channels,
+       {RESIZE_W * RESIZE_H * 3}::INT AS n_bytes,
+       SUM((media_id * 31 + i * 7) % 251)::DOUBLE / COUNT(*)::DOUBLE AS mean_byte
+FROM src GROUP BY 1
+"""
+
+
+@register("image_resize_features", IMAGE_RESIZE_ORACLE)
+def q_image_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail/normalize stage of a multimodal pipeline: binary images are
+    decoded, nearest-neighbor-resized to a uniform {RESIZE_W}x{RESIZE_H} grid
+    with exact integer floor indexing, re-encoded as REAL PNG, and the
+    resulting PNG corpus is decoded again for features — four codec stages,
+    all Arrow-batched mapInPandas, hash-checked end-to-end against a SQL
+    replay of the closed-form pixels (operators/multimodal.resize_images +
+    extract_image_features; the PNG round-trip exercises every defilter
+    branch via the cycling encoder)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.multimodal import (
+        RESIZED_SCHEMA,  # noqa: F401  (schema contract exercised here)
+        extract_image_features,
+        resize_images,
+        synthesize_payloads,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    media = synthesize_payloads(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("image/fimg").alias("media_type"),
+            ((F.col("doc_id") % 16) + 4).cast("int").alias("declared_w"),
+            ((F.col("doc_id") % 8) + 4).cast("int").alias("declared_h"),
+        )
+    )
+    resized = resize_images(media, RESIZE_W, RESIZE_H)
+    return extract_image_features(resized).select(
+        "media_id", "width", "height", "channels", "n_bytes", "mean_byte"
+    )

@@ -361,6 +361,7 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "dsir_resample",
     "dedup_pq_hamming2",
     "dedup_span_scrub",
+    "image_resize_features",
 ]
 
 

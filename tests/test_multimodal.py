@@ -394,3 +394,48 @@ def test_content_id_copies_are_byte_different_but_pixel_identical(spark):
         for r in extract_image_features(with_payloads).collect()
     }
     assert feats[2] == feats[3]
+
+
+def test_resize_images_nearest_neighbor_exact_and_png_roundtrip(spark):
+    """Floor-index nearest neighbor must pick exactly arr[ty*h//th][tx*w//tw],
+    the output must be REAL decodable PNG, and upscaling works with the same
+    formula (repeated source pixels)."""
+    import numpy as np
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.multimodal import (
+        _decode,
+        encode_fake_image,
+        resize_images,
+    )
+
+    media = spark.createDataFrame(
+        [(7, bytearray(encode_fake_image(7, 6, 4)))], "media_id long, payload binary"
+    )
+    # downscale 6x4 -> 3x2 and upscale 6x4 -> 12x8
+    for tw, th in [(3, 2), (12, 8)]:
+        [row] = resize_images(media, tw, th).collect()
+        assert (row.src_w, row.src_h, row.width, row.height) == (6, 4, tw, th)
+        w, h, c, body = _decode(bytes(row.payload))
+        assert (w, h, c) == (tw, th, 3)
+        src = np.frombuffer(
+            encode_fake_image(7, 6, 4)[9:], dtype=np.uint8
+        ).reshape(4, 6, 3)
+        want = np.stack(
+            [
+                np.stack([src[(ty * 4) // th][(tx * 6) // tw] for tx in range(tw)])
+                for ty in range(th)
+            ]
+        )
+        assert np.frombuffer(body, dtype=np.uint8).reshape(th, tw, 3).tolist() == want.tolist()
+
+
+def test_resize_images_rejects_degenerate_targets(spark):
+    import pytest as _pytest
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    media = spark.createDataFrame([(1, bytearray(b"x"))], "media_id long, payload binary")
+    with _pytest.raises(ValueError, match="target dims"):
+        resize_images(media, 0, 4)
