@@ -695,3 +695,56 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         decode_batch, AUDIO_FEATURE_SCHEMA
     )
+
+
+AUDIO_RESAMPLED_SCHEMA = (
+    "media_id bigint, src_rate int, sample_rate int, n_samples int, payload binary"
+)
+
+
+def resample_audio(media: DataFrame, target_rate: int) -> DataFrame:
+    """Nearest-sample rate conversion of a binary audio column, Arrow-batched:
+    decode (any format ``_decode_audio`` accepts), index-map with exact
+    integer floor arithmetic — output sample j reads source sample
+    ``(j*src_rate) DIV target_rate``, output length is
+    ``(n*target_rate) DIV src_rate`` — and re-encode as REAL RIFF/WAV (16-bit
+    mono, stdlib ``wave``), so the output column is itself a decodable audio
+    corpus at a uniform rate (the normalize stage before a speech/audio
+    featurizer; the audio twin of ``resize_images``).
+
+    Floor-index nearest neighbor is bit-exact and engine-replayable — no
+    windowed-sinc kernel, no float phase accumulator — which lets the
+    registered query hash-match a SQL oracle through decode -> resample ->
+    WAV encode -> WAV decode. Samples outside int16 (possible via the 32-bit
+    WAV input branch) are clipped, as a 16-bit writer must."""
+    import io  # noqa: PLC0415
+    import wave as wave_mod  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    if target_rate < 1:
+        raise ValueError(f"target_rate must be >= 1, got {target_rate}")
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "src_rate", "sample_rate", "n_samples", "payload")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                sr, n, _c, s = _decode_audio(bytes(payload))
+                m = (n * target_rate) // sr if sr else 0
+                idx = (np.arange(m, dtype=np.int64) * sr) // target_rate
+                res = np.clip(s[idx], -32768, 32767).astype("<i2")
+                buf = io.BytesIO()
+                with wave_mod.open(buf, "wb") as f:
+                    f.setnchannels(1)
+                    f.setsampwidth(2)
+                    f.setframerate(target_rate)
+                    f.writeframes(res.tobytes())
+                out["media_id"].append(mid)
+                out["src_rate"].append(sr)
+                out["sample_rate"].append(target_rate)
+                out["n_samples"].append(m)
+                out["payload"].append(buf.getvalue())
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(gen, AUDIO_RESAMPLED_SCHEMA)

@@ -5054,3 +5054,62 @@ def q_image_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(resized).select(
         "media_id", "width", "height", "channels", "n_bytes", "mean_byte"
     )
+
+
+# --- Audio resample (rate-normalize stage) -------------------------------------------
+
+# 8 kHz -> 6 kHz (a non-divisor downsample: output j reads source (4j) DIV 3,
+# length (3n) DIV 4). End-to-end through FAUD decode -> nearest-sample
+# resample -> REAL WAV encode -> stdlib wave decode -> features, replayable in
+# SQL because every index is exact integer arithmetic over the closed-form
+# samples. n >= 100 in the meta, so the resampled length is always > 0.
+AUDIO_RESAMPLE_RATE = 6000
+
+AUDIO_RESAMPLE_ORACLE = f"""
+WITH meta AS (
+    SELECT doc_id AS media_id, (doc_id % 400 + 100)::BIGINT AS n FROM documents
+),
+m2 AS (SELECT media_id, n, (n * {AUDIO_RESAMPLE_RATE}) // 8000 AS m FROM meta),
+s AS (SELECT media_id, m, unnest(generate_series(0, m - 1)) AS j FROM m2),
+v AS (
+    SELECT media_id, m, j,
+           ((media_id * 37 + ((j * 8000) // {AUDIO_RESAMPLE_RATE}) * 11) % 201 - 100) AS sj,
+           CASE WHEN j < m - 1
+                THEN ((media_id * 37 + (((j + 1) * 8000) // {AUDIO_RESAMPLE_RATE}) * 11) % 201 - 100)
+           END AS sk
+    FROM s
+),
+agg AS (
+    SELECT media_id, m,
+           SUM(sj)::DOUBLE / COUNT(*)::DOUBLE AS mean_amp,
+           SUM(CASE WHEN sj * sk < 0 THEN 1 ELSE 0 END)::BIGINT AS zero_crossings
+    FROM v GROUP BY 1, 2
+)
+SELECT media_id, {AUDIO_RESAMPLE_RATE}::INT AS sample_rate, m::INT AS n_samples,
+       m::DOUBLE / {AUDIO_RESAMPLE_RATE} AS duration_s, mean_amp, zero_crossings
+FROM agg
+"""
+
+
+@register("audio_resample_features", AUDIO_RESAMPLE_ORACLE)
+def q_audio_resample_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-normalize stage of an audio pipeline: FAUD clips (8 kHz) are
+    decoded, nearest-sample-resampled to {AUDIO_RESAMPLE_RATE} Hz with exact
+    integer floor indexing, re-encoded as REAL RIFF/WAV, and the WAV corpus is
+    decoded again (stdlib ``wave``) for features — the audio twin of
+    `image_resize_features`, hash-checked end-to-end against a SQL replay
+    (operators/multimodal.resample_audio + extract_audio_features)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.multimodal import (
+        extract_audio_features,
+        resample_audio,
+        synthesize_audio_payloads,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(8000).cast("int").alias("sample_rate"),
+        (F.col("doc_id") % 400 + 100).cast("int").alias("n_samples"),
+    )
+    resampled = resample_audio(synthesize_audio_payloads(media), AUDIO_RESAMPLE_RATE)
+    return extract_audio_features(resampled)

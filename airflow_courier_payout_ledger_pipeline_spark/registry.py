@@ -362,6 +362,7 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "dedup_pq_hamming2",
     "dedup_span_scrub",
     "image_resize_features",
+    "audio_resample_features",
 ]
 
 

@@ -439,3 +439,41 @@ def test_resize_images_rejects_degenerate_targets(spark):
     media = spark.createDataFrame([(1, bytearray(b"x"))], "media_id long, payload binary")
     with _pytest.raises(ValueError, match="target dims"):
         resize_images(media, 0, 4)
+
+
+def test_resample_audio_nearest_sample_exact_and_wav_roundtrip(spark):
+    """Floor-index resampling must read exactly source sample (j*sr)//tr, the
+    output must be real stdlib-decodable WAV at the target rate, and both
+    down- and upsampling use the same formula."""
+    import numpy as np
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.multimodal import (
+        _decode_audio,
+        encode_fake_audio,
+        resample_audio,
+    )
+
+    media = spark.createDataFrame(
+        [(3, bytearray(encode_fake_audio(3, 8000, 40)))], "media_id long, payload binary"
+    )
+    src = ((3 * 37 + np.arange(40, dtype=np.int64) * 11) % 201 - 100)
+    for tr in (6000, 16000):
+        [row] = resample_audio(media, tr).collect()
+        m = (40 * tr) // 8000
+        assert (row.src_rate, row.sample_rate, row.n_samples) == (8000, tr, m)
+        sr2, n2, c2, s2 = _decode_audio(bytes(row.payload))
+        assert (sr2, n2, c2) == (tr, m, 1)
+        want = src[(np.arange(m, dtype=np.int64) * 8000) // tr]
+        assert s2.tolist() == want.tolist()
+
+
+def test_resample_audio_rejects_degenerate_rate(spark):
+    import pytest as _pytest
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.multimodal import (
+        resample_audio,
+    )
+
+    media = spark.createDataFrame([(1, bytearray(b"x"))], "media_id long, payload binary")
+    with _pytest.raises(ValueError, match="target_rate"):
+        resample_audio(media, 0)
