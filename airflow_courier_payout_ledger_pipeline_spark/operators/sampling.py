@@ -245,7 +245,16 @@ def dsir_importance_scores(
     integer arithmetic (Python's correctly-rounded int/int division); an
     oracle computing the same quotient from BIGINT products gets the same
     double as long as both products stay < 2^53 (corpora to ~10^15 grams —
-    beyond 100 TB of text).
+    beyond 100 TB of text). Each ratio is then FLOOR-QUANTIZED to a multiple
+    of 2^-20 (floor is unambiguous where round-half rules differ; ×2^20 and
+    ÷2^20 are exact power-of-two scalings), which makes the per-doc SUM
+    order-free EXACT — every partial sum is a multiple of 2^-20, exactly
+    representable while the doc's ratio total stays < 2^33 — so the mean
+    cannot flip round(·, 4) at a boundary under a different aggregation
+    order, and ``dsir_resample``'s keep/drop membership derived from the
+    rounded score is partitioning-independent by construction (a plain
+    float avg's fold order is not, and here it would decide row membership,
+    not just a displayed value).
 
     Scale shape: TWO corpus passes, ONE exchange each — (1) the O(B)-row
     count state (``dsir_gram_counts``, collected like the CMS state), (2)
@@ -261,9 +270,15 @@ def dsir_importance_scores(
              dsir_gram_counts(docs, target, buckets, text_col).collect()}
     big_r = sum(v[0] for v in state.values())
     big_t = sum(v[1] for v in state.values())
+    import math  # noqa: PLC0415
+
     ratios = [
-        ((state.get(b, (0, 0))[1] + 1) * (big_r + buckets))
-        / ((state.get(b, (0, 0))[0] + 1) * (big_t + buckets))
+        math.floor(
+            ((state.get(b, (0, 0))[1] + 1) * (big_r + buckets))
+            / ((state.get(b, (0, 0))[0] + 1) * (big_t + buckets))
+            * 1048576.0
+        )
+        / 1048576.0
         for b in range(buckets)
     ]
     ws = F.split(normalize_text(F.col(text_col)), " ")

@@ -848,8 +848,14 @@ def semdedup_pairs(
             r["cluster"]: max((r["__csize"] + max_cluster - 1) // max_cluster, 1)
             for r in size_rows
         }
-        shard_map = F.create_map(
-            *[F.lit(x) for c in sorted(nshards) for x in (c, nshards[c])]
+        # empty corpus → no size rows → F.create_map() would type as
+        # map<void,void> and fail analysis on an int-keyed lookup (cold-start
+        # increment against persisted centroids); a constant divisor of 1 is
+        # the correct degenerate shard count for zero rows
+        shard_map = (
+            F.create_map(*[F.lit(x) for c in sorted(nshards) for x in (c, nshards[c])])
+            if nshards
+            else None
         )
         draw = F.conv(
             F.substring(
@@ -858,10 +864,12 @@ def semdedup_pairs(
             16,
             10,
         ).cast("long")
-        assigned = assigned.withColumn(
-            "shard",
-            (draw % F.coalesce(shard_map[F.col("cluster")], F.lit(1))).cast("int"),
+        divisor = (
+            F.coalesce(shard_map[F.col("cluster")], F.lit(1))
+            if shard_map is not None
+            else F.lit(1)
         )
+        assigned = assigned.withColumn("shard", (draw % divisor).cast("int"))
         keys = ["cluster", "shard"]
     a = assigned.select(
         *keys,

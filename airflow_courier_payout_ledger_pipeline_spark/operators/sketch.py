@@ -154,19 +154,36 @@ def merge_cms_states(a: DataFrame, b: DataFrame) -> DataFrame:
     associative, commutative, increment-order-free. Merging states built at
     DIFFERENT widths is meaningless (the same bucket id indexes different hash
     ranges), so the merged width column raises lazily on mismatch instead of
-    producing a silently wrong state."""
-    return (
-        a.unionByName(b)
-        .groupBy("seed", "bucket")
-        .agg(
-            F.sum("cnt").alias("cnt"),
-            F.when(
-                F.min("width") != F.max("width"),
-                F.raise_error(F.lit("CMS width mismatch between merged states")),
-            )
-            .otherwise(F.max("width"))
-            .alias("width"),
+    producing a silently wrong state. The check is GLOBAL — a 1-row width
+    bounds agg broadcast-crossed back in (the state is ≤ depth×width rows, so
+    this costs nothing) — because a per-(seed, bucket)-group check would pass
+    silently whenever the two states' occupied buckets don't overlap (sparse
+    states realistically have disjoint buckets). Pre-width-column persisted
+    states (schema seed/bucket/cnt) merge through the legacy path — no width
+    column in, none out; drift detection for those stays data-only, as
+    ``_state_width`` documents."""
+    has_w_a, has_w_b = "width" in a.columns, "width" in b.columns
+    if not (has_w_a and has_w_b):
+        # legacy states: strip a one-sided width (unknowable overall) and merge
+        u = a.select("seed", "bucket", "cnt").unionByName(
+            b.select("seed", "bucket", "cnt")
         )
+        return u.groupBy("seed", "bucket").agg(F.sum("cnt").alias("cnt"))
+    u = a.unionByName(b)
+    bounds = u.agg(F.min("width").alias("__wmin"), F.max("width").alias("__wmax"))
+    merged = u.groupBy("seed", "bucket").agg(
+        F.sum("cnt").alias("cnt"), F.max("width").alias("__w")
+    )
+    return merged.crossJoin(F.broadcast(bounds)).select(
+        "seed",
+        "bucket",
+        "cnt",
+        F.when(
+            F.col("__wmin") != F.col("__wmax"),
+            F.raise_error(F.lit("CMS width mismatch between merged states")),
+        )
+        .otherwise(F.col("__w"))
+        .alias("width"),
     )
 
 

@@ -875,6 +875,14 @@ def q_dedup_pq_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     position — while the join compares 8-byte signatures, never vectors. The
     oracle states the naive all-pairs comparison; the banded plan must return
     identical rows (operators/similarity.pq_hamming_pairs)."""
+    return _pq_hamming_query(spark, sf_dir, 1)
+
+
+def _pq_hamming_query(spark: SparkSession, sf_dir: str, h: int) -> DataFrame:
+    """Shared body for the PQ-Hamming queries: one place owns the seed rule
+    (lowest-PQ_KC ids, float-coerced) and the codebook build, so the h=1 and
+    h=2 registrations cannot drift from each other or from the shared
+    _pq_hamming_oracle template."""
     from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
         pq_codebooks_from_seeds,
         pq_hamming_pairs,
@@ -885,7 +893,7 @@ def q_dedup_pq_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
         for r in emb.filter(F.col("vec_id") < PQ_KC).select("vec_id", "embedding").collect()
     ]
-    return pq_hamming_pairs(emb, pq_codebooks_from_seeds(seeds, PQ_M))
+    return pq_hamming_pairs(emb, pq_codebooks_from_seeds(seeds, PQ_M), max_hamming=h)
 
 
 @register("dedup_pq_hamming2", _pq_hamming_oracle(2))
@@ -898,17 +906,7 @@ def q_dedup_pq_hamming2(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out is C(8,2)=28 signatures per row vs 8 at h=1 — the linear-in-bands
     cost of radius, never a quadratic pair scan. Same all-pairs oracle at the
     wider threshold (operators/similarity.pq_hamming_pairs, max_hamming=2)."""
-    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
-        pq_codebooks_from_seeds,
-        pq_hamming_pairs,
-    )
-
-    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    seeds = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.filter(F.col("vec_id") < PQ_KC).select("vec_id", "embedding").collect()
-    ]
-    return pq_hamming_pairs(emb, pq_codebooks_from_seeds(seeds, PQ_M), max_hamming=2)
+    return _pq_hamming_query(spark, sf_dir, 2)
 
 
 IVF_PQ_ORACLE = f"""
@@ -4816,7 +4814,9 @@ def q_score_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mean. The per-gram ratio is exact cross-engine: Spark computes it driver-side
 # with Python's exact int/int division; here both BIGINT products are exact in
 # DOUBLE (< 2^53 far beyond bench scale), so the single division is the same
-# correctly-rounded quotient.
+# correctly-rounded quotient. The floor-quantization to 2^-20 multiples
+# (replayed below) makes the per-doc SUM order-free exact — see the operator
+# docstring — so avg's aggregation order can never flip round(·,4).
 DSIR_ORACLE = f"""
 WITH w AS (
     SELECT doc_id, (lang = 'en') AS t, string_split({NORM}, ' ') AS ws
@@ -4846,8 +4846,9 @@ cnt AS (
 tot AS (SELECT SUM(raw_n)::BIGINT AS big_r, SUM(tgt_n)::BIGINT AS big_t FROM cnt),
 r AS (
     SELECT gb.doc_id,
-           CAST((c.tgt_n + 1) * (tot.big_r + 1024) AS DOUBLE)
-         / CAST((c.raw_n + 1) * (tot.big_t + 1024) AS DOUBLE) AS ratio
+           floor(CAST((c.tgt_n + 1) * (tot.big_r + 1024) AS DOUBLE)
+                 / CAST((c.raw_n + 1) * (tot.big_t + 1024) AS DOUBLE)
+                 * 1048576) / 1048576 AS ratio
     FROM gb JOIN cnt c USING (bucket) CROSS JOIN tot
 )
 SELECT doc_id, count(*)::BIGINT AS n_grams, round(avg(ratio), 4) AS dsir_score

@@ -288,9 +288,13 @@ def sweep_stale_staging(
     portable — no dialect-specific catalog queries); the match is
     case-insensitive (unquoted identifiers case-fold, e.g. Derby upper-cases)
     and anchored to the exact ``_stg_`` + 12-hex-digit shape so the target
-    itself or a human-named table can never match. Each DROP is its own
-    statement so one vanished table (swept by a racing startup) doesn't abort
-    the rest."""
+    itself or a human-named table can never match. DROPs are SCHEMA-QUALIFIED
+    from the metadata row — an orphan in a non-default schema would otherwise
+    resolve (and fail, or worse, drop a name-twin) in the connection's default
+    schema. Each DROP is its own statement; a table that vanished between
+    listing and drop (a racing startup's sweep) is skipped, but any OTHER drop
+    failure (permissions, locks) re-raises — a sweep that silently leaves
+    orphans behind defeats its purpose."""
     import re  # noqa: PLC0415
 
     pat = re.compile(re.escape(target) + r"_stg_[0-9a-f]{12}$", re.IGNORECASE)
@@ -303,21 +307,29 @@ def sweep_stale_staging(
         gw = spark.sparkContext._gateway
         types = gw.new_array(gw.jvm.java.lang.String, 1)
         types[0] = "TABLE"
-        rs = conn.getMetaData().getTables(None, None, None, types)
+        meta = conn.getMetaData()
+        rs = meta.getTables(None, None, None, types)
         stale = []
         while rs.next():
             name = rs.getString("TABLE_NAME")
             if name and pat.fullmatch(name):
-                stale.append(name)
+                stale.append((rs.getString("TABLE_SCHEM"), name))
         rs.close()
         stmt = conn.createStatement()
         try:
-            for name in sorted(stale):
+            for schem, name in sorted(stale, key=lambda t: (t[0] or "", t[1])):
+                qualified = f"{_q(schem)}.{_q(name)}" if schem else _q(name)
                 try:
-                    stmt.execute(f"DROP TABLE {_q(name)}")
+                    stmt.execute(f"DROP TABLE {qualified}")
                     swept.append(name)
                 except Exception:
-                    pass  # racing sweep already dropped it
+                    # vanished (racing sweep) → skip; still listed → real
+                    # failure, surface it
+                    chk = meta.getTables(None, schem, name, types)
+                    still_there = chk.next()
+                    chk.close()
+                    if still_there:
+                        raise
         finally:
             stmt.close()
     finally:

@@ -212,6 +212,19 @@ def run_available_now(
     if state_partitions is not None:
         try:
             scoped = spark.newSession()
+            # newSession() starts from DEFAULT conf, not the caller's runtime
+            # conf — copy the caller's effective session conf first (timezone,
+            # ANSI/arrow toggles, ...) so the clone differs in EXACTLY the one
+            # pin below; otherwise e.g. a non-UTC session-timezone probe would
+            # silently not apply to the drained plan. Static/immutable entries
+            # are skipped (conf.set raises on them).
+            it = spark._jsparkSession.sessionState().conf().getAllConfs().iterator()
+            while it.hasNext():
+                kv = it.next()
+                try:
+                    scoped.conf.set(kv._1(), kv._2())
+                except Exception:
+                    pass  # static conf (warehouse dir, extensions) — unsettable
             scoped.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
             jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
                 scoped._jsparkSession, stream_df._jdf.logicalPlan()

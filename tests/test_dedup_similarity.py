@@ -495,3 +495,18 @@ def test_span_scrub_shuffle_budget(spark):
     ]
     assert len(shuffles) <= 4, shuffles
     assert "CartesianProduct" not in plan
+
+
+def test_semdedup_capped_empty_corpus_is_empty_not_a_crash(spark):
+    """Cold start at deployment: persisted centroids + an empty (or fully
+    filtered) embedding increment, with the cluster cap ON. The collected
+    size table is empty; the literal shard map must degrade to a constant
+    divisor, not an empty create_map() whose void key type fails analysis."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        semdedup_pairs,
+    )
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = semdedup_pairs(emb, [(0, [1.0, 0.0]), (1, [0.0, 1.0])], 0.5, max_cluster=10)
+    assert out.count() == 0
+    assert out.columns == ["cluster", "id_a", "id_b", "sim"]

@@ -310,3 +310,33 @@ def test_cms_candidate_expr_impossible_threshold_is_false(spark):
     # -> the predicate short-circuits to literal FALSE
     expr = cms_candidate_expr(state_rows, "term", 10_000)
     assert words.filter(expr).count() == 0
+
+
+def test_cms_merge_mismatched_widths_raises_even_with_disjoint_buckets(spark):
+    """The width check must be GLOBAL: two mismatched-width states whose
+    occupied buckets do not overlap (realistic for sparse states) must still
+    raise — a per-(seed,bucket)-group check would pass them silently and
+    persist a meaningless mixed-width artifact."""
+    import pytest as _pytest
+
+    a = spark.createDataFrame([(0, 5, 3, 512)], "seed int, bucket long, cnt long, width int")
+    b = spark.createDataFrame([(0, 900, 2, 1024)], "seed int, bucket long, cnt long, width int")
+    with _pytest.raises(Exception, match="width mismatch"):
+        merge_cms_states(a, b).collect()
+
+
+def test_cms_merge_legacy_widthless_states_still_fold(spark):
+    """States persisted before the width column existed (schema
+    seed/bucket/cnt) must keep merging — bucket-wise sum, no width column in
+    the output — instead of failing on an unresolved column."""
+    a = spark.createDataFrame([(0, 5, 3), (1, 9, 1)], "seed int, bucket long, cnt long")
+    b = spark.createDataFrame([(0, 5, 2), (0, 7, 4)], "seed int, bucket long, cnt long")
+    out = merge_cms_states(a, b)
+    assert out.columns == ["seed", "bucket", "cnt"]
+    got = sorted((r.seed, r.bucket, r.cnt) for r in out.collect())
+    assert got == [(0, 5, 5), (0, 7, 4), (1, 9, 1)]
+    # mixed old+new: the one-sided width is unknowable overall -> legacy path
+    c = cms_state(_words(spark), "term")
+    mixed = merge_cms_states(a, c)
+    assert "width" not in mixed.columns
+    assert mixed.count() > 0

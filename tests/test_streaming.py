@@ -83,3 +83,21 @@ def test_run_available_now_leaves_caller_session_conf_untouched(spark):
     assert got.sparkSession.conf.get("spark.sql.shuffle.partitions") == "4"
     # the memory sink registered in the clone, not the caller's catalog
     assert not spark.catalog.tableExists("stream_conf_scope")
+    # the clone INHERITS the caller's runtime conf (newSession() alone would
+    # reset to defaults — e.g. a non-UTC session timezone must reach the
+    # drained plan, or timezone probes over streaming queries test nothing)
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try:
+        got2 = run_available_now(
+            windowed_counts_stream(read_event_stream(spark, SF_DIR)),
+            "stream_conf_scope_tz",
+            state_partitions=4,
+        )
+        assert (
+            got2.sparkSession.conf.get("spark.sql.session.timeZone")
+            == "Asia/Kolkata"
+        )
+        assert got2.count() > 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
