@@ -477,3 +477,27 @@ def test_resample_audio_rejects_degenerate_rate(spark):
     media = spark.createDataFrame([(1, bytearray(b"x"))], "media_id long, payload binary")
     with _pytest.raises(ValueError, match="target_rate"):
         resample_audio(media, 0)
+
+
+def test_resize_and_resample_plans_are_pure_map_stages(spark):
+    """The media normalize stages (synthesize -> transform -> re-decode ->
+    features) must stay entirely map-side: three chained Arrow MapInPandas
+    stages, ZERO shuffle exchanges, and never row-at-a-time Python."""
+    from airflow_courier_payout_ledger_pipeline_spark.registry import all_queries
+
+    qs = all_queries()
+    for name in ("image_resize_features", "audio_resample_features"):
+        plan = (
+            qs[name](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        shuffles = [
+            line
+            for line in plan.splitlines()
+            if "Exchange" in line and "BroadcastExchange" not in line
+        ]
+        assert not shuffles, (name, shuffles)
+        assert plan.count("MapInPandas") == 3, name
+        assert "BatchEvalPython" not in plan, name

@@ -313,3 +313,20 @@ def test_dsir_scores_partition_invariant(spark):
         ).collect()
     }
     assert one == many
+
+
+def test_dsir_resample_adds_no_exchange_over_scoring(spark):
+    """The keep/drop draw is a map-side predicate over the scoring output:
+    same single doc-grain exchange as dsir_importance, no join, no extra
+    shuffle for the selection step."""
+    from airflow_courier_payout_ledger_pipeline_spark.registry import all_queries
+
+    df = all_queries()["dsir_resample"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    shuffles = [
+        line
+        for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    ]
+    assert len(shuffles) == 1, shuffles
+    assert "Join" not in plan
