@@ -285,16 +285,21 @@ def sweep_stale_staging(
     the sweep to a moment it owns the target.
 
     Table discovery goes through JDBC ``DatabaseMetaData.getTables`` (engine-
-    portable — no dialect-specific catalog queries); the match is
-    case-insensitive (unquoted identifiers case-fold, e.g. Derby upper-cases)
-    and anchored to the exact ``_stg_`` + 12-hex-digit shape so the target
-    itself or a human-named table can never match. DROPs are SCHEMA-QUALIFIED
-    from the metadata row — an orphan in a non-default schema would otherwise
-    resolve (and fail, or worse, drop a name-twin) in the connection's default
-    schema. Each DROP is its own statement; a table that vanished between
-    listing and drop (a racing startup's sweep) is skipped, but any OTHER drop
-    failure (permissions, locks) re-raises — a sweep that silently leaves
-    orphans behind defeats its purpose."""
+    portable — no dialect-specific catalog queries) RESTRICTED to the
+    connection's CURRENT catalog + schema: staging tables are created
+    unqualified in their creator's default schema, so a same-shaped name in
+    another schema/catalog belongs to a DIFFERENT deployment of the same
+    pipeline (dev/prod schemas in one database) whose live staging table this
+    sweep must never touch — the startup-sweep-then-write ownership argument
+    only holds within one schema. The name match is case-insensitive
+    (unquoted identifiers case-fold, e.g. Derby upper-cases) and anchored to
+    the exact ``_stg_`` + 12-hex-digit shape so the target itself or a
+    human-named table can never match. Each DROP is its own statement; a
+    table that vanished between listing and drop (a racing startup's sweep)
+    is skipped — the existence re-check escapes JDBC LIKE wildcards
+    (``getSearchStringEscape``; ``_stg_``'s underscores would otherwise match
+    name-twins) — but any OTHER drop failure (permissions, locks) re-raises:
+    a sweep that silently leaves orphans behind defeats its purpose."""
     import re  # noqa: PLC0415
 
     pat = re.compile(re.escape(target) + r"_stg_[0-9a-f]{12}$", re.IGNORECASE)
@@ -308,24 +313,34 @@ def sweep_stale_staging(
         types = gw.new_array(gw.jvm.java.lang.String, 1)
         types[0] = "TABLE"
         meta = conn.getMetaData()
-        rs = meta.getTables(None, None, None, types)
+        esc = meta.getSearchStringEscape()
+
+        def _like_exact(s: str) -> str:
+            return (
+                s.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
+            )
+
+        catalog, schema = conn.getCatalog(), conn.getSchema()
+        schema_pat = _like_exact(schema) if schema else None
+        rs = meta.getTables(catalog, schema_pat, None, types)
         stale = []
         while rs.next():
             name = rs.getString("TABLE_NAME")
             if name and pat.fullmatch(name):
-                stale.append((rs.getString("TABLE_SCHEM"), name))
+                stale.append(name)
         rs.close()
         stmt = conn.createStatement()
         try:
-            for schem, name in sorted(stale, key=lambda t: (t[0] or "", t[1])):
-                qualified = f"{_q(schem)}.{_q(name)}" if schem else _q(name)
+            for name in sorted(stale):
                 try:
-                    stmt.execute(f"DROP TABLE {qualified}")
+                    # unqualified, like the creator wrote it: the listing is
+                    # already scoped to this connection's schema
+                    stmt.execute(f"DROP TABLE {_q(name)}")
                     swept.append(name)
                 except Exception:
                     # vanished (racing sweep) → skip; still listed → real
                     # failure, surface it
-                    chk = meta.getTables(None, schem, name, types)
+                    chk = meta.getTables(catalog, schema_pat, _like_exact(name), types)
                     still_there = chk.next()
                     chk.close()
                     if still_there:

@@ -211,23 +211,17 @@ def run_available_now(
     run_df, scoped = stream_df, None
     if state_partitions is not None:
         try:
-            scoped = spark.newSession()
-            # newSession() starts from DEFAULT conf, not the caller's runtime
-            # conf — copy the caller's effective session conf first (timezone,
-            # ANSI/arrow toggles, ...) so the clone differs in EXACTLY the one
+            # cloneSession (not newSession, which resets to DEFAULT conf)
+            # inherits the caller's full session state — runtime conf
+            # (timezone, ANSI/arrow toggles), temp views, UDFs — in one JVM
+            # call, so the clone differs from the caller in EXACTLY the one
             # pin below; otherwise e.g. a non-UTC session-timezone probe would
-            # silently not apply to the drained plan. Static/immutable entries
-            # are skipped (conf.set raises on them).
-            it = spark._jsparkSession.sessionState().conf().getAllConfs().iterator()
-            while it.hasNext():
-                kv = it.next()
-                try:
-                    scoped.conf.set(kv._1(), kv._2())
-                except Exception:
-                    pass  # static conf (warehouse dir, extensions) — unsettable
+            # silently not apply to the drained plan.
+            jclone = spark._jsparkSession.cloneSession()
+            scoped = SparkSession(spark.sparkContext, jclone)
             scoped.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
             jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
-                scoped._jsparkSession, stream_df._jdf.logicalPlan()
+                jclone, stream_df._jdf.logicalPlan()
             )
             run_df = DataFrame(jdf, scoped)
         except Exception:  # pragma: no cover - internal-API drift fallback
