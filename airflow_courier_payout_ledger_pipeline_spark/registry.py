@@ -363,6 +363,11 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "dedup_span_scrub",
     "image_resize_features",
     "audio_resample_features",
+    # -- r7-changed (run_available_now clone scoping) with no r7 window slot:
+    #    6 sibling streaming queries re-prove the change in the active window;
+    #    these two complete the family next round --
+    "streaming_static_enrich",
+    "session_window_native",
 ]
 
 
