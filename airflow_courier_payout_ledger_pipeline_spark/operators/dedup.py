@@ -210,6 +210,25 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 12) -> DataFrame:
     return xs.groupBy("id").agg(*aggs)
 
 
+def _band_entries(bands: int, rows: int) -> Column:
+    """The (band, band_hash) struct array — ONE definition of the band-hash
+    scheme (separator, hash, layout). This is the persisted-index contract
+    shared by self-join candidates, the cross-corpus probe, and any stored
+    band buckets: two copies drifting apart would silently stop increments
+    matching historical buckets."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def lsh_bands(signatures: DataFrame, bands: int, rows: int) -> DataFrame:
     """Signature → (id, band, band_hash): hash each band of ``rows`` consecutive
     minhashes. Docs agreeing on any band become candidates.
@@ -217,20 +236,7 @@ def lsh_bands(signatures: DataFrame, bands: int, rows: int) -> DataFrame:
     Built as one explode over an array of (band, hash) structs — a single pass over
     the signatures (a per-band union would recompute the signature aggregation
     once per band)."""
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.col(f"h{b * rows + r}") for r in range(rows)]
-                    )
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    )
-    return signatures.select("id", F.explode(entries).alias("__b")).select(
+    return signatures.select("id", F.explode(_band_entries(bands, rows)).alias("__b")).select(
         "id", F.col("__b.band").alias("band"), F.col("__b.band_hash").alias("band_hash")
     )
 
@@ -262,29 +268,37 @@ def lsh_candidate_pairs(
     ``queries_ext.LSH_MAX_BUCKET`` and its oracle mirrors the cap as a
     HAVING-filtered bucket CTE; None disables the guard for exact all-pairs
     candidate generation."""
+    from pyspark.sql.window import Window
+
     num_hashes = len([c for c in signatures.columns if c.startswith("h")])
     hcols = [f"h{j}" for j in range(num_hashes)]
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    )
+    # NULL-text docs carry all-NULL signatures (normalize_text(NULL) is NULL);
+    # concat_ws skips NULLs, so every such doc's band_hash would collapse to
+    # md5('') and the whole NULL pile would bucket together, emitting up to
+    # n**2/2 meaningless candidates — exclude them (a doc with no content has
+    # no near-dup signature; exact dedup still fingerprints it)
+    signatures = signatures.filter(F.col(hcols[0]).isNotNull()) if hcols else signatures
     bt = signatures.select(
-        "id", F.array(*hcols).alias("sig"), F.explode(entries).alias("__b")
+        "id", F.array(*hcols).alias("sig"), F.explode(_band_entries(bands, rows)).alias("__b")
     ).select("id", "sig", F.col("__b.band"), F.col("__b.band_hash"))
+    if max_bucket is not None:
+        # cap BEFORE collecting: a window count over the same (band, band_hash)
+        # partitioning drops pathological buckets' rows up front (no extra
+        # exchange — the groupBy below reuses the partitioning), so an
+        # identical-content pile is never materialized as one giant array in a
+        # single aggregation buffer only to be size-filtered afterwards
+        bt = (
+            bt.withColumn(
+                "__bsz", F.count("*").over(Window.partitionBy("band", "band_hash"))
+            )
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
     buckets = (
         bt.groupBy("band", "band_hash")
         .agg(F.collect_list(F.struct("id", "sig")).alias("members"))
         .filter(F.size("members") > 1)
     )
-    if max_bucket is not None:
-        buckets = buckets.filter(F.size("members") <= max_bucket)
     pairs = buckets.select(
         F.posexplode("members").alias("__i", "a"), "members"
     ).select(
@@ -323,7 +337,14 @@ def verify_pairs_ngram_jaccard(
     """Stage-2 verification: exact n-gram Jaccard computed ONLY for candidate
     pairs (id_a < id_b), joined back to the full gram sets — the production
     two-stage shape where stage 1 (LSH) bounds the pair count and this stage
-    never touches the n² space. Cost: |candidates| × doc size."""
+    never touches the n² space. Cost: |candidates| × doc size.
+
+    CONTRACT: a candidate pair sharing ZERO n-grams produces no output row
+    (the intersection join has nothing to count), even at min_jaccard=0.0 —
+    LSH candidates share a shingle band, not necessarily a word n-gram.
+    Callers that need every candidate scored LEFT-join this result back onto
+    the candidate set with coalesce(jaccard, 0.0), as `minhash_calibration`
+    does (its oracle mirrors the same left join)."""
     sizes = grams.groupBy("id").agg(F.count("*").alias("n"))
     fa = grams.select(F.col("id").alias("id_a"), "ngram")
     fb = grams.select(F.col("id").alias("id_b"), "ngram")
@@ -368,8 +389,10 @@ def ngram_jaccard_pairs(
     near-dup pairs share many grams, overwhelmingly non-hot ones (cap 20 loses
     zero true pairs on the test corpora at every SF, measured).
 
-    Capped-path shape (the scale path): inverted index as (ngram → id list)
-    buckets where the df cap is just a bucket-size filter; in-bucket pair
+    Capped-path shape (the scale path): doc frequency via a window over the
+    ngram partitioning drops hot-gram rows BEFORE the (ngram → id list)
+    buckets are collected (the cap bounds aggregation memory, not just
+    output); in-bucket pair
     explode counts each pair's shared-rare-gram count c in one pass. Before the
     expensive full-set verification join, pairs are pre-filtered by a SOUND
     Jaccard upper bound — the true intersection is ≤ c + min(hot_a, hot_b)
@@ -390,9 +413,20 @@ def ngram_jaccard_pairs(
             .agg(F.count("*").alias("inter"))
         )
     else:
-        buckets = grams.groupBy("ngram").agg(F.collect_list("id").alias("ids"))
-        small = buckets.filter(
-            (F.size("ids") >= 2) & (F.size("ids") <= max_doc_freq)
+        # df via a window over the SAME ngram partitioning the bucket agg needs
+        # (no extra exchange), so hot-bucket rows are dropped BEFORE any
+        # collect_list — a corpus-wide hot phrase is never materialized as one
+        # multi-million-element array in a single aggregation buffer only to be
+        # size-filtered afterwards (the cap must bound memory, not just output)
+        from pyspark.sql.window import Window
+
+        gdf = grams.withColumn(
+            "__df", F.count("*").over(Window.partitionBy("ngram"))
+        )
+        small = (
+            gdf.filter((F.col("__df") >= 2) & (F.col("__df") <= max_doc_freq))
+            .groupBy("ngram")
+            .agg(F.collect_list("id").alias("ids"))
         )
         cooc = (
             small.select(F.posexplode("ids").alias("__i", "pa"), "ids")
@@ -411,8 +445,7 @@ def ngram_jaccard_pairs(
         )
         # per-doc gram budget: n total, nh of them hot (df > cap)
         nhot = (
-            buckets.filter(F.size("ids") > max_doc_freq)
-            .select(F.explode("ids").alias("id"))
+            gdf.filter(F.col("__df") > max_doc_freq)
             .groupBy("id")
             .agg(F.count("*").alias("nh"))
         )
@@ -435,15 +468,10 @@ def ngram_jaccard_pairs(
             iub.cast("double") / (F.col("na") + F.col("nb") - iub).cast("double")
             >= F.lit(min_jaccard)
         ).select("id_a", "id_b")
-        # exact verification over the FULL gram sets, only for survivors
-        fa = grams.select(F.col("id").alias("id_a"), "ngram")
-        fb = grams.select(F.col("id").alias("id_b"), "ngram")
-        inter = (
-            cand.join(fa, "id_a")
-            .join(fb, ["id_b", "ngram"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("inter"))
-        )
+        # exact verification over the FULL gram sets, only for survivors —
+        # ONE implementation of the verify join (a drifted copy here was the
+        # three-places-to-fix maintenance trap)
+        return verify_pairs_ngram_jaccard(cand, grams, min_jaccard)
     return (
         inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
         .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
@@ -470,7 +498,17 @@ SIMHASH_BITS = 32
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """SimHash per document: each token votes ±1 on each of the fingerprint's bits
     (taken from its md5 nibbles); fingerprint bit = sign of the vote sum.
-    Returns (id, simhash int64)."""
+    Returns (id, simhash int64).
+
+    CONTRACT: a document whose normalized text is empty (or NULL) has NO
+    tokens, hence no votes, hence NO output row — SimHash of nothing is
+    undefined, and emitting an arbitrary all-zeros fingerprint would make
+    every empty doc a Hamming-0 "near-dup" of any doc that happens to hash
+    near zero. Empty/identical-empty documents are exact duplicates and are
+    collapsed by the fingerprint path (``exact_dedup`` emits a row for every
+    doc); pipelines joining simhash output back to the corpus should
+    left-join. The DuckDB oracle replays the same token filter, so both
+    engines agree row-for-row."""
     tokens = (
         df.select(
             F.col(id_col).alias("id"),

@@ -160,7 +160,7 @@ def bucketed_ann_topk(
     )
 
 
-def _assign_to_centroids(df: DataFrame, centroids: list[tuple[int, list[float]]], vec_col: str) -> Column:
+def _assign_to_centroids(centroids: list[tuple[int, list[float]]], vec_col: str) -> Column:
     """Column: id of the nearest centroid (squared L2), ties to the lower id.
     Centroids are driver-side state (O(k·dim) — the standard MLlib layout) unrolled
     into a codegen'd expression, so assignment is a pure map stage.
@@ -209,9 +209,8 @@ def kmeans_centroids(
     for _ in range(iters):
         assigned = emb.select(
             F.col(vec_col).alias("__v"),
-            _assign_to_centroids(emb, centroids, vec_col).alias("__c"),
+            _assign_to_centroids(centroids, vec_col).alias("__c"),
         )
-        dim = len(centroids[0][1])
         means = (
             assigned.select(
                 "__c", F.posexplode(F.col("__v").cast("array<double>")).alias("__p", "__x")
@@ -274,7 +273,7 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         norm(F.col(vec_col)).alias("__cn"),
-        _assign_to_centroids(corpus, centroids, vec_col).alias("centroid"),
+        _assign_to_centroids(centroids, vec_col).alias("centroid"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -451,7 +450,21 @@ def pq_codebooks_from_seeds(
 
 def _pq_codes(vec_col: str, codebooks: list[list[list[float]]]) -> Column:
     """array<tinyint> of per-subspace argmin codebook entries (ties → lower
-    centroid id, via struct-ordered array_min)."""
+    centroid id, via struct-ordered array_min).
+
+    TINYINT holds codes 0..127 only (Spark tinyint is signed): a codebook with
+    more entries would produce codes ≥ 128 whose cast OVERFLOWS at runtime
+    under Spark 4's default ANSI mode — killing the job AFTER the expensive
+    distance work — so it raises here at plan-construction time instead. The
+    standard 256-centroid-per-subspace PQ layout needs the code column widened
+    to SMALLINT (a one-line change, plus re-encoding any persisted codes)."""
+    for j, book in enumerate(codebooks):
+        if len(book) > 128:
+            raise ValueError(
+                f"PQ codebook {j} has {len(book)} entries; codes >= 128 overflow "
+                "the TINYINT code type under ANSI mode — widen pq_codes to "
+                "SMALLINT (and re-encode persisted codes) for k > 128"
+            )
     sub = len(codebooks[0][0])
     per_j = []
     for j, book in enumerate(codebooks):
@@ -604,7 +617,7 @@ def ivf_pq_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _pq_codes(vec_col, codebooks).alias("pq_codes"),
-        _assign_to_centroids(corpus, centroids, vec_col).alias("centroid"),
+        _assign_to_centroids(centroids, vec_col).alias("centroid"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -833,7 +846,7 @@ def semdedup_pairs(
         F.col(id_col),
         F.col(vec_col).alias("__v"),
         norm(F.col(vec_col)).alias("__n"),
-        _assign_to_centroids(emb, centroids, vec_col).alias("cluster"),
+        _assign_to_centroids(centroids, vec_col).alias("cluster"),
     )
     keys = ["cluster"]
     if max_cluster is not None:

@@ -303,7 +303,7 @@ def test_semdedup_pairs_subset_of_global_near_dups_and_cluster_scoped(spark):
     clusters = {
         r["vec_id"]: r["c"]
         for r in emb.select(
-            "vec_id", _assign_to_centroids(emb, cents, "embedding").alias("c")
+            "vec_id", _assign_to_centroids(cents, "embedding").alias("c")
         ).collect()
     }
     for r in got:
@@ -510,3 +510,60 @@ def test_semdedup_capped_empty_corpus_is_empty_not_a_crash(spark):
     out = semdedup_pairs(emb, [(0, [1.0, 0.0]), (1, [0.0, 1.0])], 0.5, max_cluster=10)
     assert out.count() == 0
     assert out.columns == ["cluster", "id_a", "id_b", "sim"]
+
+
+def test_lsh_null_text_docs_do_not_collapse_into_one_bucket(spark):
+    """NULL-text docs carry all-NULL signatures; concat_ws skips NULLs, so
+    without a guard every such doc's band hash degenerates to md5('') and the
+    whole NULL pile pairs quadratically. They must emit NO candidates (no
+    content -> no near-dup signature); real docs are unaffected."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_inline,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, None), (2, None),
+         (3, "the quick brown fox jumps over the lazy dog"),
+         (4, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    sig = minhash_signatures_inline(docs, "doc_id", "text")
+    pairs = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sig).collect()}
+    assert pairs == {(3, 4)}
+
+
+def test_lsh_bucket_cap_filters_before_collecting(spark):
+    """The skew cap must bound aggregation memory, not just output: the plan
+    filters bucket rows via a window count BEFORE collect_list, so a
+    pathological identical-content pile is never materialized as one array.
+    Results are identical to the old post-collect filter (pinned here)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_inline,
+    )
+
+    texts = [(i, "identical boilerplate content repeated everywhere") for i in range(8)]
+    texts += [(100, "something unique first"), (101, "something unique first")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    sig = minhash_signatures_inline(docs, "doc_id", "text")
+    capped = lsh_candidate_pairs(sig, max_bucket=5)
+    # the 8-doc pile exceeds the cap -> no pairs from it; the small pair stays
+    assert {(r.id_a, r.id_b) for r in capped.collect()} == {(100, 101)}
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    # the cap is a pre-collect window filter, not a post-collect size filter
+    assert "windowspecdefinition" in plan.lower() or "Window" in plan
+
+
+def test_pq_codes_reject_codebooks_beyond_tinyint(spark):
+    """Codes >= 128 overflow the signed TINYINT cast under ANSI mode at
+    runtime; the guard must raise at construction instead."""
+    import pytest as _pytest
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        pq_encode,
+    )
+
+    emb = spark.createDataFrame([(0, [1.0, 2.0])], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="SMALLINT"):
+        pq_encode(emb, [[[float(c)] for c in range(129)], [[0.0]]])

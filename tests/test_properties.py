@@ -337,7 +337,7 @@ def test_semdedup_pairs_subset_property_on_random_vectors(spark, vecs):
     clusters = {
         r["vec_id"]: r["c"]
         for r in emb.select(
-            "vec_id", _assign_to_centroids(emb, cents, "embedding").alias("c")
+            "vec_id", _assign_to_centroids(cents, "embedding").alias("c")
         ).collect()
     }
     for r in got:
