@@ -210,6 +210,10 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 12) -> DataFrame:
     return xs.groupBy("id").agg(*aggs)
 
 
+#: md5 of the empty string — the degenerate band hash of an all-NULL signature band
+_EMPTY_MD5 = "d41d8cd98f00b204e9800998ecf8427e"
+
+
 def _band_entries(bands: int, rows: int) -> Column:
     """The (band, band_hash) struct array — ONE definition of the band-hash
     scheme (separator, hash, layout). This is the persisted-index contract
@@ -272,15 +276,21 @@ def lsh_candidate_pairs(
 
     num_hashes = len([c for c in signatures.columns if c.startswith("h")])
     hcols = [f"h{j}" for j in range(num_hashes)]
-    # NULL-text docs carry all-NULL signatures (normalize_text(NULL) is NULL);
-    # concat_ws skips NULLs, so every such doc's band_hash would collapse to
-    # md5('') and the whole NULL pile would bucket together, emitting up to
-    # n**2/2 meaningless candidates — exclude them (a doc with no content has
-    # no near-dup signature; exact dedup still fingerprints it)
-    signatures = signatures.filter(F.col(hcols[0]).isNotNull()) if hcols else signatures
     bt = signatures.select(
         "id", F.array(*hcols).alias("sig"), F.explode(_band_entries(bands, rows)).alias("__b")
     ).select("id", "sig", F.col("__b.band"), F.col("__b.band_hash"))
+    # NULL-text docs carry all-NULL signatures (normalize_text(NULL) is NULL);
+    # concat_ws skips NULLs, so every such doc's band hash degenerates to
+    # md5('') and the whole NULL pile would bucket together, emitting up to
+    # n**2/2 meaningless candidates. Exclude them by comparing the COMPUTED
+    # band_hash against that constant — a doc with no content has no near-dup
+    # signature (exact dedup still fingerprints it); a present-but-empty text
+    # still shingles ('' substr-clamps to one shingle), so only all-NULL bands
+    # hit the sentinel. Filtering on h0 IS NOT NULL instead would re-inline
+    # the whole inline-signature expression tree into the pushed-down
+    # predicate (measured 13x on the sf0.1 bench) — the band_hash compare is
+    # one scalar string test on an already-computed column.
+    bt = bt.filter(F.col("band_hash") != F.lit(_EMPTY_MD5))
     if max_bucket is not None:
         # cap BEFORE collecting: a window count over the same (band, band_hash)
         # partitioning drops pathological buckets' rows up front (no extra
