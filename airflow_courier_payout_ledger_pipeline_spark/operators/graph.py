@@ -34,11 +34,16 @@ def connected_components(
     dst_col: str = "id_b",
     max_iter: int = 25,
 ) -> DataFrame:
-    """(id, component) for every node in ``nodes``; component = min node id
-    reachable through undirected ``edges``. Isolated nodes are their own
-    component. Deterministic; raises if ``max_iter`` rounds don't converge
-    (a near-dup graph needing >25 rounds of min-propagation means a chain
-    thousands of docs long — investigate the edges, don't loop forever)."""
+    """(id, component) for every node in ``nodes`` ∪ edge endpoints;
+    component = min node id reachable through undirected ``edges``. Isolated
+    nodes are their own component. Edge endpoints MISSING from ``nodes`` are
+    labeled too — dropping them would silently sever transitive reachability
+    (nodes={A,B}, edges={(A,X),(X,B)} with X unlisted must still merge A and
+    B through X; an upstream node-extraction bug would otherwise produce
+    under-merged dedup clusters instead of an error or the right answer).
+    Deterministic; raises if ``max_iter`` rounds don't converge (a near-dup
+    graph needing >25 rounds of min-propagation means a chain thousands of
+    docs long — investigate the edges, don't loop forever)."""
     sym = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .unionByName(
@@ -46,7 +51,12 @@ def connected_components(
         )
         .distinct()
     )
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp"))
+    labels = (
+        nodes.select(F.col(id_col).alias("id"))
+        .unionByName(sym.select(F.col("src").alias("id")))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+    )
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
         nbr_min = (

@@ -26,9 +26,16 @@ from pyspark.sql import functions as F
 
 def trigram_index(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(trigram, id) distinct pairs — one explode + one distinct shuffle.
-    Trigrams are raw character windows (no normalization: search is exact)."""
+    Trigrams are raw character windows (no normalization: search is exact).
+    Spread before the explode (dedup._spread): the output is ~chars-per-doc×
+    larger than the input, and a corpus read as a handful of files would
+    otherwise fan out on a handful of tasks — the same guard char_shingles
+    documents."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import _spread
+
     return (
-        docs.select(
+        _spread(docs.select(F.col(id_col), F.col(text_col)))
+        .select(
             F.col(id_col),
             F.explode(
                 F.expr(
@@ -64,14 +71,34 @@ def bm25_topk(
     k×partitions rows — never a single-partition window over the corpus; rank
     is assigned AFTER the limit, over k rows.
 
+    Matching contract: documents tokenize via ``normalize_text`` + whitespace
+    split — LOWERCASED, punctuation left ATTACHED ('world!' is one token,
+    distinct from 'world'). Query terms are lowercased here to match (an
+    uppercase term could otherwise never hit anything); terms containing
+    whitespace or empty after normalization raise.
+
     Cross-engine determinism (the repo's oracle discipline): idf is the raw
-    Robertson odds (N - df + 0.5)/(df + 0.5) — monotone in the usual
+    Robertson odds (N - df + 0.5)/(df + 0.5) — PER-TERM monotone in the usual
     ln-idf but free of ``ln()``, which is not bit-specified across engines.
+    Note the deliberate trade: a sum of per-term odds is NOT rank-equivalent
+    to a sum of per-term ln-odds for MULTI-term queries (a monotone transform
+    of addends does not preserve the order of sums — one rare term can outvote
+    two common ones here where ln-BM25 would rank the two-hit doc first), so
+    this scorer is "odds-BM25", a BM25-family ranking that is bit-reproducible
+    across engines rather than ranking-identical to the ln formulation.
     Every float op is a single correctly-rounded IEEE op in a fixed order, and
     the per-term scores fold in FIXED query-term order (float addition is not
     associative; a SUM() in arbitrary order would not reproduce)."""
-    if not query_terms or len(set(query_terms)) != len(query_terms):
-        raise ValueError("query_terms must be non-empty and distinct")
+    query_terms = [t.lower() for t in query_terms]
+    if (
+        not query_terms
+        or len(set(query_terms)) != len(query_terms)
+        or any((not t) or (" " in t) for t in query_terms)
+    ):
+        raise ValueError(
+            "query_terms must be non-empty, whitespace-free, and distinct "
+            "after lowercasing"
+        )
     from airflow_courier_payout_ledger_pipeline_spark.functions.text import normalize_text
 
     toks = docs.select(

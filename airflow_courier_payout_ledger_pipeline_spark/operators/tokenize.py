@@ -10,10 +10,20 @@ Shape (Sennrich et al. 2016, the standard subword-NMT algorithm):
    deterministic), and merges it in every word;
 3. the chosen (pair, count) per iteration IS the tokenizer artifact.
 
-Symbol sequences are space-joined strings (``"h e l l o"``), so a merge is a
-literal ``replace(seq, 'l l', 'll')`` — engine-portable, and replace's
-non-overlapping left-to-right semantics exactly matches BPE's greedy merge
-(``a a a`` → ``aa a``). Driver state per iteration: ONE (pair, count) row —
+Symbol sequences are space-joined strings (``"h e l l o"``); a merge is a
+literal replace over a BOUNDARY-PADDED form of the sequence. A naive
+``replace(seq, 'l l', 'll')`` can match ACROSS symbol boundaries — after
+merging ('a','l'), the word 'ball' is ``'b al l'`` whose raw text contains
+``'l l'`` straddling the 'al' symbol, a merge BPE never performs (subword-NMT
+anchors its replace with boundary lookarounds for exactly this reason; RE2 —
+DuckDB's engine — has no lookarounds, hence the padding trick instead).
+Padding doubles the inter-symbol spaces and wraps the ends
+(``' b  al  l '``): the pattern ``' l  l '`` then only matches WHOLE adjacent
+symbols, each match consumes one space from each neighboring gap so the
+representation stays intact for the next non-overlapping match
+(``x y x y`` merges both occurrences, ``l l l`` merges leftmost-first — BPE's
+greedy convention), and un-padding is trim + collapse doubles. All literal
+replaces, identical in any engine. Driver state per iteration: ONE (pair, count) row —
 the same O(1) class as a watermark cursor. The word table localCheckpoints
 each round to stop plan growth (the connected_components discipline).
 
@@ -65,6 +75,18 @@ def _adjacent_pairs(seq_col: Column) -> Column:
     )
 
 
+def _merge_pair_expr(seq: Column, pair: str) -> Column:
+    """Boundary-anchored greedy merge of ``pair`` ('x y') into 'xy' within a
+    space-joined symbol sequence (see module docstring): pad (double the
+    inter-symbol gaps, wrap with single spaces), literal-replace the padded
+    pair, un-pad. Non-overlapping left-to-right replace = BPE's convention."""
+    padded_pair = " " + pair.replace(" ", "  ") + " "
+    padded_merged = " " + pair.replace(" ", "") + " "
+    padded = F.concat(F.lit(" "), F.replace(seq, F.lit(" "), F.lit("  ")), F.lit(" "))
+    rep = F.replace(padded, F.lit(padded_pair), F.lit(padded_merged))
+    return F.trim(F.replace(rep, F.lit("  "), F.lit(" ")))
+
+
 def bpe_train_merges(
     docs: DataFrame, iters: int = 2, text_col: str = "text"
 ) -> DataFrame:
@@ -91,9 +113,8 @@ def bpe_train_merges(
             break
         pair, count = top[0]["pair"], int(top[0]["c"])
         merges.append((it, pair, count))
-        merged = pair.replace(" ", "")
         words = words.select(
-            F.replace(F.col("seq"), F.lit(pair), F.lit(merged)).alias("seq"), "n"
+            _merge_pair_expr(F.col("seq"), pair).alias("seq"), "n"
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(merges, "iter int, pair string, pair_count bigint")
 
@@ -119,18 +140,31 @@ def bpe_encode_counts(
     literals (tokenizers are KBs — broadcast-by-construction)."""
     seq = _spaced(F.col("word"))
     for pair in merges:
-        seq = F.replace(seq, F.lit(pair), F.lit(pair.replace(" ", "")))
+        seq = _merge_pair_expr(seq, pair)
     words = docs.select(
         F.col(id_col),
         F.explode(
             F.expr(f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)")
         ).alias("word"),
     )
-    return (
+    counts = (
         words.select(F.col(id_col), F.size(F.split(seq, " ")).alias("__ntok"))
         .groupBy(id_col)
         .agg(
             F.count("*").cast("bigint").alias("n_words"),
             F.sum("__ntok").cast("bigint").alias("bpe_tokens"),
+        )
+    )
+    # a doc with NO [a-z]+ words (digits/punctuation/empty/NULL text) must
+    # still report (id, 0, 0) — the docs most in need of flagging by a
+    # packing/mix-budget consumer are exactly the ones the bare groupBy
+    # would silently drop
+    return (
+        docs.select(id_col)
+        .join(counts, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+            F.coalesce("bpe_tokens", F.lit(0)).cast("bigint").alias("bpe_tokens"),
         )
     )

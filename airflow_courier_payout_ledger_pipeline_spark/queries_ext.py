@@ -4126,7 +4126,10 @@ pc1 AS (
 ),
 p1 AS (SELECT pair, c FROM pc1 ORDER BY c DESC, pair LIMIT 1),
 w1 AS (
-    SELECT replace(w0.seq, p1.pair, replace(p1.pair, ' ', '')) AS seq, w0.n
+    -- boundary-anchored merge: pad (double inter-symbol gaps, wrap ends),
+    -- literal-replace the padded pair, un-pad — a raw replace could match
+    -- ACROSS symbol boundaries ('b al l' contains 'l l')
+    SELECT trim(replace(replace(' ' || replace(w0.seq, ' ', '  ') || ' ', ' ' || replace(p1.pair, ' ', '  ') || ' ', ' ' || replace(p1.pair, ' ', '') || ' '), '  ', ' ')) AS seq, w0.n
     FROM w0 CROSS JOIN p1
 ),
 pc2 AS (
@@ -4175,7 +4178,10 @@ pc1 AS (
 ),
 p1 AS (SELECT pair FROM pc1 ORDER BY c DESC, pair LIMIT 1),
 w1 AS (
-    SELECT replace(w0.seq, p1.pair, replace(p1.pair, ' ', '')) AS seq, w0.n
+    -- boundary-anchored merge: pad (double inter-symbol gaps, wrap ends),
+    -- literal-replace the padded pair, un-pad — a raw replace could match
+    -- ACROSS symbol boundaries ('b al l' contains 'l l')
+    SELECT trim(replace(replace(' ' || replace(w0.seq, ' ', '  ') || ' ', ' ' || replace(p1.pair, ' ', '  ') || ' ', ' ' || replace(p1.pair, ' ', '') || ' '), '  ', ' ')) AS seq, w0.n
     FROM w0 CROSS JOIN p1
 ),
 pc2 AS (
@@ -4191,18 +4197,17 @@ docw AS (
 ),
 enc AS (
     SELECT doc_id,
-           len(string_split(
-               replace(
-                   replace(trim(regexp_replace(word, '(.)', '\\1 ', 'g')),
-                           (SELECT pair FROM p1),
-                           replace((SELECT pair FROM p1), ' ', '')),
-                   (SELECT pair FROM p2),
-                   replace((SELECT pair FROM p2), ' ', '')),
-               ' ')) AS ntok
+           len(string_split(trim(replace(replace(' ' || replace((trim(replace(replace(' ' || replace(trim(regexp_replace(word, '(.)', '\\1 ', 'g')), ' ', '  ') || ' ', ' ' || replace((SELECT pair FROM p1), ' ', '  ') || ' ', ' ' || replace((SELECT pair FROM p1), ' ', '') || ' '), '  ', ' '))), ' ', '  ') || ' ', ' ' || replace((SELECT pair FROM p2), ' ', '  ') || ' ', ' ' || replace((SELECT pair FROM p2), ' ', '') || ' '), '  ', ' ')), ' ')) AS ntok
     FROM docw
+),
+agg AS (
+    SELECT doc_id, count(*)::BIGINT AS n_words, SUM(ntok)::BIGINT AS bpe_tokens
+    FROM enc GROUP BY 1
 )
-SELECT doc_id, count(*)::BIGINT AS n_words, SUM(ntok)::BIGINT AS bpe_tokens
-FROM enc GROUP BY 1
+SELECT d.doc_id,
+       coalesce(a.n_words, 0)::BIGINT AS n_words,
+       coalesce(a.bpe_tokens, 0)::BIGINT AS bpe_tokens
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 

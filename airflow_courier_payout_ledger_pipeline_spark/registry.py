@@ -368,6 +368,20 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     #    these two complete the family next round --
     "streaming_static_enrich",
     "session_window_native",
+    # -- late-r7 review fixes outside the active window: BPE boundary-anchored
+    #    merges (semantics corrected in operator AND oracle), dedup skew-cap /
+    #    LSH-guard restructure, component endpoint union, bm25 term
+    #    normalization, trigram-index spread --
+    "bpe_merges",
+    "bpe_token_counts",
+    "dedup_minhash_lsh",
+    "dedup_two_stage",
+    "dedup_ngram_jaccard",
+    "minhash_calibration",
+    "split_leakage_audit",
+    "dedup_components",
+    "bm25_search",
+    "substring_search",
 ]
 
 

@@ -56,3 +56,17 @@ def test_pagerank_hand_computed_and_partition_invariant(spark):
         for r in pagerank(edges.repartition(7), iters=2, damping=0.85).collect()
     }
     assert got7 == expected
+
+
+def test_components_label_edge_endpoints_missing_from_nodes(spark):
+    """Transitive reachability must survive a node list that misses an
+    intermediate endpoint: nodes={1,2}, edges 1-9-2 (9 unlisted) must still
+    merge 1 and 2 through 9, and 9 gets labeled too."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(1,), (2,)], "id long")
+    edges = spark.createDataFrame([(1, 9), (9, 2)], "id_a long, id_b long")
+    got = {r.id: r.component for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 9: 1}

@@ -135,3 +135,24 @@ def test_bm25_is_partitioning_invariant(spark):
     for n in (1, 7):
         got = sorted(map(tuple, bm25_topk(docs.repartition(n), ["stream", "batch"], k=4).collect()))
         assert got == base, n
+
+
+def test_bm25_query_terms_lowercased_and_validated(spark):
+    """Tokens are lowercased with punctuation attached; query terms must be
+    lowercased to match (an uppercase term could never hit), and terms with
+    whitespace or duplicates-after-lowercasing raise."""
+    import pytest as _pytest
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import (
+        bm25_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "Stream processing"), (2, "batch only")], "doc_id long, text string"
+    )
+    hits = bm25_topk(docs, ["Stream"], k=5).collect()
+    assert [r.doc_id for r in hits] == [1]
+    with _pytest.raises(ValueError, match="distinct"):
+        bm25_topk(docs, ["Stream", "stream"])
+    with _pytest.raises(ValueError, match="whitespace-free"):
+        bm25_topk(docs, ["two words"])

@@ -83,3 +83,39 @@ def test_bpe_encode_applies_merges_in_training_order(spark):
     assert (fwd.n_words, fwd.bpe_tokens) == (1, 1)  # 'a a a'→'aa a'→'aaa'
     rev = bpe_encode_counts(docs, ["aa a", "a a"]).collect()[0]
     assert (rev.n_words, rev.bpe_tokens) == (1, 2)  # 'aa a' never matches first
+
+
+def test_bpe_merge_never_crosses_symbol_boundaries(spark):
+    """The reviewer-confirmed defect class: after merging ('a','l'), the word
+    'ball' is symbols b|al|l whose RAW text contains 'l l' straddling the 'al'
+    symbol — an unanchored replace would merge it ('b all', 2 tokens), which
+    BPE never does (adjacent pairs are only (b,al) and (al,l)). The anchored
+    encode must report b|al|l = 3 tokens."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.tokenize import (
+        bpe_encode_counts,
+    )
+
+    docs = spark.createDataFrame([(1, "ball")], "doc_id long, text string")
+    [row] = bpe_encode_counts(docs, ["a l", "l l"]).collect()
+    assert (row.n_words, row.bpe_tokens) == (1, 3)
+    # and the pair DOES merge where it is a true adjacent-symbol pair
+    docs2 = spark.createDataFrame([(1, "llama ball")], "doc_id long, text string")
+    [r2] = bpe_encode_counts(docs2, ["l l"]).collect()
+    # 'llama' -> ll|a|m|a (4), 'ball' -> b|a|l|l ('l l' IS adjacent here) -> 3
+    assert (r2.n_words, r2.bpe_tokens) == (2, 7)
+
+
+def test_bpe_encode_reports_zero_for_wordless_docs(spark):
+    """Docs with no [a-z]+ words (digits, punctuation, empty, NULL) must
+    report (0, 0), not vanish from the output."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.tokenize import (
+        bpe_encode_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "123 456 !!!"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_words, r.bpe_tokens) for r in bpe_encode_counts(docs, []).collect()}
+    assert got[2] == (0, 0) and got[3] == (0, 0) and got[4] == (0, 0)
+    assert got[1] == (2, 10)  # no merges: 5 + 5 symbols
