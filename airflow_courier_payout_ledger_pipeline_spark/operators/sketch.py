@@ -148,7 +148,41 @@ def cms_state(df: DataFrame, value_col: str, depth: int = CMS_DEPTH, width: int 
     )
 
 
-def merge_cms_states(a: DataFrame, b: DataFrame) -> DataFrame:
+def stamp_legacy_width(state: DataFrame, declared_width: int = CMS_WIDTH) -> DataFrame:
+    """Upgrade a pre-width-column persisted CMS state (schema seed/bucket/cnt)
+    to the current schema by stamping the DECLARED build width onto it. The
+    true build width of a legacy state is unrecorded, so the caller must
+    declare it (default: the library's own build default, the only width a
+    legacy ``cms_state`` call without an explicit width could have produced);
+    the declaration is validated against the data lazily — a bucket id
+    ≥ declared width proves the declaration wrong and raises at execution,
+    which catches WIDENING drift. Narrowing drift (declared narrower than the
+    true build) is inherently invisible in the data; stamping makes it
+    detectable from here on out, because every downstream merge/probe now
+    compares widths loudly instead of skipping the check. Width-bearing
+    states pass through unchanged."""
+    if "width" in state.columns:
+        return state
+    w = (
+        F.when(
+            F.col("bucket") >= declared_width,
+            F.raise_error(
+                F.concat(
+                    F.lit("legacy CMS state has bucket "),
+                    F.col("bucket").cast("string"),
+                    F.lit(f" >= declared width {declared_width}"),
+                )
+            ).cast("int"),
+        )
+        .otherwise(F.lit(declared_width))
+        .alias("width")
+    )
+    return state.select("seed", "bucket", "cnt", w)
+
+
+def merge_cms_states(
+    a: DataFrame, b: DataFrame, legacy_width: int = CMS_WIDTH
+) -> DataFrame:
     """Fold two CMS states built with the same (depth, width): bucket-wise sum.
     Exactly the count/sum merge algebra of plans/ledger.merge_ledger_states —
     associative, commutative, increment-order-free. Merging states built at
@@ -158,17 +192,17 @@ def merge_cms_states(a: DataFrame, b: DataFrame) -> DataFrame:
     bounds agg broadcast-crossed back in (the state is ≤ depth×width rows, so
     this costs nothing) — because a per-(seed, bucket)-group check would pass
     silently whenever the two states' occupied buckets don't overlap (sparse
-    states realistically have disjoint buckets). Pre-width-column persisted
-    states (schema seed/bucket/cnt) merge through the legacy path — no width
-    column in, none out; drift detection for those stays data-only, as
-    ``_state_width`` documents."""
-    has_w_a, has_w_b = "width" in a.columns, "width" in b.columns
-    if not (has_w_a and has_w_b):
-        # legacy states: strip a one-sided width (unknowable overall) and merge
-        u = a.select("seed", "bucket", "cnt").unionByName(
-            b.select("seed", "bucket", "cnt")
-        )
-        return u.groupBy("seed", "bucket").agg(F.sum("cnt").alias("cnt"))
+    states realistically have disjoint buckets).
+
+    Pre-width-column persisted states (schema seed/bucket/cnt) are stamped
+    with ``legacy_width`` via ``stamp_legacy_width`` BEFORE merging, so the
+    output always carries the width column and the global mismatch check
+    applies to old artifacts too: merging a legacy state into a state built
+    at a different width now raises instead of silently folding mis-indexed
+    buckets (the round-7 soft spot — drift detection for legacy states was
+    data-only, blind to narrower builds)."""
+    a = stamp_legacy_width(a, legacy_width)
+    b = stamp_legacy_width(b, legacy_width)
     u = a.unionByName(b)
     bounds = u.agg(F.min("width").alias("__wmin"), F.max("width").alias("__wmax"))
     merged = u.groupBy("seed", "bucket").agg(

@@ -81,15 +81,21 @@ def main() -> None:
         queries[name](spark, sf_dir).count()
 
     # best-of-3: this box shows ±30% run-to-run noise under background load;
-    # two reps were not enough for a stable steady-state number
+    # two reps were not enough for a stable steady-state number. All three rep
+    # times are kept so the output carries an n=3 variance band per round (the
+    # round-7 3-run study made this standing practice): rep-wise totals bound
+    # machine noise without tripling the bench.
+    REPS = 3
     timings: dict[str, float] = {}
+    rep_times: dict[str, list[float]] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(3):
+        reps = []
+        for _ in range(REPS):
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            reps.append(time.perf_counter() - t0)
+        rep_times[name] = reps
+        timings[name] = round(min(reps), 4)
 
     sf = None
     try:
@@ -103,6 +109,29 @@ def main() -> None:
     # reported separately so round-over-round comparisons aren't skewed by the
     # round-3 additions (which include a full Structured Streaming drain).
     original15 = [n for n in HEADLINE[:15] if n in timings]
+
+    # n=REPS variance band (standing practice since the round-7 drift study):
+    # rep-wise totals — total_i = sum over queries of rep i — bound machine
+    # noise on the SAME run that produced the headline numbers, so drift in an
+    # untouched query can be attributed to noise vs code without a re-run.
+    rep_totals = [
+        round(sum(rep_times[n][i] for n in names), 4) for i in range(REPS)
+    ]
+    rep15_totals = [
+        round(sum(rep_times[n][i] for n in original15), 4) for i in range(REPS)
+    ]
+    variance = {
+        "n": REPS,
+        "rep_totals_sec": rep_totals,
+        "rep_totals_original15_sec": rep15_totals,
+        "spread_pct": round(
+            100.0 * (max(rep_totals) - min(rep_totals)) / max(min(rep_totals), 1e-9),
+            1,
+        ),
+        "per_query_minmax": {
+            n: [round(min(r), 4), round(max(r), 4)] for n, r in rep_times.items()
+        },
+    }
 
     # Streaming decomposition: a drain's wall time is micro-batch harness cost
     # (checkpoint dir, state store init, trigger scheduling) + the actual plan
@@ -131,6 +160,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "value_original15": round(sum(timings[n] for n in original15), 4),
+                "variance": variance,
                 "streaming_decomposition": streaming,
             }
         )

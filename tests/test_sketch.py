@@ -327,16 +327,53 @@ def test_cms_merge_mismatched_widths_raises_even_with_disjoint_buckets(spark):
 
 def test_cms_merge_legacy_widthless_states_still_fold(spark):
     """States persisted before the width column existed (schema
-    seed/bucket/cnt) must keep merging — bucket-wise sum, no width column in
-    the output — instead of failing on an unresolved column."""
+    seed/bucket/cnt) must keep merging — bucket-wise sum — and the output is
+    UPGRADED: the declared legacy width (default: the library build default)
+    is stamped on, so old artifacts re-enter the width-checked world instead
+    of staying in a blind data-only-drift regime."""
     a = spark.createDataFrame([(0, 5, 3), (1, 9, 1)], "seed int, bucket long, cnt long")
     b = spark.createDataFrame([(0, 5, 2), (0, 7, 4)], "seed int, bucket long, cnt long")
     out = merge_cms_states(a, b)
-    assert out.columns == ["seed", "bucket", "cnt"]
-    got = sorted((r.seed, r.bucket, r.cnt) for r in out.collect())
-    assert got == [(0, 5, 5), (0, 7, 4), (1, 9, 1)]
-    # mixed old+new: the one-sided width is unknowable overall -> legacy path
+    assert "width" in out.columns
+    got = sorted((r.seed, r.bucket, r.cnt, r.width) for r in out.collect())
+    assert got == [(0, 5, 5, 1024), (0, 7, 4, 1024), (1, 9, 1, 1024)]
+    # mixed old+new at the same (default) width: stamps and folds cleanly
     c = cms_state(_words(spark), "term")
     mixed = merge_cms_states(a, c)
-    assert "width" not in mixed.columns
+    assert "width" in mixed.columns
     assert mixed.count() > 0
+
+
+def test_cms_merge_legacy_state_raises_on_width_mismatch(spark):
+    """The round-7 soft spot, closed: a legacy (widthless) state merged into a
+    state built at a DIFFERENT width must raise — previously the legacy path
+    stripped widths and folded mis-indexed buckets silently. The declared
+    legacy width routes through the same global mismatch check as
+    width-bearing states; declaring the matching width re-enables the merge."""
+    import pytest as _pytest
+
+    legacy = spark.createDataFrame([(0, 5, 3)], "seed int, bucket long, cnt long")
+    wide = spark.createDataFrame(
+        [(0, 900, 2, 2048)], "seed int, bucket long, cnt long, width int"
+    )
+    with _pytest.raises(Exception, match="width mismatch"):
+        merge_cms_states(legacy, wide).collect()
+    # declaring the true build width makes the same merge legal
+    ok = merge_cms_states(legacy, wide, legacy_width=2048)
+    got = sorted((r.seed, r.bucket, r.cnt, r.width) for r in ok.collect())
+    assert got == [(0, 5, 3, 2048), (0, 900, 2, 2048)]
+
+
+def test_cms_legacy_stamp_rejects_bucket_beyond_declared_width(spark):
+    """A declared legacy width the data itself contradicts (bucket id >= the
+    declaration) raises at execution — the declaration is validated, not
+    trusted."""
+    import pytest as _pytest
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sketch import (
+        stamp_legacy_width,
+    )
+
+    legacy = spark.createDataFrame([(0, 1500, 3)], "seed int, bucket long, cnt long")
+    with _pytest.raises(Exception, match="declared width"):
+        stamp_legacy_width(legacy, 1024).collect()
