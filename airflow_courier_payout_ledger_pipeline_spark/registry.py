@@ -259,94 +259,92 @@ def q_incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ------------------------------------------------------------------------------------
-# Driver adjudication window — ROUND 8 (active; the staged r7 plan activated
-# verbatim, then filled to 50 with the stalest veterans).
+# Driver adjudication window — ROUND 9 (active; the r9 plan staged during
+# round 8 activated verbatim, then filled to 50 with the stalest veterans).
 #
 # The correctness driver adjudicates the FIRST 50 entries of queries() in dict
-# order (observed r1-r7). History: r1-r3 proved the original first-50 green
+# order (observed r1-r8). History: r1-r3 proved the original first-50 green
 # three rounds running; r4 proved the 40 long-unproven queries + 7 round-4
 # additions; r5 proved 50/50 including the fixed `sequence_packing`; r6 went
 # 50/50 on the canary trio + 13 r3-stale veterans + all 19 round-5 additions,
 # making every registered query driver-proven at least once; r7 went 50/50 on
-# the trio + the 9 round-7-changed queries + 38 r4-stale veterans. This
-# round-8 window: the canary trio; the 7 r4-proven veterans deferred from the
-# r7 rotation; the 6 round-7 additions (`dsir_*`, `dedup_pq_hamming2`,
-# `dedup_span_scrub`, `image_resize_features`, `audio_resample_features`);
-# the 2 streaming queries completing the run_available_now clone-scoping
-# family; the 10 late-r7 review-fix queries (BPE boundary-anchored merges,
-# dedup skew-cap/LSH-guard restructure, component endpoint union, bm25 term
-# normalization, trigram spread); then 22 of the 24 r5-stale veterans in
-# registration order (the last two, `dedup_span_profile` and
-# `score_quantile_norm`, head the r9 plan). Per-query adjudication history is
-# tracked in OPERATORS.md; test_registry_window.py pins consistency.
+# the trio + the 9 round-7-changed queries + 38 r4-stale veterans; r8 went
+# 50/50 on the trio + 7 r4-deferred veterans + the 6 round-7 additions + the
+# clone-scoping streaming pair + the 10 late-r7 review fixes + 22 r5-stale
+# veterans. This round-9 window: the canary trio; the 2 r5-stale veterans
+# deferred from the r8 rotation (`dedup_span_profile`, `score_quantile_norm`
+# — the last pre-r6 evidence anywhere in the registry); `heavy_hitters`
+# (implementing file `operators/sketch.py` changed in r8 without a driver row
+# — the standing rule's debt); then all 36 r6-stale veterans in registration
+# order; then the stalest r7-proven queries in registration order to fill 50.
+# Per-query adjudication history is tracked in OPERATORS.md;
+# test_registry_window.py pins consistency.
 # ------------------------------------------------------------------------------------
 ADJUDICATION_WINDOW_FIRST: list[str] = [
     # -- flagship canary --
     "courier_ledger",
     "courier_ledger_sql",
     "incremental_mart_maintenance",
-    # -- r4 veterans deferred from the r7 window --
-    "cube_status_priority",
-    "date_spine_fill",
-    "retention_cohorts",
-    "scd2_history",
-    "snapshot_diff_orders",
-    "timeseries_interpolate",
-    "event_type_cooccurrence",
-    # -- round-7 additions (first driver row) --
-    "dsir_importance",
-    "dsir_resample",
-    "dedup_pq_hamming2",
-    "dedup_span_scrub",
-    "image_resize_features",
-    "audio_resample_features",
-    # -- r7-changed streaming pair completing the clone-scoping family --
-    "streaming_static_enrich",
-    "session_window_native",
-    # -- late-r7 review fixes: re-prove under the driver --
-    "bpe_merges",
-    "bpe_token_counts",
-    "dedup_minhash_lsh",
-    "dedup_two_stage",
-    "dedup_ngram_jaccard",
-    "minhash_calibration",
-    "split_leakage_audit",
-    "dedup_components",
-    "bm25_search",
-    "substring_search",
-    # -- stalest veterans (last driver row r5), registration order --
-    "rollup_totals",
-    "semi_anti_join",
-    "grouping_sets_hourly",
-    "price_histogram",
-    "list_agg_priorities",
-    "watermark_state",
-    "text_stats",
-    "lang_id",
-    "doc_fingerprint",
-    "dedup_exact",
-    "minhash_signatures",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "sequence_packing",
-    "target_mix_sample",
-    "token_budget_cap",
-    "dedup_cross_corpus",
-    "cdc_apply_roundtrip",
-    "event_transitions",
-    "k_anonymity_audit",
-    "value_winsorize",
-    "weighted_sample",
+    # -- r5 veterans deferred from the r8 rotation --
+    "dedup_span_profile",
+    "score_quantile_norm",
+    # -- r8-changed code (operators/sketch.py CMS legacy-width stamping) --
+    "heavy_hitters",
+    # -- r6-stale veterans (last driver row r6), registration order --
+    "json_extract",
+    "json_struct_parse",
+    "paged_scan",
+    "watermark_filter",
+    "timestamp_dim",
+    "broadcast_enrich",
+    "dim_lookup_join",
+    "watermark_cursor",
+    "filtered_agg",
+    "tier_payout",
+    "scd0_insert_ignore",
+    "scd1_upsert",
+    "rest_page_fetch_distributed",
+    "incremental_promotion",
+    "set_ops",
+    "ngram_containment",
+    "ann_recall_eval",
+    "similarity_ivf_pq",
+    "similarity_pq_adc",
+    "event_windows_tumbling",
+    "event_windows_sliding",
+    "event_sessionization",
+    "asof_join_events",
+    "window_analytics",
+    "distribution_stats",
+    "range_join_incidents",
+    "term_importance",
+    "fuzzy_name_pairs",
+    "profile_documents",
+    "pivot_event_counts",
+    "image_png_features",
+    "image_content_dedup",
+    "mix_epochs_report",
+    "contrastive_triplets",
+    "dataset_card",
+    "grouped_split_assign",
+    # -- stalest r7-proven veterans, registration order, filling to 50 --
+    "similarity_topk",
+    "similarity_ann_bucketed",
+    "embedding_near_dup",
+    "semdedup_pairs",
+    "similarity_ivf_topk",
+    "dedup_pq_hamming",
+    "deterministic_sample",
+    "zorder_values",
 ]
 
 
 # ------------------------------------------------------------------------------------
-# PLANNED round-9 window (activate at the START of round 9). Composition: the
-# flagship canary trio, the 2 r5-stale veterans deferred from the r8
-# rotation, then any query whose implementing code CHANGES in round 8
-# (standing rule: changed code must appear in the active window or at the
-# head of the next plan — pinned by test_registry_window.py), then the
-# r6-stale veterans as slots allow; round-8 additions registered outside the
+# PLANNED round-10 window (activate at the START of round 10). Composition:
+# the flagship canary trio, then any query whose implementing code CHANGES in
+# round 9 (standing rule: changed code must appear in the active window or at
+# the head of the next plan — pinned by test_registry_window.py), then the
+# stalest veterans as slots allow; round-9 additions registered outside the
 # active window append here so nothing waits more than one round for a
 # driver row.
 # ------------------------------------------------------------------------------------
@@ -355,12 +353,7 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "courier_ledger",
     "courier_ledger_sql",
     "incremental_mart_maintenance",
-    # -- r5 veterans deferred from the r8 rotation --
-    "dedup_span_profile",
-    "score_quantile_norm",
-    # -- round-8 code changes / additions append here as they land --
-    # CMS legacy-state width stamping (operators/sketch.py)
-    "heavy_hitters",
+    # -- round-9 code changes / additions append here as they land --
 ]
 
 

@@ -1,19 +1,30 @@
 """The driver adjudicates the FIRST 50 entries of queries() in dict order
-(observed r1-r7). These tests pin the round-8 rotation: the staged r8 plan
-from round 7 is activated verbatim (canary trio, the 7 r4-deferred veterans,
-the 6 round-7 additions, the clone-scoping streaming pair, the 10 late-r7
-review-fix queries), the stalest veterans (last driver row r5) fill the rest,
-the flagship trio stays in-window as a canary, and every window name resolves
-to a registered query WITH an oracle (rows-only queries may exist in the
-registry, but a window slot without an oracle would burn driver evidence on a
-weaker rows-only check — keep them out).
+(observed r1-r8). These tests pin the round-9 rotation: the staged r9 plan
+from round 8 is activated verbatim (canary trio, the 2 r5-stale veterans
+deferred from the r8 rotation, `heavy_hitters` whose implementing file
+changed in r8), the 36 r6-stale veterans and the stalest r7 veterans fill the
+rest, the flagship trio stays in-window as a canary, and every window name
+resolves to a registered query WITH an oracle (rows-only queries may exist in
+the registry, but a window slot without an oracle would burn driver evidence
+on a weaker rows-only check — keep them out).
 
-STANDING RULE (codified per the round-7 verdict): any query whose
-implementing code changes in round N must appear in round N's active window
-OR in ADJUDICATION_WINDOW_NEXT_PLAN (the round-N+1 head). Maintain
-_CHANGED_THIS_ROUND below as code changes land; the test fails if a changed
-query is left unscheduled.
+STANDING RULE (codified per the round-7 verdict, made ROUND-AGNOSTIC per the
+round-8 verdict): any query whose implementing code changes in round N must
+appear in round N's active window OR in ADJUDICATION_WINDOW_NEXT_PLAN (the
+round-N+1 head). The rule is now enforced mechanically:
+``test_changed_source_files_have_scheduled_driver_evidence`` git-diffs the
+package source against the last round-boundary commit ("round N: verdict/…",
+written by the driver at every round close) and requires each changed source
+file to carry an entry in _FILE_EVIDENCE mapping it to the queries that
+adjudicate it — and those queries to be scheduled. Maintain _FILE_EVIDENCE as
+code changes land; the test fails on any unmapped changed file, so the rule
+survives round turnover without per-round test rewrites.
 """
+
+from __future__ import annotations
+
+import subprocess
+from pathlib import Path
 
 from airflow_courier_payout_ledger_pipeline_spark.registry import (
     ADJUDICATION_WINDOW_FIRST,
@@ -25,35 +36,131 @@ from airflow_courier_payout_ledger_pipeline_spark.registry import (
 WINDOW = 50
 CANARY = {"courier_ledger", "courier_ledger_sql", "incremental_mart_maintenance"}
 
-#: queries whose implementing code round 7 touched AFTER the r7 window closed
-#: (the late-r7 review fixes) plus the round-7 additions — all staged for r8
-#: evidence; the active window must land fresh driver rows on these
-_STAGED_FOR_R8 = {
-    # round-7 additions (no driver row yet)
-    "dsir_importance", "dsir_resample", "dedup_pq_hamming2",
-    "dedup_span_scrub", "image_resize_features", "audio_resample_features",
-    # clone-scoping streaming pair completing the family
-    "streaming_static_enrich", "session_window_native",
-    # late-r7 review fixes (BPE boundary merges, dedup skew caps/LSH guard,
-    # component endpoint union, bm25 normalization, trigram spread)
-    "bpe_merges", "bpe_token_counts", "dedup_minhash_lsh", "dedup_two_stage",
-    "dedup_ngram_jaccard", "minhash_calibration", "split_leakage_audit",
-    "dedup_components", "bm25_search", "substring_search",
-    # r4-proven veterans deferred from the r7 rotation
-    "cube_status_priority", "date_spine_fill", "retention_cohorts",
-    "scd2_history", "snapshot_diff_orders", "timeseries_interpolate",
-    "event_type_cooccurrence",
-}
-
-#: r5-stale veterans deferred from the r8 rotation — must head the r9 plan
-_DEFERRED_R5 = {"dedup_span_profile", "score_quantile_norm"}
-
-#: queries whose implementing code ROUND 8 changes (maintain as changes land).
-#: Each must be in the active window or the r9 plan — the standing rule.
-_CHANGED_THIS_ROUND: set[str] = {
-    # CMS legacy-state width stamping (operators/sketch.py)
+#: staged from round 8 — the r9 active window must land fresh driver rows on
+#: these (r5-stale deferrals + the r8-changed sketch query)
+_STAGED_FOR_R9 = {
+    "dedup_span_profile",
+    "score_quantile_norm",
     "heavy_hitters",
 }
+
+# ------------------------------------------------------------------------------------
+# Round-agnostic standing-rule enforcement
+# ------------------------------------------------------------------------------------
+
+#: package source file (repo-relative) -> queries that serve as its driver
+#: evidence. Every file the CURRENT round touches must have an entry here,
+#: and each mapped query must sit in the active window or the next-round
+#: plan. Entries for files untouched this round are inert (kept as history).
+_FILE_EVIDENCE: dict[str, set[str]] = {
+    # round-9: CMS merge-path coverage + declared-width provenance flag
+    "airflow_courier_payout_ledger_pipeline_spark/operators/sketch.py": {
+        "heavy_hitters",
+        "cms_state_migration",
+    },
+    # round-9: cms_state_migration registration lives in queries_ext.py
+    "airflow_courier_payout_ledger_pipeline_spark/queries_ext.py": {
+        "cms_state_migration",
+    },
+    # round-9: streaming drain startup shave (shared harness → the benched
+    # drain re-proves the family)
+    "airflow_courier_payout_ledger_pipeline_spark/streaming/events.py": {
+        "streaming_windows_tumbling",
+    },
+    # round-9: DSIR importance/resample fusion or profiling changes
+    "airflow_courier_payout_ledger_pipeline_spark/operators/sampling.py": {
+        "dsir_importance",
+        "dsir_resample",
+    },
+}
+
+#: files whose changes never need per-query driver evidence: the window
+#: definition itself, package metadata, and docs. (bench.py, tests/, and
+#: repo-root files are outside the diffed path entirely.)
+_EVIDENCE_EXEMPT = {
+    "airflow_courier_payout_ledger_pipeline_spark/registry.py",
+    "airflow_courier_payout_ledger_pipeline_spark/__init__.py",
+}
+
+_REPO_ROOT = Path(__file__).resolve().parent.parent
+
+
+def _changed_package_files() -> set[str]:
+    """Package .py files changed since the last driver round-boundary commit
+    (commit subject "round N: verdict/advice/correctness/bench"). Returns an
+    empty set when no boundary commit exists (fresh clone / CI shallow)."""
+    try:
+        base = subprocess.run(
+            ["git", "log", "--grep", "^round [0-9]*:", "-n", "1", "--format=%H"],
+            cwd=_REPO_ROOT,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.strip()
+        if not base:
+            return set()
+        out = subprocess.run(
+            [
+                "git",
+                "diff",
+                "--name-only",
+                f"{base}..HEAD",
+                "--",
+                "airflow_courier_payout_ledger_pipeline_spark/",
+            ],
+            cwd=_REPO_ROOT,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        # uncommitted work counts too — the rule is about the round, not HEAD
+        out2 = subprocess.run(
+            [
+                "git",
+                "diff",
+                "--name-only",
+                "HEAD",
+                "--",
+                "airflow_courier_payout_ledger_pipeline_spark/",
+            ],
+            cwd=_REPO_ROOT,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return {
+            f for f in (out + out2).splitlines() if f.strip().endswith(".py")
+        }
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return set()
+
+
+def test_changed_source_files_have_scheduled_driver_evidence():
+    """STANDING RULE, round-agnostic form: every package source file changed
+    this round (vs the last round-boundary commit) must map, via
+    _FILE_EVIDENCE, to queries scheduled in the active window or the
+    next-round plan — changed code with no scheduled driver row is
+    unadjudicated evidence debt (the round-6 lesson: the capped SemDeDup path
+    landed green without its new code ever running)."""
+    changed = _changed_package_files() - _EVIDENCE_EXEMPT
+    unmapped = sorted(f for f in changed if f not in _FILE_EVIDENCE)
+    assert not unmapped, (
+        f"changed source files with no _FILE_EVIDENCE entry: {unmapped} — "
+        "map each to the queries that adjudicate it"
+    )
+    scheduled = set(ADJUDICATION_WINDOW_FIRST[:WINDOW]) | set(
+        ADJUDICATION_WINDOW_NEXT_PLAN
+    )
+    q = all_queries()
+    for f in sorted(changed):
+        evidence = _FILE_EVIDENCE[f]
+        registered = {n for n in evidence if n in q}
+        assert registered, f"{f}: no _FILE_EVIDENCE query is registered yet"
+        missing = sorted(registered - scheduled)
+        assert not missing, (
+            f"{f}: evidence queries not scheduled in the active window or "
+            f"next plan: {missing}"
+        )
 
 
 def test_window_first_names_are_registered_with_oracles():
@@ -80,28 +187,11 @@ def test_flagship_canary_stays_in_window():
     assert CANARY <= set(order)
 
 
-def test_staged_r8_queries_are_in_window():
-    """Everything staged from round 7 (additions + late review fixes +
-    deferred veterans) must sit in the active window: a fix without a fresh
-    driver row is unadjudicated — the round-6 lesson (the capped SemDeDup
-    path landed green without its new code ever running)."""
-    assert _STAGED_FOR_R8 <= set(ADJUDICATION_WINDOW_FIRST[:WINDOW])
-
-
-def test_deferred_veterans_head_the_r9_plan():
-    assert _DEFERRED_R5 <= set(ADJUDICATION_WINDOW_NEXT_PLAN)
-
-
-def test_round8_changed_queries_are_scheduled():
-    """STANDING RULE: a query whose implementing code changed this round must
-    be in the active window or the next-round plan — changed code with no
-    scheduled driver row is unadjudicated evidence debt."""
-    scheduled = set(ADJUDICATION_WINDOW_FIRST) | set(ADJUDICATION_WINDOW_NEXT_PLAN)
-    unscheduled = _CHANGED_THIS_ROUND - scheduled
-    assert not unscheduled, (
-        f"round-8-changed queries with no window slot and no r9-plan slot: "
-        f"{sorted(unscheduled)}"
-    )
+def test_staged_r9_queries_are_in_window():
+    """Everything staged from round 8 (the r5-stale deferrals + the
+    r8-changed sketch query) must sit in the active window: a fix without a
+    fresh driver row is unadjudicated."""
+    assert _STAGED_FOR_R9 <= set(ADJUDICATION_WINDOW_FIRST[:WINDOW])
 
 
 def test_queries_and_oracles_share_order():
@@ -111,25 +201,29 @@ def test_queries_and_oracles_share_order():
 
 def test_every_query_has_driver_evidence_or_a_window_slot():
     """No query may be unproven AND unscheduled: every registered query must be
-    (a) green in some prior round, (b) in the active r8 window, or (c) in the
-    planned r9 window. Round-8 additions therefore must be appended to
-    ADJUDICATION_WINDOW_NEXT_PLAN as they are registered."""
+    (a) green in some prior round, (b) in the active r9 window, or (c) in the
+    planned r10 window. Round-9 additions therefore must be appended to
+    ADJUDICATION_WINDOW_NEXT_PLAN or placed in the active window as they are
+    registered."""
     q, o = all_queries(), all_oracles()
-    covered = _GREEN_EVER | set(ADJUDICATION_WINDOW_FIRST) | set(ADJUDICATION_WINDOW_NEXT_PLAN)
+    covered = (
+        _GREEN_EVER
+        | set(ADJUDICATION_WINDOW_FIRST)
+        | set(ADJUDICATION_WINDOW_NEXT_PLAN)
+    )
     orphans = [n for n in q if n not in covered]
     assert not orphans, f"queries with no driver evidence and no window slot: {orphans}"
     missing = [n for n in ADJUDICATION_WINDOW_NEXT_PLAN if n not in q or n not in o]
-    assert not missing, f"r9 plan names without query/oracle: {missing}"
+    assert not missing, f"r10 plan names without query/oracle: {missing}"
     assert len(ADJUDICATION_WINDOW_NEXT_PLAN) <= WINDOW
     assert CANARY <= set(ADJUDICATION_WINDOW_NEXT_PLAN)
 
 
-#: queries with at least one fully-green driver row through round 7
-#: (CORRECTNESS_r01-r06 as pinned last round, plus CORRECTNESS_r07's 50/50
-#: green window — every registered query through round 6 has been
-#: driver-proven; round-7 additions get their first rows in r8)
+#: queries with at least one fully-green driver row through round 8
+#: (union of CORRECTNESS_r01-r08 green rows — recomputed at the r9 window
+#: activation; all 134 queries registered through round 8 are driver-proven)
 _GREEN_EVER = {
-    # green r1-r3 (re-proven r5/r6/r7 where rotated back in)
+    # green r1-r3 (re-proven in later rotations)
     "json_extract", "json_struct_parse", "paged_scan", "watermark_filter",
     "timestamp_dim", "broadcast_enrich", "dim_lookup_join", "watermark_cursor",
     "filtered_agg", "tier_payout", "scd0_insert_ignore", "scd1_upsert",
@@ -174,4 +268,7 @@ _GREEN_EVER = {
     "bm25_search", "heavy_hitters", "bpe_token_counts",
     "contrastive_triplets", "semdedup_pairs", "grouped_split_assign",
     "dataset_card", "image_content_dedup", "ngram_containment",
+    # green r8 (the 6 round-7 additions' first driver rows)
+    "dsir_importance", "dsir_resample", "dedup_pq_hamming2",
+    "dedup_span_scrub", "image_resize_features", "audio_resample_features",
 }
