@@ -39,6 +39,8 @@ No reference twin: the reference pipeline has no distinct-count surface
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -159,10 +161,27 @@ def stamp_legacy_width(state: DataFrame, declared_width: int = CMS_WIDTH) -> Dat
     which catches WIDENING drift. Narrowing drift (declared narrower than the
     true build) is inherently invisible in the data; stamping makes it
     detectable from here on out, because every downstream merge/probe now
-    compares widths loudly instead of skipping the check. Width-bearing
-    states pass through unchanged."""
+    compares widths loudly instead of skipping the check.
+
+    PROVENANCE: the stamp upgrades "unknown width" to an authoritative-looking
+    column, so it emits a ``UserWarning`` naming the declared width — the
+    surviving signal that this width was CALLER-DECLARED, not build-recorded
+    (a sparse legacy state truly built wider, whose occupied buckets all fall
+    below the declaration, is indistinguishable in the data; the warning is
+    the only trace). Silence it by migrating the artifact once and persisting
+    the width-bearing state. Width-bearing states pass through unchanged and
+    warn nothing."""
     if "width" in state.columns:
         return state
+    warnings.warn(
+        f"stamping caller-DECLARED width {declared_width} onto a legacy CMS "
+        "state (schema seed/bucket/cnt): the build width was never recorded, "
+        "so this declaration cannot be fully validated — a narrower-than-"
+        "build declaration is invisible in the data. Persist the returned "
+        "width-bearing state to retire this ambiguity.",
+        UserWarning,
+        stacklevel=2,
+    )
     w = (
         F.when(
             F.col("bucket") >= declared_width,

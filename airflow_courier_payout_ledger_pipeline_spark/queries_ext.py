@@ -4112,6 +4112,60 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("cms_state_migration", HEAVY_HITTERS_ORACLE)
+def q_cms_state_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly CMS maintenance shape WITH a legacy artifact in the fold:
+    half the corpus's token stream is sketched and persisted-style STRIPPED of
+    its width column (a pre-width-schema artifact, exactly what an old
+    deployment left behind), the other half is sketched by the current code,
+    and the two fold through ``merge_cms_states`` — which stamps the declared
+    width onto the legacy side (``stamp_legacy_width``, with its provenance
+    warning) and applies the GLOBAL width-mismatch check before bucket-wise
+    summing. Because CMS merge is exact integer bucket algebra,
+    merged(A) ⊕ merged(B) ≡ build(A ∪ B) row-for-row, so the heavy-hitter
+    prune + exact verify over the MERGED state must reproduce
+    ``heavy_hitters``'s oracle exactly — the end-to-end proof that folding a
+    migrated legacy state loses nothing (the round-8 change previously
+    carried only unit-test evidence; ADVICE r8 item 1).
+
+    Scale shape is identical to ``q_heavy_hitters``: ≤ depth×width rows of
+    state ever reach the driver, the candidate test enters the scan as a pure
+    map predicate, and the only post-state exchange is the exact count over
+    candidate postings."""
+    import warnings
+
+    from airflow_courier_payout_ledger_pipeline_spark.functions.text import normalize_text
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sketch import (
+        CMS_DEPTH,
+        cms_candidate_expr,
+        cms_state,
+        merge_cms_states,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    # deterministic doc-grain split: the two halves model yesterday's persisted
+    # state (legacy, width column stripped) and tonight's increment (current)
+    legacy = cms_state(toks.filter(F.col("doc_id") % 2 == 0), "term").drop("width")
+    current = cms_state(toks.filter(F.col("doc_id") % 2 == 1), "term")
+    with warnings.catch_warnings():
+        # the stamp's declared-width provenance warning is the POINT here —
+        # asserted separately in tests/test_sketch.py; keep driver stderr calm
+        warnings.simplefilter("ignore", UserWarning)
+        state_rows = merge_cms_states(legacy, current).collect()
+    total = sum(r["cnt"] for r in state_rows) // CMS_DEPTH
+    candidate = cms_candidate_expr(state_rows, "term", (total + 99) // 100)
+    return (
+        toks.filter(candidate)
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .filter(F.col("freq") * 100 >= F.lit(total))
+    )
+
+
 BPE_ORACLE = """
 WITH w0 AS (
     SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq, count(*)::BIGINT AS n

@@ -275,8 +275,10 @@ def q_incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
 # deferred from the r8 rotation (`dedup_span_profile`, `score_quantile_norm`
 # — the last pre-r6 evidence anywhere in the registry); `heavy_hitters`
 # (implementing file `operators/sketch.py` changed in r8 without a driver row
-# — the standing rule's debt); then all 36 r6-stale veterans in registration
-# order; then the stalest r7-proven queries in registration order to fill 50.
+# — the standing rule's debt); `cms_state_migration` (round-9 addition that
+# drives the r8-changed merge path end-to-end, per ADVICE r8); then all 36
+# r6-stale veterans in registration order; then the stalest r7-proven queries
+# in registration order to fill 50.
 # Per-query adjudication history is tracked in OPERATORS.md;
 # test_registry_window.py pins consistency.
 # ------------------------------------------------------------------------------------
@@ -288,8 +290,10 @@ ADJUDICATION_WINDOW_FIRST: list[str] = [
     # -- r5 veterans deferred from the r8 rotation --
     "dedup_span_profile",
     "score_quantile_norm",
-    # -- r8-changed code (operators/sketch.py CMS legacy-width stamping) --
+    # -- r8-changed code (operators/sketch.py CMS legacy-width stamping) +
+    # -- the round-9 merge-path query that drives it end-to-end --
     "heavy_hitters",
+    "cms_state_migration",
     # -- r6-stale veterans (last driver row r6), registration order --
     "json_extract",
     "json_struct_parse",
@@ -335,7 +339,6 @@ ADJUDICATION_WINDOW_FIRST: list[str] = [
     "similarity_ivf_topk",
     "dedup_pq_hamming",
     "deterministic_sample",
-    "zorder_values",
 ]
 
 

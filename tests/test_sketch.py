@@ -377,3 +377,52 @@ def test_cms_legacy_stamp_rejects_bucket_beyond_declared_width(spark):
     legacy = spark.createDataFrame([(0, 1500, 3)], "seed int, bucket long, cnt long")
     with _pytest.raises(Exception, match="declared width"):
         stamp_legacy_width(legacy, 1024).collect()
+
+
+def test_cms_legacy_stamp_warns_declared_provenance(spark):
+    """The stamp upgrades 'unknown width' to an authoritative-looking column;
+    the UserWarning is the surviving trace that the width was CALLER-DECLARED
+    rather than build-recorded (ADVICE r8: a sparse legacy state truly built
+    wider is indistinguishable in the data). Width-bearing states must pass
+    through silently — no warning noise on the modern path."""
+    import warnings as _warnings
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sketch import (
+        stamp_legacy_width,
+    )
+
+    legacy = spark.createDataFrame([(0, 5, 3)], "seed int, bucket long, cnt long")
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        stamp_legacy_width(legacy, 1024)
+    assert any(
+        "DECLARED width 1024" in str(w.message) for w in caught
+    ), "legacy stamp must flag declared-width provenance"
+
+    modern = spark.createDataFrame(
+        [(0, 5, 3, 1024)], "seed int, bucket long, cnt long, width int"
+    )
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        stamp_legacy_width(modern, 1024)
+    assert not caught, "width-bearing states must pass through without warning"
+
+
+def test_cms_merged_legacy_state_is_row_exact_vs_direct_build(spark):
+    """The cms_state_migration query's core law, at unit scale: build(A)
+    [stripped legacy-style] ⊕ build(B) must equal build(A ∪ B) row-for-row —
+    CMS merge is exact integer bucket algebra, so a migrated legacy artifact
+    folds in losslessly and every downstream estimate/prune is unchanged."""
+    import warnings as _warnings
+
+    words = _words(spark).withColumn("half", F.monotonically_increasing_id() % 2)
+    a = words.filter(F.col("half") == 0).select("term")
+    b = words.filter(F.col("half") == 1).select("term")
+    legacy = cms_state(a, "term").drop("width")
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore", UserWarning)
+        merged = merge_cms_states(legacy, cms_state(b, "term"))
+    direct = cms_state(words.select("term"), "term")
+    got = sorted((r.seed, r.bucket, r.cnt, r.width) for r in merged.collect())
+    want = sorted((r.seed, r.bucket, r.cnt, r.width) for r in direct.collect())
+    assert got == want
