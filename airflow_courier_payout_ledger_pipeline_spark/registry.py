@@ -357,6 +357,9 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "courier_ledger_sql",
     "incremental_mart_maintenance",
     # -- round-9 code changes / additions append here as they land --
+    # streaming drain: ephemeral tmpfs checkpoint + state_partitions default
+    # 8 -> 4 (streaming/events.py run_available_now)
+    "streaming_windows_tumbling",
 ]
 
 

@@ -21,6 +21,9 @@ sessions as the watermark passes their gap deadline.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Iterator
 from typing import TYPE_CHECKING, Any
 
@@ -179,7 +182,7 @@ def sessionize_stream(events: DataFrame, idle_timeout: bool = True) -> DataFrame
 
 
 def run_available_now(
-    stream_df: DataFrame, query_name: str, state_partitions: int | None = 8
+    stream_df: DataFrame, query_name: str, state_partitions: int | None = 4
 ) -> DataFrame:
     """Drain the stream with availableNow into a memory sink and return the result
     as a batch DataFrame — deterministic streaming execution for tests/oracles.
@@ -190,10 +193,22 @@ def run_available_now(
     partition count must track STATE SIZE, not the batch session's CPU-oriented
     default — 32 stores over a few thousand state rows is pure fixed overhead
     (measured 2.8 s → 1.4 s drain at sf0.1 going 32 → 8 in the controlled A/B;
-    SCALE.md cites the same measurement). At deployment scale
+    SCALE.md cites the same measurement; the round-9 re-profile of the
+    remaining fixed startup measured a further ~0.2 s going 8 → 4 at sf0.1's
+    few-hundred-row state, hence the default). At deployment scale
     size it to state volume (hundreds for multi-GB state); the value is baked
     into the checkpoint at first start, so pick it before going live. ``None``
     keeps the session default.
+
+    The drain's checkpoint lives in an EPHEMERAL tmpfs directory
+    (``/dev/shm`` when present, else the system temp dir) created per call
+    and removed after the memory-sink read: Spark's default temp checkpoint
+    goes to disk and fsyncs the offset/commit WALs and state-store delta
+    files — durability an availableNow drain into an in-memory sink cannot
+    use (the checkpoint is discarded either way; a crash re-runs the whole
+    drain). Measured ~0.2 s of the drain's fixed startup at sf0.1. A real
+    deployment passes its own DURABLE ``checkpointLocation`` on the
+    writeStream it owns — this helper is the test/bench/oracle path.
 
     CONCURRENCY-SAFE via session scoping: the pin lives in a
     ``spark.newSession()`` CLONE (separate conf over the same SparkContext) —
@@ -230,16 +245,20 @@ def run_available_now(
     if state_partitions is not None and scoped is None:  # pragma: no cover
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{query_name}_", dir=ckpt_base)
     try:
         q = (
             run_df.writeStream.format("memory")
             .queryName(query_name)
             .outputMode("update" if query_name.startswith("upd_") else "append")
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
+        return run_df.sparkSession.table(query_name)
     finally:
         if prev is not None:  # pragma: no cover
             spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return run_df.sparkSession.table(query_name)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -173,6 +173,16 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "value_original15": round(sum(timings[n] for n in original15), 4),
+                # harness-vs-plan split for the streaming drain, in the PARSED
+                # metric (the full decomposition rides the sidecar line): the
+                # drain wall number includes fixed micro-batch startup that
+                # amortizes to zero in a production long-running stream
+                "streaming_fixed_startup_sec": round(
+                    sum(
+                        d["fixed_startup_overhead_sec"] for d in streaming.values()
+                    ),
+                    4,
+                ),
             }
         )
     )
