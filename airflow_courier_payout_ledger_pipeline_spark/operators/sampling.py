@@ -261,7 +261,25 @@ def dsir_importance_scores(
     scoring, where the B ratios re-enter the plan as ONE literal-array lookup
     (``F.lit(list)``, a single plan node — the heavy-hitters lesson) and the
     only exchange is the doc-grain mean. No joins, no vocabulary broadcast,
-    nothing corpus-sized on the driver."""
+    nothing corpus-sized on the driver.
+
+    A zero-shuffle variant — folding the per-doc mean in the ARRAY domain
+    (``F.filter`` + ``F.aggregate`` over the doc's own gram array, no explode,
+    no exchange) — was A/B'd in round 9 and REJECTED: Spark evaluates
+    higher-order-function lambdas interpreted per element, outside
+    whole-stage codegen, and the measured cost was ~4x the explode + codegen
+    hash-agg plan (6.8 s vs 1.7 s at sf0.1) — the exchange it saves is doc-
+    grain (one tiny row per doc), far cheaper than losing codegen on the
+    per-gram ratio lookup.
+
+    FLOOR PROFILE (round 9, sf0.1 best-of-3, local[32]): full 1.83 s =
+    state pass 0.76 s + scoring pass ~1.07 s. Per pass: tokenize+bigram
+    explode 0.33 s, md5 bucketing +0.23 s, aggregation the rest. The only
+    compressible term is md5 (~0.46 s across both passes — xxhash64 measures
+    +0.006 s) and it is PINNED: the bucket function must be bit-identical in
+    Spark and the DuckDB oracle, and md5 is the only hash both engines share.
+    The plan is otherwise at its floor — every remaining second is tokenize/
+    explode/codegen-agg work proportional to corpus grams."""
     from airflow_courier_payout_ledger_pipeline_spark.functions.text import (
         normalize_text,
     )

@@ -360,6 +360,10 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     # streaming drain: ephemeral tmpfs checkpoint + state_partitions default
     # 8 -> 4 (streaming/events.py run_available_now)
     "streaming_windows_tumbling",
+    # DSIR floor-profile documentation landed in operators/sampling.py
+    # (docstring-only; scheduled anyway — the standing rule diffs files)
+    "dsir_importance",
+    "dsir_resample",
 ]
 
 
