@@ -1,0 +1,212 @@
+"""Mergeable Bloom-filter state: set-membership pruning at 100 TB.
+
+The exact incremental-dedup probe (``dedup.incremental_exact_dedup``) joins the
+nightly increment's fingerprints against a persisted corpus index — at corpus
+scale that join shuffles (or at best broadcast-hashes) the FULL increment even
+though almost none of it matches. A Bloom filter over the indexed side turns
+the membership test into a pure map predicate: ~10 bits per indexed key (vs
+32-byte md5 hex strings — a ~25x reduction), probed inline in the increment
+scan with k hash+bit-test expressions, no join build side, no exchange. The
+filter's one-sided error (NO false negatives) makes it a safe prune: the
+candidate set is a guaranteed SUPERSET of true members, and the downstream
+exact join — now over the tiny candidate remainder — restores equality, the
+same prune-then-verify contract as the CMS heavy-hitter candidates and the
+trigram substring index (``operators/sketch.py``, ``operators/search.py``).
+
+State design mirrors the CMS discipline exactly:
+- the DataFrame state is (word, bits, m_bits, k): ≤ m_bits/64 rows of bigint
+  bitmap words, built by one grouped ``bit_or`` with map-side partials — the
+  exchange carries ≤ m_bits/64 rows per map task, never raw values;
+- the BUILD geometry (m_bits, k) rides along as constant columns: geometry
+  drift between build and probe mis-indexes every bit and silently breaks the
+  no-false-negative guarantee, so ``merge_bloom_states`` / the probe builders
+  fail loudly on mismatch (global check — a per-word check would pass
+  whenever occupied words don't overlap, exactly the CMS sparse-state trap);
+- merging states built on increments is bit-or algebra: associative,
+  commutative, idempotent — replay-safe under at-least-once delivery, and
+  merged(A) OR merged(B) carries the same bits as build(A ∪ B), so a probe
+  against the fold of nightly increment states equals a probe against a full
+  rebuild (law pinned in ``tests/test_bloom.py``).
+
+Sizing: with m bits and k hashes over n keys, false-positive rate ≈
+(1 − e^(−kn/m))^k; the 2^17-bit default holds ~1 % FP at n ≈ 12k keys with
+k = 5. The collected literal-expression probe (``bloom_might_contain_expr``)
+is the zero-exchange path and is appropriate while m_bits/64 longs stay
+driver-bounded (the 2^17 default is 2 KiB; ~10^7 indexed keys at 10 bits/key
+is ~12 MiB — still a fine literal/broadcast). Beyond that, keep the state as
+a DataFrame and use ``bloom_semi_probe`` (broadcast word join) — same
+contract, Spark manages the shipping.
+
+No reference twin: the reference pipeline has no membership-prune surface;
+this is part of the 100 TB extension surface next to CMS/HLL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: 2^17 bits = 2 KiB of bitmap; with k=5 holds ~1% FP to ~12k indexed keys.
+BLOOM_M_BITS = 1 << 17
+BLOOM_K = 5
+
+
+def _positions(value: Column, m_bits: int, k: int, seed: Column) -> Column:
+    """Bit position for one (value, seed) pair: xxhash64 — JVM-side, no Python.
+    Internal pruning state never crosses engines, so the hash needs no DuckDB
+    twin (same rationale as the CMS bucket hash's xxhash64)."""
+    return F.pmod(F.xxhash64(value, seed), F.lit(m_bits))
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Bloom state over a column: (word, bits, m_bits, k), ≤ m_bits/64 rows.
+    One grouped bit_or with map-side partials; duplicates in the input are
+    free (bit-or is idempotent), so no pre-distinct shuffle is ever needed."""
+    if m_bits % 64 != 0 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("seed")
+    pos = _positions(F.col("__v"), m_bits, k, F.col("seed"))
+    return (
+        df.select(F.col(value_col).alias("__v"), seeds)
+        .select(pos.alias("__pos"))
+        .select(
+            (F.col("__pos") / 64).cast("int").alias("word"),
+            # F.shiftleft takes only a literal bit count — the column-shift
+            # spelling needs the SQL expression form
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos, 64) AS INT))").alias(
+                "__m"
+            ),
+        )
+        .groupBy("word")
+        .agg(
+            F.bit_or("__m").alias("bits"),
+            F.lit(m_bits).alias("m_bits"),
+            F.lit(k).alias("k"),
+        )
+    )
+
+
+def merge_bloom_states(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two Bloom states built with the same (m_bits, k): word-wise bit_or.
+    Associative, commutative, idempotent — nightly increment states compose in
+    any order and replays are no-ops. Geometry mismatch raises lazily via a
+    GLOBAL 1-row bounds check broadcast-crossed back in (the state is
+    ≤ m_bits/64 rows, so this costs nothing); a per-word check would pass
+    silently whenever the two states' occupied words are disjoint."""
+    u = a.unionByName(b)
+    bounds = u.agg(
+        F.min("m_bits").alias("__mmin"),
+        F.max("m_bits").alias("__mmax"),
+        F.min("k").alias("__kmin"),
+        F.max("k").alias("__kmax"),
+    )
+    merged = u.groupBy("word").agg(
+        F.bit_or("bits").alias("bits"),
+        F.max("m_bits").alias("__mb"),
+        F.max("k").alias("__k"),
+    )
+    bad = (F.col("__mmin") != F.col("__mmax")) | (F.col("__kmin") != F.col("__kmax"))
+    return merged.crossJoin(F.broadcast(bounds)).select(
+        "word",
+        "bits",
+        F.when(
+            bad, F.raise_error(F.lit("bloom geometry mismatch between merged states"))
+        )
+        .otherwise(F.col("__mb"))
+        .alias("m_bits"),
+        F.when(bad, F.raise_error(F.lit("bloom geometry mismatch between merged states")))
+        .otherwise(F.col("__k"))
+        .alias("k"),
+    )
+
+
+def _state_geometry(state_rows: list) -> tuple[list[int], int, int]:
+    """Dense word list + validated (m_bits, k) from collected state rows."""
+    if not state_rows:
+        return [], BLOOM_M_BITS, BLOOM_K
+    ms = {r["m_bits"] for r in state_rows}
+    ks = {r["k"] for r in state_rows}
+    if len(ms) > 1 or len(ks) > 1:
+        raise ValueError(
+            f"bloom state has inconsistent geometry m_bits={sorted(ms)} k={sorted(ks)}"
+        )
+    (m_bits,), (k,) = ms, ks
+    n_words = m_bits // 64
+    words = [0] * n_words
+    for r in state_rows:
+        if not (0 <= r["word"] < n_words):
+            raise ValueError(
+                f"bloom state word {r['word']} outside geometry m_bits={m_bits}"
+            )
+        words[r["word"]] = r["bits"]
+    return words, m_bits, k
+
+
+def bloom_might_contain_expr(state_rows: list, value_col) -> Column:
+    """Membership test as a pure column expression over a COLLECTED state
+    (≤ m_bits/64 bigint words — the same O(1) driver-state bound as the CMS
+    probe): AND over the k seeds of ``words[pos/64] & (1 << pos%64) != 0``.
+    The word array is ONE ``F.lit(list)`` literal (a single plan node — the
+    heavy-hitters py4j lesson). TRUE is a maybe (FP rate by sizing); FALSE is
+    certain — the predicate is a guaranteed-superset prune, so an exact
+    verify downstream restores equality. An EMPTY state contains nothing:
+    the expression is ``lit(False)``."""
+    words, m_bits, k = _state_geometry(state_rows)
+    if not words:
+        return F.lit(False)
+    value_col = F.col(value_col) if isinstance(value_col, str) else value_col
+    arr = F.lit(words)
+    conj = None
+    for i in range(k):
+        pos = _positions(value_col, m_bits, k, F.lit(i))
+        word = F.element_at(arr, (pos / 64).cast("int") + 1)
+        term = F.getbit(word, (pos % 64).cast("int")) == 1
+        conj = term if conj is None else (conj & term)
+    return conj
+
+
+def bloom_semi_probe(
+    items: DataFrame, state: DataFrame, value_col: str
+) -> DataFrame:
+    """DataFrame-state probe for geometries too large to collect as a literal:
+    items surviving the Bloom test (a SUPERSET of true members). The state is
+    ≤ m_bits/64 rows → broadcast; each (item, seed) probe row left-joins its
+    word and tests its bit; an item survives iff ALL k bits are set (absent
+    word = bit clear = certain miss). One exchange: the post-probe all-seeds
+    conjunction at item grain."""
+    geo = state.agg(
+        F.min("m_bits").alias("mmin"),
+        F.max("m_bits").alias("mmax"),
+        F.min("k").alias("kmin"),
+        F.max("k").alias("kmax"),
+    ).first()
+    if geo["mmin"] is None:
+        return items.limit(0)
+    if geo["mmin"] != geo["mmax"] or geo["kmin"] != geo["kmax"]:
+        raise ValueError("bloom state has inconsistent geometry")
+    m_bits, k = geo["mmax"], geo["kmax"]
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("seed")
+    pos = _positions(F.col(value_col), m_bits, k, F.col("seed"))
+    probes = items.select("*").withColumn("seed", seeds).select(
+        "*",
+        (pos / 64).cast("int").alias("__w"),
+        (pos % 64).cast("int").alias("__b"),
+    )
+    joined = probes.join(
+        F.broadcast(state.select(F.col("word").alias("__w"), "bits")), "__w", "left"
+    )
+    hit = F.getbit(F.coalesce(F.col("bits"), F.lit(0).cast("long")), F.col("__b")) == 1
+    keep = [c for c in items.columns]
+    return (
+        joined.groupBy(*keep)
+        .agg(F.min(hit.cast("int")).alias("__all"))
+        .filter(F.col("__all") == 1)
+        .select(*keep)
+    )

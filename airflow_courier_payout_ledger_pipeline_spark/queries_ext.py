@@ -1629,6 +1629,81 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_exact_dedup(incoming, corpus_fp, "doc_id", "text")
 
 
+# The Bloom filter is internal pruning state (one-sided error: no false
+# negatives), so candidates ⊇ true members and the exact fp join downstream
+# restores equality with the naive membership oracle — the same
+# prune-then-verify contract as the CMS heavy-hitter candidates and the
+# trigram index. The bloom itself therefore never appears in the oracle.
+BLOOM_PROBE_ORACLE = f"""
+WITH corpus AS (SELECT DISTINCT md5({NORM}) AS fp FROM documents),
+probe AS (
+    SELECT doc_id AS id,
+           CASE WHEN doc_id % 2 = 0 THEN md5({NORM})
+                ELSE md5({NORM} || '#changed') END AS fp
+    FROM documents WHERE doc_id % 7 = 0
+)
+SELECT p.id, p.fp, (c.fp IS NOT NULL) AS dup_of_corpus
+FROM probe p LEFT JOIN corpus c ON p.fp = c.fp
+"""
+
+
+@register("dedup_bloom_probe", BLOOM_PROBE_ORACLE)
+def q_dedup_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned incremental-dedup probe: flag which probe docs already
+    exist in the corpus fingerprint index — WITHOUT joining the probe set
+    against the index. A replay slice (doc_id % 7 = 0) stands in for the
+    nightly increment, with odd ids' fingerprints deterministically perturbed
+    (content changed since the snapshot), so both probe outcomes — member and
+    absent — occur by construction. The index side is sketched into a
+    ≤ m_bits/64-row bitmap state (built here as TWO half-index states folded
+    through ``merge_bloom_states`` — driving the bit-or merge law end-to-end,
+    like ``cms_state_migration`` does for CMS), the collected words enter the
+    probe scan as a pure map predicate (``bloom.bloom_might_contain_expr``),
+    and only the candidate remainder — true members plus the sizing-bounded
+    false positives — reaches the exact verify, broadcast against the index;
+    bloom-rejected rows are flagged non-members with NO join at all (the
+    no-false-negative guarantee). At 100 TB: the increment is never exchanged
+    for the membership test (10 bits/indexed key vs a 32-byte-string join),
+    and the states are increment-mergeable so the index bloom is maintained,
+    not rebuilt (operators/bloom.py)."""
+    from airflow_courier_payout_ledger_pipeline_spark.functions.text import (
+        fingerprint,
+        normalize_text,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain_expr,
+        merge_bloom_states,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import (
+        exact_dedup_groups,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    index = exact_dedup_groups(docs, "doc_id", "text").select("fp")
+    # two half-index states folded: build ∪ merge ≡ single full build (bit-or law)
+    half = F.abs(F.xxhash64("fp")) % 2
+    state = merge_bloom_states(
+        bloom_build(index.filter(half == 0), "fp"),
+        bloom_build(index.filter(half == 1), "fp"),
+    ).collect()
+    probe = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("doc_id") % 2 == 0, fingerprint(F.col("text")))
+        .otherwise(F.md5(F.concat(normalize_text(F.col("text")), F.lit("#changed"))))
+        .alias("fp"),
+    )
+    cand = probe.filter(bloom_might_contain_expr(state, "fp"))
+    # exact verify kills the false positives: broadcast the pruned candidates
+    # against the index — the index itself is never collected or broadcast
+    verified = index.join(F.broadcast(cand), "fp").select(
+        "id", F.lit(True).alias("__dup")
+    )
+    return probe.join(F.broadcast(verified), "id", "left").select(
+        "id", "fp", F.coalesce("__dup", F.lit(False)).alias("dup_of_corpus")
+    )
+
+
 # =====================================================================================
 # Multimodal: binary payload → decoded scalar features (Arrow-batched mapInPandas)
 # =====================================================================================

@@ -331,6 +331,8 @@ ADJUDICATION_WINDOW_FIRST: list[str] = [
     "contrastive_triplets",
     "dataset_card",
     "grouped_split_assign",
+    # -- round-9 addition: bloom membership state (first driver row) --
+    "dedup_bloom_probe",
     # -- stalest r7-proven veterans, registration order, filling to 50 --
     "similarity_topk",
     "similarity_ann_bucketed",
@@ -338,7 +340,6 @@ ADJUDICATION_WINDOW_FIRST: list[str] = [
     "semdedup_pairs",
     "similarity_ivf_topk",
     "dedup_pq_hamming",
-    "deterministic_sample",
 ]
 
 

@@ -61,6 +61,11 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
     # round-9: cms_state_migration registration lives in queries_ext.py
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext.py": {
         "cms_state_migration",
+        "dedup_bloom_probe",
+    },
+    # round-9: mergeable Bloom membership state (new module)
+    "airflow_courier_payout_ledger_pipeline_spark/operators/bloom.py": {
+        "dedup_bloom_probe",
     },
     # round-9: streaming drain startup shave (shared harness → the benched
     # drain re-proves the family)
