@@ -101,28 +101,37 @@ def merge_bloom_states(a: DataFrame, b: DataFrame) -> DataFrame:
     ≤ m_bits/64 rows, so this costs nothing); a per-word check would pass
     silently whenever the two states' occupied words are disjoint."""
     u = a.unionByName(b)
-    bounds = u.agg(
+    # per-group min/max ride the SAME aggregation as the bit_or, and the
+    # global bounds derive from the merged (≤ m_bits/64-row) result — NOT
+    # from a second agg over the raw union, which would force the (possibly
+    # expensive) input subtrees to execute twice. Detection is equivalent:
+    # global min over per-group mins == global min over all union rows.
+    merged = u.groupBy("word").agg(
+        F.bit_or("bits").alias("bits"),
         F.min("m_bits").alias("__mmin"),
         F.max("m_bits").alias("__mmax"),
         F.min("k").alias("__kmin"),
         F.max("k").alias("__kmax"),
     )
-    merged = u.groupBy("word").agg(
-        F.bit_or("bits").alias("bits"),
-        F.max("m_bits").alias("__mb"),
-        F.max("k").alias("__k"),
+    bounds = merged.agg(
+        F.min("__mmin").alias("__gmmin"),
+        F.max("__mmax").alias("__gmmax"),
+        F.min("__kmin").alias("__gkmin"),
+        F.max("__kmax").alias("__gkmax"),
     )
-    bad = (F.col("__mmin") != F.col("__mmax")) | (F.col("__kmin") != F.col("__kmax"))
+    bad = (F.col("__gmmin") != F.col("__gmmax")) | (
+        F.col("__gkmin") != F.col("__gkmax")
+    )
     return merged.crossJoin(F.broadcast(bounds)).select(
         "word",
         "bits",
         F.when(
             bad, F.raise_error(F.lit("bloom geometry mismatch between merged states"))
         )
-        .otherwise(F.col("__mb"))
+        .otherwise(F.col("__mmax"))
         .alias("m_bits"),
         F.when(bad, F.raise_error(F.lit("bloom geometry mismatch between merged states")))
-        .otherwise(F.col("__k"))
+        .otherwise(F.col("__kmax"))
         .alias("k"),
     )
 

@@ -223,19 +223,30 @@ def merge_cms_states(
     a = stamp_legacy_width(a, legacy_width)
     b = stamp_legacy_width(b, legacy_width)
     u = a.unionByName(b)
-    bounds = u.agg(F.min("width").alias("__wmin"), F.max("width").alias("__wmax"))
+    # per-group min/max ride the SAME aggregation as the count sum, and the
+    # global bounds derive from the merged (≤ depth×width-row) result — NOT
+    # from a second agg over the raw union, which would force the input
+    # subtrees (a full token-stream scan when the states are built inline) to
+    # execute twice. Detection is equivalent: global min over per-group mins
+    # == global min over all union rows, so disjoint-bucket width drift still
+    # fails loudly.
     merged = u.groupBy("seed", "bucket").agg(
-        F.sum("cnt").alias("cnt"), F.max("width").alias("__w")
+        F.sum("cnt").alias("cnt"),
+        F.min("width").alias("__wmin"),
+        F.max("width").alias("__wmax"),
+    )
+    bounds = merged.agg(
+        F.min("__wmin").alias("__gwmin"), F.max("__wmax").alias("__gwmax")
     )
     return merged.crossJoin(F.broadcast(bounds)).select(
         "seed",
         "bucket",
         "cnt",
         F.when(
-            F.col("__wmin") != F.col("__wmax"),
+            F.col("__gwmin") != F.col("__gwmax"),
             F.raise_error(F.lit("CMS width mismatch between merged states")),
         )
-        .otherwise(F.col("__w"))
+        .otherwise(F.col("__wmax"))
         .alias("width"),
     )
 

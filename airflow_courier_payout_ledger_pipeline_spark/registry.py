@@ -365,6 +365,9 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     # (docstring-only; scheduled anyway — the standing rule diffs files)
     "dsir_importance",
     "dsir_resample",
+    # round-9 addition registered outside the active window: the bloom state
+    # maintained on the stream_fold_state rail (first driver row in r10)
+    "streaming_bloom_maintenance",
 ]
 
 

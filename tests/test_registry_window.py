@@ -62,10 +62,12 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext.py": {
         "cms_state_migration",
         "dedup_bloom_probe",
+        "streaming_bloom_maintenance",
     },
     # round-9: mergeable Bloom membership state (new module)
     "airflow_courier_payout_ledger_pipeline_spark/operators/bloom.py": {
         "dedup_bloom_probe",
+        "streaming_bloom_maintenance",
     },
     # round-9: streaming drain startup shave (shared harness → the benched
     # drain re-proves the family)
