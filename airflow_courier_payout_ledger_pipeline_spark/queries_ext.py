@@ -1786,6 +1786,66 @@ def q_streaming_bloom_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# Quantiles don't decompose, but the per-group value histogram is a lossless
+# mergeable sufficient statistic — exact percentiles from persisted state, no
+# corpus sort, no approximation (cents are a quantized domain; cf. SCALE.md on
+# approx_percentile's non-hashable rank error). The percentile definition is
+# pure integer arithmetic (cum·den >= num·N — the ⌈p·N⌉-th order statistic) so
+# exact p·N boundaries resolve identically in both engines; the cents cast
+# reuses the proven STREAMING_SESSION_ORACLE rounding pattern.
+QUANTILE_STATE_ORACLE = """
+WITH e AS (
+    SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v
+    FROM events WHERE value IS NOT NULL
+),
+h AS (SELECT event_type, v, count(*) AS c FROM e GROUP BY 1, 2),
+cum AS (
+    SELECT event_type, v,
+           sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+           sum(c) OVER (PARTITION BY event_type) AS n
+    FROM h
+)
+SELECT event_type,
+       max(n)::BIGINT AS n_values,
+       min(CASE WHEN cum * 2 >= n THEN v END) AS p50,
+       min(CASE WHEN cum * 10 >= 9 * n THEN v END) AS p90,
+       min(CASE WHEN cum * 100 >= 99 * n THEN v END) AS p99
+FROM cum GROUP BY 1
+"""
+
+
+@register("quantile_state_maintenance", QUANTILE_STATE_ORACLE)
+def q_quantile_state_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type latency/value percentiles (p50/p90/p99 in cents) from a
+    MERGED histogram state: the event stream is split in two (modeling
+    yesterday's persisted state + tonight's increment), each half reduced to
+    its (group, value, cnt) histogram, folded by count-sum
+    (``operators/quantile.merge_histogram_states``), and finalized into exact
+    discrete percentiles — the fourth mergeable-state family member next to
+    CMS/Bloom/HLL, and the exact alternative to percentile_approx for
+    quantized domains. No row-grain sort anywhere: the build shuffles
+    value-grain rows after map-side partials, and the finalize window orders
+    only per-group distinct values."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.quantile import (
+        histogram_state,
+        merge_histogram_states,
+        quantiles_from_state,
+    )
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    e = events.filter(F.col("value").isNotNull()).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v"),
+    )
+    state = merge_histogram_states(
+        histogram_state(e.filter(F.col("event_id") % 2 == 0), ["event_type"], "v"),
+        histogram_state(e.filter(F.col("event_id") % 2 == 1), ["event_type"], "v"),
+        ["event_type"],
+    )
+    return quantiles_from_state(state, ["event_type"])
+
+
 # =====================================================================================
 # Multimodal: binary payload → decoded scalar features (Arrow-batched mapInPandas)
 # =====================================================================================

@@ -368,6 +368,8 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     # round-9 addition registered outside the active window: the bloom state
     # maintained on the stream_fold_state rail (first driver row in r10)
     "streaming_bloom_maintenance",
+    # round-9 addition: mergeable exact-quantile histogram state
+    "quantile_state_maintenance",
 ]
 
 

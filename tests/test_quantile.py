@@ -1,0 +1,88 @@
+"""Mergeable exact-quantile state laws (operators/quantile.py): the histogram
+state is a lossless mergeable sufficient statistic — merge ≡ rebuild
+row-exact, finalize(merged) ≡ finalize(rebuild) bit-equal, and the integer
+order-statistic definition matches hand-computed ground truth including exact
+p·N boundaries."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_courier_payout_ledger_pipeline_spark.operators.quantile import (
+    histogram_state,
+    merge_histogram_states,
+    quantiles_from_state,
+)
+
+G = ["grp"]
+
+
+def _rows(spark, vals_by_grp):
+    data = [(g, v) for g, vs in vals_by_grp.items() for v in vs]
+    return spark.createDataFrame(data, "grp string, v long")
+
+
+def test_merge_of_splits_is_row_exact_vs_direct_build(spark):
+    df = _rows(spark, {"a": [1, 2, 2, 3, 9], "b": [5, 5, 5, 7]})
+    df = df.withColumn("rid", F.monotonically_increasing_id())
+    a, b = df.filter(F.col("rid") % 2 == 0), df.filter(F.col("rid") % 2 == 1)
+    merged = merge_histogram_states(
+        histogram_state(a, G, "v"), histogram_state(b, G, "v"), G
+    )
+    direct = histogram_state(df, G, "v")
+    assert sorted((r.grp, r.value, r.cnt) for r in merged.collect()) == sorted(
+        (r.grp, r.value, r.cnt) for r in direct.collect()
+    )
+
+
+def test_finalize_of_merged_equals_finalize_of_rebuild(spark):
+    df = _rows(spark, {"a": list(range(100)) * 2, "b": [3, 1, 4, 1, 5, 9, 2, 6]})
+    df = df.withColumn("rid", F.monotonically_increasing_id())
+    halves = [df.filter(F.col("rid") % 2 == i) for i in range(2)]
+    merged = merge_histogram_states(
+        histogram_state(halves[0], G, "v"), histogram_state(halves[1], G, "v"), G
+    )
+    got = sorted(tuple(r) for r in quantiles_from_state(merged, G).collect())
+    want = sorted(
+        tuple(r) for r in quantiles_from_state(histogram_state(df, G, "v"), G).collect()
+    )
+    assert got == want
+
+
+def test_percentiles_match_hand_computed_order_statistics(spark):
+    # grp a: 1..10 once each (N=10): p50 = 5th order stat = 5 (cum*2 >= 10 at
+    # v=5 exactly — the integral-boundary case), p90 = 9, p99 = 10
+    # grp b: [1, 1, 1, 100] (N=4): p50 = 2nd = 1, p90 = ceil(3.6)=4th = 100
+    df = _rows(spark, {"a": list(range(1, 11)), "b": [1, 1, 1, 100]})
+    out = {
+        r.grp: r
+        for r in quantiles_from_state(histogram_state(df, G, "v"), G).collect()
+    }
+    assert (out["a"].n_values, out["a"].p50, out["a"].p90, out["a"].p99) == (
+        10, 5, 9, 10,
+    )
+    assert (out["b"].n_values, out["b"].p50, out["b"].p90, out["b"].p99) == (
+        4, 1, 100, 100,
+    )
+
+
+def test_single_value_and_single_row_groups(spark):
+    df = _rows(spark, {"one": [42], "flat": [7] * 50})
+    out = {
+        r.grp: r
+        for r in quantiles_from_state(histogram_state(df, G, "v"), G).collect()
+    }
+    assert (out["one"].p50, out["one"].p99) == (42, 42)
+    assert (out["flat"].n_values, out["flat"].p50, out["flat"].p99) == (50, 7, 7)
+
+
+def test_merge_is_commutative_and_order_free(spark):
+    df = _rows(spark, {"a": [1, 2, 3, 4, 5, 6]})
+    df = df.withColumn("rid", F.monotonically_increasing_id())
+    parts = [df.filter(F.col("rid") % 3 == i) for i in range(3)]
+    s = [histogram_state(p, G, "v") for p in parts]
+    fold_ab_c = merge_histogram_states(merge_histogram_states(s[0], s[1], G), s[2], G)
+    fold_c_ba = merge_histogram_states(s[2], merge_histogram_states(s[1], s[0], G), G)
+    assert sorted(tuple(r) for r in fold_ab_c.collect()) == sorted(
+        tuple(r) for r in fold_c_ba.collect()
+    )

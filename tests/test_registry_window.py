@@ -63,11 +63,17 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "cms_state_migration",
         "dedup_bloom_probe",
         "streaming_bloom_maintenance",
+        "quantile_state_maintenance",
     },
     # round-9: mergeable Bloom membership state (new module)
     "airflow_courier_payout_ledger_pipeline_spark/operators/bloom.py": {
         "dedup_bloom_probe",
         "streaming_bloom_maintenance",
+        "quantile_state_maintenance",
+    },
+    # round-9: mergeable exact-quantile histogram state (new module)
+    "airflow_courier_payout_ledger_pipeline_spark/operators/quantile.py": {
+        "quantile_state_maintenance",
     },
     # round-9: streaming drain startup shave (shared harness → the benched
     # drain re-proves the family)
