@@ -76,6 +76,26 @@ def test_single_value_and_single_row_groups(spark):
     assert (out["flat"].n_values, out["flat"].p50, out["flat"].p99) == (50, 7, 7)
 
 
+def test_rollup_to_coarser_grain_preserves_exactness(spark):
+    """Re-grouping the state to a coarser grain (day×type → type) is the same
+    count-sum algebra — merge_histogram_states with fewer group cols — and the
+    rolled-up quantiles equal a direct coarse build's: the property exact
+    percentile ROWS lack entirely (a p50-per-day table cannot produce
+    p50-per-month; the histogram state can)."""
+    df = _rows(spark, {"a": [1, 2, 3], "b": [4, 5, 6, 7]}).withColumn(
+        "day", (F.col("v") % 2).cast("int")
+    )
+    fine = histogram_state(df, ["grp", "day"], "v")
+    rolled = fine.groupBy("grp", "value").agg(F.sum("cnt").alias("cnt"))
+    direct = histogram_state(df, ["grp"], "v")
+    assert sorted(tuple(r) for r in rolled.collect()) == sorted(
+        tuple(r) for r in direct.collect()
+    )
+    got = sorted(tuple(r) for r in quantiles_from_state(rolled, ["grp"]).collect())
+    want = sorted(tuple(r) for r in quantiles_from_state(direct, ["grp"]).collect())
+    assert got == want
+
+
 def test_merge_is_commutative_and_order_free(spark):
     df = _rows(spark, {"a": [1, 2, 3, 4, 5, 6]})
     df = df.withColumn("rid", F.monotonically_increasing_id())

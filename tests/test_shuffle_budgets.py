@@ -42,6 +42,10 @@ SHUFFLE_BUDGET = {
     "bm25_search": 1,  # single conditional-agg doc shuffle; stats are a driver row
     "heavy_hitters": 2,  # CMS state agg + candidate-only exact count (probe is map-side)
     "dsir_importance": 1,  # ratios are a literal-array lookup; only the doc-grain mean
+    # the merged sketch states collect eagerly inside the query fn, so the
+    # RETURNED plan carries only the post-state work:
+    "cms_state_migration": 1,  # candidate-only exact count (probe is map-side)
+    "dedup_bloom_probe": 1,  # hit-fp distinct; verify semi + final join broadcast
 }
 
 
