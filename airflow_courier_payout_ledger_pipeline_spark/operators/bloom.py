@@ -171,7 +171,11 @@ def bloom_might_contain_expr(state_rows: list, value_col) -> Column:
     if not words:
         return F.lit(False)
     value_col = F.col(value_col) if isinstance(value_col, str) else value_col
-    arr = F.lit(words)
+    # the explicit cast matters: a sparse state whose occupied words all fit
+    # in int32 would make F.lit infer array<int>, and getbit validates the
+    # bit position against the WORD TYPE's width — [0, 32) — crashing every
+    # probe of a bit >= 32 (hypothesis-found on random small member sets)
+    arr = F.lit(words).cast("array<bigint>")
     conj = None
     for i in range(k):
         pos = _positions(value_col, m_bits, k, F.lit(i))

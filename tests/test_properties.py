@@ -446,3 +446,98 @@ def test_span_scrub_matches_python_reference(spark, texts):
         for r in duplicated_span_scrub(df, "doc_id", "text", n=n).collect()
     }
     assert got == want
+
+
+# --- mergeable bloom state laws under random inputs ---------------------------------
+
+bloom_strategy = st.tuples(
+    st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6), min_size=1, max_size=30),
+    st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6), min_size=0, max_size=30),
+    st.integers(0, 2**31),
+)
+
+
+@SET
+@given(data=bloom_strategy)
+def test_bloom_merge_and_no_false_negatives_on_random_sets(spark, data):
+    """Any member set, any 2-way split (random salt): merged state ≡ direct
+    build row-for-row, every member passes the probe (no false negatives),
+    and exact verification of the candidates recovers exactly the true
+    membership — regardless of bloom false positives on the probe set."""
+    from pyspark.sql import functions as F
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain_expr,
+        merge_bloom_states,
+    )
+
+    members, probes, salt = data
+    m = spark.createDataFrame([(v,) for v in members], "v string")
+    split = F.abs(F.xxhash64("v", F.lit(salt))) % 2
+    merged = merge_bloom_states(
+        bloom_build(m.filter(split == 0), "v", m_bits=1 << 10, k=3),
+        bloom_build(m.filter(split == 1), "v", m_bits=1 << 10, k=3),
+    )
+    direct = bloom_build(m, "v", m_bits=1 << 10, k=3)
+    assert sorted(tuple(r) for r in merged.collect()) == sorted(
+        tuple(r) for r in direct.collect()
+    )
+    state = merged.collect()
+    assert m.filter(bloom_might_contain_expr(state, "v")).count() == m.count()
+    p = spark.createDataFrame([(v,) for v in set(members) | set(probes)], "v string")
+    cand = p.filter(bloom_might_contain_expr(state, "v"))
+    verified = {r.v for r in cand.join(m.distinct(), "v", "left_semi").collect()}
+    assert verified == set(members)
+
+
+# --- mergeable exact-quantile state vs a pure-Python reference ----------------------
+
+quantile_strategy = st.tuples(
+    st.lists(st.integers(-50, 50), min_size=1, max_size=40),
+    st.integers(0, 2**31),
+)
+
+
+@SET
+@given(data=quantile_strategy)
+def test_quantile_state_matches_pure_python_order_statistics(spark, data):
+    """Any multiset, any 2-way split: merged histogram ≡ direct build, and
+    p50/p90/p99 equal the independent reference (smallest value whose
+    cumulative count·den ≥ num·N — the ⌈p·N⌉-th order statistic)."""
+    from pyspark.sql import functions as F
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.quantile import (
+        histogram_state,
+        merge_histogram_states,
+        quantiles_from_state,
+    )
+
+    vals, salt = data
+    df = spark.createDataFrame(
+        [("g", v, i) for i, v in enumerate(vals)], "grp string, v long, i long"
+    )
+    split = F.abs(F.xxhash64("i", F.lit(salt))) % 2
+    merged = merge_histogram_states(
+        histogram_state(df.filter(split == 0), ["grp"], "v"),
+        histogram_state(df.filter(split == 1), ["grp"], "v"),
+        ["grp"],
+    )
+    direct = histogram_state(df, ["grp"], "v")
+    assert sorted(tuple(r) for r in merged.collect()) == sorted(
+        tuple(r) for r in direct.collect()
+    )
+    row = quantiles_from_state(merged, ["grp"]).collect()[0]
+
+    def ref(num, den):
+        s, n = sorted(vals), len(vals)
+        cum = 0
+        for v in s:
+            cum += 1
+            if cum * den >= num * n:
+                return v
+        return s[-1]
+
+    assert (row.n_values, row.p50, row.p90, row.p99) == (
+        len(vals), ref(1, 2), ref(9, 10), ref(99, 100),
+    )
