@@ -47,9 +47,14 @@ def histogram_state(
 ) -> DataFrame:
     """Per-group value histogram: (group..., value, cnt) — the mergeable,
     lossless quantile state. One grouped count; duplicates in the input are
-    the point (they become counts)."""
+    the point (they become counts). NULL values are EXCLUDED at build time:
+    a NULL carries no rank, and letting it into the state would poison the
+    cumulative window with engine-dependent NULL ordering (Spark sorts NULLS
+    FIRST ascending, DuckDB NULLS LAST) — the same reason SQL percentile
+    functions ignore NULLs."""
     return (
-        df.groupBy(*group_cols, F.col(value_col).alias("value"))
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, F.col(value_col).alias("value"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 

@@ -541,3 +541,51 @@ def test_quantile_state_matches_pure_python_order_statistics(spark, data):
     assert (row.n_values, row.p50, row.p90, row.p99) == (
         len(vals), ref(1, 2), ref(9, 10), ref(99, 100),
     )
+
+
+# --- CMS merge law + one-sidedness under random inputs ------------------------------
+
+cms_strategy = st.tuples(
+    st.lists(st.text(alphabet="xyz", min_size=1, max_size=3), min_size=1, max_size=40),
+    st.integers(0, 2**31),
+)
+
+
+@SET
+@given(data=cms_strategy)
+def test_cms_merge_law_and_one_sidedness_on_random_multisets(spark, data):
+    """Any multiset, any 2-way split: merged CMS ≡ direct build bucket-exact,
+    and every estimate ≥ the true count (the one-sided guarantee the
+    heavy-hitter prune relies on)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sketch import (
+        cms_probe_expr,
+        cms_state,
+        merge_cms_states,
+    )
+
+    vals, salt = data
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)], "v string, i long"
+    )
+    split = F.abs(F.xxhash64("i", F.lit(salt))) % 2
+    merged = merge_cms_states(
+        cms_state(df.filter(split == 0), "v", width=64),
+        cms_state(df.filter(split == 1), "v", width=64),
+    )
+    direct = cms_state(df, "v", width=64)
+    assert sorted(tuple(r) for r in merged.collect()) == sorted(
+        tuple(r) for r in direct.collect()
+    )
+    state = merged.collect()
+    truth = Counter(vals)
+    est = {
+        r.v: r.e
+        for r in df.select("v").distinct()
+        .select("v", cms_probe_expr(state, "v", width=64).alias("e"))
+        .collect()
+    }
+    assert all(est[v] >= c for v, c in truth.items())

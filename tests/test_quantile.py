@@ -106,3 +106,14 @@ def test_merge_is_commutative_and_order_free(spark):
     assert sorted(tuple(r) for r in fold_ab_c.collect()) == sorted(
         tuple(r) for r in fold_c_ba.collect()
     )
+
+
+def test_null_values_carry_no_rank(spark):
+    """NULLs are excluded at state build (engine NULL-ordering would otherwise
+    poison the cumulative window; SQL percentile functions ignore NULLs too):
+    quantiles over [1..4, NULL] equal quantiles over [1..4]."""
+    with_null = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("a", 4), ("a", None)], "grp string, v long"
+    )
+    out = quantiles_from_state(histogram_state(with_null, G, "v"), G).collect()[0]
+    assert (out.n_values, out.p50, out.p99) == (4, 2, 4)
