@@ -93,6 +93,47 @@ def bloom_build(
     )
 
 
+def bloom_build_partitioned(
+    df: DataFrame,
+    value_col: str,
+    part_col: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Per-partition-key Bloom states in ONE input scan: (part, word, bits,
+    m_bits, k) — selecting one key and dropping ``part`` yields exactly the
+    state ``bloom_build`` would produce from that key's subset (law-tested).
+    This is how a backfill builds MANY increment states (one per day/source)
+    without one scan per key; the states then fold forward one merge at a
+    time as increments retire. A further bonus under Spark's exchange reuse:
+    two branches filtering different keys off this ONE grouped result share
+    the same exchange, where two separate ``bloom_build`` calls would scan
+    the input once each."""
+    if m_bits % 64 != 0 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("seed")
+    pos = _positions(F.col("__v"), m_bits, k, F.col("seed"))
+    return (
+        df.select(F.col(part_col).alias("part"), F.col(value_col).alias("__v"), seeds)
+        .select("part", pos.alias("__pos"))
+        .select(
+            "part",
+            (F.col("__pos") / 64).cast("int").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos, 64) AS INT))").alias(
+                "__m"
+            ),
+        )
+        .groupBy("part", "word")
+        .agg(
+            F.bit_or("__m").alias("bits"),
+            F.lit(m_bits).alias("m_bits"),
+            F.lit(k).alias("k"),
+        )
+    )
+
+
 def merge_bloom_states(a: DataFrame, b: DataFrame) -> DataFrame:
     """Fold two Bloom states built with the same (m_bits, k): word-wise bit_or.
     Associative, commutative, idempotent — nightly increment states compose in

@@ -1684,10 +1684,12 @@ def q_dedup_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
     # two half-index states folded: build ∪ merge ≡ single full build (bit-or
     # law; in deployment the halves are persisted artifacts — yesterday's
-    # state + tonight's increment). Left lazy deliberately: the build
-    # exchanges are reused across the merge's branches, and an A/B measured
-    # eager localCheckpoint pinning ~40% SLOWER (two blocking jobs vs one
-    # pipelined plan) at this state size
+    # state + tonight's increment). Shape A/B'd in round 9 and this two-build
+    # form kept: an eager localCheckpoint pin ran ~40% slower (two blocking
+    # jobs vs one pipelined plan), and a bloom_build_partitioned single-scan
+    # variant ran ~25% slower at 2 keys (the part column rides the full x k
+    # explode; that shape pays off for MANY keys — per-day backfills — not
+    # two)
     state = merge_bloom_states(
         bloom_build(fps.filter(F.col("doc_id") % 2 == 0), "fp"),
         bloom_build(fps.filter(F.col("doc_id") % 2 == 1), "fp"),

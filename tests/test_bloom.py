@@ -100,3 +100,28 @@ def test_build_rejects_bad_geometry(spark):
         bloom_build(m, "v", m_bits=100)
     with pytest.raises(ValueError, match="k must be positive"):
         bloom_build(m, "v", k=0)
+
+
+def test_partitioned_build_equals_per_key_builds(spark):
+    """bloom_build_partitioned law: each key's slice of the one-scan grouped
+    build IS the state bloom_build produces from that key's subset."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.bloom import (
+        bloom_build_partitioned,
+    )
+
+    m = _members(spark, 200).withColumn(
+        "day", (F.length("v") + F.crc32("v") % 3).cast("int")
+    )
+    parts = bloom_build_partitioned(m, "v", "day", m_bits=1 << 12, k=4)
+    for day in [r.day for r in m.select("day").distinct().collect()]:
+        got = sorted(
+            tuple(r)
+            for r in parts.filter(F.col("part") == day).drop("part").collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in bloom_build(
+                m.filter(F.col("day") == day), "v", m_bits=1 << 12, k=4
+            ).collect()
+        )
+        assert got == want, f"day {day}"
