@@ -45,6 +45,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: 2^17 bits = 2 KiB of bitmap; with k=5 holds ~1% FP to ~12k indexed keys.
 BLOOM_M_BITS = 1 << 17
@@ -138,15 +139,20 @@ def merge_bloom_states(a: DataFrame, b: DataFrame) -> DataFrame:
     """Fold two Bloom states built with the same (m_bits, k): word-wise bit_or.
     Associative, commutative, idempotent — nightly increment states compose in
     any order and replays are no-ops. Geometry mismatch raises lazily via a
-    GLOBAL 1-row bounds check broadcast-crossed back in (the state is
-    ≤ m_bits/64 rows, so this costs nothing); a per-word check would pass
-    silently whenever the two states' occupied words are disjoint."""
+    GLOBAL bounds check (an unpartitioned window over the merged state — the
+    state is ≤ m_bits/64 rows, so this costs nothing); a per-word check would
+    pass silently whenever the two states' occupied words are disjoint."""
     u = a.unionByName(b)
     # per-group min/max ride the SAME aggregation as the bit_or, and the
-    # global bounds derive from the merged (≤ m_bits/64-row) result — NOT
-    # from a second agg over the raw union, which would force the (possibly
-    # expensive) input subtrees to execute twice. Detection is equivalent:
-    # global min over per-group mins == global min over all union rows.
+    # GLOBAL bounds come from an unpartitioned window over the merged
+    # (≤ m_bits/64-row) result — one plan, one execution. The previous
+    # crossJoin(broadcast(agg)) shape planned the bounds as a separate
+    # broadcast subtree that RE-EXECUTED both input builds (4 file scans,
+    # zero ReusedExchange — verified on the physical plan); the window runs
+    # over rows already merged. The single-partition window is safe by
+    # construction: the state is geometry-bounded, never data-sized.
+    # Detection is equivalent: global min over per-group mins == min over
+    # all union rows, so disjoint-word geometry drift still fails loudly.
     merged = u.groupBy("word").agg(
         F.bit_or("bits").alias("bits"),
         F.min("m_bits").alias("__mmin"),
@@ -154,16 +160,11 @@ def merge_bloom_states(a: DataFrame, b: DataFrame) -> DataFrame:
         F.min("k").alias("__kmin"),
         F.max("k").alias("__kmax"),
     )
-    bounds = merged.agg(
-        F.min("__mmin").alias("__gmmin"),
-        F.max("__mmax").alias("__gmmax"),
-        F.min("__kmin").alias("__gkmin"),
-        F.max("__kmax").alias("__gkmax"),
+    w = Window.partitionBy()
+    bad = (F.min("__mmin").over(w) != F.max("__mmax").over(w)) | (
+        F.min("__kmin").over(w) != F.max("__kmax").over(w)
     )
-    bad = (F.col("__gmmin") != F.col("__gmmax")) | (
-        F.col("__gkmin") != F.col("__gkmax")
-    )
-    return merged.crossJoin(F.broadcast(bounds)).select(
+    return merged.select(
         "word",
         "bits",
         F.when(
@@ -203,20 +204,26 @@ def bloom_might_contain_expr(state_rows: list, value_col) -> Column:
     """Membership test as a pure column expression over a COLLECTED state
     (≤ m_bits/64 bigint words — the same O(1) driver-state bound as the CMS
     probe): AND over the k seeds of ``words[pos/64] & (1 << pos%64) != 0``.
-    The word array is ONE ``F.lit(list)`` literal (a single plan node — the
-    heavy-hitters py4j lesson). TRUE is a maybe (FP rate by sizing); FALSE is
+    The word array is ONE parsed ``array(...)`` literal
+    (``functions/literals.array_lit``, a single expr call / plan node — the
+    heavy-hitters py4j lesson, extended round 9 to literal CONSTRUCTION). TRUE is a maybe (FP rate by sizing); FALSE is
     certain — the predicate is a guaranteed-superset prune, so an exact
     verify downstream restores equality. An EMPTY state contains nothing:
     the expression is ``lit(False)``."""
     words, m_bits, k = _state_geometry(state_rows)
     if not words:
         return F.lit(False)
+    from airflow_courier_payout_ledger_pipeline_spark.functions.literals import (
+        array_lit,
+    )
+
     value_col = F.col(value_col) if isinstance(value_col, str) else value_col
-    # the explicit cast matters: a sparse state whose occupied words all fit
-    # in int32 would make F.lit infer array<int>, and getbit validates the
-    # bit position against the WORD TYPE's width — [0, 32) — crashing every
-    # probe of a bit >= 32 (hypothesis-found on random small member sets)
-    arr = F.lit(words).cast("array<bigint>")
+    # array_lit renders BIGINT elements (the L suffix), which also preserves
+    # the width getbit validates positions against: an inferred array<int>
+    # from all-small words would reject every bit >= 32 (hypothesis-found on
+    # random small member sets). One expr parse vs ~0.75 s of per-element
+    # py4j conversions for F.lit(list) at the 2048-word default.
+    arr = array_lit(words)
     conj = None
     for i in range(k):
         pos = _positions(value_col, m_bits, k, F.lit(i))

@@ -259,7 +259,9 @@ def dsir_importance_scores(
     Scale shape: TWO corpus passes, ONE exchange each — (1) the O(B)-row
     count state (``dsir_gram_counts``, collected like the CMS state), (2)
     scoring, where the B ratios re-enter the plan as ONE literal-array lookup
-    (``F.lit(list)``, a single plan node — the heavy-hitters lesson) and the
+    (``functions/literals.array_lit``, a single parsed plan node — the
+    heavy-hitters lesson, extended in round 9: ``F.lit(list)`` builds the
+    same node but converts per element driver-side) and the
     only exchange is the doc-grain mean. No joins, no vocabulary broadcast,
     nothing corpus-sized on the driver.
 
@@ -305,14 +307,23 @@ def dsir_importance_scores(
         "ELSE transform(sequence(1, size(ws) - 1), "
         "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1))) END)"
     )
+    from airflow_courier_payout_ledger_pipeline_spark.functions.literals import (
+        array_lit,
+    )
+
     g = (
         docs.select(F.col(id_col), ws.alias("ws"))
         .filter((F.size("ws") > 1) | (F.element_at("ws", 1) != ""))
         .select(id_col, F.explode(grams).alias("gram"))
         .filter(F.col("gram") != "")
     )
+    # array_lit: one parsed literal; F.lit(list) converts per element (~0.4 s
+    # of driver-side py4j at B=1024 on every query build — round-9 finding,
+    # revising the earlier "plan at its floor" note, which had only profiled
+    # the EXECUTED plan, not the build)
     ratio = F.element_at(
-        F.lit(ratios), (_gram_bucket(F.col("gram"), buckets) + 1).cast("int")
+        array_lit([float(r) for r in ratios]),
+        (_gram_bucket(F.col("gram"), buckets) + 1).cast("int"),
     )
     return g.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams"),

@@ -43,6 +43,7 @@ import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: Default DataSketches log2(K): 4096 registers ≈ 1.6 % relative standard error,
 #: ~2 KB per sketch — one day×segment row costs ~2 KB regardless of cardinality.
@@ -235,15 +236,18 @@ def merge_cms_states(
         F.min("width").alias("__wmin"),
         F.max("width").alias("__wmax"),
     )
-    bounds = merged.agg(
-        F.min("__wmin").alias("__gwmin"), F.max("__wmax").alias("__gwmax")
-    )
-    return merged.crossJoin(F.broadcast(bounds)).select(
+    # global check via an unpartitioned window over the merged (≤ depth×width
+    # row) result — one plan, one execution; the crossJoin(broadcast(agg))
+    # shape planned the bounds as a separate subtree that re-executed the
+    # input builds (verified: zero ReusedExchange). Single-partition window
+    # is safe: the state is geometry-bounded, never data-sized.
+    w = Window.partitionBy()
+    return merged.select(
         "seed",
         "bucket",
         "cnt",
         F.when(
-            F.col("__gwmin") != F.col("__gwmax"),
+            F.min("__wmin").over(w) != F.max("__wmax").over(w),
             F.raise_error(F.lit("CMS width mismatch between merged states")),
         )
         .otherwise(F.col("__wmax"))
@@ -344,12 +348,18 @@ def cms_probe_expr(state_rows: list, value_col, width: int | None = None):
     identical (same xxhash64(value, seed) buckets, min over the state's own
     seeds).
 
-    Each per-seed bucket array is ONE ``F.lit(list)`` literal (a single py4j
-    call / plan node), not ``F.array`` over ``width`` scalar literals — the
-    latter costs one py4j round-trip per bucket (~3.3 s of pure driver-side
-    construction at the 4×1024 default, the round-6 heavy_hitters regression)
-    and risks codegen limits with a 4096-node expression tree. Width drift vs
-    the state's build width raises (see ``cms_state``)."""
+    Each per-seed bucket array is ONE parsed ``array(...)`` literal
+    (``functions/literals.array_lit`` — a single expr call / plan node), not
+    ``F.array`` over ``width`` scalar literals (one py4j round-trip per
+    bucket, ~3.3 s at the 4×1024 default — the round-6 heavy_hitters
+    regression) and not ``F.lit(list)`` either, whose construction converts
+    per element on classic PySpark (~0.4 s per 1024-element array — the same
+    pathology one layer down, found in round 9). Width drift vs the state's
+    build width raises (see ``cms_state``)."""
+    from airflow_courier_payout_ledger_pipeline_spark.functions.literals import (
+        array_lit,
+    )
+
     width = _state_width(state_rows, width)
     by_seed: dict[int, dict[int, int]] = {}
     for r in state_rows:
@@ -364,7 +374,7 @@ def cms_probe_expr(state_rows: list, value_col, width: int | None = None):
     per_seed = []
     for seed in sorted(by_seed):
         counts = by_seed[seed]
-        arr = F.lit([int(counts.get(b, 0)) for b in range(width)])
+        arr = array_lit([int(counts.get(b, 0)) for b in range(width)])
         bucket = F.pmod(F.xxhash64(value_col, F.lit(seed)), F.lit(width))
         per_seed.append(F.element_at(arr, (bucket + 1).cast("int")))
     est = F.least(*per_seed) if len(per_seed) > 1 else per_seed[0]
