@@ -71,6 +71,14 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "streaming_bloom_maintenance",
         "quantile_state_maintenance",
     },
+    # round-9: one-parse array literals (consumed by the DSIR ratio lookup,
+    # the bloom word probe, and the CMS probe arrays — their driver rows
+    # adjudicate it)
+    "airflow_courier_payout_ledger_pipeline_spark/functions/literals.py": {
+        "dsir_importance",
+        "dedup_bloom_probe",
+        "cms_state_migration",
+    },
     # round-9: mergeable exact-quantile histogram state (new module)
     "airflow_courier_payout_ledger_pipeline_spark/operators/quantile.py": {
         "quantile_state_maintenance",
