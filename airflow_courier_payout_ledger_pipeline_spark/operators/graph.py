@@ -50,6 +50,12 @@ def connected_components(
             edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
         )
         .distinct()
+        # pin the edge list ONCE: every round's neighbor-min join reads it,
+        # and without the checkpoint each round re-executes the full upstream
+        # pair pipeline (for near-dup edges that is the whole shingle→minhash
+        # →band→verify chain — measured 25 s / 147 jobs at sf0.01 before the
+        # pin, ~3 s after; the labels frame alone was never the problem)
+        .localCheckpoint(eager=True)
     )
     labels = (
         nodes.select(F.col(id_col).alias("id"))
@@ -64,9 +70,30 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("src_comp").alias("nbr_comp"))
         )
-        new_labels = labels.join(nbr_min, "id", "left").select(
+        stepped = labels.join(nbr_min, "id", "left").select(
             "id",
             F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
+        )
+        # pointer-jumping shortcut: comp := min(comp, comp(comp)). Labels are
+        # node ids, so the self-join resolves every label's own current label,
+        # halving label-chain distances each round — convergence drops from
+        # O(diameter) to O(log diameter) rounds (measured 10 → 5 at sf0.01,
+        # where per-round fixed job cost dominates). min-label remains the
+        # fixpoint: shortcutting only ever propagates an already-reachable
+        # smaller label faster, never a new one.
+        new_labels = (
+            stepped.alias("l")
+            .join(
+                stepped.select(
+                    F.col("id").alias("comp"), F.col("comp").alias("__comp2")
+                ).alias("p"),
+                "comp",
+                "left",
+            )
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("__comp2"), F.col("comp"))).alias("comp"),
+            )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = (

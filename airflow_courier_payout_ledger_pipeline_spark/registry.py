@@ -370,6 +370,10 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "streaming_bloom_maintenance",
     # round-9 addition: mergeable exact-quantile histogram state
     "quantile_state_maintenance",
+    # round-9 change: connected-components edge-list pin + pointer-jumping
+    # shortcut (operators/graph.py)
+    "dedup_components",
+    "event_pagerank",
 ]
 
 

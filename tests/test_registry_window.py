@@ -69,7 +69,6 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
     "airflow_courier_payout_ledger_pipeline_spark/operators/bloom.py": {
         "dedup_bloom_probe",
         "streaming_bloom_maintenance",
-        "quantile_state_maintenance",
     },
     # round-9: one-parse array literals (consumed by the DSIR ratio lookup,
     # the bloom word probe, and the CMS probe arrays — their driver rows
@@ -78,6 +77,11 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "dsir_importance",
         "dedup_bloom_probe",
         "cms_state_migration",
+    },
+    # round-9: components edge-list pin + pointer-jumping shortcut
+    "airflow_courier_payout_ledger_pipeline_spark/operators/graph.py": {
+        "dedup_components",
+        "event_pagerank",
     },
     # round-9: mergeable exact-quantile histogram state (new module)
     "airflow_courier_payout_ledger_pipeline_spark/operators/quantile.py": {
