@@ -77,10 +77,11 @@ def connected_components(
         # pointer-jumping shortcut: comp := min(comp, comp(comp)). Labels are
         # node ids, so the self-join resolves every label's own current label,
         # halving label-chain distances each round — convergence drops from
-        # O(diameter) to O(log diameter) rounds (measured 10 → 5 at sf0.01,
-        # where per-round fixed job cost dominates). min-label remains the
-        # fixpoint: shortcutting only ever propagates an already-reachable
-        # smaller label faster, never a new one.
+        # O(diameter) toward O(log diameter) rounds (measured 10 → 7 rounds
+        # at sf0.01 with per-round cost 0.66 → 0.8 s: a modest net win there,
+        # growing with diameter; the asymptotic case is the point). min-label
+        # remains the fixpoint: shortcutting only ever propagates an
+        # already-reachable smaller label faster, never a new one.
         new_labels = (
             stepped.alias("l")
             .join(
