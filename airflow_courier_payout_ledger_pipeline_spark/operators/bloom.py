@@ -37,6 +37,13 @@ is ~12 MiB — still a fine literal/broadcast). Beyond that, keep the state as
 a DataFrame and use ``bloom_semi_probe`` (broadcast word join) — same
 contract, Spark manages the shipping.
 
+NULL values: ``xxhash64`` skips NULL arguments, so every NULL probes the same
+k seed-only positions — "NULL ∈ set" is not meaningful, and a state built
+over NULLs will bloom-accept any NULL probe. This is SAFE under the
+prune-then-verify contract (an equi-join never matches NULL, so the exact
+verify always classifies NULL probes as non-members), but a caller using the
+raw predicate without a verify should filter NULLs first.
+
 No reference twin: the reference pipeline has no membership-prune surface;
 this is part of the 100 TB extension surface next to CMS/HLL.
 """
@@ -238,10 +245,15 @@ def bloom_semi_probe(
 ) -> DataFrame:
     """DataFrame-state probe for geometries too large to collect as a literal:
     items surviving the Bloom test (a SUPERSET of true members). The state is
-    ≤ m_bits/64 rows → broadcast; each (item, seed) probe row left-joins its
-    word and tests its bit; an item survives iff ALL k bits are set (absent
-    word = bit clear = certain miss). One exchange: the post-probe all-seeds
-    conjunction at item grain."""
+    ≤ m_bits/64 rows → broadcast; each of the k seeds contributes one
+    broadcast LEFT join resolving the item's word for that seed, and the item
+    survives iff every joined word has its bit set (absent word = bit clear =
+    certain miss). ZERO exchanges of the items side and ROW-PRESERVING: this
+    is a pure filter, so duplicate input rows survive as duplicates — the
+    previous explode + groupBy-over-all-columns shape silently collapsed
+    identical rows to one (set semantics where filter semantics were
+    promised; caught in the round-9 review pass) and shuffled the items at
+    item grain besides."""
     geo = state.agg(
         F.min("m_bits").alias("mmin"),
         F.max("m_bits").alias("mmax"),
@@ -253,21 +265,25 @@ def bloom_semi_probe(
     if geo["mmin"] != geo["mmax"] or geo["kmin"] != geo["kmax"]:
         raise ValueError("bloom state has inconsistent geometry")
     m_bits, k = geo["mmax"], geo["kmax"]
-    seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("seed")
-    pos = _positions(F.col(value_col), m_bits, k, F.col("seed"))
-    probes = items.select("*").withColumn("seed", seeds).select(
-        "*",
-        (pos / 64).cast("int").alias("__w"),
-        (pos % 64).cast("int").alias("__b"),
-    )
-    joined = probes.join(
-        F.broadcast(state.select(F.col("word").alias("__w"), "bits")), "__w", "left"
-    )
-    hit = F.getbit(F.coalesce(F.col("bits"), F.lit(0).cast("long")), F.col("__b")) == 1
-    keep = [c for c in items.columns]
-    return (
-        joined.groupBy(*keep)
-        .agg(F.min(hit.cast("int")).alias("__all"))
-        .filter(F.col("__all") == 1)
-        .select(*keep)
-    )
+    keep = list(items.columns)
+    out = items
+    conds = []
+    for i in range(k):
+        pos = _positions(F.col(value_col), m_bits, k, F.lit(i))
+        st = state.select(
+            F.col("word").alias(f"__w{i}"), F.col("bits").alias(f"__bits{i}")
+        )
+        out = out.join(
+            F.broadcast(st), F.col(f"__w{i}") == (pos / 64).cast("int"), "left"
+        )
+        conds.append(
+            F.getbit(
+                F.coalesce(F.col(f"__bits{i}"), F.lit(0).cast("long")),
+                (pos % 64).cast("int"),
+            )
+            == 1
+        )
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    return out.filter(cond).select(*keep)

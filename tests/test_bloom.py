@@ -125,3 +125,17 @@ def test_partitioned_build_equals_per_key_builds(spark):
             ).collect()
         )
         assert got == want, f"day {day}"
+
+
+def test_semi_probe_preserves_duplicate_rows(spark):
+    """bloom_semi_probe is a FILTER, not a set operation: duplicate member
+    rows in the probe input must survive as duplicates (the original
+    explode + groupBy-over-all-columns shape silently collapsed them)."""
+    members = _members(spark, 20)
+    state_df = bloom_build(members, "v")
+    doubled = members.union(members)
+    out = bloom_semi_probe(doubled, state_df, "v")
+    assert out.count() == 2 * members.count()
+    assert sorted(r.v for r in out.collect()) == sorted(
+        r.v for r in doubled.collect()
+    )
