@@ -65,9 +65,11 @@ HEADLINE = [
     "heavy_hitters",
     # round-7 addition: hashed n-gram importance scoring (DSIR-style selection)
     "dsir_importance",
-    # round-9 additions: CMS legacy-state migration fold + bloom membership probe
+    # round-9 additions: CMS legacy-state migration fold, bloom membership
+    # probe, exact mergeable quantile state
     "cms_state_migration",
     "dedup_bloom_probe",
+    "quantile_state_maintenance",
 ]
 
 

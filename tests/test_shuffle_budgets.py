@@ -46,6 +46,7 @@ SHUFFLE_BUDGET = {
     # RETURNED plan carries only the post-state work:
     "cms_state_migration": 1,  # candidate-only exact count (probe is map-side)
     "dedup_bloom_probe": 1,  # hit-fp distinct; verify semi + final join broadcast
+    "quantile_state_maintenance": 3,  # 2 half-state builds + the group-keyed window
 }
 
 
