@@ -1848,6 +1848,61 @@ def q_quantile_state_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantiles_from_state(state, ["event_type"])
 
 
+@register("streaming_quantile_maintenance", QUANTILE_STATE_ORACLE)
+def q_streaming_quantile_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile histogram MAINTAINED as streaming state — completing the
+    fold-rail family (ledger sums, bloom bits, now quantile histograms): the
+    event value stream arrives as a 4-file stream (maxFilesPerTrigger=1 → 4
+    micro-batches), each batch reduced to its (group, value, cnt) histogram
+    and folded into the persisted state by count sum via foreachBatch
+    (``streaming/ingest.stream_fold_state`` — its exactly-once sidecar is
+    what makes the ADDITIVE fold replay-safe, exactly as for the ledger).
+    Because the histogram is a lossless mergeable sufficient statistic, the
+    percentiles finalized from the streamed state must equal the batch
+    recompute's bit-for-bit under ANY file split — hash-checked against the
+    same oracle as ``quantile_state_maintenance``."""
+    import tempfile
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.quantile import (
+        histogram_state,
+        merge_histogram_states,
+        quantiles_from_state,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+    from airflow_courier_payout_ledger_pipeline_spark.streaming.ingest import (
+        stream_fold_state,
+    )
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    e = events.filter(F.col("value").isNotNull()).select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("bigint").alias("v")
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_quantile_")
+    src = f"{tmp}/v"
+    e.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    lake = Lakehouse(f"{tmp}/lake")
+    state_schema = histogram_state(e, ["event_type"], "v").schema
+    q = stream_fold_state(
+        stream,
+        lake,
+        "idx",
+        "quantile_state",
+        state_fn=lambda b: histogram_state(b, ["event_type"], "v"),
+        merge_fn=lambda a, b: merge_histogram_states(a, b, ["event_type"]),
+        checkpoint=f"{tmp}/ckpt",
+        query_name="drv_stream_quantile",
+    )
+    q.awaitTermination()
+    state = lake.read(spark, "idx", "quantile_state", state_schema)
+    return quantiles_from_state(state, ["event_type"])
+
+
 # =====================================================================================
 # Multimodal: binary payload → decoded scalar features (Arrow-batched mapInPandas)
 # =====================================================================================

@@ -374,6 +374,8 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     # shortcut (operators/graph.py)
     "dedup_components",
     "event_pagerank",
+    # round-9 addition: quantile histogram maintained on the fold rail
+    "streaming_quantile_maintenance",
 ]
 
 

@@ -64,6 +64,7 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "dedup_bloom_probe",
         "streaming_bloom_maintenance",
         "quantile_state_maintenance",
+        "streaming_quantile_maintenance",
     },
     # round-9: mergeable Bloom membership state (new module)
     "airflow_courier_payout_ledger_pipeline_spark/operators/bloom.py": {
@@ -86,6 +87,7 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
     # round-9: mergeable exact-quantile histogram state (new module)
     "airflow_courier_payout_ledger_pipeline_spark/operators/quantile.py": {
         "quantile_state_maintenance",
+        "streaming_quantile_maintenance",
     },
     # round-9: streaming drain startup shave (shared harness → the benched
     # drain re-proves the family)
