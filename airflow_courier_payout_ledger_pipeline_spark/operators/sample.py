@@ -1,0 +1,137 @@
+"""Mergeable bottom-k priority-sample state: a uniform per-group sample you
+can MAINTAIN, not re-draw.
+
+The fifth member of the repo's mergeable-state family (CMS = frequency,
+Bloom = membership, quantile histogram = ranks, HLL = distinct): a k-row
+uniform-without-replacement sample per group, as a persisted state that folds
+increments. The trick is the classic bottom-k / KMV construction: give every
+row a deterministic pseudo-random PRIORITY — ``md5(id)`` hex, the repo's
+standard reshuffleable draw (cf. ``operators/sampling`` thresholds,
+``per_source_cap``) — and define the sample as the k smallest (priority, id)
+per group. Bottom-k is CLOSED under union:
+
+    bottomk(A ∪ B) = bottomk(bottomk(A) ∪ bottomk(B))
+
+so yesterday's k-row state plus tonight's increment's k-row state merge into
+exactly the state a full rebuild would produce — row-exact, because the
+priority is a pure function of the row id (no rand(), no seed plumbing; the
+same draw replays bit-for-bit in any engine with md5). A nightly 100 TB
+corpus therefore keeps a live inspection/debug sample per group for
+O(k·groups) state and O(increment) maintenance — ``TABLESAMPLE`` or
+``df.sample`` would re-scan (and re-draw!) the corpus every night.
+
+Scale shape: the build is one group-keyed ``row_number`` window with a
+``rn <= k`` filter — Spark's WindowGroupLimit pushdown prunes each map task
+to k rows per group BEFORE the exchange, so the shuffle carries O(k·groups·
+partitions) rows, never the corpus (same family as ``topk_per_group`` /
+``per_source_cap``, plan-pinned there). Merging unions two k-row states and
+re-windows: trivially small. No global sort anywhere.
+
+Contracts (pinned in ``tests/test_sample.py``):
+- merge law: merge(build(A), build(B)) ≡ build(A ∪ B) row-exact for DISJOINT
+  increments (the ledger-state contract: increments partition the fact
+  stream; replay protection is the fold rail's exactly-once sidecar);
+- determinism: the state is invariant under input partitioning and order;
+- NULL ids are EXCLUDED at build time: ``md5(NULL)`` is NULL and NULL
+  ordering is engine-dependent (Spark NULLS FIRST asc, DuckDB NULLS LAST) —
+  the same exclusion rule as the quantile histogram's NULL values. Sample
+  ids must be non-null unique keys (they are the draw).
+
+No reference twin: the reference pipeline has no sampling surface; this is
+part of the 100 TB extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _priority(id_col: str):
+    """The deterministic draw: md5 hex of the id's decimal string. Total
+    order via (priority, id) — md5 collisions (or equal prefixes) break on
+    the id itself, so ranks are unique and engine-portable."""
+    return F.md5(F.col(id_col).cast("string"))
+
+
+def sample_state(
+    df: DataFrame, group_cols: list[str], id_col: str, k: int
+) -> DataFrame:
+    """Per-group bottom-k sample state: the k rows with the smallest
+    (md5(id), id) per group, all input columns preserved plus the
+    ``__priority`` hex the merge re-ranks on. One group-keyed window; the
+    ``rn <= k`` filter makes it a WindowGroupLimit, pruning before the
+    exchange."""
+    w = Window.partitionBy(*group_cols).orderBy("__priority", id_col)
+    return (
+        df.filter(F.col(id_col).isNotNull())
+        .withColumn("__priority", _priority(id_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def merge_sample_states(
+    a: DataFrame, b: DataFrame, group_cols: list[str], id_col: str, k: int
+) -> DataFrame:
+    """Fold two bottom-k states: union, re-rank, keep the k smallest per
+    group. Associative, commutative, increment-order-free — bottom-k is
+    closed under union, so the merged state is row-identical to a full
+    rebuild over the combined input (disjoint-increment contract)."""
+    w = Window.partitionBy(*group_cols).orderBy("__priority", id_col)
+    return (
+        a.unionByName(b)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_distinct_estimate(
+    state: DataFrame, group_cols: list[str], k: int
+) -> DataFrame:
+    """Second readout from the SAME state: the bottom-k priorities are a KMV
+    (k-minimum-values) sketch, so each full group estimates its distinct-id
+    count as (k-1)/u_k where u_k is the k-th smallest draw mapped to (0,1) —
+    here from the first 12 md5 hex chars (48 bits; collision odds at corpus
+    scale are immaterial for an estimator). Groups with fewer than k state
+    rows hold ALL their ids, so their exact count is returned (``exact`` =
+    true flags them). Error envelope ~1/sqrt(k-2) relative — pinned in
+    ``tests/test_sample.py``. UNLIKE an HLL estimate, this one is
+    oracle-hashable: the md5 draw replays in any engine, the 48-bit-int →
+    double mapping and the single IEEE division are bit-deterministic, and
+    the readout FLOORS (half-rounding a double is a cross-engine tie
+    hazard; floor is exact). Requires one state row per distinct id — feed
+    DISTINCT (group, id) rows into ``sample_state`` when ids repeat, or
+    duplicate draws shrink u_k and inflate the estimate. One k-row-grain
+    aggregation; no pass over raw data — the sample you keep for inspection
+    is also your cardinality monitor."""
+    denom = float(1 << 48)
+    frac = F.conv(F.substring("__priority", 1, 12), 16, 10).cast("double") / denom
+    per = state.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__rows"), F.max(frac).alias("__uk")
+    )
+    est = F.when(F.col("__rows") < k, F.col("__rows").cast("double")).otherwise(
+        (F.lit(k - 1)) / F.col("__uk")
+    )
+    return per.select(
+        *group_cols,
+        F.floor(est).cast("bigint").alias("distinct_est"),
+        (F.col("__rows") < k).alias("exact"),
+    )
+
+
+def sample_from_state(
+    state: DataFrame, group_cols: list[str], id_col: str
+) -> DataFrame:
+    """Readout: the sample with its deterministic per-group rank (1 = lowest
+    priority draw), the ``__priority`` scaffold dropped. Rank makes the
+    output a stable, diffable artifact — the same corpus always yields the
+    same ranked sample."""
+    w = Window.partitionBy(*group_cols).orderBy("__priority", id_col)
+    return (
+        state.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .drop("__priority")
+    )

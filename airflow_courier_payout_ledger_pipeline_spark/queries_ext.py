@@ -1903,6 +1903,174 @@ def q_streaming_quantile_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
     return quantiles_from_state(state, ["event_type"])
 
 
+# --- Mergeable bottom-k priority-sample state ----------------------------------------
+
+SAMPLE_K = 5
+
+SAMPLE_STATE_ORACLE = f"""
+WITH e AS (
+    SELECT event_type, event_id, CAST(round(value * 100, 0) AS BIGINT) AS v_cents
+    FROM events WHERE event_id IS NOT NULL
+),
+r AS (
+    SELECT event_type, event_id, v_cents,
+           row_number() OVER (
+               PARTITION BY event_type ORDER BY md5(event_id::VARCHAR), event_id
+           ) AS rank
+    FROM e
+)
+SELECT event_type, event_id, v_cents, rank::BIGINT AS rank
+FROM r WHERE rank <= {SAMPLE_K}
+"""
+
+
+@register("sample_state_maintenance", SAMPLE_STATE_ORACLE)
+def q_sample_state_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A k-row uniform per-group inspection sample MAINTAINED as mergeable
+    state (``operators/sample``): the event stream is split in two (modeling
+    yesterday's persisted k-row state + tonight's increment), each half
+    reduced to its bottom-k-by-md5-priority sample, folded by union+re-rank
+    — bottom-k is closed under union, so the merged state is row-identical
+    to a full-corpus rebuild, which is exactly what the oracle computes.
+    The fifth mergeable-state family member next to CMS/Bloom/quantile/HLL;
+    at 100 TB this keeps a live per-group sample for O(increment) nightly
+    cost where TABLESAMPLE would re-scan (and re-draw) the corpus. Build
+    windows are group-keyed with a WindowGroupLimit k-prune before the
+    exchange; the merge re-ranks k-row states only."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sample import (
+        merge_sample_states,
+        sample_from_state,
+        sample_state,
+    )
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    e = events.filter(F.col("event_id").isNotNull()).select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v_cents"),
+    )
+    state = merge_sample_states(
+        sample_state(e.filter(F.col("event_id") % 2 == 0), ["event_type"], "event_id", SAMPLE_K),
+        sample_state(e.filter(F.col("event_id") % 2 == 1), ["event_type"], "event_id", SAMPLE_K),
+        ["event_type"],
+        "event_id",
+        SAMPLE_K,
+    )
+    return sample_from_state(state, ["event_type"], "event_id")
+
+
+@register("streaming_sample_maintenance", SAMPLE_STATE_ORACLE)
+def q_streaming_sample_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bottom-k sample MAINTAINED as streaming state on the fold rail
+    (ledger sums, bloom bits, quantile histograms, now priority samples):
+    the event stream arrives as a 4-file stream (maxFilesPerTrigger=1 → 4
+    micro-batches), each batch reduced to its k-row bottom-k state and
+    folded into the persisted sample via foreachBatch
+    (``streaming/ingest.stream_fold_state`` — the exactly-once sidecar
+    guards the fold against replays, which would double-count a row's draw).
+    Bottom-k closure under union ⇒ the streamed sample is row-identical to
+    the batch rebuild under ANY file split — same oracle as
+    ``sample_state_maintenance``."""
+    import tempfile
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sample import (
+        merge_sample_states,
+        sample_from_state,
+        sample_state,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+    from airflow_courier_payout_ledger_pipeline_spark.streaming.ingest import (
+        stream_fold_state,
+    )
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    e = events.filter(F.col("event_id").isNotNull()).select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v_cents"),
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_sample_")
+    src = f"{tmp}/v"
+    e.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    lake = Lakehouse(f"{tmp}/lake")
+    state_schema = sample_state(e, ["event_type"], "event_id", SAMPLE_K).schema
+    q = stream_fold_state(
+        stream,
+        lake,
+        "idx",
+        "sample_state",
+        state_fn=lambda b: sample_state(b, ["event_type"], "event_id", SAMPLE_K),
+        merge_fn=lambda a, b: merge_sample_states(
+            a, b, ["event_type"], "event_id", SAMPLE_K
+        ),
+        checkpoint=f"{tmp}/ckpt",
+        query_name="drv_stream_sample",
+    )
+    q.awaitTermination()
+    state = lake.read(spark, "idx", "sample_state", state_schema)
+    return sample_from_state(state, ["event_type"], "event_id")
+
+
+KMV_K = 64
+
+KMV_ORACLE = f"""
+WITH du AS (
+    SELECT DISTINCT event_type, user_id FROM events WHERE user_id IS NOT NULL
+),
+pr AS (SELECT event_type, user_id, md5(user_id::VARCHAR) AS p FROM du),
+r AS (
+    SELECT event_type, p,
+           row_number() OVER (
+               PARTITION BY event_type ORDER BY p, user_id
+           ) AS rn
+    FROM pr
+),
+agg AS (
+    SELECT event_type, count(*) AS nrows,
+           max(('0x' || substr(p, 1, 12))::BIGINT / 281474976710656.0) AS uk
+    FROM r WHERE rn <= {KMV_K} GROUP BY 1
+)
+SELECT event_type,
+       CASE WHEN nrows < {KMV_K} THEN nrows
+            ELSE CAST(floor({KMV_K - 1} / uk) AS BIGINT) END AS distinct_est,
+       nrows < {KMV_K} AS exact
+FROM agg
+"""
+
+
+@register("kmv_distinct_users", KMV_ORACLE)
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type ESTIMATED from the bottom-k sample state
+    (``operators/sample.kmv_distinct_estimate``): the k smallest md5
+    priorities are a KMV sketch, est = (k-1)/u_k for full groups, exact
+    counts for groups below k — the inspection sample doubles as a
+    cardinality monitor with no extra corpus pass. Input is the DISTINCT
+    (type, user) grain (duplicate draws would shrink u_k); at 100 TB the
+    state is k rows per group and the estimate is one k-row-grain agg.
+    Fully hash-checked — unlike HLL, every step (md5 draw, 48-bit→double
+    mapping, one IEEE division, floor) is bit-deterministic cross-engine,
+    so the DuckDB oracle replays the estimator exactly."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sample import (
+        kmv_distinct_estimate,
+        sample_state,
+    )
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    du = (
+        events.filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    state = sample_state(du, ["event_type"], "user_id", KMV_K)
+    return kmv_distinct_estimate(state, ["event_type"], KMV_K)
+
+
 # =====================================================================================
 # Multimodal: binary payload → decoded scalar features (Arrow-batched mapInPandas)
 # =====================================================================================

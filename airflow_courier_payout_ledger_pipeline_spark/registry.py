@@ -376,6 +376,12 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "event_pagerank",
     # round-9 addition: quantile histogram maintained on the fold rail
     "streaming_quantile_maintenance",
+    # round-9 addition: mergeable bottom-k priority-sample state (batch
+    # two-half merge + the fold-rail streaming twin)
+    "sample_state_maintenance",
+    "streaming_sample_maintenance",
+    # round-9 addition: KMV cardinality readout from the same sample state
+    "kmv_distinct_users",
 ]
 
 

@@ -70,6 +70,10 @@ HEADLINE = [
     "cms_state_migration",
     "dedup_bloom_probe",
     "quantile_state_maintenance",
+    # round-9 late additions: mergeable bottom-k priority-sample state + its
+    # KMV cardinality readout
+    "sample_state_maintenance",
+    "kmv_distinct_users",
 ]
 
 

@@ -65,6 +65,15 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "streaming_bloom_maintenance",
         "quantile_state_maintenance",
         "streaming_quantile_maintenance",
+        "sample_state_maintenance",
+        "streaming_sample_maintenance",
+        "kmv_distinct_users",
+    },
+    # round-9: mergeable bottom-k priority-sample state (new module)
+    "airflow_courier_payout_ledger_pipeline_spark/operators/sample.py": {
+        "sample_state_maintenance",
+        "streaming_sample_maintenance",
+        "kmv_distinct_users",
     },
     # round-9: mergeable Bloom membership state (new module)
     "airflow_courier_payout_ledger_pipeline_spark/operators/bloom.py": {

@@ -1,0 +1,131 @@
+"""Mergeable bottom-k priority-sample state laws (operators/sample.py):
+bottom-k by a deterministic md5 priority is CLOSED under union, so
+merge(build(A), build(B)) ≡ build(A ∪ B) row-exact for disjoint increments;
+the state is invariant under input partitioning/order; NULL ids are excluded
+at build; groups smaller than k keep everything; readout ranks are 1..k
+dense and deterministic."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from airflow_courier_payout_ledger_pipeline_spark.operators.sample import (
+    kmv_distinct_estimate,
+    merge_sample_states,
+    sample_from_state,
+    sample_state,
+)
+
+G = ["grp"]
+
+
+def _rows(spark, ids_by_grp):
+    data = [(g, i) for g, ids in ids_by_grp.items() for i in ids]
+    return spark.createDataFrame(data, "grp string, id long")
+
+
+def _key(rows):
+    return sorted((r.grp, r.id) for r in rows)
+
+
+def test_merge_of_disjoint_splits_is_row_exact_vs_direct_build(spark):
+    rng = random.Random(9)
+    ids = rng.sample(range(10_000), 200)
+    df = _rows(spark, {"a": ids[:120], "b": ids[120:]})
+    a, b = df.filter(F.col("id") % 3 == 0), df.filter(F.col("id") % 3 != 0)
+    merged = merge_sample_states(
+        sample_state(a, G, "id", 7), sample_state(b, G, "id", 7), G, "id", 7
+    )
+    direct = sample_state(df, G, "id", 7)
+    assert _key(merged.collect()) == _key(direct.collect())
+
+
+def test_merge_is_associative_and_order_free(spark):
+    rng = random.Random(17)
+    df = _rows(spark, {"g": rng.sample(range(100_000), 300)})
+    parts = [df.filter(F.col("id") % 3 == i) for i in range(3)]
+    states = [sample_state(p, G, "id", 5) for p in parts]
+    left = merge_sample_states(
+        merge_sample_states(states[0], states[1], G, "id", 5), states[2], G, "id", 5
+    )
+    right = merge_sample_states(
+        states[2], merge_sample_states(states[1], states[0], G, "id", 5), G, "id", 5
+    )
+    direct = sample_state(df, G, "id", 5)
+    assert _key(left.collect()) == _key(right.collect()) == _key(direct.collect())
+
+
+def test_state_is_partitioning_invariant(spark):
+    df = _rows(spark, {"a": list(range(50)), "b": list(range(100, 130))})
+    one = sample_state(df.coalesce(1), G, "id", 4)
+    many = sample_state(df.repartition(13), G, "id", 4)
+    assert _key(one.collect()) == _key(many.collect())
+
+
+def test_groups_smaller_than_k_keep_all_rows_ranked_densely(spark):
+    df = _rows(spark, {"tiny": [3, 1, 2], "big": list(range(100))})
+    out = sample_from_state(sample_state(df, G, "id", 10), G, "id").collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.grp, []).append(r)
+    assert sorted(r.id for r in by_grp["tiny"]) == [1, 2, 3]
+    assert sorted(r.rank for r in by_grp["tiny"]) == [1, 2, 3]
+    assert len(by_grp["big"]) == 10
+    assert sorted(r.rank for r in by_grp["big"]) == list(range(1, 11))
+
+
+def test_null_ids_are_excluded_at_build(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 2), ("a", None)], "grp string, id long"
+    )
+    out = sample_state(df, G, "id", 10).collect()
+    assert sorted(r.id for r in out) == [1, 2]
+
+
+def test_rollup_to_coarser_grain_equals_direct_coarse_build(spark):
+    """Re-merging fine-grain states at a coarser grain (source×type → type)
+    is the same union+re-rank algebra with fewer group cols, and equals a
+    direct coarse build — the sample analogue of the quantile rollup law."""
+    rng = random.Random(23)
+    ids = rng.sample(range(50_000), 240)
+    data = [("t%d" % (i % 2), "s%d" % (i % 3), i) for i in ids]
+    df = spark.createDataFrame(data, "typ string, src string, id long")
+    fine = sample_state(df, ["typ", "src"], "id", 6)
+    rolled = merge_sample_states(
+        fine.limit(0), fine, ["typ"], "id", 6
+    ).drop("src")
+    direct = sample_state(df.drop("src"), ["typ"], "id", 6)
+    assert sorted((r.typ, r.id) for r in rolled.collect()) == sorted(
+        (r.typ, r.id) for r in direct.collect()
+    )
+
+
+def test_kmv_estimate_envelope_and_small_group_exact_path(spark):
+    """The same bottom-k state doubles as a KMV cardinality sketch: large
+    groups estimate within the ~1/sqrt(k-2) envelope (deterministic here —
+    the md5 draws are fixed), small groups (< k state rows) return their
+    exact count flagged exact=true."""
+    n, k = 5000, 256
+    df = _rows(spark, {"big": list(range(n)), "small": list(range(9))})
+    state = sample_state(df, G, "id", k)
+    out = {r.grp: r for r in kmv_distinct_estimate(state, G, k).collect()}
+    assert out["small"].exact and out["small"].distinct_est == 9
+    assert not out["big"].exact
+    assert abs(out["big"].distinct_est - n) / n < 3.0 / (k - 2) ** 0.5
+
+
+def test_readout_rank_matches_md5_order(spark):
+    """Rank 1 is the smallest (md5(id), id) — replayable in any engine; pin
+    it against a driver-side recomputation of the same draw."""
+    import hashlib
+
+    ids = list(range(20))
+    df = _rows(spark, {"g": ids})
+    out = sorted(
+        sample_from_state(sample_state(df, G, "id", 20), G, "id").collect(),
+        key=lambda r: r.rank,
+    )
+    want = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    assert [r.id for r in out] == want

@@ -47,6 +47,8 @@ SHUFFLE_BUDGET = {
     "cms_state_migration": 1,  # candidate-only exact count (probe is map-side)
     "dedup_bloom_probe": 1,  # hit-fp distinct; verify semi + final join broadcast
     "quantile_state_maintenance": 3,  # 2 half-state builds + the group-keyed window
+    "sample_state_maintenance": 2,  # 2 half builds; merge+readout windows reuse the partitioning
+    "kmv_distinct_users": 2,  # (type,user) distinct + the group window; readout agg reuses
 }
 
 
