@@ -135,3 +135,83 @@ def sample_from_state(
         state.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .drop("__priority")
     )
+
+
+# --- Weighted variant: quantized priority sampling (Duffield–Lund–Thorup) -------------
+
+#: draw resolution: 16-bit md5 prefix → u ∈ [1, 65536] (the repo's standard
+#: hash-space width; +1 keeps u strictly positive)
+_DRAW_SPACE = 65536
+
+
+def weighted_sample_state(
+    df: DataFrame, group_cols: list[str], id_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Per-group weighted TOP-k sample state: the k rows with the LARGEST
+    quantized priority p = ⌊w · 65536 / u⌋ per group, with u ∈ [1, 65536]
+    the 16-bit md5(id) draw — the integer-exact stand-in for priority
+    sampling's q = w/u (Duffield–Lund–Thorup): larger weights get
+    proportionally larger priorities, so top-k by (p DESC, id) is a
+    weight-favoring fixed-size sample whose inclusion probabilities track
+    DLT up to the draw quantization. All-BIGINT arithmetic (w·65536 needs
+    w < 2^46 — any count/length/cents weight), `div` = floor for positive
+    operands and replays as DuckDB's `//` — oracle-hashable where a float
+    w/u ratio would be a cross-engine tie/rounding hazard. Rows with NULL
+    ids or non-positive/NULL weights are excluded at build (NULL ordering
+    is an engine hazard; weight 0 could never be drawn under true priority
+    sampling either). Same WindowGroupLimit k-prune-before-exchange shape
+    as the uniform build; same closure under union, so the same
+    merge/maintenance story."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        + 1
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("__wpriority"), F.asc(id_col)
+    )
+    return (
+        df.filter(F.col(id_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__u", u)
+        .withColumn(
+            "__wpriority",
+            F.expr(
+                f"(CAST({weight_col} AS BIGINT) * {_DRAW_SPACE}) div __u"
+            ),
+        )
+        .drop("__u")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def merge_weighted_sample_states(
+    a: DataFrame, b: DataFrame, group_cols: list[str], id_col: str, k: int
+) -> DataFrame:
+    """Fold two weighted states: union, re-rank by (priority DESC, id), keep
+    k per group — top-k is closed under union exactly as bottom-k is, so
+    merge ≡ rebuild row-exact for disjoint increments."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("__wpriority"), F.asc(id_col)
+    )
+    return (
+        a.unionByName(b)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def weighted_sample_from_state(
+    state: DataFrame, group_cols: list[str], id_col: str
+) -> DataFrame:
+    """Readout: the weighted sample ranked 1 = highest priority, scaffold
+    dropped."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("__wpriority"), F.asc(id_col)
+    )
+    return (
+        state.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .drop("__wpriority")
+    )

@@ -2071,6 +2071,68 @@ def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct_estimate(state, ["event_type"], KMV_K)
 
 
+WSAMPLE_K = 8
+
+WSAMPLE_ORACLE = f"""
+WITH d AS (
+    SELECT source, doc_id, n_chars FROM documents
+    WHERE doc_id IS NOT NULL AND n_chars > 0
+),
+p AS (
+    SELECT source, doc_id, n_chars,
+           (CAST(n_chars AS BIGINT) * 65536)
+               // (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT + 1)
+               AS wp
+    FROM d
+),
+r AS (
+    SELECT source, doc_id, n_chars,
+           row_number() OVER (
+               PARTITION BY source ORDER BY wp DESC, doc_id
+           ) AS rank
+    FROM p
+)
+SELECT source, doc_id, n_chars::BIGINT AS n_chars, rank::BIGINT AS rank
+FROM r WHERE rank <= {WSAMPLE_K}
+"""
+
+
+@register("weighted_sample_per_source", WSAMPLE_ORACLE)
+def q_weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted fixed-size document sample per source, as MERGED state
+    (``operators/sample.weighted_sample_state``): quantized priority sampling
+    (Duffield–Lund–Thorup) — priority = ⌊n_chars·65536/u⌋ with u the 16-bit
+    md5(doc_id) draw, sample = top-k by (priority DESC, id) per source. The
+    weight-proportional counterpart of `sample_state_maintenance`'s uniform
+    draw and the fixed-size counterpart of `weighted_sample`'s Bernoulli:
+    the curation shape for \"show me k docs per source, longer docs more
+    likely\". Built as two merged halves (top-k closure under union ⇒ merge
+    ≡ full rebuild, which is what the oracle computes); all-BIGINT priority
+    arithmetic replays exactly in DuckDB (`div` = `//`)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sample import (
+        merge_weighted_sample_states,
+        weighted_sample_from_state,
+        weighted_sample_state,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    d = docs.filter(
+        F.col("doc_id").isNotNull() & (F.col("n_chars") > 0)
+    ).select("source", "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
+    state = merge_weighted_sample_states(
+        weighted_sample_state(
+            d.filter(F.col("doc_id") % 2 == 0), ["source"], "doc_id", "n_chars", WSAMPLE_K
+        ),
+        weighted_sample_state(
+            d.filter(F.col("doc_id") % 2 == 1), ["source"], "doc_id", "n_chars", WSAMPLE_K
+        ),
+        ["source"],
+        "doc_id",
+        WSAMPLE_K,
+    )
+    return weighted_sample_from_state(state, ["source"], "doc_id")
+
+
 # =====================================================================================
 # Multimodal: binary payload → decoded scalar features (Arrow-batched mapInPandas)
 # =====================================================================================

@@ -382,6 +382,8 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "streaming_sample_maintenance",
     # round-9 addition: KMV cardinality readout from the same sample state
     "kmv_distinct_users",
+    # round-9 addition: quantized DLT weighted sample state
+    "weighted_sample_per_source",
 ]
 
 

@@ -70,10 +70,11 @@ HEADLINE = [
     "cms_state_migration",
     "dedup_bloom_probe",
     "quantile_state_maintenance",
-    # round-9 late additions: mergeable bottom-k priority-sample state + its
-    # KMV cardinality readout
+    # round-9 late additions: mergeable bottom-k priority-sample state, its
+    # KMV cardinality readout, and the quantized-DLT weighted variant
     "sample_state_maintenance",
     "kmv_distinct_users",
+    "weighted_sample_per_source",
 ]
 
 

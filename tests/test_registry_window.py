@@ -68,12 +68,14 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "sample_state_maintenance",
         "streaming_sample_maintenance",
         "kmv_distinct_users",
+        "weighted_sample_per_source",
     },
     # round-9: mergeable bottom-k priority-sample state (new module)
     "airflow_courier_payout_ledger_pipeline_spark/operators/sample.py": {
         "sample_state_maintenance",
         "streaming_sample_maintenance",
         "kmv_distinct_users",
+        "weighted_sample_per_source",
     },
     # round-9: mergeable Bloom membership state (new module)
     "airflow_courier_payout_ledger_pipeline_spark/operators/bloom.py": {

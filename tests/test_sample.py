@@ -14,8 +14,11 @@ from pyspark.sql import functions as F
 from airflow_courier_payout_ledger_pipeline_spark.operators.sample import (
     kmv_distinct_estimate,
     merge_sample_states,
+    merge_weighted_sample_states,
     sample_from_state,
     sample_state,
+    weighted_sample_from_state,
+    weighted_sample_state,
 )
 
 G = ["grp"]
@@ -114,6 +117,52 @@ def test_kmv_estimate_envelope_and_small_group_exact_path(spark):
     assert out["small"].exact and out["small"].distinct_est == 9
     assert not out["big"].exact
     assert abs(out["big"].distinct_est - n) / n < 3.0 / (k - 2) ** 0.5
+
+
+def _wrows(spark, rows):
+    return spark.createDataFrame(rows, "grp string, id long, w long")
+
+
+def test_weighted_merge_of_disjoint_splits_is_row_exact(spark):
+    rng = random.Random(31)
+    rows = [("a", i, rng.randint(1, 500)) for i in rng.sample(range(40_000), 150)]
+    df = _wrows(spark, rows)
+    a, b = df.filter(F.col("id") % 2 == 0), df.filter(F.col("id") % 2 == 1)
+    merged = merge_weighted_sample_states(
+        weighted_sample_state(a, G, "id", "w", 6),
+        weighted_sample_state(b, G, "id", "w", 6),
+        G, "id", 6,
+    )
+    direct = weighted_sample_state(df, G, "id", "w", 6)
+    assert _key(merged.collect()) == _key(direct.collect())
+
+
+def test_weighted_state_is_partitioning_invariant(spark):
+    rows = [("a", i, (i * 7) % 100 + 1) for i in range(200)]
+    df = _wrows(spark, rows)
+    one = weighted_sample_state(df.coalesce(1), G, "id", "w", 5)
+    many = weighted_sample_state(df.repartition(11), G, "id", "w", 5)
+    assert _key(one.collect()) == _key(many.collect())
+
+
+def test_overwhelming_weight_is_always_sampled_first(spark):
+    """A row whose weight exceeds 65536× every other weight has priority
+    ⌊w·65536/u⌋ ≥ w > 65536·w_other ≥ any other priority — it must be
+    rank 1 regardless of its draw."""
+    rows = [("a", i, 10) for i in range(50)] + [("a", 999, 10 * 65536 + 1)]
+    out = weighted_sample_from_state(
+        weighted_sample_state(_wrows(spark, rows), G, "id", "w", 3), G, "id"
+    ).collect()
+    assert {r.id: r.rank for r in out}[999] == 1
+
+
+def test_weighted_excludes_null_ids_and_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", None, 10), ("a", 2, 0), ("a", 3, -5), ("a", 4, None)],
+        "grp string, id long, w long",
+    )
+    out = weighted_sample_state(df, G, "id", "w", 10).collect()
+    assert sorted(r.id for r in out) == [1]
 
 
 def test_readout_rank_matches_md5_order(spark):

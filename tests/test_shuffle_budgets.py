@@ -49,6 +49,7 @@ SHUFFLE_BUDGET = {
     "quantile_state_maintenance": 3,  # 2 half-state builds + the group-keyed window
     "sample_state_maintenance": 2,  # 2 half builds; merge+readout windows reuse the partitioning
     "kmv_distinct_users": 2,  # (type,user) distinct + the group window; readout agg reuses
+    "weighted_sample_per_source": 2,  # 2 half builds; merge+readout reuse (the uniform twin's shape)
 }
 
 
