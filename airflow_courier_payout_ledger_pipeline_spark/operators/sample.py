@@ -123,6 +123,111 @@ def kmv_distinct_estimate(
     )
 
 
+def kmv_pairwise_set_estimates(
+    state: DataFrame,
+    group_cols: list[str],
+    side_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Third readout from the SAME state: SET-OPERATION estimates between
+    every pair of sides sharing a group — distinct-count of the UNION and of
+    the INTERSECTION of two id sets, from their bottom-k states alone, no
+    pass over raw data and no distinct-heavy join. This is the cross-slice
+    overlap question ("how many users do sources A and B share?") that at
+    100 TB would otherwise be a corpus-grain self-join.
+
+    Construction (the classic KMV set algebra): bottom-k closure gives
+    ``bottomk(A ∪ B) = bottomk(state_A ∪ state_B)``, so the merged bottom-k
+    is a valid KMV sketch of the union → est(∪) = (k-1)/u_k. For the
+    intersection, count K∩ = |{merged bottom-k elements present in BOTH
+    states}|; K∩/k is an unbiased estimate of the Jaccard similarity over
+    the union's uniform hash sample, so est(∩) = ⌊K∩·(k-1) / (u_k·k)⌋.
+    When the merged union holds fewer than k elements, BOTH sides were
+    complete (each side's state keeps min(k, n) rows), so union and
+    intersection are returned EXACTLY (``exact`` = true).
+
+    Every step is bit-deterministic cross-engine (md5 membership is string
+    equality; the integer products are exact; one double multiply + one
+    division + floor, parenthesized identically in the oracle), so unlike a
+    theta-sketch intersection the ESTIMATES are hash-checkable.
+
+    Scale shape: sides list and pair fan-out are O(k · sides²) rows on a
+    k-row-grain state — the corpus is never touched. The pair join
+    broadcasts the (groups × side-pairs) list. Output grain:
+    (*group_cols, {side}_a, {side}_b) with ``union_est``/``inter_est``
+    BIGINT and ``exact`` flags."""
+    a_col, b_col = f"{side_col}_a", f"{side_col}_b"
+    sides = state.select(*group_cols, side_col).distinct()
+    x, y = sides.alias("__x"), sides.alias("__y")
+    cond = F.col(f"__x.{side_col}") < F.col(f"__y.{side_col}")
+    for g in group_cols:
+        cond = cond & (F.col(f"__x.{g}") == F.col(f"__y.{g}"))
+    pairs = x.join(y, cond).select(
+        *[F.col(f"__x.{g}").alias(g) for g in group_cols],
+        F.col(f"__x.{side_col}").alias(a_col),
+        F.col(f"__y.{side_col}").alias(b_col),
+    )
+    jcond = (F.col(side_col) == F.col(a_col)) | (F.col(side_col) == F.col(b_col))
+    for g in group_cols:
+        jcond = jcond & (F.col(f"__s.{g}") == F.col(f"__p.{g}"))
+    fan = state.alias("__s").join(F.broadcast(pairs.alias("__p")), jcond).select(
+        *[F.col(f"__p.{g}").alias(g) for g in group_cols],
+        a_col,
+        b_col,
+        id_col,
+        "__priority",
+        (F.col(side_col) == F.col(a_col)).alias("__in_a"),
+        (F.col(side_col) == F.col(b_col)).alias("__in_b"),
+    )
+    keys = [*group_cols, a_col, b_col]
+    # A shared id appears once per side; collapse to one union element with
+    # both membership flags (its priority is identical — a pure fn of id).
+    uni = fan.groupBy(*keys, id_col, "__priority").agg(
+        F.max("__in_a").alias("__in_a"), F.max("__in_b").alias("__in_b")
+    )
+    w = Window.partitionBy(*keys).orderBy("__priority", id_col)
+    merged = uni.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    denom = float(1 << 48)
+    frac = F.conv(F.substring("__priority", 1, 12), 16, 10).cast("double") / denom
+    agg = merged.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__rows"),
+        F.max(frac).alias("__uk"),
+        F.sum((F.col("__in_a") & F.col("__in_b")).cast("bigint")).alias("__kboth"),
+    )
+    union_est = F.when(
+        F.col("__rows") < k, F.col("__rows").cast("double")
+    ).otherwise(F.lit(k - 1) / F.col("__uk"))
+    inter_est = F.when(
+        F.col("__rows") < k, F.col("__kboth").cast("double")
+    ).otherwise(
+        (F.col("__kboth") * F.lit(k - 1)).cast("double")
+        / (F.col("__uk") * F.lit(k))
+    )
+    return agg.select(
+        *keys,
+        F.floor(union_est).cast("bigint").alias("union_est"),
+        F.floor(inter_est).cast("bigint").alias("inter_est"),
+        (F.col("__rows") < k).alias("exact"),
+    )
+
+
+def kmv_set_estimates(
+    a: DataFrame, b: DataFrame, group_cols: list[str], id_col: str, k: int
+) -> DataFrame:
+    """Two-state convenience form of ``kmv_pairwise_set_estimates``: per-group
+    union/intersection estimates between exactly two bottom-k states (built
+    on the same id hash space). Tags sides and delegates to the pairwise
+    readout; returns (*group_cols, union_est, inter_est, exact)."""
+    tagged = a.withColumn("__side", F.lit("a")).unionByName(
+        b.withColumn("__side", F.lit("b"))
+    )
+    out = kmv_pairwise_set_estimates(tagged, group_cols, "__side", id_col, k)
+    return out.drop("__side_a", "__side_b")
+
+
 def sample_from_state(
     state: DataFrame, group_cols: list[str], id_col: str
 ) -> DataFrame:

@@ -2071,6 +2071,83 @@ def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct_estimate(state, ["event_type"], KMV_K)
 
 
+KMV_SETOPS_ORACLE = f"""
+WITH du AS (
+    SELECT DISTINCT event_type, user_id FROM events WHERE user_id IS NOT NULL
+),
+st AS (
+    SELECT event_type, user_id, md5(user_id::VARCHAR) AS p,
+           row_number() OVER (
+               PARTITION BY event_type ORDER BY md5(user_id::VARCHAR), user_id
+           ) AS rn
+    FROM du
+),
+s AS (SELECT event_type, user_id, p FROM st WHERE rn <= {KMV_K}),
+t AS (SELECT DISTINCT event_type FROM du),
+pairs AS (
+    SELECT a.event_type AS ta, b.event_type AS tb
+    FROM t a JOIN t b ON a.event_type < b.event_type
+),
+fan AS (
+    SELECT pr.ta, pr.tb, s.user_id, s.p,
+           s.event_type = pr.ta AS in_a, s.event_type = pr.tb AS in_b
+    FROM pairs pr JOIN s ON s.event_type = pr.ta OR s.event_type = pr.tb
+),
+uni AS (
+    SELECT ta, tb, user_id, p, max(in_a) AS in_a, max(in_b) AS in_b
+    FROM fan GROUP BY 1, 2, 3, 4
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY ta, tb ORDER BY p, user_id) AS rn
+    FROM uni
+),
+agg AS (
+    SELECT ta, tb, count(*) AS nrows,
+           max(('0x' || substr(p, 1, 12))::BIGINT / 281474976710656.0) AS uk,
+           CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS kboth
+    FROM r WHERE rn <= {KMV_K} GROUP BY 1, 2
+)
+SELECT ta AS event_type_a, tb AS event_type_b,
+       CASE WHEN nrows < {KMV_K} THEN nrows
+            ELSE CAST(floor({KMV_K - 1} / uk) AS BIGINT) END AS union_est,
+       CASE WHEN nrows < {KMV_K} THEN kboth
+            ELSE CAST(floor(CAST(kboth * {KMV_K - 1} AS DOUBLE) / (uk * {KMV_K}))
+                      AS BIGINT) END AS inter_est,
+       nrows < {KMV_K} AS exact
+FROM agg
+"""
+
+
+@register("kmv_user_overlap", KMV_SETOPS_ORACLE)
+def q_kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-slice user-base OVERLAP from the sample states alone
+    (``operators/sample.kmv_pairwise_set_estimates``): for every pair of
+    event types, the distinct-user count of the UNION and the INTERSECTION
+    estimated by KMV set algebra — merged bottom-k states are a valid union
+    sketch (bottom-k closure), and K∩/k over the merged sketch estimates the
+    Jaccard, so est(∩) = ⌊K∩·(k-1)/(u_k·k)⌋. Pairs whose merged union holds
+    fewer than k ids come back exact (flagged). At 100 TB this answers "how
+    many users do slices A and B share?" from O(k·sides) persisted state —
+    the corpus-grain distinct self-join it replaces is one of the most
+    expensive queries a warehouse runs. Fully hash-checked: md5 membership
+    is string equality and the single multiply/divide/floor is parenthesized
+    identically in the DuckDB oracle — unlike a theta-sketch intersection,
+    the ESTIMATES themselves are bit-reproducible cross-engine."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sample import (
+        kmv_pairwise_set_estimates,
+        sample_state,
+    )
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    du = (
+        events.filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    state = sample_state(du, ["event_type"], "user_id", KMV_K)
+    return kmv_pairwise_set_estimates(state, [], "event_type", "user_id", KMV_K)
+
+
 WSAMPLE_K = 8
 
 WSAMPLE_ORACLE = f"""

@@ -382,6 +382,9 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "streaming_sample_maintenance",
     # round-9 addition: KMV cardinality readout from the same sample state
     "kmv_distinct_users",
+    # round-9 addition: KMV set-operation readout (pairwise union/intersection
+    # estimates from merged bottom-k states)
+    "kmv_user_overlap",
     # round-9 addition: quantized DLT weighted sample state
     "weighted_sample_per_source",
 ]

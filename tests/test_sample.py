@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from airflow_courier_payout_ledger_pipeline_spark.operators.sample import (
     kmv_distinct_estimate,
+    kmv_set_estimates,
     merge_sample_states,
     merge_weighted_sample_states,
     sample_from_state,
@@ -117,6 +118,79 @@ def test_kmv_estimate_envelope_and_small_group_exact_path(spark):
     assert out["small"].exact and out["small"].distinct_est == 9
     assert not out["big"].exact
     assert abs(out["big"].distinct_est - n) / n < 3.0 / (k - 2) ** 0.5
+
+
+def test_kmv_set_estimates_exact_path_below_k(spark):
+    """When the merged union holds fewer than k elements both sides were
+    complete, so union/intersection come back EXACT and flagged."""
+    a = _rows(spark, {"g": [1, 2, 3, 4, 5]})
+    b = _rows(spark, {"g": [4, 5, 6, 7]})
+    sa = sample_state(a.withColumnRenamed("grp", "g2"), ["g2"], "id", 32)
+    sb = sample_state(b.withColumnRenamed("grp", "g2"), ["g2"], "id", 32)
+    out = kmv_set_estimates(sa, sb, ["g2"], "id", 32).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.exact and r.union_est == 7 and r.inter_est == 2
+
+
+def test_kmv_set_estimates_envelope_on_large_overlap(spark):
+    """Estimator path: two 4000-id sets sharing 2000 ids; union/intersection
+    estimates land within the ~1/sqrt(k-2) envelope (deterministic — md5
+    draws are fixed)."""
+    k = 256
+    a = _rows(spark, {"g": list(range(4000))})
+    b = _rows(spark, {"g": list(range(2000, 6000))})
+    sa, sb = sample_state(a, G, "id", k), sample_state(b, G, "id", k)
+    r = kmv_set_estimates(sa, sb, G, "id", k).collect()[0]
+    assert not r.exact
+    assert abs(r.union_est - 6000) / 6000 < 3.0 / (k - 2) ** 0.5
+    assert abs(r.inter_est - 2000) / 2000 < 6.0 / (k - 2) ** 0.5
+
+
+def test_kmv_pairwise_matches_two_state_form_and_is_partition_invariant(spark):
+    """The pairwise readout over a side-tagged state must agree with the
+    explicit two-state form for every pair, regardless of input
+    partitioning."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sample import (
+        kmv_pairwise_set_estimates,
+    )
+
+    rng = random.Random(7)
+    pools = {s: rng.sample(range(3000), 400) for s in ("x", "y", "z")}
+    k = 64
+    tagged = spark.createDataFrame(
+        [(s, i) for s, ids in pools.items() for i in ids], "side string, id long"
+    )
+    state = sample_state(tagged.repartition(11), ["side"], "id", k)
+    pair_out = {
+        (r.side_a, r.side_b): (r.union_est, r.inter_est, r.exact)
+        for r in kmv_pairwise_set_estimates(state, [], "side", "id", k).collect()
+    }
+    assert set(pair_out) == {("x", "y"), ("x", "z"), ("y", "z")}
+    for sa_name, sb_name in pair_out:
+        sa = sample_state(
+            tagged.filter(F.col("side") == sa_name).drop("side"), [], "id", k
+        )
+        sb = sample_state(
+            tagged.filter(F.col("side") == sb_name).drop("side"), [], "id", k
+        )
+        two = kmv_set_estimates(sa, sb, [], "id", k).collect()[0]
+        assert pair_out[(sa_name, sb_name)] == (
+            two.union_est,
+            two.inter_est,
+            two.exact,
+        )
+
+
+def test_kmv_set_estimates_disjoint_sets_intersect_near_zero(spark):
+    """Disjoint id sets must estimate an intersection of (near) zero — K∩
+    counts actual shared hashes, so disjoint inputs give exactly 0."""
+    k = 128
+    a = _rows(spark, {"g": list(range(0, 3000))})
+    b = _rows(spark, {"g": list(range(10_000, 13_000))})
+    sa, sb = sample_state(a, G, "id", k), sample_state(b, G, "id", k)
+    r = kmv_set_estimates(sa, sb, G, "id", k).collect()[0]
+    assert r.inter_est == 0 and not r.exact
 
 
 def _wrows(spark, rows):
