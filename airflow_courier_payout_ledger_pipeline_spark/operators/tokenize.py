@@ -168,3 +168,62 @@ def bpe_encode_counts(
             F.coalesce("bpe_tokens", F.lit(0)).cast("bigint").alias("bpe_tokens"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int,
+    stride: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking — the step that turns a corpus into
+    fixed-length training sequences (every pretraining pipeline runs this
+    between cleaning and packing). Each document's whitespace tokens (over
+    the repo's canonical normalized form, cf. ``functions/text.normalize_text``)
+    are cut into windows of ``window`` tokens advancing by ``stride``
+    (overlap = window - stride preserves context across boundaries); the
+    tail chunk keeps its natural shorter length rather than re-padding —
+    chunk boundaries are then a pure function of the text, so downstream
+    exact/near dedup over chunks stays deterministic.
+
+    Chunk count per doc is ``1 + ceil(max(n - window, 0) / stride)``,
+    computed as pure BIGINT arithmetic (``(n - window + stride - 1) div
+    stride`` — replays as DuckDB ``//``; no float ceil hazard). Output grain:
+    (id, chunk_id 0-based, start_tok 1-based, n_tokens, chunk_text).
+
+    Scale shape: ZERO shuffles — split, sequence-explode, slice and re-join
+    are all map-side JVM expressions inside one whole-stage codegen span;
+    the fan-out is bounded at ~n/stride rows per doc and the token array is
+    never exchanged. NULL-text docs are excluded (no tokens to window).
+    No reference twin: the reference pipeline has no text surface; this is
+    part of the 100 TB training-data extension."""
+    if not (0 < stride <= window):
+        raise ValueError(f"need 0 < stride <= window, got {stride=} {window=}")
+    from airflow_courier_payout_ledger_pipeline_spark.functions.text import (
+        normalize_text,
+    )
+
+    ws = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size("__ws")
+    last_j = F.when(n <= window, F.lit(0)).otherwise(
+        F.expr(f"(size(__ws) - {window} + {stride - 1}) div {stride}")
+    )
+    start = (F.col("__j") * stride + 1).cast("bigint")
+    toks = F.slice(F.col("__ws"), F.col("__j") * stride + 1, window)
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), ws.alias("__ws"))
+        .select(
+            id_col,
+            "__ws",
+            F.explode(F.sequence(F.lit(0), last_j.cast("int"))).alias("__j"),
+        )
+        .select(
+            id_col,
+            F.col("__j").cast("bigint").alias("chunk_id"),
+            start.alias("start_tok"),
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            F.array_join(toks, " ").alias("chunk_text"),
+        )
+    )

@@ -2148,6 +2148,53 @@ def q_kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_pairwise_set_estimates(state, [], "event_type", "user_id", KMV_K)
 
 
+CHUNK_W, CHUNK_S = 32, 24
+
+CHUNK_ORACLE = f"""
+WITH norm AS (
+    SELECT doc_id, string_split({NORM}, ' ') AS ws
+    FROM documents WHERE text IS NOT NULL
+),
+szn AS (SELECT doc_id, ws, len(ws) AS n FROM norm),
+c AS (
+    SELECT doc_id, ws, n,
+           unnest(generate_series(
+               0,
+               CASE WHEN n <= {CHUNK_W} THEN 0
+                    ELSE (n - {CHUNK_W} + {CHUNK_S - 1}) // {CHUNK_S} END
+           )) AS j
+    FROM szn
+)
+SELECT doc_id, j::BIGINT AS chunk_id, (j * {CHUNK_S} + 1)::BIGINT AS start_tok,
+       (least(j * {CHUNK_S} + {CHUNK_W}, n) - j * {CHUNK_S})::BIGINT AS n_tokens,
+       array_to_string(
+           list_slice(ws, j * {CHUNK_S} + 1, least(j * {CHUNK_S} + {CHUNK_W}, n)),
+           ' '
+       ) AS chunk_text
+FROM c
+"""
+
+
+@register("document_chunks", CHUNK_ORACLE)
+def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking of the corpus into training sequences
+    (``operators/tokenize.chunk_documents``): 32-token windows advancing by
+    24 (8-token overlap carries context across boundaries), tail chunks kept
+    at natural length — the cleaning→packing bridge every pretraining
+    pipeline runs. Chunk boundaries are a pure function of the normalized
+    text (BIGINT ceil arithmetic, no float), so the output is deterministic
+    and the DuckDB oracle replays it token-for-token. Zero shuffles: split /
+    sequence-explode / slice / re-join are map-side expressions in one
+    codegen span; fan-out is ~n/stride rows per doc and the token array
+    never reaches an exchange."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.tokenize import (
+        chunk_documents,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return chunk_documents(docs, CHUNK_W, CHUNK_S)
+
+
 WSAMPLE_K = 8
 
 WSAMPLE_ORACLE = f"""

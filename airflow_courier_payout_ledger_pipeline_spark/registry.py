@@ -385,6 +385,12 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     # round-9 addition: KMV set-operation readout (pairwise union/intersection
     # estimates from merged bottom-k states)
     "kmv_user_overlap",
+    # round-9 addition: sliding-window document chunking (training sequences);
+    # it landed in operators/tokenize.py, so the module's BPE queries
+    # re-adjudicate alongside it (standing rule: changed file → driver rows)
+    "document_chunks",
+    "bpe_merges",
+    "bpe_token_counts",
     # round-9 addition: quantized DLT weighted sample state
     "weighted_sample_per_source",
 ]

@@ -69,13 +69,24 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "streaming_sample_maintenance",
         "kmv_distinct_users",
         "weighted_sample_per_source",
+        "kmv_user_overlap",
+        "document_chunks",
     },
-    # round-9: mergeable bottom-k priority-sample state (new module)
+    # round-9: mergeable bottom-k priority-sample state (new module);
+    # continuation added the KMV set-operation readout
     "airflow_courier_payout_ledger_pipeline_spark/operators/sample.py": {
         "sample_state_maintenance",
         "streaming_sample_maintenance",
         "kmv_distinct_users",
         "weighted_sample_per_source",
+        "kmv_user_overlap",
+    },
+    # round-9 continuation: sliding-window document chunking appended to the
+    # BPE module (train/encode paths untouched — their queries stay mapped)
+    "airflow_courier_payout_ledger_pipeline_spark/operators/tokenize.py": {
+        "document_chunks",
+        "bpe_merges",
+        "bpe_token_counts",
     },
     # round-9: mergeable Bloom membership state (new module)
     "airflow_courier_payout_ledger_pipeline_spark/operators/bloom.py": {

@@ -119,3 +119,90 @@ def test_bpe_encode_reports_zero_for_wordless_docs(spark):
     got = {r.doc_id: (r.n_words, r.bpe_tokens) for r in bpe_encode_counts(docs, []).collect()}
     assert got[2] == (0, 0) and got[3] == (0, 0) and got[4] == (0, 0)
     assert got[1] == (2, 10)  # no merges: 5 + 5 symbols
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_chunk_documents_hand_computed_windows_and_tail(spark):
+    """11 tokens, window 4, stride 3 → starts 1,4,7,10; the tail chunk keeps
+    its natural 2-token length and every token is covered."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.tokenize import (
+        chunk_documents,
+    )
+
+    toks = [f"t{i}" for i in range(11)]
+    out = sorted(
+        chunk_documents(_docs(spark, [" ".join(toks)]), 4, 3).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [(r.chunk_id, r.start_tok, r.n_tokens) for r in out] == [
+        (0, 1, 4),
+        (1, 4, 4),
+        (2, 7, 4),
+        (3, 10, 2),
+    ]
+    assert out[1].chunk_text == "t3 t4 t5 t6"
+    assert out[3].chunk_text == "t9 t10"
+
+
+def test_chunk_documents_short_doc_is_one_whole_chunk(spark):
+    from airflow_courier_payout_ledger_pipeline_spark.operators.tokenize import (
+        chunk_documents,
+    )
+
+    out = chunk_documents(_docs(spark, ["only three tokens"]), 32, 24).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.chunk_id, r.start_tok, r.n_tokens, r.chunk_text) == (
+        0,
+        1,
+        3,
+        "only three tokens",
+    )
+
+
+def test_chunk_documents_exact_multiple_has_no_empty_tail(spark):
+    """n - window divisible by stride → the last start is n - window + 1 and
+    every chunk is full; no phantom empty chunk after it."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.tokenize import (
+        chunk_documents,
+    )
+
+    toks = [f"w{i}" for i in range(10)]  # n=10, window=4, stride=2 → 4 starts
+    out = chunk_documents(_docs(spark, [" ".join(toks)]), 4, 2).collect()
+    assert sorted((r.start_tok, r.n_tokens) for r in out) == [
+        (1, 4),
+        (3, 4),
+        (5, 4),
+        (7, 4),
+    ]
+
+
+def test_chunk_documents_overlap_reconstructs_and_normalizes(spark):
+    """Stride == window (no overlap) concatenates back to the NORMALIZED
+    text; NULL-text docs are excluded; uppercase/whitespace collapse."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.tokenize import (
+        chunk_documents,
+    )
+
+    df = _docs(spark, ["A  B\tC   d E f G", None])
+    out = sorted(chunk_documents(df, 3, 3).collect(), key=lambda r: r.chunk_id)
+    assert {r.doc_id for r in out} == {0}
+    assert " ".join(r.chunk_text for r in out) == "a b c d e f g"
+
+
+def test_chunk_documents_rejects_bad_stride(spark):
+    import pytest
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.tokenize import (
+        chunk_documents,
+    )
+
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, ["x"]), 4, 5)
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, ["x"]), 4, 0)
