@@ -106,3 +106,75 @@ def quantiles_from_state(
     return cum.groupBy(*group_cols).agg(
         F.max("__n").cast("bigint").alias("n_values"), *aggs
     )
+
+
+def mad_outlier_stats(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = 3
+) -> DataFrame:
+    """Robust per-group outlier audit from the same histogram machinery:
+    median, MAD (median absolute deviation — the robust scale estimate a
+    few extreme rows cannot drag the way stddev can), and the count of rows
+    with ``|v − median| > k·MAD``. Everything stays in the value's INTEGER
+    domain — the median is an exact order statistic from the domain, so the
+    deviations are integers, the MAD is an exact order statistic over them,
+    and the flag rule is a pure integer comparison (the conventional
+    1.4826·MAD σ-consistency factor is deliberately NOT applied: it would
+    put a float in the rule; k=3 on raw MAD ≈ 2.0σ for normal data —
+    document the threshold in those terms instead). Deterministic to the
+    bit, hence oracle-hashable — the audit a data-quality gate can diff
+    day-over-day.
+
+    Scale shape: everything downstream of ``histogram_state`` runs at
+    distinct-value grain. The deviation histogram is the value histogram
+    re-keyed by |v − median| (counts re-aggregate; no row-grain rebuild),
+    the MAD is an order statistic over THAT, and the outlier count is a
+    cnt-weighted sum over state rows — the row-grain flag pass the naive
+    formulation needs never happens. Per-group stats (one row per group)
+    ride broadcast joins; the shared histogram exchange is deduped at
+    runtime (measured: 2 ReusedExchange nodes in the executed plan). No
+    row-grain sort, no corpus window. NULL values are excluded (as in
+    ``histogram_state``). The nightly 100 TB shape is
+    ``mad_outlier_stats_from_state`` over the persisted/merged state —
+    zero corpus passes."""
+    return mad_outlier_stats_from_state(
+        histogram_state(df, group_cols, value_col), group_cols, k
+    )
+
+
+def mad_outlier_stats_from_state(
+    state: DataFrame, group_cols: list[str], k: int = 3
+) -> DataFrame:
+    """`mad_outlier_stats` over an existing histogram state — the nightly
+    shape: fold the increment into the persisted state, then audit at
+    distinct-value grain without touching raw rows."""
+    med = quantiles_from_state(state, group_cols, [("__median", 1, 2)]).select(
+        *group_cols, "__median"
+    )
+    dev_state = (
+        state.join(F.broadcast(med), group_cols)
+        .groupBy(
+            *group_cols,
+            "__median",
+            F.abs(F.col("value") - F.col("__median")).alias("value"),
+        )
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    mad = quantiles_from_state(
+        dev_state, group_cols, [("__mad", 1, 2)]
+    ).select(*group_cols, "__mad")
+    return (
+        dev_state.join(F.broadcast(mad), group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_values"),
+            F.max("__median").cast("bigint").alias("median"),
+            F.max("__mad").cast("bigint").alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("value") > F.lit(k) * F.col("__mad"), F.col("cnt")
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

@@ -2148,6 +2148,74 @@ def q_kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_pairwise_set_estimates(state, [], "event_type", "user_id", KMV_K)
 
 
+# Robust outlier audit: median + MAD by the same integer order-statistic
+# machinery as QUANTILE_STATE_ORACLE (cum·2 >= N), deviations stay in the
+# cents domain, flag rule |v-med| > 3·MAD is a pure integer comparison.
+MAD_ORACLE = """
+WITH e AS (
+    SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v
+    FROM events WHERE value IS NOT NULL
+),
+h AS (SELECT event_type, v, count(*) AS c FROM e GROUP BY 1, 2),
+cum AS (
+    SELECT event_type, v,
+           sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+           sum(c) OVER (PARTITION BY event_type) AS n
+    FROM h
+),
+med AS (
+    SELECT event_type, min(CASE WHEN cum * 2 >= n THEN v END) AS med
+    FROM cum GROUP BY 1
+),
+d AS (
+    SELECT e.event_type, e.v, abs(e.v - m.med) AS av
+    FROM e JOIN med m USING (event_type)
+),
+dh AS (SELECT event_type, av, count(*) AS c FROM d GROUP BY 1, 2),
+dcum AS (
+    SELECT event_type, av,
+           sum(c) OVER (PARTITION BY event_type ORDER BY av) AS cum,
+           sum(c) OVER (PARTITION BY event_type) AS n
+    FROM dh
+),
+mad AS (
+    SELECT event_type, min(CASE WHEN cum * 2 >= n THEN av END) AS madv
+    FROM dcum GROUP BY 1
+)
+SELECT d.event_type,
+       count(*)::BIGINT AS n_values,
+       max(m.med)::BIGINT AS median,
+       max(x.madv)::BIGINT AS mad,
+       CAST(sum(CASE WHEN d.av > 3 * x.madv THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers
+FROM d JOIN med m USING (event_type) JOIN mad x USING (event_type)
+GROUP BY 1
+"""
+
+
+@register("mad_outlier_audit", MAD_ORACLE)
+def q_mad_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type value-outlier audit
+    (``operators/quantile.mad_outlier_stats``): median and MAD as exact
+    integer order statistics over the cents domain (two histogram passes —
+    exchanges carry DISTINCT values, never rows), then one row-grain count of
+    ``|v − median| > 3·MAD``. MAD resists the heavy tail that drags a
+    stddev-based z-score (a single $10M glitch row shifts mean AND sigma;
+    it cannot move either median or MAD), so the audit is the day-over-day
+    diffable quality gate for ingest telemetry. Pure integer arithmetic
+    end-to-end — bit-reproducible, hash-checked against the replicated
+    DuckDB formula."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.quantile import (
+        mad_outlier_stats,
+    )
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    e = events.filter(F.col("value").isNotNull()).select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("bigint").alias("v")
+    )
+    return mad_outlier_stats(e, ["event_type"], "v", k=3)
+
+
 CHUNK_W, CHUNK_S = 32, 24
 
 CHUNK_ORACLE = f"""

@@ -391,6 +391,8 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "document_chunks",
     "bpe_merges",
     "bpe_token_counts",
+    # round-9 addition: robust MAD outlier audit (operators/quantile.py)
+    "mad_outlier_audit",
     # round-9 addition: quantized DLT weighted sample state
     "weighted_sample_per_source",
 ]

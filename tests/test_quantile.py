@@ -117,3 +117,86 @@ def test_null_values_carry_no_rank(spark):
     )
     out = quantiles_from_state(histogram_state(with_null, G, "v"), G).collect()[0]
     assert (out.n_values, out.p50, out.p99) == (4, 2, 4)
+
+
+def test_mad_outlier_hand_computed(spark):
+    """[1..9] with one glitch row 1000: median 5, deviations of the clean
+    rows ≤ 4, MAD 2 (deviations {4,3,2,1,0,1,2,3,4,995} → sorted middle is
+    2), outliers = rows with |v-5| > 6 → just the glitch."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.quantile import (
+        mad_outlier_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("a", v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]], "grp string, v long"
+    )
+    r = mad_outlier_stats(df, ["grp"], "v", k=3).collect()[0]
+    assert (r.n_values, r.median, r.mad, r.n_outliers) == (10, 5, 2, 1)
+
+
+def test_mad_is_robust_where_stddev_is_not(spark):
+    """Replacing one row with an arbitrarily extreme value changes neither
+    median nor MAD nor the outlier count — the property that makes the audit
+    day-over-day comparable."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.quantile import (
+        mad_outlier_stats,
+    )
+
+    base = [("a", v) for v in [10, 11, 12, 13, 14, 15, 16, 17, 18]]
+    mild = spark.createDataFrame(base + [("a", 500)], "grp string, v long")
+    wild = spark.createDataFrame(base + [("a", 50_000_000)], "grp string, v long")
+    rm = mad_outlier_stats(mild, ["grp"], "v").collect()[0]
+    rw = mad_outlier_stats(wild, ["grp"], "v").collect()[0]
+    assert (rm.median, rm.mad, rm.n_outliers) == (rw.median, rw.mad, rw.n_outliers)
+
+
+def test_mad_zero_flags_any_deviation(spark):
+    """Degenerate group (> half the rows identical → MAD 0): every row that
+    deviates at all is an outlier under |v-med| > k·0."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.quantile import (
+        mad_outlier_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("a", v) for v in [7, 7, 7, 7, 7, 9, 3]], "grp string, v long"
+    )
+    r = mad_outlier_stats(df, ["grp"], "v").collect()[0]
+    assert (r.median, r.mad, r.n_outliers) == (7, 0, 2)
+
+
+def test_mad_excludes_nulls_and_groups_independent(spark):
+    from airflow_courier_payout_ledger_pipeline_spark.operators.quantile import (
+        mad_outlier_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("a", None), ("b", 100), ("b", 104), ("b", 108)],
+        "grp string, v long",
+    )
+    out = {r.grp: r for r in mad_outlier_stats(df, ["grp"], "v").collect()}
+    assert out["a"].n_values == 3 and out["a"].median == 2
+    assert out["b"].median == 104 and out["b"].mad == 4 and out["b"].n_outliers == 0
+
+
+def test_mad_from_merged_state_equals_full_rebuild(spark):
+    """The nightly shape: folding increment histograms and auditing from the
+    merged state gives bit-identical results to a full-corpus audit."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.quantile import (
+        mad_outlier_stats,
+        mad_outlier_stats_from_state,
+    )
+
+    df = spark.createDataFrame(
+        [("a", v) for v in [1, 5, 5, 6, 9, 200]]
+        + [("b", v) for v in [10, 20, 30, 40, 50]],
+        "grp string, v long",
+    )
+    halves = [df.filter(F.col("v") % 2 == i) for i in range(2)]
+    merged = merge_histogram_states(
+        histogram_state(halves[0], G, "v"), histogram_state(halves[1], G, "v"), G
+    )
+    from_state = sorted(
+        tuple(r) for r in mad_outlier_stats_from_state(merged, G).collect()
+    )
+    direct = sorted(tuple(r) for r in mad_outlier_stats(df, G, "v").collect())
+    assert from_state == direct

@@ -71,6 +71,7 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "weighted_sample_per_source",
         "kmv_user_overlap",
         "document_chunks",
+        "mad_outlier_audit",
     },
     # round-9: mergeable bottom-k priority-sample state (new module);
     # continuation added the KMV set-operation readout
@@ -106,10 +107,12 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "dedup_components",
         "event_pagerank",
     },
-    # round-9: mergeable exact-quantile histogram state (new module)
+    # round-9: mergeable exact-quantile histogram state (new module);
+    # continuation added the MAD outlier readout
     "airflow_courier_payout_ledger_pipeline_spark/operators/quantile.py": {
         "quantile_state_maintenance",
         "streaming_quantile_maintenance",
+        "mad_outlier_audit",
     },
     # round-9: streaming drain startup shave (shared harness → the benched
     # drain re-proves the family)
