@@ -2254,7 +2254,10 @@ def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the DuckDB oracle replays it token-for-token. Zero shuffles: split /
     sequence-explode / slice / re-join are map-side expressions in one
     codegen span; fan-out is ~n/stride rows per doc and the token array
-    never reaches an exchange."""
+    never reaches an exchange. TOKEN-grain complement of ``doc_chunking``
+    (character-window chunks for embedding/retrieval units): model context
+    budgets are token counts, so training-sequence cutting must window
+    tokens, not characters."""
     from airflow_courier_payout_ledger_pipeline_spark.operators.tokenize import (
         chunk_documents,
     )
