@@ -75,6 +75,10 @@ HEADLINE = [
     "sample_state_maintenance",
     "kmv_distinct_users",
     "weighted_sample_per_source",
+    # round-9 continuation: KMV set algebra, token-window chunking, MAD audit
+    "kmv_user_overlap",
+    "document_chunks",
+    "mad_outlier_audit",
 ]
 
 
