@@ -589,3 +589,148 @@ def test_cms_merge_law_and_one_sidedness_on_random_multisets(spark, data):
         .collect()
     }
     assert all(est[v] >= c for v, c in truth.items())
+
+
+# --- sliding-window chunking (operators/tokenize.chunk_documents) -------------------
+
+chunk_strategy = st.tuples(
+    st.lists(st.integers(0, 400), min_size=1, max_size=6),  # token counts per doc
+    st.integers(1, 12),                                      # window
+    st.integers(1, 12),                                      # stride (capped to window)
+)
+
+
+@SET
+@given(data=chunk_strategy)
+def test_chunking_covers_every_token_against_python_reference(spark, data):
+    """Pure-Python replica: every token position is covered by at least one
+    chunk, mid chunks are exactly `window` tokens, chunk grid matches the
+    BIGINT ceil formula, and stride == window concatenates losslessly."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.tokenize import (
+        chunk_documents,
+    )
+
+    counts, window, stride = data
+    stride = min(stride, window)
+    docs = [(i, " ".join(f"w{j}" for j in range(n)) if n else "") for i, n in enumerate(counts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_id): (r.start_tok, r.n_tokens, r.chunk_text)
+        for r in chunk_documents(df, window, stride).collect()
+    }
+
+    expect = {}
+    for i, n in enumerate(counts):
+        toks = [f"w{j}" for j in range(n)] if n else [""]  # split('') -> ['']
+        m = len(toks)
+        last_j = 0 if m <= window else -(-(m - window) // stride)
+        for j in range(last_j + 1):
+            s = j * stride
+            sl = toks[s : s + window]
+            expect[(i, j)] = (s + 1, len(sl), " ".join(sl))
+    assert got == expect
+    # coverage: every token index in [1, m] falls inside some chunk
+    for i, n in enumerate(counts):
+        m = max(n, 1)
+        covered = set()
+        for (d, _), (s, ln, _) in expect.items():
+            if d == i:
+                covered.update(range(s, s + ln))
+        assert covered == set(range(1, m + 1))
+
+
+# --- KMV set-operation readout (operators/sample.kmv_set_estimates) -----------------
+
+kmv_sets_strategy = st.tuples(
+    st.sets(st.integers(0, 5000), min_size=1, max_size=120),
+    st.sets(st.integers(0, 5000), min_size=1, max_size=120),
+    st.sampled_from([4, 16, 64]),
+)
+
+
+@SET
+@given(data=kmv_sets_strategy)
+def test_kmv_set_estimates_match_python_replica_and_exact_path(spark, data):
+    """Pure-Python replica of the full estimator pipeline (md5 draws, merged
+    bottom-k, K∩, the exact double arithmetic) — and the exact-path guarantee:
+    whenever the merged union holds < k ids, the readout returns true union
+    and intersection counts flagged exact."""
+    import hashlib
+    import math
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sample import (
+        kmv_set_estimates,
+        sample_state,
+    )
+
+    a_ids, b_ids, k = data
+    dfa = spark.createDataFrame([(i,) for i in a_ids], "id long")
+    dfb = spark.createDataFrame([(i,) for i in b_ids], "id long")
+    sa = sample_state(dfa, [], "id", k)
+    sb = sample_state(dfb, [], "id", k)
+    r = kmv_set_estimates(sa, sb, [], "id", k).collect()[0]
+
+    def h(i):
+        return hashlib.md5(str(i).encode()).hexdigest()
+
+    bk = lambda ids: sorted((h(i), i) for i in ids)[:k]  # noqa: E731
+    sa_py, sb_py = bk(a_ids), bk(b_ids)
+    uni = sorted(set(sa_py) | set(sb_py))[:k]
+    rows = len(uni)
+    kboth = sum(1 for e in uni if e in set(sa_py) and e in set(sb_py))
+    if rows < k:
+        want = (rows, kboth, True)
+    else:
+        uk = int(uni[-1][0][:12], 16) / float(1 << 48)
+        want = (
+            math.floor((k - 1) / uk),
+            math.floor(float(kboth * (k - 1)) / (uk * k)),
+            False,
+        )
+    assert (r.union_est, r.inter_est, r.exact) == want
+    if r.exact:
+        assert r.union_est == len(a_ids | b_ids)
+        assert r.inter_est == len(a_ids & b_ids)
+
+
+# --- MAD outlier audit (operators/quantile.mad_outlier_stats) -----------------------
+
+mad_strategy = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(-1000, 1000)),
+    min_size=1,
+    max_size=60,
+)
+
+
+@SET
+@given(rows=mad_strategy)
+def test_mad_audit_matches_python_order_statistic_replica(spark, rows):
+    """Pure-Python replica using the same lower-median (⌈N/2⌉-th order
+    statistic) convention: median, MAD, and the |v-med| > 3·MAD count agree
+    on random multisets including negatives, ties, and singleton groups."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.quantile import (
+        mad_outlier_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(f"g{g}", v) for g, v in rows], "grp string, v long"
+    )
+    got = {
+        r.grp: (r.n_values, r.median, r.mad, r.n_outliers)
+        for r in mad_outlier_stats(df, ["grp"], "v", k=3).collect()
+    }
+
+    def lower_median(vals):
+        s = sorted(vals)
+        return s[(len(s) + 1) // 2 - 1]
+
+    by_grp = {}
+    for g, v in rows:
+        by_grp.setdefault(f"g{g}", []).append(v)
+    want = {}
+    for g, vals in by_grp.items():
+        med = lower_median(vals)
+        mad = lower_median([abs(v - med) for v in vals])
+        nout = sum(1 for v in vals if abs(v - med) > 3 * mad)
+        want[g] = (len(vals), med, mad, nout)
+    assert got == want
