@@ -146,7 +146,16 @@ def mad_outlier_stats_from_state(
 ) -> DataFrame:
     """`mad_outlier_stats` over an existing histogram state — the nightly
     shape: fold the increment into the persisted state, then audit at
-    distinct-value grain without touching raw rows."""
+    distinct-value grain without touching raw rows.
+
+    The state and the derived deviation histogram are PINNED (eager
+    localCheckpoint, the graph.py discipline): the state feeds the median
+    branch AND the deviation re-key, the deviation histogram feeds the MAD
+    branch AND the final fold, and each reference would otherwise duplicate
+    its upstream in the plan (10 static Exchange lines before the pins, 3
+    after; runtime ReusedExchange is not a contract). Both are state-grain
+    — domain-bounded, distributed, never driver-side."""
+    state = state.localCheckpoint(eager=True)
     med = quantiles_from_state(state, group_cols, [("__median", 1, 2)]).select(
         *group_cols, "__median"
     )
@@ -158,6 +167,7 @@ def mad_outlier_stats_from_state(
             F.abs(F.col("value") - F.col("__median")).alias("value"),
         )
         .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     mad = quantiles_from_state(
         dev_state, group_cols, [("__mad", 1, 2)]

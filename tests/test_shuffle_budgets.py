@@ -50,6 +50,13 @@ SHUFFLE_BUDGET = {
     "sample_state_maintenance": 2,  # 2 half builds; merge+readout windows reuse the partitioning
     "kmv_distinct_users": 2,  # (type,user) distinct + the group window; readout agg reuses
     "weighted_sample_per_source": 2,  # 2 half builds; merge+readout reuse (the uniform twin's shape)
+    # state/packed arrays pin eagerly inside the operator; returned plan is
+    # the self-join + map-side array algebra only:
+    "kmv_user_overlap": 0,
+    "document_chunks": 0,  # split/explode/slice in one codegen span
+    # state + deviation histogram pin eagerly; returned plan is the MAD
+    # window + the final state-grain fold:
+    "mad_outlier_audit": 2,
 }
 
 
