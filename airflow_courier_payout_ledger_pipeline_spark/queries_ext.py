@@ -2193,6 +2193,58 @@ GROUP BY 1
 """
 
 
+@register("streaming_mad_audit", MAD_ORACLE)
+def q_streaming_mad_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAD outlier audit read from a STREAM-MAINTAINED histogram state:
+    the same fold rail as ``streaming_quantile_maintenance`` (4 micro-batches,
+    count-sum fold, exactly-once sidecar), finalized through
+    ``mad_outlier_stats_from_state`` instead of percentiles. The histogram is
+    a lossless sufficient statistic, so EVERY state-grain readout — not just
+    the one anticipated at build time — must reproduce the batch recompute
+    bit-for-bit on the streamed state; this query pins that composability
+    claim with a driver row (same oracle as ``mad_outlier_audit``)."""
+    import tempfile
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.quantile import (
+        histogram_state,
+        mad_outlier_stats_from_state,
+        merge_histogram_states,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+    from airflow_courier_payout_ledger_pipeline_spark.streaming.ingest import (
+        stream_fold_state,
+    )
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    e = events.filter(F.col("value").isNotNull()).select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("bigint").alias("v")
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_mad_")
+    src = f"{tmp}/v"
+    e.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    lake = Lakehouse(f"{tmp}/lake")
+    state_schema = histogram_state(e, ["event_type"], "v").schema
+    q = stream_fold_state(
+        stream,
+        lake,
+        "idx",
+        "mad_state",
+        state_fn=lambda b: histogram_state(b, ["event_type"], "v"),
+        merge_fn=lambda a, b: merge_histogram_states(a, b, ["event_type"]),
+        checkpoint=f"{tmp}/ckpt",
+        query_name="drv_stream_mad",
+    )
+    q.awaitTermination()
+    state = lake.read(spark, "idx", "mad_state", state_schema)
+    return mad_outlier_stats_from_state(state, ["event_type"], k=3)
+
+
 @register("mad_outlier_audit", MAD_ORACLE)
 def q_mad_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-type value-outlier audit

@@ -391,8 +391,10 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "document_chunks",
     "bpe_merges",
     "bpe_token_counts",
-    # round-9 addition: robust MAD outlier audit (operators/quantile.py)
+    # round-9 addition: robust MAD outlier audit (operators/quantile.py) and
+    # its fold-rail twin (any-readout composability on the streamed state)
     "mad_outlier_audit",
+    "streaming_mad_audit",
     # round-9 addition: quantized DLT weighted sample state
     "weighted_sample_per_source",
 ]

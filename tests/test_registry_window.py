@@ -72,6 +72,7 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "kmv_user_overlap",
         "document_chunks",
         "mad_outlier_audit",
+        "streaming_mad_audit",
     },
     # round-9: mergeable bottom-k priority-sample state (new module);
     # continuation added the KMV set-operation readout
@@ -113,6 +114,7 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "quantile_state_maintenance",
         "streaming_quantile_maintenance",
         "mad_outlier_audit",
+        "streaming_mad_audit",
     },
     # round-9: streaming drain startup shave (shared harness → the benched
     # drain re-proves the family)
