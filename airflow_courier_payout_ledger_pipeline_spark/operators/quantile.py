@@ -152,8 +152,9 @@ def mad_outlier_stats_from_state(
     localCheckpoint, the graph.py discipline): the state feeds the median
     branch AND the deviation re-key, the deviation histogram feeds the MAD
     branch AND the final fold, and each reference would otherwise duplicate
-    its upstream in the plan (10 static Exchange lines before the pins, 3
-    after; runtime ReusedExchange is not a contract). Both are state-grain
+    its upstream in the plan (10 static Exchange lines before the pins, 2
+    after — the budget pinned in test_shuffle_budgets; runtime
+    ReusedExchange is not a contract). Both are state-grain
     — domain-bounded, distributed, never driver-side."""
     state = state.localCheckpoint(eager=True)
     med = quantiles_from_state(state, group_cols, [("__median", 1, 2)]).select(

@@ -55,6 +55,17 @@ def _priority(id_col: str):
     return F.md5(F.col(id_col).cast("string"))
 
 
+def _uk_frac(priority_col):
+    """The KMV u_k mapping shared by every cardinality readout: first 12 md5
+    hex chars (48 bits) → (0,1) double via one exact int→double conversion
+    and one IEEE division. This IS the bit-determinism contract with the
+    DuckDB oracles (``('0x'||substr(p,1,12))::BIGINT / 281474976710656.0``)
+    — keep it in one place so the readouts can never desynchronize."""
+    return F.conv(F.substring(priority_col, 1, 12), 16, 10).cast("double") / float(
+        1 << 48
+    )
+
+
 def sample_state(
     df: DataFrame, group_cols: list[str], id_col: str, k: int
 ) -> DataFrame:
@@ -108,10 +119,9 @@ def kmv_distinct_estimate(
     duplicate draws shrink u_k and inflate the estimate. One k-row-grain
     aggregation; no pass over raw data — the sample you keep for inspection
     is also your cardinality monitor."""
-    denom = float(1 << 48)
-    frac = F.conv(F.substring("__priority", 1, 12), 16, 10).cast("double") / denom
     per = state.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("__rows"), F.max(frac).alias("__uk")
+        F.count(F.lit(1)).alias("__rows"),
+        F.max(_uk_frac(F.col("__priority"))).alias("__uk"),
     )
     est = F.when(F.col("__rows") < k, F.col("__rows").cast("double")).otherwise(
         (F.lit(k - 1)) / F.col("__uk")
@@ -195,7 +205,6 @@ def kmv_pairwise_set_estimates(
     )
     uni = F.slice(F.array_sort(F.array_union("__a", "__b")), 1, k)
     keys = [*group_cols, a_col, b_col]
-    denom = float(1 << 48)
     sized = pairs.select(
         *keys,
         "__a",
@@ -209,12 +218,7 @@ def kmv_pairwise_set_estimates(
         .alias("__kboth"),
     ).withColumn(
         "__uk",
-        F.conv(
-            F.substring(F.element_at("__u", F.size("__u")).getField("p"), 1, 12),
-            16,
-            10,
-        ).cast("double")
-        / denom,
+        _uk_frac(F.element_at("__u", F.size("__u")).getField("p")),
     )
     union_est = F.when(
         F.col("__rows") < k, F.col("__rows").cast("double")
@@ -236,15 +240,78 @@ def kmv_pairwise_set_estimates(
 def kmv_set_estimates(
     a: DataFrame, b: DataFrame, group_cols: list[str], id_col: str, k: int
 ) -> DataFrame:
-    """Two-state convenience form of ``kmv_pairwise_set_estimates``: per-group
-    union/intersection estimates between exactly two bottom-k states (built
-    on the same id hash space). Tags sides and delegates to the pairwise
-    readout; returns (*group_cols, union_est, inter_est, exact)."""
-    tagged = a.withColumn("__side", F.lit("a")).unionByName(
-        b.withColumn("__side", F.lit("b"))
+    """Two-state form: per-group union/intersection estimates between exactly
+    two bottom-k states (built on the same id hash space). Unlike the
+    pairwise readout (whose grain is pairs of CO-PRESENT sides), this
+    reports EVERY group present in either state — a group with rows in only
+    one side is a defined answer (union = that side's estimate,
+    intersection = 0, exact iff the present side is below k), not a missing
+    row; dropping it would be indistinguishable from "group does not
+    exist" to a caller diffing two slices. Same packed-array algebra
+    (full-outer join of the per-group packed arrays, missing side = empty
+    array); returns (*group_cols, union_est, inter_est, exact)."""
+
+    def pack(state: DataFrame, name: str) -> DataFrame:
+        return state.groupBy(*group_cols).agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__priority").alias("p"), F.col(id_col).alias("i")
+                    )
+                )
+            ).alias(name)
+        )
+
+    pa, pb = pack(a, "__a"), pack(b, "__b")
+    empty = F.expr(f"CAST(array() AS {pa.schema['__a'].dataType.simpleString()})")
+    if group_cols:
+        joined = pa.join(pb, list(group_cols), "full")
+    else:
+        # groupBy() is a global agg: exactly one row per side, even on empty
+        # input — the cross of two singletons is the single global result row
+        joined = pa.crossJoin(pb)
+    base = joined.select(
+        *group_cols,
+        F.coalesce("__a", empty).alias("__a"),
+        F.coalesce("__b", empty).alias("__b"),
     )
-    out = kmv_pairwise_set_estimates(tagged, group_cols, "__side", id_col, k)
-    return out.drop("__side_a", "__side_b")
+    uni = F.slice(F.array_sort(F.array_union("__a", "__b")), 1, k)
+    sized = base.select(
+        *group_cols,
+        "__a",
+        "__b",
+        uni.alias("__u"),
+        F.size(uni).cast("bigint").alias("__rows"),
+        F.size(
+            F.array_intersect(F.array_intersect(uni, F.col("__a")), F.col("__b"))
+        )
+        .cast("bigint")
+        .alias("__kboth"),
+    ).withColumn(
+        "__uk",
+        # guarded: only the full-sketch branch reads u_k, and k >= 1 makes
+        # the array non-empty there (element_at(arr, 0) would raise under
+        # ANSI on an empty-union row)
+        F.when(
+            F.col("__rows") >= k,
+            _uk_frac(F.element_at("__u", F.size("__u")).getField("p")),
+        ),
+    )
+    union_est = F.when(
+        F.col("__rows") < k, F.col("__rows").cast("double")
+    ).otherwise(F.lit(k - 1) / F.col("__uk"))
+    inter_est = F.when(
+        F.col("__rows") < k, F.col("__kboth").cast("double")
+    ).otherwise(
+        (F.col("__kboth") * F.lit(k - 1)).cast("double")
+        / (F.col("__uk") * F.lit(k))
+    )
+    return sized.select(
+        *group_cols,
+        F.floor(union_est).cast("bigint").alias("union_est"),
+        F.floor(inter_est).cast("bigint").alias("inter_est"),
+        (F.col("__rows") < k).alias("exact"),
+    )
 
 
 def sample_from_state(

@@ -195,7 +195,10 @@ def chunk_documents(
     Scale shape: ZERO shuffles — split, sequence-explode, slice and re-join
     are all map-side JVM expressions inside one whole-stage codegen span;
     the fan-out is bounded at ~n/stride rows per doc and the token array is
-    never exchanged. NULL-text docs are excluded (no tokens to window).
+    never exchanged. Docs with NULL text or no tokens after normalization
+    (empty / whitespace-only — ``split('')`` would otherwise yield a phantom
+    ``['']`` "token") are excluded: no tokens, no chunks — the same
+    zero-for-wordless convention as ``bpe_encode_counts``.
     No reference twin: the reference pipeline has no text surface; this is
     part of the 100 TB training-data extension."""
     if not (0 < stride <= window):
@@ -212,7 +215,10 @@ def chunk_documents(
     start = (F.col("__j") * stride + 1).cast("bigint")
     toks = F.slice(F.col("__ws"), F.col("__j") * stride + 1, window)
     return (
-        docs.filter(F.col(text_col).isNotNull())
+        docs.filter(
+            F.col(text_col).isNotNull()
+            & (normalize_text(F.col(text_col)) != F.lit(""))
+        )
         .select(F.col(id_col), ws.alias("__ws"))
         .select(
             id_col,

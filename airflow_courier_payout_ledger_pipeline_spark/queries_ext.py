@@ -2273,7 +2273,7 @@ CHUNK_W, CHUNK_S = 32, 24
 CHUNK_ORACLE = f"""
 WITH norm AS (
     SELECT doc_id, string_split({NORM}, ' ') AS ws
-    FROM documents WHERE text IS NOT NULL
+    FROM documents WHERE text IS NOT NULL AND {NORM} != ''
 ),
 szn AS (SELECT doc_id, ws, len(ws) AS n FROM norm),
 c AS (

@@ -612,7 +612,7 @@ def test_chunking_covers_every_token_against_python_reference(spark, data):
 
     counts, window, stride = data
     stride = min(stride, window)
-    docs = [(i, " ".join(f"w{j}" for j in range(n)) if n else "") for i, n in enumerate(counts)]
+    docs = [(i, " ".join(f"w{j}" for j in range(n))) for i, n in enumerate(counts)]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = {
         (r.doc_id, r.chunk_id): (r.start_tok, r.n_tokens, r.chunk_text)
@@ -621,22 +621,22 @@ def test_chunking_covers_every_token_against_python_reference(spark, data):
 
     expect = {}
     for i, n in enumerate(counts):
-        toks = [f"w{j}" for j in range(n)] if n else [""]  # split('') -> ['']
-        m = len(toks)
-        last_j = 0 if m <= window else -(-(m - window) // stride)
+        if n == 0:
+            continue  # wordless docs produce zero chunks
+        toks = [f"w{j}" for j in range(n)]
+        last_j = 0 if n <= window else -(-(n - window) // stride)
         for j in range(last_j + 1):
             s = j * stride
             sl = toks[s : s + window]
             expect[(i, j)] = (s + 1, len(sl), " ".join(sl))
     assert got == expect
-    # coverage: every token index in [1, m] falls inside some chunk
+    # coverage: every token index in [1, n] falls inside some chunk
     for i, n in enumerate(counts):
-        m = max(n, 1)
         covered = set()
         for (d, _), (s, ln, _) in expect.items():
             if d == i:
                 covered.update(range(s, s + ln))
-        assert covered == set(range(1, m + 1))
+        assert covered == set(range(1, n + 1))
 
 
 # --- KMV set-operation readout (operators/sample.kmv_set_estimates) -----------------

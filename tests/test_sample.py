@@ -252,3 +252,29 @@ def test_readout_rank_matches_md5_order(spark):
     )
     want = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
     assert [r.id for r in out] == want
+
+
+def test_kmv_set_estimates_reports_one_sided_and_empty_groups(spark):
+    """A group present in only one state is a defined answer — union = that
+    side's count/estimate, intersection = 0 — not a dropped row; and with no
+    group columns, two empty states give the single (0, 0, exact) row."""
+    a = spark.createDataFrame(
+        [("only_a", i) for i in range(5)] + [("both", i) for i in range(3)],
+        "g2 string, id long",
+    )
+    b = spark.createDataFrame(
+        [("only_b", i) for i in range(100, 104)] + [("both", i) for i in range(2, 6)],
+        "g2 string, id long",
+    )
+    sa = sample_state(a, ["g2"], "id", 32)
+    sb = sample_state(b, ["g2"], "id", 32)
+    out = {r.g2: r for r in kmv_set_estimates(sa, sb, ["g2"], "id", 32).collect()}
+    assert set(out) == {"only_a", "only_b", "both"}
+    assert (out["only_a"].union_est, out["only_a"].inter_est, out["only_a"].exact) == (5, 0, True)
+    assert (out["only_b"].union_est, out["only_b"].inter_est, out["only_b"].exact) == (4, 0, True)
+    assert (out["both"].union_est, out["both"].inter_est, out["both"].exact) == (6, 1, True)
+
+    nothing = spark.createDataFrame([], "id long")
+    sn = sample_state(nothing, [], "id", 8)
+    r = kmv_set_estimates(sn, sn, [], "id", 8).collect()
+    assert len(r) == 1 and (r[0].union_est, r[0].inter_est, r[0].exact) == (0, 0, True)

@@ -184,12 +184,14 @@ def test_chunk_documents_exact_multiple_has_no_empty_tail(spark):
 
 def test_chunk_documents_overlap_reconstructs_and_normalizes(spark):
     """Stride == window (no overlap) concatenates back to the NORMALIZED
-    text; NULL-text docs are excluded; uppercase/whitespace collapse."""
+    text; NULL-text, empty, and whitespace-only docs produce ZERO chunks
+    (the bpe_encode_counts zero-for-wordless convention — split('') would
+    otherwise fabricate a phantom 1-token '' chunk)."""
     from airflow_courier_payout_ledger_pipeline_spark.operators.tokenize import (
         chunk_documents,
     )
 
-    df = _docs(spark, ["A  B\tC   d E f G", None])
+    df = _docs(spark, ["A  B\tC   d E f G", None, "", "  \t "])
     out = sorted(chunk_documents(df, 3, 3).collect(), key=lambda r: r.chunk_id)
     assert {r.doc_id for r in out} == {0}
     assert " ".join(r.chunk_text for r in out) == "a b c d e f g"
