@@ -329,3 +329,46 @@ def dsir_importance_scores(
         F.count(F.lit(1)).alias("n_grams"),
         F.round(F.avg(ratio), 4).alias("dsir_score"),
     )
+
+
+def training_shard_layout(
+    df: DataFrame, id_col: str, n_shards: int
+) -> DataFrame:
+    """Deterministic training-shard layout — the writer step between curation
+    and training: every row gets a shard (16-bit md5 draw mod ``n_shards``,
+    the repo's standard hash-space width) and a within-shard position
+    (rank by (md5(id), id) — a pseudo-random order decorrelated from source
+    order, i.e. the GLOBAL SHUFFLE training requires, without ever running
+    a global sort). Both coordinates are pure functions of the row id, so:
+
+    - the layout is REPRODUCIBLE (re-running the pipeline yields the same
+      shard files bit-for-bit — no rand(), no seed plumbing, replays in any
+      engine);
+    - it is APPEND-STABLE: adding documents can never move an existing
+      document to another shard (unlike round-robin or repartition(N),
+      where the layout is a function of the whole corpus), so incremental
+      corpus updates rewrite only positions within shards, and per-shard
+      dedup/state remains valid across versions.
+
+    Scale shape: ONE exchange, keyed by shard — exactly the partitioning
+    the writer needs (`df.repartition(n_shards, "shard")` is then a no-op;
+    write with `partitionBy("shard")` + `sortWithinPartitions` on the same
+    key). The per-shard rank window sorts corpus/n_shards rows inside each
+    shard partition — the sort the sorted-shard writer performs anyway,
+    never a global one. The 16-bit draw mod n_shards carries the usual
+    ≤ 1/65536-per-shard modulo bias — immaterial for file layout; use more
+    hex chars if n_shards approaches 2^16. NULL ids are excluded (md5(NULL)
+    is NULL and NULL ordering is engine-dependent)."""
+    if not (0 < n_shards <= 65536):
+        raise ValueError(f"need 0 < n_shards <= 65536, got {n_shards}")
+    pri = F.md5(F.col(id_col).cast("string"))
+    shard = (
+        F.conv(F.substring(pri, 1, 4), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("__pri", id_col)
+    return (
+        df.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col), pri.alias("__pri"), shard.alias("shard"))
+        .withColumn("shard_pos", F.row_number().over(w).cast("bigint"))
+        .drop("__pri")
+    )

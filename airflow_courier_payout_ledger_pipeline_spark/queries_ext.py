@@ -2268,6 +2268,45 @@ def q_mad_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outlier_stats(e, ["event_type"], "v", k=3)
 
 
+N_TRAINING_SHARDS = 8
+
+SHARD_LAYOUT_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, md5(doc_id::VARCHAR) AS p
+    FROM documents WHERE doc_id IS NOT NULL
+),
+s AS (
+    SELECT doc_id, p,
+           (('0x' || substr(p, 1, 4))::BIGINT % {N_TRAINING_SHARDS})::INT AS shard
+    FROM d
+)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY p, doc_id)::BIGINT
+           AS shard_pos
+FROM s
+"""
+
+
+@register("training_shard_layout", SHARD_LAYOUT_ORACLE)
+def q_training_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard layout
+    (``operators/sampling.training_shard_layout``): every document gets a
+    shard (16-bit md5 draw mod 8) and a within-shard pseudo-random position
+    — the global-shuffle file layout training jobs consume, reproducible
+    bit-for-bit with no rand()/seed and APPEND-STABLE (a doc's shard is a
+    pure function of its id, so corpus updates never migrate existing docs
+    between shards — repartition(N)/round-robin layouts reshuffle
+    everything). One shard-keyed exchange (the writer's partitioning) +
+    the per-shard sort the sorted-shard writer performs anyway; no global
+    sort."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sampling import (
+        training_shard_layout,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return training_shard_layout(docs, "doc_id", N_TRAINING_SHARDS)
+
+
 CHUNK_W, CHUNK_S = 32, 24
 
 CHUNK_ORACLE = f"""

@@ -395,6 +395,12 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     # its fold-rail twin (any-readout composability on the streamed state)
     "mad_outlier_audit",
     "streaming_mad_audit",
+    # round-9 addition: deterministic append-stable training-shard layout;
+    # it landed in operators/sampling.py, so the module's other evidence
+    # queries re-adjudicate alongside it (dsir pair already above)
+    "training_shard_layout",
+    "sequence_packing",
+    "stratified_sample",
     # round-9 addition: quantized DLT weighted sample state
     "weighted_sample_per_source",
 ]

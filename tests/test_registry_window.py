@@ -125,6 +125,10 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
     "airflow_courier_payout_ledger_pipeline_spark/operators/sampling.py": {
         "dsir_importance",
         "dsir_resample",
+        # continuation: deterministic training-shard layout appended
+        "training_shard_layout",
+        "sequence_packing",
+        "stratified_sample",
     },
 }
 

@@ -330,3 +330,67 @@ def test_dsir_resample_adds_no_exchange_over_scoring(spark):
     ]
     assert len(shuffles) == 1, shuffles
     assert "Join" not in plan
+
+
+# --- Deterministic training-shard layout ---------------------------------------------
+
+
+def test_shard_layout_is_deterministic_and_positions_dense(spark):
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sampling import (
+        training_shard_layout,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    a = training_shard_layout(df.coalesce(1), "doc_id", 8).collect()
+    b = training_shard_layout(df.repartition(13), "doc_id", 8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    assert set(by_shard) <= set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    assert sum(len(v) for v in by_shard.values()) == 300
+
+
+def test_shard_layout_is_append_stable(spark):
+    """Adding documents never moves an existing document to another shard
+    (shard = pure fn of id), and within a shard the RELATIVE order of
+    existing docs is preserved — only positions shift as new docs interleave.
+    This is the property repartition(N)/round-robin layouts lack."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sampling import (
+        training_shard_layout,
+    )
+
+    old = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    new = spark.createDataFrame([(i,) for i in range(320)], "doc_id long")
+    lay_old = {r.doc_id: (r.shard, r.shard_pos) for r in training_shard_layout(old, "doc_id", 8).collect()}
+    lay_new = {r.doc_id: (r.shard, r.shard_pos) for r in training_shard_layout(new, "doc_id", 8).collect()}
+    for doc, (shard, _) in lay_old.items():
+        assert lay_new[doc][0] == shard  # never migrates
+    # relative order within each shard preserved
+    for shard in range(8):
+        docs_old = sorted((p, d) for d, (s, p) in lay_old.items() if s == shard)
+        order_old = [d for _, d in docs_old]
+        order_new_filtered = [
+            d
+            for _, d in sorted((p, d) for d, (s, p) in lay_new.items() if s == shard)
+            if d in lay_old
+        ]
+        assert order_new_filtered == order_old
+
+
+def test_shard_layout_excludes_null_ids_and_validates_n_shards(spark):
+    import pytest
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sampling import (
+        training_shard_layout,
+    )
+
+    df = spark.createDataFrame([(1,), (None,), (2,)], "doc_id long")
+    out = training_shard_layout(df, "doc_id", 4).collect()
+    assert sorted(r.doc_id for r in out) == [1, 2]
+    with pytest.raises(ValueError):
+        training_shard_layout(df, "doc_id", 0)
+    with pytest.raises(ValueError):
+        training_shard_layout(df, "doc_id", 65537)
