@@ -90,10 +90,27 @@ def merge_sample_states(
     """Fold two bottom-k states: union, re-rank, keep the k smallest per
     group. Associative, commutative, increment-order-free — bottom-k is
     closed under union, so the merged state is row-identical to a full
-    rebuild over the combined input (disjoint-increment contract)."""
+    rebuild over the combined input (disjoint-increment contract). Also
+    IDEMPOTENT: duplicate (group, id) rows — a replayed or overlapping
+    increment — are dropped before the re-rank, so a twice-folded state
+    cannot let one id occupy two of the k slots and displace a legitimate
+    row (rows for the same id are identical by construction: the priority
+    and every payload column are pure functions of the source row). The
+    fold rail's exactly-once sidecar stays the first line of defense; this
+    makes the merge itself replay-safe, matching the bloom fold's bit-or
+    idempotence. The dedupe rides the SAME window spec as the re-rank (the
+    priority is a function of the id, so copies of an id are adjacent in
+    (priority, id) order and ``lag(id) == id`` marks the 2nd+), NOT
+    ``dropDuplicates`` — that would exchange on (group, id), a second
+    shuffle; this way both windows share the group partitioning and the
+    merge keeps its pinned one-exchange shape
+    (tests/test_shuffle_budgets.py)."""
     w = Window.partitionBy(*group_cols).orderBy("__priority", id_col)
     return (
         a.unionByName(b)
+        .withColumn("__dup", F.lag(id_col).over(w) == F.col(id_col))
+        .filter(~F.coalesce(F.col("__dup"), F.lit(False)))
+        .drop("__dup")
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
@@ -382,12 +399,19 @@ def merge_weighted_sample_states(
 ) -> DataFrame:
     """Fold two weighted states: union, re-rank by (priority DESC, id), keep
     k per group — top-k is closed under union exactly as bottom-k is, so
-    merge ≡ rebuild row-exact for disjoint increments."""
+    merge ≡ rebuild row-exact for disjoint increments; duplicate (group, id)
+    rows are dropped first (lag over the same window spec — priority is a
+    function of the id, so copies are adjacent; shuffle-neutral, see
+    :func:`merge_sample_states`) so the fold is idempotent under replayed
+    or overlapping increments."""
     w = Window.partitionBy(*group_cols).orderBy(
         F.desc("__wpriority"), F.asc(id_col)
     )
     return (
         a.unionByName(b)
+        .withColumn("__dup", F.lag(id_col).over(w) == F.col(id_col))
+        .filter(~F.coalesce(F.col("__dup"), F.lit(False)))
+        .drop("__dup")
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")

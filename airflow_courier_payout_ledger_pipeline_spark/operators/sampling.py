@@ -358,7 +358,13 @@ def training_shard_layout(
     never a global one. The 16-bit draw mod n_shards carries the usual
     ≤ 1/65536-per-shard modulo bias — immaterial for file layout; use more
     hex chars if n_shards approaches 2^16. NULL ids are excluded (md5(NULL)
-    is NULL and NULL ordering is engine-dependent)."""
+    is NULL and NULL ordering is engine-dependent).
+
+    Every INPUT column is preserved (plus ``shard``/``shard_pos``), so the
+    output IS the writer's frame: ``.write.partitionBy("shard")`` after a
+    ``repartition(n_shards, "shard")`` + ``sortWithinPartitions("shard_pos")``
+    ships payload bytes exactly once — no join back to the corpus by id.
+    Pass a pruned projection when only the layout table is wanted."""
     if not (0 < n_shards <= 65536):
         raise ValueError(f"need 0 < n_shards <= 65536, got {n_shards}")
     pri = F.md5(F.col(id_col).cast("string"))
@@ -368,7 +374,7 @@ def training_shard_layout(
     w = Window.partitionBy("shard").orderBy("__pri", id_col)
     return (
         df.filter(F.col(id_col).isNotNull())
-        .select(F.col(id_col), pri.alias("__pri"), shard.alias("shard"))
+        .select("*", pri.alias("__pri"), shard.alias("shard"))
         .withColumn("shard_pos", F.row_number().over(w).cast("bigint"))
         .drop("__pri")
     )

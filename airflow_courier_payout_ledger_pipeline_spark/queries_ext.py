@@ -2298,13 +2298,16 @@ def q_training_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     between shards — repartition(N)/round-robin layouts reshuffle
     everything). One shard-keyed exchange (the writer's partitioning) +
     the per-shard sort the sorted-shard writer performs anyway; no global
-    sort."""
+    sort. The operator preserves every input column (it IS the writer's
+    frame); this query feeds a pruned id projection because only the layout
+    table is oracle-checked here — the payload-carrying composition is
+    `training_shards_end_to_end`."""
     from airflow_courier_payout_ledger_pipeline_spark.operators.sampling import (
         training_shard_layout,
     )
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    return training_shard_layout(docs, "doc_id", N_TRAINING_SHARDS)
+    return training_shard_layout(docs.select("doc_id"), "doc_id", N_TRAINING_SHARDS)
 
 
 CHUNK_W, CHUNK_S = 32, 24
@@ -5965,3 +5968,187 @@ def q_audio_resample_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     resampled = resample_audio(synthesize_audio_payloads(media), AUDIO_RESAMPLE_RATE)
     return extract_audio_features(resampled)
+
+
+# =====================================================================================
+# Round-10 additions: incremental z-order compaction (operators/layout.py) and the
+# end-to-end pretraining-shard job (chunk -> pack -> shard-layout composition)
+# =====================================================================================
+
+ZCOMPACT_FILE_ROWS = 512
+
+ZCOMPACT_ORACLE = f"""
+WITH d AS (
+    SELECT event_id, ts::DATE AS day,
+           (user_id % 1024)::BIGINT AS x,
+           (hour(ts) * 60 + minute(ts))::BIGINT AS y
+    FROM events
+),
+z AS (
+    SELECT event_id, day, x, y, ({morton_sql(["x", "y"], bits=11)})::BIGINT AS zvalue
+    FROM d
+),
+r AS (
+    SELECT event_id, day, zvalue,
+           row_number() OVER (PARTITION BY day ORDER BY zvalue, x, y, event_id) AS rn
+    FROM z
+)
+SELECT event_id, day, zvalue, rn::BIGINT AS pos,
+       ((rn - 1) // {ZCOMPACT_FILE_ROWS})::INT AS file_id
+FROM r
+"""
+
+
+@register("zorder_incremental_compaction", ZCOMPACT_ORACLE)
+def q_zorder_incremental_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental z-order compaction
+    (``operators/layout.incremental_zorder_compaction``): the nightly
+    increment (here: even-id events of the last 3 days — late-arriving rows
+    that OVERLAP already-compacted day partitions) lands append-only, then
+    compaction re-runs the deterministic z-ordered file layout ONLY for the
+    touched day partitions; untouched days keep their layout verbatim. The
+    ORACLE is the FULL REBUILD over all events — the hash match IS the
+    equivalence proof that re-clustering only affected partitions yields the
+    exact layout a from-scratch rebuild would (licensed by the layout being
+    a pure function of each day's rowset: rank by (z, x, y, id), files cut
+    every {ZCOMPACT_FILE_ROWS} rows — no sampled range boundaries anywhere).
+    Scale shape: affected-day list is broadcast to an anti/semi-join split,
+    so compaction cost is O(touched partitions) not O(table) — at 100 TB the
+    nightly pass reads ~days_touched/365ths of the table; per-day window
+    sorts only, never a global sort. Row-group pruning on BOTH x and y after
+    the layout is asserted in tests/test_layout.py."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.layout import (
+        incremental_zorder_compaction,
+    )
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    d = ev.select(
+        "event_id",
+        F.to_date("ts").alias("day"),
+        F.pmod(F.col("user_id"), F.lit(1024)).cast("long").alias("x"),
+        (F.hour("ts") * 60 + F.minute("ts")).cast("long").alias("y"),
+    )
+    # simulate the append: a 1-row bounds agg broadcast back (singleton x) picks
+    # the last 3 days; even event ids within them are "tonight's" rows
+    bounds = d.agg(F.max("day").alias("__maxd"))
+    dd = d.crossJoin(F.broadcast(bounds))
+    is_inc = (F.col("day") >= F.date_sub(F.col("__maxd"), 2)) & (
+        F.col("event_id") % 2 == 0
+    )
+    inc = dd.filter(is_inc).drop("__maxd")
+    base = dd.filter(~is_inc).drop("__maxd")
+    out = incremental_zorder_compaction(
+        base,
+        inc,
+        "day",
+        ["x", "y"],
+        bits=11,
+        rows_per_file=ZCOMPACT_FILE_ROWS,
+        tiebreak=["event_id"],
+    )
+    return out.select("event_id", "day", "zvalue", "pos", "file_id")
+
+
+E2E_TARGET = 256
+E2E_SHARDS = 8
+E2E_MULT = 100_000
+
+SHARDS_E2E_ORACLE = f"""
+WITH norm AS (
+    SELECT doc_id, string_split({NORM}, ' ') AS ws
+    FROM documents WHERE text IS NOT NULL AND {NORM} != ''
+),
+szn AS (SELECT doc_id, len(ws) AS n FROM norm),
+c AS (
+    SELECT doc_id, n,
+           unnest(generate_series(
+               0,
+               CASE WHEN n <= {CHUNK_W} THEN 0
+                    ELSE (n - {CHUNK_W} + {CHUNK_S - 1}) // {CHUNK_S} END
+           )) AS j
+    FROM szn
+),
+ck AS (
+    SELECT doc_id, j::BIGINT AS chunk_id,
+           (least(j * {CHUNK_S} + {CHUNK_W}, n) - j * {CHUNK_S})::BIGINT AS n_tokens,
+           (doc_id * {E2E_MULT} + j)::BIGINT AS ck_id
+    FROM c
+),
+cs AS (
+    SELECT *, SUM(n_tokens) OVER (ORDER BY ck_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM ck
+),
+p AS (
+    SELECT doc_id, chunk_id, n_tokens,
+           (cum - n_tokens)::BIGINT AS start_offset,
+           ((cum - n_tokens) // {E2E_TARGET})::BIGINT AS bin_id
+    FROM cs
+),
+bins AS (SELECT DISTINCT bin_id FROM p),
+lay AS (
+    SELECT bin_id, md5(bin_id::VARCHAR) AS pr,
+           (('0x' || substr(md5(bin_id::VARCHAR), 1, 4))::BIGINT % {E2E_SHARDS})::INT
+               AS shard
+    FROM bins
+),
+shards AS (
+    SELECT bin_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY pr, bin_id)::BIGINT
+               AS shard_pos
+    FROM lay
+)
+SELECT p.doc_id, p.chunk_id, p.n_tokens, p.bin_id, p.start_offset,
+       s.shard, s.shard_pos
+FROM p JOIN shards s USING (bin_id)
+"""
+
+
+@register("training_shards_end_to_end", SHARDS_E2E_ORACLE)
+def q_training_shards_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly pretraining-shard job as ONE pipeline — corpus in,
+    shard-addressed packed sequences out — pinning the cross-operator grain
+    contracts each stage is individually proven on:
+
+      token grain  — ``tokenize.chunk_documents`` cuts 32-token windows,
+                     stride 24 (zero shuffles, map-side codegen);
+      bin grain    — ``sampling.pack_sequences`` lays chunks out in stable
+                     chunk-key order and assigns each to the 256-token bin
+                     where it starts (distributed two-pass prefix sum — the
+                     only driver traffic is one scalar per partition);
+      shard grain  — ``sampling.training_shard_layout`` addresses each BIN
+                     to an append-stable shard + within-shard position (pure
+                     md5-of-bin-id function: corpus growth appends new bins
+                     without migrating existing ones between shards).
+
+    The chunk key ``doc_id·100000 + chunk_id`` keeps the packing order a
+    pure BIGINT function of (doc, window) — reproducible in any engine; the
+    whole composition is hash-checked against a single DuckDB replay. Final
+    join (chunk grain x bin-grain layout) is keyed by bin_id — sort-merge
+    at scale, never a cartesian. What a training pipeline runs nightly;
+    reference-free extension (the reference has no text surface)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sampling import (
+        pack_sequences,
+        training_shard_layout,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.operators.tokenize import (
+        chunk_documents,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    chunks = chunk_documents(docs, CHUNK_W, CHUNK_S).select(
+        (F.col("doc_id") * E2E_MULT + F.col("chunk_id")).alias("ck_id"),
+        "n_tokens",
+    )
+    packed = pack_sequences(chunks, "ck_id", "n_tokens", E2E_TARGET)
+    bins = packed.select("bin_id").distinct()
+    lay = training_shard_layout(bins, "bin_id", E2E_SHARDS)
+    return packed.join(lay, "bin_id").select(
+        F.expr(f"CAST(ck_id DIV {E2E_MULT} AS BIGINT)").alias("doc_id"),
+        F.pmod(F.col("ck_id"), F.lit(E2E_MULT)).cast("bigint").alias("chunk_id"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "bin_id",
+        "start_offset",
+        "shard",
+        "shard_pos",
+    )

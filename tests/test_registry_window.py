@@ -1,9 +1,9 @@
 """The driver adjudicates the FIRST 50 entries of queries() in dict order
-(observed r1-r8). These tests pin the round-9 rotation: the staged r9 plan
-from round 8 is activated verbatim (canary trio, the 2 r5-stale veterans
-deferred from the r8 rotation, `heavy_hitters` whose implementing file
-changed in r8), the 36 r6-stale veterans and the stalest r7 veterans fill the
-rest, the flagship trio stays in-window as a canary, and every window name
+(observed r1-r9). These tests pin the round-10 rotation: the staged r10 plan
+from round 9 is activated VERBATIM at the head (canary trio, the 12
+never-driver-proven round-9 additions, the round-9 changed-file debtors),
+then `watermark_state` (the only §2 evidence older than r9), the round-10
+additions, and the stalest (r7-proven) veterans fill to 50. Every window name
 resolves to a registered query WITH an oracle (rows-only queries may exist in
 the registry, but a window slot without an oracle would burn driver evidence
 on a weaker rows-only check — keep them out).
@@ -36,12 +36,30 @@ from airflow_courier_payout_ledger_pipeline_spark.registry import (
 WINDOW = 50
 CANARY = {"courier_ledger", "courier_ledger_sql", "incremental_mart_maintenance"}
 
-#: staged from round 8 — the r9 active window must land fresh driver rows on
-#: these (r5-stale deferrals + the r8-changed sketch query)
-_STAGED_FOR_R9 = {
-    "dedup_span_profile",
-    "score_quantile_norm",
-    "heavy_hitters",
+#: staged from round 9 — the r10 active window must land fresh driver rows on
+#: these: the 12 round-9 additions that have never had a driver row, the
+#: round-9 changed-file debtors (streaming drain, graph components), and the
+#: §2 rotation item `watermark_state` (r9 verdict items 1 and 4)
+_STAGED_FOR_R10 = {
+    # 12 never-driver-proven round-9 additions
+    "quantile_state_maintenance",
+    "sample_state_maintenance",
+    "weighted_sample_per_source",
+    "kmv_distinct_users",
+    "kmv_user_overlap",
+    "document_chunks",
+    "mad_outlier_audit",
+    "training_shard_layout",
+    "streaming_bloom_maintenance",
+    "streaming_quantile_maintenance",
+    "streaming_sample_maintenance",
+    "streaming_mad_audit",
+    # round-9 changed-file debtors (code changed in r9, last driver row r8/r7)
+    "streaming_windows_tumbling",
+    "dedup_components",
+    "event_pagerank",
+    # §2 rotation: S6/P7/P8 evidence, last proven r8
+    "watermark_state",
 }
 
 # ------------------------------------------------------------------------------------
@@ -58,10 +76,11 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "heavy_hitters",
         "cms_state_migration",
     },
-    # round-9: cms_state_migration registration lives in queries_ext.py
+    # registrations live in queries_ext.py; the mapped set is the queries whose
+    # registration code the CURRENT round touched or added (r9's discharged
+    # obligations `cms_state_migration`/`dedup_bloom_probe` rotated out with
+    # their green r9 rows)
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext.py": {
-        "cms_state_migration",
-        "dedup_bloom_probe",
         "streaming_bloom_maintenance",
         "quantile_state_maintenance",
         "streaming_quantile_maintenance",
@@ -73,6 +92,11 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "document_chunks",
         "mad_outlier_audit",
         "streaming_mad_audit",
+        # round-10 registrations (both in the active r10 window)
+        "zorder_incremental_compaction",
+        "training_shards_end_to_end",
+        # round-10: training_shard_layout query now feeds a pruned projection
+        "training_shard_layout",
     },
     # round-9: mergeable bottom-k priority-sample state (new module);
     # continuation added the KMV set-operation readout
@@ -107,6 +131,12 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
     "airflow_courier_payout_ledger_pipeline_spark/operators/graph.py": {
         "dedup_components",
         "event_pagerank",
+    },
+    # round-10: deterministic z-ordered file layout + incremental compaction
+    # (zorder_values adjudicates the untouched morton key path)
+    "airflow_courier_payout_ledger_pipeline_spark/operators/layout.py": {
+        "zorder_values",
+        "zorder_incremental_compaction",
     },
     # round-9: mergeable exact-quantile histogram state (new module);
     # continuation added the MAD outlier readout
@@ -245,11 +275,11 @@ def test_flagship_canary_stays_in_window():
     assert CANARY <= set(order)
 
 
-def test_staged_r9_queries_are_in_window():
-    """Everything staged from round 8 (the r5-stale deferrals + the
-    r8-changed sketch query) must sit in the active window: a fix without a
-    fresh driver row is unadjudicated."""
-    assert _STAGED_FOR_R9 <= set(ADJUDICATION_WINDOW_FIRST[:WINDOW])
+def test_staged_r10_queries_are_in_window():
+    """Everything staged from round 9 (the 12 never-proven additions, the
+    changed-file debtors, the §2 rotation item) must sit in the active
+    window: a fix without a fresh driver row is unadjudicated."""
+    assert _STAGED_FOR_R10 <= set(ADJUDICATION_WINDOW_FIRST[:WINDOW])
 
 
 def test_queries_and_oracles_share_order():
@@ -259,8 +289,8 @@ def test_queries_and_oracles_share_order():
 
 def test_every_query_has_driver_evidence_or_a_window_slot():
     """No query may be unproven AND unscheduled: every registered query must be
-    (a) green in some prior round, (b) in the active r9 window, or (c) in the
-    planned r10 window. Round-9 additions therefore must be appended to
+    (a) green in some prior round, (b) in the active r10 window, or (c) in the
+    planned r11 window. Round-10 additions therefore must be appended to
     ADJUDICATION_WINDOW_NEXT_PLAN or placed in the active window as they are
     registered."""
     q, o = all_queries(), all_oracles()
@@ -272,7 +302,7 @@ def test_every_query_has_driver_evidence_or_a_window_slot():
     orphans = [n for n in q if n not in covered]
     assert not orphans, f"queries with no driver evidence and no window slot: {orphans}"
     missing = [n for n in ADJUDICATION_WINDOW_NEXT_PLAN if n not in q or n not in o]
-    assert not missing, f"r10 plan names without query/oracle: {missing}"
+    assert not missing, f"r11 plan names without query/oracle: {missing}"
     assert len(ADJUDICATION_WINDOW_NEXT_PLAN) <= WINDOW
     assert CANARY <= set(ADJUDICATION_WINDOW_NEXT_PLAN)
 
@@ -329,4 +359,7 @@ _GREEN_EVER = {
     # green r8 (the 6 round-7 additions' first driver rows)
     "dsir_importance", "dsir_resample", "dedup_pq_hamming2",
     "dedup_span_scrub", "image_resize_features", "audio_resample_features",
+    # green r9 (first driver rows for the two round-9 in-window additions;
+    # the other 48 r9-green rows re-proved names already listed above)
+    "cms_state_migration", "dedup_bloom_probe",
 }

@@ -278,3 +278,32 @@ def test_kmv_set_estimates_reports_one_sided_and_empty_groups(spark):
     sn = sample_state(nothing, [], "id", 8)
     r = kmv_set_estimates(sn, sn, [], "id", 8).collect()
     assert len(r) == 1 and (r[0].union_est, r[0].inter_est, r[0].exact) == (0, 0, True)
+
+
+def test_merge_is_idempotent_under_replayed_and_overlapping_increments(spark):
+    """ADVICE r9: a replayed/overlapping increment must not let one id occupy
+    two of the k slots. merge(S, S) ≡ S, and merging overlapping builds ≡
+    building the union — for both the uniform and the weighted state."""
+    rng = random.Random(23)
+    ids = rng.sample(range(50_000), 120)
+    df = _rows(spark, {"a": ids[:70], "b": ids[70:]})
+    s = sample_state(df, G, "id", 5)
+    replay = merge_sample_states(s, s, G, "id", 5)
+    assert _key(replay.collect()) == _key(s.collect())
+    # overlapping increments: halves share ids 30..89
+    a = df.filter(F.col("id").isin(ids[:90]))
+    b = df.filter(F.col("id").isin(ids[30:]))
+    merged = merge_sample_states(
+        sample_state(a, G, "id", 5), sample_state(b, G, "id", 5), G, "id", 5
+    )
+    assert _key(merged.collect()) == _key(s.collect())
+
+
+def test_weighted_merge_is_idempotent_under_replay(spark):
+    rng = random.Random(29)
+    data = [("g", i, rng.randint(1, 500)) for i in rng.sample(range(50_000), 100)]
+    df = spark.createDataFrame(data, "grp string, id long, w long")
+    s = weighted_sample_state(df, G, "id", "w", 6)
+    replay = merge_weighted_sample_states(s, s, G, "id", 6)
+    key = lambda rows: sorted((r.grp, r.id, r.w) for r in rows)  # noqa: E731
+    assert key(replay.collect()) == key(s.collect())
