@@ -269,7 +269,7 @@ def lsh_candidate_pairs(
     O(bucket²) pairs generated by nested Generate operators — streamed, not
     materialized; ``max_bucket`` caps pathological buckets (identical-content
     piles, the dominant real-corpus skew) at scale. The registered query passes
-    ``queries_ext.LSH_MAX_BUCKET`` and its oracle mirrors the cap as a
+    ``queries_ext_dedup.LSH_MAX_BUCKET`` and its oracle mirrors the cap as a
     HAVING-filtered bucket CTE; None disables the guard for exact all-pairs
     candidate generation."""
     from pyspark.sql.window import Window

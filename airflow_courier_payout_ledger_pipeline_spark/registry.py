@@ -353,6 +353,17 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "courier_ledger_sql",
     "incremental_mart_maintenance",
     # -- round-10 code changes / additions append here as they land --
+    # round-10 queries_ext split: every new domain module must map to
+    # scheduled driver evidence; three modules' queries are all r8/r9-proven
+    # and otherwise unscheduled, so one representative each rides the r11
+    # window (pure-move refactor: registry contents byte-identical, asserted
+    # at split time and by the full oracle-parity suite)
+    "event_windows_tumbling",   # queries_ext_events.py
+    "bm25_search",              # queries_ext_ops.py
+    "similarity_topk",          # queries_ext_similarity.py
+    # round-10 addition registered outside the active window: day-grain KMV
+    # state rollup -> rolling 7-day distinct readout (first driver row r11)
+    "kmv_rolling_7d_distinct",
     # -- r7-stale veterans that did not fit the r10 window, registration order --
     "streaming_ledger_maintenance",
     "rolling_7d_counts",

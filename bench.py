@@ -79,12 +79,32 @@ HEADLINE = [
     "kmv_user_overlap",
     "document_chunks",
     "mad_outlier_audit",
+    # round-10 additions: incremental z-order compaction (equivalence-proved
+    # layout maintenance) and the end-to-end chunk->pack->shard pipeline
+    "zorder_incremental_compaction",
+    "training_shards_end_to_end",
 ]
+
+
+def load_probe() -> float:
+    """Machine-load probe: wall time of a FIXED pure-Python workload (~0.25 s
+    on an idle core). Under background load the same workload takes
+    proportionally longer, so the printed number converts 'was the driver box
+    busy?' from round-close forensics (r8/r9: four unchanged queries drifting
+    together) into a self-evidencing fact in the bench tail. Run before and
+    after the timed section; compare against the idle baseline recorded in
+    OPERATORS.md."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(2_000_000):
+        acc += i * i
+    return round(time.perf_counter() - t0, 4)
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    probe_pre = load_probe()
 
     from airflow_courier_payout_ledger_pipeline_spark.registry import all_queries
     from airflow_courier_payout_ledger_pipeline_spark.session import get_spark
@@ -139,6 +159,7 @@ def main() -> None:
     rep15_totals = [
         round(sum(rep_times[n][i] for n in original15), 4) for i in range(REPS)
     ]
+    probe_post = load_probe()
     variance = {
         "n": REPS,
         "rep_totals_sec": rep_totals,
@@ -147,9 +168,14 @@ def main() -> None:
             100.0 * (max(rep_totals) - min(rep_totals)) / max(min(rep_totals), 1e-9),
             1,
         ),
-        "per_query_minmax": {
-            n: [round(min(r), 4), round(max(r), 4)] for n, r in rep_times.items()
-        },
+        # machine-load probes (see load_probe): idle baseline ~0.25 s; a probe
+        # reading k x idle means ~k-way contention during the bench — read any
+        # round-over-round per-query drift against this before blaming code
+        "load_probe_pre_sec": probe_pre,
+        "load_probe_post_sec": probe_post,
+    }
+    minmax_blob = {
+        n: [round(min(r), 4), round(max(r), 4)] for n, r in rep_times.items()
     }
 
     # Streaming decomposition: a drain's wall time is micro-batch harness cost
@@ -169,15 +195,20 @@ def main() -> None:
                     max(0.0, timings[stream_name] - timings[twin_name]), 4
                 ),
             }
+    # the drain's checkpoint goes to tmpfs when /dev/shm exists (else disk +
+    # WAL fsyncs, ~+0.2 s startup at sf0.1) — record which path THIS bench got
+    # so a driver-vs-local startup gap is attributable (r9 verdict item 2)
+    streaming["shm_checkpoint"] = os.path.isdir("/dev/shm")
 
-    # The variance band and streaming decomposition go on their OWN stdout
-    # lines, printed BEFORE the metric line: round 8 appended them to the
-    # single metric JSON line, which overflowed the driver's stdout
-    # tail-capture window and truncated the line start — BENCH_r08.json came
-    # back "parsed": null. The driver parses the LAST compact JSON line; the
-    # sidecar lines stay visible in the raw tail without endangering it.
-    print(json.dumps({"sidecar": "variance", **variance}))
+    # Sidecar lines print BEFORE the metric line (round-8 lesson: appending
+    # them to the metric line overflowed the driver's tail capture — BENCH_r08
+    # parsed null), and the LONG per-query minmax blob prints FIRST so the
+    # compact lines (rep totals, load probes, streaming decomposition) sit
+    # nearest the tail and survive capture (round-9 lesson: the blob led the
+    # variance line and the tail started mid-blob, losing rep_totals_sec).
+    print(json.dumps({"sidecar": "per_query_minmax", "per_query_minmax": minmax_blob}))
     print(json.dumps({"sidecar": "streaming_decomposition", **streaming}))
+    print(json.dumps({"sidecar": "variance", **variance}))
     print(
         json.dumps(
             {

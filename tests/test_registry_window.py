@@ -76,27 +76,84 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "heavy_hitters",
         "cms_state_migration",
     },
-    # registrations live in queries_ext.py; the mapped set is the queries whose
-    # registration code the CURRENT round touched or added (r9's discharged
-    # obligations `cms_state_migration`/`dedup_bloom_probe` rotated out with
-    # their green r9 rows)
-    "airflow_courier_payout_ledger_pipeline_spark/queries_ext.py": {
+    # round-10 split: the former monolithic queries_ext.py became an
+    # import-only aggregator over 14 domain modules (pure move; registry
+    # contents asserted byte-identical at split time and by the full
+    # oracle-parity suite). Each module maps to representative driver
+    # evidence; modules whose queries were all proven-but-unscheduled got one
+    # representative appended to the r11 plan.
+    "airflow_courier_payout_ledger_pipeline_spark/queries_ext_text.py": {
+        "bpe_merges",
+        "bpe_token_counts",
+        "vocab_counts",
+        "ngram_contamination",
+    },
+    "airflow_courier_payout_ledger_pipeline_spark/queries_ext_dedup.py": {
+        "dedup_components",
+    },
+    # round-10: docstring cross-reference updated for the split (comment-only;
+    # the module's in-window queries carry the evidence)
+    "airflow_courier_payout_ledger_pipeline_spark/operators/dedup.py": {
+        "dedup_components",
+        "dedup_incremental",
+    },
+    "airflow_courier_payout_ledger_pipeline_spark/queries_ext_similarity.py": {
+        "similarity_topk",
+    },
+    "airflow_courier_payout_ledger_pipeline_spark/queries_ext_events.py": {
+        "event_windows_tumbling",
+    },
+    "airflow_courier_payout_ledger_pipeline_spark/queries_ext_curation.py": {
+        "zorder_incremental_compaction",
+        "training_shards_end_to_end",
+        "training_shard_layout",
+        "sequence_packing",
+        "stratified_sample",
+    },
+    "airflow_courier_payout_ledger_pipeline_spark/queries_ext_state.py": {
         "streaming_bloom_maintenance",
         "quantile_state_maintenance",
         "streaming_quantile_maintenance",
         "sample_state_maintenance",
         "streaming_sample_maintenance",
         "kmv_distinct_users",
-        "weighted_sample_per_source",
         "kmv_user_overlap",
         "document_chunks",
         "mad_outlier_audit",
         "streaming_mad_audit",
-        # round-10 registrations (both in the active r10 window)
-        "zorder_incremental_compaction",
-        "training_shards_end_to_end",
-        # round-10: training_shard_layout query now feeds a pruned projection
-        "training_shard_layout",
+        "weighted_sample_per_source",
+        # round-10 addition (r11 plan): sketch-rollup rolling distinct
+        "kmv_rolling_7d_distinct",
+    },
+    "airflow_courier_payout_ledger_pipeline_spark/queries_ext_multimodal.py": {
+        "multimodal_features",
+        "video_frame_sample",
+    },
+    "airflow_courier_payout_ledger_pipeline_spark/queries_ext_streaming.py": {
+        "streaming_windows_tumbling",
+        "streaming_dedup",
+    },
+    "airflow_courier_payout_ledger_pipeline_spark/queries_ext_pipeline.py": {
+        "pii_scrub",
+        "corpus_curation",
+    },
+    "airflow_courier_payout_ledger_pipeline_spark/queries_ext_analytics.py": {
+        "rolling_7d_counts",
+        "similarity_ivf_nprobe2",
+    },
+    "airflow_courier_payout_ledger_pipeline_spark/queries_ext_scale.py": {
+        "salted_join_agg",
+        "dedup_keep_best",
+    },
+    "airflow_courier_payout_ledger_pipeline_spark/queries_ext_ops.py": {
+        "bm25_search",
+    },
+    "airflow_courier_payout_ledger_pipeline_spark/queries_ext_audit.py": {
+        "event_pagerank",
+    },
+    "airflow_courier_payout_ledger_pipeline_spark/queries_ext_selection.py": {
+        "dsir_importance",
+        "dsir_resample",
     },
     # round-9: mergeable bottom-k priority-sample state (new module);
     # continuation added the KMV set-operation readout
@@ -168,6 +225,9 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
 _EVIDENCE_EXEMPT = {
     "airflow_courier_payout_ledger_pipeline_spark/registry.py",
     "airflow_courier_payout_ledger_pipeline_spark/__init__.py",
+    # round-10: the former monolith is now an import-only aggregator (no
+    # query logic; the domain modules above carry the evidence)
+    "airflow_courier_payout_ledger_pipeline_spark/queries_ext.py",
 }
 
 _REPO_ROOT = Path(__file__).resolve().parent.parent

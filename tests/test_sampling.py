@@ -101,7 +101,7 @@ def test_token_budget_cap_invariants(spark):
     kept row, the admitted set is a deterministic prefix (same output under
     different partition counts), and at least one doc is admitted per
     non-empty source (the first one, whatever its size)."""
-    from airflow_courier_payout_ledger_pipeline_spark.queries_ext import TOKEN_BUDGET
+    from airflow_courier_payout_ledger_pipeline_spark.queries_ext_ops import TOKEN_BUDGET
     from airflow_courier_payout_ledger_pipeline_spark.registry import all_queries
 
     q = all_queries()["token_budget_cap"]
@@ -142,7 +142,7 @@ def test_grouped_split_assign_exact_dups_share_a_split(spark):
     # synthetic check with planted dups (the testdata has no exact dups):
     # identical text under different ids must land in one split
     from airflow_courier_payout_ledger_pipeline_spark.functions.text import fingerprint
-    from airflow_courier_payout_ledger_pipeline_spark.queries_ext import (
+    from airflow_courier_payout_ledger_pipeline_spark.queries_ext_audit import (
         GSPLIT_TRAIN_MAX,
         GSPLIT_VAL_MAX,
     )

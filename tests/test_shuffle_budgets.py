@@ -57,6 +57,18 @@ SHUFFLE_BUDGET = {
     # state + deviation histogram pin eagerly; returned plan is the MAD
     # window + the final state-grain fold:
     "mad_outlier_audit": 2,
+    # round-10 additions:
+    # affected-day list broadcasts; per-day layout windows on each branch +
+    # the increment-day distinct (cutoff is a collected 1-row bound — the
+    # crossJoin(broadcast(agg)) form cost +5 exchanges via re-executed
+    # bounds subtrees)
+    "zorder_incremental_compaction": 4,
+    # chunk explode is map-side; range-partition prefix sum + bin rollup +
+    # bin distinct + shard window + chunk x bin-layout sort-merge join
+    "training_shards_end_to_end": 6,
+    # (day,user) distinct + day-state window + readout-day merge window +
+    # estimate agg; states fan out by sequence-explode, spine broadcasts
+    "kmv_rolling_7d_distinct": 4,
 }
 
 
