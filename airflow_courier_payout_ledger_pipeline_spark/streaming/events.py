@@ -39,6 +39,10 @@ EVENTS_SCHEMA = (
     "value double, props string"
 )
 
+#: path -> physical ts dtype of the (immutable) source parquet; saves the
+#: footer-peek spark.read on every drain after the first (see read_event_stream)
+_TS_DECL_CACHE: dict[str, str | None] = {}
+
 
 def read_event_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 16
@@ -50,9 +54,15 @@ def read_event_stream(
     readStream needs a declared schema, but the physical ts type varies
     (TIMESTAMP(NANOS) testdata surfaces as bigint under nanosAsLong; re-written
     micros tables surface as timestamp) — so peek at the batch footer schema
-    (metadata-only, no data scan) and adapt exactly like ``read_events``."""
+    (metadata-only, no data scan) and adapt exactly like ``read_events``.
+    The peek is cached per path: the source parquet's physical ts type is a
+    property of the (immutable) file, and the footer read is a measured
+    ~0.15 s of every drain's fixed startup when repeated (r10 profile)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_ts = dict(spark.read.parquet(f"{path}/events.parquet").dtypes).get("ts")
+    batch_ts = _TS_DECL_CACHE.get(path)
+    if batch_ts is None:
+        batch_ts = dict(spark.read.parquet(f"{path}/events.parquet").dtypes).get("ts")
+        _TS_DECL_CACHE[path] = batch_ts
     ts_decl = "bigint" if batch_ts == "bigint" else "timestamp"
     raw = (
         spark.readStream.schema(
@@ -209,6 +219,20 @@ def run_available_now(
     drain). Measured ~0.2 s of the drain's fixed startup at sf0.1. A real
     deployment passes its own DURABLE ``checkpointLocation`` on the
     writeStream it owns — this helper is the test/bench/oracle path.
+
+    FIXED-STARTUP FLOOR (r10 idle-box profile at sf0.1, for reconciling
+    bench numbers): of the drain's ~1.0 s over the batch twin, only ~0.4 s
+    is the trigger itself (addBatch ~0.26 + WAL commits ~0.09 + planning
+    ~0.04, from StreamingQueryProgress); the other ~0.6 s is the
+    MicroBatchExecution lifecycle — thread start/stop, offset-log init, and
+    the FINAL NO-DATA BATCH that advances the watermark so append-mode
+    windows emit (required for correctness; disabling
+    noDataMicroBatches.enabled would drop the closed windows). This floor
+    is per-DRAIN, not per-batch: a production long-running stream pays it
+    once, so at scale it amortizes to zero — which is why the bench reports
+    the (startup, plan-work) split rather than the raw drain wall time. A
+    driver-box reading far above ~1 s with shm_checkpoint=true means
+    machine load (see bench.py's load probe), not a plan change.
 
     CONCURRENCY-SAFE via session scoping: the pin lives in a
     ``spark.newSession()`` CLONE (separate conf over the same SparkContext) —
