@@ -87,13 +87,13 @@ HEADLINE = [
 
 
 def load_probe() -> float:
-    """Machine-load probe: wall time of a FIXED pure-Python workload (~0.25 s
-    on an idle core). Under background load the same workload takes
-    proportionally longer, so the printed number converts 'was the driver box
-    busy?' from round-close forensics (r8/r9: four unchanged queries drifting
-    together) into a self-evidencing fact in the bench tail. Run before and
-    after the timed section; compare against the idle baseline recorded in
-    OPERATORS.md."""
+    """Machine-load probe: wall time of a FIXED pure-Python workload
+    (~0.10 s measured on this box idle). Under background load the same
+    workload takes proportionally longer, so the printed number converts
+    'was the driver box busy?' from round-close forensics (r8/r9: four
+    unchanged queries drifting together) into a self-evidencing fact in the
+    bench tail. Runs before and after the timed section; compare against
+    the ~0.10 s idle baseline recorded in OPERATORS.md."""
     t0 = time.perf_counter()
     acc = 0
     for i in range(2_000_000):
@@ -168,7 +168,7 @@ def main() -> None:
             100.0 * (max(rep_totals) - min(rep_totals)) / max(min(rep_totals), 1e-9),
             1,
         ),
-        # machine-load probes (see load_probe): idle baseline ~0.25 s; a probe
+        # machine-load probes (see load_probe): idle baseline ~0.10 s; a probe
         # reading k x idle means ~k-way contention during the bench — read any
         # round-over-round per-query drift against this before blaming code
         "load_probe_pre_sec": probe_pre,
@@ -224,7 +224,9 @@ def main() -> None:
                 # amortizes to zero in a production long-running stream
                 "streaming_fixed_startup_sec": round(
                     sum(
-                        d["fixed_startup_overhead_sec"] for d in streaming.values()
+                        d["fixed_startup_overhead_sec"]
+                        for d in streaming.values()
+                        if isinstance(d, dict)
                     ),
                     4,
                 ),
