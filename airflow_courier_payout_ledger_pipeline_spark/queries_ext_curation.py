@@ -269,7 +269,10 @@ def q_zorder_incremental_compaction(spark: SparkSession, sf_dir: str) -> DataFra
     import datetime  # noqa: PLC0415
 
     maxd = d.agg(F.max("day")).collect()[0][0]
-    cutoff = maxd - datetime.timedelta(days=2)
+    if maxd is None:  # cold start: no events -> empty increment, empty base
+        cutoff = datetime.date(1970, 1, 1)
+    else:
+        cutoff = maxd - datetime.timedelta(days=2)
     is_inc = (F.col("day") >= F.lit(cutoff)) & (F.col("event_id") % 2 == 0)
     inc = d.filter(is_inc)
     base = d.filter(~is_inc)

@@ -901,3 +901,71 @@ def q_kmv_rolling_7d_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct_estimate(merged, ["rd"], KMV_ROLL_K).withColumnRenamed(
         "rd", "day"
     )
+
+
+QUANTILE_ROLLING_ORACLE = """
+WITH e AS (
+    SELECT ts::DATE AS day, CAST(round(value * 100, 0) AS BIGINT) AS v
+    FROM events WHERE value IS NOT NULL
+),
+spine AS (SELECT DISTINCT day FROM e),
+w AS (
+    SELECT s.day AS rd, e.v
+    FROM e JOIN spine s ON e.day BETWEEN s.day - 6 AND s.day
+),
+h AS (SELECT rd, v, count(*) AS c FROM w GROUP BY 1, 2),
+cum AS (
+    SELECT rd, v,
+           sum(c) OVER (PARTITION BY rd ORDER BY v) AS cum,
+           sum(c) OVER (PARTITION BY rd) AS n
+    FROM h
+)
+SELECT rd AS day,
+       max(n)::BIGINT AS n_values,
+       min(CASE WHEN cum * 2 >= n THEN v END) AS p50,
+       min(CASE WHEN cum * 10 >= 9 * n THEN v END) AS p90,
+       min(CASE WHEN cum * 100 >= 99 * n THEN v END) AS p99
+FROM cum GROUP BY 1
+"""
+
+
+@register("quantile_rolling_7d", QUANTILE_ROLLING_ORACLE)
+def q_quantile_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day EXACT value percentiles per day (p50/p90/p99 in cents)
+    from day-grain histogram states — the histogram twin of
+    `kmv_rolling_7d_distinct`'s sketch-rollup pattern, proving the rollup
+    shape generalizes across the mergeable-state family:
+
+      1. one pass reduces events to a per-DAY (value, cnt) histogram
+         (``operators/quantile.histogram_state`` — the lossless quantile
+         sufficient statistic, bounded by the cents domain, not row count);
+      2. each day-state fans out to the <= 7 readout days it serves
+         (sequence-explode; the exchange carries day x distinct-cents rows,
+         never events);
+      3. per readout day, contributions merge by count sum (the histogram
+         fold law — merge == rebuild, exactly) and
+         ``quantiles_from_state`` reads exact integer percentiles.
+
+    Unlike a row-grain RANGE window over events (re-shuffles the full event
+    grain every run, and percentiles would need a per-window sort), the
+    states are persisted once and answer ANY trailing window from
+    O(days x domain) rows — and the readout stays bit-exact, so the DuckDB
+    oracle replays it without tolerance. No row-grain or global sort
+    anywhere."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.quantile import (
+        histogram_state,
+        quantiles_from_state,
+    )
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    e = events.filter(F.col("value").isNotNull()).select(
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v"),
+    )
+    day_state = histogram_state(e, ["day"], "v")
+    spine = e.select("day").distinct().withColumnRenamed("day", "rd")
+    contrib = day_state.withColumn(
+        "rd", F.explode(F.expr("sequence(day, date_add(day, 6))"))
+    ).join(F.broadcast(spine), "rd", "left_semi")
+    merged = contrib.groupBy("rd", "value").agg(F.sum("cnt").alias("cnt"))
+    return quantiles_from_state(merged, ["rd"]).withColumnRenamed("rd", "day")

@@ -361,9 +361,11 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "event_windows_tumbling",   # queries_ext_events.py
     "bm25_search",              # queries_ext_ops.py
     "similarity_topk",          # queries_ext_similarity.py
-    # round-10 addition registered outside the active window: day-grain KMV
-    # state rollup -> rolling 7-day distinct readout (first driver row r11)
+    # round-10 additions registered outside the active window: day-grain
+    # state rollups -> rolling 7-day readouts (first driver rows r11) — the
+    # KMV-sketch and exact-histogram instances of the same rollup pattern
     "kmv_rolling_7d_distinct",
+    "quantile_rolling_7d",
     # -- r7-stale veterans that did not fit the r10 window, registration order --
     "streaming_ledger_maintenance",
     "rolling_7d_counts",

@@ -734,3 +734,100 @@ def test_mad_audit_matches_python_order_statistic_replica(spark, rows):
         nout = sum(1 for v in vals if abs(v - med) > 3 * mad)
         want[g] = (len(vals), med, mad, nout)
     assert got == want
+
+
+# --- incremental z-order compaction ≡ full rebuild, ANY increment (r10) --------------
+
+compaction_strategy = st.tuples(
+    st.lists(
+        st.tuples(
+            st.integers(0, 4),     # day
+            st.integers(0, 63),    # x
+            st.integers(0, 63),    # y
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    st.randoms(use_true_random=False),
+)
+
+
+@SET
+@given(data=compaction_strategy)
+def test_incremental_compaction_equals_rebuild_for_any_increment(spark, data):
+    """The compaction equivalence is not split-shape-specific: for ANY subset
+    of rows arriving as the increment (including empty, full, single-day, and
+    duplicate-coordinate rows), re-clustering only touched partitions must be
+    row-identical to a full rebuild — the pure-function-of-partition-rowset
+    law that licenses O(touched) nightly compaction."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.layout import (
+        incremental_zorder_compaction,
+        zorder_file_layout,
+    )
+
+    rows, rng = data
+    rows = [(i, d, x, y) for i, (d, x, y) in enumerate(rows)]
+    inc_ids = {i for i, *_ in rows if rng.random() < 0.4}
+    df = spark.createDataFrame(rows, "id bigint, day int, x bigint, y bigint")
+    from pyspark.sql import functions as F
+
+    inc = df.filter(F.col("id").isin(list(inc_ids)) if inc_ids else F.lit(False))
+    base = df.filter(~F.col("id").isin(list(inc_ids)) if inc_ids else F.lit(True))
+    out = incremental_zorder_compaction(
+        base, inc, "day", ["x", "y"], bits=6, rows_per_file=7, tiebreak=["id"]
+    )
+    full = zorder_file_layout(
+        df, "day", ["x", "y"], bits=6, rows_per_file=7, tiebreak=["id"]
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, full.collect()))
+
+
+# --- day-state rollup readouts ≡ direct window recompute (r10) -----------------------
+
+rollup_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 9),      # day offset
+        st.integers(1, 30),     # user id
+        st.integers(0, 500),    # value cents
+    ),
+    min_size=0,
+    max_size=80,
+)
+
+
+@SET
+@given(rows=rollup_strategy)
+def test_quantile_rollup_equals_direct_window_percentiles(spark, rows):
+    """Histogram day-states fanned out and merged per readout day must give
+    the same exact percentiles as computing them directly over each trailing
+    7-day window's raw rows (lossless-state law at window grain)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.quantile import (
+        histogram_state,
+        quantiles_from_state,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(d, v) for d, _, v in rows], "day int, v long"
+    )
+    state = histogram_state(df, ["day"], "v")
+    spine = df.select("day").distinct().withColumnRenamed("day", "rd")
+    contrib = state.withColumn(
+        "rd", F.explode(F.sequence(F.col("day"), F.col("day") + 6))
+    ).join(F.broadcast(spine), "rd", "left_semi")
+    merged = contrib.groupBy("rd", "value").agg(F.sum("cnt").alias("cnt"))
+    got = {
+        r.rd: (r.n_values, r.p50, r.p90, r.p99)
+        for r in quantiles_from_state(merged, ["rd"]).collect()
+    }
+
+    days = sorted({d for d, _, v in rows})
+    for rd in days:
+        window = sorted(v for d, _, v in rows if rd - 6 <= d <= rd)
+        n = len(window)
+        def pct(num, den):
+            for i, v in enumerate(window, start=1):
+                if i * den >= num * n:
+                    return v
+            return None
+        assert got[rd] == (n, pct(1, 2), pct(9, 10), pct(99, 100)), rd

@@ -122,8 +122,10 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "mad_outlier_audit",
         "streaming_mad_audit",
         "weighted_sample_per_source",
-        # round-10 addition (r11 plan): sketch-rollup rolling distinct
+        # round-10 additions (r11 plan): day-grain state rollups -> rolling
+        # 7-day readouts (KMV sketch + exact histogram)
         "kmv_rolling_7d_distinct",
+        "quantile_rolling_7d",
     },
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_multimodal.py": {
         "multimodal_features",

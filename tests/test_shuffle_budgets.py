@@ -69,6 +69,9 @@ SHUFFLE_BUDGET = {
     # (day,user) distinct + day-state window + readout-day merge window +
     # estimate agg; states fan out by sequence-explode, spine broadcasts
     "kmv_rolling_7d_distinct": 4,
+    # day histogram agg + (rd,value) merge agg + readout window + final agg;
+    # exchanges carry value-grain rows, never events
+    "quantile_rolling_7d": 4,
 }
 
 
