@@ -222,8 +222,9 @@ IVF_TOPK_ORACLE = _IVF_ORACLE_TEMPLATE.format(k=IVF_K, nprobe=1)
 # not just the uncapped fallthrough (round-6 verdict item 3).
 SEMDEDUP_MAX_CLUSTER = 40
 
-SEMDEDUP_ORACLE = f"""
-WITH cent AS (
+# pair-CTE block shared by the pairs oracle and the end-to-end prune oracle
+# (one definition so the two can never desynchronize)
+_SEMDEDUP_PAIR_CTES = f"""cent AS (
     SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
     FROM embeddings WHERE vec_id < {IVF_K}
 ),
@@ -245,11 +246,17 @@ a AS (
            (('0x' || substr(md5('sem:' || CAST(a0.vec_id AS VARCHAR)), 1, 4))::BIGINT
             % GREATEST((csz.csize + {SEMDEDUP_MAX_CLUSTER - 1}) // {SEMDEDUP_MAX_CLUSTER}, 1))::INT AS shard
     FROM a0 JOIN csz ON a0.cid = csz.cid
-)
-SELECT x.cid AS cluster, x.vec_id AS id_a, y.vec_id AS id_b,
-       round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) AS sim
-FROM a x JOIN a y ON x.cid = y.cid AND x.shard = y.shard AND x.vec_id < y.vec_id
-WHERE round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) >= 0.38
+),
+sempairs AS (
+    SELECT x.cid AS cluster, x.vec_id AS id_a, y.vec_id AS id_b,
+           round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) AS sim
+    FROM a x JOIN a y ON x.cid = y.cid AND x.shard = y.shard AND x.vec_id < y.vec_id
+    WHERE round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) >= 0.38
+)"""
+
+SEMDEDUP_ORACLE = f"""
+WITH {_SEMDEDUP_PAIR_CTES}
+SELECT cluster, id_a, id_b, sim FROM sempairs
 """
 
 
@@ -489,3 +496,62 @@ def q_similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     books = pq_codebooks_from_seeds(seeds, PQ_M)
     return pq_adc_topk(emb, emb.filter(F.col("vec_id") < 20), books, k=5)
+
+
+SEMDEDUP_E2E_ORACLE = f"""
+WITH RECURSIVE {_SEMDEDUP_PAIR_CTES},
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM sempairs
+    UNION SELECT id_b, id_a FROM sempairs
+),
+reach AS (
+    SELECT vec_id AS id, vec_id AS r FROM embeddings
+    UNION
+    SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT id AS vec_id, component, id = component AS kept
+FROM comp
+"""
+
+
+@register("semdedup_prune_end_to_end", SEMDEDUP_E2E_ORACLE)
+def q_semdedup_prune_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup as the nightly job actually runs it — embeddings in, pruned
+    corpus out — composing three individually-proven stages and pinning
+    their grain contracts (the `training_shards_end_to_end` discipline
+    applied to the semantic-dedup rail):
+
+      pair grain      — `semdedup_pairs`: cosine >= 0.38 pairs scoped to
+                        coarse k-means cells with md5 sub-sharding
+                        (Sigma|cluster|^2 pair space, never n^2);
+      component grain — `operators/graph.connected_components` collapses
+                        the pair edges into duplicate groups (min-label
+                        propagation + pointer jumping, O(log n) rounds);
+      keep decision   — the component label IS the canonical id (min id in
+                        group), so kept == (vec_id = component): every
+                        near-duplicate group survives exactly once.
+
+    Output is the full corpus listing with (component, kept) — what the
+    curation pipeline joins back to the document store to drop semantic
+    dupes. Oracle: the shared pair-CTE block (one definition with
+    `semdedup_pairs` — they cannot desynchronize) + a recursive-CTE
+    transitive closure; the iterative Spark loop and the fixpoint recursion
+    must agree exactly."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        semdedup_pairs,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    pairs = semdedup_pairs(
+        emb, _ivf_seed_centroids(emb), 0.38, max_cluster=SEMDEDUP_MAX_CLUSTER
+    ).select("id_a", "id_b")
+    comp = connected_components(emb.select("vec_id"), pairs, id_col="vec_id")
+    return comp.select(
+        F.col("id").alias("vec_id"),
+        "component",
+        (F.col("id") == F.col("component")).alias("kept"),
+    )

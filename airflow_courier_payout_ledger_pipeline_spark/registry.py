@@ -366,6 +366,13 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     # KMV-sketch and exact-histogram instances of the same rollup pattern
     "kmv_rolling_7d_distinct",
     "quantile_rolling_7d",
+    # round-10 addition: embeddings-in / pruned-corpus-out composition of
+    # semdedup_pairs -> connected components -> canonical keep; plus a fresh
+    # row for semdedup_pairs itself (its oracle text was refactored into the
+    # shared pair-CTE block the composition reuses — semantics unchanged,
+    # locally parity-proven, but changed text warrants driver re-proof)
+    "semdedup_prune_end_to_end",
+    "semdedup_pairs",
     # -- r7-stale veterans that did not fit the r10 window, registration order --
     "streaming_ledger_maintenance",
     "rolling_7d_counts",

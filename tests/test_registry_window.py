@@ -99,6 +99,9 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
     },
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_similarity.py": {
         "similarity_topk",
+        # round-10: shared pair-CTE refactor + the end-to-end composition
+        "semdedup_pairs",
+        "semdedup_prune_end_to_end",
     },
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_events.py": {
         "event_windows_tumbling",

@@ -72,6 +72,9 @@ SHUFFLE_BUDGET = {
     # day histogram agg + (rd,value) merge agg + readout window + final agg;
     # exchanges carry value-grain rows, never events
     "quantile_rolling_7d": 4,
+    # components converge via eager pinned iterations inside the operator;
+    # the returned labeled frame is the converged state (broadcast joins only)
+    "semdedup_prune_end_to_end": 0,
 }
 
 
