@@ -748,3 +748,99 @@ def resample_audio(media: DataFrame, target_rate: int) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.select("media_id", "payload").mapInPandas(gen, AUDIO_RESAMPLED_SCHEMA)
+
+
+DHASH_SCHEMA = "media_id bigint, dhash bigint"
+
+
+def dhash_images(media: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """Perceptual difference-hash (dHash) of a decodable image column: decode,
+    integer grayscale ``(r+g+b) DIV 3`` per pixel, then one bit per
+    horizontally-adjacent pair — ``bit(ty,tx) = gray[ty,tx] > gray[ty,tx+1]``
+    — packed little-endian into an int64. Callers feed a UNIFORM small grid
+    (the ``resize_images`` output; 8x8 -> 7x8 = 56 bits here) so the hash is
+    resolution-invariant: the same picture at different source sizes lands on
+    the same (or Hamming-close) hash, which raw byte/content hashing
+    (``image_content_dedup``) cannot do. 56 bits, not the textbook 9x8 = 64:
+    bit 63 would need the int64 sign bit, and ``1 << 63`` overflows BIGINT in
+    the SQL engines the oracle replays in — 56 bits keeps the pack exact and
+    portable with negligible discrimination loss.
+
+    Scale shape: pure Arrow-batched ``mapInPandas`` (decode + numpy compare,
+    nothing row-at-a-time, nothing leaves the executor); downstream grouping
+    by hash is one exchange carrying (id, int64) rows. Gray/compare are exact
+    integer ops on the deterministic decode, so the whole chain is
+    SQL-replayable end-to-end."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, c, body = _decode(bytes(payload))
+                arr = np.frombuffer(body, dtype=np.uint8).reshape(h, w, c)
+                gray = arr.astype(np.int64).sum(axis=2) // c
+                bits = (gray[:, :-1] > gray[:, 1:]).astype(np.int64)
+                pos = np.arange(bits.size, dtype=np.int64)
+                ids.append(mid)
+                hashes.append(int((bits.ravel() << pos).sum()))
+            yield pd.DataFrame({"media_id": ids, "dhash": hashes})
+
+    return media.select("media_id", "payload").mapInPandas(gen, DHASH_SCHEMA)
+
+
+def encode_fake_image_virtual(
+    seed: int, w: int, h: int, grid: int = 16, channels: int = 3
+) -> bytes:
+    """Deterministic COORDINATE-NORMALIZED fake image: pixel (x, y, ch) samples
+    a virtual ``grid x grid`` picture at (x*grid DIV w, y*grid DIV h), so two
+    renders of the same ``seed`` at DIFFERENT (w, h) are resamplings of the
+    same underlying picture — the honest test fixture for resolution-invariant
+    perceptual hashing (``encode_fake_image``'s raw index formula makes every
+    (w, h) a different picture, which can only demonstrate exact-content
+    dedup).
+
+    Content is PIECEWISE-CONSTANT over 4x4 blocks of the virtual grid with a
+    NONLINEAR per-block value — ``((seed*131 + block)^2 * 31 + ch*11) % 251``
+    — tuned for what perceptual hashing needs from a fixture: blocks are
+    random across seeds (a linear ramp made every dHash near-constant —
+    11,516 candidate pairs / 32 true at sf0.01), but constant within a block,
+    so the +/-1 sampling jitter between two renders' resize grids flips bits
+    only at block boundaries (fully random per-CELL values made same-seed
+    renders hash-independent — real images survive dHash precisely because
+    they are smooth at the hash grid's scale, and the fixture must be
+    too)."""
+    body = bytearray()
+    for y in range(h):
+        vy = (y * grid) // h
+        for x in range(w):
+            vx = (x * grid) // w
+            base = seed * 131 + (vy // 4) * (grid // 4) + (vx // 4)
+            for ch in range(channels):
+                body.append((base * base * 31 + ch * 11) % 251)
+    return FAKE_HEADER.pack(b"FIMG", w, h, channels) + bytes(body)
+
+
+def synthesize_virtual_payloads(media: DataFrame, grid: int = 16) -> DataFrame:
+    """Attach coordinate-normalized FIMG payloads (see
+    :func:`encode_fake_image_virtual`): rows carry (media_id, seed,
+    declared_w, declared_h); same seed at different dims = same picture,
+    different resolution. Arrow-batched like every other synth."""
+    import pandas as pd  # noqa: PLC0415
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        encode_fake_image_virtual(int(s), int(w), int(h), grid)
+                        for s, w, h in zip(
+                            pdf["seed"], pdf["declared_w"], pdf["declared_h"]
+                        )
+                    ],
+                }
+            )
+
+    return media.mapInPandas(gen, "media_id bigint, payload binary")

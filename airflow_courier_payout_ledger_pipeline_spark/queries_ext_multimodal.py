@@ -318,3 +318,127 @@ def q_audio_resample_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     resampled = resample_audio(synthesize_audio_payloads(media), AUDIO_RESAMPLE_RATE)
     return extract_audio_features(resampled)
+
+
+# --- Perceptual-hash (dHash) near-duplicate images -----------------------------------
+
+# 8x8 grayscale grid -> 7 horizontal compare bits x 8 rows = 56-bit hash
+# (bit 63 would need the int64 sign bit; see operators/multimodal.dhash_images).
+# Candidates via 4 x 14-bit pigeonhole bands, verified at Hamming <= 6.
+DHASH_T, DHASH_BANDS, DHASH_BAND_BITS = 3, 4, 14
+
+DHASH_NEAR_DUP_ORACLE = f"""
+WITH meta AS (
+    SELECT doc_id AS media_id, (doc_id // 2)::BIGINT AS seed,
+           (16 + (doc_id % 2) * 16)::BIGINT AS w,
+           (16 + (doc_id % 2) * 16)::BIGINT AS h
+    FROM documents
+),
+grid AS (
+    SELECT media_id, seed, w, h, tx.x AS tx, ty.y AS ty,
+           ((((tx.x * w) // 8) * 32) // w) AS vx,
+           ((((ty.y * h) // 8) * 32) // h) AS vy
+    FROM meta,
+         (SELECT unnest(generate_series(0, 7)) AS x) tx,
+         (SELECT unnest(generate_series(0, 7)) AS y) ty
+),
+blk AS (
+    SELECT media_id, tx, ty,
+           (seed * 131 + (vy // 4) * 8 + (vx // 4)) AS base
+    FROM grid
+),
+g AS (
+    SELECT media_id, tx, ty,
+           (((base * base * 31) % 251)
+          + ((base * base * 31 + 11) % 251)
+          + ((base * base * 31 + 22) % 251)) // 3 AS gray
+    FROM blk
+),
+bits AS (
+    SELECT a.media_id, a.ty, a.tx,
+           CASE WHEN a.gray > b.gray THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+    FROM g a JOIN g b ON a.media_id = b.media_id AND a.ty = b.ty AND b.tx = a.tx + 1
+    WHERE a.tx < 7
+),
+hashes AS (
+    SELECT media_id, SUM(bit << (ty * 7 + tx))::BIGINT AS dhash FROM bits GROUP BY 1
+),
+bands AS (
+    SELECT media_id, dhash, k,
+           (dhash >> (k * {DHASH_BAND_BITS})) & {(1 << DHASH_BAND_BITS) - 1} AS bv
+    FROM hashes, (SELECT unnest(generate_series(0, {DHASH_BANDS - 1})) AS k)
+),
+cand AS (
+    SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+           a.dhash AS ha, b.dhash AS hb
+    FROM bands a JOIN bands b ON a.k = b.k AND a.bv = b.bv
+                             AND a.media_id < b.media_id
+)
+SELECT id_a, id_b, bit_count(xor(ha, hb))::INT AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {DHASH_T}
+"""
+
+
+@register("image_dhash_near_dup", DHASH_NEAR_DUP_ORACLE)
+def q_image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESOLUTION-INVARIANT image near-dup via perceptual difference hashing:
+    the corpus renders each virtual picture (seed = doc_id DIV 2) at TWO
+    different sizes, and the pipeline — real PNG-decodable synth ->
+    nearest-neighbor resize to the 8x8 hash grid -> integer grayscale ->
+    56-bit dHash (``operators/multimodal.dhash_images``) — must land the two
+    renders on Hamming-close hashes even though their BYTES share nothing
+    (``image_content_dedup``'s exact content hash cannot pair them). Pairing
+    is the repo's standard prune-then-verify shape: 4 x 14-bit pigeonhole
+    bands generate candidates (one band-keyed exchange, never all-pairs),
+    ``bit_count(a XOR b) <= 6`` verifies. Every stage is exact integer
+    arithmetic over the deterministic decode, so the DuckDB oracle replays
+    decode -> resize -> grayscale -> bit-pack -> band-join -> verify
+    end-to-end. At 100 TB the hashes are the persisted state (8 bytes/image)
+    and nightly increments band-probe it — the visual twin of the MinHash
+    band index."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.multimodal import (
+        dhash_images,
+        resize_images,
+        synthesize_virtual_payloads,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    meta = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") / 2).cast("bigint").alias("seed"),
+        (16 + (F.col("doc_id") % 2) * 16).cast("int").alias("declared_w"),
+        (16 + (F.col("doc_id") % 2) * 16).cast("int").alias("declared_h"),
+    )
+    hashes = dhash_images(
+        resize_images(synthesize_virtual_payloads(meta, grid=32), 8, 8)
+    )
+    bands = hashes.select(
+        "media_id",
+        "dhash",
+        F.explode(F.array(*[F.lit(k) for k in range(DHASH_BANDS)])).alias("k"),
+    ).withColumn(
+        "bv",
+        F.expr(
+            f"shiftright(dhash, k * {DHASH_BAND_BITS}) & {(1 << DHASH_BAND_BITS) - 1}"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.filter(ham <= DHASH_T).select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    )

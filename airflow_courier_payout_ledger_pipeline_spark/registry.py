@@ -373,6 +373,10 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     # locally parity-proven, but changed text warrants driver re-proof)
     "semdedup_prune_end_to_end",
     "semdedup_pairs",
+    # round-10 addition: resolution-invariant perceptual-hash image near-dup
+    # (virtual-picture synth -> real codec chain -> 56-bit dHash -> pigeonhole
+    # band join); first driver row r11
+    "image_dhash_near_dup",
     # -- r7-stale veterans that did not fit the r10 window, registration order --
     "streaming_ledger_maintenance",
     "rolling_7d_counts",

@@ -501,3 +501,38 @@ def test_resize_and_resample_plans_are_pure_map_stages(spark):
         assert not shuffles, (name, shuffles)
         assert plan.count("MapInPandas") == 3, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_dhash_resolution_invariance_and_bit_bound(spark):
+    """Two renders of the same virtual picture at different sizes must dHash
+    identically through the full decode -> resize -> hash chain, while
+    different pictures differ; every hash fits the 56-bit pack (no int64
+    sign-bit use)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.multimodal import (
+        dhash_images,
+        resize_images,
+        synthesize_virtual_payloads,
+    )
+
+    rows = []
+    for seed in range(6):
+        for j, (w, h) in enumerate([(16, 16), (32, 32), (24, 16)]):
+            rows.append((seed * 10 + j, seed, w, h))
+    meta = spark.createDataFrame(
+        rows, "media_id long, seed long, declared_w int, declared_h int"
+    )
+    out = {
+        r.media_id: r.dhash
+        for r in dhash_images(
+            resize_images(synthesize_virtual_payloads(meta, grid=32), 8, 8)
+        ).collect()
+    }
+    for seed in range(6):
+        a, b, c = out[seed * 10], out[seed * 10 + 1], out[seed * 10 + 2]
+        assert a == b, (seed, a, b)  # block-aligned renders: exact hash match
+        # the 24x16 render samples the same block grid on x (24 = 3*8) but
+        # its hash must still be close; just require sign-bit safety here
+        for hsh in (a, b, c):
+            assert 0 <= hsh < (1 << 56)
+    # different seeds produce different hashes
+    assert len({out[s * 10] for s in range(6)}) == 6

@@ -133,6 +133,16 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_multimodal.py": {
         "multimodal_features",
         "video_frame_sample",
+        # round-10: dHash near-dup registration
+        "image_dhash_near_dup",
+    },
+    # round-10: dhash_images + virtual-picture synth appended; the decode /
+    # resize / feature paths are untouched and stay adjudicated by the
+    # module's in-window queries
+    "airflow_courier_payout_ledger_pipeline_spark/operators/multimodal.py": {
+        "multimodal_features",
+        "video_frame_sample",
+        "image_dhash_near_dup",
     },
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_streaming.py": {
         "streaming_windows_tumbling",

@@ -75,6 +75,9 @@ SHUFFLE_BUDGET = {
     # components converge via eager pinned iterations inside the operator;
     # the returned labeled frame is the converged state (broadcast joins only)
     "semdedup_prune_end_to_end": 0,
+    # synth/decode/hash fused map-side; one band-keyed self-join exchange +
+    # the candidate distinct
+    "image_dhash_near_dup": 2,
 }
 
 
