@@ -39,15 +39,31 @@ def asof_join(
     right_ts: str,
     right_values: Sequence[str],
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
-    """Left as-of-backward join: every ``left`` row, enriched with ``right_values``
-    from the latest ``right`` row with ``right.ts <= left.ts`` for the same key
-    (NULLs when no such row). Also emits the matched timestamp as
-    ``{right_ts}{suffix}``.
+    """Left as-of join: every ``left`` row, enriched with ``right_values`` from
+    the nearest ``right`` row for the same key (NULLs when no such row) —
+    ``direction="backward"`` (default) matches the latest ``right.ts <=
+    left.ts`` (enrich with state as-of event time); ``direction="forward"``
+    matches the earliest ``right.ts >= left.ts`` (label an event with the
+    outcome that FOLLOWED it — the attribution/conversion-labeling shape a
+    training pipeline uses to build supervised targets without future leaks
+    beyond the chosen horizon). ``tolerance_seconds`` bounds the match gap
+    (pandas ``merge_asof(tolerance=...)`` semantics): a nearest row farther
+    than the horizon nulls out, it does not fall through to the next-nearest.
+    Also emits the matched timestamp as ``{right_ts}{suffix}``.
+
+    Both directions keep the union + ordered-window shape (one shuffle on
+    key, linear scan): forward simply orders the per-key scan by time
+    DESCENDING, so "carry the last right payload seen" means "nearest at or
+    after". Ties (left.ts == right.ts) are inclusive in both directions.
 
     ``right`` should be unique per (key, right_ts) — pre-aggregate if not, or
     the carried payload at a tied timestamp is tie-broken by nothing.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
     ltypes = dict(left.dtypes)
     rpay = [F.col(c).alias(f"__r_{c}") for c in (right_ts, *right_values)]
@@ -70,10 +86,13 @@ def asof_join(
         *[F.col(c).alias(f"__l_{c}") for c in lcols if c != key],
     )
     u = l.unionByName(r)
-    # right rows sort before left rows at the same instant → backward-inclusive
+    # right rows sort before left rows at the same instant → inclusive ties in
+    # both directions (forward scans time-descending, so "last seen right" is
+    # the earliest at-or-after)
+    order_ts = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(key)
-        .orderBy("__ts", "__side")
+        .orderBy(order_ts, "__side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = u.select(
@@ -86,7 +105,31 @@ def asof_join(
             for c in (right_ts, *right_values)
         ],
     )
-    return carried.filter(F.col("__side") == 1).select(
+    out = carried.filter(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+        mts, lts = F.col(f"__m_{right_ts}"), F.col("__ts")
+        rts_type = dict(right.dtypes)[right_ts]
+        if rts_type.startswith("timestamp"):
+            # cast through TIMESTAMP: unix_micros rejects TIMESTAMP_NTZ, and
+            # the NTZ->TZ cast shifts both sides identically (session tz), so
+            # the DIFFERENCE is timezone-invariant
+            gap = F.abs(
+                F.unix_micros(mts.cast("timestamp"))
+                - F.unix_micros(lts.cast("timestamp"))
+            )
+            limit = F.lit(int(tolerance_seconds) * 1_000_000)
+        else:  # numeric time axes (epoch seconds, sequence numbers)
+            gap = F.abs(mts.cast("double") - lts.cast("double"))
+            limit = F.lit(float(tolerance_seconds))
+        ok = mts.isNotNull() & (gap <= limit)
+        out = out.select(
+            *[c for c in out.columns if not c.startswith("__m_")],
+            *[
+                F.when(ok, F.col(f"__m_{c}")).alias(f"__m_{c}")
+                for c in (right_ts, *right_values)
+            ],
+        )
+    return out.select(
         key,
         *[F.col(f"__l_{c}").alias(c) for c in lcols if c != key],
         F.col(f"__m_{right_ts}").alias(f"{right_ts}{suffix}"),

@@ -453,3 +453,61 @@ def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
     )
+
+
+# 30-minute forward horizon, in nanoseconds for the DuckDB side (events ts is
+# TIMESTAMP(NANOS) there; Spark sees micros after read_events' truncation —
+# the testdata is micro-aligned so both gaps are identical)
+ASOF_FWD_TOL_S = 1800
+
+ASOF_FWD_ORACLE = f"""
+WITH p AS (
+    SELECT user_id, ts AS pts, max(CAST(value AS DECIMAL(14,2))) AS pval
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+j AS (
+    SELECT e.event_id, e.user_id, e.ts, e.event_type, p.pts, p.pval
+    FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.pts
+)
+SELECT event_id, user_id, ts, event_type,
+       CASE WHEN pts IS NOT NULL
+                 AND epoch_ns(pts) - epoch_ns(ts) <= {ASOF_FWD_TOL_S}::BIGINT * 1000000000
+            THEN pts END AS pts_asof,
+       CASE WHEN pts IS NOT NULL
+                 AND epoch_ns(pts) - epoch_ns(ts) <= {ASOF_FWD_TOL_S}::BIGINT * 1000000000
+            THEN pval::DOUBLE END AS next_purchase_value
+FROM j
+"""
+
+
+@register("asof_join_forward_tolerance", ASOF_FWD_ORACLE)
+def q_asof_join_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with a bounded horizon: each event labeled with the
+    user's NEXT purchase within 30 minutes — the supervised-target builder
+    ("did a conversion follow this event, and for how much?") that must look
+    forward a fixed horizon and NO further (a nearest match beyond the
+    horizon nulls out rather than falling through; pandas merge_asof
+    tolerance semantics). Same union + ordered-window shape as the backward
+    twin `asof_join_events` (one key shuffle, linear scan — the per-key scan
+    just runs time-descending), so the cost at 100 TB is identical.
+    Oracle: DuckDB's native ASOF JOIN with the inequality reversed + an
+    epoch-ns horizon guard."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.asof import asof_join
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    left = events.select("event_id", "user_id", "ts", "event_type")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("pts"))
+        .agg(F.max(F.col("value").cast("decimal(14,2)")).alias("next_purchase_value"))
+    )
+    return asof_join(
+        left,
+        purchases,
+        "user_id",
+        "ts",
+        "pts",
+        ["next_purchase_value"],
+        direction="forward",
+        tolerance_seconds=ASOF_FWD_TOL_S,
+    )

@@ -377,6 +377,11 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     # (virtual-picture synth -> real codec chain -> 56-bit dHash -> pigeonhole
     # band join); first driver row r11
     "image_dhash_near_dup",
+    # round-10 addition: forward as-of with a bounded horizon (supervised-
+    # target labeling), plus a fresh row for the backward twin whose
+    # implementing operator gained the direction/tolerance parameters
+    "asof_join_forward_tolerance",
+    "asof_join_events",
     # -- r7-stale veterans that did not fit the r10 window, registration order --
     "streaming_ledger_maintenance",
     "rolling_7d_counts",

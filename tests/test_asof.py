@@ -34,3 +34,42 @@ def test_asof_backward_inclusive_and_null_before_first(spark):
         "e5": (None, None),
     }
     assert len(out) == 5  # exactly one output row per left row
+
+
+def test_forward_direction_and_tolerance_match_pandas_merge_asof(spark):
+    """Forward + tolerance semantics against pandas' reference merge_asof on a
+    numeric time axis: nearest at-or-after within the horizon, NULL beyond it
+    (never falling through to a farther row), ties inclusive."""
+    import pandas as pd
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.asof import asof_join
+
+    left_rows = [("k", t) for t in [0, 5, 10, 14, 20, 100]]
+    right_rows = [("k", t, t * 10) for t in [5, 12, 30]]
+    left = spark.createDataFrame(left_rows, "key string, ts long")
+    right = spark.createDataFrame(right_rows, "key string, rts long, v long")
+    out = {
+        r.ts: (r.rts_asof, r.v)
+        for r in asof_join(
+            left, right, "key", "ts", "rts", ["v"],
+            direction="forward", tolerance_seconds=6,
+        ).collect()
+    }
+    lp = pd.DataFrame(left_rows, columns=["key", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(right_rows, columns=["key", "rts", "v"]).sort_values("rts")
+    ref = pd.merge_asof(
+        lp, rp, left_on="ts", right_on="rts", by="key",
+        direction="forward", tolerance=6,
+    )
+    for _, row in ref.iterrows():
+        want = (None, None) if pd.isna(row["rts"]) else (int(row["rts"]), int(row["v"]))
+        assert out[int(row["ts"])] == want, (row["ts"], out[int(row["ts"])], want)
+
+
+def test_backward_default_unchanged_by_new_parameters(spark):
+    from airflow_courier_payout_ledger_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 10), ("k", 3)], "key string, ts long")
+    right = spark.createDataFrame([("k", 4, 1), ("k", 9, 2)], "key string, rts long, v long")
+    out = {r.ts: r.v for r in asof_join(left, right, "key", "ts", "rts", ["v"]).collect()}
+    assert out == {10: 2, 3: None}

@@ -105,6 +105,14 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
     },
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_events.py": {
         "event_windows_tumbling",
+        # round-10: forward-horizon as-of registration
+        "asof_join_forward_tolerance",
+    },
+    # round-10: direction/tolerance parameters added (backward default
+    # byte-identical; both directions re-adjudicate in r11)
+    "airflow_courier_payout_ledger_pipeline_spark/operators/asof.py": {
+        "asof_join_events",
+        "asof_join_forward_tolerance",
     },
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_curation.py": {
         "zorder_incremental_compaction",

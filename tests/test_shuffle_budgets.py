@@ -78,6 +78,9 @@ SHUFFLE_BUDGET = {
     # synth/decode/hash fused map-side; one band-keyed self-join exchange +
     # the candidate distinct
     "image_dhash_near_dup": 2,
+    # purchase pre-agg + the union's key-partitioned window (same shape as
+    # the backward twin)
+    "asof_join_forward_tolerance": 2,
 }
 
 
