@@ -683,3 +683,66 @@ def q_similarity_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, emb.filter(F.col("vec_id") < 20), _ivf_seed_centroids(emb), k=5, nprobe=2
     )
+
+
+TREND_ORACLE = """
+WITH per AS (
+    SELECT event_type, (ts::DATE - DATE '1970-01-01') AS x, count(*)::BIGINT AS y
+    FROM events GROUP BY 1, 2
+),
+s AS (
+    SELECT event_type, count(*)::BIGINT AS n,
+           SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+           SUM(x * y)::BIGINT AS sxy, SUM(x * x)::BIGINT AS sxx
+    FROM per GROUP BY 1
+)
+SELECT event_type, n AS n_days,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE round((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE, 6)
+       END AS slope_per_day,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE round((sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE
+                        / (n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE) / n::DOUBLE, 6)
+       END AS intercept
+FROM s
+"""
+
+
+@register("trend_slope_per_type", TREND_ORACLE)
+def q_trend_slope_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily-volume TREND via closed-form least squares: slope
+    and intercept of (epoch day -> daily count), computed from five exact
+    integer sufficient sums (n, Sx, Sy, Sxy, Sxx) — the regression shape of
+    drift monitoring ('is this event type growing or dying?') as two grouped
+    aggs, no ML library, no iterative solver. The sums are BIGINT-exact
+    (epoch-days x daily counts stay far below 2^63 at any scale) so the one
+    double division per group is bit-identical cross-engine; degenerate
+    single-day groups yield NULL slope rather than a divide-by-zero. Scale
+    shape: day-grain pre-agg shrinks events -> (type, day) rows before the
+    tiny per-type fold — the same two-level agg discipline as
+    `rolling_7d_counts`."""
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long")
+    events = load_tables(spark, sf_dir, "events")["events"]
+    per = events.groupBy(
+        "event_type", day.alias("x")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    s = per.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / det.cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.when(det != 0, F.round(slope, 6)).alias("slope_per_day"),
+        F.when(det != 0, F.round(intercept, 6)).alias("intercept"),
+    )

@@ -382,6 +382,9 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     # implementing operator gained the direction/tolerance parameters
     "asof_join_forward_tolerance",
     "asof_join_events",
+    # round-10 addition: closed-form per-type daily-volume trend (drift
+    # monitoring as two grouped aggs); first driver row r11
+    "trend_slope_per_type",
     # -- r7-stale veterans that did not fit the r10 window, registration order --
     "streaming_ledger_maintenance",
     "rolling_7d_counts",

@@ -831,3 +831,72 @@ def test_quantile_rollup_equals_direct_window_percentiles(spark, rows):
                     return v
             return None
         assert got[rd] == (n, pct(1, 2), pct(9, 10), pct(99, 100)), rd
+
+
+# --- as-of join direction/tolerance vs pandas merge_asof (r10) -----------------------
+
+asof_strategy = st.tuples(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 60)), min_size=1, max_size=30
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 60), st.integers(1, 99)),
+        min_size=0,
+        max_size=20,
+    ),
+    st.sampled_from(["backward", "forward"]),
+    st.one_of(st.none(), st.integers(0, 20)),
+)
+
+
+@SET
+@given(data=asof_strategy)
+def test_asof_join_matches_pandas_merge_asof_any_direction_tolerance(spark, data):
+    """asof_join must agree with pandas' reference merge_asof for both
+    directions and any tolerance on random (key, ts) data — including
+    duplicate left timestamps, empty right sides, and horizon-excluded
+    nearest matches."""
+    import pandas as pd
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.asof import asof_join
+
+    left_rows, right_rows, direction, tol = data
+    # right must be unique per (key, ts) — the operator's documented contract
+    right_rows = list({(k, t): v for k, t, v in right_rows}.items())
+    right_rows = [(k, t, v) for (k, t), v in right_rows]
+    left_rows = [(k, t, i) for i, (k, t) in enumerate(left_rows)]
+
+    left = spark.createDataFrame(left_rows, "key int, ts long, lid long")
+    right = spark.createDataFrame(
+        right_rows, "key int, rts long, v long"
+    ) if right_rows else spark.createDataFrame([], "key int, rts long, v long")
+    out = {
+        r.lid: (r.rts_asof, r.v)
+        for r in asof_join(
+            left, right, "key", "ts", "rts", ["v"],
+            direction=direction, tolerance_seconds=tol,
+        ).collect()
+    }
+
+    lp = (
+        pd.DataFrame(left_rows, columns=["key", "ts", "lid"])
+        .astype("int64")
+        .sort_values("ts")
+    )
+    rp = (
+        pd.DataFrame(right_rows, columns=["key", "rts", "v"])
+        .astype("int64")
+        .sort_values("rts")
+    )
+    ref = pd.merge_asof(
+        lp, rp, left_on="ts", right_on="rts", by="key",
+        direction=direction, **({} if tol is None else {"tolerance": tol}),
+    )
+    assert len(out) == len(left_rows)
+    for _, row in ref.iterrows():
+        want = (
+            (None, None)
+            if pd.isna(row["rts"])
+            else (int(row["rts"]), int(row["v"]))
+        )
+        assert out[int(row["lid"])] == want, (dict(row), out[int(row["lid"])])

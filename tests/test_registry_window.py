@@ -163,6 +163,8 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_analytics.py": {
         "rolling_7d_counts",
         "similarity_ivf_nprobe2",
+        # round-10: closed-form trend registration
+        "trend_slope_per_type",
     },
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_scale.py": {
         "salted_join_agg",
