@@ -151,6 +151,34 @@ def cms_state(df: DataFrame, value_col: str, depth: int = CMS_DEPTH, width: int 
     )
 
 
+def cms_state_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Per-GROUP count-min sketch states in one pass: (group..., seed, bucket,
+    cnt, width), <= depth*width rows per group. The group-keyed form of
+    :func:`cms_state` — one state per day/source/partition, built by a single
+    grouped agg with map-side partials, so a day-grain sketch fleet costs one
+    exchange of state-grain rows. States merge per group (or per rollup key
+    after a fan-out) by bucket-wise count sum, exactly like
+    :func:`merge_cms_states` — the building block of sketch-rollup readouts
+    (`heavy_users_rolling_7d`: day states -> any trailing window)."""
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("seed")
+    return (
+        df.select(*group_cols, F.col(value_col).alias("__v"), seeds)
+        .select(
+            *group_cols,
+            "seed",
+            F.pmod(F.xxhash64("__v", "seed"), F.lit(width)).alias("bucket"),
+        )
+        .groupBy(*group_cols, "seed", "bucket")
+        .agg(F.count("*").alias("cnt"), F.lit(width).alias("width"))
+    )
+
+
 def stamp_legacy_width(state: DataFrame, declared_width: int = CMS_WIDTH) -> DataFrame:
     """Upgrade a pre-width-column persisted CMS state (schema seed/bucket/cnt)
     to the current schema by stamping the DECLARED build width onto it. The

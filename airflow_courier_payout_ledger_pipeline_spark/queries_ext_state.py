@@ -969,3 +969,107 @@ def q_quantile_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(F.broadcast(spine), "rd", "left_semi")
     merged = contrib.groupBy("rd", "value").agg(F.sum("cnt").alias("cnt"))
     return quantiles_from_state(merged, ["rd"]).withColumnRenamed("rd", "day")
+
+
+HEAVY_ROLLING_PCT = 1  # heavy = >= 1% of the window's event mass
+
+HEAVY_ROLLING_ORACLE = f"""
+WITH e AS (SELECT ts::DATE AS day, user_id FROM events WHERE user_id IS NOT NULL),
+spine AS (SELECT DISTINCT day FROM e),
+w AS (
+    SELECT s.day AS rd, e.user_id
+    FROM e JOIN spine s ON e.day BETWEEN s.day - 6 AND s.day
+),
+tot AS (SELECT rd, count(*)::BIGINT AS total FROM w GROUP BY 1),
+per AS (SELECT rd, user_id, count(*)::BIGINT AS freq FROM w GROUP BY 1, 2)
+SELECT per.rd AS day, per.user_id, per.freq, tot.total AS window_total
+FROM per JOIN tot USING (rd)
+WHERE per.freq * 100 >= {HEAVY_ROLLING_PCT} * tot.total
+"""
+
+
+@register("heavy_users_rolling_7d", HEAVY_ROLLING_ORACLE)
+def q_heavy_users_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day HEAVY USERS per day (>= 1% of the window's event mass)
+    through day-grain CMS states — the frequency-sketch instance of the
+    rollup pattern (`kmv_rolling_7d_distinct` = cardinality,
+    `quantile_rolling_7d` = ranks, this = heavy hitters):
+
+      1. one pass builds a per-DAY count-min sketch
+         (``operators/sketch.cms_state_grouped`` — <= 4x1024 state rows/day,
+         map-side partials, never raw events on the exchange);
+      2. day states fan out to the <= 7 readout days they serve and merge by
+         bucket-wise count sum (the CMS fold law); window totals read off
+         the merged states exactly (sum cnt = depth * N);
+      3. the PASSING-BUCKET table per (window, seed) — <= 100/pct buckets by
+         mass conservation — broadcasts back, and an event qualifies as a
+         candidate only if ALL depth seeds pass (one-sided CMS error: the
+         candidate set is a guaranteed superset);
+      4. exact counts over candidate rows restore oracle equality.
+
+    UNLIKE the exact twin shape (`rolling_distinct_users_7d`'s re-aggregate),
+    the only corpus-grain exchange carries candidate rows — at 100 TB with a
+    heavy-tailed user distribution that is the difference between shuffling
+    the fan-out of every event and shuffling ~1/pct of it. Fully distributed:
+    no driver-side literal candidate lists (the per-window candidate tables
+    ride a broadcast join), so the day count can grow without driver cost."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sketch import (
+        CMS_DEPTH,
+        cms_state_grouped,
+    )
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    e = events.filter(F.col("user_id").isNotNull()).select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    day_state = cms_state_grouped(e, ["day"], "user_id")
+    spine = e.select("day").distinct().withColumnRenamed("day", "rd")
+    merged = (
+        day_state.withColumn(
+            "rd", F.explode(F.expr("sequence(day, date_add(day, 6))"))
+        )
+        .join(F.broadcast(spine), "rd", "left_semi")
+        .groupBy("rd", "seed", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        # PIN the merged state: it is referenced by totals, passing, and the
+        # final join — without a barrier each reference re-executes the
+        # day-sketch + merge aggs (measured 14 exchanges vs 5). State grain
+        # (<= windows x depth x width rows), same discipline as the other
+        # eagerly-pinned sketch states.
+        .localCheckpoint()
+    )
+    # exact window totals off the merged state: every event lands in exactly
+    # one bucket per seed, so sum(cnt) = depth * N per window
+    totals = merged.groupBy("rd").agg(
+        (F.sum("cnt") / CMS_DEPTH).cast("bigint").alias("window_total")
+    )
+    # mass conservation: <= 100/pct passing buckets per (window, seed) -> tiny
+    passing = merged.join(totals, "rd").filter(
+        F.col("cnt") * 100 >= HEAVY_ROLLING_PCT * F.col("window_total")
+    ).select("rd", "seed", "bucket")
+    ef = e.withColumn(
+        "rd", F.explode(F.expr("sequence(day, date_add(day, 6))"))
+    ).join(F.broadcast(spine), "rd", "left_semi")
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias("seed")
+    ef4 = ef.select(
+        "rd",
+        "user_id",
+        seeds,
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("user_id"), F.col("seed")), F.lit(1024))
+    )
+    cand = ef4.join(F.broadcast(passing), ["rd", "seed", "bucket"], "inner")
+    per = cand.groupBy("rd", "user_id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.countDistinct("seed").alias("__seeds"),
+    )
+    exact = per.filter(F.col("__seeds") == CMS_DEPTH).select(
+        "rd",
+        "user_id",
+        (F.col("__n") / CMS_DEPTH).cast("bigint").alias("freq"),
+    )
+    return (
+        exact.join(F.broadcast(totals), "rd")
+        .filter(F.col("freq") * 100 >= HEAVY_ROLLING_PCT * F.col("window_total"))
+        .select(F.col("rd").alias("day"), "user_id", "freq", "window_total")
+    )

@@ -385,6 +385,12 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     # round-10 addition: closed-form per-type daily-volume trend (drift
     # monitoring as two grouped aggs); first driver row r11
     "trend_slope_per_type",
+    # round-10 addition: CMS instance of the day-state rollup pattern, plus
+    # re-proof of the sketch module's existing queries (operators/sketch.py
+    # gained cms_state_grouped this round — standing rule)
+    "heavy_users_rolling_7d",
+    "heavy_hitters",
+    "cms_state_migration",
     # -- r7-stale veterans that did not fit the r10 window, registration order --
     "streaming_ledger_maintenance",
     "rolling_7d_counts",

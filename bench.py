@@ -83,6 +83,11 @@ HEADLINE = [
     # layout maintenance) and the end-to-end chunk->pack->shard pipeline
     "zorder_incremental_compaction",
     "training_shards_end_to_end",
+    # round-10 continuation: the day-state rollup family (KMV cardinality /
+    # exact-histogram quantiles / CMS heavy hitters, O(days x state) windows)
+    "kmv_rolling_7d_distinct",
+    "quantile_rolling_7d",
+    "heavy_users_rolling_7d",
 ]
 
 

@@ -71,10 +71,12 @@ _STAGED_FOR_R10 = {
 #: and each mapped query must sit in the active window or the next-round
 #: plan. Entries for files untouched this round are inert (kept as history).
 _FILE_EVIDENCE: dict[str, set[str]] = {
-    # round-9: CMS merge-path coverage + declared-width provenance flag
+    # round-10: cms_state_grouped added (day-grain sketch fleets); the
+    # existing build/merge/probe paths re-adjudicate alongside the rollup
     "airflow_courier_payout_ledger_pipeline_spark/operators/sketch.py": {
         "heavy_hitters",
         "cms_state_migration",
+        "heavy_users_rolling_7d",
     },
     # round-10 split: the former monolithic queries_ext.py became an
     # import-only aggregator over 14 domain modules (pure move; registry
@@ -134,9 +136,10 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "streaming_mad_audit",
         "weighted_sample_per_source",
         # round-10 additions (r11 plan): day-grain state rollups -> rolling
-        # 7-day readouts (KMV sketch + exact histogram)
+        # 7-day readouts (KMV sketch + exact histogram + CMS heavy hitters)
         "kmv_rolling_7d_distinct",
         "quantile_rolling_7d",
+        "heavy_users_rolling_7d",
     },
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_multimodal.py": {
         "multimodal_features",

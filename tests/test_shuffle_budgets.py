@@ -81,6 +81,9 @@ SHUFFLE_BUDGET = {
     # purchase pre-agg + the union's key-partitioned window (same shape as
     # the backward twin)
     "asof_join_forward_tolerance": 2,
+    # merged day-sketch state pins eagerly; returned plan: 2 totals readouts
+    # over the pinned state + candidate join agg + final filter join
+    "heavy_users_rolling_7d": 5,
 }
 
 
