@@ -511,3 +511,70 @@ def q_asof_join_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame
         direction="forward",
         tolerance_seconds=ASOF_FWD_TOL_S,
     )
+
+
+ATTRIBUTION_ORACLE = """
+WITH p AS (
+    SELECT event_id AS pid, user_id, ts AS pts, CAST(value AS DECIMAL(14,2)) AS val
+    FROM events WHERE event_type = 'purchase'
+),
+t AS (
+    SELECT p.pid, p.val, e.event_id, e.user_id
+    FROM p JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts >= p.pts - INTERVAL 30 MINUTE AND e.ts < p.pts
+),
+n AS (SELECT *, count(*) OVER (PARTITION BY pid) AS n_t FROM t),
+c AS (
+    SELECT event_id, user_id,
+           CAST(round(val / n_t, 4) AS DECIMAL(18,4)) AS credit
+    FROM n
+)
+SELECT event_id, user_id, count(*)::BIGINT AS n_conversions,
+       CAST(SUM(credit) AS DECIMAL(18,4))::DOUBLE AS credit_sum
+FROM c GROUP BY 1, 2
+"""
+
+
+@register("attribution_linear", ATTRIBUTION_ORACLE)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution: each purchase's value splits equally
+    over the same user's touch events in the preceding 30 minutes (the
+    purchase itself excluded — the window is end-exclusive at the purchase
+    instant), and every event reports its total earned credit across all
+    conversions it preceded. The many-to-many companion of the as-of pair:
+    `asof_join_events` keeps ONE prior state row, `asof_join_forward_
+    tolerance` ONE next outcome — attribution needs ALL touches per
+    conversion AND all conversions per touch, which is the bucketed range
+    join (operators/rangejoin.py: <= 2 bucket-grain equi-join probes per
+    interval, never a nested-loop). Money discipline: per-pair credit is
+    round(value/n, 4) as DECIMAL — deterministic per pair, so the per-event
+    Decimal sum is order-independent and the DuckDB oracle hash-matches
+    exactly. Scale shape: one bucket-keyed equi-join + a purchase-grain
+    count window + an event-grain fold; at 100 TB the join carries only
+    (user, 30-minute bucket) collisions, not user x user history."""
+    from pyspark.sql.window import Window
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.rangejoin import (
+        range_join_bucketed,
+    )
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    purch = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("t0"),
+        F.col("ts").alias("t1"),
+        F.col("value").cast("decimal(14,2)").alias("val"),
+    )
+    touches = range_join_bucketed(
+        events.select("event_id", "user_id", "ts"), purch, "user_id", "ts", "t0", "t1", 30
+    )
+    w = Window.partitionBy("pid")
+    credited = touches.withColumn("__n", F.count(F.lit(1)).over(w)).withColumn(
+        "credit", F.round(F.col("val") / F.col("__n"), 4).cast("decimal(18,4)")
+    )
+    return credited.groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        F.sum("credit").cast("decimal(18,4)").alias("credit_sum"),
+    )

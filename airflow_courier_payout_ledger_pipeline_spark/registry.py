@@ -391,6 +391,9 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "heavy_users_rolling_7d",
     "heavy_hitters",
     "cms_state_migration",
+    # round-10 addition: linear multi-touch attribution (bucketed range join
+    # + purchase-grain split + event-grain fold); first driver row r11
+    "attribution_linear",
     # -- r7-stale veterans that did not fit the r10 window, registration order --
     "streaming_ledger_maintenance",
     "rolling_7d_counts",

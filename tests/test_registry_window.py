@@ -109,6 +109,8 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "event_windows_tumbling",
         # round-10: forward-horizon as-of registration
         "asof_join_forward_tolerance",
+        # round-10: linear attribution registration
+        "attribution_linear",
     },
     # round-10: direction/tolerance parameters added (backward default
     # byte-identical; both directions re-adjudicate in r11)
