@@ -361,7 +361,11 @@ def q_training_shards_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
                      without migrating existing ones between shards).
 
     The chunk key ``doc_id·100000 + chunk_id`` keeps the packing order a
-    pure BIGINT function of (doc, window) — reproducible in any engine; the
+    pure BIGINT function of (doc, window) — reproducible in any engine.
+    Capacity bound: the multiplier caps docs at 100k chunks (≈ 2.4M tokens
+    at stride 24) and doc ids at ~9·10^13 before BIGINT overflow; a corpus
+    of longer documents raises the multiplier (both engines take the same
+    constant, so the contract stays replayable). The
     whole composition is hash-checked against a single DuckDB replay. Final
     join (chunk grain x bin-grain layout) is keyed by bin_id — sort-merge
     at scale, never a cartesian. What a training pipeline runs nightly;

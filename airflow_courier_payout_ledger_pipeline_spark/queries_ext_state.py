@@ -1015,6 +1015,7 @@ def q_heavy_users_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ride a broadcast join), so the day count can grow without driver cost."""
     from airflow_courier_payout_ledger_pipeline_spark.operators.sketch import (
         CMS_DEPTH,
+        CMS_WIDTH,
         cms_state_grouped,
     )
 
@@ -1056,7 +1057,11 @@ def q_heavy_users_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         seeds,
     ).withColumn(
-        "bucket", F.pmod(F.xxhash64(F.col("user_id"), F.col("seed")), F.lit(1024))
+        # probe hashing MUST use the build width: a drifted literal here would
+        # silently break the candidate superset (the cms_probe_expr width
+        # lesson, applied to the distributed probe)
+        "bucket",
+        F.pmod(F.xxhash64(F.col("user_id"), F.col("seed")), F.lit(CMS_WIDTH)),
     )
     cand = ef4.join(F.broadcast(passing), ["rd", "seed", "bucket"], "inner")
     per = cand.groupBy("rd", "user_id").agg(
