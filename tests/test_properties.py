@@ -900,3 +900,111 @@ def test_asof_join_matches_pandas_merge_asof_any_direction_tolerance(spark, data
             else (int(row["rts"]), int(row["v"]))
         )
         assert out[int(row["lid"])] == want, (dict(row), out[int(row["lid"])])
+
+
+# --- connected components vs union-find; range join vs brute force (r10) -------------
+
+graph_strategy = st.tuples(
+    st.integers(1, 25),  # node count
+    st.lists(st.tuples(st.integers(0, 24), st.integers(0, 24)), max_size=40),
+)
+
+
+@SET
+@given(data=graph_strategy)
+def test_connected_components_match_union_find_reference(spark, data):
+    """Min-label propagation + pointer jumping must agree with a pure-Python
+    union-find on random graphs — including self-loops, duplicate edges,
+    isolated nodes, and edges citing both directions."""
+    n, edges = data
+    edges = [(a % n, b % n) for a, b in edges]
+    from airflow_courier_payout_ledger_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    pairs = (
+        spark.createDataFrame(edges, "id_a long, id_b long")
+        if edges
+        else spark.createDataFrame([], "id_a long, id_b long")
+    )
+    got = {
+        r.id: r.component
+        for r in connected_components(nodes, pairs, id_col="id").collect()
+    }
+
+    parent = list(range(n))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    roots = {}
+    for i in range(n):
+        r = find(i)
+        roots.setdefault(r, []).append(i)
+    for r, members in roots.items():
+        label = min(members)
+        for m in members:
+            want[m] = label
+    assert got == want
+
+
+rangejoin_strategy = st.tuples(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 10_000)), min_size=0, max_size=30
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 10_000), st.integers(0, 1_500)),
+        min_size=0,
+        max_size=12,
+    ),
+)
+
+
+@SET
+@given(data=rangejoin_strategy)
+def test_range_join_bucketed_matches_brute_force(spark, data):
+    """The bucketed interval join must equal the naive theta join for random
+    events/intervals on a numeric-seconds axis (cast to timestamps), including
+    empty sides, zero-length intervals, and bucket-boundary-straddling spans
+    (interval length <= bucket width = 30 min holds: spans <= 1500 s)."""
+    ev_rows, iv_rows = data
+    from airflow_courier_payout_ledger_pipeline_spark.operators.rangejoin import (
+        range_join_bucketed,
+    )
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(k, i, t) for i, (k, t) in enumerate(ev_rows)], "key int, eid long, tsec long"
+    ).withColumn("ts", F.timestamp_seconds("tsec"))
+    iv = spark.createDataFrame(
+        [(k, j, t, t + d) for j, (k, t, d) in enumerate(iv_rows)],
+        "key int, iid long, s long, e long",
+    ).withColumn("t0", F.timestamp_seconds("s")).withColumn(
+        "t1", F.timestamp_seconds("e")
+    )
+    got = {
+        (r.eid, r.iid)
+        for r in range_join_bucketed(
+            ev.select("key", "eid", "ts"),
+            iv.select("key", "iid", "t0", "t1"),
+            "key",
+            "ts",
+            "t0",
+            "t1",
+            30,
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (ek, et) in enumerate(ev_rows)
+        for j, (ik, s, d) in enumerate(iv_rows)
+        if ek == ik and s <= et < s + d
+    }
+    assert got == want
