@@ -148,24 +148,36 @@ def incremental_zorder_compaction(
     query `zorder_incremental_compaction` hash-proves against a
     full-rebuild oracle.
 
-    Scale shape: ``affected`` is a distinct list of touched partition values
-    (day grain — tiny), broadcast to both the anti-join (untouched base
-    passes through with NO recompute and, in a real lakehouse, no read:
-    `Lakehouse.compact` rewrites only the touched directories) and the
-    semi-join selecting the base rows that must re-sort with the increment.
-    Cost is O(touched partitions), not O(table) — the difference between a
-    nightly compaction that reads ~1/365th of a 100 TB table and one that
-    rewrites all of it."""
+    Scale shape: the distinct list of touched partition values is COLLECTED
+    (day grain — O(touched days) scalars, the same bounded-driver-state
+    class as a watermark cursor) and applied as literal ``isin`` filters, so
+    the touched-side selection reaches the scan as a STATIC PartitionFilter:
+    the re-cluster branch physically lists and reads ONLY the affected day
+    directories (asserted from the executed scan's input files in
+    tests/test_layout.py — a broadcast semi-join form would leave the
+    pruning to runtime DPP, which a static file listing cannot prove and
+    plain-parquet sources may not perform). The untouched branch passes
+    through with no recompute and, in a real lakehouse, no rewrite:
+    `Lakehouse.compact` rewrites only the touched directories. Cost is
+    O(touched partitions), not O(table) — the difference between a nightly
+    compaction that reads ~1/365th of a 100 TB table and one that rewrites
+    all of it."""
     cols = base.columns
-    affected = increment.select(part_col).distinct()
-    # joins on a string key hoist it to column 0 — restore the caller's order
-    # so the layout output schema is join-strategy-independent
-    untouched = base.join(F.broadcast(affected), part_col, "left_anti").select(*cols)
-    touched = (
-        base.join(F.broadcast(affected), part_col, "left_semi")
-        .select(*cols)
-        .unionByName(increment.select(*cols))
+    days = sorted(
+        r[0] for r in increment.select(part_col).distinct().collect()
+        if r[0] is not None
     )
+    part = F.col(part_col)
+    if days:
+        # NULL partition values (not expected from a partitioned store, but
+        # legal in a frame) stay with the untouched branch: NOT IN over a
+        # NULL key is NULL and would silently drop the row
+        untouched = base.filter(~part.isin(days) | part.isNull()).select(*cols)
+        touched_base = base.filter(part.isin(days)).select(*cols)
+    else:  # empty increment: nothing re-clusters
+        untouched = base.select(*cols)
+        touched_base = base.limit(0).select(*cols)
+    touched = touched_base.unionByName(increment.select(*cols))
     kept = zorder_file_layout(untouched, part_col, zcols, bits, rows_per_file, tiebreak)
     recl = zorder_file_layout(touched, part_col, zcols, bits, rows_per_file, tiebreak)
     return kept.unionByName(recl)

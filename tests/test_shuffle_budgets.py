@@ -58,11 +58,12 @@ SHUFFLE_BUDGET = {
     # window + the final state-grain fold:
     "mad_outlier_audit": 2,
     # round-10 additions:
-    # affected-day list broadcasts; per-day layout windows on each branch +
-    # the increment-day distinct (cutoff is a collected 1-row bound — the
-    # crossJoin(broadcast(agg)) form cost +5 exchanges via re-executed
-    # bounds subtrees)
-    "zorder_incremental_compaction": 4,
+    # affected-day list is an eager bounded collect -> literal isin (static
+    # partition pruning, plan-asserted); returned plan is the two per-day
+    # layout windows. (History: broadcast-crossJoin bound = 9 exchanges via
+    # re-executed subtrees; collected bound + semi/anti joins = 4; collected
+    # affected list = 2.)
+    "zorder_incremental_compaction": 2,
     # chunk explode is map-side; range-partition prefix sum + bin rollup +
     # bin distinct + shard window + chunk x bin-layout sort-merge join
     "training_shards_end_to_end": 6,
