@@ -312,6 +312,9 @@ ADJUDICATION_WINDOW_FIRST: list[str] = [
     # -- round-10 additions (first driver rows) --
     "training_shards_end_to_end",
     "zorder_incremental_compaction",
+    # continuation: the day-state-rollup flagship takes the window's one
+    # remaining slot (the staged head was 24 entries, leaving 49/50 filled)
+    "kmv_rolling_7d_distinct",
     # -- stalest veterans (last driver row r7), registration order, filling to 50 --
     "deterministic_sample",
     "zorder_values",
