@@ -1040,9 +1040,11 @@ def q_heavy_users_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     # exact window totals off the merged state: every event lands in exactly
-    # one bucket per seed, so sum(cnt) = depth * N per window
+    # one bucket per seed, so sum(cnt) = depth * N per window. Integer DIV,
+    # not float /: the quotient must stay exact past double's 2^52 range
+    # (the repo's standard 100 TB offset rule)
     totals = merged.groupBy("rd").agg(
-        (F.sum("cnt") / CMS_DEPTH).cast("bigint").alias("window_total")
+        F.expr(f"CAST(sum(cnt) DIV {CMS_DEPTH} AS BIGINT)").alias("window_total")
     )
     # mass conservation: <= 100/pct passing buckets per (window, seed) -> tiny
     passing = merged.join(totals, "rd").filter(
@@ -1071,7 +1073,7 @@ def q_heavy_users_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = per.filter(F.col("__seeds") == CMS_DEPTH).select(
         "rd",
         "user_id",
-        (F.col("__n") / CMS_DEPTH).cast("bigint").alias("freq"),
+        F.expr(f"CAST(__n DIV {CMS_DEPTH} AS BIGINT)").alias("freq"),
     )
     return (
         exact.join(F.broadcast(totals), "rd")
