@@ -555,3 +555,98 @@ def q_semdedup_prune_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         (F.col("id") == F.col("component")).alias("kept"),
     )
+
+
+IVF_RECALL_ORACLE = f"""
+WITH cent AS (
+    SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+    FROM embeddings WHERE vec_id < {IVF_K}
+),
+d AS (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_sum(list_transform(
+                            list_zip(e.embedding::DOUBLE[], c.cvec),
+                            x -> (x[1] - x[2]) * (x[1] - x[2]))),
+                        c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (SELECT vec_id, embedding, cid AS centroid FROM d WHERE rn = 1),
+q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+st AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+    FROM embeddings c, q WHERE c.vec_id != q.vec_id
+),
+truth AS (SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM st) WHERE rank <= 5),
+probes AS (SELECT unnest(ARRAY[1, 2]) AS nprobe),
+qprobe AS (
+    SELECT p.nprobe, d.vec_id, d.embedding, d.cid AS centroid
+    FROM d JOIN probes p ON d.rn <= p.nprobe
+    WHERE d.vec_id < 20
+),
+sb AS (
+    SELECT q.nprobe, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+    FROM assigned c JOIN qprobe q ON c.centroid = q.centroid AND c.vec_id != q.vec_id
+),
+ann AS (SELECT nprobe, query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY nprobe, query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM sb) WHERE rank <= 5)
+SELECT p.nprobe, t.query_id,
+       count(*) AS n_truth,
+       SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+       round(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 4) AS recall
+FROM truth t CROSS JOIN probes p
+LEFT JOIN ann a ON a.nprobe = p.nprobe AND t.query_id = a.query_id
+                AND t.neighbor_id = a.neighbor_id
+GROUP BY 1, 2
+"""
+
+
+@register("ivf_recall_eval", IVF_RECALL_ORACLE)
+def q_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of IVF against the exact brute-force baseline, PER NPROBE
+    (1 and 2) — quantifying the probe dial the nprobe-sweep query exposes:
+    the eval that tells an operator how many inverted lists buy how much
+    recall before replacing the exact path at scale (the IVF companion of
+    `ann_recall_eval`'s LSH measurement; driver-hash-checked NUMBERS, not
+    just a pipeline). One brute-force pass on the sampled query set + one
+    IVF search per probe setting; all joins broadcast-sized."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    q = emb.filter(F.col("vec_id") < 20)
+    cents = _ivf_seed_centroids(emb)
+    truth = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    ann = None
+    for np_ in (1, 2):
+        a = (
+            ivf_topk(emb, q, cents, k=5, nprobe=np_)
+            .select("query_id", "neighbor_id")
+            .withColumn("nprobe", F.lit(np_))
+        )
+        ann = a if ann is None else ann.unionByName(a)
+    ann = ann.withColumn("__hit", F.lit(1))
+    probes = spark.range(1, 3).select(F.col("id").cast("int").alias("nprobe"))
+    return (
+        truth.crossJoin(F.broadcast(probes))
+        .join(ann, ["nprobe", "query_id", "neighbor_id"], "left")
+        .groupBy("nprobe", "query_id")
+        .agg(
+            F.count("*").alias("n_truth"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(
+                F.coalesce(F.sum("__hit"), F.lit(0)).cast("double") / F.count("*"), 4
+            ).alias("recall"),
+        )
+    )

@@ -397,6 +397,9 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     # round-10 addition: linear multi-touch attribution (bucketed range join
     # + purchase-grain split + event-grain fold); first driver row r11
     "attribution_linear",
+    # round-10 addition: IVF recall-vs-nprobe measurement (the probe-dial
+    # companion of ann_recall_eval); first driver row r11
+    "ivf_recall_eval",
     # -- r7-stale veterans that did not fit the r10 window, registration order --
     "streaming_ledger_maintenance",
     "rolling_7d_counts",

@@ -104,6 +104,8 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         # round-10: shared pair-CTE refactor + the end-to-end composition
         "semdedup_pairs",
         "semdedup_prune_end_to_end",
+        # round-10: IVF recall measurement registration
+        "ivf_recall_eval",
     },
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_events.py": {
         "event_windows_tumbling",
