@@ -163,17 +163,34 @@ def incremental_zorder_compaction(
     compaction that reads ~1/365th of a 100 TB table and one that rewrites
     all of it."""
     cols = base.columns
-    days = sorted(
+    distinct_parts = [
         r[0] for r in increment.select(part_col).distinct().collect()
-        if r[0] is not None
-    )
+    ]
+    days = sorted(p for p in distinct_parts if p is not None)
+    # Window.partitionBy groups all NULL partition values into ONE rowset, so
+    # a full rebuild lays the NULL partition out as a single sequence. If the
+    # increment contributes NULL rows, base's NULL rows must re-cluster WITH
+    # them — leaving them untouched would emit two independent rowsets with
+    # overlapping file_id/pos and break the full-rebuild equivalence.
+    null_touched = None in distinct_parts
     part = F.col(part_col)
-    if days:
-        # NULL partition values (not expected from a partitioned store, but
-        # legal in a frame) stay with the untouched branch: NOT IN over a
-        # NULL key is NULL and would silently drop the row
-        untouched = base.filter(~part.isin(days) | part.isNull()).select(*cols)
-        touched_base = base.filter(part.isin(days)).select(*cols)
+    if days or null_touched:
+        # NULL base rows join whichever branch the increment dictates. isin
+        # is three-valued (NULL for NULL keys), so each branch pairs it with
+        # an explicit isNull term instead of a bare NOT — and every predicate
+        # stays a pure partition-column expression so the touched selection
+        # still reaches the scan as a STATIC PartitionFilter.
+        in_days = part.isin(days) if days else F.lit(False)
+        if null_touched:
+            # NULL keys: in_days | TRUE -> touched; ~(TRUE) -> dropped from
+            # untouched. Non-null: plain isin split.
+            untouched = base.filter(~(in_days | part.isNull())).select(*cols)
+            touched_base = base.filter(in_days | part.isNull()).select(*cols)
+        else:
+            # NULL keys: isin -> NULL drops them from touched; the explicit
+            # isNull keeps them whole in untouched.
+            untouched = base.filter(~in_days | part.isNull()).select(*cols)
+            touched_base = base.filter(in_days).select(*cols)
     else:  # empty increment: nothing re-clusters
         untouched = base.select(*cols)
         touched_base = base.limit(0).select(*cols)

@@ -367,6 +367,15 @@ def training_shard_layout(
     Pass a pruned projection when only the layout table is wanted."""
     if not (0 < n_shards <= 65536):
         raise ValueError(f"need 0 < n_shards <= 65536, got {n_shards}")
+    # the layout appends shard/shard_pos (and a transient __pri) alongside
+    # '*'; an input already carrying one of those names would otherwise
+    # produce ambiguous duplicate columns downstream
+    reserved = {"shard", "shard_pos", "__pri"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input columns collide with reserved layout names: "
+            f"{sorted(reserved)} — rename them before training_shard_layout"
+        )
     pri = F.md5(F.col(id_col).cast("string"))
     shard = (
         F.conv(F.substring(pri, 1, 4), 16, 10).cast("long") % n_shards

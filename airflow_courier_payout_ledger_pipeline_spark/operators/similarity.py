@@ -233,6 +233,69 @@ def kmeans_centroids(
     return centroids
 
 
+def kmeans_centroids_exact(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means whose centroid update is CROSS-ENGINE EXACT, so a
+    TRAINED quantizer can sit under a hash-checked oracle instead of the
+    frozen lowest-id seeds: each component is quantized as ``round(x *
+    10^scale)`` IN DOUBLE SPACE — the multiply is one IEEE op, and at true
+    halfway points (exactly N.5, representable below 2^52) Spark's HALF_UP
+    and DuckDB's C ``round`` both go away from zero, while a direct
+    double→DECIMAL cast would diverge (Spark HALF_UP vs DuckDB half-even —
+    float32 data DOES hit odd multiples of 2^-(scale+1), e.g.
+    -0.27392578125 = -561/2^11) — then the integer-valued quanta accumulate
+    as ``DECIMAL(38,0)`` (associative, partitioning/merge-order-independent,
+    overflow-proof where a bigint sum at 100 TB is not), and the mean is a
+    fixed sequence of IEEE double ops on bit-identical operands
+    (``CAST(sum AS DOUBLE) / CAST(count AS DOUBLE) / 10^scale``). Same init
+    (k lowest-id vectors), same empty-cluster rule
+    (keep the previous centroid), same O(k·dim) driver state and unrolled
+    assignment bound as :func:`kmeans_centroids`; each iteration is one
+    distributed assign-map + grouped-agg pass. ``iters=0`` degenerates to
+    the seed quantizer, which is what keeps the seeded oracle twins valid."""
+    init = emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = [(i, [float(x) for x in r[0]]) for i, r in enumerate(init)]
+    if not centroids:  # empty corpus: no quantizer to train
+        return []
+    quantum = float(10**scale)  # 10^scale is a dyadic-exact double for scale <= 22
+    for _ in range(iters):
+        assigned = emb.select(
+            _assign_to_centroids(centroids, vec_col).alias("__c"),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("__p", "__x"),
+        )
+        means = (
+            assigned.groupBy("__c", "__p")
+            .agg(
+                (
+                    F.sum(
+                        F.round(F.col("__x") * F.lit(quantum)).cast("decimal(38,0)")
+                    ).cast("double")
+                    / F.count("*").cast("double")
+                    / F.lit(quantum)
+                ).alias("__m")
+            )
+            .groupBy("__c")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__p"), F.col("__m")))
+                ).alias("__pm")
+            )
+            .select("__c", F.col("__pm.__m").alias("__mean"))
+            .collect()
+        )
+        new = {r["__c"]: [float(x) for x in r["__mean"]] for r in means}
+        centroids = [
+            (cid, new.get(cid, vec)) for cid, vec in centroids  # empty cluster keeps old
+        ]
+    return centroids
+
+
 def _centroid_probes(vec_col: str, centroids: list[tuple[int, list[float]]], nprobe: int) -> Column:
     """Array of the ``nprobe`` nearest centroid ids (squared L2, ties to lower
     id) — array_sort over (distance, id) structs, built as one SQL string
@@ -446,6 +509,71 @@ def pq_codebooks_from_seeds(
         [[float(x) for x in vec[j * sub : (j + 1) * sub]] for _, vec in seeds]
         for j in range(m)
     ]
+
+
+def pq_codebooks_exact(
+    emb: DataFrame,
+    m: int = 8,
+    kc: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10,
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd's k-means for PQ codebooks with the SAME
+    cross-engine-exact update as :func:`kmeans_centroids_exact` (round-
+    quantized DECIMAL sums, one fixed IEEE division sequence), so TRAINED
+    codebooks — not just the lowest-id seed slices — can sit under a
+    hash-checked oracle. Init = :func:`pq_codebooks_from_seeds` over the
+    ``kc`` lowest-id vectors; each iteration is ONE distributed pass that
+    re-encodes every row (``_pq_codes`` over the current books) and updates
+    all ``m × kc`` codewords from a single grouped aggregate; empty cells
+    keep their previous codeword. Driver state is O(m·kc·sub) = O(kc·dim) —
+    the standard PQ codebook artifact. ``iters=0`` degenerates to the seed
+    codebooks, keeping the seeded oracle twins valid."""
+    rows = emb.orderBy(id_col).limit(kc).select(id_col, vec_col).collect()
+    seeds = [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+    books = pq_codebooks_from_seeds(seeds, m)
+    if not books:
+        return []
+    sub = len(books[0][0])
+    quantum = float(10**scale)
+    for _ in range(iters):
+        assigned = emb.select(
+            _pq_codes(vec_col, books).alias("__codes"),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("__p", "__x"),
+        )
+        means = (
+            assigned.select(
+                F.expr(f"CAST(__p DIV {sub} AS INT)").alias("__j"),
+                F.expr(f"CAST(__codes[CAST(__p DIV {sub} AS INT)] AS INT)").alias("__c"),
+                F.expr(f"CAST(__p % {sub} AS INT)").alias("__d"),
+                "__x",
+            )
+            .groupBy("__j", "__c", "__d")
+            .agg(
+                (
+                    F.sum(
+                        F.round(F.col("__x") * F.lit(quantum)).cast("decimal(38,0)")
+                    ).cast("double")
+                    / F.count("*").cast("double")
+                    / F.lit(quantum)
+                ).alias("__m")
+            )
+            .groupBy("__j", "__c")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__d"), F.col("__m")))
+                ).alias("__dm")
+            )
+            .select("__j", "__c", F.col("__dm.__m").alias("__mean"))
+            .collect()
+        )
+        new = {(r["__j"], r["__c"]): [float(x) for x in r["__mean"]] for r in means}
+        books = [
+            [new.get((j, c), w) for c, w in enumerate(bj)] for j, bj in enumerate(books)
+        ]
+    return books
 
 
 def _pq_codes(vec_col: str, codebooks: list[list[list[float]]]) -> Column:

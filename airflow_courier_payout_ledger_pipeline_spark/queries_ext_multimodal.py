@@ -324,7 +324,10 @@ def q_audio_resample_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # 8x8 grayscale grid -> 7 horizontal compare bits x 8 rows = 56-bit hash
 # (bit 63 would need the int64 sign bit; see operators/multimodal.dhash_images).
-# Candidates via 4 x 14-bit pigeonhole bands, verified at Hamming <= 6.
+# Candidates via 4 x 14-bit pigeonhole bands, verified at Hamming <= DHASH_T
+# (= 3). The pigeonhole guarantee — any pair within Hamming d shares at least
+# one identical band when d < number of bands — holds exactly up to d = 3
+# with 4 bands; raising DHASH_T past 3 would need more bands for full recall.
 DHASH_T, DHASH_BANDS, DHASH_BAND_BITS = 3, 4, 14
 
 DHASH_NEAR_DUP_ORACLE = f"""
@@ -389,8 +392,9 @@ def q_image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     renders on Hamming-close hashes even though their BYTES share nothing
     (``image_content_dedup``'s exact content hash cannot pair them). Pairing
     is the repo's standard prune-then-verify shape: 4 x 14-bit pigeonhole
-    bands generate candidates (one band-keyed exchange, never all-pairs),
-    ``bit_count(a XOR b) <= 6`` verifies. Every stage is exact integer
+    bands generate candidates (one band-keyed exchange, never all-pairs;
+    recall is exact for Hamming <= 3 — pairs must share one of the 4 bands),
+    ``bit_count(a XOR b) <= 3`` verifies. Every stage is exact integer
     arithmetic over the deterministic decode, so the DuckDB oracle replays
     decode -> resize -> grayscale -> bit-pack -> band-join -> verify
     end-to-end. At 100 TB the hashes are the persisted state (8 bytes/image)
@@ -405,7 +409,9 @@ def q_image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     meta = docs.select(
         F.col("doc_id").alias("media_id"),
-        (F.col("doc_id") / 2).cast("bigint").alias("seed"),
+        # integer DIV (not floor(double /)): exact for all bigint doc_ids,
+        # matching the oracle's doc_id // 2 beyond double's 2^53 range
+        F.expr("CAST(doc_id DIV 2 AS BIGINT)").alias("seed"),
         (16 + (F.col("doc_id") % 2) * 16).cast("int").alias("declared_w"),
         (16 + (F.col("doc_id") % 2) * 16).cast("int").alias("declared_h"),
     )

@@ -304,6 +304,123 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 20), _ivf_seed_centroids(emb), k=5)
 
 
+# --- TRAINED coarse quantizer (exact-decimal Lloyd's, r10 verdict item 3) -----------
+#
+# kmeans_centroids_exact makes the centroid UPDATE cross-engine exact (round-
+# quantized DECIMAL sums + one fixed IEEE division sequence), so the trained
+# quantizer itself — not just the frozen seeds — sits under hash-checked
+# oracles: the CTE chain below replays init -> assign -> mean per iteration
+# bit-for-bit in DuckDB. TRAIN_ITERS=2 keeps the oracle linear and is already
+# past the big first-iteration recall jump; the seeded twins (iters=0) stay
+# registered unchanged as the degenerate case.
+TRAIN_ITERS = 2
+
+_LLOYD_ASSIGN = """
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_sum(list_transform(
+                            list_zip(e.embedding::DOUBLE[], c.cvec),
+                            x -> (x[1] - x[2]) * (x[1] - x[2]))),
+                        c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN {prev} c
+"""
+
+# round(x*1e10) quantizes in DOUBLE space (both engines round exact .5 away
+# from zero there); DECIMAL(38,0) sums are exact and order-independent; the
+# mean is the same IEEE op sequence Spark executes.
+_LLOYD_MEAN = (
+    "CAST(SUM(CAST(round(a.v[g.i] * 1e10) AS DECIMAL(38,0))) AS DOUBLE)"
+    " / CAST(COUNT(*) AS DOUBLE) / 1e10"
+)
+
+
+def _lloyd_ctes(iters: int, k: int = IVF_K, dim: int = 64) -> tuple[str, str]:
+    """(cte_sql, final_centroid_cte_name): DuckDB replay of
+    kmeans_centroids_exact — c0 = k lowest-id vectors, then per iteration an
+    assignment CTE (squared-L2 argmin, ties to lower cid) and an exact-
+    quantized per-dimension mean CTE; empty clusters keep the previous
+    centroid via the LEFT JOIN + coalesce."""
+    parts = [
+        f"grid AS (SELECT range AS i FROM range(1, {dim + 1}))",
+        f"c0 AS (SELECT vec_id::INT AS cid, embedding::DOUBLE[] AS cvec\n"
+        f"        FROM embeddings WHERE vec_id < {k})",
+    ]
+    for it in range(1, iters + 1):
+        parts.append(f"a{it} AS ({_LLOYD_ASSIGN.format(prev=f'c{it - 1}')})")
+        parts.append(
+            f"m{it} AS (SELECT a.cid, g.i, {_LLOYD_MEAN} AS mu\n"
+            f"           FROM a{it} a CROSS JOIN grid g WHERE a.rn = 1 GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"c{it} AS (SELECT p.cid, coalesce(n.cvec, p.cvec) AS cvec\n"
+            f"           FROM c{it - 1} p LEFT JOIN (SELECT cid, list(mu ORDER BY i)"
+            f" AS cvec FROM m{it} GROUP BY 1) n USING (cid))"
+        )
+    return ",\n".join(parts), f"c{iters}"
+
+
+_TRAINED_CTES, _TRAINED_CENT = _lloyd_ctes(TRAIN_ITERS)
+
+IVF_TOPK_TRAINED_ORACLE = f"""
+WITH {_TRAINED_CTES},
+d AS (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_sum(list_transform(
+                            list_zip(e.embedding::DOUBLE[], c.cvec),
+                            x -> (x[1] - x[2]) * (x[1] - x[2]))),
+                        c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN {_TRAINED_CENT} c
+),
+assigned AS (SELECT vec_id, embedding, cid AS centroid FROM d WHERE rn = 1),
+qprobe AS (SELECT vec_id, embedding, cid AS centroid FROM d
+           WHERE rn <= 1 AND vec_id < 20),
+s AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+    FROM assigned c JOIN qprobe q ON c.centroid = q.centroid AND c.vec_id != q.vec_id
+),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s)
+SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
+"""
+
+
+def _ivf_trained_centroids(emb: DataFrame) -> list[tuple[int, list[float]]]:
+    """The PRODUCTION coarse quantizer: exact-decimal Lloyd's from the k
+    lowest-id init (operators/similarity.kmeans_centroids_exact). Training is
+    TRAIN_ITERS distributed passes and an O(k·dim) driver artifact — in a real
+    deployment it is persisted as the index contract, not re-derived per
+    query."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        kmeans_centroids_exact,
+    )
+
+    return kmeans_centroids_exact(emb, k=IVF_K, iters=TRAIN_ITERS)
+
+
+@register("similarity_ivf_topk_trained", IVF_TOPK_TRAINED_ORACLE)
+def q_similarity_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 with the TRAINED coarse quantizer (r10 verdict item 3):
+    identical search topology to `similarity_ivf_topk` — inverted-list
+    assignment, nprobe=1 probe, list-restricted cosine top-k — but the
+    centroids are 2 Lloyd iterations from the seed init, trained by
+    kmeans_centroids_exact whose update is cross-engine exact, so the WHOLE
+    path (training included) is hash-checked, not rows-only. Recall uplift
+    over the seeds is measured by `ivf_recall_trained_vs_seeded`."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 20), _ivf_trained_centroids(emb), k=5
+    )
+
+
 # PQ layout constants: d=64 → m=8 subspaces × 8 dims, k_c=4 codebook entries
 # per subspace seeded from the 4 lowest-id vectors (the deterministic-seed
 # convention of the IVF quantizer; per-subspace k-means swaps in for recall).
@@ -650,3 +767,196 @@ def q_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+IVF_TRAINED_VS_SEEDED_ORACLE = f"""
+WITH {_TRAINED_CTES},
+dv AS (
+    SELECT 'seeded' AS variant, s.* FROM ({_LLOYD_ASSIGN.format(prev="c0")}) s
+    UNION ALL
+    SELECT 'trained' AS variant, t.* FROM ({_LLOYD_ASSIGN.format(prev=_TRAINED_CENT)}) t
+),
+assigned AS (SELECT variant, vec_id, v, cid AS centroid FROM dv WHERE rn = 1),
+q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+st AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+    FROM embeddings c, q WHERE c.vec_id != q.vec_id
+),
+truth AS (SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM st) WHERE rank <= 5),
+probes AS (SELECT unnest(ARRAY[1, 2, 4]) AS nprobe),
+qprobe AS (
+    SELECT p.nprobe, d.variant, d.vec_id, d.v, d.cid AS centroid
+    FROM dv d JOIN probes p ON d.rn <= p.nprobe
+    WHERE d.vec_id < 20
+),
+sb AS (
+    SELECT q.variant, q.nprobe, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.v, c.v), 4) AS sim
+    FROM assigned c JOIN qprobe q
+      ON c.variant = q.variant AND c.centroid = q.centroid AND c.vec_id != q.vec_id
+),
+ann AS (SELECT variant, nprobe, query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY variant, nprobe, query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM sb) WHERE rank <= 5)
+SELECT v.variant, p.nprobe, t.query_id,
+       count(*) AS n_truth,
+       SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+       round(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 4) AS recall
+FROM truth t
+CROSS JOIN probes p
+CROSS JOIN (SELECT unnest(ARRAY['seeded', 'trained']) AS variant) v
+LEFT JOIN ann a ON a.variant = v.variant AND a.nprobe = p.nprobe
+                AND t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+GROUP BY 1, 2, 3
+"""
+
+
+@register("ivf_recall_trained_vs_seeded", IVF_TRAINED_VS_SEEDED_ORACLE)
+def q_ivf_recall_trained_vs_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r10 verdict item-3 measurement: recall@5 against the exact
+    brute-force baseline for the SEEDED (iters=0) vs TRAINED (2 exact-decimal
+    Lloyd iterations) coarse quantizer, per nprobe in {1, 2, 4} — the number
+    that justifies shipping the trained index: at the SAME search cost
+    (nprobe), how much recall did training buy? Fully hash-checked: the
+    oracle replays training, both assignments, the probe sweep, and the
+    recall arithmetic. One brute-force pass; 6 inverted-list searches, all
+    broadcast-sized joins."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    q = emb.filter(F.col("vec_id") < 20)
+    truth = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    variants = [
+        ("seeded", _ivf_seed_centroids(emb)),
+        ("trained", _ivf_trained_centroids(emb)),
+    ]
+    ann = None
+    for vname, cents in variants:
+        for np_ in (1, 2, 4):
+            a = (
+                ivf_topk(emb, q, cents, k=5, nprobe=np_)
+                .select("query_id", "neighbor_id")
+                .withColumn("variant", F.lit(vname))
+                .withColumn("nprobe", F.lit(np_))
+            )
+            ann = a if ann is None else ann.unionByName(a)
+    ann = ann.withColumn("__hit", F.lit(1))
+    grid = spark.createDataFrame(
+        [(v, p) for v in ("seeded", "trained") for p in (1, 2, 4)],
+        "variant string, nprobe int",
+    )
+    return (
+        truth.crossJoin(F.broadcast(grid))
+        .join(ann, ["variant", "nprobe", "query_id", "neighbor_id"], "left")
+        .groupBy("variant", "nprobe", "query_id")
+        .agg(
+            F.count("*").alias("n_truth"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(
+                F.coalesce(F.sum("__hit"), F.lit(0)).cast("double") / F.count("*"), 4
+            ).alias("recall"),
+        )
+    )
+
+
+# --- TRAINED PQ codebooks (exact-decimal per-subspace Lloyd's) ----------------------
+
+_PQ_DD = """
+    SELECT e.vec_id, g.j, cb.c,
+           list_sum(list_transform(
+               list_zip(list_slice(e.v, g.j*{sub}+1, g.j*{sub}+{sub}), cb.sv),
+               x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+    FROM embv e CROSS JOIN pqgrid g JOIN {prev} cb ON cb.j = g.j
+"""
+
+
+def _pq_lloyd_ctes(iters: int) -> tuple[str, str]:
+    """(cte_sql, final_codebook_cte_name): DuckDB replay of
+    pq_codebooks_exact — cb0 = lowest-id seed slices, then per iteration an
+    encode CTE (per-subspace squared-L2 argmin, ties to lower c) and an
+    exact-quantized per-local-dimension mean; empty cells keep the previous
+    codeword."""
+    parts = [
+        f"pqgrid AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j)",
+        f"sgrid AS (SELECT unnest(generate_series(0, {PQ_SUB - 1})) AS d)",
+        "embv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"pqseeds0 AS (SELECT vec_id AS c, embedding::DOUBLE[] AS v"
+        f" FROM embeddings WHERE vec_id < {PQ_KC})",
+        f"cb0 AS (SELECT g.j, s.c, list_slice(s.v, g.j*{PQ_SUB}+1,"
+        f" g.j*{PQ_SUB}+{PQ_SUB}) AS sv FROM pqseeds0 s CROSS JOIN pqgrid g)",
+    ]
+    for it in range(1, iters + 1):
+        parts.append(f"pdd{it} AS ({_PQ_DD.format(sub=PQ_SUB, prev=f'cb{it - 1}')})")
+        parts.append(
+            f"pcodes{it} AS (SELECT vec_id, j, c FROM (SELECT vec_id, j, c,"
+            f" row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn"
+            f" FROM pdd{it}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"pm{it} AS (SELECT co.j, co.c, s.d,"
+            f" CAST(SUM(CAST(round(e.v[co.j*{PQ_SUB} + s.d + 1] * 1e10)"
+            f" AS DECIMAL(38,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e10 AS mu"
+            f" FROM pcodes{it} co JOIN embv e USING (vec_id) CROSS JOIN sgrid s"
+            f" GROUP BY 1, 2, 3)"
+        )
+        parts.append(
+            f"cb{it} AS (SELECT p.j, p.c, coalesce(n.sv, p.sv) AS sv"
+            f" FROM cb{it - 1} p LEFT JOIN (SELECT j, c, list(mu ORDER BY d) AS sv"
+            f" FROM pm{it} GROUP BY 1, 2) n USING (j, c))"
+        )
+    return ",\n".join(parts), f"cb{iters}"
+
+
+_PQ_TRAINED_CTES, _PQ_TRAINED_CB = _pq_lloyd_ctes(TRAIN_ITERS)
+
+PQ_ADC_TRAINED_ORACLE = f"""
+WITH {_PQ_TRAINED_CTES},
+dd AS (SELECT e.vec_id, g.j, cb.c,
+              list_sum(list_transform(
+                  list_zip(list_slice(e.v, g.j*{PQ_SUB}+1, g.j*{PQ_SUB}+{PQ_SUB}), cb.sv),
+                  x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+       FROM embv e CROSS JOIN pqgrid g JOIN {_PQ_TRAINED_CB} cb ON cb.j = g.j),
+codes AS (SELECT vec_id, j, c FROM (
+            SELECT vec_id, j, c,
+                   row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+            FROM dd) WHERE rn = 1),
+pairs AS (SELECT a.vec_id AS query_id, co.vec_id AS neighbor_id,
+                 list_sum(list(a.d2 ORDER BY a.j)) AS adc
+          FROM codes co JOIN dd a ON a.j = co.j AND a.c = co.c
+          WHERE a.vec_id < 20 AND a.vec_id != co.vec_id
+          GROUP BY 1, 2),
+r AS (SELECT query_id, neighbor_id, round(adc, 4) AS adc_dist,
+             CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY round(adc, 4), neighbor_id
+             ) AS INT) AS rank
+      FROM pairs)
+SELECT query_id, neighbor_id, adc_dist, rank FROM r WHERE rank <= 5
+"""
+
+
+@register("similarity_pq_adc_trained", PQ_ADC_TRAINED_ORACLE)
+def q_similarity_pq_adc_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-5 over PQ codes from TRAINED codebooks (r10 verdict item 3):
+    same encode/ADC search topology as `similarity_pq_adc`, but the m=8 × k_c=4
+    codebooks are 2 per-subspace Lloyd iterations from the seed slices
+    (operators/similarity.pq_codebooks_exact) — and because the codebook
+    update is cross-engine exact, training itself is inside the hash-checked
+    oracle, not an unverified offline artifact. Trained codebooks cut mean
+    quantization error per subspace (Lloyd's monotone MSE descent), which is
+    what tightens ADC's distance approximation on structured corpora."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks_exact,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    books = pq_codebooks_exact(emb, m=PQ_M, kc=PQ_KC, iters=TRAIN_ITERS)
+    return pq_adc_topk(emb, emb.filter(F.col("vec_id") < 20), books, k=5)

@@ -259,148 +259,52 @@ def q_incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ------------------------------------------------------------------------------------
-# Driver adjudication window — ROUND 10 (active; the r10 plan staged during
-# round 9 activated verbatim at its head, then filled to 50).
+# Driver adjudication window — ROUND 11 (active; the r11 plan staged during
+# round 10 activated verbatim at its head, then filled to 50).
 #
 # The correctness driver adjudicates the FIRST 50 entries of queries() in dict
-# order (observed r1-r9). History: r1-r3 proved the original first-50 green
+# order (observed r1-r10). History: r1-r3 proved the original first-50 green
 # three rounds running; r4 proved the 40 long-unproven queries + 7 round-4
 # additions; r5 proved 50/50 including the fixed `sequence_packing`; r6 went
 # 50/50 making every then-registered query driver-proven at least once; r7
 # proved the 9 round-7-changed queries + 38 r4-stale veterans; r8 the 6
 # round-7 additions + the clone-scoping streaming pair + 22 r5-stale veterans;
 # r9 the staged trio-of-debts + all 36 r6-stale veterans + the stalest r7
-# queries. This round-10 window: the 25-entry plan staged in round 9 VERBATIM
-# (canary trio; the 12 never-driver-proven round-9 additions; the round-9
-# changed-file debtors `streaming_windows_tumbling` / `dedup_components` /
-# `event_pagerank` / `dsir_*` / `bpe_*` / co-file veterans); then
-# `watermark_state` (S6/P7/P8 — last proven r8, the only §2 evidence older
-# than r9, per the r9 verdict item 4); then the round-10 additions
-# (`training_shards_end_to_end`, `zorder_incremental_compaction`); then the
-# stalest (r7-proven) veterans in registration order to fill 50.
+# queries; r10 went 50/50 on the staged plan (never-proven r9 additions,
+# changed-file debtors, watermark_state, r7-stale veterans). This round-11
+# window: the 33-entry plan staged in round 10 VERBATIM (canary trio; one
+# representative per split-out domain module; ALL 8 never-driver-proven
+# round-10 additions — `asof_join_forward_tolerance`, `attribution_linear`,
+# `heavy_users_rolling_7d`, `image_dhash_near_dup`, `ivf_recall_eval`,
+# `quantile_rolling_7d`, `semdedup_prune_end_to_end`, `trend_slope_per_type`
+# — plus their changed-file co-debtors; the 14 r7-stale veterans, retiring
+# the oldest evidence block); then the stalest remaining (r8-proven)
+# veterans in registration order to fill 50. After a green r11 every
+# registered query has a driver row and nothing is older than r8.
 # Per-query adjudication history is tracked in OPERATORS.md;
 # test_registry_window.py pins consistency.
 # ------------------------------------------------------------------------------------
 ADJUDICATION_WINDOW_FIRST: list[str] = [
-    # -- staged r10 plan, verbatim (round-9 registry.py ADJUDICATION_WINDOW_NEXT_PLAN) --
+    # -- staged r11 plan, verbatim (round-10 registry.py ADJUDICATION_WINDOW_NEXT_PLAN) --
     "courier_ledger",
     "courier_ledger_sql",
     "incremental_mart_maintenance",
-    "streaming_windows_tumbling",
-    "dsir_importance",
-    "dsir_resample",
-    "streaming_bloom_maintenance",
-    "quantile_state_maintenance",
-    "dedup_components",
-    "event_pagerank",
-    "streaming_quantile_maintenance",
-    "sample_state_maintenance",
-    "streaming_sample_maintenance",
-    "kmv_distinct_users",
-    "kmv_user_overlap",
-    "document_chunks",
-    "bpe_merges",
-    "bpe_token_counts",
-    "mad_outlier_audit",
-    "streaming_mad_audit",
-    "training_shard_layout",
-    "sequence_packing",
-    "stratified_sample",
-    "weighted_sample_per_source",
-    # -- §2 evidence rotation: S6/P7/P8, last proven r8 (r9 verdict item 4) --
-    "watermark_state",
-    # -- round-10 additions (first driver rows) --
-    "training_shards_end_to_end",
-    "zorder_incremental_compaction",
-    # continuation: the day-state-rollup flagship takes the window's one
-    # remaining slot (the staged head was 24 entries, leaving 49/50 filled)
-    "kmv_rolling_7d_distinct",
-    # -- stalest veterans (last driver row r7), registration order, filling to 50 --
-    "deterministic_sample",
-    "zorder_values",
-    "topk_per_group",
-    "dedup_incremental",
-    "multimodal_features",
-    "video_frame_sample",
-    "repetition_stats",
-    "quality_rules",
-    "vocab_counts",
-    "ngram_contamination",
-    "streaming_dedup",
-    "streaming_compact_latest",
-    "streaming_stream_join",
-    "streaming_sessionization",
-    "funnel_conversion",
-    "key_skew_profile",
-    "pii_scrub",
-    "corpus_curation",
-    "label_centroid_stats",
-    "doc_chunking",
-    "oov_rate",
-    "per_source_cap",
-]
-
-
-# ------------------------------------------------------------------------------------
-# PLANNED round-11 window (activate at the START of round 11). Composition:
-# the flagship canary trio, then any query whose implementing code CHANGES in
-# round 10 (standing rule: changed code must appear in the active window or at
-# the head of the next plan — pinned by test_registry_window.py), then the
-# remaining r7-stale veterans not rotated into the r10 window; round-10
-# additions registered outside the active window append here so nothing waits
-# more than one round for a driver row.
-# ------------------------------------------------------------------------------------
-ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
-    # -- flagship canary --
-    "courier_ledger",
-    "courier_ledger_sql",
-    "incremental_mart_maintenance",
-    # -- round-10 code changes / additions append here as they land --
-    # round-10 queries_ext split: every new domain module must map to
-    # scheduled driver evidence; three modules' queries are all r8/r9-proven
-    # and otherwise unscheduled, so one representative each rides the r11
-    # window (pure-move refactor: registry contents byte-identical, asserted
-    # at split time and by the full oracle-parity suite)
-    "event_windows_tumbling",   # queries_ext_events.py
-    "bm25_search",              # queries_ext_ops.py
-    "similarity_topk",          # queries_ext_similarity.py
-    # round-10 additions registered outside the active window: day-grain
-    # state rollups -> rolling 7-day readouts (first driver rows r11) — the
-    # KMV-sketch and exact-histogram instances of the same rollup pattern
+    "event_windows_tumbling",
+    "bm25_search",
+    "similarity_topk",
     "kmv_rolling_7d_distinct",
     "quantile_rolling_7d",
-    # round-10 addition: embeddings-in / pruned-corpus-out composition of
-    # semdedup_pairs -> connected components -> canonical keep; plus a fresh
-    # row for semdedup_pairs itself (its oracle text was refactored into the
-    # shared pair-CTE block the composition reuses — semantics unchanged,
-    # locally parity-proven, but changed text warrants driver re-proof)
     "semdedup_prune_end_to_end",
     "semdedup_pairs",
-    # round-10 addition: resolution-invariant perceptual-hash image near-dup
-    # (virtual-picture synth -> real codec chain -> 56-bit dHash -> pigeonhole
-    # band join); first driver row r11
     "image_dhash_near_dup",
-    # round-10 addition: forward as-of with a bounded horizon (supervised-
-    # target labeling), plus a fresh row for the backward twin whose
-    # implementing operator gained the direction/tolerance parameters
     "asof_join_forward_tolerance",
     "asof_join_events",
-    # round-10 addition: closed-form per-type daily-volume trend (drift
-    # monitoring as two grouped aggs); first driver row r11
     "trend_slope_per_type",
-    # round-10 addition: CMS instance of the day-state rollup pattern, plus
-    # re-proof of the sketch module's existing queries (operators/sketch.py
-    # gained cms_state_grouped this round — standing rule)
     "heavy_users_rolling_7d",
     "heavy_hitters",
     "cms_state_migration",
-    # round-10 addition: linear multi-touch attribution (bucketed range join
-    # + purchase-grain split + event-grain fold); first driver row r11
     "attribution_linear",
-    # round-10 addition: IVF recall-vs-nprobe measurement (the probe-dial
-    # companion of ann_recall_eval); first driver row r11
     "ivf_recall_eval",
-    # -- r7-stale veterans that did not fit the r10 window, registration order --
     "streaming_ledger_maintenance",
     "rolling_7d_counts",
     "audio_features",
@@ -415,6 +319,90 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "partition_stats_manifest",
     "rolling_distinct_users_7d",
     "decontaminated_corpus",
+    # -- stalest veterans (last driver row r8), registration order, filling to 50 --
+    "rollup_totals",
+    "semi_anti_join",
+    "grouping_sets_hourly",
+    "price_histogram",
+    "list_agg_priorities",
+    "text_stats",
+    "lang_id",
+    "doc_fingerprint",
+    "dedup_exact",
+    "minhash_signatures",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_two_stage",
+    "dedup_simhash",
+    # -- round-11 additions take the last three slots so they land driver
+    # rows THIS round instead of repeating the late-addition-weak pattern
+    # (r9/r10 verdicts item 1); the three displaced r8-stale veterans lead
+    # the r12 plan's veteran block --
+    "similarity_ivf_topk_trained",
+    "ivf_recall_trained_vs_seeded",
+    "similarity_pq_adc_trained",
+]
+
+
+# ------------------------------------------------------------------------------------
+# PLANNED round-12 window (activate at the START of round 12). Composition:
+# the flagship canary trio, then any query whose implementing code CHANGES in
+# round 11 (standing rule: changed code must appear in the active window or at
+# the head of the next plan — pinned by test_registry_window.py), then the
+# remaining r8-stale veterans not rotated into the r11 window; round-11
+# additions registered outside the active window append here so nothing waits
+# more than one round for a driver row.
+# ------------------------------------------------------------------------------------
+ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
+    # -- flagship canary --
+    "courier_ledger",
+    "courier_ledger_sql",
+    "incremental_mart_maintenance",
+    # -- round-11 code changes / additions append here as they land --
+    # r10-ADVICE fixes (standing rule: changed file -> scheduled evidence):
+    # layout.py NULL-partition routing in incremental compaction
+    "zorder_incremental_compaction",
+    "zorder_values",
+    # sampling.py reserved-name guard in training_shard_layout
+    "training_shard_layout",
+    "sequence_packing",
+    "stratified_sample",
+    "dsir_importance",
+    "dsir_resample",
+    # streaming/events.py ts-decl cache keyed by file stat
+    "streaming_windows_tumbling",
+    # queries_ext_multimodal.py seed DIV + dHash bound docs (image_dhash_near_dup
+    # itself re-proves in the ACTIVE r11 window; its co-file veterans ride r12)
+    "multimodal_features",
+    "video_frame_sample",
+    # -- r8-stale veterans displaced from the r11 window by the round-11
+    # trained-quantizer additions (which adjudicate in the ACTIVE window) --
+    "dedup_simhash_pairs",
+    "dedup_pq_hamming2",
+    "session_window_native",
+    # -- r8-stale veterans that did not fit the r11 window, registration order --
+    "image_resize_features",
+    "audio_resample_features",
+    "snapshot_diff_orders",
+    "cube_status_priority",
+    "date_spine_fill",
+    "scd2_history",
+    "retention_cohorts",
+    "event_type_cooccurrence",
+    "timeseries_interpolate",
+    "minhash_calibration",
+    "streaming_static_enrich",
+    "target_mix_sample",
+    "token_budget_cap",
+    "dedup_cross_corpus",
+    "cdc_apply_roundtrip",
+    "event_transitions",
+    "substring_search",
+    "k_anonymity_audit",
+    "value_winsorize",
+    "weighted_sample",
+    "split_leakage_audit",
+    "dedup_span_scrub",
 ]
 
 

@@ -39,9 +39,20 @@ EVENTS_SCHEMA = (
     "value double, props string"
 )
 
-#: path -> physical ts dtype of the (immutable) source parquet; saves the
-#: footer-peek spark.read on every drain after the first (see read_event_stream)
-_TS_DECL_CACHE: dict[str, str | None] = {}
+#: (path, mtime_ns, size) -> physical ts dtype of the source parquet; saves
+#: the footer-peek spark.read on every drain after the first (see
+#: read_event_stream). Keyed by the file's stat so an in-process rewrite of
+#: the same path (e.g. regenerated testdata with a different physical ts
+#: type) invalidates the entry instead of serving a stale declared schema.
+_TS_DECL_CACHE: dict[tuple[str, int, int], str | None] = {}
+
+
+def _ts_decl_cache_key(path: str) -> tuple[str, int, int]:
+    try:
+        st = os.stat(os.path.join(path, "events.parquet"))
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:  # non-local FS (hdfs://, s3a://): fall back to path-only
+        return (path, 0, 0)
 
 
 def read_event_stream(
@@ -55,14 +66,16 @@ def read_event_stream(
     (TIMESTAMP(NANOS) testdata surfaces as bigint under nanosAsLong; re-written
     micros tables surface as timestamp) — so peek at the batch footer schema
     (metadata-only, no data scan) and adapt exactly like ``read_events``.
-    The peek is cached per path: the source parquet's physical ts type is a
-    property of the (immutable) file, and the footer read is a measured
-    ~0.15 s of every drain's fixed startup when repeated (r10 profile)."""
+    The peek is cached per (path, file mtime, size): the physical ts type is
+    a property of the file, the stat key invalidates on rewrite, and the
+    footer read is a measured ~0.15 s of every drain's fixed startup when
+    repeated (r10 profile)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_ts = _TS_DECL_CACHE.get(path)
+    cache_key = _ts_decl_cache_key(path)
+    batch_ts = _TS_DECL_CACHE.get(cache_key)
     if batch_ts is None:
         batch_ts = dict(spark.read.parquet(f"{path}/events.parquet").dtypes).get("ts")
-        _TS_DECL_CACHE[path] = batch_ts
+        _TS_DECL_CACHE[cache_key] = batch_ts
     ts_decl = "bigint" if batch_ts == "bigint" else "timestamp"
     raw = (
         spark.readStream.schema(

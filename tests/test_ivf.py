@@ -256,3 +256,104 @@ def test_pq_hamming_rejects_unblocked_thresholds(spark):
     emb = spark.createDataFrame([(0, [1.0, 2.0])], "vec_id long, embedding array<float>")
     with _pytest.raises(ValueError, match="all-pairs"):
         pq_hamming_pairs(emb, [[[1.0]], [[2.0]]], max_hamming=2)
+
+
+def test_exact_trainer_is_partitioning_invariant_and_matches_seed_degenerate(clustered):
+    """kmeans_centroids_exact's whole point: the centroid update must be
+    independent of partitioning/merge order (decimal sums), and iters=0 must
+    degenerate to the lowest-id seed quantizer the oracle twins freeze."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        kmeans_centroids_exact,
+    )
+
+    a = kmeans_centroids_exact(clustered, k=2, iters=3)
+    b = kmeans_centroids_exact(clustered.repartition(7), k=2, iters=3)
+    assert a == b  # bit-identical, not approximately equal
+    seeds = kmeans_centroids_exact(clustered, k=2, iters=0)
+    init = clustered.orderBy("vec_id").limit(2).collect()
+    assert seeds == [(i, [float(x) for x in r.embedding]) for i, r in enumerate(init)]
+
+
+def test_trained_quantizer_beats_adversarial_seeds_on_clustered_data(spark):
+    """The recall claim training is FOR, on data where structure exists: all k
+    seed vectors sit inside ONE true cluster (the worst init a lowest-id rule
+    can draw), so the seeded quantizer splits that cluster and lumps the other
+    into half a cell — while two Lloyd iterations separate the true clusters
+    and IVF@nprobe=1 recall@5 strictly improves. (On isotropic data — e.g.
+    the synthetic testdata embeddings — training moves recall only at noise
+    level at equal scan cost; `ivf_recall_trained_vs_seeded` reports those
+    honest numbers, this test pins the mechanism.)"""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        kmeans_centroids_exact,
+    )
+
+    # Constructed so the seeded partition provably splits cluster B in half:
+    # the two seeds (ids 0, 1) sit in big cluster A and differ ONLY along dim
+    # 2 (+1 vs -1) — exactly the axis that separates B's two halves — so under
+    # the seed quantizer B+ routes to cell 0 (with all of A) and B- to cell 1,
+    # and every B query's top-5 (2 same-sign + 3 cross-sign neighbors) loses
+    # its cross-sign half: seeded recall = 2/5. Lloyd recovers the true A/B
+    # cells in two iterations (B+ defects to the B--mean cell in iteration 2).
+    rows = [(0, [10.0, 0.0, 1.0, 0.0]), (1, [10.0, 0.0, -1.0, 0.0])]
+    for i in range(2, 42):  # cluster A bulk: dim-3 jitter keeps the dim-2 tie
+        rows.append((i, [10.0, 0.0, 0.0, (i % 8) / 16.0]))
+    for i in range(42, 48):  # cluster B: 3 points at s=+1, 3 at s=-1
+        rows.append((i, [0.0, 10.0, 1.0 if i % 2 else -1.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") >= 42)
+
+    def recall_at_5(cents):
+        truth = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_topk(emb, queries, k=5).collect()
+        }
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(emb, queries, cents, k=5, nprobe=1).collect()
+        }
+        return len(truth & got) / len(truth)
+
+    seeded = kmeans_centroids_exact(emb, k=2, iters=0)
+    trained = kmeans_centroids_exact(emb, k=2, iters=2)
+    r_seed, r_train = recall_at_5(seeded), recall_at_5(trained)
+    assert r_seed == pytest.approx(0.4)  # each B query keeps only its 2 same-sign
+    assert r_train == 1.0  # separated clusters: trained IVF == brute force
+
+
+def test_pq_exact_trainer_determinism_degeneracy_and_mse_descent(clustered):
+    """pq_codebooks_exact: partitioning-invariant (decimal sums), iters=0
+    degenerates to the seed slices, and training descends quantization MSE
+    (Lloyd's monotone property — the number ADC accuracy rides on)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        pq_codebooks_exact,
+        pq_codebooks_from_seeds,
+        pq_encode,
+    )
+
+    m = 2
+    a = pq_codebooks_exact(clustered, m=m, kc=2, iters=3)
+    b = pq_codebooks_exact(clustered.repartition(5), m=m, kc=2, iters=3)
+    assert a == b
+    seeds = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in clustered.orderBy("vec_id").limit(2).collect()
+    ]
+    assert pq_codebooks_exact(clustered, m=m, kc=2, iters=0) == (
+        pq_codebooks_from_seeds(seeds, m)
+    )
+
+    def mse(books):
+        rows = clustered.collect()
+        codes = {r.vec_id: list(r.pq_codes) for r in pq_encode(clustered, books).collect()}
+        sub = len(books[0][0])
+        tot = n = 0
+        for r in rows:
+            v = [float(x) for x in r.embedding]
+            for j in range(m):
+                w = books[j][codes[r.vec_id][j]]
+                tot += sum((x - y) ** 2 for x, y in zip(v[j * sub:(j + 1) * sub], w))
+                n += 1
+        return tot / n
+
+    trained = pq_codebooks_exact(clustered, m=m, kc=2, iters=3)
+    assert mse(trained) < mse(pq_codebooks_from_seeds(seeds, m))

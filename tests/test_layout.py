@@ -135,6 +135,47 @@ def test_incremental_compaction_equals_full_rebuild(spark):
     assert key(out.collect()) == key(full.collect())
 
 
+def test_incremental_compaction_null_partition_equals_full_rebuild(spark):
+    """r10 ADVICE (layout.py): when the INCREMENT carries NULL part_col rows,
+    base's NULL rows must re-cluster with them as ONE rowset (Window
+    .partitionBy groups all NULLs together in a full rebuild); routing them
+    to the untouched branch would emit two overlapping pos/file_id sequences.
+    Both directions pinned: NULLs only in base stay untouched; NULLs in the
+    increment pull base's NULLs into the touched branch."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.layout import (
+        incremental_zorder_compaction,
+        zorder_file_layout,
+    )
+
+    rows = [
+        (i, None if i % 7 == 0 else i % 5, (i * 7) % 64, (i * 13) % 64)
+        for i in range(700)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, day int, x bigint, y bigint")
+    key = lambda rs: sorted(  # noqa: E731
+        (r.id, r.day, r.zvalue, r.pos, r.file_id) for r in rs
+    )
+    full = key(
+        zorder_file_layout(
+            df, "day", ["x", "y"], bits=6, rows_per_file=64, tiebreak=["id"]
+        ).collect()
+    )
+    # case 1: increment contains NULL-day rows -> NULL partition re-clusters
+    inc = df.filter((F.col("day").isNull() | (F.col("day") >= 3)) & (F.col("id") % 2 == 0))
+    out = incremental_zorder_compaction(
+        df.exceptAll(inc), inc, "day", ["x", "y"], bits=6, rows_per_file=64,
+        tiebreak=["id"],
+    )
+    assert key(out.collect()) == full
+    # case 2: NULL-day rows only in base -> untouched branch keeps them whole
+    inc2 = df.filter(F.col("day").isNotNull() & (F.col("day") >= 3) & (F.col("id") % 2 == 0))
+    out2 = incremental_zorder_compaction(
+        df.exceptAll(inc2), inc2, "day", ["x", "y"], bits=6, rows_per_file=64,
+        tiebreak=["id"],
+    )
+    assert key(out2.collect()) == full
+
+
 def test_compacted_write_prunes_row_groups_on_both_filter_columns(spark, tmp_path):
     """Pruning assertion (r9 verdict item 6): after the compacted layout is
     written with files cut on z-range boundaries, parquet column statistics

@@ -1,12 +1,12 @@
 """The driver adjudicates the FIRST 50 entries of queries() in dict order
-(observed r1-r9). These tests pin the round-10 rotation: the staged r10 plan
-from round 9 is activated VERBATIM at the head (canary trio, the 12
-never-driver-proven round-9 additions, the round-9 changed-file debtors),
-then `watermark_state` (the only §2 evidence older than r9), the round-10
-additions, and the stalest (r7-proven) veterans fill to 50. Every window name
-resolves to a registered query WITH an oracle (rows-only queries may exist in
-the registry, but a window slot without an oracle would burn driver evidence
-on a weaker rows-only check — keep them out).
+(observed r1-r10). These tests pin the round-11 rotation: the staged r11 plan
+from round 10 is activated VERBATIM at the head (canary trio, one
+representative per split-out domain module, ALL 8 never-driver-proven
+round-10 additions plus their changed-file co-debtors, the 14 r7-stale
+veterans), then the stalest (r8-proven) veterans fill to 50. Every window
+name resolves to a registered query WITH an oracle (rows-only queries may
+exist in the registry, but a window slot without an oracle would burn driver
+evidence on a weaker rows-only check — keep them out).
 
 STANDING RULE (codified per the round-7 verdict, made ROUND-AGNOSTIC per the
 round-8 verdict): any query whose implementing code changes in round N must
@@ -36,30 +36,35 @@ from airflow_courier_payout_ledger_pipeline_spark.registry import (
 WINDOW = 50
 CANARY = {"courier_ledger", "courier_ledger_sql", "incremental_mart_maintenance"}
 
-#: staged from round 9 — the r10 active window must land fresh driver rows on
-#: these: the 12 round-9 additions that have never had a driver row, the
-#: round-9 changed-file debtors (streaming drain, graph components), and the
-#: §2 rotation item `watermark_state` (r9 verdict items 1 and 4)
-_STAGED_FOR_R10 = {
-    # 12 never-driver-proven round-9 additions
-    "quantile_state_maintenance",
-    "sample_state_maintenance",
-    "weighted_sample_per_source",
-    "kmv_distinct_users",
-    "kmv_user_overlap",
-    "document_chunks",
-    "mad_outlier_audit",
-    "training_shard_layout",
-    "streaming_bloom_maintenance",
-    "streaming_quantile_maintenance",
-    "streaming_sample_maintenance",
-    "streaming_mad_audit",
-    # round-9 changed-file debtors (code changed in r9, last driver row r8/r7)
-    "streaming_windows_tumbling",
-    "dedup_components",
-    "event_pagerank",
-    # §2 rotation: S6/P7/P8 evidence, last proven r8
-    "watermark_state",
+#: staged from round 10 — the r11 active window must land fresh driver rows
+#: on these: ALL 8 round-10 additions that have never had a driver row (the
+#: r10 verdict's entire weak set, item 1) and the 14 r7-stale veterans whose
+#: evidence is the oldest in the registry (item 2)
+_STAGED_FOR_R11 = {
+    # 8 never-driver-proven round-10 additions (r10 verdict item 1)
+    "asof_join_forward_tolerance",
+    "attribution_linear",
+    "heavy_users_rolling_7d",
+    "image_dhash_near_dup",
+    "ivf_recall_eval",
+    "quantile_rolling_7d",
+    "semdedup_prune_end_to_end",
+    "trend_slope_per_type",
+    # 14 r7-stale veterans — the oldest evidence block (r10 verdict item 2)
+    "streaming_ledger_maintenance",
+    "rolling_7d_counts",
+    "audio_features",
+    "bigram_lm_score",
+    "dq_violation_report",
+    "embedding_quantize",
+    "daily_anomaly_zscore",
+    "similarity_ivf_nprobe2",
+    "salted_join_agg",
+    "dedup_keep_best",
+    "length_decile_bands",
+    "partition_stats_manifest",
+    "rolling_distinct_users_7d",
+    "decontaminated_corpus",
 }
 
 # ------------------------------------------------------------------------------------
@@ -106,6 +111,21 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "semdedup_prune_end_to_end",
         # round-10: IVF recall measurement registration
         "ivf_recall_eval",
+        # round-11: trained coarse quantizer / PQ codebooks (exact-decimal
+        # Lloyd's) — new registrations adjudicate in the ACTIVE r11 window
+        "similarity_ivf_topk_trained",
+        "ivf_recall_trained_vs_seeded",
+        "similarity_pq_adc_trained",
+    },
+    # round-11: kmeans_centroids_exact + pq_codebooks_exact added (training
+    # behind the unchanged search interface); the seeded search paths
+    # re-adjudicate alongside via similarity_topk/ivf/pq in-window entries
+    "airflow_courier_payout_ledger_pipeline_spark/operators/similarity.py": {
+        "similarity_ivf_topk_trained",
+        "ivf_recall_trained_vs_seeded",
+        "similarity_pq_adc_trained",
+        "similarity_topk",
+        "similarity_ivf_nprobe2",
     },
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_events.py": {
         "event_windows_tumbling",
@@ -367,11 +387,12 @@ def test_flagship_canary_stays_in_window():
     assert CANARY <= set(order)
 
 
-def test_staged_r10_queries_are_in_window():
-    """Everything staged from round 9 (the 12 never-proven additions, the
-    changed-file debtors, the §2 rotation item) must sit in the active
-    window: a fix without a fresh driver row is unadjudicated."""
-    assert _STAGED_FOR_R10 <= set(ADJUDICATION_WINDOW_FIRST[:WINDOW])
+def test_staged_r11_queries_are_in_window():
+    """Everything staged from round 10 (all 8 never-proven round-10
+    additions — the verdict's entire weak set — plus the 14 r7-stale
+    veterans) must sit in the active window: a registered query without a
+    fresh driver row is unadjudicated."""
+    assert _STAGED_FOR_R11 <= set(ADJUDICATION_WINDOW_FIRST[:WINDOW])
 
 
 def test_queries_and_oracles_share_order():
@@ -381,8 +402,8 @@ def test_queries_and_oracles_share_order():
 
 def test_every_query_has_driver_evidence_or_a_window_slot():
     """No query may be unproven AND unscheduled: every registered query must be
-    (a) green in some prior round, (b) in the active r10 window, or (c) in the
-    planned r11 window. Round-10 additions therefore must be appended to
+    (a) green in some prior round, (b) in the active window, or (c) in the
+    next-round plan. New additions therefore must be appended to
     ADJUDICATION_WINDOW_NEXT_PLAN or placed in the active window as they are
     registered."""
     q, o = all_queries(), all_oracles()
@@ -394,7 +415,7 @@ def test_every_query_has_driver_evidence_or_a_window_slot():
     orphans = [n for n in q if n not in covered]
     assert not orphans, f"queries with no driver evidence and no window slot: {orphans}"
     missing = [n for n in ADJUDICATION_WINDOW_NEXT_PLAN if n not in q or n not in o]
-    assert not missing, f"r11 plan names without query/oracle: {missing}"
+    assert not missing, f"next-plan names without query/oracle: {missing}"
     assert len(ADJUDICATION_WINDOW_NEXT_PLAN) <= WINDOW
     assert CANARY <= set(ADJUDICATION_WINDOW_NEXT_PLAN)
 
@@ -454,4 +475,14 @@ _GREEN_EVER = {
     # green r9 (first driver rows for the two round-9 in-window additions;
     # the other 48 r9-green rows re-proved names already listed above)
     "cms_state_migration", "dedup_bloom_probe",
+    # green r10 (first driver rows for the 12 round-9 additions staged into
+    # the r10 window, plus the round-10 in-window additions; the remaining
+    # r10-green rows re-proved names already listed above)
+    "quantile_state_maintenance", "sample_state_maintenance",
+    "weighted_sample_per_source", "kmv_distinct_users", "kmv_user_overlap",
+    "document_chunks", "mad_outlier_audit", "training_shard_layout",
+    "streaming_bloom_maintenance", "streaming_quantile_maintenance",
+    "streaming_sample_maintenance", "streaming_mad_audit",
+    "kmv_rolling_7d_distinct", "training_shards_end_to_end",
+    "zorder_incremental_compaction",
 }

@@ -394,3 +394,18 @@ def test_shard_layout_excludes_null_ids_and_validates_n_shards(spark):
         training_shard_layout(df, "doc_id", 0)
     with pytest.raises(ValueError):
         training_shard_layout(df, "doc_id", 65537)
+
+
+def test_shard_layout_rejects_reserved_column_collisions(spark):
+    """r10 ADVICE: '*' + shard/shard_pos/__pri means an input already carrying
+    one of those names would yield ambiguous duplicates — raise clearly."""
+    import pytest
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sampling import (
+        training_shard_layout,
+    )
+
+    for bad in ("shard", "shard_pos", "__pri"):
+        df = spark.createDataFrame([(1, 0)], f"doc_id long, {bad} int")
+        with pytest.raises(ValueError, match="reserved layout names"):
+            training_shard_layout(df, "doc_id", 4)
