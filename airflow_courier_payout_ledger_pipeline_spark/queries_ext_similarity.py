@@ -960,3 +960,66 @@ def q_similarity_pq_adc_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     books = pq_codebooks_exact(emb, m=PQ_M, kc=PQ_KC, iters=TRAIN_ITERS)
     return pq_adc_topk(emb, emb.filter(F.col("vec_id") < 20), books, k=5)
+
+
+IVF_PQ_TRAINED_ORACLE = f"""
+WITH {_TRAINED_CTES},
+{_PQ_TRAINED_CTES},
+dd AS (SELECT e.vec_id, g.j, cb.c,
+              list_sum(list_transform(
+                  list_zip(list_slice(e.v, g.j*{PQ_SUB}+1, g.j*{PQ_SUB}+{PQ_SUB}), cb.sv),
+                  x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+       FROM embv e CROSS JOIN pqgrid g JOIN {_PQ_TRAINED_CB} cb ON cb.j = g.j),
+codes AS (SELECT vec_id, j, c FROM (
+            SELECT vec_id, j, c,
+                   row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+            FROM dd) WHERE rn = 1),
+ca AS (SELECT e.vec_id, c.cid,
+              row_number() OVER (
+                  PARTITION BY e.vec_id
+                  ORDER BY list_sum(list_transform(
+                               list_zip(e.embedding::DOUBLE[], c.cvec),
+                               x -> (x[1] - x[2]) * (x[1] - x[2]))),
+                           c.cid
+              ) AS rn
+       FROM embeddings e CROSS JOIN {_TRAINED_CENT} c),
+assigned AS (SELECT vec_id, cid AS centroid FROM ca WHERE rn = 1),
+qprobe AS (SELECT vec_id, cid AS centroid FROM ca WHERE rn <= 1 AND vec_id < 20),
+pairs AS (SELECT a.vec_id AS query_id, co.vec_id AS neighbor_id,
+                 list_sum(list(a.d2 ORDER BY a.j)) AS adc
+          FROM codes co
+          JOIN dd a ON a.j = co.j AND a.c = co.c
+          JOIN assigned nc ON nc.vec_id = co.vec_id
+          JOIN qprobe qp ON qp.vec_id = a.vec_id AND qp.centroid = nc.centroid
+          WHERE a.vec_id != co.vec_id
+          GROUP BY 1, 2),
+r AS (SELECT query_id, neighbor_id, round(adc, 4) AS adc_dist,
+             CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY round(adc, 4), neighbor_id
+             ) AS INT) AS rank
+      FROM pairs)
+SELECT query_id, neighbor_id, adc_dist, rank FROM r WHERE rank <= 5
+"""
+
+
+@register("similarity_ivf_pq_trained", IVF_PQ_TRAINED_ORACLE)
+def q_similarity_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with BOTH artifacts trained (the completion of the r10 verdict
+    item-3 family): the coarse quantizer is 2 exact-decimal Lloyd iterations
+    (kmeans_centroids_exact) and the m=8 × k_c=4 codebooks are 2 per-subspace
+    Lloyd iterations (pq_codebooks_exact), feeding the UNCHANGED ivf_pq_topk
+    search topology — inverted-list routing at nprobe=1, ADC lookups within
+    the list. Because both trainers are cross-engine exact, the full
+    train-train-route-encode-search path hash-checks against one DuckDB
+    statement; the seeded twin (`similarity_ivf_pq`) stays registered as the
+    degenerate iters=0 case."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_codebooks_exact,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    books = pq_codebooks_exact(emb, m=PQ_M, kc=PQ_KC, iters=TRAIN_ITERS)
+    return ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") < 20), _ivf_trained_centroids(emb), books, k=5
+    )

@@ -78,6 +78,11 @@ HEADLINE = [
     # round-9 continuation: KMV set algebra, token-window chunking, MAD audit
     "kmv_user_overlap",
     "document_chunks",
+    # round-11 additions: TRAINED coarse quantizer / PQ codebooks (exact-
+    # decimal Lloyd's, hash-checked training) next to their seeded twins
+    "similarity_ivf_topk_trained",
+    "similarity_pq_adc_trained",
+    "similarity_ivf_pq_trained",
     "mad_outlier_audit",
     # round-10 additions: incremental z-order compaction (equivalence-proved
     # layout maintenance) and the end-to-end chunk->pack->shard pipeline

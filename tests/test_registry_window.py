@@ -116,6 +116,7 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "similarity_ivf_topk_trained",
         "ivf_recall_trained_vs_seeded",
         "similarity_pq_adc_trained",
+        "similarity_ivf_pq_trained",
     },
     # round-11: kmeans_centroids_exact + pq_codebooks_exact added (training
     # behind the unchanged search interface); the seeded search paths
@@ -124,6 +125,7 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "similarity_ivf_topk_trained",
         "ivf_recall_trained_vs_seeded",
         "similarity_pq_adc_trained",
+        "similarity_ivf_pq_trained",
         "similarity_topk",
         "similarity_ivf_nprobe2",
     },

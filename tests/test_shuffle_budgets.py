@@ -85,6 +85,15 @@ SHUFFLE_BUDGET = {
     # merged day-sketch state pins eagerly; returned plan: 2 totals readouts
     # over the pinned state + candidate join agg + final filter join
     "heavy_users_rolling_7d": 5,
+    # round-11 additions: training collects eagerly inside the query fn
+    # (bounded k·dim / m·kc·sub driver artifacts), so the RETURNED plan is
+    # the same search topology as the seeded twins:
+    "similarity_ivf_topk_trained": 1,  # broadcast probe join; one top-k window
+    "similarity_pq_adc_trained": 1,  # broadcast ADC tables; one top-k window
+    "similarity_ivf_pq_trained": 1,  # routed broadcast join; one top-k window
+    # eval query (not a production pipeline): 1 brute-force window + 6
+    # variant×nprobe search windows + truth-grid join + final rollup
+    "ivf_recall_trained_vs_seeded": 10,
 }
 
 
