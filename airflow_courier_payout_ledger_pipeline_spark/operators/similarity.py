@@ -181,12 +181,18 @@ def _assign_to_centroids(centroids: list[tuple[int, list[float]]], vec_col: str)
     rewrite); semantics here are identical — ties go to the lower id. Built as
     one SQL string (see the PQ builders' note: py4j-per-literal construction
     cost, not execution, dominates these columns)."""
+    return F.expr(_assign_sql(centroids, vec_col))
+
+
+def _assign_sql(centroids: list[tuple[int, list[float]]], vec_col: str) -> str:
+    """The SQL text behind ``_assign_to_centroids`` — exposed so composite
+    expressions (e.g. the residual subtraction) can inline it."""
     d = len(centroids[0][1])
     cands = ", ".join(
         f"named_struct('d', {_sq_l2_sql(vec_col, 1, d, cvec)}, 'c', {cid})"
         for cid, cvec in centroids
     )
-    return F.expr(f"array_min(array({cands})).c")
+    return f"array_min(array({cands})).c"
 
 
 def kmeans_centroids(
@@ -751,6 +757,108 @@ def ivf_pq_topk(
         F.col(id_col).alias("query_id"),
         _pq_adc_table(vec_col, codebooks).alias("__adc"),
         F.explode(_centroid_probes(vec_col, centroids, nprobe)).alias("centroid"),
+    )
+    pairs = (
+        c.join(F.broadcast(q), "centroid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_pq_adc_dist(len(codebooks)), 4).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _centroid_map_sql(centroids: list[tuple[int, list[float]]]) -> str:
+    """SQL text: a literal ``map(cid, array(...), ...)`` from centroid id to
+    its vector — the driver-side quantizer as a per-row lookup (same k·dim
+    literal budget as ``_assign_to_centroids``)."""
+    entries = ", ".join(
+        f"{cid}, array({', '.join(_dlit(v) for v in vec)})" for cid, vec in centroids
+    )
+    return f"map({entries})"
+
+
+def residual_frame(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, centroid, __res): each vector's IVF assignment plus its RESIDUAL
+    ``x - centroid(x)`` — the quantity residual PQ encodes (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search", §IV: within an
+    inverted list, quantizing the residual instead of the raw vector removes
+    the coarse cell's offset, so the same m×k_c codebook budget spends its
+    precision on the much smaller in-cell displacement). Pure map stage —
+    assignment and subtraction are codegen'd expressions; train residual
+    codebooks by passing this frame to ``pq_codebooks_exact(vec_col='__res')``
+    (the subtraction is exact double arithmetic of bit-identical operands, so
+    residual training inherits the trainers' cross-engine exactness)."""
+    cmap = _centroid_map_sql(centroids)
+    return df.select(
+        F.col(id_col),
+        _assign_to_centroids(centroids, vec_col).alias("centroid"),
+        F.expr(
+            f"zip_with(CAST(`{vec_col}` AS ARRAY<DOUBLE>), "
+            f"element_at({cmap}, {_assign_sql(centroids, vec_col)}), "
+            "(x, y) -> x - y)"
+        ).alias("__res"),
+    )
+
+
+def ivf_pq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF-PQ over RESIDUALS — the textbook IVF-ADC layout: corpus rows are
+    PQ-encoded as ``x - centroid(x)`` (``codebooks`` must be residual-trained,
+    see :func:`residual_frame`), and each query builds its ADC table from its
+    OWN residual w.r.t. each probed centroid, so query and candidate are
+    expressed in the same per-cell coordinate frame. Identical join topology
+    to :func:`ivf_pq_topk` (centroid equi-join, queries broadcast, per-query
+    top-k window); the residual subtraction is one extra map expression per
+    side. Accuracy: the in-cell displacement residual PQ quantizes is much
+    smaller than the raw vector, so the same 8-byte code budget yields a
+    tighter distance approximation (pinned by
+    tests/test_ivf.py::test_residual_pq_tightens_adc_error)."""
+    if not codebooks or not centroids:
+        return _empty_adc_result(corpus, queries, id_col)
+    c = residual_frame(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        _pq_codes("__res", codebooks).alias("pq_codes"),
+        "centroid",
+    )
+    cmap = _centroid_map_sql(centroids)
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.explode(_centroid_probes(vec_col, centroids, nprobe)).alias("centroid"),
+        )
+        .withColumn(
+            "__res",
+            F.expr(
+                f"zip_with(CAST(__qv AS ARRAY<DOUBLE>), "
+                f"element_at({cmap}, centroid), (x, y) -> x - y)"
+            ),
+        )
+        .select(
+            "query_id",
+            _pq_adc_table("__res", codebooks).alias("__adc"),
+            "centroid",
+        )
     )
     pairs = (
         c.join(F.broadcast(q), "centroid")

@@ -874,45 +874,58 @@ _PQ_DD = """
            list_sum(list_transform(
                list_zip(list_slice(e.v, g.j*{sub}+1, g.j*{sub}+{sub}), cb.sv),
                x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
-    FROM embv e CROSS JOIN pqgrid g JOIN {prev} cb ON cb.j = g.j
+    FROM {src} e CROSS JOIN pqgrid g JOIN {prev} cb ON cb.j = g.j
 """
 
 
-def _pq_lloyd_ctes(iters: int) -> tuple[str, str]:
+def _pq_lloyd_ctes(
+    iters: int, src: str = "embv", prefix: str = "", emit_shared: bool = True
+) -> tuple[str, str]:
     """(cte_sql, final_codebook_cte_name): DuckDB replay of
-    pq_codebooks_exact — cb0 = lowest-id seed slices, then per iteration an
-    encode CTE (per-subspace squared-L2 argmin, ties to lower c) and an
-    exact-quantized per-local-dimension mean; empty cells keep the previous
-    codeword."""
-    parts = [
-        f"pqgrid AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j)",
-        f"sgrid AS (SELECT unnest(generate_series(0, {PQ_SUB - 1})) AS d)",
-        "embv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
-        f"pqseeds0 AS (SELECT vec_id AS c, embedding::DOUBLE[] AS v"
-        f" FROM embeddings WHERE vec_id < {PQ_KC})",
-        f"cb0 AS (SELECT g.j, s.c, list_slice(s.v, g.j*{PQ_SUB}+1,"
-        f" g.j*{PQ_SUB}+{PQ_SUB}) AS sv FROM pqseeds0 s CROSS JOIN pqgrid g)",
+    pq_codebooks_exact — {prefix}cb0 = lowest-id seed slices of the ``src``
+    view (vec_id, v DOUBLE[]), then per iteration an encode CTE (per-subspace
+    squared-L2 argmin, ties to lower c) and an exact-quantized per-local-
+    dimension mean; empty cells keep the previous codeword. ``prefix`` keeps
+    a second chain (e.g. residual-trained codebooks over a resv view) from
+    colliding with the raw-vector chain in one statement; ``emit_shared``
+    controls the pqgrid/sgrid/embv helper CTEs shared across chains."""
+    parts = []
+    if emit_shared:
+        parts += [
+            f"pqgrid AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j)",
+            f"sgrid AS (SELECT unnest(generate_series(0, {PQ_SUB - 1})) AS d)",
+            "embv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        ]
+    parts += [
+        f"{prefix}pqseeds0 AS (SELECT vec_id AS c, v"
+        f" FROM {src} WHERE vec_id < {PQ_KC})",
+        f"{prefix}cb0 AS (SELECT g.j, s.c, list_slice(s.v, g.j*{PQ_SUB}+1,"
+        f" g.j*{PQ_SUB}+{PQ_SUB}) AS sv FROM {prefix}pqseeds0 s CROSS JOIN pqgrid g)",
     ]
     for it in range(1, iters + 1):
-        parts.append(f"pdd{it} AS ({_PQ_DD.format(sub=PQ_SUB, prev=f'cb{it - 1}')})")
         parts.append(
-            f"pcodes{it} AS (SELECT vec_id, j, c FROM (SELECT vec_id, j, c,"
-            f" row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn"
-            f" FROM pdd{it}) WHERE rn = 1)"
+            f"{prefix}pdd{it} AS "
+            f"({_PQ_DD.format(sub=PQ_SUB, prev=f'{prefix}cb{it - 1}', src=src)})"
         )
         parts.append(
-            f"pm{it} AS (SELECT co.j, co.c, s.d,"
+            f"{prefix}pcodes{it} AS (SELECT vec_id, j, c FROM (SELECT vec_id, j, c,"
+            f" row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn"
+            f" FROM {prefix}pdd{it}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"{prefix}pm{it} AS (SELECT co.j, co.c, s.d,"
             f" CAST(SUM(CAST(round(e.v[co.j*{PQ_SUB} + s.d + 1] * 1e10)"
             f" AS DECIMAL(38,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e10 AS mu"
-            f" FROM pcodes{it} co JOIN embv e USING (vec_id) CROSS JOIN sgrid s"
-            f" GROUP BY 1, 2, 3)"
+            f" FROM {prefix}pcodes{it} co JOIN {src} e USING (vec_id)"
+            f" CROSS JOIN sgrid s GROUP BY 1, 2, 3)"
         )
         parts.append(
-            f"cb{it} AS (SELECT p.j, p.c, coalesce(n.sv, p.sv) AS sv"
-            f" FROM cb{it - 1} p LEFT JOIN (SELECT j, c, list(mu ORDER BY d) AS sv"
-            f" FROM pm{it} GROUP BY 1, 2) n USING (j, c))"
+            f"{prefix}cb{it} AS (SELECT p.j, p.c, coalesce(n.sv, p.sv) AS sv"
+            f" FROM {prefix}cb{it - 1} p LEFT JOIN (SELECT j, c,"
+            f" list(mu ORDER BY d) AS sv"
+            f" FROM {prefix}pm{it} GROUP BY 1, 2) n USING (j, c))"
         )
-    return ",\n".join(parts), f"cb{iters}"
+    return ",\n".join(parts), f"{prefix}cb{iters}"
 
 
 _PQ_TRAINED_CTES, _PQ_TRAINED_CB = _pq_lloyd_ctes(TRAIN_ITERS)
@@ -1022,4 +1035,93 @@ def q_similarity_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = pq_codebooks_exact(emb, m=PQ_M, kc=PQ_KC, iters=TRAIN_ITERS)
     return ivf_pq_topk(
         emb, emb.filter(F.col("vec_id") < 20), _ivf_trained_centroids(emb), books, k=5
+    )
+
+
+# --- Residual IVF-PQ: the textbook IVF-ADC layout (Jégou et al.) --------------------
+
+# residual view: every vector's trained-cell assignment + x - centroid(x);
+# queries at nprobe=1 probe their own cell, so this one view serves both the
+# corpus encode and the query ADC side
+_RESIDUAL_CTES = f"""
+rca AS (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_sum(list_transform(
+                            list_zip(e.embedding::DOUBLE[], c.cvec),
+                            x -> (x[1] - x[2]) * (x[1] - x[2]))),
+                        c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN {_TRAINED_CENT} c
+),
+resv AS (
+    SELECT a.vec_id, a.cid AS centroid,
+           list_transform(list_zip(e.embedding::DOUBLE[], c.cvec),
+                          x -> x[1] - x[2]) AS v
+    FROM (SELECT vec_id, cid FROM rca WHERE rn = 1) a
+    JOIN embeddings e USING (vec_id)
+    JOIN {_TRAINED_CENT} c ON c.cid = a.cid
+)"""
+
+_RES_PQ_CTES, _RES_PQ_CB = _pq_lloyd_ctes(
+    TRAIN_ITERS, src="resv", prefix="r", emit_shared=False
+)
+
+IVF_PQ_RESIDUAL_ORACLE = f"""
+WITH {_TRAINED_CTES},
+pqgrid AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j),
+sgrid AS (SELECT unnest(generate_series(0, {PQ_SUB - 1})) AS d),
+{_RESIDUAL_CTES},
+{_RES_PQ_CTES},
+rdd AS (SELECT e.vec_id, g.j, cb.c,
+               list_sum(list_transform(
+                   list_zip(list_slice(e.v, g.j*{PQ_SUB}+1, g.j*{PQ_SUB}+{PQ_SUB}), cb.sv),
+                   x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+        FROM resv e CROSS JOIN pqgrid g JOIN {_RES_PQ_CB} cb ON cb.j = g.j),
+rcodes AS (SELECT vec_id, j, c FROM (
+             SELECT vec_id, j, c,
+                    row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+             FROM rdd) WHERE rn = 1),
+pairs AS (SELECT a.vec_id AS query_id, co.vec_id AS neighbor_id,
+                 list_sum(list(a.d2 ORDER BY a.j)) AS adc
+          FROM rcodes co
+          JOIN rdd a ON a.j = co.j AND a.c = co.c
+          JOIN resv nc ON nc.vec_id = co.vec_id
+          JOIN resv qp ON qp.vec_id = a.vec_id AND qp.centroid = nc.centroid
+          WHERE a.vec_id < 20 AND a.vec_id != co.vec_id
+          GROUP BY 1, 2),
+r AS (SELECT query_id, neighbor_id, round(adc, 4) AS adc_dist,
+             CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY round(adc, 4), neighbor_id
+             ) AS INT) AS rank
+      FROM pairs)
+SELECT query_id, neighbor_id, adc_dist, rank FROM r WHERE rank <= 5
+"""
+
+
+@register("similarity_ivf_pq_residual", IVF_PQ_RESIDUAL_ORACLE)
+def q_similarity_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL IVF-PQ — the textbook IVF-ADC layout (Jégou et al., PQ for
+    nearest neighbor search): the corpus is PQ-encoded as ``x - centroid(x)``
+    with codebooks TRAINED ON RESIDUALS (2 exact-decimal Lloyd iterations
+    over the residual view), and each query's ADC table is built from its own
+    residual w.r.t. the probed cell — both sides in the same per-cell
+    coordinate frame, so the 8-byte code budget quantizes the small in-cell
+    displacement instead of the whole vector. Everything — coarse training,
+    residual construction, residual codebook training, encode, search — is
+    exact double/decimal arithmetic, so ONE DuckDB statement replays the full
+    path (operators/similarity.ivf_pq_residual_topk)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        ivf_pq_residual_topk,
+        pq_codebooks_exact,
+        residual_frame,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    cents = _ivf_trained_centroids(emb)
+    res = residual_frame(emb, cents).select("vec_id", "__res")
+    books = pq_codebooks_exact(res, m=PQ_M, kc=PQ_KC, iters=TRAIN_ITERS, vec_col="__res")
+    return ivf_pq_residual_topk(
+        emb, emb.filter(F.col("vec_id") < 20), cents, books, k=5
     )

@@ -83,6 +83,7 @@ HEADLINE = [
     "similarity_ivf_topk_trained",
     "similarity_pq_adc_trained",
     "similarity_ivf_pq_trained",
+    "similarity_ivf_pq_residual",
     "mad_outlier_audit",
     # round-10 additions: incremental z-order compaction (equivalence-proved
     # layout maintenance) and the end-to-end chunk->pack->shard pipeline

@@ -357,3 +357,54 @@ def test_pq_exact_trainer_determinism_degeneracy_and_mse_descent(clustered):
 
     trained = pq_codebooks_exact(clustered, m=m, kc=2, iters=3)
     assert mse(trained) < mse(pq_codebooks_from_seeds(seeds, m))
+
+
+def test_residual_pq_tightens_adc_error(clustered):
+    """Residual IVF-PQ's whole point (Jégou et al. §IV): with cluster offsets
+    removed, the same m×k_c codebook budget quantizes only the small in-cell
+    displacement, so reconstruction MSE drops hard vs raw-vector PQ — here
+    the clusters sit 10 apart while jitter is sub-unit. (With k_c=2 the raw
+    codebooks can still dedicate one codeword per cluster offset, so the gap
+    here is ~2.5x; with offsets outnumbering codewords it grows unboundedly.) Also pins the search contract:
+    well-formed ranked output, neighbors from the query's own cell."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        ivf_pq_residual_topk,
+        kmeans_centroids_exact,
+        pq_codebooks_exact,
+        pq_encode,
+        residual_frame,
+    )
+
+    m = 2
+    cents = kmeans_centroids_exact(clustered, k=2, iters=2)
+    res = residual_frame(clustered, cents).select("vec_id", "__res")
+    books_res = pq_codebooks_exact(res, m=m, kc=2, iters=2, vec_col="__res")
+    books_raw = pq_codebooks_exact(clustered, m=m, kc=2, iters=2)
+
+    def mse(df, vec_col, books):
+        vecs = {r.vec_id: [float(x) for x in r[vec_col]] for r in df.collect()}
+        codes = {
+            r.vec_id: list(r.pq_codes)
+            for r in pq_encode(df, books, vec_col=vec_col).collect()
+        }
+        sub = len(books[0][0])
+        tot = n = 0
+        for vid, v in vecs.items():
+            for j in range(m):
+                w = books[j][codes[vid][j]]
+                tot += sum((x - y) ** 2 for x, y in zip(v[j * sub:(j + 1) * sub], w))
+                n += 1
+        return tot / n
+
+    mse_res = mse(res, "__res", books_res)
+    mse_raw = mse(clustered, "embedding", books_raw)
+    assert mse_res < mse_raw / 2, (mse_res, mse_raw)
+
+    out = ivf_pq_residual_topk(
+        clustered, clustered.filter(F.col("vec_id") < 4), cents, books_res, k=3
+    ).collect()
+    assert {r.query_id for r in out} == {0, 1, 2, 3}
+    for r in out:
+        # separated clusters: candidates only from the query's own cell
+        assert r.query_id % 2 == r.neighbor_id % 2, (r.query_id, r.neighbor_id)
+        assert 1 <= r.rank <= 3 and r.adc_dist >= 0.0

@@ -117,6 +117,7 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "ivf_recall_trained_vs_seeded",
         "similarity_pq_adc_trained",
         "similarity_ivf_pq_trained",
+        "similarity_ivf_pq_residual",
     },
     # round-11: kmeans_centroids_exact + pq_codebooks_exact added (training
     # behind the unchanged search interface); the seeded search paths
@@ -126,6 +127,7 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "ivf_recall_trained_vs_seeded",
         "similarity_pq_adc_trained",
         "similarity_ivf_pq_trained",
+        "similarity_ivf_pq_residual",
         "similarity_topk",
         "similarity_ivf_nprobe2",
     },

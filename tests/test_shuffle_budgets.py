@@ -91,6 +91,7 @@ SHUFFLE_BUDGET = {
     "similarity_ivf_topk_trained": 1,  # broadcast probe join; one top-k window
     "similarity_pq_adc_trained": 1,  # broadcast ADC tables; one top-k window
     "similarity_ivf_pq_trained": 1,  # routed broadcast join; one top-k window
+    "similarity_ivf_pq_residual": 1,  # same topology; residual is a map expr
     # eval query (not a production pipeline): 1 brute-force window + 6
     # variant×nprobe search windows + truth-grid join + final rollup
     "ivf_recall_trained_vs_seeded": 10,
