@@ -1125,3 +1125,173 @@ def q_similarity_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_residual_topk(
         emb, emb.filter(F.col("vec_id") < 20), cents, books, k=5
     )
+
+
+# --- PQ-family recall eval: seeded/trained flat ADC, trained IVF-PQ, residual -------
+
+# PQ approximates SQUARED L2, so the eval's ground truth is the exact L2
+# top-5 (not the cosine truth the IVF evals use — the vectors are not
+# unit-norm, and grading an L2 index against cosine truth would conflate
+# metric mismatch with quantization error).
+PQ_RECALL_ORACLE = f"""
+WITH {_TRAINED_CTES},
+{_PQ_TRAINED_CTES},
+{_RESIDUAL_CTES},
+{_RES_PQ_CTES},
+qv AS (SELECT vec_id, v FROM embv WHERE vec_id < 20),
+st AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_sum(list_transform(list_zip(q.v, c.v),
+                 x -> (x[1]-x[2])*(x[1]-x[2]))), 4) AS d2
+    FROM embv c, qv q WHERE c.vec_id != q.vec_id
+),
+truth AS (SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+    FROM st) WHERE rank <= 5),
+fdd_s AS (SELECT e.vec_id, g.j, cb.c,
+               list_sum(list_transform(
+                   list_zip(list_slice(e.v, g.j*{PQ_SUB}+1, g.j*{PQ_SUB}+{PQ_SUB}), cb.sv),
+                   x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+        FROM embv e CROSS JOIN pqgrid g JOIN cb0 cb ON cb.j = g.j),
+fdd_t AS (SELECT e.vec_id, g.j, cb.c,
+               list_sum(list_transform(
+                   list_zip(list_slice(e.v, g.j*{PQ_SUB}+1, g.j*{PQ_SUB}+{PQ_SUB}), cb.sv),
+                   x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+        FROM embv e CROSS JOIN pqgrid g JOIN {_PQ_TRAINED_CB} cb ON cb.j = g.j),
+rdd AS (SELECT e.vec_id, g.j, cb.c,
+               list_sum(list_transform(
+                   list_zip(list_slice(e.v, g.j*{PQ_SUB}+1, g.j*{PQ_SUB}+{PQ_SUB}), cb.sv),
+                   x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+        FROM resv e CROSS JOIN pqgrid g JOIN {_RES_PQ_CB} cb ON cb.j = g.j),
+codes_s AS (SELECT vec_id, j, c FROM (SELECT vec_id, j, c,
+              row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+            FROM fdd_s) WHERE rn = 1),
+codes_t AS (SELECT vec_id, j, c FROM (SELECT vec_id, j, c,
+              row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+            FROM fdd_t) WHERE rn = 1),
+codes_r AS (SELECT vec_id, j, c FROM (SELECT vec_id, j, c,
+              row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+            FROM rdd) WHERE rn = 1),
+pairs AS (
+    SELECT 'pq_seeded' AS variant, a.vec_id AS query_id, co.vec_id AS neighbor_id,
+           list_sum(list(a.d2 ORDER BY a.j)) AS adc
+    FROM codes_s co JOIN fdd_s a ON a.j = co.j AND a.c = co.c
+    WHERE a.vec_id < 20 AND a.vec_id != co.vec_id GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT 'pq_trained', a.vec_id, co.vec_id,
+           list_sum(list(a.d2 ORDER BY a.j))
+    FROM codes_t co JOIN fdd_t a ON a.j = co.j AND a.c = co.c
+    WHERE a.vec_id < 20 AND a.vec_id != co.vec_id GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT 'ivfpq_trained', a.vec_id, co.vec_id,
+           list_sum(list(a.d2 ORDER BY a.j))
+    FROM codes_t co JOIN fdd_t a ON a.j = co.j AND a.c = co.c
+    JOIN resv nc ON nc.vec_id = co.vec_id
+    JOIN resv qp ON qp.vec_id = a.vec_id AND qp.centroid = nc.centroid
+    WHERE a.vec_id < 20 AND a.vec_id != co.vec_id GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT 'ivfpq_residual', a.vec_id, co.vec_id,
+           list_sum(list(a.d2 ORDER BY a.j))
+    FROM codes_r co JOIN rdd a ON a.j = co.j AND a.c = co.c
+    JOIN resv nc ON nc.vec_id = co.vec_id
+    JOIN resv qp ON qp.vec_id = a.vec_id AND qp.centroid = nc.centroid
+    WHERE a.vec_id < 20 AND a.vec_id != co.vec_id GROUP BY 1, 2, 3
+),
+ann AS (SELECT variant, query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY variant, query_id ORDER BY round(adc, 4), neighbor_id) AS rank
+    FROM pairs) WHERE rank <= 5)
+SELECT v.variant, t.query_id,
+       count(*) AS n_truth,
+       SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+       round(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 4) AS recall
+FROM truth t
+CROSS JOIN (SELECT unnest(ARRAY['pq_seeded', 'pq_trained', 'ivfpq_trained',
+                                'ivfpq_residual']) AS variant) v
+LEFT JOIN ann a ON a.variant = v.variant AND t.query_id = a.query_id
+                AND t.neighbor_id = a.neighbor_id
+GROUP BY 1, 2
+"""
+
+
+@register("pq_recall_eval", PQ_RECALL_ORACLE)
+def q_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the four PQ search layouts against the EXACT squared-L2
+    top-5 (the metric PQ approximates): flat ADC with seeded codebooks, flat
+    ADC with trained codebooks, IVF-PQ (trained coarse + trained raw-vector
+    codebooks, nprobe=1), and residual IVF-PQ (codebooks trained on in-cell
+    residuals) — the number that tells an operator what each artifact buys
+    before swapping layouts at scale: trained-vs-seeded isolates codebook
+    quality, flat-vs-IVF isolates the routing recall cost, residual-vs-raw
+    isolates the coordinate-frame win. Fully hash-checked: all four training
+    chains and searches replay in one DuckDB statement."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        ivf_pq_residual_topk,
+        ivf_pq_topk,
+        pq_adc_topk,
+        pq_codebooks_exact,
+        pq_codebooks_from_seeds,
+        residual_frame,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    q = emb.filter(F.col("vec_id") < 20)
+    # exact squared-L2 truth (broadcast nested loop, top-5 window)
+    from pyspark.sql import Window
+
+    qv = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"))
+    d2 = F.expr(
+        "round(aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), "
+        "CAST(__qv AS ARRAY<DOUBLE>), (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, v) -> acc + v), 4)"
+    )
+    w = Window.partitionBy("query_id").orderBy("__d2", "neighbor_id")
+    truth = (
+        emb.withColumnRenamed("vec_id", "neighbor_id")
+        .crossJoin(F.broadcast(qv))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", d2.alias("__d2"))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+
+    seeds = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < PQ_KC)
+        .select("vec_id", "embedding").collect()
+    ]
+    books_s = pq_codebooks_from_seeds(seeds, PQ_M)
+    books_t = pq_codebooks_exact(emb, m=PQ_M, kc=PQ_KC, iters=TRAIN_ITERS)
+    cents = _ivf_trained_centroids(emb)
+    res = residual_frame(emb, cents).select("vec_id", "__res")
+    books_r = pq_codebooks_exact(
+        res, m=PQ_M, kc=PQ_KC, iters=TRAIN_ITERS, vec_col="__res"
+    )
+    variants = [
+        ("pq_seeded", pq_adc_topk(emb, q, books_s, k=5)),
+        ("pq_trained", pq_adc_topk(emb, q, books_t, k=5)),
+        ("ivfpq_trained", ivf_pq_topk(emb, q, cents, books_t, k=5)),
+        ("ivfpq_residual", ivf_pq_residual_topk(emb, q, cents, books_r, k=5)),
+    ]
+    ann = None
+    for vname, df in variants:
+        a = df.select("query_id", "neighbor_id").withColumn("variant", F.lit(vname))
+        ann = a if ann is None else ann.unionByName(a)
+    ann = ann.withColumn("__hit", F.lit(1))
+    vgrid = spark.createDataFrame(
+        [(v,) for v, _ in variants], "variant string"
+    )
+    return (
+        truth.crossJoin(F.broadcast(vgrid))
+        .join(ann, ["variant", "query_id", "neighbor_id"], "left")
+        .groupBy("variant", "query_id")
+        .agg(
+            F.count("*").alias("n_truth"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(
+                F.coalesce(F.sum("__hit"), F.lit(0)).cast("double") / F.count("*"), 4
+            ).alias("recall"),
+        )
+    )

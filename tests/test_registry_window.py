@@ -118,6 +118,7 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "similarity_pq_adc_trained",
         "similarity_ivf_pq_trained",
         "similarity_ivf_pq_residual",
+        "pq_recall_eval",
     },
     # round-11: kmeans_centroids_exact + pq_codebooks_exact added (training
     # behind the unchanged search interface); the seeded search paths
@@ -128,6 +129,7 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "similarity_pq_adc_trained",
         "similarity_ivf_pq_trained",
         "similarity_ivf_pq_residual",
+        "pq_recall_eval",
         "similarity_topk",
         "similarity_ivf_nprobe2",
     },

@@ -95,6 +95,9 @@ SHUFFLE_BUDGET = {
     # eval query (not a production pipeline): 1 brute-force window + 6
     # variant×nprobe search windows + truth-grid join + final rollup
     "ivf_recall_trained_vs_seeded": 10,
+    # eval query: 1 exact-L2 truth window + 4 variant search windows +
+    # truth-grid join + final rollup
+    "pq_recall_eval": 8,
 }
 
 
