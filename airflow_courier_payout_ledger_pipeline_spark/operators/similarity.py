@@ -261,19 +261,50 @@ def kmeans_centroids_exact(
     fixed sequence of IEEE double ops on bit-identical operands
     (``CAST(sum AS DOUBLE) / CAST(count AS DOUBLE) / 10^scale``). Same init
     (k lowest-id vectors), same empty-cluster rule
-    (keep the previous centroid), same O(k·dim) driver state and unrolled
-    assignment bound as :func:`kmeans_centroids`; each iteration is one
-    distributed assign-map + grouped-agg pass. ``iters=0`` degenerates to
-    the seed quantizer, which is what keeps the seeded oracle twins valid."""
+    (keep the previous centroid), same O(k·dim) driver state as
+    :func:`kmeans_centroids`. ``iters=0`` degenerates to the seed quantizer,
+    which is what keeps the seeded oracle twins valid.
+
+    Iteration shape: the TRAINING assignment joins against a k-row broadcast
+    centroid frame and argmins via ``min(struct(d2, cid, vec))`` — NOT the
+    unrolled-literal expression the search paths use. Fresh literals every
+    iteration defeat the Janino codegen cache (measured ~7 s compile per
+    iteration at k=8·dim=64 vs 0.4 s of actual data work); the join form
+    keeps the plan shape constant, so the one compile amortizes across all
+    iterations and all trained queries. Cost: one keyed groupBy shuffle per
+    iteration (map-side partial agg reduces the k candidate rows per vector
+    before the exchange) — the right trade for an offline training pass;
+    the zero-shuffle literal form remains the SEARCH-time layout."""
+    spark = emb.sparkSession
     init = emb.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = [(i, [float(x) for x in r[0]]) for i, r in enumerate(init)]
     if not centroids:  # empty corpus: no quantizer to train
         return []
     quantum = float(10**scale)  # 10^scale is a dyadic-exact double for scale <= 22
+    d2 = F.expr(
+        f"aggregate(zip_with(CAST(`{vec_col}` AS ARRAY<DOUBLE>), __cvec, "
+        "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v)"
+    )
     for _ in range(iters):
-        assigned = emb.select(
-            _assign_to_centroids(centroids, vec_col).alias("__c"),
-            F.posexplode(F.col(vec_col).cast("array<double>")).alias("__p", "__x"),
+        cdf = spark.createDataFrame(
+            [(cid, vec) for cid, vec in centroids], "__cid int, __cvec array<double>"
+        )
+        # min(struct) == row_number over (d2, cid) rn=1: ties to lower cid;
+        # the vector rides in the struct (never compared — cid is unique)
+        best = (
+            emb.crossJoin(F.broadcast(cdf))
+            .select(
+                F.col(id_col),
+                F.struct(
+                    d2.alias("d"), F.col("__cid").alias("c"), F.col(vec_col).alias("v")
+                ).alias("__s"),
+            )
+            .groupBy(id_col)
+            .agg(F.min("__s").alias("__s"))
+        )
+        assigned = best.select(
+            F.col("__s.c").alias("__c"),
+            F.posexplode(F.col("__s.v").cast("array<double>")).alias("__p", "__x"),
         )
         means = (
             assigned.groupBy("__c", "__p")
@@ -532,8 +563,11 @@ def pq_codebooks_exact(
     codebooks — not just the lowest-id seed slices — can sit under a
     hash-checked oracle. Init = :func:`pq_codebooks_from_seeds` over the
     ``kc`` lowest-id vectors; each iteration is ONE distributed pass that
-    re-encodes every row (``_pq_codes`` over the current books) and updates
-    all ``m × kc`` codewords from a single grouped aggregate; empty cells
+    re-encodes every row (broadcast-join argmin against the m·kc codeword
+    frame — constant plan shape, see the kmeans_centroids_exact iteration
+    note) and updates all ``m × kc`` codewords from one grouped aggregate
+    (the per-(vector, subspace) groupBy is the iteration's single keyed
+    shuffle, map-side-combined from kc candidate rows); empty cells
     keep their previous codeword. Driver state is O(m·kc·sub) = O(kc·dim) —
     the standard PQ codebook artifact. ``iters=0`` degenerates to the seed
     codebooks, keeping the seeded oracle twins valid."""
@@ -544,19 +578,40 @@ def pq_codebooks_exact(
         return []
     sub = len(books[0][0])
     quantum = float(10**scale)
+    spark = emb.sparkSession
+    # join-form per-subspace encode (same rationale as kmeans_centroids_exact:
+    # constant plan shape keeps the one Janino compile amortized across
+    # iterations; fresh per-iteration codeword literals would re-compile)
+    d2 = F.expr(
+        f"aggregate(zip_with(slice(CAST(`{vec_col}` AS ARRAY<DOUBLE>), "
+        f"__j * {sub} + 1, {sub}), __sv, (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+    subvec = F.expr(f"slice(CAST(`{vec_col}` AS ARRAY<DOUBLE>), __j * {sub} + 1, {sub})")
     for _ in range(iters):
-        assigned = emb.select(
-            _pq_codes(vec_col, books).alias("__codes"),
-            F.posexplode(F.col(vec_col).cast("array<double>")).alias("__p", "__x"),
+        bdf = spark.createDataFrame(
+            [(j, c, w) for j, bj in enumerate(books) for c, w in enumerate(bj)],
+            "__j int, __c int, __sv array<double>",
+        )
+        best = (
+            emb.crossJoin(F.broadcast(bdf))
+            .select(
+                F.col(id_col),
+                "__j",
+                F.struct(
+                    d2.alias("d"), F.col("__c").alias("c"), subvec.alias("v")
+                ).alias("__s"),
+            )
+            .groupBy(id_col, "__j")
+            .agg(F.min("__s").alias("__s"))
+        )
+        assigned = best.select(
+            F.col("__j"),
+            F.col("__s.c").alias("__c"),
+            F.posexplode(F.col("__s.v")).alias("__d", "__x"),
         )
         means = (
-            assigned.select(
-                F.expr(f"CAST(__p DIV {sub} AS INT)").alias("__j"),
-                F.expr(f"CAST(__codes[CAST(__p DIV {sub} AS INT)] AS INT)").alias("__c"),
-                F.expr(f"CAST(__p % {sub} AS INT)").alias("__d"),
-                "__x",
-            )
-            .groupBy("__j", "__c", "__d")
+            assigned.groupBy("__j", "__c", "__d")
             .agg(
                 (
                     F.sum(

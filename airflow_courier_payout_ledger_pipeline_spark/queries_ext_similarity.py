@@ -389,17 +389,76 @@ SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
 """
 
 
-def _ivf_trained_centroids(emb: DataFrame) -> list[tuple[int, list[float]]]:
+#: (artifact kind, embeddings file stat) -> trained driver artifact. The
+#: trained quantizer/codebooks are PERSISTED INDEX ARTIFACTS in production
+#: (every trainer docstring says so) — re-deriving them per registered query
+#: would re-pay TRAIN_ITERS distributed passes each time the bench or driver
+#: touches a trained variant. Keyed by the source file's stat so an
+#: in-process rewrite of the testdata invalidates the entry instead of
+#: serving a stale index (the r10 streaming ts-cache ADVICE, applied here
+#: from the start). Values are plain Python lists of floats — O(k·dim) /
+#: O(m·k_c·sub), no Spark state.
+_TRAINED_ARTIFACTS: dict[tuple[str, tuple[str, int, int]], object] = {}
+
+
+def _emb_stat_key(sf_dir: str) -> tuple[str, int, int]:
+    import os
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(p)
+        return (p, st.st_mtime_ns, st.st_size)
+    except OSError:  # non-local FS: fall back to path-only
+        return (p, 0, 0)
+
+
+def _ivf_trained_centroids(emb: DataFrame, sf_dir: str) -> list[tuple[int, list[float]]]:
     """The PRODUCTION coarse quantizer: exact-decimal Lloyd's from the k
     lowest-id init (operators/similarity.kmeans_centroids_exact). Training is
     TRAIN_ITERS distributed passes and an O(k·dim) driver artifact — in a real
     deployment it is persisted as the index contract, not re-derived per
-    query."""
+    query; the stat-keyed memo above is that persistence in-process."""
     from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
         kmeans_centroids_exact,
     )
 
-    return kmeans_centroids_exact(emb, k=IVF_K, iters=TRAIN_ITERS)
+    key = ("centroids", _emb_stat_key(sf_dir))
+    if key not in _TRAINED_ARTIFACTS:
+        _TRAINED_ARTIFACTS[key] = kmeans_centroids_exact(
+            emb, k=IVF_K, iters=TRAIN_ITERS
+        )
+    return _TRAINED_ARTIFACTS[key]
+
+
+def _pq_trained_books(emb: DataFrame, sf_dir: str) -> list[list[list[float]]]:
+    """Trained raw-vector PQ codebooks, stat-memoized like the centroids."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        pq_codebooks_exact,
+    )
+
+    key = ("books_raw", _emb_stat_key(sf_dir))
+    if key not in _TRAINED_ARTIFACTS:
+        _TRAINED_ARTIFACTS[key] = pq_codebooks_exact(
+            emb, m=PQ_M, kc=PQ_KC, iters=TRAIN_ITERS
+        )
+    return _TRAINED_ARTIFACTS[key]
+
+
+def _pq_residual_books(emb: DataFrame, sf_dir: str) -> list[list[list[float]]]:
+    """Residual-trained PQ codebooks (over x - centroid(x)), stat-memoized."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        pq_codebooks_exact,
+        residual_frame,
+    )
+
+    key = ("books_res", _emb_stat_key(sf_dir))
+    if key not in _TRAINED_ARTIFACTS:
+        cents = _ivf_trained_centroids(emb, sf_dir)
+        res = residual_frame(emb, cents).select("vec_id", "__res")
+        _TRAINED_ARTIFACTS[key] = pq_codebooks_exact(
+            res, m=PQ_M, kc=PQ_KC, iters=TRAIN_ITERS, vec_col="__res"
+        )
+    return _TRAINED_ARTIFACTS[key]
 
 
 @register("similarity_ivf_topk_trained", IVF_TOPK_TRAINED_ORACLE)
@@ -417,7 +476,10 @@ def q_similarity_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     return ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 20), _ivf_trained_centroids(emb), k=5
+        emb,
+        emb.filter(F.col("vec_id") < 20),
+        _ivf_trained_centroids(emb, sf_dir),
+        k=5,
     )
 
 
@@ -836,7 +898,7 @@ def q_ivf_recall_trained_vs_seeded(spark: SparkSession, sf_dir: str) -> DataFram
     truth = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
     variants = [
         ("seeded", _ivf_seed_centroids(emb)),
-        ("trained", _ivf_trained_centroids(emb)),
+        ("trained", _ivf_trained_centroids(emb, sf_dir)),
     ]
     ann = None
     for vname, cents in variants:
@@ -967,11 +1029,10 @@ def q_similarity_pq_adc_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     what tightens ADC's distance approximation on structured corpora."""
     from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
         pq_adc_topk,
-        pq_codebooks_exact,
     )
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    books = pq_codebooks_exact(emb, m=PQ_M, kc=PQ_KC, iters=TRAIN_ITERS)
+    books = _pq_trained_books(emb, sf_dir)
     return pq_adc_topk(emb, emb.filter(F.col("vec_id") < 20), books, k=5)
 
 
@@ -1028,13 +1089,16 @@ def q_similarity_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerate iters=0 case."""
     from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
         ivf_pq_topk,
-        pq_codebooks_exact,
     )
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    books = pq_codebooks_exact(emb, m=PQ_M, kc=PQ_KC, iters=TRAIN_ITERS)
+    books = _pq_trained_books(emb, sf_dir)
     return ivf_pq_topk(
-        emb, emb.filter(F.col("vec_id") < 20), _ivf_trained_centroids(emb), books, k=5
+        emb,
+        emb.filter(F.col("vec_id") < 20),
+        _ivf_trained_centroids(emb, sf_dir),
+        books,
+        k=5,
     )
 
 
@@ -1114,14 +1178,11 @@ def q_similarity_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     path (operators/similarity.ivf_pq_residual_topk)."""
     from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
         ivf_pq_residual_topk,
-        pq_codebooks_exact,
-        residual_frame,
     )
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    cents = _ivf_trained_centroids(emb)
-    res = residual_frame(emb, cents).select("vec_id", "__res")
-    books = pq_codebooks_exact(res, m=PQ_M, kc=PQ_KC, iters=TRAIN_ITERS, vec_col="__res")
+    cents = _ivf_trained_centroids(emb, sf_dir)
+    books = _pq_residual_books(emb, sf_dir)
     return ivf_pq_residual_topk(
         emb, emb.filter(F.col("vec_id") < 20), cents, books, k=5
     )
@@ -1230,9 +1291,7 @@ def q_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_pq_residual_topk,
         ivf_pq_topk,
         pq_adc_topk,
-        pq_codebooks_exact,
         pq_codebooks_from_seeds,
-        residual_frame,
     )
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
@@ -1263,12 +1322,9 @@ def q_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding").collect()
     ]
     books_s = pq_codebooks_from_seeds(seeds, PQ_M)
-    books_t = pq_codebooks_exact(emb, m=PQ_M, kc=PQ_KC, iters=TRAIN_ITERS)
-    cents = _ivf_trained_centroids(emb)
-    res = residual_frame(emb, cents).select("vec_id", "__res")
-    books_r = pq_codebooks_exact(
-        res, m=PQ_M, kc=PQ_KC, iters=TRAIN_ITERS, vec_col="__res"
-    )
+    books_t = _pq_trained_books(emb, sf_dir)
+    cents = _ivf_trained_centroids(emb, sf_dir)
+    books_r = _pq_residual_books(emb, sf_dir)
     variants = [
         ("pq_seeded", pq_adc_topk(emb, q, books_s, k=5)),
         ("pq_trained", pq_adc_topk(emb, q, books_t, k=5)),
