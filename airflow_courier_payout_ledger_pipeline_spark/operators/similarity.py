@@ -1196,3 +1196,98 @@ def semdedup_pairs(
         .select("cluster", "id_a", "id_b", sim.alias("sim"))
         .filter(F.col("sim") >= F.lit(threshold))
     )
+
+
+# --- IVF index maintenance: mergeable per-list statistics ---------------------------
+
+
+def ivf_list_state(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    err_scale: int = 6,
+) -> DataFrame:
+    """Mergeable per-inverted-list statistics for a FROZEN quantizer — the
+    nightly maintenance pass of a trained IVF index: each increment assigns
+    map-side against the persisted centroids (the same unrolled-literal
+    expression the search uses; the quantizer never retrains per increment)
+    and folds to one row per list: ``(centroid, n, err_q)`` where ``n`` is
+    the posting count and ``err_q`` the exact DECIMAL sum of
+    ``round(d2·10^err_scale)`` quantization errors (same cross-engine-exact
+    sum discipline as the trainers). Counts and quantized sums are plain +
+    algebra, so day states fold into rollups with :func:`merge_ivf_list_states`
+    at O(increment) — never re-assigning history — and the readout
+    (:func:`ivf_list_stats`) is the index-health signal operators watch:
+    list-size skew says which cells to split or probe wider, mean
+    quantization error says when drift warrants retraining."""
+    if not centroids:  # cold start: no quantizer -> empty state (not a crash)
+        return emb.sparkSession.createDataFrame(
+            [], "centroid int, n bigint, err_q decimal(38,0)"
+        )
+    d = _sq_l2_sql_for_assigned(centroids, vec_col)
+    return (
+        emb.filter(F.col(id_col).isNotNull())
+        .select(
+            _assign_to_centroids(centroids, vec_col).alias("centroid"),
+            F.expr(d).alias("__d2"),
+        )
+        .groupBy("centroid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("__d2") * F.lit(float(10**err_scale))).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("err_q"),
+        )
+    )
+
+
+def _sq_l2_sql_for_assigned(
+    centroids: list[tuple[int, list[float]]], vec_col: str
+) -> str:
+    """SQL text: squared L2 to the row's NEAREST centroid — array_min over the
+    same (distance, id) structs as the assignment, reading ``.d`` instead of
+    ``.c`` (one expression; Catalyst subexpression-eliminates the shared
+    argmin when both columns appear in one projection)."""
+    d = len(centroids[0][1])
+    cands = ", ".join(
+        f"named_struct('d', {_sq_l2_sql(vec_col, 1, d, cvec)}, 'c', {cid})"
+        for cid, cvec in centroids
+    )
+    return f"array_min(array({cands})).d"
+
+
+def merge_ivf_list_states(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two IVF list states built against the SAME frozen quantizer:
+    per-centroid count and quantized-error sums add — associative,
+    commutative, increment-order-free (the ledger/CMS merge algebra)."""
+    return (
+        a.unionByName(b)
+        .groupBy("centroid")
+        .agg(F.sum("n").alias("n"), F.sum("err_q").alias("err_q"))
+    )
+
+
+def ivf_list_stats(state: DataFrame, err_scale: int = 6) -> DataFrame:
+    """Readout over a (merged) list state: posting count, share of the corpus,
+    and mean quantization error per inverted list — exact IEEE division of
+    exact operands, so the numbers hash-check cross-engine."""
+    total = state.agg(F.sum("n").alias("__total"))
+    quantum = float(10**err_scale)
+    return (
+        state.crossJoin(F.broadcast(total))
+        .select(
+            "centroid",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("__total").cast("double"), 4)
+            .alias("list_share"),
+            F.round(
+                F.col("err_q").cast("double")
+                / F.col("n").cast("double")
+                / F.lit(quantum),
+                6,
+            ).alias("mean_quant_err"),
+        )
+    )

@@ -84,6 +84,8 @@ HEADLINE = [
     "similarity_pq_adc_trained",
     "similarity_ivf_pq_trained",
     "similarity_ivf_pq_residual",
+    # round-11: nightly index maintenance fold (the living trained index)
+    "ivf_index_maintenance",
     "mad_outlier_audit",
     # round-10 additions: incremental z-order compaction (equivalence-proved
     # layout maintenance) and the end-to-end chunk->pack->shard pipeline

@@ -408,3 +408,42 @@ def test_residual_pq_tightens_adc_error(clustered):
         # separated clusters: candidates only from the query's own cell
         assert r.query_id % 2 == r.neighbor_id % 2, (r.query_id, r.neighbor_id)
         assert 1 <= r.rank <= 3 and r.adc_dist >= 0.0
+
+
+def test_ivf_list_state_merge_equals_rebuild_and_flags_skew(spark):
+    """The maintenance algebra's law: folding per-increment list states must be
+    bit-identical to indexing everything in one pass (count + quantized-error
+    sums are associative/commutative), and the readout must surface list
+    skew — the signal that says split-the-cell/probe-wider at 100 TB."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        ivf_list_state,
+        ivf_list_stats,
+        kmeans_centroids_exact,
+        merge_ivf_list_states,
+    )
+
+    # skewed corpus: 3/4 of rows in cluster A
+    rows = []
+    for i in range(80):
+        in_a = i % 4 != 0
+        base = [10.0, 0.0, 0.0, 0.0] if in_a else [0.0, 10.0, 0.0, 0.0]
+        rows.append((i, [b + ((i * 3 + j) % 5) / 8.0 for j, b in enumerate(base)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_centroids_exact(emb, k=2, iters=2)
+
+    full = ivf_list_state(emb, cents)
+    merged = merge_ivf_list_states(
+        ivf_list_state(emb.filter(F.col("vec_id") % 3 == 0), cents),
+        merge_ivf_list_states(
+            ivf_list_state(emb.filter(F.col("vec_id") % 3 == 1), cents),
+            ivf_list_state(emb.filter(F.col("vec_id") % 3 == 2), cents),
+        ),
+    )
+    key = lambda df: sorted((r.centroid, r.n, r.err_q) for r in df.collect())  # noqa: E731
+    assert key(merged) == key(full)
+
+    stats = {r.centroid: r for r in ivf_list_stats(merged).collect()}
+    shares = sorted(r.list_share for r in stats.values())
+    assert shares[-1] >= 0.7 and shares[0] <= 0.3  # the skew is visible
+    assert all(r.mean_quant_err >= 0 for r in stats.values())
+    assert sum(r.n for r in stats.values()) == 80

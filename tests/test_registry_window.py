@@ -119,6 +119,7 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "similarity_ivf_pq_trained",
         "similarity_ivf_pq_residual",
         "pq_recall_eval",
+        "ivf_index_maintenance",
     },
     # round-11: kmeans_centroids_exact + pq_codebooks_exact added (training
     # behind the unchanged search interface); the seeded search paths
@@ -130,6 +131,7 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "similarity_ivf_pq_trained",
         "similarity_ivf_pq_residual",
         "pq_recall_eval",
+        "ivf_index_maintenance",
         "similarity_topk",
         "similarity_ivf_nprobe2",
     },

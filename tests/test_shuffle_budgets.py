@@ -92,6 +92,10 @@ SHUFFLE_BUDGET = {
     "similarity_pq_adc_trained": 1,  # broadcast ADC tables; one top-k window
     "similarity_ivf_pq_trained": 1,  # routed broadcast join; one top-k window
     "similarity_ivf_pq_residual": 1,  # same topology; residual is a map expr
+    # 2 half-state builds (map-side combined to <= k rows/partition) + merge
+    # agg + totals agg + readout; every exchange past the builds carries
+    # <= k rows
+    "ivf_index_maintenance": 5,
     # eval query (not a production pipeline): 1 brute-force window + 6
     # variant×nprobe search windows + truth-grid join + final rollup
     "ivf_recall_trained_vs_seeded": 10,
