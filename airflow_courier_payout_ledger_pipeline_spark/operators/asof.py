@@ -49,7 +49,10 @@ def asof_join(
     matches the earliest ``right.ts >= left.ts`` (label an event with the
     outcome that FOLLOWED it — the attribution/conversion-labeling shape a
     training pipeline uses to build supervised targets without future leaks
-    beyond the chosen horizon). ``tolerance_seconds`` bounds the match gap
+    beyond the chosen horizon); ``direction="nearest"`` matches whichever of
+    the two is closer in time (pandas ``merge_asof(direction='nearest')``),
+    with equal-gap ties resolved to the BACKWARD match — state over future,
+    so a tie never leaks. ``tolerance_seconds`` bounds the match gap
     (pandas ``merge_asof(tolerance=...)`` semantics): a nearest row farther
     than the horizon nulls out, it does not fall through to the next-nearest.
     Also emits the matched timestamp as ``{right_ts}{suffix}``.
@@ -62,8 +65,10 @@ def asof_join(
     ``right`` should be unique per (key, right_ts) — pre-aggregate if not, or
     the carried payload at a tied timestamp is tie-broken by nothing.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     lcols = left.columns
     ltypes = dict(left.dtypes)
     rpay = [F.col(c).alias(f"__r_{c}") for c in (right_ts, *right_values)]
@@ -89,37 +94,82 @@ def asof_join(
     # right rows sort before left rows at the same instant → inclusive ties in
     # both directions (forward scans time-descending, so "last seen right" is
     # the earliest at-or-after)
-    order_ts = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
-    w = (
+    wb = (
         Window.partitionBy(key)
-        .orderBy(order_ts, "__side")
+        .orderBy(F.col("__ts"), "__side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = u.select(
-        key,
-        "__ts",
-        "__side",
-        *[F.col(f"__l_{c}") for c in lcols if c != key],
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in (right_ts, *right_values)
-        ],
+    wf = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts").desc(), "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = carried.filter(F.col("__side") == 1)
+    rts_type = dict(right.dtypes)[right_ts]
+    if direction in ("backward", "forward"):
+        w = wb if direction == "backward" else wf
+        carried = u.select(
+            key,
+            "__ts",
+            "__side",
+            *[F.col(f"__l_{c}") for c in lcols if c != key],
+            *[
+                F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__m_{c}")
+                for c in (right_ts, *right_values)
+            ],
+        )
+        out = carried.filter(F.col("__side") == 1)
+    else:  # nearest: BOTH carries ride the one ascending sort — backward as
+        # the usual trailing frame, forward as first(ignorenulls) over the
+        # FOLLOWING frame — so the whole direction costs one exchange + one
+        # sort (plan-asserted in tests), then a per-row closer-gap pick.
+        # A right row at the exact left instant sorts before the left row
+        # (side order) and is thus excluded from the following frame, but
+        # it is carried by the backward frame at gap 0, and equal-gap ties
+        # prefer the backward match anyway (state over future, no leak on
+        # ties) — so the exclusion cannot change the result.
+        wfwd = (
+            Window.partitionBy(key)
+            .orderBy(F.col("__ts"), "__side")
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        carried = u.select(
+            key,
+            "__ts",
+            "__side",
+            *[F.col(f"__l_{c}") for c in lcols if c != key],
+            *[
+                F.last(F.col(f"__r_{c}"), ignorenulls=True).over(wb).alias(f"__mb_{c}")
+                for c in (right_ts, *right_values)
+            ],
+            *[
+                F.first(F.col(f"__r_{c}"), ignorenulls=True)
+                .over(wfwd)
+                .alias(f"__mf_{c}")
+                for c in (right_ts, *right_values)
+            ],
+        ).filter(F.col("__side") == 1)
+        gap_b = _time_gap(F.col(f"__mb_{right_ts}"), F.col("__ts"), rts_type)
+        gap_f = _time_gap(F.col(f"__mf_{right_ts}"), F.col("__ts"), rts_type)
+        use_b = F.col(f"__mb_{right_ts}").isNotNull() & (
+            F.col(f"__mf_{right_ts}").isNull() | (gap_b <= gap_f)
+        )
+        out = carried.select(
+            key,
+            "__ts",
+            *[F.col(f"__l_{c}") for c in lcols if c != key],
+            *[
+                F.when(use_b, F.col(f"__mb_{c}"))
+                .otherwise(F.col(f"__mf_{c}"))
+                .alias(f"__m_{c}")
+                for c in (right_ts, *right_values)
+            ],
+        )
     if tolerance_seconds is not None:
         mts, lts = F.col(f"__m_{right_ts}"), F.col("__ts")
-        rts_type = dict(right.dtypes)[right_ts]
+        gap = _time_gap(mts, lts, rts_type)
         if rts_type.startswith("timestamp"):
-            # cast through TIMESTAMP: unix_micros rejects TIMESTAMP_NTZ, and
-            # the NTZ->TZ cast shifts both sides identically (session tz), so
-            # the DIFFERENCE is timezone-invariant
-            gap = F.abs(
-                F.unix_micros(mts.cast("timestamp"))
-                - F.unix_micros(lts.cast("timestamp"))
-            )
             limit = F.lit(int(tolerance_seconds) * 1_000_000)
         else:  # numeric time axes (epoch seconds, sequence numbers)
-            gap = F.abs(mts.cast("double") - lts.cast("double"))
             limit = F.lit(float(tolerance_seconds))
         ok = mts.isNotNull() & (gap <= limit)
         out = out.select(
@@ -135,3 +185,15 @@ def asof_join(
         F.col(f"__m_{right_ts}").alias(f"{right_ts}{suffix}"),
         *[F.col(f"__m_{c}").alias(c) for c in right_values],
     )
+
+
+def _time_gap(mts, lts, rts_type: str):
+    """|match ts - left ts| on the right-ts axis: microseconds for timestamp
+    axes (cast through TIMESTAMP — unix_micros rejects TIMESTAMP_NTZ, and the
+    NTZ->TZ cast shifts both sides identically so the DIFFERENCE is
+    timezone-invariant), raw double units for numeric axes."""
+    if rts_type.startswith("timestamp"):
+        return F.abs(
+            F.unix_micros(mts.cast("timestamp")) - F.unix_micros(lts.cast("timestamp"))
+        )
+    return F.abs(mts.cast("double") - lts.cast("double"))

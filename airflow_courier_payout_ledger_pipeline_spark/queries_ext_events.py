@@ -578,3 +578,65 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
         F.sum("credit").cast("decimal(18,4)").alias("credit_sum"),
     )
+
+
+ASOF_NEAREST_ORACLE = """
+WITH p AS (
+    SELECT user_id, ts AS pts, max(CAST(value AS DECIMAL(14,2))) AS pval
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+b AS (
+    SELECT e.event_id, e.user_id, e.ts, e.event_type, p.pts AS bts, p.pval AS bval
+    FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.pts
+),
+f AS (
+    SELECT e.event_id, p.pts AS fts, p.pval AS fval
+    FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.pts
+),
+j AS (SELECT b.*, f.fts, f.fval FROM b JOIN f USING (event_id)),
+pick AS (
+    SELECT event_id, user_id, ts, event_type,
+           CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
+                     epoch_ns(ts) - epoch_ns(bts) <= epoch_ns(fts) - epoch_ns(ts))
+                THEN bts ELSE fts END AS pts_asof,
+           CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
+                     epoch_ns(ts) - epoch_ns(bts) <= epoch_ns(fts) - epoch_ns(ts))
+                THEN bval ELSE fval END AS pv
+    FROM j
+)
+SELECT event_id, user_id, ts, event_type, pts_asof,
+       pv::DOUBLE AS nearest_purchase_value
+FROM pick
+"""
+
+
+@register("asof_join_nearest", ASOF_NEAREST_ORACLE)
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join — the third merge_asof direction, completing the
+    backward (`asof_join_events`) / forward (`asof_join_forward_tolerance`)
+    family: each event labeled with the user's temporally CLOSEST purchase,
+    before or after, equal-gap ties to the backward match (state over future
+    — a tie never leaks). Plan shape: the same one-key-shuffle union with
+    BOTH carries on one ascending sort in one Window exec (backward =
+    trailing frame, forward = following frame; plan-asserted in
+    tests/test_asof.py), then a per-row closer-gap pick — linear like its
+    siblings, never a range explosion. Oracle: two native DuckDB ASOF joins
+    + the identical gap CASE."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.asof import asof_join
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    left = events.select("event_id", "user_id", "ts", "event_type")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("pts"))
+        .agg(F.max(F.col("value").cast("decimal(14,2)")).alias("nearest_purchase_value"))
+    )
+    return asof_join(
+        left,
+        purchases,
+        "user_id",
+        "ts",
+        "pts",
+        ["nearest_purchase_value"],
+        direction="nearest",
+    )

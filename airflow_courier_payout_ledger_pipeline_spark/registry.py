@@ -329,8 +329,7 @@ ADJUDICATION_WINDOW_FIRST: list[str] = [
     "lang_id",
     "doc_fingerprint",
     "dedup_exact",
-    "minhash_signatures",
-    # -- round-11 additions take the last seven slots so they land driver
+    # -- round-11 additions take the last eight slots so they land driver
     # rows THIS round instead of repeating the late-addition-weak pattern
     # (r9/r10 verdicts item 1); the three displaced r8-stale veterans lead
     # the r12 plan's veteran block --
@@ -341,6 +340,7 @@ ADJUDICATION_WINDOW_FIRST: list[str] = [
     "similarity_ivf_pq_residual",
     "pq_recall_eval",
     "ivf_index_maintenance",
+    "asof_join_nearest",
 ]
 
 
@@ -377,6 +377,7 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "video_frame_sample",
     # -- r8-stale veterans displaced from the r11 window by the round-11
     # trained-quantizer additions (which adjudicate in the ACTIVE window) --
+    "minhash_signatures",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_two_stage",

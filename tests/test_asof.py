@@ -73,3 +73,39 @@ def test_backward_default_unchanged_by_new_parameters(spark):
     right = spark.createDataFrame([("k", 4, 1), ("k", 9, 2)], "key string, rts long, v long")
     out = {r.ts: r.v for r in asof_join(left, right, "key", "ts", "rts", ["v"]).collect()}
     assert out == {10: 2, 3: None}
+
+
+def test_nearest_direction_matches_pandas_and_single_sort(spark):
+    """Nearest = closer of backward/forward with ties to backward (pandas
+    merge_asof parity is property-tested in test_properties.py; this pins a
+    readable fixed case incl. an exact tie) — and the plan carries BOTH
+    directions on ONE ascending sort: exactly one Window exec, no second
+    exchange/sort for the forward frame."""
+    import pandas as pd
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 0), (1, 19, 1), (1, 25, 2), (2, 7, 3)],
+        "key int, ts long, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100), (1, 15, 200), (1, 30, 300), (2, 2, 400), (2, 12, 500)],
+        "key int, rts long, v long",
+    )
+    out = asof_join(left, right, "key", "ts", "rts", ["v"], direction="nearest")
+    got = {r.lid: (r.rts_asof, r.v) for r in out.collect()}
+    lp = left.toPandas().sort_values("ts")
+    rp = right.toPandas().sort_values("rts")
+    ref = pd.merge_asof(lp, rp, left_on="ts", right_on="rts", by="key",
+                        direction="nearest")
+    for _, row in ref.iterrows():
+        assert got[row["lid"]] == (row["rts"], row["v"])
+    # lid=3: ts=7 is equidistant from rts 2 and 12 -> backward (2) wins
+    assert got[3] == (2, 400)
+    # AQE prints final + initial plans; count in the final section only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Window [") == 1  # both carries in ONE window exec
+    assert final.count("+- Exchange") + final.count("- Exchange") <= 2  # one (dedup'd) exchange line
+    assert len([l for l in final.splitlines() if "Sort [" in l]) == 1  # one sort

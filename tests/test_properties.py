@@ -844,7 +844,7 @@ asof_strategy = st.tuples(
         min_size=0,
         max_size=20,
     ),
-    st.sampled_from(["backward", "forward"]),
+    st.sampled_from(["backward", "forward", "nearest"]),
     st.one_of(st.none(), st.integers(0, 20)),
 )
 
@@ -852,10 +852,11 @@ asof_strategy = st.tuples(
 @SET
 @given(data=asof_strategy)
 def test_asof_join_matches_pandas_merge_asof_any_direction_tolerance(spark, data):
-    """asof_join must agree with pandas' reference merge_asof for both
-    directions and any tolerance on random (key, ts) data — including
-    duplicate left timestamps, empty right sides, and horizon-excluded
-    nearest matches."""
+    """asof_join must agree with pandas' reference merge_asof for all THREE
+    directions (incl. nearest — whose equal-gap tie both engines resolve to
+    the backward match) and any tolerance on random (key, ts) data —
+    including duplicate left timestamps, empty right sides, and
+    horizon-excluded nearest matches."""
     import pandas as pd
 
     from airflow_courier_payout_ledger_pipeline_spark.operators.asof import asof_join

@@ -141,12 +141,17 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "asof_join_forward_tolerance",
         # round-10: linear attribution registration
         "attribution_linear",
+        # round-11: nearest-direction as-of registration
+        "asof_join_nearest",
     },
     # round-10: direction/tolerance parameters added (backward default
     # byte-identical; both directions re-adjudicate in r11)
+    # round-11: nearest direction added (backward/forward paths unchanged;
+    # all three re-adjudicate)
     "airflow_courier_payout_ledger_pipeline_spark/operators/asof.py": {
         "asof_join_events",
         "asof_join_forward_tolerance",
+        "asof_join_nearest",
     },
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_curation.py": {
         "zorder_incremental_compaction",

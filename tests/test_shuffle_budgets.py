@@ -96,6 +96,10 @@ SHUFFLE_BUDGET = {
     # agg + totals agg + readout; every exchange past the builds carries
     # <= k rows
     "ivf_index_maintenance": 5,
+    # right-side purchase pre-agg + ONE asof window exchange (both nearest
+    # carries ride a single ascending sort — backward trailing frame +
+    # forward following frame)
+    "asof_join_nearest": 2,
     # eval query (not a production pipeline): 1 brute-force window + 6
     # variant×nprobe search windows + truth-grid join + final rollup
     "ivf_recall_trained_vs_seeded": 10,
