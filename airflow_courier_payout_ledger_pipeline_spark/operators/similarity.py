@@ -276,6 +276,15 @@ def kmeans_centroids_exact(
     before the exchange) — the right trade for an offline training pass;
     the zero-shuffle literal form remains the SEARCH-time layout."""
     spark = emb.sparkSession
+    # the iteration crossJoins a (__cid, __cvec) frame and builds __s/__c/__p/
+    # __x columns; an input already carrying one would be ambiguous downstream
+    # (the r10 training_shard_layout lesson: guard loudly, never emit dupes)
+    reserved = {"__cid", "__cvec", "__s", "__c", "__p", "__x"} & set(emb.columns)
+    if reserved:
+        raise ValueError(
+            f"input columns collide with reserved trainer names: "
+            f"{sorted(reserved)} — rename them before kmeans_centroids_exact"
+        )
     init = emb.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = [(i, [float(x) for x in r[0]]) for i, r in enumerate(init)]
     if not centroids:  # empty corpus: no quantizer to train
@@ -571,6 +580,12 @@ def pq_codebooks_exact(
     keep their previous codeword. Driver state is O(m·kc·sub) = O(kc·dim) —
     the standard PQ codebook artifact. ``iters=0`` degenerates to the seed
     codebooks, keeping the seeded oracle twins valid."""
+    reserved = {"__j", "__c", "__sv", "__s", "__d", "__x"} & set(emb.columns)
+    if reserved:
+        raise ValueError(
+            f"input columns collide with reserved trainer names: "
+            f"{sorted(reserved)} — rename them before pq_codebooks_exact"
+        )
     rows = emb.orderBy(id_col).limit(kc).select(id_col, vec_col).collect()
     seeds = [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
     books = pq_codebooks_from_seeds(seeds, m)

@@ -447,3 +447,24 @@ def test_ivf_list_state_merge_equals_rebuild_and_flags_skew(spark):
     assert shares[-1] >= 0.7 and shares[0] <= 0.3  # the skew is visible
     assert all(r.mean_quant_err >= 0 for r in stats.values())
     assert sum(r.n for r in stats.values()) == 80
+
+
+def test_exact_trainers_reject_reserved_column_collisions(spark):
+    """Trainer iterations crossJoin reserved-named frames; an input already
+    carrying one of those names must raise clearly instead of producing
+    ambiguous columns (the r10 training_shard_layout ADVICE, applied here)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        kmeans_centroids_exact,
+        pq_codebooks_exact,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0], 9)], "vec_id long, embedding array<float>, __cid int"
+    )
+    with pytest.raises(ValueError, match="reserved trainer names"):
+        kmeans_centroids_exact(df, k=1, iters=1)
+    df2 = spark.createDataFrame(
+        [(0, [1.0, 2.0], 9)], "vec_id long, embedding array<float>, __sv int"
+    )
+    with pytest.raises(ValueError, match="reserved trainer names"):
+        pq_codebooks_exact(df2, m=2, kc=1, iters=1)
