@@ -1235,10 +1235,16 @@ def ivf_list_state(
     at O(increment) — never re-assigning history — and the readout
     (:func:`ivf_list_stats`) is the index-health signal operators watch:
     list-size skew says which cells to split or probe wider, mean
-    quantization error says when drift warrants retraining."""
+    quantization error says when drift warrants retraining.
+
+    The state RECORDS its ``err_scale`` as a column: summing quanta built at
+    different scales would be silently wrong (the same bucket-indexes-a-
+    different-range hazard as CMS width — operators/sketch.py), so the merge
+    validates scales loudly and the readout derives the scale from the state
+    instead of trusting a caller-repeated parameter."""
     if not centroids:  # cold start: no quantizer -> empty state (not a crash)
         return emb.sparkSession.createDataFrame(
-            [], "centroid int, n bigint, err_q decimal(38,0)"
+            [], "centroid int, n bigint, err_q decimal(38,0), err_scale int"
         )
     d = _sq_l2_sql_for_assigned(centroids, vec_col)
     return (
@@ -1256,6 +1262,7 @@ def ivf_list_state(
                 )
             ).alias("err_q"),
         )
+        .withColumn("err_scale", F.lit(int(err_scale)))
     )
 
 
@@ -1277,20 +1284,42 @@ def _sq_l2_sql_for_assigned(
 def merge_ivf_list_states(a: DataFrame, b: DataFrame) -> DataFrame:
     """Fold two IVF list states built against the SAME frozen quantizer:
     per-centroid count and quantized-error sums add — associative,
-    commutative, increment-order-free (the ledger/CMS merge algebra)."""
-    return (
+    commutative, increment-order-free (the ledger/CMS merge algebra).
+    States built at DIFFERENT ``err_scale`` cannot fold (their quanta index
+    different ranges), so the merged scale column raises lazily on global
+    mismatch — the CMS width-check pattern (a single-partition window over
+    the ≤ k-row merged state, never a data-sized sort)."""
+    merged = (
         a.unionByName(b)
         .groupBy("centroid")
-        .agg(F.sum("n").alias("n"), F.sum("err_q").alias("err_q"))
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("err_q").alias("err_q"),
+            F.min("err_scale").alias("__smin"),
+            F.max("err_scale").alias("__smax"),
+        )
+    )
+    w = Window.partitionBy()
+    return merged.select(
+        "centroid",
+        "n",
+        "err_q",
+        F.when(
+            F.min("__smin").over(w) != F.max("__smax").over(w),
+            F.raise_error(F.lit("IVF list-state err_scale mismatch between merged states")),
+        )
+        .otherwise(F.col("__smax"))
+        .alias("err_scale"),
     )
 
 
-def ivf_list_stats(state: DataFrame, err_scale: int = 6) -> DataFrame:
+def ivf_list_stats(state: DataFrame) -> DataFrame:
     """Readout over a (merged) list state: posting count, share of the corpus,
     and mean quantization error per inverted list — exact IEEE division of
-    exact operands, so the numbers hash-check cross-engine."""
+    exact operands, so the numbers hash-check cross-engine. The error scale
+    comes from the STATE's recorded column (10^err_scale as a double is
+    dyadic-exact for scale <= 22), never a caller-repeated parameter."""
     total = state.agg(F.sum("n").alias("__total"))
-    quantum = float(10**err_scale)
     return (
         state.crossJoin(F.broadcast(total))
         .select(
@@ -1301,7 +1330,7 @@ def ivf_list_stats(state: DataFrame, err_scale: int = 6) -> DataFrame:
             F.round(
                 F.col("err_q").cast("double")
                 / F.col("n").cast("double")
-                / F.lit(quantum),
+                / F.pow(F.lit(10.0), F.col("err_scale").cast("double")),
                 6,
             ).alias("mean_quant_err"),
         )

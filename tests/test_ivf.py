@@ -468,3 +468,29 @@ def test_exact_trainers_reject_reserved_column_collisions(spark):
     )
     with pytest.raises(ValueError, match="reserved trainer names"):
         pq_codebooks_exact(df2, m=2, kc=1, iters=1)
+
+
+def test_ivf_list_state_merge_rejects_scale_mismatch(spark):
+    """States quantized at different err_scale cannot fold — the merged scale
+    column raises lazily on global mismatch (the CMS width-check pattern);
+    re-building at a matching scale merges cleanly and the readout derives
+    the scale from the state, not a caller-repeated parameter."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        ivf_list_state,
+        ivf_list_stats,
+        kmeans_centroids_exact,
+        merge_ivf_list_states,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5)]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = kmeans_centroids_exact(emb, k=2, iters=1)
+    a = ivf_list_state(emb.filter(F.col("vec_id") < 6), cents, err_scale=6)
+    b = ivf_list_state(emb.filter(F.col("vec_id") >= 6), cents, err_scale=4)
+    with pytest.raises(Exception, match="err_scale mismatch"):
+        merge_ivf_list_states(a, b).collect()
+    b6 = ivf_list_state(emb.filter(F.col("vec_id") >= 6), cents, err_scale=6)
+    out = ivf_list_stats(merge_ivf_list_states(a, b6)).collect()
+    assert sum(r.n for r in out) == 12 and all(r.mean_quant_err >= 0 for r in out)

@@ -93,9 +93,10 @@ SHUFFLE_BUDGET = {
     "similarity_ivf_pq_trained": 1,  # routed broadcast join; one top-k window
     "similarity_ivf_pq_residual": 1,  # same topology; residual is a map expr
     # 2 half-state builds (map-side combined to <= k rows/partition) + merge
-    # agg + totals agg + readout; every exchange past the builds carries
+    # agg + the err_scale global-check window (single partition over <= k
+    # rows) + totals agg + readout; every exchange past the builds carries
     # <= k rows
-    "ivf_index_maintenance": 5,
+    "ivf_index_maintenance": 6,
     # right-side purchase pre-agg + ONE asof window exchange (both nearest
     # carries ride a single ascending sort — backward trailing frame +
     # forward following frame)
