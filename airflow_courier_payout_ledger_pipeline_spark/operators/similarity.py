@@ -117,6 +117,30 @@ def sign_bucket(vec: Column, bits: int = 4) -> Column:
     return b.cast("int")
 
 
+def _probe_buckets_sql(vec_col: str, bits: int, n_probes: int) -> str:
+    """SQL text: the ``n_probes`` buckets a query probes — its home sign
+    bucket first, then buckets reached by flipping ONE hyperplane bit each,
+    in ascending |coordinate| (margin) order: the lowest-margin hyperplane is
+    the one the true neighbor most likely sits across, so it is probed first
+    (classic multi-probe LSH). Deterministic — margins are exact doubles,
+    ties break on the bit index — so a DuckDB twin replays the probe list
+    exactly. Missing coordinates (dim < bits) count margin 0 and flip first,
+    mirroring sign_bucket's 0-bit degrade."""
+    home = " + ".join(
+        f"(CASE WHEN try_element_at(`{vec_col}`, {i + 1}) > 0 THEN {2**i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    margins = ", ".join(
+        f"named_struct('m', abs(coalesce(CAST(try_element_at(`{vec_col}`, {i + 1}) AS DOUBLE), 0.0D)), 'i', {i})"
+        for i in range(bits)
+    )
+    return (
+        f"concat(array(CAST(({home}) AS INT)), "
+        f"transform(slice(array_sort(array({margins})), 1, {n_probes - 1}), "
+        f"s -> CAST(({home}) AS INT) ^ CAST(shiftleft(1, s.i) AS INT)))"
+    )
+
+
 def bucketed_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -124,16 +148,28 @@ def bucketed_ann_topk(
     bits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's sign bucket.
-    Recall < 1 by construction (near neighbors across a hyperplane are missed) —
-    that's the documented LSH tradeoff; multi-probe (flipping low-margin bits)
-    raises recall without changing the join shape."""
+    """Approximate top-k: candidates restricted to the query's sign bucket(s).
+    Recall < 1 by construction (near neighbors across a hyperplane are
+    missed) — ``n_probes > 1`` is the multi-probe dial: the query ALSO probes
+    the buckets across its lowest-|margin| hyperplanes (one bit flip each, up
+    to ``bits + 1`` probes total), multiplying candidates by ~n_probes and
+    recovering exactly the neighbors that sit just across a close hyperplane.
+    The join shape is unchanged — probes explode query-side (the small side),
+    buckets partition the corpus so no candidate dedup is needed."""
+    if not (1 <= n_probes <= bits + 1):
+        raise ValueError(f"need 1 <= n_probes <= bits + 1 = {bits + 1}, got {n_probes}")
+    probe_col = (
+        sign_bucket(F.col(vec_col), bits)
+        if n_probes == 1
+        else F.explode(F.expr(_probe_buckets_sql(vec_col, bits, n_probes)))
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         norm(F.col(vec_col)).alias("__qn"),
-        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+        probe_col.alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -327,9 +327,7 @@ ADJUDICATION_WINDOW_FIRST: list[str] = [
     "list_agg_priorities",
     "text_stats",
     "lang_id",
-    "doc_fingerprint",
-    "dedup_exact",
-    # -- round-11 additions take the last eight slots so they land driver
+    # -- round-11 additions take the last ten slots so they land driver
     # rows THIS round instead of repeating the late-addition-weak pattern
     # (r9/r10 verdicts item 1); the three displaced r8-stale veterans lead
     # the r12 plan's veteran block --
@@ -341,6 +339,8 @@ ADJUDICATION_WINDOW_FIRST: list[str] = [
     "pq_recall_eval",
     "ivf_index_maintenance",
     "asof_join_nearest",
+    "similarity_ann_multiprobe",
+    "ann_recall_multiprobe",
 ]
 
 
@@ -359,6 +359,9 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "courier_ledger_sql",
     "incremental_mart_maintenance",
     # -- round-11 code changes / additions append here as they land --
+    # bucketed_ann_topk gained the multi-probe dial (n_probes=1 default path
+    # byte-equivalent; the single-probe veteran re-proves alongside)
+    "similarity_ann_bucketed",
     # r10-ADVICE fixes (standing rule: changed file -> scheduled evidence):
     # layout.py NULL-partition routing in incremental compaction
     "zorder_incremental_compaction",
@@ -377,6 +380,8 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "video_frame_sample",
     # -- r8-stale veterans displaced from the r11 window by the round-11
     # trained-quantizer additions (which adjudicate in the ACTIVE window) --
+    "doc_fingerprint",
+    "dedup_exact",
     "minhash_signatures",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

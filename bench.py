@@ -86,6 +86,8 @@ HEADLINE = [
     "similarity_ivf_pq_residual",
     # round-11: nightly index maintenance fold (the living trained index)
     "ivf_index_maintenance",
+    # round-11: multi-probe LSH (the recall dial on the sign-bucket index)
+    "similarity_ann_multiprobe",
     "mad_outlier_audit",
     # round-10 additions: incremental z-order compaction (equivalence-proved
     # layout maintenance) and the end-to-end chunk->pack->shard pipeline

@@ -494,3 +494,35 @@ def test_ivf_list_state_merge_rejects_scale_mismatch(spark):
     b6 = ivf_list_state(emb.filter(F.col("vec_id") >= 6), cents, err_scale=6)
     out = ivf_list_stats(merge_ivf_list_states(a, b6)).collect()
     assert sum(r.n for r in out) == 12 and all(r.mean_quant_err >= 0 for r in out)
+
+
+def test_multiprobe_recall_monotone_and_validates_n_probes(spark):
+    """Multi-probe LSH: recall against brute force is non-decreasing in
+    n_probes (each step only ADDS candidate buckets), home-only equals the
+    single-probe path exactly, and out-of-range n_probes raises."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        bucketed_ann_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    truth = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, q, k=5).collect()}
+
+    def recall(n):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in bucketed_ann_topk(emb, q, k=5, n_probes=n).collect()
+        }
+        return len(truth & got) / len(truth)
+
+    r1, r3, r5 = recall(1), recall(3), recall(5)
+    assert r1 <= r3 <= r5, (r1, r3, r5)
+    assert r5 > r1  # the dial actually buys recall on this data
+    # n_probes=1 is byte-equivalent to the pre-dial single-probe path
+    a = bucketed_ann_topk(emb, q, k=5, n_probes=1).collect()
+    b = bucketed_ann_topk(emb, q, k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    for bad in (0, 6):
+        with pytest.raises(ValueError, match="n_probes"):
+            bucketed_ann_topk(emb, q, k=5, n_probes=bad)

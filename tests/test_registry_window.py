@@ -120,6 +120,9 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "similarity_ivf_pq_residual",
         "pq_recall_eval",
         "ivf_index_maintenance",
+        # round-11: multi-probe LSH registrations
+        "similarity_ann_multiprobe",
+        "ann_recall_multiprobe",
     },
     # round-11: kmeans_centroids_exact + pq_codebooks_exact added (training
     # behind the unchanged search interface); the seeded search paths
@@ -132,6 +135,9 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "similarity_ivf_pq_residual",
         "pq_recall_eval",
         "ivf_index_maintenance",
+        "similarity_ann_multiprobe",
+        "ann_recall_multiprobe",
+        "similarity_ann_bucketed",
         "similarity_topk",
         "similarity_ivf_nprobe2",
     },

@@ -101,6 +101,10 @@ SHUFFLE_BUDGET = {
     # carries ride a single ascending sort — backward trailing frame +
     # forward following frame)
     "asof_join_nearest": 2,
+    "similarity_ann_multiprobe": 1,  # probes explode broadcast-side; one top-k window
+    # eval: 1 brute-force window + 4 probe-setting search windows +
+    # truth-grid join + final rollup
+    "ann_recall_multiprobe": 8,
     # eval query (not a production pipeline): 1 brute-force window + 6
     # variant×nprobe search windows + truth-grid join + final rollup
     "ivf_recall_trained_vs_seeded": 10,
