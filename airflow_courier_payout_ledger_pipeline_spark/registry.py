@@ -259,127 +259,50 @@ def q_incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ------------------------------------------------------------------------------------
-# Driver adjudication window — ROUND 11 (active; the r11 plan staged during
-# round 10 activated verbatim at its head, then filled to 50).
+# Driver adjudication window — ROUND 12 (active; the r12 plan staged during
+# round 11 activated verbatim at its head, then round-12 work fills to 50).
 #
 # The correctness driver adjudicates the FIRST 50 entries of queries() in dict
-# order (observed r1-r10). History: r1-r3 proved the original first-50 green
+# order (observed r1-r11). History: r1-r3 proved the original first-50 green
 # three rounds running; r4 proved the 40 long-unproven queries + 7 round-4
 # additions; r5 proved 50/50 including the fixed `sequence_packing`; r6 went
 # 50/50 making every then-registered query driver-proven at least once; r7
 # proved the 9 round-7-changed queries + 38 r4-stale veterans; r8 the 6
 # round-7 additions + the clone-scoping streaming pair + 22 r5-stale veterans;
 # r9 the staged trio-of-debts + all 36 r6-stale veterans + the stalest r7
-# queries; r10 went 50/50 on the staged plan (never-proven r9 additions,
-# changed-file debtors, watermark_state, r7-stale veterans). This round-11
-# window: the 33-entry plan staged in round 10 VERBATIM (canary trio; one
-# representative per split-out domain module; ALL 8 never-driver-proven
-# round-10 additions — `asof_join_forward_tolerance`, `attribution_linear`,
-# `heavy_users_rolling_7d`, `image_dhash_near_dup`, `ivf_recall_eval`,
-# `quantile_rolling_7d`, `semdedup_prune_end_to_end`, `trend_slope_per_type`
-# — plus their changed-file co-debtors; the 14 r7-stale veterans, retiring
-# the oldest evidence block); then the stalest remaining (r8-proven)
-# veterans in registration order to fill 50. After a green r11 every
-# registered query has a driver row and nothing is older than r8.
-# Per-query adjudication history is tracked in OPERATORS.md;
+# queries; r10 went 50/50 on the staged plan; r11 went 50/50 — canary trio,
+# the 8 never-proven round-10 additions + co-debtors, the 14 r7-stale
+# veterans, and the TEN round-11 additions in the last ten slots, leaving
+# 169/169 ever-proven and nothing older than r8. This round-12 window: the
+# 46-entry plan staged in round 11 VERBATIM (canary trio; the 11 round-11
+# changed-file debtors; ALL 32 remaining r8-stale veterans — the entire
+# staleness tail, r11 verdict item 1/next-round item 1); the last four slots
+# take round-12 work as it lands (trained-quantizer recall-gate consumers
+# `ivf_recall_trained_vs_seeded` + `similarity_ivf_topk_trained`, the
+# scale-guarded `embedding_near_dup`, and the new residual multi-probe
+# recall eval). After a green r12 no registered query's newest evidence is
+# older than r9. Per-query adjudication history is tracked in OPERATORS.md;
 # test_registry_window.py pins consistency.
 # ------------------------------------------------------------------------------------
 ADJUDICATION_WINDOW_FIRST: list[str] = [
-    # -- staged r11 plan, verbatim (round-10 registry.py ADJUDICATION_WINDOW_NEXT_PLAN) --
+    # -- staged r12 plan, verbatim (round-11 registry.py ADJUDICATION_WINDOW_NEXT_PLAN) --
+    # flagship canary
     "courier_ledger",
     "courier_ledger_sql",
     "incremental_mart_maintenance",
-    "event_windows_tumbling",
-    "bm25_search",
-    "similarity_topk",
-    "kmv_rolling_7d_distinct",
-    "quantile_rolling_7d",
-    "semdedup_prune_end_to_end",
-    "semdedup_pairs",
-    "image_dhash_near_dup",
-    "asof_join_forward_tolerance",
-    "asof_join_events",
-    "trend_slope_per_type",
-    "heavy_users_rolling_7d",
-    "heavy_hitters",
-    "cms_state_migration",
-    "attribution_linear",
-    "ivf_recall_eval",
-    "streaming_ledger_maintenance",
-    "rolling_7d_counts",
-    "audio_features",
-    "bigram_lm_score",
-    "dq_violation_report",
-    "embedding_quantize",
-    "daily_anomaly_zscore",
-    "similarity_ivf_nprobe2",
-    "salted_join_agg",
-    "dedup_keep_best",
-    "length_decile_bands",
-    "partition_stats_manifest",
-    "rolling_distinct_users_7d",
-    "decontaminated_corpus",
-    # -- stalest veterans (last driver row r8), registration order, filling to 50 --
-    "rollup_totals",
-    "semi_anti_join",
-    "grouping_sets_hourly",
-    "price_histogram",
-    "list_agg_priorities",
-    "text_stats",
-    "lang_id",
-    # -- round-11 additions take the last ten slots so they land driver
-    # rows THIS round instead of repeating the late-addition-weak pattern
-    # (r9/r10 verdicts item 1); the three displaced r8-stale veterans lead
-    # the r12 plan's veteran block --
-    "similarity_ivf_topk_trained",
-    "ivf_recall_trained_vs_seeded",
-    "similarity_pq_adc_trained",
-    "similarity_ivf_pq_trained",
-    "similarity_ivf_pq_residual",
-    "pq_recall_eval",
-    "ivf_index_maintenance",
-    "asof_join_nearest",
-    "similarity_ann_multiprobe",
-    "ann_recall_multiprobe",
-]
-
-
-# ------------------------------------------------------------------------------------
-# PLANNED round-12 window (activate at the START of round 12). Composition:
-# the flagship canary trio, then any query whose implementing code CHANGES in
-# round 11 (standing rule: changed code must appear in the active window or at
-# the head of the next plan — pinned by test_registry_window.py), then the
-# remaining r8-stale veterans not rotated into the r11 window; round-11
-# additions registered outside the active window append here so nothing waits
-# more than one round for a driver row.
-# ------------------------------------------------------------------------------------
-ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
-    # -- flagship canary --
-    "courier_ledger",
-    "courier_ledger_sql",
-    "incremental_mart_maintenance",
-    # -- round-11 code changes / additions append here as they land --
-    # bucketed_ann_topk gained the multi-probe dial (n_probes=1 default path
-    # byte-equivalent; the single-probe veteran re-proves alongside)
+    # round-11 changed-file debtors (standing rule)
     "similarity_ann_bucketed",
-    # r10-ADVICE fixes (standing rule: changed file -> scheduled evidence):
-    # layout.py NULL-partition routing in incremental compaction
     "zorder_incremental_compaction",
     "zorder_values",
-    # sampling.py reserved-name guard in training_shard_layout
     "training_shard_layout",
     "sequence_packing",
     "stratified_sample",
     "dsir_importance",
     "dsir_resample",
-    # streaming/events.py ts-decl cache keyed by file stat
     "streaming_windows_tumbling",
-    # queries_ext_multimodal.py seed DIV + dHash bound docs (image_dhash_near_dup
-    # itself re-proves in the ACTIVE r11 window; its co-file veterans ride r12)
     "multimodal_features",
     "video_frame_sample",
-    # -- r8-stale veterans displaced from the r11 window by the round-11
-    # trained-quantizer additions (which adjudicate in the ACTIVE window) --
+    # r8-stale veterans displaced from the r11 window by the round-11 additions
     "doc_fingerprint",
     "dedup_exact",
     "minhash_signatures",
@@ -390,7 +313,7 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "dedup_simhash_pairs",
     "dedup_pq_hamming2",
     "session_window_native",
-    # -- r8-stale veterans that did not fit the r11 window, registration order --
+    # r8-stale veterans that did not fit the r11 window, registration order
     "image_resize_features",
     "audio_resample_features",
     "snapshot_diff_orders",
@@ -413,6 +336,87 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "weighted_sample",
     "split_leakage_audit",
     "dedup_span_scrub",
+    # -- round-12 work takes the last four slots so it lands driver rows THIS
+    # round (r11 convention): the recall-gated trained quantizer's eval + its
+    # production consumer, and the scale-guarded near-dup pair query; the
+    # fourth slot is appended when the residual multi-probe eval registers --
+    "ivf_recall_trained_vs_seeded",
+    "similarity_ivf_topk_trained",
+    "embedding_near_dup",
+]
+
+
+# ------------------------------------------------------------------------------------
+# PLANNED round-13 window (activate at the START of round 13). Composition:
+# the flagship canary trio, then any query whose implementing code CHANGES in
+# round 12 (standing rule: changed code must appear in the active window or at
+# the head of the next plan — pinned by test_registry_window.py), then the
+# stalest (r9-proven) veterans in registration order; round-12 additions
+# registered outside the active window append here so nothing waits more than
+# one round for a driver row.
+# ------------------------------------------------------------------------------------
+ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
+    # -- flagship canary --
+    "courier_ledger",
+    "courier_ledger_sql",
+    "incremental_mart_maintenance",
+    # -- round-12 code changes / additions append here as they land --
+    # similarity.py: recall-gated trained quantizer + k-means++-style init
+    # (vec_id-preserving seeds per r11 ADVICE), k·dim bound enforcement,
+    # near-dup-pairs scale guard, err_scale gating in merge_ivf_list_states.
+    # The directly-consuming trained/eval queries not already in the ACTIVE
+    # r12 window re-prove here:
+    "similarity_pq_adc_trained",
+    "similarity_ivf_pq_trained",
+    "similarity_ivf_pq_residual",
+    "pq_recall_eval",
+    "ivf_index_maintenance",
+    "similarity_ann_multiprobe",
+    "ann_recall_multiprobe",
+    "similarity_topk",
+    "similarity_ivf_nprobe2",
+    # -- stalest veterans (last driver row r9), registration order; the r9
+    # block is 39 strong after the r12 window re-proves similarity_ann_bucketed
+    # and embedding_near_dup — 38 fit under the 50-cap, `window_analytics`
+    # (r9-proven) rolls to r14 --
+    "json_extract",
+    "json_struct_parse",
+    "paged_scan",
+    "watermark_filter",
+    "timestamp_dim",
+    "broadcast_enrich",
+    "dim_lookup_join",
+    "watermark_cursor",
+    "filtered_agg",
+    "tier_payout",
+    "scd0_insert_ignore",
+    "scd1_upsert",
+    "rest_page_fetch_distributed",
+    "incremental_promotion",
+    "set_ops",
+    "ann_recall_eval",
+    "contrastive_triplets",
+    "dataset_card",
+    "dedup_bloom_probe",
+    "dedup_pq_hamming",
+    "dedup_span_profile",
+    "distribution_stats",
+    "event_sessionization",
+    "event_windows_sliding",
+    "fuzzy_name_pairs",
+    "grouped_split_assign",
+    "image_content_dedup",
+    "image_png_features",
+    "mix_epochs_report",
+    "ngram_containment",
+    "pivot_event_counts",
+    "profile_documents",
+    "range_join_incidents",
+    "score_quantile_norm",
+    "similarity_ivf_pq",
+    "similarity_ivf_topk",
+    "similarity_pq_adc",
+    "term_importance",
 ]
 
 

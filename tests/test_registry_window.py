@@ -1,12 +1,12 @@
 """The driver adjudicates the FIRST 50 entries of queries() in dict order
-(observed r1-r10). These tests pin the round-11 rotation: the staged r11 plan
-from round 10 is activated VERBATIM at the head (canary trio, one
-representative per split-out domain module, ALL 8 never-driver-proven
-round-10 additions plus their changed-file co-debtors, the 14 r7-stale
-veterans), then the stalest (r8-proven) veterans fill to 50. Every window
-name resolves to a registered query WITH an oracle (rows-only queries may
-exist in the registry, but a window slot without an oracle would burn driver
-evidence on a weaker rows-only check — keep them out).
+(observed r1-r11). These tests pin the round-12 rotation: the staged r12 plan
+from round 11 is activated VERBATIM at the head (canary trio, the 11
+round-11 changed-file debtors, ALL 32 remaining r8-stale veterans — the
+entire staleness tail, r11 verdict item 1), then round-12 work takes the
+last slots as it lands. Every window name resolves to a registered query
+WITH an oracle (rows-only queries may exist in the registry, but a window
+slot without an oracle would burn driver evidence on a weaker rows-only
+check — keep them out).
 
 STANDING RULE (codified per the round-7 verdict, made ROUND-AGNOSTIC per the
 round-8 verdict): any query whose implementing code changes in round N must
@@ -36,35 +36,56 @@ from airflow_courier_payout_ledger_pipeline_spark.registry import (
 WINDOW = 50
 CANARY = {"courier_ledger", "courier_ledger_sql", "incremental_mart_maintenance"}
 
-#: staged from round 10 — the r11 active window must land fresh driver rows
-#: on these: ALL 8 round-10 additions that have never had a driver row (the
-#: r10 verdict's entire weak set, item 1) and the 14 r7-stale veterans whose
-#: evidence is the oldest in the registry (item 2)
-_STAGED_FOR_R11 = {
-    # 8 never-driver-proven round-10 additions (r10 verdict item 1)
-    "asof_join_forward_tolerance",
-    "attribution_linear",
-    "heavy_users_rolling_7d",
-    "image_dhash_near_dup",
-    "ivf_recall_eval",
-    "quantile_rolling_7d",
-    "semdedup_prune_end_to_end",
-    "trend_slope_per_type",
-    # 14 r7-stale veterans — the oldest evidence block (r10 verdict item 2)
-    "streaming_ledger_maintenance",
-    "rolling_7d_counts",
-    "audio_features",
-    "bigram_lm_score",
-    "dq_violation_report",
-    "embedding_quantize",
-    "daily_anomaly_zscore",
-    "similarity_ivf_nprobe2",
-    "salted_join_agg",
-    "dedup_keep_best",
-    "length_decile_bands",
-    "partition_stats_manifest",
-    "rolling_distinct_users_7d",
-    "decontaminated_corpus",
+#: staged from round 11 — the r12 active window must land fresh driver rows
+#: on these: the 11 round-11 changed-file debtors (standing rule) and ALL 32
+#: remaining r8-stale veterans — the registry's entire staleness tail and the
+#: r11 verdict's only residual debt (item 1)
+_STAGED_FOR_R12 = {
+    # 11 round-11 changed-file debtors
+    "similarity_ann_bucketed",
+    "zorder_incremental_compaction",
+    "zorder_values",
+    "training_shard_layout",
+    "sequence_packing",
+    "stratified_sample",
+    "dsir_importance",
+    "dsir_resample",
+    "streaming_windows_tumbling",
+    "multimodal_features",
+    "video_frame_sample",
+    # 32 r8-stale veterans — the whole staleness tail (r11 verdict item 1)
+    "doc_fingerprint",
+    "dedup_exact",
+    "minhash_signatures",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_two_stage",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_pq_hamming2",
+    "session_window_native",
+    "image_resize_features",
+    "audio_resample_features",
+    "snapshot_diff_orders",
+    "cube_status_priority",
+    "date_spine_fill",
+    "scd2_history",
+    "retention_cohorts",
+    "event_type_cooccurrence",
+    "timeseries_interpolate",
+    "minhash_calibration",
+    "streaming_static_enrich",
+    "target_mix_sample",
+    "token_budget_cap",
+    "dedup_cross_corpus",
+    "cdc_apply_roundtrip",
+    "event_transitions",
+    "substring_search",
+    "k_anonymity_audit",
+    "value_winsorize",
+    "weighted_sample",
+    "split_leakage_audit",
+    "dedup_span_scrub",
 }
 
 # ------------------------------------------------------------------------------------
@@ -406,12 +427,12 @@ def test_flagship_canary_stays_in_window():
     assert CANARY <= set(order)
 
 
-def test_staged_r11_queries_are_in_window():
-    """Everything staged from round 10 (all 8 never-proven round-10
-    additions — the verdict's entire weak set — plus the 14 r7-stale
-    veterans) must sit in the active window: a registered query without a
-    fresh driver row is unadjudicated."""
-    assert _STAGED_FOR_R11 <= set(ADJUDICATION_WINDOW_FIRST[:WINDOW])
+def test_staged_r12_queries_are_in_window():
+    """Everything staged from round 11 (the 11 changed-file debtors plus ALL
+    32 r8-stale veterans — the registry's entire staleness tail) must sit in
+    the active window: a registered query without a fresh driver row is
+    unadjudicated."""
+    assert _STAGED_FOR_R12 <= set(ADJUDICATION_WINDOW_FIRST[:WINDOW])
 
 
 def test_queries_and_oracles_share_order():
@@ -504,4 +525,17 @@ _GREEN_EVER = {
     "streaming_sample_maintenance", "streaming_mad_audit",
     "kmv_rolling_7d_distinct", "training_shards_end_to_end",
     "zorder_incremental_compaction",
+    # green r11: first driver rows for the 8 round-10 additions staged into
+    # the r11 window head...
+    "semdedup_prune_end_to_end", "ivf_recall_eval",
+    "asof_join_forward_tolerance", "attribution_linear",
+    "quantile_rolling_7d", "heavy_users_rolling_7d", "image_dhash_near_dup",
+    "trend_slope_per_type",
+    # ...and for the ten round-11 additions, which adjudicated in the ACTIVE
+    # r11 window the round they landed; the other r11-green rows re-proved
+    # names already listed above
+    "similarity_ivf_topk_trained", "ivf_recall_trained_vs_seeded",
+    "similarity_pq_adc_trained", "similarity_ivf_pq_trained",
+    "similarity_ivf_pq_residual", "pq_recall_eval", "ivf_index_maintenance",
+    "asof_join_nearest", "similarity_ann_multiprobe", "ann_recall_multiprobe",
 }
