@@ -243,9 +243,14 @@ def kmeans_centroids(
     per-dimension avg agg); only the k×dim centroid table ever reaches the driver.
     Same k·dim ≲ 10⁴ bound as ``_assign_to_centroids`` (the assignment expression
     is unrolled per iteration); above it, train with MLlib KMeans and pass the
-    fitted centers straight into ``ivf_topk``."""
-    init = emb.orderBy(id_col).limit(k).select(vec_col).collect()
-    centroids = [(i, [float(x) for x in r[0]]) for i, r in enumerate(init)]
+    fitted centers straight into ``ivf_topk``.
+
+    Centroid ids are the REAL seed ``vec_id``s (the ``_ivf_seed_centroids``
+    convention — r11 ADVICE: renumbering 0..k-1 by enumerate silently
+    diverged from the oracles' ``cid = vec_id`` on any corpus whose lowest k
+    ids are not exactly {0..k-1})."""
+    init = emb.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    centroids = sorted((int(r[0]), [float(x) for x in r[1]]) for r in init)
     if not centroids:  # empty corpus: no quantizer to train
         return []
     for _ in range(iters):
@@ -282,6 +287,7 @@ def kmeans_centroids_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 10,
+    init: list[tuple[int, list[float]]] | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Lloyd's k-means whose centroid update is CROSS-ENGINE EXACT, so a
     TRAINED quantizer can sit under a hash-checked oracle instead of the
@@ -295,11 +301,16 @@ def kmeans_centroids_exact(
     as ``DECIMAL(38,0)`` (associative, partitioning/merge-order-independent,
     overflow-proof where a bigint sum at 100 TB is not), and the mean is a
     fixed sequence of IEEE double ops on bit-identical operands
-    (``CAST(sum AS DOUBLE) / CAST(count AS DOUBLE) / 10^scale``). Same init
-    (k lowest-id vectors), same empty-cluster rule
-    (keep the previous centroid), same O(k·dim) driver state as
-    :func:`kmeans_centroids`. ``iters=0`` degenerates to the seed quantizer,
-    which is what keeps the seeded oracle twins valid.
+    (``CAST(sum AS DOUBLE) / CAST(count AS DOUBLE) / 10^scale``). Default
+    init = the k lowest-id vectors, carried under their REAL ``vec_id``s
+    (the ``_ivf_seed_centroids`` convention — r11 ADVICE: an enumerate
+    renumbering silently diverged from the oracles' ``cid = vec_id`` on any
+    corpus whose lowest k ids are not {0..k-1}); pass ``init`` (e.g.
+    :func:`farthest_first_centroids_exact`) to Lloyd-refine a different
+    deterministic seeding. Same empty-cluster rule (keep the previous
+    centroid), same O(k·dim) driver state as :func:`kmeans_centroids`.
+    ``iters=0`` degenerates to the init quantizer, which is what keeps the
+    seeded oracle twins valid.
 
     Iteration shape: the TRAINING assignment joins against a k-row broadcast
     centroid frame and argmins via ``min(struct(d2, cid, vec))`` — NOT the
@@ -321,8 +332,11 @@ def kmeans_centroids_exact(
             f"input columns collide with reserved trainer names: "
             f"{sorted(reserved)} — rename them before kmeans_centroids_exact"
         )
-    init = emb.orderBy(id_col).limit(k).select(vec_col).collect()
-    centroids = [(i, [float(x) for x in r[0]]) for i, r in enumerate(init)]
+    if init is None:
+        rows = emb.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+        centroids = sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
+    else:
+        centroids = sorted((int(cid), [float(x) for x in vec]) for cid, vec in init)
     if not centroids:  # empty corpus: no quantizer to train
         return []
     quantum = float(10**scale)  # 10^scale is a dyadic-exact double for scale <= 22
@@ -376,6 +390,148 @@ def kmeans_centroids_exact(
             (cid, new.get(cid, vec)) for cid, vec in centroids  # empty cluster keeps old
         ]
     return centroids
+
+
+def farthest_first_centroids_exact(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic k-means++-style init: the farthest-point (maximin)
+    variant, cross-engine replayable where D²-SAMPLED k-means++ is not (no
+    shared RNG exists between Spark and DuckDB). Start from the lowest-id
+    vector; each of the remaining k-1 steps picks the not-yet-chosen vector
+    maximizing its squared-L2 distance to the chosen set, ties broken by
+    ``md5(vec_id::string)`` then ``vec_id`` (the md5 tiebreak keeps the
+    choice independent of id assignment order on exact-duplicate corpora).
+    Distances are left-fold IEEE sums over identical doubles in both engines,
+    so the argmax — and therefore the whole init — is bit-reproducible.
+
+    Each step is one distributed pass: min-distance to the ≤k chosen points
+    via a broadcast-joined candidate frame (constant plan shape — one Janino
+    compile for all steps, the kmeans_centroids_exact iteration note), then
+    a driver-side top-1. Driver state is O(k·dim) — the same artifact layout
+    as every quantizer here. Requires ≥k rows (same precondition as the
+    lowest-id seeding); centroid ids are the REAL chosen ``vec_id``s."""
+    first = emb.orderBy(id_col).limit(1).select(id_col, vec_col).collect()
+    if not first:  # empty corpus: no quantizer to train
+        return []
+    spark = emb.sparkSession
+    reserved = {"__cid", "__cvec", "__dmin"} & set(emb.columns)
+    if reserved:
+        raise ValueError(
+            f"input columns collide with reserved init names: {sorted(reserved)}"
+            " — rename them before farthest_first_centroids_exact"
+        )
+    chosen = [(int(first[0][0]), [float(x) for x in first[0][1]])]
+    d2 = F.expr(
+        f"aggregate(zip_with(CAST(`{vec_col}` AS ARRAY<DOUBLE>), __cvec, "
+        "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v)"
+    )
+    for _ in range(k - 1):
+        cdf = spark.createDataFrame(chosen, "__cid int, __cvec array<double>")
+        far = (
+            emb.join(
+                F.broadcast(cdf.select("__cid")),
+                F.col(id_col) == F.col("__cid"),
+                "left_anti",
+            )
+            .crossJoin(F.broadcast(cdf.select("__cvec")))
+            .groupBy(id_col)
+            .agg(F.min(d2).alias("__dmin"))
+            .orderBy(
+                F.desc("__dmin"), F.md5(F.col(id_col).cast("string")), F.col(id_col)
+            )
+            .limit(1)
+            .collect()
+        )
+        if not far:  # corpus smaller than k: return what exists
+            break
+        nid = int(far[0][0])
+        vec = emb.filter(F.col(id_col) == nid).select(vec_col).collect()[0][0]
+        chosen.append((nid, [float(x) for x in vec]))
+    return sorted(chosen)
+
+
+def ivf_variant_hits(
+    corpus: DataFrame,
+    queries: DataFrame,
+    variants: list[tuple[str, list[tuple[int, list[float]]]]],
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(variant, nprobe, n_hit): how many of the exact cosine top-k each
+    quantizer's IVF search recovers at each probe setting — the INTEGER
+    evidence the recall gate decides on (hit counts share a denominator per
+    nprobe, so dominance comparisons never touch float recall ratios). One
+    brute-force pass on the query set unioned with |variants|·|nprobes| IVF
+    searches, all broadcast-query joins; the result is a ≤|variants|·|nprobes|
+    row frame. Zero-hit cells are absent (left to the caller's default)."""
+    truth = brute_force_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    ann = None
+    for vname, cents in variants:
+        for np_ in nprobes:
+            a = (
+                ivf_topk(
+                    corpus, queries, cents, k=k, id_col=id_col,
+                    vec_col=vec_col, nprobe=np_,
+                )
+                .select("query_id", "neighbor_id")
+                .withColumn("variant", F.lit(vname))
+                .withColumn("nprobe", F.lit(np_))
+            )
+            ann = a if ann is None else ann.unionByName(a)
+    return (
+        truth.select("query_id", "neighbor_id")
+        .join(ann, ["query_id", "neighbor_id"])
+        .groupBy("variant", "nprobe")
+        .agg(F.count("*").alias("n_hit"))
+    )
+
+
+def select_ivf_quantizer(
+    corpus: DataFrame,
+    queries: DataFrame,
+    candidates: list[tuple[str, list[tuple[int, list[float]]]]],
+    baseline: tuple[str, list[tuple[int, list[float]]]],
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[str, list[tuple[int, list[float]]]]:
+    """Recall-gated quantizer selection (r11 verdict item 2): never ship an
+    index layout that measures worse than the baseline it replaces. Each
+    candidate's IVF hit count is measured against the exact top-k on the
+    held-out query set at EVERY probe setting; the winner is the candidate
+    that weakly dominates the baseline at every nprobe with the highest
+    total hits (ties → earlier in ``candidates``), and the BASELINE wins if
+    no candidate dominates — on near-isotropic corpora where training moves
+    recall only at noise level (the shipped testdata, measured in
+    OPERATORS.md), the gate keeps the seeded quantizer instead of shipping a
+    marginal regression. Dominance is integer hit-count comparison (shared
+    denominator per nprobe — no float recall arithmetic), so the DuckDB
+    oracles replay the selection bit-for-bit. Cost: one ``ivf_variant_hits``
+    pass (training-time, not search-time); the decision collect is
+    ≤(|candidates|+1)·|nprobes| rows."""
+    if not baseline[1]:  # empty corpus: nothing to gate
+        return baseline
+    rows = ivf_variant_hits(
+        corpus, queries, [baseline] + list(candidates), nprobes, k, id_col, vec_col
+    ).collect()
+    hits = {(r["variant"], r["nprobe"]): int(r["n_hit"]) for r in rows}
+    bname = baseline[0]
+    best: tuple[int, str, list[tuple[int, list[float]]]] | None = None
+    for cname, cents in candidates:  # priority order: earlier wins total ties
+        if cents and all(
+            hits.get((cname, p), 0) >= hits.get((bname, p), 0) for p in nprobes
+        ):
+            tot = sum(hits.get((cname, p), 0) for p in nprobes)
+            if best is None or tot > best[0]:
+                best = (tot, cname, cents)
+    return (best[1], best[2]) if best else baseline
 
 
 def _centroid_probes(vec_col: str, centroids: list[tuple[int, list[float]]], nprobe: int) -> Column:
@@ -624,6 +780,18 @@ def pq_codebooks_exact(
         )
     rows = emb.orderBy(id_col).limit(kc).select(id_col, vec_col).collect()
     seeds = [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+    # PQ codeword ids ARE list positions 0..kc-1 (``_pq_codes`` indexes the
+    # codebook array); the DuckDB oracles seed with ``WHERE vec_id < kc`` and
+    # use ``c = vec_id``. The two conventions coincide ONLY when the lowest kc
+    # ids are exactly {0..kc-1} — guard it loudly instead of silently training
+    # different codebooks per engine (r11 ADVICE). Re-id the corpus (dense
+    # 0-based) before training if the guard fires.
+    if seeds and [cid for cid, _ in sorted(seeds)] != list(range(len(seeds))):
+        raise ValueError(
+            "pq_codebooks_exact requires the lowest kc vec_ids to be exactly "
+            f"0..{len(seeds) - 1} (position-indexed codeword convention, "
+            f"shared with the SQL oracles); got {sorted(cid for cid, _ in seeds)}"
+        )
     books = pq_codebooks_from_seeds(seeds, m)
     if not books:
         return []
@@ -1322,9 +1490,13 @@ def merge_ivf_list_states(a: DataFrame, b: DataFrame) -> DataFrame:
     per-centroid count and quantized-error sums add — associative,
     commutative, increment-order-free (the ledger/CMS merge algebra).
     States built at DIFFERENT ``err_scale`` cannot fold (their quanta index
-    different ranges), so the merged scale column raises lazily on global
-    mismatch — the CMS width-check pattern (a single-partition window over
-    the ≤ k-row merged state, never a data-sized sort)."""
+    different ranges), so BOTH the merged scale column AND the merged
+    ``err_q`` sums raise lazily on global mismatch — the check rides every
+    column a mismatch would corrupt, so a downstream projection that drops
+    ``err_scale`` (e.g. ``select('centroid', 'n', 'err_q')``) cannot let
+    Catalyst prune the guard away and expose mixed-scale sums (r11 ADVICE;
+    the CMS width-check pattern — a single-partition window over the ≤ k-row
+    merged state, never a data-sized sort)."""
     merged = (
         a.unionByName(b)
         .groupBy("centroid")
@@ -1336,16 +1508,21 @@ def merge_ivf_list_states(a: DataFrame, b: DataFrame) -> DataFrame:
         )
     )
     w = Window.partitionBy()
+    mismatch = F.min("__smin").over(w) != F.max("__smax").over(w)
+
+    def _guarded(col: Column, out_type: str) -> Column:
+        return F.when(
+            mismatch,
+            F.raise_error(
+                F.lit("IVF list-state err_scale mismatch between merged states")
+            ).cast(out_type),
+        ).otherwise(col)
+
     return merged.select(
         "centroid",
         "n",
-        "err_q",
-        F.when(
-            F.min("__smin").over(w) != F.max("__smax").over(w),
-            F.raise_error(F.lit("IVF list-state err_scale mismatch between merged states")),
-        )
-        .otherwise(F.col("__smax"))
-        .alias("err_scale"),
+        _guarded(F.col("err_q"), "decimal(38,0)").alias("err_q"),
+        _guarded(F.col("__smax"), "int").alias("err_scale"),
     )
 
 

@@ -336,35 +336,186 @@ _LLOYD_MEAN = (
 )
 
 
-def _lloyd_ctes(iters: int, k: int = IVF_K, dim: int = 64) -> tuple[str, str]:
+def _lloyd_ctes(
+    iters: int,
+    k: int = IVF_K,
+    dim: int = 64,
+    prefix: str = "",
+    init: str | None = None,
+    emit_grid: bool = True,
+) -> tuple[str, str]:
     """(cte_sql, final_centroid_cte_name): DuckDB replay of
-    kmeans_centroids_exact — c0 = k lowest-id vectors, then per iteration an
-    assignment CTE (squared-L2 argmin, ties to lower cid) and an exact-
-    quantized per-dimension mean CTE; empty clusters keep the previous
-    centroid via the LEFT JOIN + coalesce."""
-    parts = [
-        f"grid AS (SELECT range AS i FROM range(1, {dim + 1}))",
-        f"c0 AS (SELECT vec_id::INT AS cid, embedding::DOUBLE[] AS cvec\n"
-        f"        FROM embeddings WHERE vec_id < {k})",
-    ]
+    kmeans_centroids_exact — {prefix}c0 = k lowest-id vectors (or the
+    caller-supplied ``init`` CTE of (cid, cvec) rows, e.g. the farthest-first
+    chain), then per iteration an assignment CTE (squared-L2 argmin, ties to
+    lower cid) and an exact-quantized per-dimension mean CTE; empty clusters
+    keep the previous centroid via the LEFT JOIN + coalesce. ``prefix`` keeps
+    a second chain from colliding with the first inside one statement;
+    ``emit_grid`` controls the shared per-dimension helper CTE."""
+    parts = []
+    if emit_grid:
+        parts.append(f"grid AS (SELECT range AS i FROM range(1, {dim + 1}))")
+    if init is None:
+        parts.append(
+            f"{prefix}c0 AS MATERIALIZED (SELECT vec_id::INT AS cid, embedding::DOUBLE[] AS cvec\n"
+            f"        FROM embeddings WHERE vec_id < {k})"
+        )
+        prev = f"{prefix}c0"
+    else:
+        prev = init
     for it in range(1, iters + 1):
-        parts.append(f"a{it} AS ({_LLOYD_ASSIGN.format(prev=f'c{it - 1}')})")
+        parts.append(f"{prefix}a{it} AS MATERIALIZED ({_LLOYD_ASSIGN.format(prev=prev)})")
         parts.append(
-            f"m{it} AS (SELECT a.cid, g.i, {_LLOYD_MEAN} AS mu\n"
-            f"           FROM a{it} a CROSS JOIN grid g WHERE a.rn = 1 GROUP BY 1, 2)"
+            f"{prefix}m{it} AS MATERIALIZED (SELECT a.cid, g.i, {_LLOYD_MEAN} AS mu\n"
+            f"           FROM {prefix}a{it} a CROSS JOIN grid g"
+            f" WHERE a.rn = 1 GROUP BY 1, 2)"
         )
         parts.append(
-            f"c{it} AS (SELECT p.cid, coalesce(n.cvec, p.cvec) AS cvec\n"
-            f"           FROM c{it - 1} p LEFT JOIN (SELECT cid, list(mu ORDER BY i)"
-            f" AS cvec FROM m{it} GROUP BY 1) n USING (cid))"
+            f"{prefix}c{it} AS MATERIALIZED (SELECT p.cid, coalesce(n.cvec, p.cvec) AS cvec\n"
+            f"           FROM {prev} p LEFT JOIN (SELECT cid, list(mu ORDER BY i)"
+            f" AS cvec FROM {prefix}m{it} GROUP BY 1) n USING (cid))"
         )
-    return ",\n".join(parts), f"c{iters}"
+        prev = f"{prefix}c{it}"
+    return ",\n".join(parts), prev
 
 
-_TRAINED_CTES, _TRAINED_CENT = _lloyd_ctes(TRAIN_ITERS)
+def _ff_init_ctes(k: int = IVF_K) -> tuple[str, str]:
+    """(cte_sql, init_cte_name): DuckDB replay of
+    operators/similarity.farthest_first_centroids_exact — ffs1 = the lowest
+    vec_id, then k-1 maximin steps: per step the not-yet-chosen vector with
+    the largest min squared-L2 distance to the chosen set joins it (ties:
+    md5(vec_id::VARCHAR), then vec_id — bit-identical to the Spark trainer
+    because the distances are the same left-fold IEEE sums). ``ffinit``
+    emits the chosen rows as (cid, cvec) under their REAL vec_ids."""
+    # AS MATERIALIZED: DuckDB inlines plain CTEs PER REFERENCE, and each
+    # maximin step references its predecessor ~3x - without materialization
+    # the expansion (and the parquet re-scans) grow 3^k and exhaust fds
+    parts = [
+        "ffs1 AS MATERIALIZED (SELECT vec_id FROM embeddings"
+        " WHERE vec_id = (SELECT min(vec_id) FROM embeddings))"
+    ]
+    for t in range(2, k + 1):
+        parts.append(
+            f"ffd{t} AS MATERIALIZED (SELECT e.vec_id,"
+            " min(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], c.cv),"
+            " x -> (x[1]-x[2])*(x[1]-x[2])))) AS dmin"
+            " FROM embeddings e CROSS JOIN (SELECT c2.embedding::DOUBLE[] AS cv"
+            f" FROM embeddings c2 JOIN ffs{t - 1} ch USING (vec_id)) c"
+            f" WHERE e.vec_id NOT IN (SELECT vec_id FROM ffs{t - 1})"
+            " GROUP BY e.vec_id)"
+        )
+        parts.append(
+            f"ffx{t} AS MATERIALIZED (SELECT vec_id FROM ffd{t}"
+            " ORDER BY dmin DESC, md5(vec_id::VARCHAR), vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"ffs{t} AS MATERIALIZED (SELECT vec_id FROM ffs{t - 1}"
+            f" UNION ALL SELECT vec_id FROM ffx{t})"
+        )
+    parts.append(
+        "ffinit AS MATERIALIZED (SELECT e.vec_id::INT AS cid, e.embedding::DOUBLE[] AS cvec"
+        f" FROM embeddings e JOIN ffs{k} ch USING (vec_id))"
+    )
+    return ",\n".join(parts), "ffinit"
+
+
+#: recall-gate evaluation grid — shared verbatim by the Spark production
+#: entry (_ivf_trained_centroids) and every oracle's selection replay
+EVAL_NPROBES = (1, 2, 4)
+EVAL_K = 5
+
+
+def _selection_ctes() -> str:
+    """The recall-gated quantizer selection (r11 verdict item 2) as one CTE
+    blob ending in ``csel`` — the SELECTED centroid set every trained oracle
+    searches with. Candidates in priority order: exact-decimal Lloyd's from
+    the lowest-id seeds (``lloyd_seed``), then Lloyd's from the deterministic
+    farthest-first init (``lloyd_ff``); baseline = the frozen lowest-id seeds
+    (``seeded``). A candidate wins only if its IVF hit count against the
+    exact cosine top-{EVAL_K} weakly dominates the baseline's at EVERY nprobe
+    in EVAL_NPROBES (INTEGER comparison — shared denominator per nprobe, no
+    float recall arithmetic), highest total hits first, priority breaking
+    ties; otherwise the baseline ships. Mirrors
+    operators/similarity.select_ivf_quantizer decision-for-decision."""
+    seed_chain, seed_final = _lloyd_ctes(TRAIN_ITERS)
+    ff_init, ff_init_name = _ff_init_ctes(IVF_K)
+    ff_chain, ff_final = _lloyd_ctes(
+        TRAIN_ITERS, prefix="ff", init=ff_init_name, emit_grid=False
+    )
+    probes_arr = ", ".join(str(p) for p in EVAL_NPROBES)
+    return f"""{seed_chain},
+{ff_init},
+{ff_chain},
+selcand AS MATERIALIZED (
+    SELECT 'seeded' AS variant, 0 AS prio, cid, cvec FROM c0
+    UNION ALL SELECT 'lloyd_seed', 1, cid, cvec FROM {seed_final}
+    UNION ALL SELECT 'lloyd_ff', 2, cid, cvec FROM {ff_final}
+),
+seld AS MATERIALIZED (
+    SELECT v.variant, e.vec_id, e.embedding::DOUBLE[] AS v, v.cid,
+           row_number() OVER (
+               PARTITION BY v.variant, e.vec_id
+               ORDER BY list_sum(list_transform(
+                            list_zip(e.embedding::DOUBLE[], v.cvec),
+                            x -> (x[1] - x[2]) * (x[1] - x[2]))),
+                        v.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN selcand v
+),
+selq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+selst AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+    FROM embeddings c, selq q WHERE c.vec_id != q.vec_id
+),
+seltruth AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM selst) WHERE rank <= {EVAL_K}),
+selprobes AS (SELECT unnest(ARRAY[{probes_arr}]) AS nprobe),
+selqp AS (
+    SELECT p.nprobe, d.variant, d.vec_id, d.v, d.cid AS centroid
+    FROM seld d JOIN selprobes p ON d.rn <= p.nprobe
+    WHERE d.vec_id < 20
+),
+selsb AS (
+    SELECT q.variant, q.nprobe, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.v, c.v), 4) AS sim
+    FROM (SELECT variant, vec_id, v, cid AS centroid FROM seld WHERE rn = 1) c
+    JOIN selqp q
+      ON c.variant = q.variant AND c.centroid = q.centroid AND c.vec_id != q.vec_id
+),
+selann AS MATERIALIZED (SELECT variant, nprobe, query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY variant, nprobe, query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM selsb) WHERE rank <= {EVAL_K}),
+selgrid AS (SELECT v.variant, v.prio, p.nprobe
+            FROM (SELECT DISTINCT variant, prio FROM selcand) v
+            CROSS JOIN selprobes p),
+selhit0 AS (SELECT a.variant, a.nprobe, count(*) AS n_hit
+            FROM selann a JOIN seltruth t USING (query_id, neighbor_id)
+            GROUP BY 1, 2),
+selhits AS MATERIALIZED (SELECT g.variant, g.prio, g.nprobe, coalesce(h.n_hit, 0) AS n_hit
+            FROM selgrid g LEFT JOIN selhit0 h
+              ON h.variant = g.variant AND h.nprobe = g.nprobe),
+seldom AS (SELECT c.variant, c.prio, sum(c.n_hit) AS tot,
+                  min(CASE WHEN c.n_hit >= b.n_hit THEN 1 ELSE 0 END) AS dom
+           FROM selhits c JOIN selhits b
+             ON b.variant = 'seeded' AND b.nprobe = c.nprobe
+           WHERE c.variant != 'seeded' GROUP BY 1, 2),
+selwin AS MATERIALIZED (SELECT coalesce(
+               (SELECT variant FROM seldom WHERE dom = 1
+                ORDER BY tot DESC, prio LIMIT 1),
+               'seeded') AS variant),
+csel AS MATERIALIZED (SELECT cid, cvec FROM selcand
+         WHERE variant = (SELECT variant FROM selwin))"""
+
+
+_SELECTED_CTES = _selection_ctes()
+_SELECTED_CENT = "csel"
 
 IVF_TOPK_TRAINED_ORACLE = f"""
-WITH {_TRAINED_CTES},
+WITH {_SELECTED_CTES},
 d AS (
     SELECT e.vec_id, e.embedding, c.cid,
            row_number() OVER (
@@ -374,7 +525,7 @@ d AS (
                             x -> (x[1] - x[2]) * (x[1] - x[2]))),
                         c.cid
            ) AS rn
-    FROM embeddings e CROSS JOIN {_TRAINED_CENT} c
+    FROM embeddings e CROSS JOIN {_SELECTED_CENT} c
 ),
 assigned AS (SELECT vec_id, embedding, cid AS centroid FROM d WHERE rn = 1),
 qprobe AS (SELECT vec_id, embedding, cid AS centroid FROM d
@@ -413,20 +564,52 @@ def _emb_stat_key(sf_dir: str) -> tuple[str, int, int]:
 
 
 def _ivf_trained_centroids(emb: DataFrame, sf_dir: str) -> list[tuple[int, list[float]]]:
-    """The PRODUCTION coarse quantizer: exact-decimal Lloyd's from the k
-    lowest-id init (operators/similarity.kmeans_centroids_exact). Training is
-    TRAIN_ITERS distributed passes and an O(k·dim) driver artifact — in a real
-    deployment it is persisted as the index contract, not re-derived per
-    query; the stat-keyed memo above is that persistence in-process."""
+    """The PRODUCTION coarse quantizer, RECALL-GATED (r11 verdict item 2):
+    train two deterministic candidates — exact-decimal Lloyd's from the
+    lowest-id seeds, and Lloyd's from the farthest-first (k-means++-style,
+    md5-tiebroken) init — then keep whichever quantizer MEASURES better,
+    falling back to the frozen seeds when neither candidate weakly dominates
+    the baseline's hit count at every nprobe in EVAL_NPROBES
+    (operators/similarity.select_ivf_quantizer; the oracles replay the whole
+    selection in the ``csel`` CTE chain). On the shipped near-isotropic
+    testdata training moves recall only at noise level, so the gate keeps
+    the seeds — the honest outcome the r11 verdict asked the family to stop
+    papering over; on clustered corpora the Lloyd candidate dominates and
+    ships (mechanism pinned in tests/test_ivf.py). Selection is
+    training-time work on an O(k·dim) artifact — in a real deployment it is
+    persisted as the index contract, not re-derived per query; the
+    stat-keyed memo above is that persistence in-process. The chosen variant
+    name is memoized alongside under ("quantizer_choice", stat)."""
     from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        farthest_first_centroids_exact,
         kmeans_centroids_exact,
+        select_ivf_quantizer,
     )
 
     key = ("centroids", _emb_stat_key(sf_dir))
     if key not in _TRAINED_ARTIFACTS:
-        _TRAINED_ARTIFACTS[key] = kmeans_centroids_exact(
-            emb, k=IVF_K, iters=TRAIN_ITERS
+        candidates = [
+            ("lloyd_seed", kmeans_centroids_exact(emb, k=IVF_K, iters=TRAIN_ITERS)),
+            (
+                "lloyd_ff",
+                kmeans_centroids_exact(
+                    emb,
+                    k=IVF_K,
+                    iters=TRAIN_ITERS,
+                    init=farthest_first_centroids_exact(emb, k=IVF_K),
+                ),
+            ),
+        ]
+        name, cents = select_ivf_quantizer(
+            emb,
+            emb.filter(F.col("vec_id") < 20),
+            candidates,
+            ("seeded", _ivf_seed_centroids(emb)),
+            nprobes=EVAL_NPROBES,
+            k=EVAL_K,
         )
+        _TRAINED_ARTIFACTS[("quantizer_choice", key[1])] = name
+        _TRAINED_ARTIFACTS[key] = cents
     return _TRAINED_ARTIFACTS[key]
 
 
@@ -465,13 +648,17 @@ def _pq_residual_books(emb: DataFrame, sf_dir: str) -> list[list[list[float]]]:
 
 @register("similarity_ivf_topk_trained", IVF_TOPK_TRAINED_ORACLE)
 def q_similarity_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-5 with the TRAINED coarse quantizer (r10 verdict item 3):
-    identical search topology to `similarity_ivf_topk` — inverted-list
-    assignment, nprobe=1 probe, list-restricted cosine top-k — but the
-    centroids are 2 Lloyd iterations from the seed init, trained by
-    kmeans_centroids_exact whose update is cross-engine exact, so the WHOLE
-    path (training included) is hash-checked, not rows-only. Recall uplift
-    over the seeds is measured by `ivf_recall_trained_vs_seeded`."""
+    """IVF ANN top-5 with the TRAINED, RECALL-GATED coarse quantizer (r10
+    verdict item 3; gate added per r11 verdict item 2): identical search
+    topology to `similarity_ivf_topk` — inverted-list assignment, nprobe=1
+    probe, list-restricted cosine top-k — but the centroids are the output
+    of `_ivf_trained_centroids`: two deterministic Lloyd candidates (seed
+    init and farthest-first init) measured against the frozen seeds, the
+    best DOMINATING candidate shipped, the seeds kept when training buys
+    nothing. Training, the farthest-first maximin chain, the recall gate,
+    and the search all hash-check in one DuckDB statement (the `csel` CTE
+    chain). The gate's numbers are reported by
+    `ivf_recall_trained_vs_seeded`."""
     from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
         ivf_topk,
     )
@@ -834,47 +1021,23 @@ def q_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVF_TRAINED_VS_SEEDED_ORACLE = f"""
-WITH {_TRAINED_CTES},
-dv AS (
-    SELECT 'seeded' AS variant, s.* FROM ({_LLOYD_ASSIGN.format(prev="c0")}) s
+WITH {_SELECTED_CTES},
+rpt AS (
+    SELECT 'seeded' AS variant, nprobe, query_id, neighbor_id
+    FROM selann WHERE variant = 'seeded'
     UNION ALL
-    SELECT 'trained' AS variant, t.* FROM ({_LLOYD_ASSIGN.format(prev=_TRAINED_CENT)}) t
-),
-assigned AS (SELECT variant, vec_id, v, cid AS centroid FROM dv WHERE rn = 1),
-q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
-st AS (
-    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
-    FROM embeddings c, q WHERE c.vec_id != q.vec_id
-),
-truth AS (SELECT query_id, neighbor_id FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-    FROM st) WHERE rank <= 5),
-probes AS (SELECT unnest(ARRAY[1, 2, 4]) AS nprobe),
-qprobe AS (
-    SELECT p.nprobe, d.variant, d.vec_id, d.v, d.cid AS centroid
-    FROM dv d JOIN probes p ON d.rn <= p.nprobe
-    WHERE d.vec_id < 20
-),
-sb AS (
-    SELECT q.variant, q.nprobe, q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           round(list_cosine_similarity(q.v, c.v), 4) AS sim
-    FROM assigned c JOIN qprobe q
-      ON c.variant = q.variant AND c.centroid = q.centroid AND c.vec_id != q.vec_id
-),
-ann AS (SELECT variant, nprobe, query_id, neighbor_id FROM (
-    SELECT *, row_number() OVER (
-        PARTITION BY variant, nprobe, query_id ORDER BY sim DESC, neighbor_id) AS rank
-    FROM sb) WHERE rank <= 5)
+    SELECT 'trained', nprobe, query_id, neighbor_id
+    FROM selann WHERE variant = (SELECT variant FROM selwin)
+)
 SELECT v.variant, p.nprobe, t.query_id,
        count(*) AS n_truth,
        SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
        round(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
              / count(*), 4) AS recall
-FROM truth t
-CROSS JOIN probes p
+FROM seltruth t
+CROSS JOIN selprobes p
 CROSS JOIN (SELECT unnest(ARRAY['seeded', 'trained']) AS variant) v
-LEFT JOIN ann a ON a.variant = v.variant AND a.nprobe = p.nprobe
+LEFT JOIN rpt a ON a.variant = v.variant AND a.nprobe = p.nprobe
                 AND t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
 GROUP BY 1, 2, 3
 """
@@ -882,14 +1045,19 @@ GROUP BY 1, 2, 3
 
 @register("ivf_recall_trained_vs_seeded", IVF_TRAINED_VS_SEEDED_ORACLE)
 def q_ivf_recall_trained_vs_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The r10 verdict item-3 measurement: recall@5 against the exact
-    brute-force baseline for the SEEDED (iters=0) vs TRAINED (2 exact-decimal
-    Lloyd iterations) coarse quantizer, per nprobe in {1, 2, 4} — the number
-    that justifies shipping the trained index: at the SAME search cost
-    (nprobe), how much recall did training buy? Fully hash-checked: the
-    oracle replays training, both assignments, the probe sweep, and the
-    recall arithmetic. One brute-force pass; 6 inverted-list searches, all
-    broadcast-sized joins."""
+    """The r10 verdict item-3 measurement, now over the RECALL-GATED
+    production quantizer (r11 verdict item 2): recall@5 against the exact
+    brute-force baseline for the SEEDED (frozen lowest-id) vs TRAINED
+    (gate-selected — best dominating Lloyd candidate, or the seeds when
+    nothing dominates) coarse quantizer, per nprobe in {1, 2, 4}. Because
+    the gate only ships a candidate whose hit count weakly dominates the
+    baseline's at EVERY nprobe, trained ≥ seeded holds at every row of this
+    eval BY CONSTRUCTION — equality signalling (honestly) that training
+    bought nothing on this corpus, as on the shipped near-isotropic
+    testdata. Fully hash-checked: the oracle replays both trainings, the
+    farthest-first chain, the gate decision, both assignments, the probe
+    sweep, and the recall arithmetic. One brute-force pass; 6 inverted-list
+    searches, all broadcast-sized joins."""
     from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
         brute_force_topk,
         ivf_topk,
@@ -1039,7 +1207,7 @@ def q_similarity_pq_adc_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVF_PQ_TRAINED_ORACLE = f"""
-WITH {_TRAINED_CTES},
+WITH {_SELECTED_CTES},
 {_PQ_TRAINED_CTES},
 dd AS (SELECT e.vec_id, g.j, cb.c,
               list_sum(list_transform(
@@ -1058,7 +1226,7 @@ ca AS (SELECT e.vec_id, c.cid,
                                x -> (x[1] - x[2]) * (x[1] - x[2]))),
                            c.cid
               ) AS rn
-       FROM embeddings e CROSS JOIN {_TRAINED_CENT} c),
+       FROM embeddings e CROSS JOIN {_SELECTED_CENT} c),
 assigned AS (SELECT vec_id, cid AS centroid FROM ca WHERE rn = 1),
 qprobe AS (SELECT vec_id, cid AS centroid FROM ca WHERE rn <= 1 AND vec_id < 20),
 pairs AS (SELECT a.vec_id AS query_id, co.vec_id AS neighbor_id,
@@ -1119,7 +1287,7 @@ rca AS (
                             x -> (x[1] - x[2]) * (x[1] - x[2]))),
                         c.cid
            ) AS rn
-    FROM embeddings e CROSS JOIN {_TRAINED_CENT} c
+    FROM embeddings e CROSS JOIN {_SELECTED_CENT} c
 ),
 resv AS (
     SELECT a.vec_id, a.cid AS centroid,
@@ -1127,7 +1295,7 @@ resv AS (
                           x -> x[1] - x[2]) AS v
     FROM (SELECT vec_id, cid FROM rca WHERE rn = 1) a
     JOIN embeddings e USING (vec_id)
-    JOIN {_TRAINED_CENT} c ON c.cid = a.cid
+    JOIN {_SELECTED_CENT} c ON c.cid = a.cid
 )"""
 
 _RES_PQ_CTES, _RES_PQ_CB = _pq_lloyd_ctes(
@@ -1135,7 +1303,7 @@ _RES_PQ_CTES, _RES_PQ_CB = _pq_lloyd_ctes(
 )
 
 IVF_PQ_RESIDUAL_ORACLE = f"""
-WITH {_TRAINED_CTES},
+WITH {_SELECTED_CTES},
 pqgrid AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j),
 sgrid AS (SELECT unnest(generate_series(0, {PQ_SUB - 1})) AS d),
 {_RESIDUAL_CTES},
@@ -1197,7 +1365,7 @@ def q_similarity_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unit-norm, and grading an L2 index against cosine truth would conflate
 # metric mismatch with quantization error).
 PQ_RECALL_ORACLE = f"""
-WITH {_TRAINED_CTES},
+WITH {_SELECTED_CTES},
 {_PQ_TRAINED_CTES},
 {_RESIDUAL_CTES},
 {_RES_PQ_CTES},
@@ -1358,7 +1526,7 @@ def q_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- IVF index maintenance: the trained index as a LIVING artifact ------------------
 
 IVF_INDEX_MAINT_ORACLE = f"""
-WITH {_TRAINED_CTES},
+WITH {_SELECTED_CTES},
 ia AS (
     SELECT e.vec_id, c.cid,
            list_sum(list_transform(
@@ -1371,7 +1539,7 @@ ia AS (
                             x -> (x[1] - x[2]) * (x[1] - x[2]))),
                         c.cid
            ) AS rn
-    FROM embeddings e CROSS JOIN {_TRAINED_CENT} c
+    FROM embeddings e CROSS JOIN {_SELECTED_CENT} c
     WHERE e.vec_id IS NOT NULL
 ),
 st AS (SELECT cid AS centroid, count(*)::BIGINT AS n,

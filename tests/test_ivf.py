@@ -526,3 +526,133 @@ def test_multiprobe_recall_monotone_and_validates_n_probes(spark):
     for bad in (0, 6):
         with pytest.raises(ValueError, match="n_probes"):
             bucketed_ann_topk(emb, q, k=5, n_probes=bad)
+
+
+# --- recall-gated quantizer selection (r11 verdict item 2) --------------------------
+
+
+def test_recall_gate_ships_dominating_candidate_on_clustered_data(spark):
+    """On structured data the Lloyd candidate dominates the adversarial seeds
+    at every nprobe and the gate ships it — the mechanism that makes the
+    'trained' production quantizer worth having."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        kmeans_centroids_exact,
+        select_ivf_quantizer,
+    )
+
+    # the adversarial-seed construction from
+    # test_trained_quantizer_beats_adversarial_seeds_on_clustered_data:
+    # seeded recall 0.4, trained recall 1.0 at nprobe=1
+    rows = [(0, [10.0, 0.0, 1.0, 0.0]), (1, [10.0, 0.0, -1.0, 0.0])]
+    for i in range(2, 42):
+        rows.append((i, [10.0, 0.0, 0.0, (i % 8) / 16.0]))
+    for i in range(42, 48):
+        rows.append((i, [0.0, 10.0, 1.0 if i % 2 else -1.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") >= 42)
+
+    seeded = kmeans_centroids_exact(emb, k=2, iters=0)
+    trained = kmeans_centroids_exact(emb, k=2, iters=2)
+    name, cents = select_ivf_quantizer(
+        emb, queries, [("lloyd_seed", trained)], ("seeded", seeded), nprobes=(1, 2)
+    )
+    assert name == "lloyd_seed" and cents == trained
+
+
+def test_recall_gate_keeps_baseline_when_no_candidate_dominates(clustered):
+    """The gate's reason to exist: a candidate that measures worse than the
+    baseline anywhere NEVER ships — the production entry falls back to the
+    seeds instead of shipping a marginal regression (the shipped-testdata
+    outcome, measured in OPERATORS.md)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        kmeans_centroids_exact,
+        select_ivf_quantizer,
+    )
+
+    queries = clustered.filter(F.col("vec_id") < 8)
+    # seeds 0 (cluster A) and 1 (cluster B): perfect separation, recall 1.0
+    seeded = kmeans_centroids_exact(clustered, k=2, iters=0)
+    # bad candidate: both centroids inside cluster A, splitting on the dim-3
+    # jitter — every query's inverted list loses the neighbors whose jitter
+    # falls on the other side, so recall < 1 at nprobe=1 and dominance fails
+    bad = [(0, [10.0, 0.0, 0.0, 0.0]), (1, [10.0, 0.0, 0.0, 0.25])]
+    name, cents = select_ivf_quantizer(
+        clustered, queries, [("bad", bad)], ("seeded", seeded), nprobes=(1, 2)
+    )
+    assert name == "seeded" and cents == seeded
+
+
+def test_farthest_first_init_is_deterministic_and_spans_clusters(clustered):
+    """Maximin init: starts at the lowest id, then picks across the gap —
+    one centroid per true cluster on the two-cluster fixture; ids are the
+    REAL chosen vec_ids; result is partitioning-invariant."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        farthest_first_centroids_exact,
+    )
+
+    a = farthest_first_centroids_exact(clustered, k=2)
+    b = farthest_first_centroids_exact(clustered.repartition(7), k=2)
+    assert a == b
+    assert a[0][0] == 0  # start = lowest vec_id (cluster A: even ids)
+    assert a[1][0] % 2 == 1  # farthest point sits in cluster B (odd ids)
+
+
+def test_exact_trainer_preserves_real_seed_vec_ids(spark):
+    """r11 ADVICE: centroid ids must be the collected vec_ids (the
+    _ivf_seed_centroids convention), not an enumerate renumbering — on
+    corpora whose lowest k ids are not {0..k-1} the two conventions train
+    different-looking quantizers per engine."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        farthest_first_centroids_exact,
+        kmeans_centroids,
+        kmeans_centroids_exact,
+    )
+
+    emb = spark.createDataFrame(
+        [(100 + i, [float(i % 4), float(i % 6)]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    for fn in (kmeans_centroids, kmeans_centroids_exact):
+        cents = fn(emb, k=3, iters=1)
+        assert [cid for cid, _ in cents] == [100, 101, 102]
+    ff = farthest_first_centroids_exact(emb, k=3)
+    assert all(cid >= 100 for cid, _ in ff) and ff[0][0] == 100
+
+
+def test_pq_trainer_guards_non_dense_seed_ids(spark):
+    """PQ codeword ids ARE list positions (the _pq_codes array-index
+    convention, mirrored by the oracles' c = vec_id) — training on a corpus
+    whose lowest kc ids are not {0..kc-1} must raise loudly, not silently
+    diverge from the SQL twin (r11 ADVICE)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        pq_codebooks_exact,
+    )
+
+    emb = spark.createDataFrame(
+        [(100 + i, [float(i), float(i + 1)]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="0..1"):
+        pq_codebooks_exact(emb, m=2, kc=2, iters=1)
+
+
+def test_ivf_list_state_scale_mismatch_survives_err_scale_pruning(spark):
+    """r11 ADVICE: the mismatch guard must ride err_q too — a projection
+    that drops err_scale (so Catalyst prunes that column's check) may not
+    expose mixed-scale sums."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        ivf_list_state,
+        kmeans_centroids_exact,
+        merge_ivf_list_states,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5)]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = kmeans_centroids_exact(emb, k=2, iters=1)
+    a = ivf_list_state(emb.filter(F.col("vec_id") < 6), cents, err_scale=6)
+    b = ivf_list_state(emb.filter(F.col("vec_id") >= 6), cents, err_scale=4)
+    pruned = merge_ivf_list_states(a, b).select("centroid", "n", "err_q")
+    with pytest.raises(Exception, match="err_scale mismatch"):
+        pruned.collect()
