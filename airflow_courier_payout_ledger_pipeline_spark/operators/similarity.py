@@ -196,6 +196,28 @@ def bucketed_ann_topk(
     )
 
 
+#: k·dim ceiling for unrolled-literal quantizer expressions: past this the
+#: plan embeds enough literals that Janino compile time (and plan size)
+#: dominates — the literal builders RAISE here and ``ivf_topk`` auto-routes
+#: to the broadcast-join assignment instead (r11 verdict item 3: a silent
+#: 100× quantizer scale-up must hit a clean error or a working path, never a
+#: compile stall). k=8 × dim=64 (the registered queries) is 512 — 20× under.
+UNROLLED_LITERAL_BUDGET = 10_000
+
+
+def _check_literal_budget(k: int, dim: int, what: str) -> None:
+    if k * dim > UNROLLED_LITERAL_BUDGET:
+        raise ValueError(
+            f"{what}: k·dim = {k}·{dim} = {k * dim} exceeds the unrolled-"
+            f"literal budget ({UNROLLED_LITERAL_BUDGET}) — a plan this size "
+            "stalls in Janino codegen instead of running. Train with "
+            "kmeans_centroids_mllib (or kmeans_centroids_exact's join-form "
+            "iteration) and search via ivf_topk(assign_mode='join'), which "
+            "keeps the identical IVF topology with the centroid matrix as a "
+            "broadcast frame instead of plan literals."
+        )
+
+
 def _assign_to_centroids(centroids: list[tuple[int, list[float]]], vec_col: str) -> Column:
     """Column: id of the nearest centroid (squared L2), ties to the lower id.
     Centroids are driver-side state (O(k·dim) — the standard MLlib layout) unrolled
@@ -204,8 +226,10 @@ def _assign_to_centroids(centroids: list[tuple[int, list[float]]], vec_col: str)
     Validity bound: the unrolled-literal quantizer embeds k·dim literals in the
     plan — right for k·dim ≲ 10⁴ (k=8 × dim=64 here ⇒ ~0.5k literals, trivial).
     Past that, plan size and codegen time grow linearly (k=1024 × dim=1024 would
-    be a ~100 MB plan): hand the quantizer to ``pyspark.ml.clustering.KMeans``
-    (broadcast centroid matrix + vectorized assignment) and keep this module's
+    be a ~100 MB plan), so the builder RAISES at UNROLLED_LITERAL_BUDGET (plan
+    construction time, never a Janino stall): hand the quantizer to
+    ``pyspark.ml.clustering.KMeans`` (broadcast centroid matrix + vectorized
+    assignment) or use ``ivf_topk(assign_mode='join')`` and keep this module's
     join topology for the search — the IVF layout is unchanged, only the
     assignment expression moves out of the plan.
 
@@ -224,6 +248,7 @@ def _assign_sql(centroids: list[tuple[int, list[float]]], vec_col: str) -> str:
     """The SQL text behind ``_assign_to_centroids`` — exposed so composite
     expressions (e.g. the residual subtraction) can inline it."""
     d = len(centroids[0][1])
+    _check_literal_budget(len(centroids), d, "_assign_to_centroids")
     cands = ", ".join(
         f"named_struct('d', {_sq_l2_sql(vec_col, 1, d, cvec)}, 'c', {cid})"
         for cid, cvec in centroids
@@ -539,6 +564,7 @@ def _centroid_probes(vec_col: str, centroids: list[tuple[int, list[float]]], npr
     id) — array_sort over (distance, id) structs, built as one SQL string
     (construction-cost note on the PQ builders), no Python in the data path."""
     d = len(centroids[0][1])
+    _check_literal_budget(len(centroids), d, "_centroid_probes")
     cands = ", ".join(
         f"named_struct('d', {_sq_l2_sql(vec_col, 1, d, cvec)}, 'c', {cid})"
         for cid, cvec in centroids
@@ -555,13 +581,26 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    assign_mode: str = "auto",
 ) -> DataFrame:
     """IVF search: the corpus is assigned to its nearest centroid (inverted
     lists); each query probes its ``nprobe`` nearest lists. Same join topology
     as the sign-bucket LSH path — swap the quantizer, keep the plan. Raising
     ``nprobe`` multiplies the candidate volume by ~nprobe and recovers the
     neighbors that sit just across a Voronoi boundary (the standard
-    recall/latency dial; topology unchanged)."""
+    recall/latency dial; topology unchanged).
+
+    ``assign_mode`` picks how the Voronoi assignment reaches the plan:
+    ``'literal'`` unrolls the k·dim centroid matrix into a codegen'd map
+    expression (zero extra shuffles — the layout every registered query
+    uses, valid to UNROLLED_LITERAL_BUDGET where the builders raise);
+    ``'join'`` broadcasts the centroid matrix as a k-row frame and argmins
+    via ``min(struct(d², cid, …))`` — one extra keyed shuffle on the corpus,
+    but plan size is O(1) in k·dim, so it carries MLlib-trained quantizers
+    (k=256, k=4096 …) through the IDENTICAL inverted-list search topology
+    (r11 verdict item 3). ``'auto'`` (default) routes by the budget. Tie
+    rules match exactly (lower centroid id), so both modes return the same
+    rows for the same centroids."""
     if not centroids:
         # cold start: no corpus → no quantizer → no neighbors (not a crash)
         return (
@@ -570,18 +609,79 @@ def ivf_topk(
             .crossJoin(queries.select(F.col(id_col).alias("query_id")).limit(0))
             .select("query_id", "neighbor_id", F.lit(0.0).alias("sim"), F.lit(0).alias("rank"))
         )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        norm(F.col(vec_col)).alias("__cn"),
-        _assign_to_centroids(centroids, vec_col).alias("centroid"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        norm(F.col(vec_col)).alias("__qn"),
-        F.explode(_centroid_probes(vec_col, centroids, nprobe)).alias("centroid"),
-    )
+    if assign_mode not in ("auto", "literal", "join"):
+        raise ValueError(f"assign_mode must be auto|literal|join, got {assign_mode!r}")
+    mode = assign_mode
+    if mode == "auto":
+        over = len(centroids) * len(centroids[0][1]) > UNROLLED_LITERAL_BUDGET
+        mode = "join" if over else "literal"
+    if mode == "literal":
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            norm(F.col(vec_col)).alias("__cn"),
+            _assign_to_centroids(centroids, vec_col).alias("centroid"),
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            norm(F.col(vec_col)).alias("__qn"),
+            F.explode(_centroid_probes(vec_col, centroids, nprobe)).alias("centroid"),
+        )
+    else:
+        spark = corpus.sparkSession
+        cdf = spark.createDataFrame(
+            [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+            "__cid int, __cvec array<double>",
+        )
+        d2c = F.expr(
+            "aggregate(zip_with(CAST(__cv AS ARRAY<DOUBLE>), __cvec, "
+            "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v)"
+        )
+        # min(struct) ties to the lower cid; the vector/norm ride in the
+        # struct and are never compared (cid is unique per group)
+        c = (
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("__cv"),
+                norm(F.col(vec_col)).alias("__cn"),
+            )
+            .crossJoin(F.broadcast(cdf))
+            .select(
+                "neighbor_id",
+                F.struct(
+                    d2c.alias("d"),
+                    F.col("__cid").alias("c"),
+                    F.col("__cv").alias("v"),
+                    F.col("__cn").alias("n"),
+                ).alias("__s"),
+            )
+            .groupBy("neighbor_id")
+            .agg(F.min("__s").alias("__s"))
+            .select(
+                "neighbor_id",
+                F.col("__s.v").alias("__cv"),
+                F.col("__s.n").alias("__cn"),
+                F.col("__s.c").alias("centroid"),
+            )
+        )
+        d2q = F.expr(
+            "aggregate(zip_with(CAST(__qv AS ARRAY<DOUBLE>), __cvec, "
+            "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v)"
+        )
+        qw = Window.partitionBy("query_id").orderBy(F.col("__d"), F.col("__cid"))
+        q = (
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("__qv"),
+                norm(F.col(vec_col)).alias("__qn"),
+            )
+            .crossJoin(F.broadcast(cdf))
+            .withColumn("__d", d2q)
+            .withColumn("__rn", F.row_number().over(qw))
+            .filter(F.col("__rn") <= nprobe)
+            .select("query_id", "__qv", "__qn", F.col("__cid").alias("centroid"))
+        )
     sims = (
         c.join(F.broadcast(q), "centroid")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -601,12 +701,22 @@ def ivf_topk(
     )
 
 
+#: comparison ceiling for the exact tiled self-join: n(n-1)/2 pairs past this
+#: requires an explicit ``allow_quadratic=True`` — scheduling an Ω(n²) job on
+#: a 100 TB corpus must be a decision, never a default (r11 verdict item 4).
+#: 10⁸ comparisons ≈ n=14k vectors — minutes of work; the shipped testdata
+#: (n=2k at sf0.1) is 50× under.
+QUADRATIC_PAIR_BUDGET = 100_000_000
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_blocks: int | None = None,
+    allow_quadratic: bool = False,
+    max_comparisons: int = QUADRATIC_PAIR_BUDGET,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold) —
     EXACT, via a block-tiled symmetric self-join (the Afrati-Ullman one-round
@@ -626,8 +736,29 @@ def embedding_near_dup_pairs(
     pairs at τ=0.38 on 64-dim testdata). Exact tiling is therefore the honest
     scale path; for true duplicate regimes (τ ≥ ~0.8) use sub-quadratic
     candidates instead: ``bucketed_ann_topk``'s sign buckets or MinHash/SimHash
-    over content."""
+    over content.
+
+    SCALE GUARD (r11 verdict item 4): the estimated comparison count
+    n(n-1)/2 is checked against ``max_comparisons`` (one cheap count() —
+    trivial next to the join it gates) and the call RAISES past the budget
+    unless the caller passes ``allow_quadratic=True`` — at corpus scale an
+    Ω(n²) job must be an explicit decision with the sub-quadratic
+    alternatives named in the error, never something a default schedules."""
     spark = emb.sparkSession
+    if not allow_quadratic:
+        n = emb.count()
+        comparisons = n * (n - 1) // 2
+        if comparisons > max_comparisons:
+            raise ValueError(
+                f"embedding_near_dup_pairs: {n} vectors -> {comparisons} exact "
+                f"pair comparisons, over the budget ({max_comparisons}). This "
+                "operator is intentionally Ω(n²) (low-τ exact pairs have no "
+                "lossless candidate pruning); at this size either pass "
+                "allow_quadratic=True deliberately, raise max_comparisons, or "
+                "use a sub-quadratic candidate scheme: bucketed_ann_topk "
+                "(sign-bucket LSH), minhash/simhash banding over content, or "
+                "IVF cell-restricted pairs (semdedup_pairs)."
+            )
     b_blocks = num_blocks or max(spark.sparkContext.defaultParallelism, 8)
     tiles = spark.createDataFrame(
         [(i, j) for i in range(b_blocks) for j in range(i, b_blocks)],
@@ -1478,6 +1609,7 @@ def _sq_l2_sql_for_assigned(
     ``.c`` (one expression; Catalyst subexpression-eliminates the shared
     argmin when both columns appear in one projection)."""
     d = len(centroids[0][1])
+    _check_literal_budget(len(centroids), d, "_sq_l2_sql_for_assigned")
     cands = ", ".join(
         f"named_struct('d', {_sq_l2_sql(vec_col, 1, d, cvec)}, 'c', {cid})"
         for cid, cvec in centroids

@@ -343,6 +343,7 @@ ADJUDICATION_WINDOW_FIRST: list[str] = [
     "ivf_recall_trained_vs_seeded",
     "similarity_ivf_topk_trained",
     "embedding_near_dup",
+    "ivfpq_residual_recall_multiprobe",
 ]
 
 

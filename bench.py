@@ -98,6 +98,9 @@ HEADLINE = [
     "kmv_rolling_7d_distinct",
     "quantile_rolling_7d",
     "heavy_users_rolling_7d",
+    # round-12: multi-probe recall eval on the production residual IVF-PQ
+    # layout (the r11-verdict item-5 dial, next to the LSH one)
+    "ivfpq_residual_recall_multiprobe",
 ]
 
 

@@ -567,3 +567,26 @@ def test_pq_codes_reject_codebooks_beyond_tinyint(spark):
     emb = spark.createDataFrame([(0, [1.0, 2.0])], "vec_id long, embedding array<float>")
     with _pytest.raises(ValueError, match="SMALLINT"):
         pq_encode(emb, [[[float(c)] for c in range(129)], [[0.0]]])
+
+
+def test_near_dup_pairs_scale_guard_requires_explicit_quadratic_optin(spark):
+    """r11 verdict item 4: past the comparison budget the exact Ω(n²) tiling
+    must refuse with the sub-quadratic alternatives named, run only under an
+    explicit allow_quadratic=True, and leave in-budget calls untouched."""
+    import pytest as _pytest
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="allow_quadratic"):
+        embedding_near_dup_pairs(emb, 0.5, max_comparisons=10)
+    # explicit opt-in runs, and matches the default in-budget result
+    opted = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(
+        emb, 0.5, max_comparisons=10, allow_quadratic=True).collect()}
+    default = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(emb, 0.5).collect()}
+    assert opted == default and default

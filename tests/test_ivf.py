@@ -656,3 +656,60 @@ def test_ivf_list_state_scale_mismatch_survives_err_scale_pruning(spark):
     pruned = merge_ivf_list_states(a, b).select("centroid", "n", "err_q")
     with pytest.raises(Exception, match="err_scale mismatch"):
         pruned.collect()
+
+
+# --- k·dim budget enforcement (r11 verdict item 3) -----------------------------------
+
+
+def test_join_form_assignment_matches_literal_and_carries_large_quantizers(spark):
+    """The large-quantizer path: MLlib trains k=64 over dim=64 (k·dim=4096)
+    and ivf_topk(assign_mode='join') runs the IDENTICAL inverted-list search
+    topology with the centroid matrix as a broadcast frame — byte-equal rows
+    to the unrolled-literal mode on the same centroids (tie rules match), at
+    both nprobe settings. This is the route 'auto' takes past
+    UNROLLED_LITERAL_BUDGET, where the literal builders raise instead of
+    stalling in Janino."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids_mllib,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = kmeans_centroids_mllib(emb, k=64, seed=7)
+    assert len(cents) == 64
+    q = emb.filter(F.col("vec_id") < 10)
+    for nprobe in (1, 3):
+        lit = ivf_topk(emb, q, cents, k=5, nprobe=nprobe, assign_mode="literal")
+        jn = ivf_topk(emb, q, cents, k=5, nprobe=nprobe, assign_mode="join")
+        assert sorted(map(tuple, lit.collect())) == sorted(map(tuple, jn.collect()))
+
+
+def test_literal_builders_raise_past_budget_and_auto_routes(spark):
+    """Past UNROLLED_LITERAL_BUDGET the literal path must fail at plan
+    CONSTRUCTION with a clear error (never a codegen stall), and 'auto' must
+    route to the join form instead of raising."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        UNROLLED_LITERAL_BUDGET,
+        _assign_to_centroids,
+        _centroid_probes,
+        ivf_topk,
+    )
+
+    dim = 64
+    k = UNROLLED_LITERAL_BUDGET // dim + 1  # first size over budget
+    big = [(i, [float(i % 7)] * dim) for i in range(k)]
+    with pytest.raises(ValueError, match="unrolled-literal budget"):
+        _assign_to_centroids(big, "embedding")
+    with pytest.raises(ValueError, match="unrolled-literal budget"):
+        _centroid_probes("embedding", big, 2)
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * dim) for i in range(4)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="unrolled-literal budget"):
+        ivf_topk(emb, emb, big, k=2, assign_mode="literal")
+    # auto routes to the join form: the plan builds and executes
+    out = ivf_topk(emb, emb.filter(F.col("vec_id") < 2), big, k=2, assign_mode="auto")
+    rows = out.collect()
+    assert all(r.rank <= 2 for r in rows)
+    with pytest.raises(ValueError, match="assign_mode"):
+        ivf_topk(emb, emb, big, k=2, assign_mode="nope")

@@ -125,15 +125,13 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "dedup_components",
         "dedup_incremental",
     },
+    # round-12: the recall-gated selection CTE blob (csel) replaces the
+    # straight-Lloyd trained-centroid CTEs in every trained-family oracle and
+    # _ivf_trained_centroids gates on measured hits; the r10-era evidence
+    # names (semdedup pair CTEs, ivf_recall_eval) rotated out with their
+    # rounds — evidence sets track the CURRENT round's changes
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_similarity.py": {
         "similarity_topk",
-        # round-10: shared pair-CTE refactor + the end-to-end composition
-        "semdedup_pairs",
-        "semdedup_prune_end_to_end",
-        # round-10: IVF recall measurement registration
-        "ivf_recall_eval",
-        # round-11: trained coarse quantizer / PQ codebooks (exact-decimal
-        # Lloyd's) — new registrations adjudicate in the ACTIVE r11 window
         "similarity_ivf_topk_trained",
         "ivf_recall_trained_vs_seeded",
         "similarity_pq_adc_trained",
@@ -144,11 +142,18 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         # round-11: multi-probe LSH registrations
         "similarity_ann_multiprobe",
         "ann_recall_multiprobe",
+        # round-12: multi-probe recall eval on the residual IVF-PQ layout
+        "ivfpq_residual_recall_multiprobe",
     },
     # round-11: kmeans_centroids_exact + pq_codebooks_exact added (training
     # behind the unchanged search interface); the seeded search paths
     # re-adjudicate alongside via similarity_topk/ivf/pq in-window entries
+    # round-12: recall-gated quantizer selection (farthest-first init +
+    # select_ivf_quantizer), vec_id-preserving seeds, k·dim budget
+    # enforcement with the ivf_topk join-form route, the near-dup-pairs
+    # quadratic scale guard, and err_q-gated list-state merges
     "airflow_courier_payout_ledger_pipeline_spark/operators/similarity.py": {
+        "embedding_near_dup",
         "similarity_ivf_topk_trained",
         "ivf_recall_trained_vs_seeded",
         "similarity_pq_adc_trained",

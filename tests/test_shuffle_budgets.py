@@ -111,6 +111,10 @@ SHUFFLE_BUDGET = {
     # eval query: 1 exact-L2 truth window + 4 variant search windows +
     # truth-grid join + final rollup
     "pq_recall_eval": 8,
+    # round-12 eval: 1 exact-L2 truth window + 3 nprobe residual-ADC search
+    # windows + truth-grid join + final rollup (training/gating collects
+    # eagerly; the returned plan is search-only)
+    "ivfpq_residual_recall_multiprobe": 7,
 }
 
 
