@@ -217,7 +217,12 @@ def orders_stg_to_dds_job(spark: SparkSession, lake: Lakehouse) -> None:
 def deliveries_stg_to_dds_job(spark: SparkSession, lake: Lakehouse) -> None:
     """sql/deliveries_stg_to_dds.sql: increment → surrogate-key lookup (J2; inner
     joins drop facts with missing dims) → SCD0 fact append → cursor upsert, in the
-    crash-safe facts-first/watermark-last order (M3 mitigation, SURVEY.md §3.3)."""
+    crash-safe facts-first/watermark-last order (M3 mitigation, SURVEY.md §3.3).
+    Replay-safety comes from that order + SCD0 idempotency; readers that need
+    the facts/watermark PAIR transactionally consistent mid-crash use the
+    lakehouse commit manifest instead (``Lakehouse.commit_multi`` — stage both
+    snapshots, flip one pointer; crash-window-tested in
+    tests/test_file_sources.py)."""
     nd = _new_stg_deliveries(spark, lake)
     nd.cache()  # one snapshot feeds both the fact write and the cursor (M3)
     try:

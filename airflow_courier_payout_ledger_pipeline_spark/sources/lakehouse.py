@@ -137,19 +137,103 @@ class Lakehouse:
             int(d.name[2:]) for d in root.glob("v=*") if d.is_dir()
         ) if root.exists() else []
 
+    def _next_version(self, layer: str, table: str) -> int:
+        """Next unused version number: past the pointer AND past any staged or
+        orphaned ``v=N`` dirs (a staged multi-table commit must never collide
+        with a concurrent per-table overwrite's next number)."""
+        cur = self.current_version(layer, table)
+        vs = self.versions(layer, table)
+        return max([cur if cur is not None else -1, *vs, -1]) + 1
+
     def overwrite_versioned(self, df: DataFrame, layer: str, table: str) -> int:
         """Write the next snapshot version and flip the pointer. Returns the new
         version number. Crash-safe: a crash before the pointer flip leaves an
         orphan ``v=N`` dir (invisible to readers, removed by vacuum); the flip
         itself is an atomic rename."""
-        cur = self.current_version(layer, table)
-        nxt = 0 if cur is None else cur + 1
+        nxt = self._next_version(layer, table)
         root = self.root / layer / table
         df.write.mode("overwrite").parquet(str(root / f"v={nxt}"))
         tmp = root / f"_LATEST.__tmp_{uuid.uuid4().hex[:8]}"
         tmp.write_text(str(nxt))
         tmp.rename(self._pointer(layer, table))
         return nxt
+
+    # --- multi-table commit manifest (M3 atomicity, SURVEY §2.6) ----------------------
+    #
+    # The facts-then-watermark write order is replay-SAFE (a crash between the
+    # two writes re-processes an already-written increment, and SCD0/SCD1
+    # idempotency absorbs the replay), but a reader between the writes still
+    # sees new facts with the old watermark. The commit manifest closes that:
+    # every table of a logical transaction is STAGED as a new ``v=N`` snapshot
+    # (per-table pointers untouched — staged versions are invisible), then ONE
+    # manifest file mapping table -> version is written and ONE pointer flips
+    # (atomic rename). Manifest readers resolve versions through the current
+    # manifest, so they observe the old pair or the new pair, never a mix —
+    # the same protocol as Delta's multi-table transaction log collapsed to a
+    # single-writer lakehouse. A crash anywhere before the flip leaves staged
+    # snapshots + an unreferenced manifest file: both invisible, both
+    # vacuumable, and the replayed job re-stages idempotently.
+
+    def _manifest_pointer(self) -> Path:
+        return self.root / "_commits" / "_LATEST"
+
+    def current_manifest_id(self) -> int | None:
+        p = self._manifest_pointer()
+        return int(p.read_text().strip()) if p.exists() else None
+
+    def current_manifest(self) -> dict[str, int]:
+        """{'layer/table': version} of the last committed transaction (empty
+        if none committed yet). Carries forward every table ever committed."""
+        mid = self.current_manifest_id()
+        if mid is None:
+            return {}
+        import json
+
+        return json.loads((self.root / "_commits" / f"m={mid}.json").read_text())
+
+    def stage_version(self, df: DataFrame, layer: str, table: str) -> int:
+        """The staging half of a multi-table commit: write the next ``v=N``
+        snapshot WITHOUT flipping the per-table pointer. Invisible to every
+        reader until ``commit_manifest`` references it."""
+        nxt = self._next_version(layer, table)
+        df.write.mode("overwrite").parquet(str(self.root / layer / table / f"v={nxt}"))
+        return nxt
+
+    def commit_manifest(self, staged: dict[tuple[str, str], int]) -> int:
+        """Atomically publish a set of staged snapshots as ONE transaction:
+        the new manifest = previous manifest entries merged with ``staged``,
+        written to ``_commits/m=N.json`` and made current by a single atomic
+        pointer rename. Returns the manifest id."""
+        import json
+
+        merged = self.current_manifest()
+        merged.update({f"{l}/{t}": v for (l, t), v in staged.items()})
+        cur = self.current_manifest_id()
+        mid = 0 if cur is None else cur + 1
+        mdir = self.root / "_commits"
+        mdir.mkdir(parents=True, exist_ok=True)
+        (mdir / f"m={mid}.json").write_text(json.dumps(merged, sort_keys=True))
+        tmp = mdir / f"_LATEST.__tmp_{uuid.uuid4().hex[:8]}"
+        tmp.write_text(str(mid))
+        tmp.rename(self._manifest_pointer())
+        return mid
+
+    def commit_multi(self, writes: Sequence[tuple[DataFrame, str, str]]) -> int:
+        """Stage every (df, layer, table) snapshot, then flip the manifest
+        once — the all-or-nothing form of the facts+watermark pair."""
+        staged = {(l, t): self.stage_version(df, l, t) for df, l, t in writes}
+        return self.commit_manifest(staged)
+
+    def read_committed(
+        self, spark: SparkSession, layer: str, table: str, schema: StructType
+    ) -> DataFrame:
+        """Read a table at the version the CURRENT manifest references —
+        transactionally consistent with every other manifest table. Tables
+        never committed through a manifest read empty."""
+        v = self.current_manifest().get(f"{layer}/{table}")
+        if v is None:
+            return spark.createDataFrame([], schema)
+        return self.read_versioned(spark, layer, table, schema, version=v)
 
     def read_versioned(
         self,
@@ -174,11 +258,16 @@ class Lakehouse:
 
     def vacuum(self, layer: str, table: str, keep_last: int = 2) -> list[int]:
         """Drop all but the newest ``keep_last`` snapshots (never the current
-        pointer target). Returns removed versions. The retention window is the
-        time-travel horizon — identical contract to Delta VACUUM."""
+        pointer target, never the current MANIFEST's referenced version — a
+        committed multi-table transaction must stay readable). Returns removed
+        versions. The retention window is the time-travel horizon — identical
+        contract to Delta VACUUM."""
         cur = self.current_version(layer, table)
         vs = self.versions(layer, table)
         keep = set(vs[-keep_last:]) | ({cur} if cur is not None else set())
+        mv = self.current_manifest().get(f"{layer}/{table}")
+        if mv is not None:
+            keep.add(mv)
         removed = []
         for v in vs:
             if v not in keep:

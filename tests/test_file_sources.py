@@ -62,3 +62,68 @@ def test_orc_roundtrip_with_pruning(spark, tmp_path):
     assert {(r.k, r.v, r.extra) for r in back.collect()} == {("a", 1, "x"), ("b", 2, "y")}
     phys = back.select("k")._jdf.queryExecution().executedPlan().toString()
     assert "extra" not in phys.split("ReadSchema")[-1]
+
+
+def test_multi_table_commit_manifest_crash_window(spark, tmp_path):
+    """M3 multi-write atomicity (SURVEY §2.6, r11 verdict item 6): facts and
+    watermark stage as invisible snapshots and publish via ONE manifest
+    pointer flip — a crash ANYWHERE between the two table writes (or after
+    both, before the flip) leaves manifest readers on the old CONSISTENT
+    pair, never new facts with an old watermark."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    lake = Lakehouse(str(tmp_path))
+    facts_schema = StructType([StructField("delivery_key", LongType())])
+    wm_schema = StructType([StructField("cursor", StringType())])
+
+    def facts(n):
+        return spark.createDataFrame([(i,) for i in range(n)], facts_schema)
+
+    def wm(c):
+        return spark.createDataFrame([(c,)], wm_schema)
+
+    def read_pair():
+        f = lake.read_committed(spark, "dds", "fct", facts_schema).count()
+        w = [r.cursor for r in lake.read_committed(spark, "dds", "wm", wm_schema).collect()]
+        return f, w
+
+    # transaction 1 commits atomically
+    lake.commit_multi([(facts(3), "dds", "fct"), (wm("day1"), "dds", "wm")])
+    assert read_pair() == (3, ["day1"])
+
+    # crash window A: facts for day2 staged, process dies before the
+    # watermark write — readers still see the day1 pair
+    staged_facts = lake.stage_version(facts(7), "dds", "fct")
+    assert read_pair() == (3, ["day1"])
+
+    # crash window B: both tables staged, dies before the manifest flip
+    staged_wm = lake.stage_version(wm("day2"), "dds", "wm")
+    assert read_pair() == (3, ["day1"])
+
+    # crash window C: manifest FILE written but pointer not flipped (the
+    # rename is the commit point) — still the old pair
+    import json
+
+    nxt = (lake.current_manifest_id() or 0) + 1
+    (tmp_path / "_commits" / f"m={nxt}.json").write_text(
+        json.dumps({"dds/fct": staged_facts, "dds/wm": staged_wm})
+    )
+    assert read_pair() == (3, ["day1"])
+
+    # the replayed job re-commits: one atomic flip publishes the day2 pair
+    lake.commit_manifest({("dds", "fct"): staged_facts, ("dds", "wm"): staged_wm})
+    assert read_pair() == (7, ["day2"])
+
+    # vacuum never drops a manifest-referenced snapshot, and per-table
+    # overwrites skip past staged version numbers (no collision)
+    lake.vacuum("dds", "fct", keep_last=1)
+    assert read_pair()[0] == 7
+    v = lake.overwrite_versioned(facts(1), "dds", "fct")
+    assert v > staged_facts

@@ -167,6 +167,23 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "similarity_topk",
         "similarity_ivf_nprobe2",
     },
+    # round-12: multi-table commit manifest (stage_version/commit_manifest/
+    # read_committed + manifest-aware vacuum and _next_version); the
+    # versioned-snapshot and SCD paths it extends adjudicate via the canary
+    # mart fold + the SCD/promotion veterans in the r13 plan
+    "airflow_courier_payout_ledger_pipeline_spark/sources/lakehouse.py": {
+        "incremental_mart_maintenance",
+        "scd1_upsert",
+        "scd0_insert_ignore",
+        "incremental_promotion",
+    },
+    # round-12: M3 docstring cross-reference to the commit manifest
+    # (comment-only; the job's queries carry the evidence)
+    "airflow_courier_payout_ledger_pipeline_spark/plans/promotions.py": {
+        "incremental_promotion",
+        "scd1_upsert",
+        "scd0_insert_ignore",
+    },
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_events.py": {
         "event_windows_tumbling",
         # round-10: forward-horizon as-of registration
