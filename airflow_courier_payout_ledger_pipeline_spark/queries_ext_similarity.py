@@ -1862,3 +1862,58 @@ def q_ivfpq_residual_recall_multiprobe(spark: SparkSession, sf_dir: str) -> Data
             ).alias("recall"),
         )
     )
+
+
+@register("streaming_ivf_maintenance", IVF_INDEX_MAINT_ORACLE)
+def q_streaming_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index-health state MAINTAINED as streaming state — the
+    deployment rail behind `ivf_index_maintenance`'s 'O(increment), never
+    re-index history' claim: embeddings arrive as a 4-file stream
+    (maxFilesPerTrigger=1 → 4 micro-batches), each batch assigned against
+    the FROZEN recall-gated quantizer and folded into the persisted per-list
+    state via foreachBatch (`streaming/ingest.stream_fold_state` +
+    `merge_ivf_list_states` — the same exactly-once rail that maintains the
+    ledger, CMS, bloom, quantile, and sample states). The count/quantized-
+    error-sum algebra is associative and commutative, so the streamed state
+    ≡ one batch build under ANY file split, and the readout must reproduce
+    `ivf_index_maintenance`'s full-recompute oracle exactly — hash-checked
+    here (same oracle statement)."""
+    import tempfile
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        ivf_list_state,
+        ivf_list_stats,
+        merge_ivf_list_states,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+    from airflow_courier_payout_ledger_pipeline_spark.streaming.ingest import (
+        stream_fold_state,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    cents = _ivf_trained_centroids(emb, sf_dir)
+
+    tmp = tempfile.mkdtemp(prefix="stream_ivf_")
+    src = f"{tmp}/emb"
+    feed = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    feed.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    lake = Lakehouse(f"{tmp}/lake")
+    state_schema = ivf_list_state(feed, cents).schema
+    q = stream_fold_state(
+        stream,
+        lake,
+        "idx",
+        "ivf_state",
+        state_fn=lambda b: ivf_list_state(b, cents),
+        merge_fn=merge_ivf_list_states,
+        checkpoint=f"{tmp}/ckpt",
+        query_name="drv_stream_ivf",
+    )
+    q.awaitTermination()
+    state = lake.read(spark, "idx", "ivf_state", state_schema)
+    return ivf_list_stats(state)

@@ -144,6 +144,8 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "ann_recall_multiprobe",
         # round-12: multi-probe recall eval on the residual IVF-PQ layout
         "ivfpq_residual_recall_multiprobe",
+        # round-12: streaming deployment rail of the IVF maintenance fold
+        "streaming_ivf_maintenance",
     },
     # round-11: kmeans_centroids_exact + pq_codebooks_exact added (training
     # behind the unchanged search interface); the seeded search paths
