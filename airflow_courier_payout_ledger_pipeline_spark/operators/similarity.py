@@ -417,6 +417,97 @@ def kmeans_centroids_exact(
     return centroids
 
 
+def _resolve_assign_mode(
+    assign_mode: str, centroids: list[tuple[int, list[float]]]
+) -> str:
+    """'auto' → 'literal' under UNROLLED_LITERAL_BUDGET, 'join' past it."""
+    if assign_mode not in ("auto", "literal", "join"):
+        raise ValueError(f"assign_mode must be auto|literal|join, got {assign_mode!r}")
+    if assign_mode != "auto":
+        return assign_mode
+    over = len(centroids) * len(centroids[0][1]) > UNROLLED_LITERAL_BUDGET
+    return "join" if over else "literal"
+
+
+def _centroid_frame(df: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    return df.sparkSession.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+        "__cid int, __cvec array<double>",
+    )
+
+
+def _assign_via_join(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Join-form Voronoi assignment: (id_col, vec_col, centroid, __cvec, __d2)
+    with the winning centroid's VECTOR and squared distance carried along —
+    O(1) plan size in k·dim (the centroid matrix is a broadcast k-row frame,
+    never plan literals), one extra map-side-combined keyed shuffle. Tie rule
+    matches the literal builders exactly (lower centroid id); the vector and
+    __cvec ride inside the min-struct and are never compared (cid is unique
+    per group)."""
+    d2 = F.expr(
+        f"aggregate(zip_with(CAST(`{vec_col}` AS ARRAY<DOUBLE>), __cvec, "
+        "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v)"
+    )
+    return (
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(_centroid_frame(df, centroids)))
+        .select(
+            F.col(id_col),
+            F.struct(
+                d2.alias("d"),
+                F.col("__cid").alias("c"),
+                F.col(vec_col).alias("v"),
+                F.col("__cvec").alias("w"),
+            ).alias("__s"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("__s").alias("__s"))
+        .select(
+            F.col(id_col),
+            F.col("__s.v").alias(vec_col),
+            F.col("__s.c").alias("centroid"),
+            F.col("__s.w").alias("__cvec"),
+            F.col("__s.d").alias("__d2"),
+        )
+    )
+
+
+def _probes_via_join(
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Join-form probe list: one row per (query, probed centroid), nearest
+    first — (id_col, vec_col, centroid, __cvec). Per-query window over the
+    broadcast-joined k-row centroid frame; same (distance, id) tie rule as
+    ``_centroid_probes``."""
+    d2 = F.expr(
+        f"aggregate(zip_with(CAST(`{vec_col}` AS ARRAY<DOUBLE>), __cvec, "
+        "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__d"), F.col("__cid"))
+    return (
+        queries.select(id_col, vec_col)
+        .crossJoin(F.broadcast(_centroid_frame(queries, centroids)))
+        .withColumn("__d", d2)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("__cid").alias("centroid"),
+            F.col("__cvec"),
+        )
+    )
+
+
 def farthest_first_centroids_exact(
     emb: DataFrame,
     k: int = 8,
@@ -609,12 +700,7 @@ def ivf_topk(
             .crossJoin(queries.select(F.col(id_col).alias("query_id")).limit(0))
             .select("query_id", "neighbor_id", F.lit(0.0).alias("sim"), F.lit(0).alias("rank"))
         )
-    if assign_mode not in ("auto", "literal", "join"):
-        raise ValueError(f"assign_mode must be auto|literal|join, got {assign_mode!r}")
-    mode = assign_mode
-    if mode == "auto":
-        over = len(centroids) * len(centroids[0][1]) > UNROLLED_LITERAL_BUDGET
-        mode = "join" if over else "literal"
+    mode = _resolve_assign_mode(assign_mode, centroids)
     if mode == "literal":
         c = corpus.select(
             F.col(id_col).alias("neighbor_id"),
@@ -629,58 +715,17 @@ def ivf_topk(
             F.explode(_centroid_probes(vec_col, centroids, nprobe)).alias("centroid"),
         )
     else:
-        spark = corpus.sparkSession
-        cdf = spark.createDataFrame(
-            [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
-            "__cid int, __cvec array<double>",
+        c = _assign_via_join(corpus, centroids, id_col, vec_col).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            norm(F.col(vec_col)).alias("__cn"),
+            "centroid",
         )
-        d2c = F.expr(
-            "aggregate(zip_with(CAST(__cv AS ARRAY<DOUBLE>), __cvec, "
-            "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v)"
-        )
-        # min(struct) ties to the lower cid; the vector/norm ride in the
-        # struct and are never compared (cid is unique per group)
-        c = (
-            corpus.select(
-                F.col(id_col).alias("neighbor_id"),
-                F.col(vec_col).alias("__cv"),
-                norm(F.col(vec_col)).alias("__cn"),
-            )
-            .crossJoin(F.broadcast(cdf))
-            .select(
-                "neighbor_id",
-                F.struct(
-                    d2c.alias("d"),
-                    F.col("__cid").alias("c"),
-                    F.col("__cv").alias("v"),
-                    F.col("__cn").alias("n"),
-                ).alias("__s"),
-            )
-            .groupBy("neighbor_id")
-            .agg(F.min("__s").alias("__s"))
-            .select(
-                "neighbor_id",
-                F.col("__s.v").alias("__cv"),
-                F.col("__s.n").alias("__cn"),
-                F.col("__s.c").alias("centroid"),
-            )
-        )
-        d2q = F.expr(
-            "aggregate(zip_with(CAST(__qv AS ARRAY<DOUBLE>), __cvec, "
-            "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v)"
-        )
-        qw = Window.partitionBy("query_id").orderBy(F.col("__d"), F.col("__cid"))
-        q = (
-            queries.select(
-                F.col(id_col).alias("query_id"),
-                F.col(vec_col).alias("__qv"),
-                norm(F.col(vec_col)).alias("__qn"),
-            )
-            .crossJoin(F.broadcast(cdf))
-            .withColumn("__d", d2q)
-            .withColumn("__rn", F.row_number().over(qw))
-            .filter(F.col("__rn") <= nprobe)
-            .select("query_id", "__qv", "__qn", F.col("__cid").alias("centroid"))
+        q = _probes_via_join(queries, centroids, nprobe, id_col, vec_col).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            norm(F.col(vec_col)).alias("__qn"),
+            "centroid",
         )
     sims = (
         c.join(F.broadcast(q), "centroid")
@@ -987,6 +1032,24 @@ def pq_codebooks_exact(
     return books
 
 
+def _check_pq_literal_budget(codebooks: list[list[list[float]]], what: str) -> None:
+    """PQ expressions unroll kc·dim literals (m books × kc codewords × sub
+    dims) — the same Janino-stall hazard as the coarse quantizer. The
+    tinyint cap (kc ≤ 128) bounds this to 128·dim, which passes the budget
+    up to dim ≈ 78; wider embeddings with large kc must encode via the
+    join-form per-subspace argmin (pq_codebooks_exact's iteration shape) or
+    shrink kc."""
+    kc = len(codebooks[0])
+    dim = len(codebooks) * len(codebooks[0][0])
+    if kc * dim > UNROLLED_LITERAL_BUDGET:
+        raise ValueError(
+            f"{what}: kc·dim = {kc}·{dim} = {kc * dim} exceeds the unrolled-"
+            f"literal budget ({UNROLLED_LITERAL_BUDGET}) — encode via a "
+            "broadcast-joined per-subspace argmin (the pq_codebooks_exact "
+            "iteration shape) instead of plan literals, or reduce kc."
+        )
+
+
 def _pq_codes(vec_col: str, codebooks: list[list[list[float]]]) -> Column:
     """array<tinyint> of per-subspace argmin codebook entries (ties → lower
     centroid id, via struct-ordered array_min).
@@ -1004,6 +1067,7 @@ def _pq_codes(vec_col: str, codebooks: list[list[list[float]]]) -> Column:
                 "the TINYINT code type under ANSI mode — widen pq_codes to "
                 "SMALLINT (and re-encode persisted codes) for k > 128"
             )
+    _check_pq_literal_budget(codebooks, "_pq_codes")
     sub = len(codebooks[0][0])
     per_j = []
     for j, book in enumerate(codebooks):
@@ -1019,6 +1083,7 @@ def _pq_adc_table(vec_col: str, codebooks: list[list[list[float]]]) -> Column:
     """array<array<double>> ADC table: entry [j][c] = squared L2 between the
     row's subspace-j slice and codebook entry c — computed once per QUERY row,
     then every corpus distance is m lookups into it."""
+    _check_pq_literal_budget(codebooks, "_pq_adc_table")
     sub = len(codebooks[0][0])
     rows = ", ".join(
         "array("
@@ -1142,6 +1207,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    assign_mode: str = "auto",
 ) -> DataFrame:
     """IVF-PQ: the billion-vector layout — the IVF coarse quantizer routes each
     query to its ``nprobe`` inverted lists, and WITHIN a list distances are ADC
@@ -1150,19 +1216,36 @@ def ivf_pq_topk(
     from a d-dim cosine fold to m table lookups and the corpus storage from
     d floats to m bytes. One equi-join on centroid id (queries broadcast), one
     per-query top-k window — the identical topology as every ANN variant in
-    this module, so swapping index layouts never changes the plan shape."""
+    this module, so swapping index layouts never changes the plan shape.
+    ``assign_mode`` routes the COARSE assignment exactly as in :func:`ivf_topk`
+    ('auto' takes the broadcast-join form past UNROLLED_LITERAL_BUDGET, so
+    nlist scales to thousands of cells); the PQ code/ADC expressions have
+    their own, kc·dim-bounded, budget (tinyint already caps kc at 128)."""
     if not codebooks or not centroids:
         return _empty_adc_result(corpus, queries, id_col)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _pq_codes(vec_col, codebooks).alias("pq_codes"),
-        _assign_to_centroids(centroids, vec_col).alias("centroid"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _pq_adc_table(vec_col, codebooks).alias("__adc"),
-        F.explode(_centroid_probes(vec_col, centroids, nprobe)).alias("centroid"),
-    )
+    mode = _resolve_assign_mode(assign_mode, centroids)
+    if mode == "literal":
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _pq_codes(vec_col, codebooks).alias("pq_codes"),
+            _assign_to_centroids(centroids, vec_col).alias("centroid"),
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            _pq_adc_table(vec_col, codebooks).alias("__adc"),
+            F.explode(_centroid_probes(vec_col, centroids, nprobe)).alias("centroid"),
+        )
+    else:
+        c = _assign_via_join(corpus, centroids, id_col, vec_col).select(
+            F.col(id_col).alias("neighbor_id"),
+            _pq_codes(vec_col, codebooks).alias("pq_codes"),
+            "centroid",
+        )
+        q = _probes_via_join(queries, centroids, nprobe, id_col, vec_col).select(
+            F.col(id_col).alias("query_id"),
+            _pq_adc_table(vec_col, codebooks).alias("__adc"),
+            "centroid",
+        )
     pairs = (
         c.join(F.broadcast(q), "centroid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1194,25 +1277,38 @@ def residual_frame(
     centroids: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_mode: str = "auto",
 ) -> DataFrame:
     """(id, centroid, __res): each vector's IVF assignment plus its RESIDUAL
     ``x - centroid(x)`` — the quantity residual PQ encodes (Jégou et al.,
     "Product Quantization for Nearest Neighbor Search", §IV: within an
     inverted list, quantizing the residual instead of the raw vector removes
     the coarse cell's offset, so the same m×k_c codebook budget spends its
-    precision on the much smaller in-cell displacement). Pure map stage —
-    assignment and subtraction are codegen'd expressions; train residual
-    codebooks by passing this frame to ``pq_codebooks_exact(vec_col='__res')``
-    (the subtraction is exact double arithmetic of bit-identical operands, so
+    precision on the much smaller in-cell displacement). In literal mode a
+    pure map stage — assignment and subtraction are codegen'd expressions;
+    past UNROLLED_LITERAL_BUDGET the join form carries the winning
+    centroid's vector out of the broadcast argmin and subtracts it directly
+    (no map-literal lookup at all). Train residual codebooks by passing this
+    frame to ``pq_codebooks_exact(vec_col='__res')`` (the subtraction is
+    exact double arithmetic of bit-identical operands in BOTH modes, so
     residual training inherits the trainers' cross-engine exactness)."""
-    cmap = _centroid_map_sql(centroids)
-    return df.select(
+    mode = _resolve_assign_mode(assign_mode, centroids)
+    if mode == "literal":
+        cmap = _centroid_map_sql(centroids)
+        return df.select(
+            F.col(id_col),
+            _assign_to_centroids(centroids, vec_col).alias("centroid"),
+            F.expr(
+                f"zip_with(CAST(`{vec_col}` AS ARRAY<DOUBLE>), "
+                f"element_at({cmap}, {_assign_sql(centroids, vec_col)}), "
+                "(x, y) -> x - y)"
+            ).alias("__res"),
+        )
+    return _assign_via_join(df, centroids, id_col, vec_col).select(
         F.col(id_col),
-        _assign_to_centroids(centroids, vec_col).alias("centroid"),
+        F.col("centroid"),
         F.expr(
-            f"zip_with(CAST(`{vec_col}` AS ARRAY<DOUBLE>), "
-            f"element_at({cmap}, {_assign_sql(centroids, vec_col)}), "
-            "(x, y) -> x - y)"
+            f"zip_with(CAST(`{vec_col}` AS ARRAY<DOUBLE>), __cvec, (x, y) -> x - y)"
         ).alias("__res"),
     )
 
@@ -1226,6 +1322,7 @@ def ivf_pq_residual_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    assign_mode: str = "auto",
 ) -> DataFrame:
     """IVF-PQ over RESIDUALS — the textbook IVF-ADC layout: corpus rows are
     PQ-encoded as ``x - centroid(x)`` (``codebooks`` must be residual-trained,
@@ -1237,34 +1334,55 @@ def ivf_pq_residual_topk(
     side. Accuracy: the in-cell displacement residual PQ quantizes is much
     smaller than the raw vector, so the same 8-byte code budget yields a
     tighter distance approximation (pinned by
-    tests/test_ivf.py::test_residual_pq_tightens_adc_error)."""
+    tests/test_ivf.py::test_residual_pq_tightens_adc_error). ``assign_mode``
+    routes the coarse assignment as in :func:`ivf_topk`; in join mode both
+    sides' residuals subtract the ``__cvec`` carried out of the broadcast
+    argmin/probe frames instead of a map-literal lookup."""
     if not codebooks or not centroids:
         return _empty_adc_result(corpus, queries, id_col)
-    c = residual_frame(corpus, centroids, id_col, vec_col).select(
+    mode = _resolve_assign_mode(assign_mode, centroids)
+    c = residual_frame(corpus, centroids, id_col, vec_col, assign_mode=mode).select(
         F.col(id_col).alias("neighbor_id"),
         _pq_codes("__res", codebooks).alias("pq_codes"),
         "centroid",
     )
-    cmap = _centroid_map_sql(centroids)
-    q = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("__qv"),
-            F.explode(_centroid_probes(vec_col, centroids, nprobe)).alias("centroid"),
+    if mode == "literal":
+        cmap = _centroid_map_sql(centroids)
+        q = (
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("__qv"),
+                F.explode(_centroid_probes(vec_col, centroids, nprobe)).alias("centroid"),
+            )
+            .withColumn(
+                "__res",
+                F.expr(
+                    f"zip_with(CAST(__qv AS ARRAY<DOUBLE>), "
+                    f"element_at({cmap}, centroid), (x, y) -> x - y)"
+                ),
+            )
+            .select(
+                "query_id",
+                _pq_adc_table("__res", codebooks).alias("__adc"),
+                "centroid",
+            )
         )
-        .withColumn(
-            "__res",
-            F.expr(
-                f"zip_with(CAST(__qv AS ARRAY<DOUBLE>), "
-                f"element_at({cmap}, centroid), (x, y) -> x - y)"
-            ),
+    else:
+        q = (
+            _probes_via_join(queries, centroids, nprobe, id_col, vec_col)
+            .withColumn(
+                "__res",
+                F.expr(
+                    f"zip_with(CAST(`{vec_col}` AS ARRAY<DOUBLE>), __cvec, "
+                    "(x, y) -> x - y)"
+                ),
+            )
+            .select(
+                F.col(id_col).alias("query_id"),
+                _pq_adc_table("__res", codebooks).alias("__adc"),
+                "centroid",
+            )
         )
-        .select(
-            "query_id",
-            _pq_adc_table("__res", codebooks).alias("__adc"),
-            "centroid",
-        )
-    )
     pairs = (
         c.join(F.broadcast(q), "centroid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1557,6 +1675,7 @@ def ivf_list_state(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     err_scale: int = 6,
+    assign_mode: str = "auto",
 ) -> DataFrame:
     """Mergeable per-inverted-list statistics for a FROZEN quantizer — the
     nightly maintenance pass of a trained IVF index: each increment assigns
@@ -1576,19 +1695,27 @@ def ivf_list_state(
     different scales would be silently wrong (the same bucket-indexes-a-
     different-range hazard as CMS width — operators/sketch.py), so the merge
     validates scales loudly and the readout derives the scale from the state
-    instead of trusting a caller-repeated parameter."""
+    instead of trusting a caller-repeated parameter. ``assign_mode`` routes
+    the assignment as in :func:`ivf_topk` — past UNROLLED_LITERAL_BUDGET the
+    join form carries the nearest distance out of the broadcast argmin (one
+    extra keyed shuffle on the increment, still O(increment))."""
     if not centroids:  # cold start: no quantizer -> empty state (not a crash)
         return emb.sparkSession.createDataFrame(
             [], "centroid int, n bigint, err_q decimal(38,0), err_scale int"
         )
-    d = _sq_l2_sql_for_assigned(centroids, vec_col)
-    return (
-        emb.filter(F.col(id_col).isNotNull())
-        .select(
+    mode = _resolve_assign_mode(assign_mode, centroids)
+    if mode == "literal":
+        d = _sq_l2_sql_for_assigned(centroids, vec_col)
+        assigned = emb.filter(F.col(id_col).isNotNull()).select(
             _assign_to_centroids(centroids, vec_col).alias("centroid"),
             F.expr(d).alias("__d2"),
         )
-        .groupBy("centroid")
+    else:
+        assigned = _assign_via_join(
+            emb.filter(F.col(id_col).isNotNull()), centroids, id_col, vec_col
+        ).select("centroid", "__d2")
+    return (
+        assigned.groupBy("centroid")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(

@@ -713,3 +713,64 @@ def test_literal_builders_raise_past_budget_and_auto_routes(spark):
     assert all(r.rank <= 2 for r in rows)
     with pytest.raises(ValueError, match="assign_mode"):
         ivf_topk(emb, emb, big, k=2, assign_mode="nope")
+
+
+def test_ivf_family_join_mode_matches_literal(clustered):
+    """The whole IVF family routes through assign_mode: ivf_pq_topk,
+    ivf_pq_residual_topk, ivf_list_state (and residual_frame inside it)
+    return byte-equal rows in 'join' and 'literal' modes — so 'auto' can
+    carry any nlist past UNROLLED_LITERAL_BUDGET without changing a single
+    result."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        ivf_list_state,
+        ivf_pq_residual_topk,
+        ivf_pq_topk,
+        kmeans_centroids_exact,
+        pq_codebooks_exact,
+        residual_frame,
+    )
+
+    cents = kmeans_centroids_exact(clustered, k=2, iters=1)
+    books = pq_codebooks_exact(clustered, m=2, kc=2, iters=1)
+    q = clustered.filter(F.col("vec_id") < 4)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    for nprobe in (1, 2):
+        assert rows(
+            ivf_pq_topk(clustered, q, cents, books, k=3, nprobe=nprobe, assign_mode="literal")
+        ) == rows(
+            ivf_pq_topk(clustered, q, cents, books, k=3, nprobe=nprobe, assign_mode="join")
+        )
+    res = residual_frame(clustered, cents, assign_mode="join").select("vec_id", "__res")
+    rbooks = pq_codebooks_exact(res, m=2, kc=2, iters=1, vec_col="__res")
+    for nprobe in (1, 2):
+        assert rows(
+            ivf_pq_residual_topk(clustered, q, cents, rbooks, k=3, nprobe=nprobe, assign_mode="literal")
+        ) == rows(
+            ivf_pq_residual_topk(clustered, q, cents, rbooks, k=3, nprobe=nprobe, assign_mode="join")
+        )
+    assert rows(ivf_list_state(clustered, cents, assign_mode="literal")) == rows(
+        ivf_list_state(clustered, cents, assign_mode="join")
+    )
+    # residual_frame itself: identical assignments and residuals
+    lit = residual_frame(clustered, cents, assign_mode="literal")
+    jn = residual_frame(clustered, cents, assign_mode="join")
+    assert rows(lit.select("vec_id", "centroid")) == rows(jn.select("vec_id", "centroid"))
+
+
+def test_pq_literal_builders_raise_past_budget():
+    """kc·dim past the budget must fail at plan construction with the
+    join-form encode hint, not stall in codegen."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        _pq_adc_table,
+        _pq_codes,
+    )
+
+    # m=16 subspaces × sub=16 dims (dim=256) × kc=128 codewords = 32768 literals
+    books = [[[0.0] * 16 for _ in range(128)] for _ in range(16)]
+    with pytest.raises(ValueError, match="unrolled-literal budget"):
+        _pq_codes("embedding", books)
+    with pytest.raises(ValueError, match="unrolled-literal budget"):
+        _pq_adc_table("embedding", books)
