@@ -224,6 +224,25 @@ class Lakehouse:
         staged = {(l, t): self.stage_version(df, l, t) for df, l, t in writes}
         return self.commit_manifest(staged)
 
+    def vacuum_commits(self, keep_last: int = 2) -> list[int]:
+        """Drop all but the newest ``keep_last`` manifest files (never the
+        current pointer target). Returns removed manifest ids. Retained
+        manifests stay time-travel-readable only while per-table ``vacuum``
+        retention still holds their referenced versions — the same horizon
+        contract as Delta VACUUM vs older checkpoints."""
+        mdir = self.root / "_commits"
+        ids = sorted(
+            int(p.stem[2:]) for p in mdir.glob("m=*.json")
+        ) if mdir.exists() else []
+        cur = self.current_manifest_id()
+        keep = set(ids[-keep_last:]) | ({cur} if cur is not None else set())
+        removed = []
+        for i in ids:
+            if i not in keep:
+                (mdir / f"m={i}.json").unlink()
+                removed.append(i)
+        return removed
+
     def read_committed(
         self, spark: SparkSession, layer: str, table: str, schema: StructType
     ) -> DataFrame:

@@ -127,3 +127,19 @@ def test_multi_table_commit_manifest_crash_window(spark, tmp_path):
     assert read_pair()[0] == 7
     v = lake.overwrite_versioned(facts(1), "dds", "fct")
     assert v > staged_facts
+
+
+def test_vacuum_commits_keeps_current_and_newest(spark, tmp_path):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    lake = Lakehouse(str(tmp_path))
+    schema = StructType([StructField("x", LongType())])
+    for i in range(4):
+        lake.commit_multi([(spark.createDataFrame([(i,)], schema), "dds", "t")])
+    assert lake.current_manifest_id() == 3
+    removed = lake.vacuum_commits(keep_last=2)
+    assert removed == [0, 1]
+    # current manifest still resolves
+    assert lake.read_committed(spark, "dds", "t", schema).collect()[0].x == 3
