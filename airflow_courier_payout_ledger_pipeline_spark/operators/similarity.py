@@ -485,7 +485,8 @@ def _probes_via_join(
     vec_col: str,
 ) -> DataFrame:
     """Join-form probe list: one row per (query, probed centroid), nearest
-    first — (id_col, vec_col, centroid, __cvec). Per-query window over the
+    first — (id_col, vec_col, centroid, __cvec, __prn) where ``__prn`` is the
+    probe's 1-based rank (nearest = 1). Per-query window over the
     broadcast-joined k-row centroid frame; same (distance, id) tie rule as
     ``_centroid_probes``."""
     d2 = F.expr(
@@ -504,6 +505,7 @@ def _probes_via_join(
             F.col(vec_col),
             F.col("__cid").alias("centroid"),
             F.col("__cvec"),
+            F.col("__rn").alias("__prn"),
         )
     )
 
@@ -1396,6 +1398,106 @@ def ivf_pq_residual_topk(
     return (
         pairs.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_pq_residual_topk_sweep(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_mode: str = "auto",
+) -> DataFrame:
+    """One-pass nprobe SWEEP of the residual IVF-ADC search — (nprobe,
+    query_id, neighbor_id, adc_dist, rank), identical per setting to
+    ``ivf_pq_residual_topk(nprobe=n)``: the corpus is residual-encoded ONCE,
+    each query probe carries its 1-based rank, and every setting
+    materializes as a rank filter + per-(setting, query) top-k window over
+    the SHARED candidate frame. Evaluating the recall dial therefore costs
+    one corpus encode + one centroid join instead of |nprobes| of each —
+    the difference between an affordable nightly index eval and re-encoding
+    a 100 TB corpus per dial position. A candidate's pairing probe is
+    exactly the one matching its home cell, so per-candidate ADC work is
+    never duplicated; only the ≤|nprobes|-way setting fan-out (a broadcast
+    theta-join on tiny rows) replicates result rows."""
+    spark = corpus.sparkSession
+    settings = spark.createDataFrame([(int(n),) for n in nprobes], "nprobe int")
+    if not codebooks or not centroids:
+        return (
+            _empty_adc_result(corpus, queries, id_col)
+            .join(F.broadcast(settings))
+            .select("nprobe", "query_id", "neighbor_id", "adc_dist", "rank")
+            .limit(0)
+        )
+    mode = _resolve_assign_mode(assign_mode, centroids)
+    maxp = max(nprobes)
+    c = residual_frame(corpus, centroids, id_col, vec_col, assign_mode=mode).select(
+        F.col(id_col).alias("neighbor_id"),
+        _pq_codes("__res", codebooks).alias("pq_codes"),
+        "centroid",
+    )
+    if mode == "literal":
+        cmap = _centroid_map_sql(centroids)
+        q = (
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("__qv"),
+                F.posexplode(_centroid_probes(vec_col, centroids, maxp)).alias(
+                    "__pos", "centroid"
+                ),
+            )
+            .withColumn("__prn", F.col("__pos") + F.lit(1))
+            .withColumn(
+                "__res",
+                F.expr(
+                    f"zip_with(CAST(__qv AS ARRAY<DOUBLE>), "
+                    f"element_at({cmap}, centroid), (x, y) -> x - y)"
+                ),
+            )
+            .select(
+                "query_id",
+                _pq_adc_table("__res", codebooks).alias("__adc"),
+                "centroid",
+                "__prn",
+            )
+        )
+    else:
+        q = (
+            _probes_via_join(queries, centroids, maxp, id_col, vec_col)
+            .withColumn(
+                "__res",
+                F.expr(
+                    f"zip_with(CAST(`{vec_col}` AS ARRAY<DOUBLE>), __cvec, "
+                    "(x, y) -> x - y)"
+                ),
+            )
+            .select(
+                F.col(id_col).alias("query_id"),
+                _pq_adc_table("__res", codebooks).alias("__adc"),
+                "centroid",
+                "__prn",
+            )
+        )
+    pairs = (
+        c.join(F.broadcast(q), "centroid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_pq_adc_dist(len(codebooks)), 4).alias("adc_dist"),
+            "__prn",
+        )
+        .join(F.broadcast(settings), F.col("__prn") <= F.col("nprobe"))
+    )
+    w = Window.partitionBy("nprobe", "query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("nprobe", "query_id", "neighbor_id", "adc_dist", "rank")
     )
 
 

@@ -1811,11 +1811,15 @@ def q_ivfpq_residual_recall_multiprobe(spark: SparkSession, sf_dir: str) -> Data
     the candidate set by one inverted list AND rebuilds the query's ADC
     table in that cell's residual frame — so this eval grades the real
     cost/recall trade: ~nprobe× candidates, nprobe ADC tables, same 8-byte
-    codes. Fully hash-checked: coarse training + gate, residual codebook
-    training, encode, the per-cell ADC probe sweep, and the recall
-    arithmetic all replay in one DuckDB statement."""
+    codes. All three settings come from ONE `ivf_pq_residual_topk_sweep`
+    pass (one corpus encode + one centroid join, probe rank filtered per
+    setting — per-setting identical to the single-probe search, pinned in
+    tests/test_ivf.py), not |nprobes| re-encodes. Fully hash-checked: coarse
+    training + gate, residual codebook training, encode, the per-cell ADC
+    probe sweep, and the recall arithmetic all replay in one DuckDB
+    statement."""
     from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
-        ivf_pq_residual_topk,
+        ivf_pq_residual_topk_sweep,
     )
     from pyspark.sql import Window
 
@@ -1840,15 +1844,9 @@ def q_ivfpq_residual_recall_multiprobe(spark: SparkSession, sf_dir: str) -> Data
         .filter(F.col("__rk") <= 5)
         .select("query_id", "neighbor_id")
     )
-    ann = None
-    for np_ in (1, 2, 4):
-        a = (
-            ivf_pq_residual_topk(emb, q, cents, books, k=5, nprobe=np_)
-            .select("query_id", "neighbor_id")
-            .withColumn("nprobe", F.lit(np_))
-        )
-        ann = a if ann is None else ann.unionByName(a)
-    ann = ann.withColumn("__hit", F.lit(1))
+    ann = ivf_pq_residual_topk_sweep(
+        emb, q, cents, books, k=5, nprobes=(1, 2, 4)
+    ).select("nprobe", "query_id", "neighbor_id").withColumn("__hit", F.lit(1))
     probes = spark.createDataFrame([(n,) for n in (1, 2, 4)], "nprobe int")
     return (
         truth.crossJoin(F.broadcast(probes))

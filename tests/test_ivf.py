@@ -774,3 +774,38 @@ def test_pq_literal_builders_raise_past_budget():
         _pq_codes("embedding", books)
     with pytest.raises(ValueError, match="unrolled-literal budget"):
         _pq_adc_table("embedding", books)
+
+
+def test_residual_sweep_matches_per_nprobe_searches(clustered):
+    """ivf_pq_residual_topk_sweep must be per-setting identical to running
+    ivf_pq_residual_topk at each nprobe — one corpus encode evaluating the
+    whole dial."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        ivf_pq_residual_topk,
+        ivf_pq_residual_topk_sweep,
+        kmeans_centroids_exact,
+        pq_codebooks_exact,
+        residual_frame,
+    )
+
+    cents = kmeans_centroids_exact(clustered, k=2, iters=1)
+    res = residual_frame(clustered, cents).select("vec_id", "__res")
+    books = pq_codebooks_exact(res, m=2, kc=2, iters=1, vec_col="__res")
+    q = clustered.filter(F.col("vec_id") < 4)
+    for mode in ("literal", "join"):
+        sweep = ivf_pq_residual_topk_sweep(
+            clustered, q, cents, books, k=3, nprobes=(1, 2), assign_mode=mode
+        ).collect()
+        by_np = {}
+        for r in sweep:
+            by_np.setdefault(r.nprobe, set()).add(
+                (r.query_id, r.neighbor_id, r.adc_dist, r.rank)
+            )
+        for np_ in (1, 2):
+            single = {
+                (r.query_id, r.neighbor_id, r.adc_dist, r.rank)
+                for r in ivf_pq_residual_topk(
+                    clustered, q, cents, books, k=3, nprobe=np_, assign_mode=mode
+                ).collect()
+            }
+            assert by_np.get(np_, set()) == single, (mode, np_)

@@ -111,10 +111,11 @@ SHUFFLE_BUDGET = {
     # eval query: 1 exact-L2 truth window + 4 variant search windows +
     # truth-grid join + final rollup
     "pq_recall_eval": 8,
-    # round-12 eval: 1 exact-L2 truth window + 3 nprobe residual-ADC search
-    # windows + truth-grid join + final rollup (training/gating collects
-    # eagerly; the returned plan is search-only)
-    "ivfpq_residual_recall_multiprobe": 7,
+    # round-12 eval: 1 exact-L2 truth window + ONE shared-encode sweep (the
+    # per-(setting, query) top-k window over the single candidate frame) +
+    # truth-grid join + final rollup (training/gating collects eagerly; the
+    # returned plan is search-only; was 7 when each setting re-encoded)
+    "ivfpq_residual_recall_multiprobe": 5,
 }
 
 
