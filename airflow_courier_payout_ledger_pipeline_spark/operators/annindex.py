@@ -1,0 +1,229 @@
+"""Persisted ANN index: the residual IVF-PQ layout as an on-disk,
+transactionally-committed artifact.
+
+Every trainer docstring in ``operators/similarity.py`` says the quantizer and
+codes are "persisted as the index contract, not re-derived per query" — this
+module IS that contract. ``build_residual_ivfpq_index`` writes the FOUR tables
+an IVF-ADC deployment serves from:
+
+- ``centroids`` (cid, cvec)            — the coarse quantizer, k rows;
+- ``codebooks`` (j, c, sv)             — residual PQ codewords, m·k_c rows;
+- ``codes``     (id, centroid, codes)  — the corpus at m bytes/vector (the
+  ONLY corpus-sized table; raw vectors are not needed at search time);
+- ``list_state`` (centroid, n, err_q, err_scale) — the mergeable health
+  state `ivf_index_maintenance` folds nightly;
+
+and publishes all four with ONE ``Lakehouse.commit_multi`` manifest flip, so
+a reader never sees codes encoded against centroids it cannot read — the same
+crash-window guarantee the facts+watermark pair gets (tests/test_file_sources.py).
+
+``search_residual_ivfpq_index`` then answers queries from the PERSISTED codes:
+centroids + codebooks collect as bounded driver artifacts (O(k·dim) — the
+same budget discipline as every quantizer here), the codes table streams
+through the identical centroid-equi-join + ADC + per-query top-k topology as
+``similarity.ivf_pq_residual_topk``, and results are byte-equal to searching
+the raw corpus on the fly (pinned in tests/test_annindex.py). At 100 TB the
+difference is the whole point: encode once (one corpus pass at build time),
+then every query session scans m-byte codes with predicate/column pruning
+instead of d-float vectors — a 32× storage/IO cut at m=8, dim=64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+from pyspark.sql.window import Window
+
+from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+    _centroid_map_sql,
+    _centroid_probes,
+    _pq_adc_dist,
+    _pq_adc_table,
+    _pq_codes,
+    _probes_via_join,
+    _resolve_assign_mode,
+    ivf_list_state,
+    residual_frame,
+)
+from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+#: index table names under the caller's layer
+CENTROIDS, CODEBOOKS, CODES, LIST_STATE = (
+    "ann_centroids",
+    "ann_codebooks",
+    "ann_codes",
+    "ann_list_state",
+)
+
+_CENTROIDS_SCHEMA = "cid int, cvec array<double>"
+_CODEBOOKS_SCHEMA = "j int, c int, sv array<double>"
+_STATE_SCHEMA = "centroid int, n bigint, err_q decimal(38,0), err_scale int"
+
+
+def _codes_schema(id_field) -> StructType:
+    from pyspark.sql.types import ArrayType, ByteType, IntegerType, StructField
+
+    return StructType(
+        [
+            id_field,
+            StructField("centroid", IntegerType()),
+            StructField("pq_codes", ArrayType(ByteType())),
+        ]
+    )
+
+
+def build_residual_ivfpq_index(
+    lake: Lakehouse,
+    layer: str,
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_mode: str = "auto",
+) -> int:
+    """Encode the corpus against the FROZEN quantizer artifacts and publish
+    the four index tables atomically. Returns the manifest id. One corpus
+    pass total: assignment + residual + PQ encode fuse into the codes
+    projection, and the per-list health state is one grouped fold over the
+    same assignment (Catalyst runs them as two reads of one cached shape;
+    at corpus scale run them as one job each — both are single-pass)."""
+    spark = emb.sparkSession
+    mode = _resolve_assign_mode(assign_mode, centroids)
+    codes = residual_frame(emb, centroids, id_col, vec_col, assign_mode=mode).select(
+        F.col(id_col),
+        F.col("centroid"),
+        _pq_codes("__res", codebooks).alias("pq_codes"),
+    )
+    cents_df = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+        _CENTROIDS_SCHEMA,
+    )
+    books_df = spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in sv])
+            for j, book in enumerate(codebooks)
+            for c, sv in enumerate(book)
+        ],
+        _CODEBOOKS_SCHEMA,
+    )
+    state = ivf_list_state(emb, centroids, id_col, vec_col, assign_mode=mode)
+    return lake.commit_multi(
+        [
+            (codes, layer, CODES),
+            (cents_df, layer, CENTROIDS),
+            (books_df, layer, CODEBOOKS),
+            (state, layer, LIST_STATE),
+        ]
+    )
+
+
+def load_index_artifacts(
+    lake: Lakehouse, layer: str, spark: SparkSession
+) -> tuple[list[tuple[int, list[float]]], list[list[list[float]]]]:
+    """The bounded driver half of the index: centroids (k·dim) and codebooks
+    (m·k_c·sub), read at the manifest's committed version — never a
+    half-published pair."""
+    cents = sorted(
+        (int(r["cid"]), [float(x) for x in r["cvec"]])
+        for r in lake.read_committed(
+            spark, layer, CENTROIDS, StructType.fromDDL(_CENTROIDS_SCHEMA)
+        ).collect()
+    )
+    rows = lake.read_committed(
+        spark, layer, CODEBOOKS, StructType.fromDDL(_CODEBOOKS_SCHEMA)
+    ).collect()
+    if not rows:
+        return cents, []
+    m = 1 + max(int(r["j"]) for r in rows)
+    books: list[dict[int, list[float]]] = [dict() for _ in range(m)]
+    for r in rows:
+        books[int(r["j"])][int(r["c"])] = [float(x) for x in r["sv"]]
+    return cents, [[bj[c] for c in sorted(bj)] for bj in books]
+
+
+def search_residual_ivfpq_index(
+    lake: Lakehouse,
+    layer: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_mode: str = "auto",
+) -> DataFrame:
+    """ADC top-k from the PERSISTED index: the committed codes table is the
+    only corpus-sized input (raw vectors never load); queries build their
+    per-cell residual ADC tables from the committed driver artifacts and
+    broadcast into the centroid equi-join — the identical topology (and
+    byte-identical results) as ``similarity.ivf_pq_residual_topk`` over the
+    raw corpus."""
+    spark = queries.sparkSession
+    centroids, codebooks = load_index_artifacts(lake, layer, spark)
+    id_field = queries.select(F.col(id_col)).schema.fields[0]
+    codes = lake.read_committed(spark, layer, CODES, _codes_schema(id_field))
+    if not centroids or not codebooks:
+        return (
+            codes.select(F.col(id_col).alias("neighbor_id"))
+            .limit(0)
+            .crossJoin(queries.select(F.col(id_col).alias("query_id")).limit(0))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.lit(0.0).alias("adc_dist"),
+                F.lit(0).alias("rank"),
+            )
+        )
+    mode = _resolve_assign_mode(assign_mode, centroids)
+    if mode == "literal":
+        cmap = _centroid_map_sql(centroids)
+        q = (
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("__qv"),
+                F.explode(_centroid_probes(vec_col, centroids, nprobe)).alias(
+                    "centroid"
+                ),
+            )
+            .withColumn(
+                "__res",
+                F.expr(
+                    f"zip_with(CAST(__qv AS ARRAY<DOUBLE>), "
+                    f"element_at({cmap}, centroid), (x, y) -> x - y)"
+                ),
+            )
+            .select(
+                "query_id", _pq_adc_table("__res", codebooks).alias("__adc"), "centroid"
+            )
+        )
+    else:
+        q = (
+            _probes_via_join(queries, centroids, nprobe, id_col, vec_col)
+            .withColumn(
+                "__res",
+                F.expr(
+                    f"zip_with(CAST(`{vec_col}` AS ARRAY<DOUBLE>), __cvec, "
+                    "(x, y) -> x - y)"
+                ),
+            )
+            .select(
+                F.col(id_col).alias("query_id"),
+                _pq_adc_table("__res", codebooks).alias("__adc"),
+                "centroid",
+            )
+        )
+    pairs = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(q), "centroid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_pq_adc_dist(len(codebooks)), 4).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return pairs.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= k
+    )

@@ -1915,3 +1915,42 @@ def q_streaming_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     state = lake.read(spark, "idx", "ivf_state", state_schema)
     return ivf_list_stats(state)
+
+
+@register("ann_index_persisted_search", IVF_PQ_RESIDUAL_ORACLE)
+def q_ann_index_persisted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The residual IVF-PQ search served from the PERSISTED index — the
+    deployment form every trainer docstring promises ("persisted as the
+    index contract, not re-derived per query"), delivered:
+    `operators/annindex.build_residual_ivfpq_index` publishes centroids,
+    codebooks, m-byte codes, and the per-list health state via ONE
+    `Lakehouse.commit_multi` manifest flip (codes are never readable against
+    centroids they weren't encoded with — crash-window-tested), and the
+    search reads ONLY the committed codes table plus the bounded driver
+    artifacts. Byte-equal to `similarity_ivf_pq_residual` over the raw
+    corpus — hash-checked against the SAME oracle statement, which is the
+    point: at 100 TB the persisted form scans 8-byte codes instead of
+    64-float vectors (32× IO) and pays the encode once at build time."""
+    import tempfile
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
+        build_residual_ivfpq_index,
+        search_residual_ivfpq_index,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    key = ("ann_index", _emb_stat_key(sf_dir))
+    if key not in _TRAINED_ARTIFACTS:
+        lake = Lakehouse(tempfile.mkdtemp(prefix="ann_idx_"))
+        build_residual_ivfpq_index(
+            lake,
+            "idx",
+            emb,
+            _ivf_trained_centroids(emb, sf_dir),
+            _pq_residual_books(emb, sf_dir),
+        )
+        _TRAINED_ARTIFACTS[key] = lake
+    return search_residual_ivfpq_index(
+        _TRAINED_ARTIFACTS[key], "idx", emb.filter(F.col("vec_id") < 20), k=5
+    )

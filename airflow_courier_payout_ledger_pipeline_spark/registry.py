@@ -376,14 +376,16 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "ann_recall_multiprobe",
     "similarity_topk",
     "similarity_ivf_nprobe2",
-    # round-12 addition registered outside the (full) active window: the
-    # streaming deployment rail of the IVF maintenance fold — first driver
-    # row lands in r13
+    # round-12 additions registered outside the (full) active window: the
+    # streaming deployment rail of the IVF maintenance fold and the
+    # persisted manifest-committed index search — first driver rows land
+    # in r13
     "streaming_ivf_maintenance",
+    "ann_index_persisted_search",
     # -- stalest veterans (last driver row r9), registration order; the r9
     # block is 39 strong after the r12 window re-proves similarity_ann_bucketed
-    # and embedding_near_dup — 37 fit under the 50-cap, `term_importance` and
-    # `window_analytics` (both r9-proven) roll to r14 --
+    # and embedding_near_dup — 36 fit under the 50-cap; `similarity_pq_adc`,
+    # `term_importance`, and `window_analytics` (all r9-proven) roll to r14 --
     "json_extract",
     "json_struct_parse",
     "paged_scan",
@@ -420,7 +422,6 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "score_quantile_norm",
     "similarity_ivf_pq",
     "similarity_ivf_topk",
-    "similarity_pq_adc",
 ]
 
 

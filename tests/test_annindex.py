@@ -1,0 +1,117 @@
+"""Persisted residual IVF-PQ index: build/publish atomicity and search parity
+with the on-the-fly path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
+    CENTROIDS,
+    CODES,
+    LIST_STATE,
+    build_residual_ivfpq_index,
+    load_index_artifacts,
+    search_residual_ivfpq_index,
+)
+from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+    ivf_pq_residual_topk,
+    kmeans_centroids_exact,
+    pq_codebooks_exact,
+    residual_frame,
+)
+from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    for i in range(40):
+        base = [10.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 10.0, 0.0, 0.0]
+        jitter = [((i * 7 + j * 3) % 5) / 10.0 for j in range(4)]
+        rows.append((i, [b + d for b, d in zip(base, jitter)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+@pytest.fixture(scope="module")
+def artifacts(corpus):
+    cents = kmeans_centroids_exact(corpus, k=2, iters=1)
+    res = residual_frame(corpus, cents).select("vec_id", "__res")
+    books = pq_codebooks_exact(res, m=2, kc=2, iters=1, vec_col="__res")
+    return cents, books
+
+
+def test_persisted_search_matches_on_the_fly(spark, corpus, artifacts, tmp_path):
+    cents, books = artifacts
+    lake = Lakehouse(str(tmp_path))
+    build_residual_ivfpq_index(lake, "idx", corpus, cents, books)
+    q = corpus.filter(F.col("vec_id") < 4)
+    for nprobe in (1, 2):
+        fly = sorted(
+            map(tuple, ivf_pq_residual_topk(corpus, q, cents, books, k=3, nprobe=nprobe).collect())
+        )
+        idx = sorted(
+            map(tuple, search_residual_ivfpq_index(lake, "idx", q, k=3, nprobe=nprobe).collect())
+        )
+        assert fly == idx
+    # round-trip of the driver artifacts is exact
+    rc, rb = load_index_artifacts(lake, "idx", spark)
+    assert rc == cents and rb == books
+
+
+def test_index_publish_is_atomic_across_tables(spark, corpus, artifacts, tmp_path):
+    """A crash between the codes write and the centroid write must leave
+    readers on the OLD index — codes are never searched against centroids
+    they weren't encoded with."""
+    cents, books = artifacts
+    lake = Lakehouse(str(tmp_path))
+    build_residual_ivfpq_index(lake, "idx", corpus, cents, books)
+    q = corpus.filter(F.col("vec_id") < 4)
+    before = sorted(map(tuple, search_residual_ivfpq_index(lake, "idx", q, k=3).collect()))
+
+    # simulate the crash window: a RETRAINED quantizer's codes staged, process
+    # dies before centroids/manifest — searches still serve the old pair
+    cents2 = kmeans_centroids_exact(corpus, k=2, iters=3)
+    res2 = residual_frame(corpus, cents2).select("vec_id", "__res")
+    books2 = pq_codebooks_exact(res2, m=2, kc=2, iters=2, vec_col="__res")
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        _pq_codes,
+    )
+
+    staged_codes = lake.stage_version(
+        residual_frame(corpus, cents2).select(
+            "vec_id", "centroid", _pq_codes("__res", books2).alias("pq_codes")
+        ),
+        "idx",
+        CODES,
+    )
+    assert sorted(
+        map(tuple, search_residual_ivfpq_index(lake, "idx", q, k=3).collect())
+    ) == before
+
+    # replayed build commits everything; the new index serves atomically
+    build_residual_ivfpq_index(lake, "idx", corpus, cents2, books2)
+    rc, rb = load_index_artifacts(lake, "idx", spark)
+    assert rc == cents2 and rb == books2
+    after = sorted(map(tuple, search_residual_ivfpq_index(lake, "idx", q, k=3).collect()))
+    assert after == sorted(
+        map(tuple, ivf_pq_residual_topk(corpus, q, cents2, books2, k=3).collect())
+    )
+    assert staged_codes < lake.current_manifest()[f"idx/{CODES}"]
+
+
+def test_index_health_state_rides_the_publish(spark, corpus, artifacts, tmp_path):
+    from pyspark.sql.types import StructType
+
+    cents, books = artifacts
+    lake = Lakehouse(str(tmp_path))
+    build_residual_ivfpq_index(lake, "idx", corpus, cents, books)
+    state = lake.read_committed(
+        spark, "idx", LIST_STATE,
+        StructType.fromDDL("centroid int, n bigint, err_q decimal(38,0), err_scale int"),
+    ).collect()
+    assert sum(r.n for r in state) == 40 and {r.centroid for r in state} == {0, 1}
+    # empty-index cold start: searching an empty lake returns no rows, no crash
+    empty = Lakehouse(str(tmp_path / "empty"))
+    out = search_residual_ivfpq_index(empty, "idx", corpus.filter(F.col("vec_id") < 2))
+    assert out.count() == 0

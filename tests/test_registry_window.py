@@ -146,6 +146,13 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "ivfpq_residual_recall_multiprobe",
         # round-12: streaming deployment rail of the IVF maintenance fold
         "streaming_ivf_maintenance",
+        # round-12: persisted manifest-committed index search
+        "ann_index_persisted_search",
+    },
+    # round-12: NEW module — the persisted residual IVF-PQ index (build/
+    # publish via commit_multi, search from committed codes)
+    "airflow_courier_payout_ledger_pipeline_spark/operators/annindex.py": {
+        "ann_index_persisted_search",
     },
     # round-11: kmeans_centroids_exact + pq_codebooks_exact added (training
     # behind the unchanged search interface); the seeded search paths
