@@ -1501,6 +1501,75 @@ def ivf_pq_residual_topk_sweep(
     )
 
 
+def ivf_pq_residual_refine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    shortlist: int = 20,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_mode: str = "auto",
+) -> DataFrame:
+    """Two-stage search — ADC SHORTLIST then EXACT RE-RANK (the standard
+    IVF-ADC + refine production layout, Jégou et al. §VII "re-ranking" /
+    FAISS IndexRefine): stage one runs the residual IVF-ADC search over
+    m-byte codes for the top-``shortlist`` candidates per query; stage two
+    fetches raw vectors for THOSE rows only and ranks the final top-k by
+    exact cosine. The shortlist frame is tiny (|Q|·shortlist rows), so it
+    BROADCASTS into the corpus join — the big table is touched twice but
+    never shuffled, and the expensive exact distance runs on shortlist·|Q|
+    pairs instead of |corpus|·|Q| (brute force) or list·|Q| (plain IVF).
+    This is how a deployment gets exact-quality top-k at ADC scan cost:
+    quantization error decides only WHICH ``shortlist`` candidates are seen,
+    not their final order. Ties and rounding follow the module conventions
+    (sim rounded to 4 before ranking, neighbor-id tiebreak), so the whole
+    two-stage path hash-checks cross-engine."""
+    cand = ivf_pq_residual_topk(
+        corpus,
+        queries,
+        centroids,
+        codebooks,
+        k=shortlist,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        assign_mode=assign_mode,
+    ).select("query_id", "neighbor_id")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        norm(F.col(vec_col)).alias("__cn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        norm(F.col(vec_col)).alias("__qn"),
+    )
+    exact = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _prenorm_cosine(
+                    F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+                ),
+                4,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def pq_hamming_pairs(
     emb: DataFrame,
     codebooks: list[list[list[float]]],

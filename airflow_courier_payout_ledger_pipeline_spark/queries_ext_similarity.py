@@ -1954,3 +1954,74 @@ def q_ann_index_persisted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_residual_ivfpq_index(
         _TRAINED_ARTIFACTS[key], "idx", emb.filter(F.col("vec_id") < 20), k=5
     )
+
+
+# --- Two-stage refine: ADC shortlist -> exact re-rank -------------------------------
+
+REFINE_SHORTLIST = 20
+
+PQ_REFINE_ORACLE = f"""
+WITH {_SELECTED_CTES},
+pqgrid AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j),
+sgrid AS (SELECT unnest(generate_series(0, {PQ_SUB - 1})) AS d),
+{_RESIDUAL_CTES},
+{_RES_PQ_CTES},
+rdd AS (SELECT e.vec_id, g.j, cb.c,
+               list_sum(list_transform(
+                   list_zip(list_slice(e.v, g.j*{PQ_SUB}+1, g.j*{PQ_SUB}+{PQ_SUB}), cb.sv),
+                   x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+        FROM resv e CROSS JOIN pqgrid g JOIN {_RES_PQ_CB} cb ON cb.j = g.j),
+rcodes AS (SELECT vec_id, j, c FROM (
+             SELECT vec_id, j, c,
+                    row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+             FROM rdd) WHERE rn = 1),
+pairs AS (SELECT a.vec_id AS query_id, co.vec_id AS neighbor_id,
+                 list_sum(list(a.d2 ORDER BY a.j)) AS adc
+          FROM rcodes co
+          JOIN rdd a ON a.j = co.j AND a.c = co.c
+          JOIN resv nc ON nc.vec_id = co.vec_id
+          JOIN resv qp ON qp.vec_id = a.vec_id AND qp.centroid = nc.centroid
+          WHERE a.vec_id < 20 AND a.vec_id != co.vec_id
+          GROUP BY 1, 2),
+shortlist AS (SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY round(adc, 4), neighbor_id) AS srank
+    FROM pairs) WHERE srank <= {REFINE_SHORTLIST}),
+ex AS (
+    SELECT s.query_id, s.neighbor_id,
+           round(list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]), 4) AS sim
+    FROM shortlist s
+    JOIN embeddings qe ON qe.vec_id = s.query_id
+    JOIN embeddings ne ON ne.vec_id = s.neighbor_id
+),
+fr AS (SELECT *, CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+       FROM ex)
+SELECT query_id, neighbor_id, sim, rank FROM fr WHERE rank <= 5
+"""
+
+
+@register("similarity_pq_refine_topk", PQ_REFINE_ORACLE)
+def q_similarity_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage production search — residual-ADC SHORTLIST (top-20 by
+    8-byte codes) then EXACT cosine re-rank of just those candidates
+    (operators/similarity.ivf_pq_residual_refine_topk; Jégou et al.
+    re-ranking / FAISS IndexRefine). The point at 100 TB: the corpus-sized
+    scan touches only codes, the exact math runs on |Q|·20 rows, and
+    quantization error decides WHICH candidates are seen — never their
+    final order — so top-k quality recovers toward exact at ADC scan cost.
+    Hash-checked end-to-end: coarse gate, residual codebook training, ADC
+    shortlist, and the exact re-rank replay in one DuckDB statement."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        ivf_pq_residual_refine_topk,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return ivf_pq_residual_refine_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 20),
+        _ivf_trained_centroids(emb, sf_dir),
+        _pq_residual_books(emb, sf_dir),
+        k=5,
+        shortlist=REFINE_SHORTLIST,
+    )

@@ -101,6 +101,8 @@ HEADLINE = [
     # round-12: multi-probe recall eval on the production residual IVF-PQ
     # layout (the r11-verdict item-5 dial, next to the LSH one)
     "ivfpq_residual_recall_multiprobe",
+    # round-12: two-stage ADC-shortlist -> exact re-rank production search
+    "similarity_pq_refine_topk",
 ]
 
 

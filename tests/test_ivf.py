@@ -809,3 +809,50 @@ def test_residual_sweep_matches_per_nprobe_searches(clustered):
                 ).collect()
             }
             assert by_np.get(np_, set()) == single, (mode, np_)
+
+
+def test_refine_recovers_exact_order_within_shortlist(clustered):
+    """Two-stage refine: with a shortlist covering the whole inverted list,
+    the final top-k equals EXACT brute-force cosine restricted to the probed
+    cell — quantization error decides which candidates are seen, never their
+    final order — and refine's hit rate vs exact top-k is >= plain ADC's."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        ivf_pq_residual_refine_topk,
+        ivf_pq_residual_topk,
+        ivf_topk,
+        kmeans_centroids_exact,
+        pq_codebooks_exact,
+        residual_frame,
+    )
+
+    cents = kmeans_centroids_exact(clustered, k=2, iters=2)
+    res = residual_frame(clustered, cents).select("vec_id", "__res")
+    books = pq_codebooks_exact(res, m=2, kc=2, iters=1, vec_col="__res")
+    q = clustered.filter(F.col("vec_id") < 4)
+
+    # shortlist >= list size: refine == exact cosine within the probed cell
+    refined = ivf_pq_residual_refine_topk(
+        clustered, q, cents, books, k=3, shortlist=40
+    )
+    exact_in_cell = ivf_topk(clustered, q, cents, k=3, nprobe=1)
+    assert sorted(map(tuple, refined.collect())) == sorted(
+        map(tuple, exact_in_cell.collect())
+    )
+
+    # tight shortlist: refine's agreement with the exact in-cell top-k is
+    # at least plain ADC's (re-ranking can only fix orderings, not lose
+    # candidates ADC already surfaced)
+    truth = {
+        (r.query_id, r.neighbor_id) for r in exact_in_cell.collect()
+    }
+    ref5 = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_pq_residual_refine_topk(
+            clustered, q, cents, books, k=3, shortlist=6
+        ).collect()
+    }
+    adc = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_pq_residual_topk(clustered, q, cents, books, k=3).collect()
+    }
+    assert len(ref5 & truth) >= len(adc & truth)

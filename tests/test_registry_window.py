@@ -148,6 +148,8 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "streaming_ivf_maintenance",
         # round-12: persisted manifest-committed index search
         "ann_index_persisted_search",
+        # round-12: two-stage ADC-shortlist -> exact re-rank search
+        "similarity_pq_refine_topk",
     },
     # round-12: NEW module — the persisted residual IVF-PQ index (build/
     # publish via commit_multi, search from committed codes)
@@ -163,6 +165,7 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
     # quadratic scale guard, and err_q-gated list-state merges
     "airflow_courier_payout_ledger_pipeline_spark/operators/similarity.py": {
         "embedding_near_dup",
+        "similarity_pq_refine_topk",
         "similarity_ivf_topk_trained",
         "ivf_recall_trained_vs_seeded",
         "similarity_pq_adc_trained",

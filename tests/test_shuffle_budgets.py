@@ -116,6 +116,10 @@ SHUFFLE_BUDGET = {
     # truth-grid join + final rollup (training/gating collects eagerly; the
     # returned plan is search-only; was 7 when each setting re-encoded)
     "ivfpq_residual_recall_multiprobe": 5,
+    # round-12 production search: stage-1 ADC shortlist's per-query top-R
+    # window + stage-2 exact re-rank's top-k window (shortlist broadcasts
+    # into the corpus join — the big table never shuffles)
+    "similarity_pq_refine_topk": 2,
 }
 
 
