@@ -119,6 +119,67 @@ def build_residual_ivfpq_index(
     )
 
 
+def extend_residual_ivfpq_index(
+    lake: Lakehouse,
+    layer: str,
+    increment: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_mode: str = "auto",
+) -> int:
+    """The nightly O(increment)-COMPUTE index update: encode ONLY the
+    increment against the FROZEN committed artifacts (never retrain, never
+    re-encode history), fold its per-list health state into the committed
+    state (``merge_ivf_list_states`` — the ledger/CMS algebra), and publish
+    codes′ + state′ atomically; centroids/codebooks carry forward through
+    the manifest merge untouched. Rows whose id already exists in the index
+    are ignored (SCD0 insert-ignore — replaying a crashed extend is a
+    no-op), so ``extend(build(A), B)`` is row-identical to ``build(A ∪ B)``
+    (pinned in tests/test_annindex.py).
+
+    Write-cost honesty: the snapshot-versioned codes table makes the WRITE
+    O(corpus) (committed ∪ increment staged as a full new version) even
+    though all COMPUTE — assignment, residual, PQ encode, state fold — is
+    O(increment). On an append-capable format (Delta/Iceberg) the same
+    logic appends code FILES, making the write O(increment) too; the
+    manifest flip and every law here are unchanged."""
+    spark = increment.sparkSession
+    centroids, codebooks = load_index_artifacts(lake, layer, spark)
+    if not centroids or not codebooks:
+        raise ValueError(
+            f"extend_residual_ivfpq_index: no committed index under "
+            f"{layer!r} — build_residual_ivfpq_index first (extending an "
+            "index that doesn't exist would silently train a fresh one on "
+            "the increment alone)"
+        )
+    id_field = increment.select(F.col(id_col)).schema.fields[0]
+    old_codes = lake.read_committed(spark, layer, CODES, _codes_schema(id_field))
+    # SCD0: only genuinely-new ids encode and fold (operators/merge semantics)
+    new_rows = increment.join(
+        old_codes.select(F.col(id_col)), id_col, "left_anti"
+    )
+    mode = _resolve_assign_mode(assign_mode, centroids)
+    new_codes = residual_frame(
+        new_rows, centroids, id_col, vec_col, assign_mode=mode
+    ).select(
+        F.col(id_col),
+        F.col("centroid"),
+        _pq_codes("__res", codebooks).alias("pq_codes"),
+    )
+    codes = old_codes.unionByName(new_codes)
+    old_state = lake.read_committed(
+        spark, layer, LIST_STATE, StructType.fromDDL(_STATE_SCHEMA)
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        merge_ivf_list_states,
+    )
+
+    state = merge_ivf_list_states(
+        old_state, ivf_list_state(new_rows, centroids, id_col, vec_col, assign_mode=mode)
+    )
+    return lake.commit_multi([(codes, layer, CODES), (state, layer, LIST_STATE)])
+
+
 def load_index_artifacts(
     lake: Lakehouse, layer: str, spark: SparkSession
 ) -> tuple[list[tuple[int, list[float]]], list[list[list[float]]]]:

@@ -2025,3 +2025,43 @@ def q_similarity_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         shortlist=REFINE_SHORTLIST,
     )
+
+
+@register("ann_index_incremental_extend", IVF_PQ_RESIDUAL_ORACLE)
+def q_ann_index_incremental_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted index as a LIVING artifact end-to-end: build on the
+    even-id half of the corpus (standing in for history), then
+    `operators/annindex.extend_residual_ivfpq_index` folds the odd-id half
+    in at O(increment) COMPUTE — only new rows encode against the FROZEN
+    committed quantizer (SCD0 insert-ignore on already-indexed ids; replay
+    is a no-op), the per-list health state merges with the ledger/CMS
+    algebra, and codes′ + state′ publish in one manifest flip. The search
+    over the extended index must be indistinguishable from one built on the
+    whole corpus — hash-checked against the SAME full-corpus oracle as
+    `similarity_ivf_pq_residual`, which is exactly the claim that licenses
+    nightly O(increment) upkeep instead of nightly re-indexing at 100 TB."""
+    import tempfile
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
+        build_residual_ivfpq_index,
+        extend_residual_ivfpq_index,
+        search_residual_ivfpq_index,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    key = ("ann_index_inc", _emb_stat_key(sf_dir))
+    if key not in _TRAINED_ARTIFACTS:
+        lake = Lakehouse(tempfile.mkdtemp(prefix="ann_idx_inc_"))
+        build_residual_ivfpq_index(
+            lake,
+            "idx",
+            emb.filter(F.col("vec_id") % 2 == 0),
+            _ivf_trained_centroids(emb, sf_dir),
+            _pq_residual_books(emb, sf_dir),
+        )
+        extend_residual_ivfpq_index(lake, "idx", emb.filter(F.col("vec_id") % 2 == 1))
+        _TRAINED_ARTIFACTS[key] = lake
+    return search_residual_ivfpq_index(
+        _TRAINED_ARTIFACTS[key], "idx", emb.filter(F.col("vec_id") < 20), k=5
+    )

@@ -382,12 +382,13 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     # in r13
     "streaming_ivf_maintenance",
     "ann_index_persisted_search",
+    "ann_index_incremental_extend",
     "similarity_pq_refine_topk",
     # -- stalest veterans (last driver row r9), registration order; the r9
     # block is 39 strong after the r12 window re-proves similarity_ann_bucketed
-    # and embedding_near_dup — 35 fit under the 50-cap; `similarity_ivf_topk`,
-    # `similarity_pq_adc`, `term_importance`, and `window_analytics` (all
-    # r9-proven) roll to r14 --
+    # and embedding_near_dup — 34 fit under the 50-cap; `similarity_ivf_pq`,
+    # `similarity_ivf_topk`, `similarity_pq_adc`, `term_importance`, and
+    # `window_analytics` (all r9-proven) roll to r14 --
     "json_extract",
     "json_struct_parse",
     "paged_scan",
@@ -422,7 +423,6 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "profile_documents",
     "range_join_incidents",
     "score_quantile_norm",
-    "similarity_ivf_pq",
 ]
 
 

@@ -115,3 +115,50 @@ def test_index_health_state_rides_the_publish(spark, corpus, artifacts, tmp_path
     empty = Lakehouse(str(tmp_path / "empty"))
     out = search_residual_ivfpq_index(empty, "idx", corpus.filter(F.col("vec_id") < 2))
     assert out.count() == 0
+
+
+def test_incremental_extend_equals_full_build_and_replays_as_noop(spark, corpus, artifacts, tmp_path):
+    """extend(build(A), B) must be row-identical to build(A ∪ B) on every
+    index table (frozen quantizer ⇒ identical codes; state merge ≡ rebuild),
+    replaying the same increment is a no-op (SCD0), and extending an unbuilt
+    index raises instead of silently training on the increment."""
+    from pyspark.sql.types import StructType
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
+        extend_residual_ivfpq_index,
+    )
+
+    cents, books = artifacts
+    even = corpus.filter(F.col("vec_id") % 2 == 0)
+    odd = corpus.filter(F.col("vec_id") % 2 == 1)
+
+    inc_lake = Lakehouse(str(tmp_path / "inc"))
+    build_residual_ivfpq_index(inc_lake, "idx", even, cents, books)
+    extend_residual_ivfpq_index(inc_lake, "idx", odd)
+
+    full_lake = Lakehouse(str(tmp_path / "full"))
+    build_residual_ivfpq_index(full_lake, "idx", corpus, cents, books)
+
+    codes_schema = "vec_id long, centroid int, pq_codes array<tinyint>"
+    state_schema = "centroid int, n bigint, err_q decimal(38,0), err_scale int"
+    for table, ddl in ((CODES, codes_schema), (LIST_STATE, state_schema)):
+        a = sorted(map(tuple, inc_lake.read_committed(
+            spark, "idx", table, StructType.fromDDL(ddl)).collect()))
+        b = sorted(map(tuple, full_lake.read_committed(
+            spark, "idx", table, StructType.fromDDL(ddl)).collect()))
+        assert a == b, table
+    # searches agree too
+    q = corpus.filter(F.col("vec_id") < 4)
+    assert sorted(map(tuple, search_residual_ivfpq_index(inc_lake, "idx", q, k=3).collect())) == sorted(
+        map(tuple, search_residual_ivfpq_index(full_lake, "idx", q, k=3).collect())
+    )
+    # replay: extending with already-indexed rows changes nothing
+    before = sorted(map(tuple, inc_lake.read_committed(
+        spark, "idx", CODES, StructType.fromDDL(codes_schema)).collect()))
+    extend_residual_ivfpq_index(inc_lake, "idx", odd)
+    after = sorted(map(tuple, inc_lake.read_committed(
+        spark, "idx", CODES, StructType.fromDDL(codes_schema)).collect()))
+    assert before == after
+    # unbuilt index refuses
+    with pytest.raises(ValueError, match="build_residual_ivfpq_index first"):
+        extend_residual_ivfpq_index(Lakehouse(str(tmp_path / "none")), "idx", odd)

@@ -150,11 +150,14 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "ann_index_persisted_search",
         # round-12: two-stage ADC-shortlist -> exact re-rank search
         "similarity_pq_refine_topk",
+        # round-12: O(increment) persisted-index extension
+        "ann_index_incremental_extend",
     },
     # round-12: NEW module — the persisted residual IVF-PQ index (build/
     # publish via commit_multi, search from committed codes)
     "airflow_courier_payout_ledger_pipeline_spark/operators/annindex.py": {
         "ann_index_persisted_search",
+        "ann_index_incremental_extend",
     },
     # round-11: kmeans_centroids_exact + pq_codebooks_exact added (training
     # behind the unchanged search interface); the seeded search paths
