@@ -88,8 +88,23 @@ def build_residual_ivfpq_index(
     pass total: assignment + residual + PQ encode fuse into the codes
     projection, and the per-list health state is one grouped fold over the
     same assignment (Catalyst runs them as two reads of one cached shape;
-    at corpus scale run them as one job each — both are single-pass)."""
+    at corpus scale run them as one job each — both are single-pass).
+
+    Cold start (empty corpus ⇒ no quantizer, no codebooks) commits an EMPTY
+    index — all four tables present and consistent, searches return no
+    rows — rather than crashing; the first real build simply publishes the
+    next manifest."""
     spark = emb.sparkSession
+    if not centroids or not codebooks:
+        id_field = emb.select(F.col(id_col)).schema.fields[0]
+        return lake.commit_multi(
+            [
+                (spark.createDataFrame([], _codes_schema(id_field)), layer, CODES),
+                (spark.createDataFrame([], _CENTROIDS_SCHEMA), layer, CENTROIDS),
+                (spark.createDataFrame([], _CODEBOOKS_SCHEMA), layer, CODEBOOKS),
+                (spark.createDataFrame([], _STATE_SCHEMA), layer, LIST_STATE),
+            ]
+        )
     mode = _resolve_assign_mode(assign_mode, centroids)
     codes = residual_frame(emb, centroids, id_col, vec_col, assign_mode=mode).select(
         F.col(id_col),
@@ -146,11 +161,24 @@ def extend_residual_ivfpq_index(
     spark = increment.sparkSession
     centroids, codebooks = load_index_artifacts(lake, layer, spark)
     if not centroids or not codebooks:
+        if f"{layer}/{CODES}" not in lake.current_manifest():
+            raise ValueError(
+                f"extend_residual_ivfpq_index: no committed index under "
+                f"{layer!r} — build_residual_ivfpq_index first (extending an "
+                "index that doesn't exist would silently train a fresh one "
+                "on the increment alone)"
+            )
+        # committed-but-EMPTY index (cold-start build over an empty corpus):
+        # an empty increment is a no-op; rows cannot encode without a
+        # quantizer, so a non-empty increment demands a rebuild, loudly
+        if increment.isEmpty():
+            mid = lake.current_manifest_id()
+            assert mid is not None  # CODES is in the manifest
+            return mid
         raise ValueError(
-            f"extend_residual_ivfpq_index: no committed index under "
-            f"{layer!r} — build_residual_ivfpq_index first (extending an "
-            "index that doesn't exist would silently train a fresh one on "
-            "the increment alone)"
+            f"extend_residual_ivfpq_index: the committed index under "
+            f"{layer!r} has no quantizer (cold-start empty build) — "
+            "rebuild with build_residual_ivfpq_index once data exists"
         )
     id_field = increment.select(F.col(id_col)).schema.fields[0]
     old_codes = lake.read_committed(spark, layer, CODES, _codes_schema(id_field))

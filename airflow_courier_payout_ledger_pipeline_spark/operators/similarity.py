@@ -420,11 +420,15 @@ def kmeans_centroids_exact(
 def _resolve_assign_mode(
     assign_mode: str, centroids: list[tuple[int, list[float]]]
 ) -> str:
-    """'auto' → 'literal' under UNROLLED_LITERAL_BUDGET, 'join' past it."""
+    """'auto' → 'literal' under UNROLLED_LITERAL_BUDGET, 'join' past it.
+    Empty centroid lists (cold start) resolve to 'literal' — every caller
+    short-circuits empties before building expressions."""
     if assign_mode not in ("auto", "literal", "join"):
         raise ValueError(f"assign_mode must be auto|literal|join, got {assign_mode!r}")
     if assign_mode != "auto":
         return assign_mode
+    if not centroids:
+        return "literal"
     over = len(centroids) * len(centroids[0][1]) > UNROLLED_LITERAL_BUDGET
     return "join" if over else "literal"
 

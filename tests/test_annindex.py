@@ -162,3 +162,21 @@ def test_incremental_extend_equals_full_build_and_replays_as_noop(spark, corpus,
     # unbuilt index refuses
     with pytest.raises(ValueError, match="build_residual_ivfpq_index first"):
         extend_residual_ivfpq_index(Lakehouse(str(tmp_path / "none")), "idx", odd)
+
+
+def test_cold_start_build_and_extend_semantics(spark, corpus, tmp_path):
+    """An empty-corpus build commits a consistent EMPTY index (searches
+    return no rows); extending it is a no-op for an empty increment and a
+    loud error for a real one (rows cannot encode without a quantizer);
+    extending a never-built layer still raises 'build first'."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
+        extend_residual_ivfpq_index,
+    )
+
+    lake = Lakehouse(str(tmp_path))
+    empty = corpus.filter(F.col("vec_id") < 0)
+    mid = build_residual_ivfpq_index(lake, "idx", empty, [], [])
+    assert search_residual_ivfpq_index(lake, "idx", corpus.limit(2)).count() == 0
+    assert extend_residual_ivfpq_index(lake, "idx", empty) == mid  # no-op
+    with pytest.raises(ValueError, match="no quantizer"):
+        extend_residual_ivfpq_index(lake, "idx", corpus)
