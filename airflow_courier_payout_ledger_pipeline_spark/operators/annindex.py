@@ -73,6 +73,34 @@ def _codes_schema(id_field) -> StructType:
     )
 
 
+def _read_codes(
+    lake: Lakehouse, layer: str, spark: SparkSession, id_field
+) -> DataFrame:
+    """The committed codes table, with the caller's ``id_col`` VALIDATED
+    against the column the index was built with: ``spark.read.schema`` maps
+    parquet columns BY NAME, so a mismatched id_col would silently read
+    every committed id as NULL (breaking the SCD0 anti-join and the
+    self-match filter) instead of failing — raise loudly instead."""
+    v = lake.current_manifest().get(f"{layer}/{CODES}")
+    schema = _codes_schema(id_field)
+    if v is None:
+        return spark.createDataFrame([], schema)
+    actual = [
+        f.name
+        for f in spark.read.parquet(
+            str(lake.root / layer / CODES / f"v={v}")
+        ).schema.fields
+    ]
+    expected = [f.name for f in schema.fields]
+    if actual != expected:
+        raise ValueError(
+            f"committed index under {layer!r} has columns {actual}, caller "
+            f"expects {expected} — pass the id_col the index was BUILT with "
+            "(a by-name schema read would silently surface NULL ids)"
+        )
+    return lake.read_committed(spark, layer, CODES, schema)
+
+
 def build_residual_ivfpq_index(
     lake: Lakehouse,
     layer: str,
@@ -181,7 +209,7 @@ def extend_residual_ivfpq_index(
             "rebuild with build_residual_ivfpq_index once data exists"
         )
     id_field = increment.select(F.col(id_col)).schema.fields[0]
-    old_codes = lake.read_committed(spark, layer, CODES, _codes_schema(id_field))
+    old_codes = _read_codes(lake, layer, spark, id_field)
     # SCD0: only genuinely-new ids encode and fold (operators/merge semantics)
     new_rows = increment.join(
         old_codes.select(F.col(id_col)), id_col, "left_anti"
@@ -251,7 +279,7 @@ def search_residual_ivfpq_index(
     spark = queries.sparkSession
     centroids, codebooks = load_index_artifacts(lake, layer, spark)
     id_field = queries.select(F.col(id_col)).schema.fields[0]
-    codes = lake.read_committed(spark, layer, CODES, _codes_schema(id_field))
+    codes = _read_codes(lake, layer, spark, id_field)
     if not centroids or not codebooks:
         return (
             codes.select(F.col(id_col).alias("neighbor_id"))

@@ -553,6 +553,10 @@ def farthest_first_centroids_exact(
     )
     for _ in range(k - 1):
         cdf = spark.createDataFrame(chosen, "__cid int, __cvec array<double>")
+        # the vector rides the min-struct (within an id group every row
+        # carries the SAME v, so the d-then-v comparison stays deterministic)
+        # and comes back in the argmax collect — each step is truly ONE
+        # distributed pass, no second fetch job
         far = (
             emb.join(
                 F.broadcast(cdf.select("__cid")),
@@ -561,7 +565,8 @@ def farthest_first_centroids_exact(
             )
             .crossJoin(F.broadcast(cdf.select("__cvec")))
             .groupBy(id_col)
-            .agg(F.min(d2).alias("__dmin"))
+            .agg(F.min(F.struct(d2.alias("d"), F.col(vec_col).alias("v"))).alias("__s"))
+            .select(id_col, F.col("__s.d").alias("__dmin"), F.col("__s.v").alias("__v"))
             .orderBy(
                 F.desc("__dmin"), F.md5(F.col(id_col).cast("string")), F.col(id_col)
             )
@@ -570,9 +575,7 @@ def farthest_first_centroids_exact(
         )
         if not far:  # corpus smaller than k: return what exists
             break
-        nid = int(far[0][0])
-        vec = emb.filter(F.col(id_col) == nid).select(vec_col).collect()[0][0]
-        chosen.append((nid, [float(x) for x in vec]))
+        chosen.append((int(far[0][0]), [float(x) for x in far[0]["__v"]]))
     return sorted(chosen)
 
 
@@ -589,23 +592,84 @@ def ivf_variant_hits(
     quantizer's IVF search recovers at each probe setting — the INTEGER
     evidence the recall gate decides on (hit counts share a denominator per
     nprobe, so dominance comparisons never touch float recall ratios). One
-    brute-force pass on the query set unioned with |variants|·|nprobes| IVF
-    searches, all broadcast-query joins; the result is a ≤|variants|·|nprobes|
-    row frame. Zero-hit cells are absent (left to the caller's default)."""
+    brute-force pass on the query set plus ONE corpus assignment per
+    variant — each query probe carries its rank, so every nprobe setting is
+    a rank filter + per-(setting, query) top-k window over that variant's
+    shared candidate frame (the ``ivf_pq_residual_topk_sweep`` pattern),
+    never a per-setting re-assignment; per setting the rows are identical
+    to ``ivf_topk(nprobe=n)``. All query-side joins broadcast; the result
+    is a ≤|variants|·|nprobes| row frame. Zero-hit cells are absent (left
+    to the caller's default)."""
+    spark = corpus.sparkSession
     truth = brute_force_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    settings = spark.createDataFrame([(int(n),) for n in nprobes], "nprobe int")
+    maxp = max(nprobes)
     ann = None
     for vname, cents in variants:
-        for np_ in nprobes:
-            a = (
-                ivf_topk(
-                    corpus, queries, cents, k=k, id_col=id_col,
-                    vec_col=vec_col, nprobe=np_,
-                )
-                .select("query_id", "neighbor_id")
-                .withColumn("variant", F.lit(vname))
-                .withColumn("nprobe", F.lit(np_))
+        if not cents:  # empty quantizer: contributes no candidates, no hits
+            continue
+        mode = _resolve_assign_mode("auto", cents)
+        if mode == "literal":
+            c = corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("__cv"),
+                norm(F.col(vec_col)).alias("__cn"),
+                _assign_to_centroids(cents, vec_col).alias("centroid"),
             )
-            ann = a if ann is None else ann.unionByName(a)
+            q = (
+                queries.select(
+                    F.col(id_col).alias("query_id"),
+                    F.col(vec_col).alias("__qv"),
+                    norm(F.col(vec_col)).alias("__qn"),
+                    F.posexplode(_centroid_probes(vec_col, cents, maxp)).alias(
+                        "__pos", "centroid"
+                    ),
+                )
+                .withColumn("__prn", F.col("__pos") + F.lit(1))
+                .drop("__pos")
+            )
+        else:
+            c = _assign_via_join(corpus, cents, id_col, vec_col).select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("__cv"),
+                norm(F.col(vec_col)).alias("__cn"),
+                "centroid",
+            )
+            q = _probes_via_join(queries, cents, maxp, id_col, vec_col).select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("__qv"),
+                norm(F.col(vec_col)).alias("__qn"),
+                "centroid",
+                "__prn",
+            )
+        sims = (
+            c.join(F.broadcast(q), "centroid")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    _prenorm_cosine(
+                        F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+                    ),
+                    4,
+                ).alias("sim"),
+                "__prn",
+            )
+            .join(F.broadcast(settings), F.col("__prn") <= F.col("nprobe"))
+        )
+        w = Window.partitionBy("nprobe", "query_id").orderBy(
+            F.desc("sim"), F.asc("neighbor_id")
+        )
+        a = (
+            sims.withColumn("__rank", F.row_number().over(w))
+            .filter(F.col("__rank") <= k)
+            .select("query_id", "neighbor_id", "nprobe")
+            .withColumn("variant", F.lit(vname))
+        )
+        ann = a if ann is None else ann.unionByName(a)
+    if ann is None:  # every variant empty: no hits anywhere
+        return spark.createDataFrame([], "variant string, nprobe int, n_hit bigint")
     return (
         truth.select("query_id", "neighbor_id")
         .join(ann, ["query_id", "neighbor_id"])

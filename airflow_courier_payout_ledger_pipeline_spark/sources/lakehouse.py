@@ -275,23 +275,35 @@ class Lakehouse:
             )
         return spark.read.schema(schema).parquet(str(path))
 
-    def vacuum(self, layer: str, table: str, keep_last: int = 2) -> list[int]:
-        """Drop all but the newest ``keep_last`` snapshots (never the current
-        pointer target, never the current MANIFEST's referenced version — a
-        committed multi-table transaction must stay readable). Returns removed
-        versions. The retention window is the time-travel horizon — identical
-        contract to Delta VACUUM."""
+    def vacuum(
+        self, layer: str, table: str, keep_last: int = 2, drop_staged: bool = False
+    ) -> list[int]:
+        """Drop all but the newest ``keep_last`` PUBLISHED snapshots (never
+        the current pointer target, never the current MANIFEST's referenced
+        version — a committed multi-table transaction must stay readable).
+        Returns removed versions. The retention window is the time-travel
+        horizon — identical contract to Delta VACUUM.
+
+        Only versions ≤ the newest published version count toward
+        ``keep_last``: STAGED snapshots above it (a ``stage_version`` whose
+        commit hasn't flipped yet — possibly mid-flight, possibly a crash
+        orphan) must neither consume the retention horizon nor be deleted by
+        default; pass ``drop_staged=True`` from a context that KNOWS no
+        commit is in flight to reclaim crash orphans."""
         cur = self.current_version(layer, table)
-        vs = self.versions(layer, table)
-        keep = set(vs[-keep_last:]) | ({cur} if cur is not None else set())
         mv = self.current_manifest().get(f"{layer}/{table}")
-        if mv is not None:
-            keep.add(mv)
+        published_refs = {v for v in (cur, mv) if v is not None}
+        newest_pub = max(published_refs, default=None)
+        vs = self.versions(layer, table)
+        history = [v for v in vs if newest_pub is not None and v <= newest_pub]
+        keep = set(history[-keep_last:]) | published_refs
         removed = []
         for v in vs:
-            if v not in keep:
-                shutil.rmtree(self.root / layer / table / f"v={v}")
-                removed.append(v)
+            staged = newest_pub is None or v > newest_pub
+            if v in keep or (staged and not drop_staged):
+                continue
+            shutil.rmtree(self.root / layer / table / f"v={v}")
+            removed.append(v)
         return removed
 
     def write_sorted(

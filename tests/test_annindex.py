@@ -180,3 +180,22 @@ def test_cold_start_build_and_extend_semantics(spark, corpus, tmp_path):
     assert extend_residual_ivfpq_index(lake, "idx", empty) == mid  # no-op
     with pytest.raises(ValueError, match="no quantizer"):
         extend_residual_ivfpq_index(lake, "idx", corpus)
+
+
+def test_mismatched_id_col_raises_instead_of_null_reads(spark, corpus, artifacts, tmp_path):
+    """Reading the committed codes with a different id_col than the index
+    was built with must raise — a by-name schema read would silently surface
+    NULL ids (every SCD0 anti-join row would re-encode; searches would go
+    empty) instead of failing."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
+        extend_residual_ivfpq_index,
+    )
+
+    cents, books = artifacts
+    lake = Lakehouse(str(tmp_path))
+    build_residual_ivfpq_index(lake, "idx", corpus, cents, books)
+    renamed = corpus.withColumnRenamed("vec_id", "doc_id")
+    with pytest.raises(ValueError, match="BUILT with"):
+        search_residual_ivfpq_index(lake, "idx", renamed, id_col="doc_id")
+    with pytest.raises(ValueError, match="BUILT with"):
+        extend_residual_ivfpq_index(lake, "idx", renamed, id_col="doc_id")

@@ -143,3 +143,31 @@ def test_vacuum_commits_keeps_current_and_newest(spark, tmp_path):
     assert removed == [0, 1]
     # current manifest still resolves
     assert lake.read_committed(spark, "dds", "t", schema).collect()[0].x == 3
+
+
+def test_vacuum_ignores_staged_orphans_for_retention(spark, tmp_path):
+    """A staged-but-uncommitted snapshot must neither consume the keep_last
+    horizon (deleting real committed history) nor be deleted by default
+    (it may be a mid-flight commit); drop_staged=True reclaims it."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    lake = Lakehouse(str(tmp_path))
+    schema = StructType([StructField("x", LongType())])
+
+    def df(i):
+        return spark.createDataFrame([(i,)], schema)
+
+    for i in range(4):  # committed v=0..3 via the manifest
+        lake.commit_multi([(df(i), "dds", "t")])
+    orphan = lake.stage_version(df(99), "dds", "t")  # crash before the flip
+    removed = lake.vacuum("dds", "t", keep_last=2)
+    # horizon counts PUBLISHED versions only: v=2,3 kept, v=0,1 dropped,
+    # the orphan survives by default
+    assert removed == [0, 1]
+    assert lake.versions("dds", "t") == [2, 3, orphan]
+    assert lake.read_committed(spark, "dds", "t", schema).collect()[0].x == 3
+    # explicit reclaim drops the orphan, never published history
+    assert lake.vacuum("dds", "t", keep_last=2, drop_staged=True) == [orphan]
+    assert lake.versions("dds", "t") == [2, 3]

@@ -856,3 +856,34 @@ def test_refine_recovers_exact_order_within_shortlist(clustered):
         for r in ivf_pq_residual_topk(clustered, q, cents, books, k=3).collect()
     }
     assert len(ref5 & truth) >= len(adc & truth)
+
+
+def test_variant_hits_sweep_matches_per_nprobe_ivf_topk(clustered):
+    """ivf_variant_hits' single-assignment probe-rank sweep must produce the
+    exact hit counts of running ivf_topk per (variant, nprobe) — the gate's
+    integer evidence may not drift when the compute path is optimized."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        ivf_variant_hits,
+        kmeans_centroids_exact,
+    )
+
+    q = clustered.filter(F.col("vec_id") < 6)
+    variants = [
+        ("seeded", kmeans_centroids_exact(clustered, k=2, iters=0)),
+        ("trained", kmeans_centroids_exact(clustered, k=2, iters=2)),
+    ]
+    got = {
+        (r.variant, r.nprobe): r.n_hit
+        for r in ivf_variant_hits(clustered, q, variants, nprobes=(1, 2), k=3).collect()
+    }
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(clustered, q, k=3).collect()
+    }
+    for vname, cents in variants:
+        for np_ in (1, 2):
+            single = {
+                (r.query_id, r.neighbor_id)
+                for r in ivf_topk(clustered, q, cents, k=3, nprobe=np_).collect()
+            }
+            assert got.get((vname, np_), 0) == len(single & truth), (vname, np_)
