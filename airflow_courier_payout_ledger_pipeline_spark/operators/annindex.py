@@ -110,6 +110,7 @@ def build_residual_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign_mode: str = "auto",
+    force_empty: bool = False,
 ) -> int:
     """Encode the corpus against the FROZEN quantizer artifacts and publish
     the four index tables atomically. Returns the manifest id. One corpus
@@ -121,9 +122,33 @@ def build_residual_ivfpq_index(
     Cold start (empty corpus ⇒ no quantizer, no codebooks) commits an EMPTY
     index — all four tables present and consistent, searches return no
     rows — rather than crashing; the first real build simply publishes the
-    next manifest."""
+    next manifest. The cold-start path is GUARDED: an empty quantizer is
+    only accepted when the corpus is genuinely empty AND no non-empty index
+    is currently serving under this layer — an accidental ``[]`` artifact
+    (training run over a misconfigured/empty read while a good index
+    serves) must not wipe the live index in one manifest flip. Pass
+    ``force_empty=True`` to deliberately replace a live index with an
+    empty one (decommission)."""
     spark = emb.sparkSession
     if not centroids or not codebooks:
+        if not force_empty:
+            if not emb.isEmpty():
+                raise ValueError(
+                    "build_residual_ivfpq_index: empty centroids/codebooks "
+                    "with a NON-empty corpus — the quantizer artifact is "
+                    "missing or mistrained, refusing to commit an empty "
+                    "index (pass force_empty=True to override)"
+                )
+            v = lake.current_manifest().get(f"{layer}/{CODES}")
+            if v is not None and not spark.read.parquet(
+                str(lake.root / layer / CODES / f"v={v}")
+            ).isEmpty():
+                raise ValueError(
+                    f"build_residual_ivfpq_index: a NON-empty index is "
+                    f"committed under {layer!r} — an empty cold-start build "
+                    "would wipe the serving index in one manifest flip "
+                    "(pass force_empty=True to decommission it)"
+                )
         id_field = emb.select(F.col(id_col)).schema.fields[0]
         return lake.commit_multi(
             [

@@ -1049,11 +1049,13 @@ def q_ivf_recall_trained_vs_seeded(spark: SparkSession, sf_dir: str) -> DataFram
     production quantizer (r11 verdict item 2): recall@5 against the exact
     brute-force baseline for the SEEDED (frozen lowest-id) vs TRAINED
     (gate-selected — best dominating Lloyd candidate, or the seeds when
-    nothing dominates) coarse quantizer, per nprobe in {1, 2, 4}. Because
-    the gate only ships a candidate whose hit count weakly dominates the
-    baseline's at EVERY nprobe, trained ≥ seeded holds at every row of this
-    eval BY CONSTRUCTION — equality signalling (honestly) that training
-    bought nothing on this corpus, as on the shipped near-isotropic
+    nothing dominates) coarse quantizer, per nprobe in {1, 2, 4}. The
+    gate's weak dominance is on the per-nprobe hit counts SUMMED over all
+    queries, so trained ≥ seeded holds by construction at each nprobe on
+    the aggregate recall — individual (variant, nprobe, query_id) rows may
+    still go either way when a Lloyd candidate ships (per-query recall is
+    not gated); aggregate equality signals (honestly) that training bought
+    nothing on this corpus, as on the shipped near-isotropic
     testdata. Fully hash-checked: the oracle replays both trainings, the
     farthest-first chain, the gate decision, both assignments, the probe
     sweep, and the recall arithmetic. One brute-force pass; 6 inverted-list

