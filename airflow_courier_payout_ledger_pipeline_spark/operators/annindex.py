@@ -369,3 +369,45 @@ def search_residual_ivfpq_index(
     return pairs.withColumn("rank", F.row_number().over(w).cast("int")).filter(
         F.col("rank") <= k
     )
+
+
+def refine_search_residual_ivfpq_index(
+    lake: Lakehouse,
+    layer: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_mode: str = "auto",
+) -> DataFrame:
+    """Two-stage search from the PERSISTED index — FAISS IndexRefine over a
+    committed IVF-ADC index, the steady-state production shape: stage one
+    shortlists top-``shortlist`` per query by scanning the committed m-byte
+    codes (``search_residual_ivfpq_index`` — no training, no corpus encode,
+    the quantizer artifacts were paid for once at build time); stage two
+    fetches raw vectors from ``corpus`` for the |Q|·shortlist winners only
+    and ranks the final top-k by exact cosine (``similarity.exact_rerank``).
+    Byte-identical to ``similarity.ivf_pq_residual_refine_topk`` over the
+    raw corpus with the same artifacts (stage-1 parity is pinned by
+    tests/test_annindex.py). At 100 TB this is what a query session costs:
+    one pruned scan of 8-byte codes + exact math on a broadcast-sized
+    shortlist — the build/train cost is amortized into the index, never
+    re-paid per query."""
+    cand = search_residual_ivfpq_index(
+        lake,
+        layer,
+        queries,
+        k=shortlist,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        assign_mode=assign_mode,
+    ).select("query_id", "neighbor_id")
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        exact_rerank,
+    )
+
+    return exact_rerank(corpus, queries, cand, k=k, id_col=id_col, vec_col=vec_col)

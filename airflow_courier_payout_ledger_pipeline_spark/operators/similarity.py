@@ -1606,6 +1606,24 @@ def ivf_pq_residual_refine_topk(
         vec_col=vec_col,
         assign_mode=assign_mode,
     ).select("query_id", "neighbor_id")
+    return exact_rerank(corpus, queries, cand, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def exact_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cand: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The refine stage shared by every two-stage search: exact cosine over a
+    broadcast-sized (query_id, neighbor_id) candidate frame — the corpus is
+    touched for raw vectors of the shortlisted rows only (broadcast-join
+    semi-fetch, never a shuffle of the big side), and the final top-k ranks
+    by exact similarity with the module's rounding/tiebreak conventions.
+    Stage-1 producers: ``ivf_pq_residual_topk`` (on-the-fly codes) and
+    ``annindex.search_residual_ivfpq_index`` (persisted codes)."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),

@@ -1933,15 +1933,32 @@ def q_ann_index_persisted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — hash-checked against the SAME oracle statement, which is the
     point: at 100 TB the persisted form scans 8-byte codes instead of
     64-float vectors (32× IO) and pays the encode once at build time."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
+        search_residual_ivfpq_index,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    lake = _persisted_index_lake(emb, sf_dir)
+    return search_residual_ivfpq_index(
+        lake, "idx", emb.filter(F.col("vec_id") < 20), k=5
+    )
+
+
+def _persisted_index_lake(emb: DataFrame, sf_dir: str):
+    """The committed residual IVF-PQ index over this SF's embeddings table —
+    built ONCE per process (and per underlying parquet mtime) with the
+    recall-gated trained quantizer, then shared by every consumer
+    (`ann_index_persisted_search`, `similarity_pq_refine_topk`): the
+    deployment economics the index exists for — training and the corpus
+    encode are build-time costs, query sessions only read committed
+    artifacts."""
     import tempfile
 
     from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
         build_residual_ivfpq_index,
-        search_residual_ivfpq_index,
     )
     from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
 
-    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     key = ("ann_index", _emb_stat_key(sf_dir))
     if key not in _TRAINED_ARTIFACTS:
         lake = Lakehouse(tempfile.mkdtemp(prefix="ann_idx_"))
@@ -1953,9 +1970,7 @@ def q_ann_index_persisted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             _pq_residual_books(emb, sf_dir),
         )
         _TRAINED_ARTIFACTS[key] = lake
-    return search_residual_ivfpq_index(
-        _TRAINED_ARTIFACTS[key], "idx", emb.filter(F.col("vec_id") < 20), k=5
-    )
+    return _TRAINED_ARTIFACTS[key]
 
 
 # --- Two-stage refine: ADC shortlist -> exact re-rank -------------------------------
@@ -2005,25 +2020,34 @@ SELECT query_id, neighbor_id, sim, rank FROM fr WHERE rank <= 5
 
 @register("similarity_pq_refine_topk", PQ_REFINE_ORACLE)
 def q_similarity_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage production search — residual-ADC SHORTLIST (top-20 by
-    8-byte codes) then EXACT cosine re-rank of just those candidates
-    (operators/similarity.ivf_pq_residual_refine_topk; Jégou et al.
-    re-ranking / FAISS IndexRefine). The point at 100 TB: the corpus-sized
-    scan touches only codes, the exact math runs on |Q|·20 rows, and
-    quantization error decides WHICH candidates are seen — never their
+    """Two-stage production search from the PERSISTED index — residual-ADC
+    SHORTLIST (top-20 by the COMMITTED 8-byte codes) then EXACT cosine
+    re-rank of just those candidates
+    (operators/annindex.refine_search_residual_ivfpq_index; Jégou et al.
+    re-ranking / FAISS IndexRefine over a committed index). This measures
+    the steady-state deployment shape: quantizer training and the corpus
+    encode happened ONCE at index build (shared with
+    `ann_index_persisted_search` via `_persisted_index_lake`), so a query
+    session costs one pruned scan of committed codes + exact math on |Q|·20
+    rows. The point at 100 TB: the corpus-sized scan touches only codes,
+    and quantization error decides WHICH candidates are seen — never their
     final order — so top-k quality recovers toward exact at ADC scan cost.
     Hash-checked end-to-end: coarse gate, residual codebook training, ADC
-    shortlist, and the exact re-rank replay in one DuckDB statement."""
-    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
-        ivf_pq_residual_refine_topk,
+    shortlist, and the exact re-rank replay in one DuckDB statement;
+    byte-parity with the on-the-fly two-stage path
+    (`similarity.ivf_pq_residual_refine_topk`) is pinned in
+    tests/test_annindex.py."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
+        refine_search_residual_ivfpq_index,
     )
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    return ivf_pq_residual_refine_topk(
+    lake = _persisted_index_lake(emb, sf_dir)
+    return refine_search_residual_ivfpq_index(
+        lake,
+        "idx",
         emb,
         emb.filter(F.col("vec_id") < 20),
-        _ivf_trained_centroids(emb, sf_dir),
-        _pq_residual_books(emb, sf_dir),
         k=5,
         shortlist=REFINE_SHORTLIST,
     )

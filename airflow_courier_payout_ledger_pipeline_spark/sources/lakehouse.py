@@ -342,6 +342,64 @@ class Lakehouse:
             removed.append(v)
         return removed
 
+    # --- bucketed tables (write-time co-partitioning) ---------------------------------
+    #
+    # The 100 TB ledger argument in SCALE.md: the J3 fact ⋈ dm_orders join
+    # shuffles BOTH sides on the order key every nightly run once dm_orders
+    # outgrows broadcast. ``bucketBy`` pays that shuffle ONCE at write time —
+    # both tables land pre-hash-partitioned (and pre-sorted) on the join key,
+    # and Spark's bucketed-scan rule plans every subsequent equi-join between
+    # them as a SortMergeJoin with ZERO Exchange on either side (the same
+    # trade as Hive clustered tables / Iceberg bucket transforms). Bucket
+    # metadata lives in the session catalog (path-based parquet reads can't
+    # carry it), so these write through an EXTERNAL table whose data sits at
+    # the normal lakehouse path; the catalog name is derived from the
+    # lakehouse root, so independent Lakehouse instances never collide.
+
+    def bucketed_table_name(self, layer: str, table: str) -> str:
+        import hashlib
+
+        h = hashlib.md5(str(self.root.resolve()).encode()).hexdigest()[:10]
+        return f"lake_{h}_{layer}_{table}"
+
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        layer: str,
+        table: str,
+        bucket_cols: list[str],
+        num_buckets: int = 16,
+        sort_cols: list[str] | None = None,
+    ) -> str:
+        """Overwrite ``layer/table`` as a bucketed external table at the
+        lakehouse path: hash-partitioned into ``num_buckets`` files per
+        bucket column set and per-bucket sorted (on ``sort_cols``, default
+        the bucket columns — sorted buckets let the bucketed SortMergeJoin
+        skip the Sort too). Returns the catalog table name; read it back
+        with :meth:`read_bucketed` (a plain path read would see the same
+        rows but lose the bucket metadata and with it the shuffle-free
+        join). Sizing: num_buckets is a write-time commitment — pick
+        table_bytes / (bucket target ~1 GB) at deployment scale; both join
+        sides MUST use the same count for the zero-exchange plan."""
+        name = self.bucketed_table_name(layer, table)
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", self.path(layer, table))
+            .bucketBy(num_buckets, *bucket_cols)
+            .sortBy(*(sort_cols or bucket_cols))
+            .saveAsTable(name)
+        )
+        return name
+
+    def read_bucketed(self, spark: SparkSession, layer: str, table: str) -> DataFrame:
+        """The bucketed table WITH its bucket metadata (joins/aggs on the
+        bucket key plan shuffle-free). Raises if the table was never written
+        via :meth:`write_bucketed` in a session sharing this catalog."""
+        return spark.table(self.bucketed_table_name(layer, table))
+
     def write_sorted(
         self,
         df: DataFrame,

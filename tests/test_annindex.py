@@ -275,3 +275,31 @@ def test_extend_crash_window_preserves_old_index(spark, corpus, artifacts, tmp_p
     assert sorted(
         map(tuple, search_residual_ivfpq_index(lake, "idx", q, k=3).collect())
     ) == sorted(map(tuple, search_residual_ivfpq_index(full, "idx", q, k=3).collect()))
+
+
+def test_refine_search_matches_on_the_fly_two_stage(spark, corpus, artifacts, tmp_path):
+    """FAISS-IndexRefine parity: the two-stage search served from the
+    persisted index (committed-codes ADC shortlist -> exact re-rank) must be
+    byte-identical to the on-the-fly two-stage path over the raw corpus with
+    the same frozen artifacts — quantization decides WHICH candidates are
+    seen, the exact re-rank decides order, and neither depends on where the
+    codes came from."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
+        refine_search_residual_ivfpq_index,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        ivf_pq_residual_refine_topk,
+    )
+
+    cents, books = artifacts
+    lake = Lakehouse(str(tmp_path))
+    build_residual_ivfpq_index(lake, "idx", corpus, cents, books)
+    q = corpus.filter(F.col("vec_id") < 4)
+    for nprobe, shortlist in ((1, 6), (2, 10)):
+        fly = sorted(map(tuple, ivf_pq_residual_refine_topk(
+            corpus, q, cents, books, k=3, shortlist=shortlist, nprobe=nprobe
+        ).collect()))
+        idx = sorted(map(tuple, refine_search_residual_ivfpq_index(
+            lake, "idx", corpus, q, k=3, shortlist=shortlist, nprobe=nprobe
+        ).collect()))
+        assert fly == idx and fly

@@ -116,9 +116,11 @@ SHUFFLE_BUDGET = {
     # truth-grid join + final rollup (training/gating collects eagerly; the
     # returned plan is search-only; was 7 when each setting re-encoded)
     "ivfpq_residual_recall_multiprobe": 5,
-    # round-12 production search: stage-1 ADC shortlist's per-query top-R
-    # window + stage-2 exact re-rank's top-k window (shortlist broadcasts
-    # into the corpus join — the big table never shuffles)
+    # round-12 production search, round-13 rerouted through the PERSISTED
+    # index (steady-state shape): stage-1 ADC shortlist over the COMMITTED
+    # codes table (per-query top-R window) + stage-2 exact re-rank's top-k
+    # window (shortlist broadcasts into the corpus fetch — neither the
+    # codes table nor the corpus ever shuffles)
     "similarity_pq_refine_topk": 2,
 }
 
@@ -158,3 +160,61 @@ def test_every_nonstreaming_headline_query_has_a_budget():
         if not n.startswith("streaming_") and n not in SHUFFLE_BUDGET
     ]
     assert not unbudgeted, f"headline queries without a shuffle budget: {unbudgeted}"
+
+
+def test_bucketed_j3_join_plans_zero_exchange(spark, tmp_path):
+    """SCALE.md's 100 TB ledger argument, delivered as a plan property: once
+    dm_orders outgrows broadcast, the J3 fact ⋈ orders join shuffles both
+    sides nightly — unless both tables were WRITTEN bucketed on the join key
+    (Lakehouse.write_bucketed), in which case the join plans as a
+    SortMergeJoin with ZERO shuffle Exchange, and the whole mart keeps
+    exactly ONE shuffle (the settlement groupBy). Broadcast is disabled here
+    to simulate the at-scale planner decision; the unbucketed twin is
+    asserted to shuffle, so the zero is attributable to bucketing."""
+    from airflow_courier_payout_ledger_pipeline_spark.plans.bucketing import (
+        exchange_count,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.plans.ledger import courier_ledger
+    from airflow_courier_payout_ledger_pipeline_spark.plans.tpch_adapter import (
+        courier_domain,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    d = courier_domain(spark, SF)
+    lake = Lakehouse(str(tmp_path))
+    lake.write_bucketed(d["fct_deliveries"], "dds", "fct_deliveries", ["order_id"], num_buckets=4)
+    lake.write_bucketed(d["dm_orders"], "dds", "dm_orders", ["id"], num_buckets=4)
+    fct = lake.read_bucketed(spark, "dds", "fct_deliveries")
+    dmo = lake.read_bucketed(spark, "dds", "dm_orders")
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = fct.join(dmo, fct["order_id"] == dmo["id"], "inner").select(
+            fct["order_id"], dmo["timestamp_id"]
+        )
+        assert exchange_count(joined) == 0, joined._jdf.queryExecution().executedPlan().toString()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # unbucketed twin of the SAME join shuffles — the zero above is bucketing
+        un = d["fct_deliveries"].join(
+            d["dm_orders"], d["fct_deliveries"]["order_id"] == d["dm_orders"]["id"]
+        ).select(d["fct_deliveries"]["order_id"])
+        assert exchange_count(un) >= 1
+        # the full mart over bucketed inputs: ONE shuffle total (the groupBy);
+        # dm_couriers/dm_timestamps stay explicitly broadcast in the plan.
+        # The small dims are materialized as stored tables first (their
+        # DDS-promotion distinct is a write-path cost, not mart topology).
+        lake.overwrite(d["dm_timestamps"], "dds", "dm_timestamps")
+        lake.overwrite(d["dm_couriers"], "dds", "dm_couriers")
+        dmt = lake.read(spark, "dds", "dm_timestamps", d["dm_timestamps"].schema)
+        dmc = lake.read(spark, "dds", "dm_couriers", d["dm_couriers"].schema)
+        mart = courier_ledger(fct, dmc, dmo, dmt)
+        assert exchange_count(mart) == 1, mart._jdf.queryExecution().executedPlan().toString()
+        # rows are identical to the unbucketed mart (bucketing is layout, not semantics)
+        base = courier_ledger(
+            d["fct_deliveries"], d["dm_couriers"], d["dm_orders"], d["dm_timestamps"]
+        )
+        assert sorted(map(tuple, mart.collect())) == sorted(map(tuple, base.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
