@@ -341,6 +341,34 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_dropped_buckets(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows: int = 3,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Coverage accounting for ``lsh_candidate_pairs``' ``max_bucket`` skew cap:
+    one row per (band, band_hash) bucket the cap DROPS, with its size and the
+    candidate-pair count it suppressed (size·(size−1)/2) — so a 100 TB run's
+    recall loss from capping is an observable report, never silent. Same
+    single-pass topology as the candidate path (explode bands → groupBy count),
+    and the same NULL-pile sentinel exclusion (all-NULL signatures are dropped
+    by design, not by the cap, and must not inflate this report). Emits
+    nothing when no bucket exceeds the cap — the report doubling as a
+    cap-was-harmless certificate for the run."""
+    bt = signatures.select(
+        "id", F.explode(_band_entries(bands, rows)).alias("__b")
+    ).select("id", F.col("__b.band").alias("band"), F.col("__b.band_hash").alias("band_hash"))
+    bt = bt.filter(F.col("band_hash") != F.lit(_EMPTY_MD5))
+    sz = F.col("bucket_size")
+    return (
+        bt.groupBy("band", "band_hash")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(sz > max_bucket)
+        .withColumn("pairs_suppressed", (sz * (sz - F.lit(1)) / F.lit(2)).cast("bigint"))
+    )
+
+
 def verify_pairs_ngram_jaccard(
     candidates: DataFrame, grams: DataFrame, min_jaccard: float
 ) -> DataFrame:

@@ -252,9 +252,29 @@ def deliveries_stg_to_dds_job(spark: SparkSession, lake: Lakehouse) -> None:
                 "tips",
             )
         )
+        # fct DDL gate (sql/DDL_dds.fct_deliveries.sql:14-21: rating ∈ [0,5],
+        # money ≥ 0, NOT NULLs): rows the reference's CHECK constraints would
+        # abort the whole INSERT on are split off WITH their violation report
+        # and SCD0-appended to the quarantine table (replay-safe on
+        # delivery_key) — the watermark still advances, so a poisoned row
+        # can never wedge the pipeline by being refetched forever.
+        from airflow_courier_payout_ledger_pipeline_spark.operators.validate import (
+            fact_checks,
+            quarantine,
+        )
+
+        good, bad = quarantine(facts, fact_checks())
+        q_existing = lake.read(
+            spark, "dds", "fct_deliveries_quarantine", S.FCT_DELIVERIES_QUARANTINE_SCHEMA
+        )
+        lake.append(
+            scd0_new_rows(bad, q_existing, ["delivery_key"]),
+            "dds",
+            "fct_deliveries_quarantine",
+        )
         existing = lake.read(spark, "dds", "fct_deliveries", S.FCT_DELIVERIES_SCHEMA)
         lake.append(
-            scd0_new_rows(facts, existing, ["delivery_key"]), "dds", "fct_deliveries"
+            scd0_new_rows(good, existing, ["delivery_key"]), "dds", "fct_deliveries"
         )
         _dds_store(lake).write_last_loaded_ts(spark, DDS_WM_KEY, cursor)
     finally:
@@ -270,28 +290,40 @@ def courier_ledger_update_job(spark: SparkSession, lake: Lakehouse) -> None:
     courier-month yields NULL rate_avg → NULL payout/reward (the reference's
     arithmetic, which would *abort* its whole INSERT — SURVEY.md §2.3); we keep the
     clean rows flowing and land violations in dm_courier_ledger_quarantine."""
+    # The mart frame feeds THREE actions (quarantine write, UNIQUE gate,
+    # SCD1 upsert) — persist it so the facts scan + joins + agg run once;
+    # the cached frame is mart-grain (couriers × months), tiny at any SF.
     mart = courier_ledger(
         lake.read(spark, "dds", "fct_deliveries", S.FCT_DELIVERIES_SCHEMA),
         lake.read(spark, "dds", "dm_couriers", S.DM_COURIERS_SCHEMA),
         lake.read(spark, "dds", "dm_orders", S.DM_ORDERS_SCHEMA),
         lake.read(spark, "dds", "dm_timestamps", S.DM_TIMESTAMPS_SCHEMA),
-    )
-    from airflow_courier_payout_ledger_pipeline_spark.operators.validate import (
-        ledger_checks,
-        quarantine,
-    )
+    ).persist()
+    try:
+        from airflow_courier_payout_ledger_pipeline_spark.operators.validate import (
+            assert_unique,
+            ledger_checks,
+            quarantine,
+        )
 
-    clean, bad = quarantine(mart, ledger_checks())
-    lake.overwrite(bad, "cdm", "dm_courier_ledger_quarantine")
-    # Generic SCD1 entry: against an unpartitioned mart this is the full
-    # staging-swap; partition the mart by settlement_month (month is part of
-    # the upsert key, so rows never migrate partitions) and the same call
-    # rewrites only the months present in the recompute — the MERGE-with-
-    # pruning shape a 100 TB deployment wants.
-    lake.upsert_scd1(
-        spark, clean, "cdm", "dm_courier_ledger", S.DM_COURIER_LEDGER_SCHEMA,
-        ["courier_id", "settlement_year", "settlement_month"],
-    )
+        clean, bad = quarantine(mart, ledger_checks())
+        lake.overwrite(bad, "cdm", "dm_courier_ledger_quarantine")
+        # UNIQUE (courier_id, settlement_year, settlement_month) — the DDL's
+        # :29 constraint; a duplicate key here means corrupt dims (two
+        # dm_couriers rows per id), which must abort the mart write, not
+        # SCD1-overwrite nondeterministically
+        assert_unique(clean, ["courier_id", "settlement_year", "settlement_month"])
+        # Generic SCD1 entry: against an unpartitioned mart this is the full
+        # staging-swap; partition the mart by settlement_month (month is part
+        # of the upsert key, so rows never migrate partitions) and the same
+        # call rewrites only the months present in the recompute — the
+        # MERGE-with-pruning shape a 100 TB deployment wants.
+        lake.upsert_scd1(
+            spark, clean, "cdm", "dm_courier_ledger", S.DM_COURIER_LEDGER_SCHEMA,
+            ["courier_id", "settlement_year", "settlement_month"],
+        )
+    finally:
+        mart.unpersist()
 
 
 def run_daily(

@@ -117,6 +117,34 @@ FROM pairs p JOIN sig sa ON p.id_a = sa.id JOIN sig sb ON p.id_b = sb.id
 """
 
 
+LSH_DROPPED_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+bands AS ({_BANDS_SQL})
+SELECT band, band_hash, count(*) AS bucket_size,
+       CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS pairs_suppressed
+FROM bands GROUP BY 1, 2 HAVING count(*) > {LSH_MAX_BUCKET}
+"""
+
+
+@register("dedup_lsh_dropped_buckets", LSH_DROPPED_ORACLE)
+def q_dedup_lsh_dropped_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage accounting for `dedup_minhash_lsh`'s max_bucket skew cap AT THE
+    SHIPPED CONFIGURATION (LSH_MAX_BUCKET): every (band, band_hash) bucket the
+    cap drops, with its size and the candidate-pair count it suppressed —
+    the observability rail that turns a 100 TB run's capping recall loss from
+    a silent property of the plan into a checkable report (empty report ⇒ the
+    cap was harmless this run). Hash-checked: the oracle replays shingling,
+    signatures, banding, and the HAVING-capped census in one statement."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import (
+        lsh_dropped_buckets,
+        minhash_signatures_inline,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    sig = minhash_signatures_inline(docs, "doc_id", "text", k=9, num_hashes=NUM_HASHES)
+    return lsh_dropped_buckets(sig, BANDS, ROWS_PER_BAND, max_bucket=LSH_MAX_BUCKET)
+
+
 @register("dedup_minhash_lsh", MINHASH_LSH_ORACLE)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs (4 bands × 3 rows) with the estimated

@@ -372,6 +372,9 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "ivf_recall_trained_vs_seeded",
     "similarity_ivf_topk_trained",
     "ivfpq_residual_recall_multiprobe",
+    # r13: NEW — dropped-bucket accounting for the LSH max_bucket cap (the
+    # r12 verdict item-6 observability rail); first driver row lands in r14
+    "dedup_lsh_dropped_buckets",
 ]
 
 

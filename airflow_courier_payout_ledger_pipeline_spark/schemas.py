@@ -18,6 +18,7 @@ Postgres ``time`` has no Spark equivalent → 'HH:mm:ss' string.
 from __future__ import annotations
 
 from pyspark.sql.types import (
+    ArrayType,
     DateType,
     DecimalType,
     IntegerType,
@@ -121,6 +122,16 @@ FCT_DELIVERIES_SCHEMA = StructType(
         StructField("courier_id", LongType(), False),
         StructField("rating", ShortType(), False),
         StructField("tips", MONEY, False),
+    ]
+)
+
+#: fct rows rejected by the DDL gate (fact_checks), with their violation report —
+#: the lakehouse twin of a row the reference's CHECK constraints would abort on
+#: (sql/DDL_dds.fct_deliveries.sql:14-21)
+FCT_DELIVERIES_QUARANTINE_SCHEMA = StructType(
+    [
+        *FCT_DELIVERIES_SCHEMA.fields,
+        StructField("violations", ArrayType(StringType()), False),
     ]
 )
 

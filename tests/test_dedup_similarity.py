@@ -590,3 +590,39 @@ def test_near_dup_pairs_scale_guard_requires_explicit_quadratic_optin(spark):
         emb, 0.5, max_comparisons=10, allow_quadratic=True).collect()}
     default = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(emb, 0.5).collect()}
     assert opted == default and default
+
+
+def test_lsh_dropped_buckets_accounts_for_cap_loss(spark):
+    """The dropped-bucket report is the exact complement of the capped
+    candidate path: a pile over the cap appears in the report with its size
+    and suppressed-pair count (size·(size−1)/2 per band), a corpus under the
+    cap yields an empty report, and pairs dropped by the NULL-pile sentinel
+    (not the cap) never show up."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_dropped_buckets,
+        minhash_signatures_inline,
+    )
+
+    pile = ["identical boilerplate text repeated in every mirror copy"] * 6 + [
+        "a genuinely different document about couriers"
+    ]
+    docs = _docs(spark, pile)
+    sigs = minhash_signatures_inline(docs, "doc_id", "text", k=9, num_hashes=12)
+
+    # cap below the pile: candidates vanish, report accounts for every band
+    assert lsh_candidate_pairs(sigs, 4, 3, max_bucket=3).count() == 0
+    rep = lsh_dropped_buckets(sigs, 4, 3, max_bucket=3).collect()
+    assert len(rep) == 4  # the identical pile collides in all 4 bands
+    assert all(r.bucket_size == 6 and r.pairs_suppressed == 15 for r in rep)
+
+    # cap above the pile: nothing dropped, report is the harmless-certificate
+    assert lsh_dropped_buckets(sigs, 4, 3, max_bucket=10).count() == 0
+    assert lsh_candidate_pairs(sigs, 4, 3, max_bucket=10).count() == 15
+
+    # NULL-text docs are sentinel-dropped, not cap-dropped: no report rows
+    null_docs = spark.createDataFrame(
+        [(i, None) for i in range(8)], "doc_id long, text string"
+    )
+    nsigs = minhash_signatures_inline(null_docs, "doc_id", "text", k=9, num_hashes=12)
+    assert lsh_dropped_buckets(nsigs, 4, 3, max_bucket=2).count() == 0

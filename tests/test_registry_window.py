@@ -97,14 +97,14 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "vocab_counts",
         "ngram_contamination",
     },
+    # round-13: dropped-bucket accounting registration (new query; r14 head)
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_dedup.py": {
-        "dedup_components",
+        "dedup_lsh_dropped_buckets",
     },
-    # round-10: docstring cross-reference updated for the split (comment-only;
-    # the module's in-window queries carry the evidence)
+    # round-13: lsh_dropped_buckets added (candidate path untouched; the new
+    # report query adjudicates the addition from the r14 plan head)
     "airflow_courier_payout_ledger_pipeline_spark/operators/dedup.py": {
-        "dedup_components",
-        "dedup_incremental",
+        "dedup_lsh_dropped_buckets",
     },
     # round-12: the recall-gated selection CTE blob (csel) replaces the
     # straight-Lloyd trained-centroid CTEs in every trained-family oracle and
@@ -136,19 +136,18 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
     },
     # round-12: NEW module — the persisted residual IVF-PQ index (build/
     # publish via commit_multi, search from committed codes)
+    # round-13: empty-build wipe guard (force_empty) + two-stage refine
+    # search from the committed index (refine_search_residual_ivfpq_index)
     "airflow_courier_payout_ledger_pipeline_spark/operators/annindex.py": {
         "ann_index_persisted_search",
         "ann_index_incremental_extend",
+        "similarity_pq_refine_topk",
     },
-    # round-11: kmeans_centroids_exact + pq_codebooks_exact added (training
-    # behind the unchanged search interface); the seeded search paths
-    # re-adjudicate alongside via similarity_topk/ivf/pq in-window entries
-    # round-12: recall-gated quantizer selection (farthest-first init +
-    # select_ivf_quantizer), vec_id-preserving seeds, k·dim budget
-    # enforcement with the ivf_topk join-form route, the near-dup-pairs
-    # quadratic scale guard, and err_q-gated list-state merges
+    # round-13: exact_rerank extracted from ivf_pq_residual_refine_topk
+    # (stage-2 re-rank now shared with annindex.refine_search_*); the
+    # two-stage consumer re-proves it in-window, and the trained/eval
+    # family re-adjudicates alongside in the r13 window
     "airflow_courier_payout_ledger_pipeline_spark/operators/similarity.py": {
-        "embedding_near_dup",
         "similarity_pq_refine_topk",
         "similarity_ivf_topk_trained",
         "ivf_recall_trained_vs_seeded",
@@ -159,7 +158,6 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "ivf_index_maintenance",
         "similarity_ann_multiprobe",
         "ann_recall_multiprobe",
-        "similarity_ann_bucketed",
         "similarity_topk",
         "similarity_ivf_nprobe2",
     },
@@ -175,10 +173,19 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
     },
     # round-12: M3 docstring cross-reference to the commit manifest
     # (comment-only; the job's queries carry the evidence)
+    # round-13: fct DDL gate (fact_checks quarantine) on the fact write +
+    # UNIQUE gate and mart persist in courier_ledger_update_job — the
+    # promotion rail's queries re-prove in the r13 window; the gate's
+    # behavior is pinned by tests/test_validate.py's pipeline tests
     "airflow_courier_payout_ledger_pipeline_spark/plans/promotions.py": {
         "incremental_promotion",
         "scd1_upsert",
         "scd0_insert_ignore",
+    },
+    # round-13: FCT_DELIVERIES_QUARANTINE_SCHEMA added (declaration only;
+    # consumed by the promotion rail above)
+    "airflow_courier_payout_ledger_pipeline_spark/schemas.py": {
+        "incremental_promotion",
     },
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_events.py": {
         "event_windows_tumbling",

@@ -82,3 +82,43 @@ def test_mart_null_hazard_goes_to_quarantine(spark, tmp_path):
         "courier_order_sum_not_null",
         "courier_reward_sum_not_null",
     }
+
+
+def test_fct_ddl_gate_quarantines_violating_increment(spark, tmp_path):
+    """The fct DDL constraints (rating ∈ [0,5], money ≥ 0 —
+    sql/DDL_dds.fct_deliveries.sql:14-21) are a MANDATORY gate on the fact
+    write path: a violating delivery lands in fct_deliveries_quarantine WITH
+    its violation report, never in fct_deliveries (where the reference's
+    CHECK would have aborted the whole INSERT), the mart is computed from
+    clean facts only, and a re-run does not duplicate the quarantine row."""
+    from tests.test_pipeline import _delivery, fake_api
+    from airflow_courier_payout_ledger_pipeline_spark import schemas as S
+    from airflow_courier_payout_ledger_pipeline_spark.plans import promotions as P
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    couriers = [{"_id": "c1", "name": "Alice"}]
+    deliveries = [
+        _delivery("d1", "o1", "c1", "2023-05-10 10:00:00", "2023-05-10 09:30:00", 5, 1000.00, 10.00),
+        # rating 9 violates rating_between_0_5; negative tip violates tips_non_negative
+        _delivery("d2", "o2", "c1", "2023-05-10 11:00:00", "2023-05-10 10:30:00", 9, 2000.00, -1.00),
+    ]
+    P.run_daily(spark, lake, fake_api(couriers), fake_api(deliveries, "delivery_ts"), "2023-05-11")
+
+    facts = lake.read(spark, "dds", "fct_deliveries", S.FCT_DELIVERIES_SCHEMA).collect()
+    assert [r.delivery_key for r in facts] == ["d1"]
+    q = lake.read(
+        spark, "dds", "fct_deliveries_quarantine", S.FCT_DELIVERIES_QUARANTINE_SCHEMA
+    ).collect()
+    assert len(q) == 1 and q[0].delivery_key == "d2"
+    assert set(q[0].violations) == {"rating_between_0_5", "tips_non_negative"}
+    # the mart saw only the clean fact
+    mart = lake.read(spark, "cdm", "dm_courier_ledger", S.DM_COURIER_LEDGER_SCHEMA).collect()
+    assert len(mart) == 1 and mart[0].orders_count == 1
+    # replay (same ds, watermark already advanced → empty increment; then a
+    # forced full re-run of the promotion) must not duplicate the quarantine
+    P.deliveries_stg_to_dds_job(spark, lake)
+    q2 = lake.read(
+        spark, "dds", "fct_deliveries_quarantine", S.FCT_DELIVERIES_QUARANTINE_SCHEMA
+    ).collect()
+    assert len(q2) == 1
