@@ -73,6 +73,23 @@ def _codes_schema(id_field) -> StructType:
     )
 
 
+#: committed snapshots are immutable, so per-manifest driver artifacts and
+#: schema validations cache safely: a query session against an unchanged
+#: manifest pays the centroid/codebook collect and the codes footer read
+#: ONCE, not per search (bounded: k·dim + m·kc·sub floats per entry, and the
+#: caches evict oldest past a small cap — a nightly-extending process never
+#: grows them unboundedly)
+_ARTIFACT_CACHE: dict[tuple[str, str, int], tuple[list, list]] = {}
+_VALIDATED_CODES: dict[tuple[str, str, int, str], bool] = {}
+_CACHE_CAP = 16
+
+
+def _cache_put(cache: dict, key, value) -> None:
+    if len(cache) >= _CACHE_CAP:
+        cache.pop(next(iter(cache)))
+    cache[key] = value
+
+
 def _read_codes(
     lake: Lakehouse, layer: str, spark: SparkSession, id_field
 ) -> DataFrame:
@@ -80,24 +97,28 @@ def _read_codes(
     against the column the index was built with: ``spark.read.schema`` maps
     parquet columns BY NAME, so a mismatched id_col would silently read
     every committed id as NULL (breaking the SCD0 anti-join and the
-    self-match filter) instead of failing — raise loudly instead."""
+    self-match filter) instead of failing — raise loudly instead. The
+    validation (one footer read) caches per committed version + id name."""
     v = lake.current_manifest().get(f"{layer}/{CODES}")
     schema = _codes_schema(id_field)
     if v is None:
         return spark.createDataFrame([], schema)
-    actual = [
-        f.name
-        for f in spark.read.parquet(
-            str(lake.root / layer / CODES / f"v={v}")
-        ).schema.fields
-    ]
-    expected = [f.name for f in schema.fields]
-    if actual != expected:
-        raise ValueError(
-            f"committed index under {layer!r} has columns {actual}, caller "
-            f"expects {expected} — pass the id_col the index was BUILT with "
-            "(a by-name schema read would silently surface NULL ids)"
-        )
+    vkey = (str(lake.root), layer, v, id_field.name)
+    if vkey not in _VALIDATED_CODES:
+        actual = [
+            f.name
+            for f in spark.read.parquet(
+                str(lake.root / layer / CODES / f"v={v}")
+            ).schema.fields
+        ]
+        expected = [f.name for f in schema.fields]
+        if actual != expected:
+            raise ValueError(
+                f"committed index under {layer!r} has columns {actual}, caller "
+                f"expects {expected} — pass the id_col the index was BUILT with "
+                "(a by-name schema read would silently surface NULL ids)"
+            )
+        _cache_put(_VALIDATED_CODES, vkey, True)
     return lake.read_committed(spark, layer, CODES, schema)
 
 
@@ -266,7 +287,12 @@ def load_index_artifacts(
 ) -> tuple[list[tuple[int, list[float]]], list[list[list[float]]]]:
     """The bounded driver half of the index: centroids (k·dim) and codebooks
     (m·k_c·sub), read at the manifest's committed version — never a
-    half-published pair."""
+    half-published pair. Cached per manifest id (immutable once committed),
+    so repeated searches in one session collect them once."""
+    mid = lake.current_manifest_id()
+    key = (str(lake.root), layer, mid) if mid is not None else None
+    if key is not None and key in _ARTIFACT_CACHE:
+        return _ARTIFACT_CACHE[key]
     cents = sorted(
         (int(r["cid"]), [float(x) for x in r["cvec"]])
         for r in lake.read_committed(
@@ -277,12 +303,16 @@ def load_index_artifacts(
         spark, layer, CODEBOOKS, StructType.fromDDL(_CODEBOOKS_SCHEMA)
     ).collect()
     if not rows:
-        return cents, []
-    m = 1 + max(int(r["j"]) for r in rows)
-    books: list[dict[int, list[float]]] = [dict() for _ in range(m)]
-    for r in rows:
-        books[int(r["j"])][int(r["c"])] = [float(x) for x in r["sv"]]
-    return cents, [[bj[c] for c in sorted(bj)] for bj in books]
+        result: tuple[list, list] = (cents, [])
+    else:
+        m = 1 + max(int(r["j"]) for r in rows)
+        books: list[dict[int, list[float]]] = [dict() for _ in range(m)]
+        for r in rows:
+            books[int(r["j"])][int(r["c"])] = [float(x) for x in r["sv"]]
+        result = (cents, [[bj[c] for c in sorted(bj)] for bj in books])
+    if key is not None:
+        _cache_put(_ARTIFACT_CACHE, key, result)
+    return result
 
 
 def search_residual_ivfpq_index(

@@ -233,6 +233,44 @@ def q_courier_ledger_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(LEDGER_SPARK_SQL.format(**views))
 
 
+#: bucketed-lake cache: the bucketBy write is the one-time cost the layout
+#: amortizes (same process-cache discipline as the trained-quantizer
+#: artifacts in queries_ext_similarity)
+_BUCKETED_LAKES: dict[str, object] = {}
+
+
+@register("courier_ledger_bucketed", LEDGER_ORACLE)
+def q_courier_ledger_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship mart over BUCKETED storage — the 100 TB join layout
+    (SCALE.md ledger section) driver-proven: facts and dm_orders are written
+    once via ``Lakehouse.write_bucketed`` (hash-bucketed + per-bucket sorted
+    on the order key), and the identical mart computation then plans the J3
+    join WITHOUT shuffling either side (zero-Exchange SortMergeJoin once
+    dm_orders outgrows broadcast — plan-asserted in
+    tests/test_shuffle_budgets.py::test_bucketed_j3_join_plans_zero_exchange).
+    Hash-checked against the SAME oracle as ``courier_ledger``: bucketing is
+    layout, never semantics. The write is a once-per-process setup cost
+    (cached), exactly the amortization the layout buys in production."""
+    import tempfile
+
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    d = courier_domain(spark, sf_dir)
+    lake = _BUCKETED_LAKES.get(sf_dir)
+    if lake is None or not spark.catalog.tableExists(
+        lake.bucketed_table_name("dds", "fct_deliveries")
+    ):
+        lake = Lakehouse(tempfile.mkdtemp(prefix="cl_bucketed_"))
+        lake.write_bucketed(
+            d["fct_deliveries"], "dds", "fct_deliveries", ["order_id"], num_buckets=8
+        )
+        lake.write_bucketed(d["dm_orders"], "dds", "dm_orders", ["id"], num_buckets=8)
+        _BUCKETED_LAKES[sf_dir] = lake
+    fct = lake.read_bucketed(spark, "dds", "fct_deliveries")
+    dmo = lake.read_bucketed(spark, "dds", "dm_orders")
+    return courier_ledger(fct, d["dm_couriers"], dmo, d["dm_timestamps"])
+
+
 @register("incremental_mart_maintenance", LEDGER_ORACLE)
 def q_incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance of the flagship mart: the fact
@@ -375,6 +413,9 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     # r13: NEW — dropped-bucket accounting for the LSH max_bucket cap (the
     # r12 verdict item-6 observability rail); first driver row lands in r14
     "dedup_lsh_dropped_buckets",
+    # r13: NEW — the flagship over bucketed storage (write_bucketed rail
+    # driver-proven against the flagship oracle); first driver row in r14
+    "courier_ledger_bucketed",
 ]
 
 

@@ -102,7 +102,13 @@ HEADLINE = [
     # layout (the r11-verdict item-5 dial, next to the LSH one)
     "ivfpq_residual_recall_multiprobe",
     # round-12: two-stage ADC-shortlist -> exact re-rank production search
+    # (round-13: rerouted through the persisted index — steady-state search)
     "similarity_pq_refine_topk",
+    # round-13: pure persisted-index ADC search (the committed-codes scan the
+    # refine stage-1 reuses) and the flagship over bucketed storage (the
+    # zero-shuffle J3 layout) — the two new production rails, measured
+    "ann_index_persisted_search",
+    "courier_ledger_bucketed",
 ]
 
 

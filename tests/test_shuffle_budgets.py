@@ -122,6 +122,13 @@ SHUFFLE_BUDGET = {
     # window (shortlist broadcasts into the corpus fetch — neither the
     # codes table nor the corpus ever shuffles)
     "similarity_pq_refine_topk": 2,
+    # round-13: pure persisted-index ADC search — committed codes scan +
+    # broadcast ADC tables; ONE per-query top-k window exchange
+    "ann_index_persisted_search": 1,
+    # round-13: flagship over bucketed storage — the J3 join itself is ZERO
+    # exchanges (bucketed SMJ / broadcast); the 2 here are the dm_timestamps
+    # testdata-dim DISTINCT + the settlement groupBy, same as courier_ledger
+    "courier_ledger_bucketed": 2,
 }
 
 
