@@ -43,7 +43,9 @@ from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
     _pq_codes,
     _probes_via_join,
     _resolve_assign_mode,
+    exact_rerank,
     ivf_list_state,
+    merge_ivf_list_states,
     residual_frame,
 )
 from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
@@ -77,10 +79,13 @@ def _codes_schema(id_field) -> StructType:
 #: schema validations cache safely: a query session against an unchanged
 #: manifest pays the centroid/codebook collect and the codes footer read
 #: ONCE, not per search (bounded: k·dim + m·kc·sub floats per entry, and the
-#: caches evict oldest past a small cap — a nightly-extending process never
-#: grows them unboundedly)
-_ARTIFACT_CACHE: dict[tuple[str, str, int], tuple[list, list]] = {}
-_VALIDATED_CODES: dict[tuple[str, str, int, str], bool] = {}
+#: caches drop their oldest-inserted entry past a small cap — FIFO, which
+#: keeps a nightly-extending process from growing them unboundedly). Keys
+#: include the manifest POINTER file's mtime, not just the manifest id: a
+#: lake wiped and rebuilt at the same path restarts ids at 0, and an
+#: id-only key would silently serve the old quantizer against new codes.
+_ARTIFACT_CACHE: dict[tuple, tuple[list, list]] = {}
+_VALIDATED_CODES: dict[tuple, bool] = {}
 _CACHE_CAP = 16
 
 
@@ -88,6 +93,19 @@ def _cache_put(cache: dict, key, value) -> None:
     if len(cache) >= _CACHE_CAP:
         cache.pop(next(iter(cache)))
     cache[key] = value
+
+
+def _manifest_cache_key(lake: Lakehouse, layer: str) -> tuple | None:
+    """(root, layer, manifest id, pointer mtime_ns) — None when no manifest
+    is committed (nothing safe to cache)."""
+    mid = lake.current_manifest_id()
+    if mid is None:
+        return None
+    try:
+        mt = lake._manifest_pointer().stat().st_mtime_ns
+    except OSError:
+        return None
+    return (str(lake.root), layer, mid, mt)
 
 
 def _read_codes(
@@ -103,8 +121,9 @@ def _read_codes(
     schema = _codes_schema(id_field)
     if v is None:
         return spark.createDataFrame([], schema)
-    vkey = (str(lake.root), layer, v, id_field.name)
-    if vkey not in _VALIDATED_CODES:
+    base = _manifest_cache_key(lake, layer)
+    vkey = None if base is None else (*base, v, id_field.name)
+    if vkey is None or vkey not in _VALIDATED_CODES:
         actual = [
             f.name
             for f in spark.read.parquet(
@@ -118,7 +137,8 @@ def _read_codes(
                 f"expects {expected} — pass the id_col the index was BUILT with "
                 "(a by-name schema read would silently surface NULL ids)"
             )
-        _cache_put(_VALIDATED_CODES, vkey, True)
+        if vkey is not None:
+            _cache_put(_VALIDATED_CODES, vkey, True)
     return lake.read_committed(spark, layer, CODES, schema)
 
 
@@ -272,10 +292,6 @@ def extend_residual_ivfpq_index(
     old_state = lake.read_committed(
         spark, layer, LIST_STATE, StructType.fromDDL(_STATE_SCHEMA)
     )
-    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
-        merge_ivf_list_states,
-    )
-
     state = merge_ivf_list_states(
         old_state, ivf_list_state(new_rows, centroids, id_col, vec_col, assign_mode=mode)
     )
@@ -287,10 +303,9 @@ def load_index_artifacts(
 ) -> tuple[list[tuple[int, list[float]]], list[list[list[float]]]]:
     """The bounded driver half of the index: centroids (k·dim) and codebooks
     (m·k_c·sub), read at the manifest's committed version — never a
-    half-published pair. Cached per manifest id (immutable once committed),
-    so repeated searches in one session collect them once."""
-    mid = lake.current_manifest_id()
-    key = (str(lake.root), layer, mid) if mid is not None else None
+    half-published pair. Cached per (manifest id, pointer mtime) — immutable
+    once committed — so repeated searches in one session collect them once."""
+    key = _manifest_cache_key(lake, layer)
     if key is not None and key in _ARTIFACT_CACHE:
         return _ARTIFACT_CACHE[key]
     cents = sorted(
@@ -436,8 +451,4 @@ def refine_search_residual_ivfpq_index(
         vec_col=vec_col,
         assign_mode=assign_mode,
     ).select("query_id", "neighbor_id")
-    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
-        exact_rerank,
-    )
-
     return exact_rerank(corpus, queries, cand, k=k, id_col=id_col, vec_col=vec_col)

@@ -361,11 +361,18 @@ def lsh_dropped_buckets(
     ).select("id", F.col("__b.band").alias("band"), F.col("__b.band_hash").alias("band_hash"))
     bt = bt.filter(F.col("band_hash") != F.lit(_EMPTY_MD5))
     sz = F.col("bucket_size")
+    # exact integer n·(n−1)/2: divide the EVEN factor first (bigint DIV, no
+    # double rounding at ~2^53, no long-multiply overflow until the pair
+    # count itself exceeds 2^63) — the giant skew buckets are precisely what
+    # this report exists to account for, so their arithmetic must be exact
+    pairs = F.when(sz % 2 == 0, F.expr("(bucket_size DIV 2) * (bucket_size - 1)")).otherwise(
+        F.expr("bucket_size * ((bucket_size - 1) DIV 2)")
+    )
     return (
         bt.groupBy("band", "band_hash")
         .agg(F.count("*").alias("bucket_size"))
         .filter(sz > max_bucket)
-        .withColumn("pairs_suppressed", (sz * (sz - F.lit(1)) / F.lit(2)).cast("bigint"))
+        .withColumn("pairs_suppressed", pairs.cast("bigint"))
     )
 
 

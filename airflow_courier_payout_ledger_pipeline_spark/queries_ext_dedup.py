@@ -117,12 +117,24 @@ FROM pairs p JOIN sig sa ON p.id_a = sa.id JOIN sig sb ON p.id_b = sb.id
 """
 
 
+# band_hash IS NOT NULL mirrors the Spark operator's NULL-pile sentinel
+# exclusion: a NULL-text doc's h-columns are NULL, which DuckDB's `||` chain
+# turns into band_hash = NULL (GROUP BY would pile them into one per-band
+# NULL bucket), while Spark's concat_ws skips NULLs into the md5('')
+# sentinel that lsh_dropped_buckets filters. Both sides must agree that
+# NULL piles are dropped by design, never reported as cap loss. The exact
+# odd/even split keeps pairs_suppressed pure bigint arithmetic (no double
+# rounding, no overflow below 2^63 pairs) in both engines.
 LSH_DROPPED_ORACLE = f"""
 WITH {_SHINGLES_CTE},
 bands AS ({_BANDS_SQL})
 SELECT band, band_hash, count(*) AS bucket_size,
-       CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS pairs_suppressed
-FROM bands GROUP BY 1, 2 HAVING count(*) > {LSH_MAX_BUCKET}
+       CASE WHEN count(*) % 2 = 0
+            THEN (count(*) // 2) * (count(*) - 1)
+            ELSE count(*) * ((count(*) - 1) // 2)
+       END AS pairs_suppressed
+FROM bands WHERE band_hash IS NOT NULL
+GROUP BY 1, 2 HAVING count(*) > {LSH_MAX_BUCKET}
 """
 
 

@@ -235,8 +235,24 @@ def q_courier_ledger_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: bucketed-lake cache: the bucketBy write is the one-time cost the layout
 #: amortizes (same process-cache discipline as the trained-quantizer
-#: artifacts in queries_ext_similarity)
-_BUCKETED_LAKES: dict[str, object] = {}
+#: artifacts in queries_ext_similarity — keyed on the SOURCE parquet stats,
+#: so regenerated testdata invalidates the cached layout instead of serving
+#: a stale snapshot against a fresh oracle)
+_BUCKETED_LAKES: dict[tuple, object] = {}
+
+
+def _domain_stat_key(sf_dir: str) -> tuple:
+    import os
+
+    parts = [sf_dir]
+    for t in ("lineitem", "orders"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            st = os.stat(p)
+            parts += [st.st_mtime_ns, st.st_size]
+        except OSError:
+            parts += [0, 0]
+    return tuple(parts)
 
 
 @register("courier_ledger_bucketed", LEDGER_ORACLE)
@@ -256,16 +272,18 @@ def q_courier_ledger_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
 
     d = courier_domain(spark, sf_dir)
-    lake = _BUCKETED_LAKES.get(sf_dir)
-    if lake is None or not spark.catalog.tableExists(
-        lake.bucketed_table_name("dds", "fct_deliveries")
+    key = _domain_stat_key(sf_dir)
+    lake = _BUCKETED_LAKES.get(key)
+    if lake is None or not all(
+        spark.catalog.tableExists(lake.bucketed_table_name("dds", t))
+        for t in ("fct_deliveries", "dm_orders")
     ):
         lake = Lakehouse(tempfile.mkdtemp(prefix="cl_bucketed_"))
         lake.write_bucketed(
             d["fct_deliveries"], "dds", "fct_deliveries", ["order_id"], num_buckets=8
         )
         lake.write_bucketed(d["dm_orders"], "dds", "dm_orders", ["id"], num_buckets=8)
-        _BUCKETED_LAKES[sf_dir] = lake
+        _BUCKETED_LAKES[key] = lake
     fct = lake.read_bucketed(spark, "dds", "fct_deliveries")
     dmo = lake.read_bucketed(spark, "dds", "dm_orders")
     return courier_ledger(fct, d["dm_couriers"], dmo, d["dm_timestamps"])

@@ -235,15 +235,23 @@ class Lakehouse:
         present in ``_commits`` (see :meth:`_manifest_refs`), so shrinking
         the manifest horizon here is what RELEASES old table versions to
         the next vacuum — the same coupling as Delta VACUUM vs retained
-        checkpoints."""
+        checkpoints.
+
+        Only manifests at or below the current pointer count toward
+        ``keep_last`` (and only those are deletable): an ``m=N.json`` above
+        the pointer is a crashed — or MID-FLIGHT — ``commit_manifest``;
+        counting it would silently shorten the readable horizon by one
+        (it pins no versions, see :meth:`_manifest_refs`), and deleting it
+        could race a commit about to flip."""
         mdir = self.root / "_commits"
         ids = sorted(
             int(p.stem[2:]) for p in mdir.glob("m=*.json")
         ) if mdir.exists() else []
         cur = self.current_manifest_id()
-        keep = set(ids[-keep_last:]) | ({cur} if cur is not None else set())
+        published = [i for i in ids if cur is not None and i <= cur]
+        keep = set(published[-keep_last:]) | ({cur} if cur is not None else set())
         removed = []
-        for i in ids:
+        for i in published:
             if i not in keep:
                 (mdir / f"m={i}.json").unlink()
                 removed.append(i)
@@ -274,6 +282,42 @@ class Lakehouse:
             if v is not None:
                 refs.add(int(v))
         return refs
+
+    def retention_sweep(
+        self,
+        keep_manifests: int = 2,
+        keep_versions: int = 2,
+        drop_staged: bool = False,
+    ) -> dict:
+        """The whole retention policy in the ONE order that works: shrink the
+        manifest horizon first (``vacuum_commits`` — this is what RELEASES
+        old manifests' pinned versions), then per-table ``vacuum`` every
+        table the current manifest knows. Running the two the other way
+        round silently reclaims nothing, because per-table vacuum protects
+        every retained manifest's refs. Sweeps the UNION of manifest-known
+        tables and every on-disk table with a ``_LATEST`` pointer — tables
+        published only via ``overwrite_versioned`` (never through a
+        manifest) accumulate history too and must not leak past the policy.
+        Returns ``{"manifests": [...], "versions": {"layer/table": [...]}}``
+        — the audit record a scheduled 100 TB retention job should log."""
+        removed_manifests = self.vacuum_commits(keep_last=keep_manifests)
+        tables = set(self.current_manifest())
+        if self.root.exists():
+            for layer_dir in self.root.iterdir():
+                if not layer_dir.is_dir() or layer_dir.name.startswith(("_", ".")):
+                    continue
+                for tdir in layer_dir.iterdir():
+                    if tdir.is_dir() and (tdir / "_LATEST").exists():
+                        tables.add(f"{layer_dir.name}/{tdir.name}")
+        removed_versions: dict[str, list[int]] = {}
+        for key in sorted(tables):
+            layer, table = key.split("/", 1)
+            rv = self.vacuum(
+                layer, table, keep_last=keep_versions, drop_staged=drop_staged
+            )
+            if rv:
+                removed_versions[key] = rv
+        return {"manifests": removed_manifests, "versions": removed_versions}
 
     def read_committed(
         self, spark: SparkSession, layer: str, table: str, schema: StructType
@@ -362,6 +406,15 @@ class Lakehouse:
         h = hashlib.md5(str(self.root.resolve()).encode()).hexdigest()[:10]
         return f"lake_{h}_{layer}_{table}"
 
+    def _bucketed_path(self, layer: str, table: str) -> str:
+        """Bucketed storage lives in its OWN directory (``table__bucketed``),
+        never the plain table's path: a bucketed write must not clobber a
+        plain table of the same name, and a later plain ``overwrite`` of the
+        same name must not silently replace hash-placed files while the
+        catalog still advertises them as bucketed (a zero-Exchange join over
+        mis-placed rows returns wrong matches — worse than slow)."""
+        return str(self.root / layer / f"{table}__bucketed")
+
     def write_bucketed(
         self,
         df: DataFrame,
@@ -371,8 +424,10 @@ class Lakehouse:
         num_buckets: int = 16,
         sort_cols: list[str] | None = None,
     ) -> str:
-        """Overwrite ``layer/table`` as a bucketed external table at the
-        lakehouse path: hash-partitioned into ``num_buckets`` files per
+        """Overwrite the bucketed form of ``layer/table`` as an external
+        table at its own ``table__bucketed`` directory (see
+        :meth:`_bucketed_path` — never the plain table's path):
+        hash-partitioned into ``num_buckets`` files per
         bucket column set and per-bucket sorted (on ``sort_cols``, default
         the bucket columns — sorted buckets let the bucketed SortMergeJoin
         skip the Sort too). Returns the catalog table name; read it back
@@ -380,14 +435,22 @@ class Lakehouse:
         rows but lose the bucket metadata and with it the shuffle-free
         join). Sizing: num_buckets is a write-time commitment — pick
         table_bytes / (bucket target ~1 GB) at deployment scale; both join
-        sides MUST use the same count for the zero-exchange plan."""
+        sides MUST use the same count for the zero-exchange plan.
+
+        Isolation caveat (stated, not hidden): ``saveAsTable`` overwrite is
+        NOT the staging-swap of :meth:`overwrite` — a reader planning its
+        scan mid-rewrite can see a partial table. Rebuild bucketed tables in
+        maintenance windows, or on Delta/Iceberg use their bucket/cluster
+        transforms where the same zero-shuffle join rides snapshot
+        isolation. Rewrites (including changed schema or bucket count) fully
+        replace prior data — verified: no stale-file unions."""
         name = self.bucketed_table_name(layer, table)
         spark = df.sparkSession
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         (
             df.write.mode("overwrite")
             .format("parquet")
-            .option("path", self.path(layer, table))
+            .option("path", self._bucketed_path(layer, table))
             .bucketBy(num_buckets, *bucket_cols)
             .sortBy(*(sort_cols or bucket_cols))
             .saveAsTable(name)

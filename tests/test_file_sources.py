@@ -214,3 +214,50 @@ def test_vacuum_keeps_every_retained_manifest_readable(spark, tmp_path):
     (tmp_path / "_commits" / f"m={nxt}.json").write_text(json.dumps({"dds/t": staged}))
     assert staged not in lake._manifest_refs("dds", "t")
     assert lake.vacuum("dds", "t", keep_last=3, drop_staged=True) == [staged]
+
+
+def test_retention_sweep_orders_manifests_before_tables(spark, tmp_path):
+    """retention_sweep = vacuum_commits THEN per-table vacuum: one call
+    reclaims what the two-step contract allows (old manifests release their
+    pinned versions in the same sweep), and the returned audit record names
+    everything removed. The reversed order (tables first) would reclaim
+    nothing — pinned refs still present — which is exactly why the helper
+    exists."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    lake = Lakehouse(str(tmp_path))
+    schema = StructType([StructField("x", LongType())])
+    for i in range(5):  # manifests m=0..4 referencing v=0..4 of both tables
+        lake.commit_multi(
+            [
+                (spark.createDataFrame([(i,)], schema), "dds", "a"),
+                (spark.createDataFrame([(i * 10,)], schema), "dds", "b"),
+            ]
+        )
+    # a pointer-only versioned table (never in any manifest) must be swept too
+    for i in range(4):
+        lake.overwrite_versioned(spark.createDataFrame([(i,)], schema), "dds", "p")
+    # a crashed commit's orphan manifest (id above the pointer) neither
+    # counts toward keep_manifests nor gets deleted (it may be mid-flight)
+    orphan_mid = lake.current_manifest_id() + 1
+    (tmp_path / "_commits" / f"m={orphan_mid}.json").write_text("{}")
+    # tables-first (the wrong order) reclaims nothing: every manifest pins
+    assert lake.vacuum("dds", "a", keep_last=1) == []
+    report = lake.retention_sweep(keep_manifests=2, keep_versions=1)
+    assert report["manifests"] == [0, 1, 2]
+    assert (tmp_path / "_commits" / f"m={orphan_mid}.json").exists()
+    # keep_versions=1 keeps v=4 (+ v=3 pinned by retained m=3); the
+    # pointer-only table keeps just its newest version
+    assert report["versions"] == {
+        "dds/a": [0, 1, 2],
+        "dds/b": [0, 1, 2],
+        "dds/p": [0, 1, 2],
+    }
+    assert lake.versions("dds", "a") == [3, 4]
+    assert lake.versions("dds", "p") == [3]
+    assert lake.read_committed(spark, "dds", "a", schema).collect()[0].x == 4
+    # idempotent: a second sweep finds nothing
+    again = lake.retention_sweep(keep_manifests=2, keep_versions=1)
+    assert again == {"manifests": [], "versions": {}}
