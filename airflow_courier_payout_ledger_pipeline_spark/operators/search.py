@@ -194,3 +194,132 @@ def substring_search(
         .filter(F.instr(F.col(text_col), needle) > 0)
         .select(F.col(id_col), F.instr(F.col(text_col), needle).alias("first_pos"))
     )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    n_each: int = 30,
+    rrf_k: int = 60,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of a lexical BM25 ranking and a
+    semantic cosine ranking over the SAME id space — the standard two-tower
+    fusion (Cormack et al.'s RRF, the default hybrid mode in Elasticsearch /
+    Vespa / Weaviate) used to curate RAG training corpora where either signal
+    alone misses. Returns (doc_id, lex_rank, sem_rank, rrf, rank) for the
+    fused top-``k``; lex_rank / sem_rank are NULL when the doc appears in only
+    one leg.
+
+    Scale shape: each leg is already a k-bounded global top-``n_each`` —
+    ``bm25_topk`` (one token pass, one doc-grain shuffle, TakeOrderedAndProject)
+    and ``brute_force_topk`` (broadcast queries, one corpus pass, per-query
+    heap) — so the fusion joins two ≤``n_each``-row frames: driver-scale work,
+    independent of corpus size. Nothing corpus-sized is shuffled by the fusion
+    itself.
+
+    Determinism contract (the repo's oracle discipline): rrf folds in FIXED
+    leg order, lexical + semantic, each term the single correctly-rounded IEEE
+    division 1.0/(rrf_k + rank) with integer-valued operands — bit-reproducible
+    in DuckDB with the same expression shape. Ties break on doc id ascending.
+    """
+    lex = bm25_topk(docs, query_terms, k=n_each, id_col=doc_id_col, text_col=text_col).select(
+        F.col(doc_id_col).alias("__id"), F.col("rank").alias("lex_rank")
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    sem = brute_force_topk(
+        emb,
+        emb.filter(F.col(vec_id_col) == query_vec_id),
+        k=n_each,
+        id_col=vec_id_col,
+        vec_col=vec_col,
+    ).select(F.col("neighbor_id").alias("__id"), F.col("rank").alias("sem_rank"))
+    # fuse by union + one groupBy over ≤2·n_each rows (Spark cannot broadcast a
+    # full-outer join, which would cost two exchanges on the tiny frames; the
+    # union-agg shape is ONE trivial exchange regardless of corpus size)
+    fused = (
+        lex.select("__id", "lex_rank", F.lit(None).cast("int").alias("sem_rank"))
+        .unionAll(sem.select("__id", F.lit(None).cast("int").alias("lex_rank"), "sem_rank"))
+        .groupBy("__id")
+        .agg(F.max("lex_rank").alias("lex_rank"), F.max("sem_rank").alias("sem_rank"))
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(rrf_k).cast("double") + F.col("lex_rank").cast("double")),
+        F.lit(0.0),
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(rrf_k).cast("double") + F.col("sem_rank").cast("double")),
+        F.lit(0.0),
+    )
+    from pyspark.sql.window import Window
+
+    top = (
+        fused.select(
+            F.col("__id").alias(doc_id_col),
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("sem_rank").cast("int").alias("sem_rank"),
+            rrf.alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc(doc_id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("rrf"), F.asc(doc_id_col))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def knn_label_vote(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN majority-vote labeling: each query vector takes the modal label of
+    its ``k`` exact cosine neighbors (self excluded) — the weak-supervision /
+    label-propagation primitive behind auto-labeling an unlabeled slice of a
+    training corpus from a labeled seed set, and the standard embedding-quality
+    probe (kNN accuracy). Returns (query_id, predicted_label, votes,
+    true_label, correct); ties in the vote break on the SMALLEST label.
+
+    Scale shape: one corpus pass for the neighbors (``brute_force_topk``:
+    broadcast queries, per-query heap — swap in any ANN leg for 100 TB, same
+    fusion downstream); the label attach then BROADCASTS the q×k-row NN frame
+    against the column-pruned (id, label) projection of the corpus — the big
+    side is never shuffled; the vote is a groupBy over q×k rows.
+    """
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    nn = brute_force_topk(emb, queries, k=k, id_col=id_col, vec_col=vec_col)
+    labels = emb.select(F.col(id_col), F.col(label_col))
+    votes = (
+        labels.withColumnRenamed(id_col, "neighbor_id")
+        .withColumnRenamed(label_col, "__nl")
+        .join(F.broadcast(nn), "neighbor_id")
+        .groupBy("query_id", "__nl")
+        .agg(F.count("*").alias("votes"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("__nl"))
+    pred = votes.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") == 1)
+    truth = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    return pred.join(F.broadcast(truth), "query_id").select(
+        "query_id",
+        F.col("__nl").alias("predicted_label"),
+        F.col("votes").cast("bigint").alias("votes"),
+        "true_label",
+        (F.col("__nl") == F.col("true_label")).cast("int").alias("correct"),
+    )

@@ -418,6 +418,84 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, ["vector", "stream", "hash"], k=10)
 
 
+# RRF fold: FIXED leg order (lexical + semantic), each term one correctly-
+# rounded IEEE division with exact-integer operands (60 + rank) — the same
+# cross-engine bit-reproducibility discipline as BM25_ORACLE. The two legs
+# share the testdata contract doc_id == vec_id (documents row i embeds to
+# embeddings row i).
+HYBRID_RRF_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split({NORM}, ' ')) AS term FROM documents
+),
+t AS (SELECT * FROM tok WHERE term != ''),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM t GROUP BY 1),
+st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+qtf AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf FROM t
+    WHERE term IN ('vector', 'stream', 'hash') GROUP BY 1, 2
+),
+dfq AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM qtf GROUP BY 1),
+sc AS (
+    SELECT q.doc_id, q.term,
+           (((st.n_docs - dfq.df)::DOUBLE + 0.5) / (dfq.df::DOUBLE + 0.5))
+           * ((q.tf::DOUBLE * 2.2) /
+              (q.tf::DOUBLE + 1.2 * (0.25 + (0.75 * dl.dl::DOUBLE)
+                                            / (st.sum_dl::DOUBLE / st.n_docs::DOUBLE)))) AS score
+    FROM qtf q JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN st
+),
+pd AS (
+    SELECT doc_id,
+           coalesce(max(CASE WHEN term = 'vector' THEN score END), 0.0)
+           + coalesce(max(CASE WHEN term = 'stream' THEN score END), 0.0)
+           + coalesce(max(CASE WHEN term = 'hash' THEN score END), 0.0) AS bm25
+    FROM sc GROUP BY 1
+),
+lexr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)::INT AS lex_rank FROM pd),
+lex AS (SELECT * FROM lexr WHERE lex_rank <= 30),
+qv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 7),
+sv AS (
+    SELECT c.vec_id AS doc_id,
+           round(list_cosine_similarity(qv.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+    FROM embeddings c, qv WHERE c.vec_id != qv.vec_id
+),
+semr AS (SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id)::INT AS sem_rank FROM sv),
+sem AS (SELECT * FROM semr WHERE sem_rank <= 30),
+fused AS (
+    SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex.lex_rank, sem.sem_rank,
+           coalesce(CAST(1.0 AS DOUBLE) / (CAST(60 AS DOUBLE) + lex.lex_rank::DOUBLE), CAST(0.0 AS DOUBLE))
+           + coalesce(CAST(1.0 AS DOUBLE) / (CAST(60 AS DOUBLE) + sem.sem_rank::DOUBLE), CAST(0.0 AS DOUBLE)) AS rrf
+    FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+),
+fr AS (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id)::INT AS rank FROM fused)
+SELECT doc_id, lex_rank, sem_rank, rrf, rank FROM fr WHERE rank <= 10
+"""
+
+
+@register("hybrid_search_rrf", HYBRID_RRF_ORACLE)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (rrf_k=60) of the BM25 top-30
+    for {vector, stream, hash} and the exact cosine top-30 around query vector
+    7, fused over the doc_id == vec_id contract — the two-tower hybrid search
+    behind RAG corpus probes where lexical or semantic alone misses. Scale
+    shape (operators/search.hybrid_rrf_topk): both legs are k-bounded global
+    top-n (TakeOrderedAndProject / broadcast-query heap), so the fusion joins
+    two ≤30-row frames — driver-scale regardless of corpus size. The oracle
+    replays both legs and the fixed-order IEEE rrf fold in one statement."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import (
+        hybrid_rrf_topk,
+    )
+
+    t = load_tables(spark, sf_dir, "documents", "embeddings")
+    return hybrid_rrf_topk(
+        t["documents"],
+        t["embeddings"],
+        ["vector", "stream", "hash"],
+        query_vec_id=7,
+        k=10,
+        n_each=30,
+    )
+
+
 # The CMS is internal pruning state: estimates OVERESTIMATE (one-sided error),
 # so candidates(est ≥ T) ⊇ true heavy hitters, and the exact verify restores
 # equality with the naive oracle — the same prune-then-verify contract as the

@@ -41,6 +41,42 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=10)
 
 
+KNN_LABEL_VOTE_ORACLE = """
+WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 20),
+s AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS n_label,
+           round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+    FROM embeddings c, q WHERE c.vec_id != q.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s),
+nn AS (SELECT query_id, n_label FROM r WHERE rank <= 10),
+v AS (SELECT query_id, n_label, count(*)::BIGINT AS votes FROM nn GROUP BY 1, 2),
+p AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, n_label) AS vr FROM v)
+SELECT p.query_id, p.n_label AS predicted_label, p.votes, q.label AS true_label,
+       (CASE WHEN p.n_label = q.label THEN 1 ELSE 0 END)::INT AS correct
+FROM p JOIN q ON p.query_id = q.vec_id
+WHERE p.vr = 1
+"""
+
+
+@register("knn_label_vote", KNN_LABEL_VOTE_ORACLE)
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote labeling for the first 20 query vectors: each takes
+    the modal label of its 10 exact cosine neighbors (self excluded, vote ties
+    to the smallest label) — the weak-supervision primitive for auto-labeling
+    an unlabeled corpus slice from a labeled seed set, and the standard
+    embedding-quality probe (kNN accuracy). Scale shape
+    (operators/search.knn_label_vote): one corpus pass for the neighbors, the
+    q×k NN frame broadcast against the column-pruned (id, label) projection —
+    the corpus is never shuffled; the vote is a groupBy over q×k rows."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import (
+        knn_label_vote,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return knn_label_vote(emb, emb.filter(F.col("vec_id") < 20), k=10)
+
+
 SIM_ANN_ORACLE = """
 WITH b AS (
     SELECT vec_id, embedding,

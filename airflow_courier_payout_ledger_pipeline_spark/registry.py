@@ -434,6 +434,13 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     # r13: NEW — the flagship over bucketed storage (write_bucketed rail
     # driver-proven against the flagship oracle); first driver row in r14
     "courier_ledger_bucketed",
+    # r13: NEW — hybrid retrieval (BM25 + cosine RRF fusion) and kNN
+    # majority-vote labeling, appended to operators/search.py; the file-grain
+    # changed-code rule re-proves the untouched bm25/substring paths alongside
+    "hybrid_search_rrf",
+    "knn_label_vote",
+    "bm25_search",
+    "substring_search",
 ]
 
 

@@ -109,6 +109,11 @@ HEADLINE = [
     # zero-shuffle J3 layout) — the two new production rails, measured
     "ann_index_persisted_search",
     "courier_ledger_bucketed",
+    # round-13 continuation: hybrid retrieval (BM25 + cosine RRF fusion) and
+    # kNN majority-vote labeling — retrieval/weak-supervision rails over the
+    # k-bounded legs
+    "hybrid_search_rrf",
+    "knn_label_vote",
 ]
 
 

@@ -133,6 +133,8 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "similarity_pq_refine_topk",
         # round-12: O(increment) persisted-index extension
         "ann_index_incremental_extend",
+        # round-13: kNN majority-vote labeling registration (r14 head)
+        "knn_label_vote",
     },
     # round-12: NEW module — the persisted residual IVF-PQ index (build/
     # publish via commit_multi, search from committed codes)
@@ -264,6 +266,17 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
     },
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_ops.py": {
         "bm25_search",
+        # round-13: hybrid RRF fusion registration (r14 head)
+        "hybrid_search_rrf",
+    },
+    # round-13: hybrid_rrf_topk + knn_label_vote appended (bm25_topk /
+    # substring_search untouched but file-grain rule re-proves bm25_search
+    # alongside the two new consumers from the r14 plan head)
+    "airflow_courier_payout_ledger_pipeline_spark/operators/search.py": {
+        "hybrid_search_rrf",
+        "knn_label_vote",
+        "bm25_search",
+        "substring_search",
     },
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_audit.py": {
         "event_pagerank",

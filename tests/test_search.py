@@ -156,3 +156,118 @@ def test_bm25_query_terms_lowercased_and_validated(spark):
         bm25_topk(docs, ["Stream", "stream"])
     with _pytest.raises(ValueError, match="whitespace-free"):
         bm25_topk(docs, ["two words"])
+
+
+# ------------------------------------------------------------------------------------
+# Hybrid RRF fusion + kNN label vote
+# ------------------------------------------------------------------------------------
+
+
+def _emb(spark):
+    # 2-d unit-ish vectors in two clean clusters: ids 0-2 near +x (label 1),
+    # ids 3-5 near +y (label 2); id 6 is an outlier mislabeled into cluster 1
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (1, [0.9, 0.1], 1),
+        (2, [0.8, 0.2], 1),
+        (3, [0.0, 1.0], 2),
+        (4, [0.1, 0.9], 2),
+        (5, [0.2, 0.8], 2),
+        (6, [0.0, 0.95], 1),  # sits in cluster 2, labeled 1
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label long")
+
+
+def test_knn_vote_predicts_cluster_label_and_flags_outlier(spark):
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import (
+        knn_label_vote,
+    )
+
+    emb = _emb(spark)
+    got = {
+        r.query_id: (r.predicted_label, r.true_label, r.correct)
+        for r in knn_label_vote(emb, emb, k=3).collect()
+    }
+    # cluster members get their own cluster's majority; the mislabeled
+    # outlier 6 is voted into label 2 and flagged incorrect
+    assert got[0] == (1, 1, 1)
+    assert got[3] == (2, 2, 1)
+    assert got[6] == (2, 1, 0)
+    assert set(got) == {0, 1, 2, 3, 4, 5, 6}
+
+
+def test_knn_vote_tie_breaks_to_smallest_label(spark):
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import (
+        knn_label_vote,
+    )
+
+    # query 0's 2 nearest neighbors carry labels {5, 3}: one vote each — the
+    # tie must resolve to the smaller label 3
+    rows = [
+        (0, [1.0, 0.0], 9),
+        (1, [0.99, 0.01], 5),
+        (2, [0.98, 0.02], 3),
+        (3, [0.0, 1.0], 7),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label long")
+    got = knn_label_vote(emb, emb.filter("vec_id = 0"), k=2).collect()
+    assert len(got) == 1
+    assert got[0].predicted_label == 3 and got[0].votes == 1 and got[0].correct == 0
+
+
+def test_hybrid_rrf_single_leg_docs_score_one_term(spark):
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import (
+        hybrid_rrf_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta"),
+            (1, "alpha alpha"),
+            (2, "gamma delta"),
+            (3, "beta beta"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [0.99, 0.01]),
+            (3, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = hybrid_rrf_topk(docs, emb, ["alpha"], query_vec_id=0, k=4, n_each=2).collect()
+    by_id = {r.doc_id: r for r in out}
+    # doc 2: semantic-only (nearest to vec 0), lexical miss → rrf = 1/(60+1)
+    assert by_id[2].lex_rank is None and by_id[2].sem_rank == 1
+    assert abs(by_id[2].rrf - 1.0 / 61.0) < 1e-15
+    # doc 1: in BOTH legs (top lexical for 'alpha', 2nd-nearest vector) —
+    # fixed-order fold lex + sem
+    assert by_id[1].lex_rank == 1 and by_id[1].sem_rank == 2
+    assert abs(by_id[1].rrf - (1.0 / 61.0 + 1.0 / 62.0)) < 1e-15
+    # fused rank: doc 1 (two legs) beats every single-leg doc
+    assert by_id[1].rank == 1
+
+
+def test_hybrid_rrf_fusion_is_k_bounded_no_corpus_shuffle(spark):
+    """The fusion joins two ≤n_each-row frames — the plan's final stages must
+    be TakeOrderedAndProject / small-frame joins, never a corpus-grain sort."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import (
+        hybrid_rrf_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha token{i}") for i in range(50)], "doc_id long, text string"
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3)]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    df = hybrid_rrf_topk(docs, emb, ["alpha"], query_vec_id=0, k=5, n_each=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 5
+    assert [r.rank for r in rows] == sorted(r.rank for r in rows)

@@ -129,6 +129,14 @@ SHUFFLE_BUDGET = {
     # exchanges (bucketed SMJ / broadcast); the 2 here are the dm_timestamps
     # testdata-dim DISTINCT + the settlement groupBy, same as courier_ledger
     "courier_ledger_bucketed": 2,
+    # round-13: RRF fusion — bm25 doc-grain agg + the semantic top-k window +
+    # ONE ≤2·n_each-row union-agg (full-outer join would cost 2 exchanges:
+    # Spark can't broadcast full outer); final top-k is TakeOrderedAndProject
+    "hybrid_search_rrf": 3,
+    # round-13: kNN vote — 1 brute-force top-k window + the (query,label)
+    # vote agg + the per-query argmax window; label attach and truth join
+    # broadcast the q×k frames, the corpus never shuffles
+    "knn_label_vote": 3,
 }
 
 
