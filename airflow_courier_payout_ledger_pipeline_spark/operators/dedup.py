@@ -343,9 +343,9 @@ def lsh_candidate_pairs(
 
 def lsh_dropped_buckets(
     signatures: DataFrame,
-    bands: int = 4,
-    rows: int = 3,
-    max_bucket: int = 50,
+    bands: int,
+    rows: int,
+    max_bucket: int,
 ) -> DataFrame:
     """Coverage accounting for ``lsh_candidate_pairs``' ``max_bucket`` skew cap:
     one row per (band, band_hash) bucket the cap DROPS, with its size and the
@@ -355,11 +355,13 @@ def lsh_dropped_buckets(
     and the same NULL-pile sentinel exclusion (all-NULL signatures are dropped
     by design, not by the cap, and must not inflate this report). Emits
     nothing when no bucket exceeds the cap — the report doubling as a
-    cap-was-harmless certificate for the run."""
-    bt = signatures.select(
-        "id", F.explode(_band_entries(bands, rows)).alias("__b")
-    ).select("id", F.col("__b.band").alias("band"), F.col("__b.band_hash").alias("band_hash"))
-    bt = bt.filter(F.col("band_hash") != F.lit(_EMPTY_MD5))
+    cap-was-harmless certificate for the run.
+
+    ``max_bucket`` is REQUIRED (no default): the report's complement property
+    only holds at the SAME cap the candidate path ran with
+    (``lsh_candidate_pairs`` defaults to uncapped — a defaulted report would
+    claim suppression that never happened), so the caller must state it."""
+    bt = lsh_bands(signatures, bands, rows).filter(F.col("band_hash") != F.lit(_EMPTY_MD5))
     sz = F.col("bucket_size")
     # exact integer n·(n−1)/2: divide the EVEN factor first (bigint DIV, no
     # double rounding at ~2^53, no long-multiply overflow until the pair

@@ -50,11 +50,25 @@ def scd0_new_rows(
 ) -> DataFrame:
     """SCD0 ``ON CONFLICT DO NOTHING``: rows of ``increment`` whose key is not
     already present. Append the result to the target; existing rows are never
-    touched (modules/load_deliveries.py:62)."""
-    new_rows = increment.join(
+    touched (modules/load_deliveries.py:62).
+
+    NULL-key semantics mirror Postgres UNIQUE/ON CONFLICT: a key with any NULL
+    component never conflicts with anything (NULLs are distinct under UNIQUE),
+    so NULL-keyed rows always insert — neither suppressed by the anti-join
+    (where a bare left_anti would KEEP them every replay while silently
+    colliding them in the within-batch window, which groups NULLs as equal)
+    nor collapsed within the batch. Callers that need NULL-keyed rows
+    replay-safe must key on a non-NULL surrogate (e.g. the quarantine table's
+    payload fingerprint)."""
+    null_key = F.lit(False)
+    for k in keys:
+        null_key = null_key | F.col(k).isNull()
+    non_null = increment.filter(~null_key)
+    new_rows = non_null.join(
         existing_keys.select(*keys), on=list(keys), how="left_anti"
     )
-    return _dedup_within_batch(new_rows, keys, tiebreaker, keep_last=False)
+    deduped = _dedup_within_batch(new_rows, keys, tiebreaker, keep_last=False)
+    return deduped.unionByName(increment.filter(null_key))
 
 
 def scd1_upsert(

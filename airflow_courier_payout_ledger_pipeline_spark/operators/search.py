@@ -311,15 +311,21 @@ def knn_label_vote(
     )
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("__nl"))
+    # asc_nulls_last, not asc: a nullable label column must tie-break the way
+    # the SQL oracle's ORDER BY does (NULLS LAST in DuckDB/ANSI default),
+    # never predict NULL over a real label on a tied vote
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc_nulls_last("__nl"))
     pred = votes.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") == 1)
     truth = queries.select(
         F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
     )
+    # CASE semantics, not bare ==: a NULL on either side must yield 0 (the
+    # SQL CASE's ELSE), not a NULL correct flag
+    correct = F.when(F.col("__nl") == F.col("true_label"), F.lit(1)).otherwise(F.lit(0))
     return pred.join(F.broadcast(truth), "query_id").select(
         "query_id",
         F.col("__nl").alias("predicted_label"),
         F.col("votes").cast("bigint").alias("votes"),
         "true_label",
-        (F.col("__nl") == F.col("true_label")).cast("int").alias("correct"),
+        correct.cast("int").alias("correct"),
     )

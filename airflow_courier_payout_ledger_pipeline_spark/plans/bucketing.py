@@ -16,14 +16,15 @@ from pyspark.sql import DataFrame, SparkSession
 def write_bucketed(
     df: DataFrame, table: str, keys: list[str], num_buckets: int = 16
 ) -> None:
-    """Persist as a bucketed (+ per-bucket sorted) managed parquet table."""
-    (
-        df.write.mode("overwrite")
-        .format("parquet")
-        .bucketBy(num_buckets, *keys)
-        .sortBy(*keys)
-        .saveAsTable(table)
+    """Persist as a bucketed (+ per-bucket sorted) managed parquet table.
+    Delegates to the ONE shared write chain (`sources.lakehouse.
+    bucketed_save_as_table`) so these demo tables and the production
+    `Lakehouse.write_bucketed` rail cannot drift."""
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import (
+        bucketed_save_as_table,
     )
+
+    bucketed_save_as_table(df, table, keys, num_buckets)
 
 
 def bucketed_join(spark: SparkSession, left_table: str, right_table: str, key: str) -> DataFrame:

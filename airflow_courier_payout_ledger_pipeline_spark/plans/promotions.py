@@ -264,11 +264,30 @@ def deliveries_stg_to_dds_job(spark: SparkSession, lake: Lakehouse) -> None:
         )
 
         good, bad = quarantine(facts, fact_checks())
+        # Quarantine identity: delivery_key alone cannot key this table — a
+        # NULL key (the very violation not_null catches) never matches an
+        # anti-join, so every replay would re-append the same row forever.
+        # Fingerprint the full violating payload instead: never NULL, distinct
+        # violations stay distinct, replayed rows dedupe.
+        bad = bad.withColumn(
+            "q_fingerprint",
+            F.md5(
+                F.to_json(
+                    F.struct(
+                        *[
+                            F.col(c)
+                            for c in S.FCT_DELIVERIES_QUARANTINE_SCHEMA.fieldNames()
+                            if c != "q_fingerprint"
+                        ]
+                    )
+                )
+            ),
+        )
         q_existing = lake.read(
             spark, "dds", "fct_deliveries_quarantine", S.FCT_DELIVERIES_QUARANTINE_SCHEMA
         )
         lake.append(
-            scd0_new_rows(bad, q_existing, ["delivery_key"]),
+            scd0_new_rows(bad, q_existing, ["q_fingerprint"]),
             "dds",
             "fct_deliveries_quarantine",
         )

@@ -132,6 +132,10 @@ FCT_DELIVERIES_QUARANTINE_SCHEMA = StructType(
     [
         *FCT_DELIVERIES_SCHEMA.fields,
         StructField("violations", ArrayType(StringType()), False),
+        # replay-safe row identity: md5 of the full violating payload —
+        # delivery_key alone cannot key the table (it may be NULL, the very
+        # violation the not_null check catches, and NULL never anti-joins)
+        StructField("q_fingerprint", StringType(), False),
     ]
 )
 

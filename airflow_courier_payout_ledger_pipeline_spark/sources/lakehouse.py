@@ -447,13 +447,13 @@ class Lakehouse:
         name = self.bucketed_table_name(layer, table)
         spark = df.sparkSession
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        (
-            df.write.mode("overwrite")
-            .format("parquet")
-            .option("path", self._bucketed_path(layer, table))
-            .bucketBy(num_buckets, *bucket_cols)
-            .sortBy(*(sort_cols or bucket_cols))
-            .saveAsTable(name)
+        bucketed_save_as_table(
+            df,
+            name,
+            bucket_cols,
+            num_buckets,
+            sort_cols=sort_cols,
+            path=self._bucketed_path(layer, table),
         )
         return name
 
@@ -756,3 +756,22 @@ class Lakehouse:
             shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(stash, ignore_errors=True)
         return parts
+
+
+def bucketed_save_as_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """ONE definition of the bucketed ``saveAsTable`` write chain — shared by
+    :meth:`Lakehouse.write_bucketed` (external table at the lake's
+    ``table__bucketed`` path) and ``plans.bucketing.write_bucketed`` (managed
+    demo table), so the bucket/sort/overwrite semantics cannot drift between
+    the production rail and the plan-shape tests that prove it."""
+    w = df.write.mode("overwrite").format("parquet")
+    if path is not None:
+        w = w.option("path", path)
+    w.bucketBy(num_buckets, *bucket_cols).sortBy(*(sort_cols or bucket_cols)).saveAsTable(name)

@@ -167,11 +167,15 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
     # read_committed + manifest-aware vacuum and _next_version); the
     # versioned-snapshot and SCD paths it extends adjudicate via the canary
     # mart fold + the SCD/promotion veterans in the r13 plan
+    # round-13: write_bucketed/read_bucketed rail + manifest-pinned vacuum —
+    # courier_ledger_bucketed (r14 head) is the query that actually drives
+    # the bucketed-write path; the mart/SCD veterans cover the rest
     "airflow_courier_payout_ledger_pipeline_spark/sources/lakehouse.py": {
         "incremental_mart_maintenance",
         "scd1_upsert",
         "scd0_insert_ignore",
         "incremental_promotion",
+        "courier_ledger_bucketed",
     },
     # round-12: M3 docstring cross-reference to the commit manifest
     # (comment-only; the job's queries carry the evidence)
@@ -268,6 +272,20 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "bm25_search",
         # round-13: hybrid RRF fusion registration (r14 head)
         "hybrid_search_rrf",
+    },
+    # round-13: write_bucketed now delegates to the shared
+    # bucketed_save_as_table chain (one definition with the Lakehouse rail);
+    # the bucketed flagship drives it
+    "airflow_courier_payout_ledger_pipeline_spark/plans/bucketing.py": {
+        "courier_ledger_bucketed",
+    },
+    # round-13: NULL-key semantics of scd0_new_rows pinned to Postgres
+    # UNIQUE/ON CONFLICT (NULL keys never conflict, never collapse) — the
+    # SCD0/SCD1 veterans in the r13 window re-prove the non-null paths
+    "airflow_courier_payout_ledger_pipeline_spark/operators/merge.py": {
+        "scd0_insert_ignore",
+        "scd1_upsert",
+        "incremental_promotion",
     },
     # round-13: hybrid_rrf_topk + knn_label_vote appended (bm25_topk /
     # substring_search untouched but file-grain rule re-proves bm25_search

@@ -271,3 +271,24 @@ def test_hybrid_rrf_fusion_is_k_bounded_no_corpus_shuffle(spark):
     rows = df.collect()
     assert 0 < len(rows) <= 5
     assert [r.rank for r in rows] == sorted(r.rank for r in rows)
+
+
+def test_knn_vote_null_label_loses_ties_like_sql(spark):
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import (
+        knn_label_vote,
+    )
+
+    # query 0's 2 neighbors: one NULL label, one label 3 — one vote each.
+    # ANSI ORDER BY puts NULLS LAST, so the real label must win the tie and
+    # the correct flag must be 0/1 (CASE semantics), never NULL
+    rows = [
+        (0, [1.0, 0.0], None),
+        (1, [0.99, 0.01], None),
+        (2, [0.98, 0.02], 3),
+        (3, [0.0, 1.0], 7),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label long")
+    got = knn_label_vote(emb, emb.filter("vec_id = 0"), k=2).collect()
+    assert len(got) == 1
+    assert got[0].predicted_label == 3
+    assert got[0].true_label is None and got[0].correct == 0

@@ -122,3 +122,41 @@ def test_fct_ddl_gate_quarantines_violating_increment(spark, tmp_path):
         spark, "dds", "fct_deliveries_quarantine", S.FCT_DELIVERIES_QUARANTINE_SCHEMA
     ).collect()
     assert len(q2) == 1
+
+
+def test_null_delivery_key_quarantine_is_replay_safe(spark, tmp_path):
+    """A delivery missing its _id quarantines with delivery_key NULL — the
+    anti-join key can't be delivery_key (NULL never matches), so the table is
+    keyed by the payload fingerprint: a replay must not re-append the row,
+    while two DISTINCT null-key violations must both land."""
+    from tests.test_pipeline import _delivery, fake_api
+    from airflow_courier_payout_ledger_pipeline_spark import schemas as S
+    from airflow_courier_payout_ledger_pipeline_spark.plans import promotions as P
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    couriers = [{"_id": "c1", "name": "Alice"}]
+    no_id_1 = _delivery(None, "o2", "c1", "2023-05-10 11:00:00", "2023-05-10 10:30:00", 4, 2000.00, 1.00)
+    no_id_2 = _delivery(None, "o3", "c1", "2023-05-10 12:00:00", "2023-05-10 11:30:00", 4, 3000.00, 2.00)
+    deliveries = [
+        _delivery("d1", "o1", "c1", "2023-05-10 10:00:00", "2023-05-10 09:30:00", 5, 1000.00, 10.00),
+        no_id_1,
+        no_id_2,
+    ]
+    P.run_daily(spark, lake, fake_api(couriers), fake_api(deliveries, "delivery_ts"), "2023-05-11")
+
+    facts = lake.read(spark, "dds", "fct_deliveries", S.FCT_DELIVERIES_SCHEMA).collect()
+    assert [r.delivery_key for r in facts] == ["d1"]
+    q = lake.read(
+        spark, "dds", "fct_deliveries_quarantine", S.FCT_DELIVERIES_QUARANTINE_SCHEMA
+    ).collect()
+    assert len(q) == 2  # both distinct null-key violations, not collapsed
+    assert all(r.delivery_key is None for r in q)
+    assert all("delivery_key_not_null" in r.violations for r in q)
+    assert len({r.q_fingerprint for r in q}) == 2  # fingerprints distinguish them
+    # forced replay of the promotion: the same violating payloads must dedupe
+    P.deliveries_stg_to_dds_job(spark, lake)
+    q2 = lake.read(
+        spark, "dds", "fct_deliveries_quarantine", S.FCT_DELIVERIES_QUARANTINE_SCHEMA
+    ).collect()
+    assert len(q2) == 2
