@@ -230,7 +230,7 @@ def hybrid_rrf_topk(
     in DuckDB with the same expression shape. Ties break on doc id ascending.
     """
     lex = bm25_topk(docs, query_terms, k=n_each, id_col=doc_id_col, text_col=text_col).select(
-        F.col(doc_id_col).alias("__id"), F.col("rank").alias("lex_rank")
+        F.col(doc_id_col), F.col("rank").alias("lex_rank")
     )
     from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
         brute_force_topk,
@@ -242,13 +242,43 @@ def hybrid_rrf_topk(
         k=n_each,
         id_col=vec_id_col,
         vec_col=vec_col,
-    ).select(F.col("neighbor_id").alias("__id"), F.col("rank").alias("sem_rank"))
-    # fuse by union + one groupBy over ≤2·n_each rows (Spark cannot broadcast a
+    ).select(F.col("neighbor_id").alias(doc_id_col), F.col("rank").alias("sem_rank"))
+    return rrf_fuse(lex, sem, k=k, rrf_k=rrf_k, id_col=doc_id_col)
+
+
+def rrf_fuse(
+    lex: DataFrame,
+    sem: DataFrame,
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two (id, rank) legs — the leg-agnostic core
+    of ``hybrid_rrf_topk``, so any lexical leg (BM25, trigram-prefiltered) and
+    any semantic leg (brute force, persisted IVF-PQ index) fuse identically.
+    ``lex`` must carry (``id_col``, lex_rank), ``sem`` (``id_col``, sem_rank);
+    legs are expected k-bounded (the fusion is exact over whatever they
+    return, but its driver-scale cost argument assumes top-n inputs).
+
+    Same determinism contract as the caller: fixed leg order (lex + sem),
+    each term one correctly-rounded IEEE division 1.0/(rrf_k + rank), ties on
+    id ascending."""
+    # fuse by union + one groupBy over ≤2·n rows (Spark cannot broadcast a
     # full-outer join, which would cost two exchanges on the tiny frames; the
     # union-agg shape is ONE trivial exchange regardless of corpus size)
     fused = (
-        lex.select("__id", "lex_rank", F.lit(None).cast("int").alias("sem_rank"))
-        .unionAll(sem.select("__id", F.lit(None).cast("int").alias("lex_rank"), "sem_rank"))
+        lex.select(
+            F.col(id_col).alias("__id"),
+            "lex_rank",
+            F.lit(None).cast("int").alias("sem_rank"),
+        )
+        .unionAll(
+            sem.select(
+                F.col(id_col).alias("__id"),
+                F.lit(None).cast("int").alias("lex_rank"),
+                "sem_rank",
+            )
+        )
         .groupBy("__id")
         .agg(F.max("lex_rank").alias("lex_rank"), F.max("sem_rank").alias("sem_rank"))
     )
@@ -263,15 +293,15 @@ def hybrid_rrf_topk(
 
     top = (
         fused.select(
-            F.col("__id").alias(doc_id_col),
+            F.col("__id").alias(id_col),
             F.col("lex_rank").cast("int").alias("lex_rank"),
             F.col("sem_rank").cast("int").alias("sem_rank"),
             rrf.alias("rrf"),
         )
-        .orderBy(F.desc("rrf"), F.asc(doc_id_col))
+        .orderBy(F.desc("rrf"), F.asc(id_col))
         .limit(k)
     )
-    w = Window.orderBy(F.desc("rrf"), F.asc(doc_id_col))
+    w = Window.orderBy(F.desc("rrf"), F.asc(id_col))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 

@@ -2127,3 +2127,107 @@ def q_ann_index_incremental_extend(spark: SparkSession, sf_dir: str) -> DataFram
     return search_residual_ivfpq_index(
         _TRAINED_ARTIFACTS[key], "idx", emb.filter(F.col("vec_id") < 20), k=5
     )
+
+
+# --- Hybrid retrieval served from the persisted index -------------------------------
+
+# The BM25 leg replays queries_ext_ops.BM25_ORACLE's fold (same NORM, terms,
+# odds-idf, fixed-order float fold); the semantic leg replays the residual
+# IVF-ADC path of IVF_PQ_RESIDUAL_ORACLE for the single query vector 7; the
+# fusion is the fixed-leg-order IEEE rrf fold of HYBRID_RRF_ORACLE. One
+# statement, zero new semantics — the point of the query is that the legs are
+# swappable under the SAME fusion contract.
+from airflow_courier_payout_ledger_pipeline_spark.queries_ext_text import NORM as _NORM
+
+HYBRID_RRF_INDEXED_ORACLE = f"""
+WITH {_SELECTED_CTES},
+pqgrid AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j),
+sgrid AS (SELECT unnest(generate_series(0, {PQ_SUB - 1})) AS d),
+{_RESIDUAL_CTES},
+{_RES_PQ_CTES},
+rdd AS (SELECT e.vec_id, g.j, cb.c,
+               list_sum(list_transform(
+                   list_zip(list_slice(e.v, g.j*{PQ_SUB}+1, g.j*{PQ_SUB}+{PQ_SUB}), cb.sv),
+                   x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+        FROM resv e CROSS JOIN pqgrid g JOIN {_RES_PQ_CB} cb ON cb.j = g.j),
+rcodes AS (SELECT vec_id, j, c FROM (
+             SELECT vec_id, j, c,
+                    row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+             FROM rdd) WHERE rn = 1),
+pairs AS (SELECT a.vec_id AS query_id, co.vec_id AS neighbor_id,
+                 list_sum(list(a.d2 ORDER BY a.j)) AS adc
+          FROM rcodes co
+          JOIN rdd a ON a.j = co.j AND a.c = co.c
+          JOIN resv nc ON nc.vec_id = co.vec_id
+          JOIN resv qp ON qp.vec_id = a.vec_id AND qp.centroid = nc.centroid
+          WHERE a.vec_id = 7 AND a.vec_id != co.vec_id
+          GROUP BY 1, 2),
+semr AS (SELECT neighbor_id AS doc_id,
+                CAST(row_number() OVER (ORDER BY round(adc, 4), neighbor_id) AS INT) AS sem_rank
+         FROM pairs),
+sem AS (SELECT * FROM semr WHERE sem_rank <= 30),
+tok AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents),
+t AS (SELECT * FROM tok WHERE term != ''),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM t GROUP BY 1),
+st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+qtf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t
+        WHERE term IN ('vector', 'stream', 'hash') GROUP BY 1, 2),
+dfq AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM qtf GROUP BY 1),
+sc AS (
+    SELECT q.doc_id, q.term,
+           (((st.n_docs - dfq.df)::DOUBLE + 0.5) / (dfq.df::DOUBLE + 0.5))
+           * ((q.tf::DOUBLE * 2.2) /
+              (q.tf::DOUBLE + 1.2 * (0.25 + (0.75 * dl.dl::DOUBLE)
+                                            / (st.sum_dl::DOUBLE / st.n_docs::DOUBLE)))) AS score
+    FROM qtf q JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN st
+),
+pd AS (
+    SELECT doc_id,
+           coalesce(max(CASE WHEN term = 'vector' THEN score END), 0.0)
+           + coalesce(max(CASE WHEN term = 'stream' THEN score END), 0.0)
+           + coalesce(max(CASE WHEN term = 'hash' THEN score END), 0.0) AS bm25
+    FROM sc GROUP BY 1
+),
+lexr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)::INT AS lex_rank FROM pd),
+lex AS (SELECT * FROM lexr WHERE lex_rank <= 30),
+fused AS (
+    SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex.lex_rank, sem.sem_rank,
+           coalesce(CAST(1.0 AS DOUBLE) / (CAST(60 AS DOUBLE) + lex.lex_rank::DOUBLE), CAST(0.0 AS DOUBLE))
+           + coalesce(CAST(1.0 AS DOUBLE) / (CAST(60 AS DOUBLE) + sem.sem_rank::DOUBLE), CAST(0.0 AS DOUBLE)) AS rrf
+    FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+),
+fr AS (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id)::INT AS rank FROM fused)
+SELECT doc_id, lex_rank, sem_rank, rrf, rank FROM fr WHERE rank <= 10
+"""
+
+
+@register("hybrid_search_rrf_indexed", HYBRID_RRF_INDEXED_ORACLE)
+def q_hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval in its production steady-state: the SAME rrf fusion as
+    `hybrid_search_rrf`, but the semantic leg served from the PERSISTED
+    residual IVF-PQ index (`annindex.search_residual_ivfpq_index` over the
+    committed codes table — 8-byte codes, not raw vectors) instead of brute
+    force — delivering the leg-swap the fusion contract promises: (id, rank)
+    in, fused top-k out, `operators/search.rrf_fuse` untouched. At 100 TB the
+    semantic leg reads pruned code lists (32× less IO than vectors) and the
+    lexical leg stays one doc-grain shuffle; the fusion is still a ≤2n-row
+    union-agg. Oracle: one statement replaying the BM25 fold, the residual
+    IVF-ADC path for query 7, and the fixed-order rrf fold."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
+        search_residual_ivfpq_index,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import (
+        bm25_topk,
+        rrf_fuse,
+    )
+
+    t = load_tables(spark, sf_dir, "documents", "embeddings")
+    emb = t["embeddings"]
+    lake = _persisted_index_lake(emb, sf_dir)
+    lex = bm25_topk(t["documents"], ["vector", "stream", "hash"], k=30).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+    sem = search_residual_ivfpq_index(
+        lake, "idx", emb.filter(F.col("vec_id") == 7), k=30
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("sem_rank"))
+    return rrf_fuse(lex, sem, k=10)

@@ -441,6 +441,9 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "knn_label_vote",
     "bm25_search",
     "substring_search",
+    # r13: NEW — the steady-state hybrid rail: same rrf fusion, semantic leg
+    # served from the persisted residual IVF-PQ index (leg-swap contract)
+    "hybrid_search_rrf_indexed",
 ]
 
 

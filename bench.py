@@ -114,6 +114,8 @@ HEADLINE = [
     # k-bounded legs
     "hybrid_search_rrf",
     "knn_label_vote",
+    # the steady-state hybrid rail: semantic leg from the persisted index
+    "hybrid_search_rrf_indexed",
 ]
 
 

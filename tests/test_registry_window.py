@@ -135,6 +135,8 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "ann_index_incremental_extend",
         # round-13: kNN majority-vote labeling registration (r14 head)
         "knn_label_vote",
+        # round-13: persisted-index hybrid rail registration (r14 head)
+        "hybrid_search_rrf_indexed",
     },
     # round-12: NEW module — the persisted residual IVF-PQ index (build/
     # publish via commit_multi, search from committed codes)
@@ -292,6 +294,7 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
     # alongside the two new consumers from the r14 plan head)
     "airflow_courier_payout_ledger_pipeline_spark/operators/search.py": {
         "hybrid_search_rrf",
+        "hybrid_search_rrf_indexed",
         "knn_label_vote",
         "bm25_search",
         "substring_search",

@@ -137,6 +137,9 @@ SHUFFLE_BUDGET = {
     # vote agg + the per-query argmax window; label attach and truth join
     # broadcast the q×k frames, the corpus never shuffles
     "knn_label_vote": 3,
+    # round-13: same fusion, semantic leg from the persisted index — bm25
+    # doc-grain agg + the committed-codes top-k window + the union-agg
+    "hybrid_search_rrf_indexed": 3,
 }
 
 
