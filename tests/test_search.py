@@ -292,3 +292,19 @@ def test_knn_vote_null_label_loses_ties_like_sql(spark):
     assert len(got) == 1
     assert got[0].predicted_label == 3
     assert got[0].true_label is None and got[0].correct == 0
+
+
+def test_knn_vote_label_scan_is_column_pruned(spark):
+    """The label-attach side must scan only (id, label) — the docstring's
+    ReadSchema-pruning claim, pinned: at least one embeddings scan in the
+    plan carries no embedding column."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import (
+        knn_label_vote,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = knn_label_vote(emb, emb.filter("vec_id < 3"), k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scans, "expected parquet scans in the plan"
+    assert any("embedding" not in l.split("ReadSchema")[-1] for l in scans)
