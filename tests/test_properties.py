@@ -1009,3 +1009,86 @@ def test_range_join_bucketed_matches_brute_force(spark, data):
         if ek == ik and s <= et < s + d
     }
     assert got == want
+
+
+# --- RRF fusion vs a pure-Python reference ------------------------------------------
+
+rrf_legs_strategy = st.tuples(
+    st.lists(st.integers(0, 30), min_size=0, max_size=12, unique=True),  # lex ids
+    st.lists(st.integers(0, 30), min_size=0, max_size=12, unique=True),  # sem ids
+)
+
+
+@SET
+@given(legs=rrf_legs_strategy)
+def test_rrf_fuse_matches_python_reference(spark, legs):
+    """rrf_fuse ≡ the textbook fold computed in pure Python: rank-ordered ids
+    per leg (rank = list position + 1), score = Σ 1/(60+rank) over the legs a
+    doc appears in, top-k by (score desc, id asc)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import rrf_fuse
+
+    lex_ids, sem_ids = legs
+    k = 5
+    lex = spark.createDataFrame(
+        [(i, r + 1) for r, i in enumerate(lex_ids)] or [(None, None)],
+        "doc_id long, lex_rank int",
+    ).filter("doc_id is not null")
+    sem = spark.createDataFrame(
+        [(i, r + 1) for r, i in enumerate(sem_ids)] or [(None, None)],
+        "doc_id long, sem_rank int",
+    ).filter("doc_id is not null")
+    got = rrf_fuse(lex, sem, k=k).collect()
+
+    ref: dict[int, float] = {}
+    for r, i in enumerate(lex_ids):
+        ref[i] = ref.get(i, 0.0) + 1.0 / (60.0 + (r + 1))
+    for r, i in enumerate(sem_ids):
+        ref[i] = ref.get(i, 0.0) + 1.0 / (60.0 + (r + 1))
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert [(r.doc_id, r.rrf) for r in got] == want
+    assert [r.rank for r in got] == list(range(1, len(want) + 1))
+
+
+# --- SCD0 NULL-key semantics vs the Postgres ON CONFLICT reference ------------------
+
+scd0_strategy = st.tuples(
+    st.lists(  # increment: (key or None, payload)
+        st.tuples(st.one_of(st.none(), st.integers(0, 5)), st.integers(0, 99)),
+        min_size=0,
+        max_size=12,
+    ),
+    st.lists(st.integers(0, 5), min_size=0, max_size=6, unique=True),  # existing keys
+)
+
+
+@SET
+@given(data=scd0_strategy)
+def test_scd0_null_keys_follow_postgres_on_conflict(spark, data):
+    """Postgres UNIQUE/ON CONFLICT reference: NULL keys never conflict — every
+    NULL-keyed increment row inserts (none suppressed, none collapsed); non-NULL
+    keys insert once each, existing keys skipped."""
+    from pyspark.sql import functions as F
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.merge import (
+        scd0_new_rows,
+    )
+
+    inc_rows, existing_keys = data
+    inc = spark.createDataFrame(
+        [(kk, p, i) for i, (kk, p) in enumerate(inc_rows)] or [(None, None, None)],
+        "k long, payload long, seq long",
+    ).filter("seq is not null" if inc_rows else "false")
+    existing = spark.createDataFrame(
+        [(kk,) for kk in existing_keys] or [(None,)], "k long"
+    ).filter("k is not null")
+    got = scd0_new_rows(inc, existing, ["k"], tiebreaker=F.col("seq")).collect()
+
+    null_rows = [(kk, p) for kk, p in inc_rows if kk is None]
+    first_by_key: dict[int, int] = {}
+    for i, (kk, p) in enumerate(inc_rows):
+        if kk is not None and kk not in existing_keys and kk not in first_by_key:
+            first_by_key[kk] = i
+    got_null = sorted((r.payload) for r in got if r.k is None)
+    got_keyed = {r.k: r.seq for r in got if r.k is not None}
+    assert got_null == sorted(p for _, p in null_rows)  # all NULL rows, uncollapsed
+    assert got_keyed == first_by_key  # first-wins per new key, existing skipped
