@@ -444,6 +444,41 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     # r13: NEW — the steady-state hybrid rail: same rrf fusion, semantic leg
     # served from the persisted residual IVF-PQ index (leg-swap contract)
     "hybrid_search_rrf_indexed",
+    # -- round-13 close: the 32 stalest remaining veterans (all r10-proven,
+    # computed mechanically from CORRECTNESS_r01..r12 + the green r13 window)
+    # in registration order, filling the plan to exactly the 50-slot cap --
+    "watermark_state",
+    "repetition_stats",
+    "quality_rules",
+    "vocab_counts",
+    "ngram_contamination",
+    "bpe_merges",
+    "bpe_token_counts",
+    "dedup_components",
+    "streaming_bloom_maintenance",
+    "quantile_state_maintenance",
+    "streaming_quantile_maintenance",
+    "sample_state_maintenance",
+    "streaming_sample_maintenance",
+    "kmv_distinct_users",
+    "kmv_user_overlap",
+    "streaming_mad_audit",
+    "mad_outlier_audit",
+    "document_chunks",
+    "weighted_sample_per_source",
+    "deterministic_sample",
+    "topk_per_group",
+    "dedup_incremental",
+    "training_shards_end_to_end",
+    "streaming_dedup",
+    "streaming_compact_latest",
+    "streaming_stream_join",
+    "streaming_sessionization",
+    "funnel_conversion",
+    "key_skew_profile",
+    "pii_scrub",
+    "corpus_curation",
+    "label_centroid_stats",
 ]
 
 
