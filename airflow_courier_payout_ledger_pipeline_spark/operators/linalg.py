@@ -1,0 +1,179 @@
+"""Embedding-matrix diagnostics: the uncentered second-moment (gram) matrix,
+the dimension-correlation audit, and the dominant direction via power
+iteration — the linear-algebra post-processing primitives a training-data
+pipeline runs over its embedding columns (detect collapsed/duplicated encoder
+dimensions after a model update; score documents by their projection on the
+dominant direction, the "All-but-the-Top" / Arora-style common-component
+diagnostic).
+
+Scale shape (all three): ONE corpus pass builds the d×d second-moment matrix —
+posexplode to dimension grain (d× inflation of a d-float payload, the same
+spread class as shingling) and a d-group conditional aggregation whose
+map-side partials compact the exchange to d rows × d columns per map task; at
+d=64 the matrix is 4096 doubles, a bounded driver artifact in the same class
+as a trained codebook (k·dim literal budget). Everything downstream of the
+matrix — correlation pairs, the power iteration, the projection scoring — is
+driver-bounded or a map-side broadcast expression; the corpus is never
+shuffled and never read twice.
+
+Cross-engine float discipline (the repo's oracle rules): matrix entries are
+double sums over the corpus, where summation ORDER differs between engines —
+both sides round S to 4 decimals (entries are O(n·x²) ≈ O(10²) here, double
+noise ~1e-12, so rounding is engine-stable), and every later step consumes
+only ROUNDED values. The power iteration normalizes by the max-|component|
+(ties to the smallest index) and re-rounds to 6 decimals each step, so both
+engines iterate on bit-identical vectors; Python rounds HALF_UP via Decimal
+to match Spark's F.round / DuckDB's round (half away from zero), never the
+built-in banker's round().
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def second_moment(
+    emb: DataFrame, dim: int, vec_col: str = "embedding", round_dp: int = 4
+) -> DataFrame:
+    """(j, k, s): the uncentered second-moment matrix S_jk = Σ_rows x_j·x_k
+    over all dim² (j, k) pairs, 0-based, rounded to ``round_dp`` decimals
+    (both engines round the order-sensitive double sum — see module
+    docstring). One corpus pass: posexplode to (j, x_j, full vector) and a
+    d-group aggregation of d conditional sums; the exchange carries d rows of
+    d+1 columns per map task, never the corpus."""
+    x = emb.select(
+        F.posexplode(F.col(vec_col)).alias("j", "xj"),
+        F.col(vec_col).alias("__v"),
+    )
+    g = x.groupBy("j").agg(
+        *[
+            F.round(
+                F.sum(F.col("xj") * F.element_at(F.col("__v"), k + 1)), round_dp
+            ).alias(f"s_{k}")
+            for k in range(dim)
+        ]
+    )
+    return g.select(
+        "j",
+        F.posexplode(F.array(*[F.col(f"s_{k}") for k in range(dim)])).alias("k", "s"),
+    )
+
+
+def dim_cosine_pairs(
+    emb: DataFrame, dim: int, k_top: int = 25, vec_col: str = "embedding"
+) -> DataFrame:
+    """Top-``k_top`` most-correlated dimension pairs (j < k) by |cosine between
+    the dimension columns| = |S_jk| / sqrt(S_jj·S_kk) — the
+    collapsed/duplicated-dimension audit (a healthy isotropic encoder keeps
+    off-diagonal cosines near 0; a rank-collapsed update shows pairs near ±1).
+    Returns (j, k, s, cos, rank); cosine rounded to 4 decimals from the
+    ROUNDED matrix (sqrt and division are single correctly-rounded IEEE ops —
+    engine-stable on identical inputs); ties break on (j, k).
+
+    The d²-row matrix is PINNED (eager localCheckpoint) before fan-out: the
+    off-diagonal side and both broadcast diagonal sides would otherwise each
+    re-execute the corpus aggregation (Spark's exchange reuse does not fire
+    across the differently-aliased subtrees) — one corpus pass, three
+    consumers of 4096 rows."""
+    s = second_moment(emb, dim, vec_col=vec_col).localCheckpoint()
+    diag = s.filter(F.col("j") == F.col("k")).select(
+        F.col("j").alias("__d"), F.col("s").alias("__sd")
+    )
+    off = (
+        s.filter(F.col("j") < F.col("k"))
+        .join(F.broadcast(diag).withColumnRenamed("__d", "j").withColumnRenamed("__sd", "__sjj"), "j")
+        .join(F.broadcast(diag).withColumnRenamed("__d", "k").withColumnRenamed("__sd", "__skk"), "k")
+        .select(
+            "j",
+            "k",
+            "s",
+            F.round(
+                F.col("s") / F.sqrt(F.col("__sjj") * F.col("__skk")), 4
+            ).alias("cos"),
+        )
+    )
+    top = off.orderBy(F.abs(F.col("cos")).desc(), F.asc("j"), F.asc("k")).limit(k_top)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.abs(F.col("cos")).desc(), F.asc("j"), F.asc("k"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "j", "k", "s", "cos", "rank"
+    )
+
+
+def _round_half_up(x: float, dp: int) -> float:
+    """Spark F.round / DuckDB round semantics (half away from zero) — NOT the
+    built-in banker's round()."""
+    q = Decimal(1).scaleb(-dp)
+    return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def dominant_direction(s_rows: list[tuple[int, int, float]], dim: int, iters: int = 3) -> list[float]:
+    """Power iteration on the ROUNDED second-moment matrix, fully
+    deterministic so a SQL twin replays it bit-for-bit: start from e_0; each
+    step computes w = S·v with a FIXED left-fold over k ascending, rounds w to
+    6 decimals (HALF_UP), divides by the max-|component| of the rounded w
+    (ties to the smallest index), and re-rounds to 6 decimals. Both engines
+    therefore iterate on identical vectors — the only cross-engine float
+    hazard (order-sensitive 64-term sums) is capped at ~1e-13 and killed by
+    the per-step rounding. Returns the direction after ``iters`` steps (NOT
+    unit-norm; normalized by max-|component|, so entries are in [-1, 1] with
+    at least one ±1)."""
+    seed = [1.0 if j == 0 else 0.0 for j in range(dim)]
+    if not s_rows:  # empty corpus: no matrix — stay at the seed basis vector
+        return seed
+    s = {}
+    for j, k, v in s_rows:
+        s[(j, k)] = v if v is not None else 0.0
+    v = seed
+    for _ in range(iters):
+        w = []
+        for j in range(dim):
+            acc = 0.0
+            for k in range(dim):  # fixed fold order: k ascending
+                acc = acc + s.get((j, k), 0.0) * v[k]
+            w.append(_round_half_up(acc, 6))
+        m_idx = max(range(dim), key=lambda j: (abs(w[j]), -j))
+        m = abs(w[m_idx])
+        if m == 0.0:  # zero matrix (empty corpus): stay at the seed basis vector
+            return [1.0 if j == 0 else 0.0 for j in range(dim)]
+        v = [_round_half_up(w[j] / m, 6) for j in range(dim)]
+    return v
+
+
+def dominant_direction_outliers(
+    emb: DataFrame,
+    dim: int,
+    k_top: int = 20,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-``k_top`` documents by |projection on the dominant direction| —
+    the "All-but-the-Top" common-component diagnostic: embeddings loading
+    heaviest on the corpus's dominant direction are the ones a top-PC-removal
+    post-process changes most (and the usual suspects for boilerplate /
+    template domination). Returns (id, proj, rank), proj = ⟨x, v⟩ rounded to
+    4 decimals, rank by |proj| desc with id tiebreak.
+
+    Scale: one pass builds S (see ``second_moment``), the iteration runs on
+    the 4096-double driver artifact, and the scoring is a map-side fixed-order
+    fold over the corpus — a k-bounded global top-k via TakeOrderedAndProject,
+    the brute_force_topk shape."""
+    s_rows = [
+        (r["j"], r["k"], r["s"]) for r in second_moment(emb, dim, vec_col=vec_col).collect()
+    ]
+    v = dominant_direction(s_rows, dim, iters=iters)
+    # fixed-order fold: x[0]*v0 + x[1]*v1 + ... (left-assoc, matches the SQL twin)
+    proj = F.lit(0.0)
+    for j in range(dim):
+        proj = proj + F.element_at(F.col(vec_col), j + 1) * F.lit(v[j])
+    scored = emb.select(F.col(id_col), F.round(proj, 4).alias("proj"))
+    top = scored.orderBy(F.abs(F.col("proj")).desc(), F.asc(id_col)).limit(k_top)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.abs(F.col("proj")).desc(), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

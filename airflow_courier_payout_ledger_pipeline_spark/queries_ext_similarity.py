@@ -2231,3 +2231,102 @@ def q_hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         lake, "idx", emb.filter(F.col("vec_id") == 7), k=30
     ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("sem_rank"))
     return rrf_fuse(lex, sem, k=10)
+
+
+# --- Embedding-matrix diagnostics (operators/linalg) ---------------------------------
+
+# The d×d second-moment matrix: both engines round the order-sensitive double
+# sum to 4 decimals (entries O(n·x²) ≈ O(10²) here, double noise ~1e-12), and
+# every later step consumes only ROUNDED values — the same discipline the
+# cosine oracles use.
+_LINALG_S_CTES = """
+lgrid AS (SELECT unnest(generate_series(1, 64)) AS jj),
+le AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+lx AS (SELECT le.vec_id, CAST(g.jj - 1 AS INT) AS j, le.v[g.jj] AS xj
+       FROM le CROSS JOIN lgrid g),
+ls AS (SELECT a.j, b.j AS k, round(sum(a.xj * b.xj), 4) AS s
+       FROM lx a JOIN lx b USING (vec_id) GROUP BY 1, 2)
+"""
+
+DIM_CORRELATION_ORACLE = f"""
+WITH {_LINALG_S_CTES},
+ld AS (SELECT j, s FROM ls WHERE j = k),
+loff AS (SELECT ls.j, ls.k, ls.s, round(ls.s / sqrt(dj.s * dk.s), 4) AS cos
+         FROM ls JOIN ld dj ON dj.j = ls.j JOIN ld dk ON dk.j = ls.k
+         WHERE ls.j < ls.k),
+lr AS (SELECT *, CAST(row_number() OVER (ORDER BY abs(cos) DESC, j, k) AS INT) AS rank
+       FROM loff)
+SELECT j, k, s, cos, rank FROM lr WHERE rank <= 25
+"""
+
+
+@register("embedding_dim_correlation", DIM_CORRELATION_ORACLE)
+def q_embedding_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapsed/duplicated-dimension audit: the 25 most-correlated embedding
+    dimension pairs by |cosine between dimension columns| from the uncentered
+    second-moment matrix — a healthy isotropic encoder keeps off-diagonal
+    cosines near 0; a rank-collapsed encoder update shows pairs near ±1 (the
+    regression this report exists to catch before a corpus re-embed ships).
+    Scale shape (operators/linalg.second_moment): ONE corpus pass, d-group
+    conditional agg (map-side partials → d rows × d cols per task), everything
+    downstream driver-bounded. The oracle replays the rounded matrix and the
+    cosine/rank fold in one statement."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.linalg import (
+        dim_cosine_pairs,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return dim_cosine_pairs(emb, dim=64, k_top=25)
+
+
+# The power iteration unrolled: each step joins the rounded matrix to the
+# previous rounded vector, rounds the matvec to 6 decimals, normalizes by the
+# max-|component| (ties to the smallest index), and re-rounds — bit-identical
+# to operators/linalg.dominant_direction's Python fold (HALF_UP rounding both
+# sides; the only order-sensitive sums are 64-term and capped at ~1e-13 before
+# a 1e-6 rounding grid).
+_POWER_ITERS = "\n".join(
+    f"""lw{t} AS (SELECT ls.j, round(sum(ls.s * lv{t - 1}.val), 6) AS w
+        FROM ls JOIN lv{t - 1} ON lv{t - 1}.j = ls.k GROUP BY ls.j),
+lm{t} AS (SELECT abs(w) AS m FROM lw{t} ORDER BY abs(w) DESC, j LIMIT 1),
+lv{t} AS (SELECT j, round(w / (SELECT m FROM lm{t}), 6) AS val FROM lw{t}),"""
+    for t in (1, 2, 3)
+)
+
+DOMINANT_DIRECTION_ORACLE = f"""
+WITH {_LINALG_S_CTES},
+lv0 AS (SELECT CAST(jj - 1 AS INT) AS j,
+               CAST(CASE WHEN jj = 1 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS val
+        FROM lgrid),
+{_POWER_ITERS}
+proj AS (SELECT le.vec_id,
+                round(list_sum(list_transform(
+                    list_zip(le.v, (SELECT list(val ORDER BY j) FROM lv3)),
+                    x -> x[1] * x[2])), 4) AS proj
+         FROM le),
+pr AS (SELECT *, CAST(row_number() OVER (ORDER BY abs(proj) DESC, vec_id) AS INT) AS rank
+       FROM proj)
+SELECT vec_id, proj, rank FROM pr WHERE rank <= 20
+"""
+
+
+@register("embedding_dominant_direction", DOMINANT_DIRECTION_ORACLE)
+def q_embedding_dominant_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"All-but-the-Top" common-component diagnostic: the 20 documents loading
+    heaviest (by |projection|) on the corpus's dominant embedding direction —
+    the rows a top-PC-removal post-process changes most, and the usual
+    suspects for boilerplate/template domination. The direction comes from a
+    fully deterministic 3-step power iteration on the ROUNDED second-moment
+    matrix (per-step 6-decimal HALF_UP rounding + max-|component|
+    normalization with smallest-index ties), so the SQL twin replays it
+    bit-for-bit; projections are fixed-order folds rounded to 4 decimals.
+    Scale (operators/linalg.dominant_direction_outliers): one corpus pass for
+    the 4096-double matrix (bounded driver artifact, codebook class), the
+    iteration is driver-side on d² values, scoring is a map-side fold with a
+    TakeOrderedAndProject top-k — the corpus never shuffles."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.linalg import (
+        dominant_direction_outliers,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return dominant_direction_outliers(emb, dim=64, k_top=20, iters=3)

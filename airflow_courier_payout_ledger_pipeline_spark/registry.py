@@ -477,8 +477,12 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "funnel_conversion",
     "key_skew_profile",
     "pii_scrub",
-    "corpus_curation",
-    "label_centroid_stats",
+    # r13 close: the embedding-matrix diagnostics registered after the fill
+    # was staged take the last two slots (additions adjudicate before
+    # re-proofs — the r12 convention); corpus_curation and
+    # label_centroid_stats (both r10-proven) roll to the r15 plan
+    "embedding_dim_correlation",
+    "embedding_dominant_direction",
 ]
 
 

@@ -116,6 +116,10 @@ HEADLINE = [
     "knn_label_vote",
     # the steady-state hybrid rail: semantic leg from the persisted index
     "hybrid_search_rrf_indexed",
+    # embedding-matrix diagnostics: dimension-correlation audit + the
+    # power-iteration dominant-direction outlier scoring
+    "embedding_dim_correlation",
+    "embedding_dominant_direction",
 ]
 
 

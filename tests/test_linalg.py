@@ -1,0 +1,93 @@
+"""Embedding-matrix diagnostics: the dimension-correlation audit must flag a
+planted duplicated dimension, the power iteration must recover a planted
+dominant axis, and both must be deterministic under repartitioning (the
+matrix entries are rounded before anything consumes them)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from airflow_courier_payout_ledger_pipeline_spark.operators.linalg import (
+    dim_cosine_pairs,
+    dominant_direction,
+    dominant_direction_outliers,
+    second_moment,
+)
+
+DIM = 8
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rows)], "vec_id long, embedding array<double>"
+    )
+
+
+def _random_rows(n, seed=7, dup=None, spike=None):
+    """Isotropic noise; dup=(a, b) copies dim a into dim b; spike=(axis, ids)
+    adds a large component on one axis for the given row ids."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        v = [rng.gauss(0.0, 0.1) for _ in range(DIM)]
+        if dup is not None:
+            v[dup[1]] = v[dup[0]]
+        if spike is not None and i in spike[1]:
+            v[spike[0]] += 5.0
+        rows.append(v)
+    return rows
+
+
+def test_dim_correlation_flags_planted_duplicate_dimension(spark):
+    emb = _emb(spark, _random_rows(60, dup=(2, 5)))
+    top = dim_cosine_pairs(emb, DIM, k_top=5).collect()
+    assert top[0].j == 2 and top[0].k == 5 and top[0].rank == 1
+    assert abs(top[0].cos - 1.0) < 1e-3  # identical columns → cosine 1
+    assert all(abs(r.cos) < 0.9 for r in top[1:])  # noise pairs stay low
+
+
+def test_second_moment_matches_numpy_reference(spark):
+    import numpy as np
+
+    rows = _random_rows(40, seed=3)
+    emb = _emb(spark, rows)
+    got = {(r.j, r.k): r.s for r in second_moment(emb, DIM).collect()}
+    want = np.array(rows).T @ np.array(rows)
+    assert len(got) == DIM * DIM
+    for (j, k), s in got.items():
+        assert math.isclose(s, round(want[j][k], 4), abs_tol=2e-4)
+
+
+def test_dominant_direction_recovers_planted_axis(spark):
+    emb = _emb(spark, _random_rows(80, spike=(3, set(range(0, 80, 4)))))
+    s_rows = [(r.j, r.k, r.s) for r in second_moment(emb, DIM).collect()]
+    v = dominant_direction(s_rows, DIM)
+    # normalized by max-|component|: the planted axis carries the ±1
+    assert abs(abs(v[3]) - 1.0) < 1e-9
+    assert all(abs(v[j]) < 0.2 for j in range(DIM) if j != 3)
+    # the spiked rows load heaviest
+    top = dominant_direction_outliers(emb, DIM, k_top=10).collect()
+    assert all(r.vec_id % 4 == 0 for r in top)
+    assert [r.rank for r in top] == list(range(1, 11))
+
+
+def test_linalg_outputs_partitioning_invariant(spark):
+    rows = _random_rows(50, seed=11, dup=(1, 6))
+    emb = _emb(spark, rows)
+    a = dim_cosine_pairs(emb, DIM, k_top=5).collect()
+    b = dim_cosine_pairs(emb.repartition(7), DIM, k_top=5).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    c = dominant_direction_outliers(emb, DIM, k_top=5).collect()
+    d = dominant_direction_outliers(emb.repartition(5), DIM, k_top=5).collect()
+    assert [tuple(r) for r in c] == [tuple(r) for r in d]
+
+
+def test_linalg_empty_corpus_yields_empty_reports(spark):
+    emb = _emb(spark, []).filter("vec_id is not null")
+    assert dim_cosine_pairs(emb, DIM, k_top=5).count() == 0
+    assert dominant_direction_outliers(emb, DIM, k_top=5).count() == 0
+    # the direction helper degrades to the seed basis vector
+    assert dominant_direction([], DIM) == [1.0] + [0.0] * (DIM - 1)

@@ -137,6 +137,15 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "knn_label_vote",
         # round-13: persisted-index hybrid rail registration (r14 head)
         "hybrid_search_rrf_indexed",
+        # round-13: embedding-matrix diagnostics registrations (r14 tail)
+        "embedding_dim_correlation",
+        "embedding_dominant_direction",
+    },
+    # round-13: NEW module — second-moment matrix, dimension-correlation
+    # audit, deterministic power-iteration dominant direction
+    "airflow_courier_payout_ledger_pipeline_spark/operators/linalg.py": {
+        "embedding_dim_correlation",
+        "embedding_dominant_direction",
     },
     # round-12: NEW module — the persisted residual IVF-PQ index (build/
     # publish via commit_multi, search from committed codes)

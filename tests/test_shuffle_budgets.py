@@ -140,6 +140,11 @@ SHUFFLE_BUDGET = {
     # round-13: same fusion, semantic leg from the persisted index — bm25
     # doc-grain agg + the committed-codes top-k window + the union-agg
     "hybrid_search_rrf_indexed": 3,
+    # round-13: the d²-row second-moment matrix pins eagerly (one corpus
+    # pass, d-group agg); the returned plans read the pinned 4096 rows /
+    # score map-side — zero exchanges
+    "embedding_dim_correlation": 0,
+    "embedding_dominant_direction": 0,
 }
 
 
