@@ -14,7 +14,9 @@ d=64 the matrix is 4096 doubles, a bounded driver artifact in the same class
 as a trained codebook (k·dim literal budget). Everything downstream of the
 matrix — correlation pairs, the power iteration, the projection scoring — is
 driver-bounded or a map-side broadcast expression; the corpus is never
-shuffled and never read twice.
+shuffled. Read count: the correlation audit reads the corpus ONCE (the
+matrix pass); the outlier scorer reads it TWICE — once for the matrix, once
+for the map-side projection scan.
 
 Cross-engine float discipline (the repo's oracle rules): matrix entries are
 double sums over the corpus, where summation ORDER differs between engines —
@@ -71,7 +73,10 @@ def dim_cosine_pairs(
     off-diagonal cosines near 0; a rank-collapsed update shows pairs near ±1).
     Returns (j, k, s, cos, rank); cosine rounded to 4 decimals from the
     ROUNDED matrix (sqrt and division are single correctly-rounded IEEE ops —
-    engine-stable on identical inputs); ties break on (j, k).
+    engine-stable on identical inputs); ties break on (j, k). A fully DEAD
+    dimension (zero diagonal) has undefined pair cosines, pinned to 0.0 —
+    audit deadness on the diagonal of ``second_moment`` (s = 0 rows), not
+    through this pair report.
 
     The d²-row matrix is PINNED (eager localCheckpoint) before fan-out: the
     off-diagonal side and both broadcast diagonal sides would otherwise each
@@ -90,9 +95,16 @@ def dim_cosine_pairs(
             "j",
             "k",
             "s",
-            F.round(
-                F.col("s") / F.sqrt(F.col("__sjj") * F.col("__skk")), 4
-            ).alias("cos"),
+            # DEAD dimension (zero diagonal): the pair cosine is undefined —
+            # pinned to 0.0 in BOTH engines (Spark would yield NaN/Inf,
+            # DuckDB NULL, and the two sort differently). Deadness itself is
+            # audited on the DIAGONAL (s = 0 rows of second_moment), not via
+            # this pair report.
+            F.when(F.col("__sjj") * F.col("__skk") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(F.col("s") / F.sqrt(F.col("__sjj") * F.col("__skk")), 4)
+            )
+            .alias("cos"),
         )
     )
     top = off.orderBy(F.abs(F.col("cos")).desc(), F.asc("j"), F.asc("k")).limit(k_top)
@@ -138,8 +150,13 @@ def dominant_direction(s_rows: list[tuple[int, int, float]], dim: int, iters: in
             w.append(_round_half_up(acc, 6))
         m_idx = max(range(dim), key=lambda j: (abs(w[j]), -j))
         m = abs(w[m_idx])
-        if m == 0.0:  # zero matrix (empty corpus): stay at the seed basis vector
-            return [1.0 if j == 0 else 0.0 for j in range(dim)]
+        if m == 0.0:
+            # degenerate step (S·v rounded to all-zero): RESET to the seed
+            # and keep iterating — a per-step rule, not an early return, so
+            # the SQL twin's per-iteration CASE replays it exactly even when
+            # a later step escapes the degeneracy
+            v = list(seed)
+            continue
         v = [_round_half_up(w[j] / m, 6) for j in range(dim)]
     return v
 

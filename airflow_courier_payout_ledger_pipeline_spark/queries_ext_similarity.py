@@ -2251,7 +2251,9 @@ ls AS (SELECT a.j, b.j AS k, round(sum(a.xj * b.xj), 4) AS s
 DIM_CORRELATION_ORACLE = f"""
 WITH {_LINALG_S_CTES},
 ld AS (SELECT j, s FROM ls WHERE j = k),
-loff AS (SELECT ls.j, ls.k, ls.s, round(ls.s / sqrt(dj.s * dk.s), 4) AS cos
+loff AS (SELECT ls.j, ls.k, ls.s,
+                CASE WHEN dj.s * dk.s = 0 THEN CAST(0.0 AS DOUBLE)
+                     ELSE round(ls.s / sqrt(dj.s * dk.s), 4) END AS cos
          FROM ls JOIN ld dj ON dj.j = ls.j JOIN ld dk ON dk.j = ls.k
          WHERE ls.j < ls.k),
 lr AS (SELECT *, CAST(row_number() OVER (ORDER BY abs(cos) DESC, j, k) AS INT) AS rank
@@ -2289,7 +2291,11 @@ _POWER_ITERS = "\n".join(
     f"""lw{t} AS (SELECT ls.j, round(sum(ls.s * lv{t - 1}.val), 6) AS w
         FROM ls JOIN lv{t - 1} ON lv{t - 1}.j = ls.k GROUP BY ls.j),
 lm{t} AS (SELECT abs(w) AS m FROM lw{t} ORDER BY abs(w) DESC, j LIMIT 1),
-lv{t} AS (SELECT j, round(w / (SELECT m FROM lm{t}), 6) AS val FROM lw{t}),"""
+lv{t} AS (SELECT j,
+                 CASE WHEN (SELECT m FROM lm{t}) = 0
+                      THEN CAST(CASE WHEN j = 0 THEN 1.0 ELSE 0.0 END AS DOUBLE)
+                      ELSE round(w / (SELECT m FROM lm{t}), 6) END AS val
+          FROM lw{t}),"""
     for t in (1, 2, 3)
 )
 

@@ -91,3 +91,34 @@ def test_linalg_empty_corpus_yields_empty_reports(spark):
     assert dominant_direction_outliers(emb, DIM, k_top=5).count() == 0
     # the direction helper degrades to the seed basis vector
     assert dominant_direction([], DIM) == [1.0] + [0.0] * (DIM - 1)
+
+
+def test_dead_dimension_cosines_pin_to_zero_not_null(spark):
+    """A zeroed-out dimension's pair cosines are undefined — pinned to 0.0
+    (Spark would otherwise yield NaN/Inf where DuckDB yields NULL, and the
+    two sort differently); real correlated pairs still outrank them."""
+    rows = _random_rows(50, seed=5, dup=(1, 6))
+    rows = [[0.0 if j == 3 else x for j, x in enumerate(v)] for v in rows]
+    top = dim_cosine_pairs(spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rows)], "vec_id long, embedding array<double>"
+    ), DIM, k_top=DIM * (DIM - 1) // 2).collect()
+    assert top[0].j == 1 and top[0].k == 6  # the planted duplicate still leads
+    dead = [r for r in top if r.j == 3 or r.k == 3]
+    assert len(dead) == DIM - 1
+    assert all(r.cos == 0.0 for r in dead)  # pinned, never NULL/NaN
+
+
+def test_degenerate_matrix_resets_to_seed_per_step(spark):
+    """All-tiny corpus: every matrix entry rounds to 0 → each matvec is zero
+    → the iteration resets to the seed basis vector each step (the per-step
+    rule the SQL twin replays), and the scorer ranks by |x_0|."""
+    rows = [[1e-4 * ((i + j) % 3 - 1) for j in range(DIM)] for i in range(20)]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rows)], "vec_id long, embedding array<double>"
+    )
+    s_rows = [(r.j, r.k, r.s) for r in second_moment(emb, DIM).collect()]
+    assert all(s == 0.0 for _, _, s in s_rows)
+    assert dominant_direction(s_rows, DIM) == [1.0] + [0.0] * (DIM - 1)
+    top = dominant_direction_outliers(emb, DIM, k_top=5).collect()
+    assert [r.rank for r in top] == [1, 2, 3, 4, 5]
+    assert all(abs(r.proj - round(rows[r.vec_id][0], 4)) < 1e-12 for r in top)
