@@ -194,3 +194,50 @@ def dominant_direction_outliers(
 
     w = Window.orderBy(F.abs(F.col("proj")).desc(), F.asc(id_col))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def second_moment_partial_gram(
+    emb: DataFrame, dim: int, vec_col: str = "embedding", round_dp: int = 4
+) -> DataFrame:
+    """The LARGE-d form of :func:`second_moment` — per-partition partial grams
+    via Arrow-batched ``mapInPandas`` (numpy ``X.T @ X`` per batch, one
+    d²-float row out per batch) folded by one d²-group sum. No dimension-grain
+    explode: the corpus is read once at its native row grain, so the scan cost
+    does not multiply by d — the shape that wins when the ``second_moment``
+    d-group agg's d+1-column width binds (d in the hundreds-plus). The
+    exchange carries ≤ batches × d² partial rows (map-side combined), never
+    the corpus.
+
+    Same output contract as ``second_moment``: (j, k, s) rounded to
+    ``round_dp`` — partial-sum ORDER differs from the agg version (numpy
+    pairwise vs codegen sequential), which is exactly what the rounding grid
+    absorbs; equality to 4dp is pinned in tests/test_linalg.py."""
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("j", IntegerType(), False),
+            StructField("k", IntegerType(), False),
+            StructField("ps", DoubleType(), False),
+        ]
+    )
+    def _partial(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            g = x.T @ x
+            yield pd.DataFrame(
+                {
+                    "j": np.repeat(np.arange(dim, dtype=np.int32), dim),
+                    "k": np.tile(np.arange(dim, dtype=np.int32), dim),
+                    "ps": g.ravel(),
+                }
+            )
+
+    partials = emb.select(vec_col).mapInPandas(_partial, out_schema)
+    return partials.groupBy("j", "k").agg(F.round(F.sum("ps"), round_dp).alias("s"))

@@ -122,3 +122,27 @@ def test_degenerate_matrix_resets_to_seed_per_step(spark):
     top = dominant_direction_outliers(emb, DIM, k_top=5).collect()
     assert [r.rank for r in top] == [1, 2, 3, 4, 5]
     assert all(abs(r.proj - round(rows[r.vec_id][0], 4)) < 1e-12 for r in top)
+
+
+def test_partial_gram_equals_agg_second_moment(spark):
+    """The mapInPandas large-d path must reproduce the d-group agg matrix
+    exactly at the rounding grid — partial-sum order differs (numpy pairwise
+    vs codegen sequential), which is what the 4dp rounding absorbs — and be
+    partitioning-invariant."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.linalg import (
+        second_moment_partial_gram,
+    )
+
+    rows = _random_rows(70, seed=21, dup=(0, 4))
+    emb = _emb(spark, rows)
+    agg = {(r.j, r.k): r.s for r in second_moment(emb, DIM).collect()}
+    pg = {(r.j, r.k): r.s for r in second_moment_partial_gram(emb, DIM).collect()}
+    assert agg == pg
+    pg7 = {
+        (r.j, r.k): r.s
+        for r in second_moment_partial_gram(emb.repartition(7), DIM).collect()
+    }
+    assert pg7 == agg
+    # empty corpus: typed empty matrix, no crash in the Arrow path
+    empty = _emb(spark, []).filter("vec_id is not null")
+    assert second_moment_partial_gram(empty, DIM).count() == 0
