@@ -359,3 +359,72 @@ def knn_label_vote(
         "true_label",
         correct.cast("int").alias("correct"),
     )
+
+
+def knn_accuracy_curve(
+    emb: DataFrame,
+    queries: DataFrame,
+    ks: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN accuracy@k for every k in ``ks`` — THE standard embedding-quality
+    probe (how well does the space cluster labels?), the eval companion to
+    ``knn_label_vote`` the way the recall evals accompany the ANN searches.
+    Returns (k, n_queries, n_correct, accuracy) with accuracy rounded to 4
+    decimals; per-k vote semantics are exactly ``knn_label_vote``'s (modal
+    label of the top-k neighbors, ties to the smallest label, NULLS LAST).
+
+    One-pass sweep (the nprobe-sweep pattern): the neighbor list is computed
+    ONCE at max(ks) — one corpus pass — and the k grid broadcasts into the
+    q×k_max NN frame; votes, argmax, and the accuracy rollup all run over
+    grid×q×k_max rows, never the corpus."""
+    ks = sorted(set(ks or [1, 3, 5, 10]))
+    if not ks or ks[0] < 1:
+        raise ValueError("ks must be positive ints")
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    spark = emb.sparkSession
+    nn = brute_force_topk(emb, queries, k=ks[-1], id_col=id_col, vec_col=vec_col)
+    labels = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__nl")
+    )
+    nn_lab = labels.join(F.broadcast(nn), "neighbor_id").select(
+        "query_id", "rank", "__nl"
+    )
+    grid = spark.createDataFrame([(k,) for k in ks], "k int")
+    votes = (
+        nn_lab.crossJoin(F.broadcast(grid))
+        .filter(F.col("rank") <= F.col("k"))
+        .groupBy("k", "query_id", "__nl")
+        .agg(F.count("*").alias("votes"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("k", "query_id").orderBy(
+        F.desc("votes"), F.asc_nulls_last("__nl")
+    )
+    pred = votes.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") == 1)
+    truth = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    correct = F.when(F.col("__nl") == F.col("true_label"), F.lit(1)).otherwise(F.lit(0))
+    return (
+        pred.join(F.broadcast(truth), "query_id")
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.sum(correct).cast("bigint").alias("n_correct"),
+        )
+        .select(
+            "k",
+            "n_queries",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_queries").cast("double"), 4
+            ).alias("accuracy"),
+        )
+    )

@@ -2336,3 +2336,42 @@ def q_embedding_dominant_direction(spark: SparkSession, sf_dir: str) -> DataFram
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     return dominant_direction_outliers(emb, dim=64, k_top=20, iters=3)
+
+
+KNN_ACCURACY_CURVE_ORACLE = """
+WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 20),
+s AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS n_label,
+           round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+    FROM embeddings c, q WHERE c.vec_id != q.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s),
+kg AS (SELECT CAST(unnest([1, 3, 5, 10]) AS INT) AS k),
+nn AS (SELECT kg.k, r.query_id, r.n_label FROM r JOIN kg ON r.rank <= kg.k),
+v AS (SELECT k, query_id, n_label, count(*)::BIGINT AS votes FROM nn GROUP BY 1, 2, 3),
+p AS (SELECT *, row_number() OVER (PARTITION BY k, query_id ORDER BY votes DESC, n_label) AS vr FROM v),
+acc AS (SELECT p.k, count(*)::BIGINT AS n_queries,
+               SUM(CASE WHEN p.n_label = q.label THEN 1 ELSE 0 END)::BIGINT AS n_correct
+        FROM p JOIN q ON p.query_id = q.vec_id WHERE p.vr = 1 GROUP BY 1)
+SELECT k, n_queries, n_correct, round(n_correct::DOUBLE / n_queries::DOUBLE, 4) AS accuracy
+FROM acc
+"""
+
+
+@register("knn_accuracy_curve", KNN_ACCURACY_CURVE_ORACLE)
+def q_knn_accuracy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN accuracy@k for k ∈ {1, 3, 5, 10} over the first 20 query vectors —
+    THE standard embedding-quality probe (how well does the space cluster
+    labels?), the eval companion to `knn_label_vote` the way the recall evals
+    accompany the ANN searches. One-pass sweep
+    (operators/search.knn_accuracy_curve, the nprobe-sweep pattern): neighbors
+    computed ONCE at k=10, the k grid broadcasts into the q×10 NN frame;
+    votes/argmax/rollup run over grid×q×10 rows, never the corpus. Vote
+    semantics per k are exactly `knn_label_vote`'s (modal label, ties to the
+    smallest label); the oracle replays the sweep in one statement."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import (
+        knn_accuracy_curve,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return knn_accuracy_curve(emb, emb.filter(F.col("vec_id") < 20))

@@ -476,7 +476,10 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "streaming_sessionization",
     "funnel_conversion",
     "key_skew_profile",
-    "pii_scrub",
+    # r13 close: knn_accuracy_curve registered after the fill — takes
+    # pii_scrub's slot (additions before re-proofs; pii_scrub, r10-proven,
+    # joins the r15 roll, making it seven)
+    "knn_accuracy_curve",
     # r13 close: the embedding-matrix diagnostics registered after the fill
     # was staged take the last two slots (additions adjudicate before
     # re-proofs — the r12 convention). SIX r10-proven veterans roll to the

@@ -120,6 +120,8 @@ HEADLINE = [
     # power-iteration dominant-direction outlier scoring
     "embedding_dim_correlation",
     "embedding_dominant_direction",
+    # the kNN accuracy@k sweep (one corpus pass, broadcast k grid)
+    "knn_accuracy_curve",
 ]
 
 

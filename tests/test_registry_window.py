@@ -140,6 +140,8 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         # round-13: embedding-matrix diagnostics registrations (r14 tail)
         "embedding_dim_correlation",
         "embedding_dominant_direction",
+        # round-13: kNN accuracy@k sweep registration (r14 tail)
+        "knn_accuracy_curve",
     },
     # round-13: NEW module — second-moment matrix, dimension-correlation
     # audit, deterministic power-iteration dominant direction
@@ -305,6 +307,7 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "hybrid_search_rrf",
         "hybrid_search_rrf_indexed",
         "knn_label_vote",
+        "knn_accuracy_curve",
         "bm25_search",
         "substring_search",
     },

@@ -308,3 +308,22 @@ def test_knn_vote_label_scan_is_column_pruned(spark):
     scans = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert scans, "expected parquet scans in the plan"
     assert any("embedding" not in l.split("ReadSchema")[-1] for l in scans)
+
+
+def test_knn_accuracy_curve_on_clean_clusters(spark):
+    """Two clean clusters: accuracy hits 1.0 for every k that stays within a
+    cluster (each cluster has 3+ same-label neighbors per query), and the
+    curve covers exactly the requested ks with n_queries = all queries."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import (
+        knn_accuracy_curve,
+    )
+
+    emb = _emb(spark)  # 2 clusters; id 6 mislabeled into cluster 1
+    clean = emb.filter("vec_id < 6")
+    got = {r.k: (r.n_queries, r.n_correct, r.accuracy)
+           for r in knn_accuracy_curve(clean, clean, ks=[1, 2]).collect()}
+    assert set(got) == {1, 2}
+    assert got[1] == (6, 6, 1.0) and got[2] == (6, 6, 1.0)
+    # with the mislabeled outlier as a query, accuracy@2 drops below 1
+    full = {r.k: r.n_correct for r in knn_accuracy_curve(emb, emb, ks=[2]).collect()}
+    assert full[2] < 7

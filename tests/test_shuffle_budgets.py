@@ -145,6 +145,10 @@ SHUFFLE_BUDGET = {
     # score map-side — zero exchanges
     "embedding_dim_correlation": 0,
     "embedding_dominant_direction": 0,
+    # round-13: one brute-force top-k window + the (k,query,label) vote agg
+    # + the per-(k,query) argmax window + the accuracy rollup; the k grid
+    # and NN frames broadcast, the corpus never shuffles
+    "knn_accuracy_curve": 4,
 }
 
 
