@@ -45,10 +45,18 @@ def second_moment(
     (both engines round the order-sensitive double sum — see module
     docstring). One corpus pass: posexplode to (j, x_j, full vector) and a
     d-group aggregation of d conditional sums; the exchange carries d rows of
-    d+1 columns per map task, never the corpus."""
-    x = emb.select(
-        F.posexplode(F.col(vec_col)).alias("j", "xj"),
-        F.col(vec_col).alias("__v"),
+    d+1 columns per map task, never the corpus.
+
+    Products run at DOUBLE precision regardless of the stored element type —
+    the oracle casts ``embedding::DOUBLE[]`` before multiplying, and a
+    float32 per-term truncation would drift past the 4dp grid as the corpus
+    grows even though it slips under it at test sizes. NULL vectors are
+    dropped (posexplode of NULL yields nothing) — the stated row contract;
+    vectors must be fixed-width with non-NULL elements."""
+    vec = F.col(vec_col).cast("array<double>")
+    x = emb.where(F.col(vec_col).isNotNull()).select(
+        F.posexplode(vec).alias("j", "xj"),
+        vec.alias("__v"),
     )
     g = x.groupBy("j").agg(
         *[
@@ -209,7 +217,9 @@ def second_moment_partial_gram(
     the corpus.
 
     Same output contract as ``second_moment``: (j, k, s) rounded to
-    ``round_dp`` — partial-sum ORDER differs from the agg version (numpy
+    ``round_dp``, float64 products, NULL vectors dropped BEFORE the Arrow
+    exchange (numpy would raise on a ragged batch where the agg path just
+    drops the row) — partial-sum ORDER differs from the agg version (numpy
     pairwise vs codegen sequential), which is exactly what the rounding grid
     absorbs; equality to 4dp is pinned in tests/test_linalg.py."""
     import pandas as pd
@@ -239,5 +249,9 @@ def second_moment_partial_gram(
                 }
             )
 
-    partials = emb.select(vec_col).mapInPandas(_partial, out_schema)
+    partials = (
+        emb.where(F.col(vec_col).isNotNull())
+        .select(F.col(vec_col).cast("array<double>").alias(vec_col))
+        .mapInPandas(_partial, out_schema)
+    )
     return partials.groupBy("j", "k").agg(F.round(F.sum("ps"), round_dp).alias("s"))

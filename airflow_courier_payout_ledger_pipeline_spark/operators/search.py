@@ -331,34 +331,57 @@ def knn_label_vote(
     )
 
     nn = brute_force_topk(emb, queries, k=k, id_col=id_col, vec_col=vec_col)
-    labels = emb.select(F.col(id_col), F.col(label_col))
-    votes = (
-        labels.withColumnRenamed(id_col, "neighbor_id")
-        .withColumnRenamed(label_col, "__nl")
-        .join(F.broadcast(nn), "neighbor_id")
-        .groupBy("query_id", "__nl")
-        .agg(F.count("*").alias("votes"))
-    )
-    from pyspark.sql.window import Window
-
-    # asc_nulls_last, not asc: a nullable label column must tie-break the way
-    # the SQL oracle's ORDER BY does (NULLS LAST in DuckDB/ANSI default),
-    # never predict NULL over a real label on a tied vote
-    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc_nulls_last("__nl"))
-    pred = votes.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") == 1)
+    nn_lab = _attach_labels(nn, emb, id_col, label_col)
+    pred = _modal_label_vote(nn_lab, ["query_id"])
     truth = queries.select(
         F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
     )
-    # CASE semantics, not bare ==: a NULL on either side must yield 0 (the
-    # SQL CASE's ELSE), not a NULL correct flag
-    correct = F.when(F.col("__nl") == F.col("true_label"), F.lit(1)).otherwise(F.lit(0))
     return pred.join(F.broadcast(truth), "query_id").select(
         "query_id",
         F.col("__nl").alias("predicted_label"),
         F.col("votes").cast("bigint").alias("votes"),
         "true_label",
-        correct.cast("int").alias("correct"),
+        _correct_flag().cast("int").alias("correct"),
     )
+
+
+def _attach_labels(
+    nn: DataFrame, emb: DataFrame, id_col: str, label_col: str
+) -> DataFrame:
+    """Label attach shared by the vote and the accuracy curve: the q×k NN
+    frame BROADCASTS against the column-pruned (id, label) projection — the
+    labeled corpus is never shuffled."""
+    labels = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__nl")
+    )
+    return labels.join(F.broadcast(nn), "neighbor_id")
+
+
+def _modal_label_vote(nn_lab: DataFrame, group_cols: list[str]) -> DataFrame:
+    """ONE definition of the vote semantics `knn_label_vote` and
+    `knn_accuracy_curve` both promise: count votes per (group, label), argmax
+    by votes desc then label ASC NULLS LAST — asc_nulls_last, not asc, so a
+    nullable label column tie-breaks the way the SQL oracles' ORDER BY does
+    (NULLS LAST in DuckDB/ANSI) and NULL never beats a real label on a tied
+    vote. Input carries ``group_cols`` + '__nl'; output is one row per group
+    with the winning '__nl' and its 'votes'."""
+    from pyspark.sql.window import Window
+
+    votes = nn_lab.groupBy(*group_cols, "__nl").agg(F.count("*").alias("votes"))
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("votes"), F.asc_nulls_last("__nl")
+    )
+    return (
+        votes.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+    )
+
+
+def _correct_flag():
+    """CASE semantics, not bare ==: a NULL on either side must yield 0 (the
+    SQL CASE's ELSE), never a NULL correct flag."""
+    return F.when(F.col("__nl") == F.col("true_label"), F.lit(1)).otherwise(F.lit(0))
 
 
 def knn_accuracy_curve(
@@ -380,44 +403,30 @@ def knn_accuracy_curve(
     ONCE at max(ks) — one corpus pass — and the k grid broadcasts into the
     q×k_max NN frame; votes, argmax, and the accuracy rollup all run over
     grid×q×k_max rows, never the corpus."""
-    ks = sorted(set(ks or [1, 3, 5, 10]))
-    if not ks or ks[0] < 1:
+    if ks is not None and (not ks or any(k < 1 for k in ks)):
         raise ValueError("ks must be positive ints")
+    ks = sorted(set(ks)) if ks is not None else [1, 3, 5, 10]
     from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
         brute_force_topk,
     )
 
     spark = emb.sparkSession
     nn = brute_force_topk(emb, queries, k=ks[-1], id_col=id_col, vec_col=vec_col)
-    labels = emb.select(
-        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__nl")
-    )
-    nn_lab = labels.join(F.broadcast(nn), "neighbor_id").select(
+    nn_lab = _attach_labels(nn, emb, id_col, label_col).select(
         "query_id", "rank", "__nl"
     )
     grid = spark.createDataFrame([(k,) for k in ks], "k int")
-    votes = (
-        nn_lab.crossJoin(F.broadcast(grid))
-        .filter(F.col("rank") <= F.col("k"))
-        .groupBy("k", "query_id", "__nl")
-        .agg(F.count("*").alias("votes"))
-    )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("k", "query_id").orderBy(
-        F.desc("votes"), F.asc_nulls_last("__nl")
-    )
-    pred = votes.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") == 1)
+    per_k = nn_lab.crossJoin(F.broadcast(grid)).filter(F.col("rank") <= F.col("k"))
+    pred = _modal_label_vote(per_k, ["k", "query_id"])
     truth = queries.select(
         F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
     )
-    correct = F.when(F.col("__nl") == F.col("true_label"), F.lit(1)).otherwise(F.lit(0))
     return (
         pred.join(F.broadcast(truth), "query_id")
         .groupBy("k")
         .agg(
             F.count("*").cast("bigint").alias("n_queries"),
-            F.sum(correct).cast("bigint").alias("n_correct"),
+            F.sum(_correct_flag()).cast("bigint").alias("n_correct"),
         )
         .select(
             "k",

@@ -482,11 +482,12 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "knn_accuracy_curve",
     # r13 close: the embedding-matrix diagnostics registered after the fill
     # was staged take the last two slots (additions adjudicate before
-    # re-proofs — the r12 convention). SIX r10-proven veterans roll to the
+    # re-proofs — the r12 convention). SEVEN r10-proven veterans roll to the
     # r15 plan head under the 50-cap: corpus_curation, doc_chunking,
-    # event_pagerank, label_centroid_stats, oov_rate, per_source_cap (the
-    # staleness tail recomputes mechanically from CORRECTNESS_r01.. + the
-    # green windows; everything else unscheduled is r11-or-newer)
+    # event_pagerank, label_centroid_stats, oov_rate, per_source_cap,
+    # pii_scrub (the staleness tail recomputes mechanically from
+    # CORRECTNESS_r01.. + the green windows; everything else unscheduled is
+    # r11-or-newer)
     "embedding_dim_correlation",
     "embedding_dominant_direction",
 ]
