@@ -315,138 +315,56 @@ def q_incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ------------------------------------------------------------------------------------
-# Driver adjudication window — ROUND 13 (active; the r13 plan staged during
-# round 12 activated VERBATIM — r12 verdict next-round item 1).
+# Driver adjudication window — ROUND 14 (active; the r14 plan staged during
+# round 13 activated VERBATIM — r13 verdict next-round item 1).
 #
 # The correctness driver adjudicates the FIRST 50 entries of queries() in dict
-# order (observed r1-r12). History: r1-r3 proved the original first-50 green
+# order (observed r1-r13). History: r1-r3 proved the original first-50 green
 # three rounds running; r4 proved the 40 long-unproven queries + 7 round-4
 # additions; r5 proved 50/50 including the fixed `sequence_packing`; r6 went
 # 50/50 making every then-registered query driver-proven at least once; r7
 # proved the 9 round-7-changed queries + 38 r4-stale veterans; r8 the 6
 # round-7 additions + the clone-scoping streaming pair + 22 r5-stale veterans;
 # r9 the staged trio-of-debts + all 36 r6-stale veterans + the stalest r7
-# queries; r10 and r11 went 50/50 on their staged plans; r12 went 50/50 —
-# the whole r8-staleness tail + the four round-12 in-window additions —
-# leaving 170/174 ever-proven and nothing proven older than r9. This
-# round-13 window: canary trio; the round-12 changed-file debtors
-# (similarity.py's recall-gated quantizer consumers); the FOUR round-12
-# additions that registered after the r12 window froze (their first driver
-# rows); then 34 of the 39 r9-stale veterans. After a green r13 every
-# registered query is driver-proven and nothing is older than r9 except the
-# 5 veterans rolled to r14 (see NEXT_PLAN). Per-query adjudication history
+# queries; r10-r13 each went 50/50 on their staged plans — after r13, 174 of
+# 182 registered queries are driver-proven with zero last-row failures. This
+# round-14 window: canary trio; the 5 r9-proven veterans rolled past r13;
+# 3 round-13 changed-file re-proofs; the EIGHT round-13 additions that
+# registered after the r13 window froze (their first driver rows — the r13
+# verdict's only claimed-but-unproven surface) plus the bm25/substring
+# file-grain re-proofs; then 29 r10-stale veterans. After a green r14 every
+# registered query is driver-proven and nothing is older than r10 except the
+# 7 veterans rolled to r15 (see NEXT_PLAN). Per-query adjudication history
 # is tracked in OPERATORS.md; test_registry_window.py pins consistency.
 # ------------------------------------------------------------------------------------
 ADJUDICATION_WINDOW_FIRST: list[str] = [
-    # -- staged r13 plan, verbatim (round-12 registry.py ADJUDICATION_WINDOW_NEXT_PLAN) --
+    # -- staged r14 plan, verbatim (round-13 registry.py ADJUDICATION_WINDOW_NEXT_PLAN) --
     # flagship canary
     "courier_ledger",
     "courier_ledger_sql",
     "incremental_mart_maintenance",
-    # round-12 changed-file debtors (standing rule): similarity.py's
-    # recall-gated trained quantizer + k·dim bound enforcement consumers not
-    # already re-proven in the r12 window
-    "similarity_pq_adc_trained",
-    "similarity_ivf_pq_trained",
-    "similarity_ivf_pq_residual",
-    "pq_recall_eval",
-    "ivf_index_maintenance",
-    "similarity_ann_multiprobe",
-    "ann_recall_multiprobe",
-    "similarity_topk",
-    "similarity_ivf_nprobe2",
-    # round-12 additions registered after the r12 window froze — first
-    # driver rows land HERE (the r12 verdict's only claimed-but-unproven gap)
-    "streaming_ivf_maintenance",
-    "ann_index_persisted_search",
-    "ann_index_incremental_extend",
-    "similarity_pq_refine_topk",
-    # r9-stale veterans, registration order (34 of 39 fit under the 50-cap;
-    # the other 5 roll to the r14 plan)
-    "json_extract",
-    "json_struct_parse",
-    "paged_scan",
-    "watermark_filter",
-    "timestamp_dim",
-    "broadcast_enrich",
-    "dim_lookup_join",
-    "watermark_cursor",
-    "filtered_agg",
-    "tier_payout",
-    "scd0_insert_ignore",
-    "scd1_upsert",
-    "rest_page_fetch_distributed",
-    "incremental_promotion",
-    "set_ops",
-    "ann_recall_eval",
-    "contrastive_triplets",
-    "dataset_card",
-    "dedup_bloom_probe",
-    "dedup_pq_hamming",
-    "dedup_span_profile",
-    "distribution_stats",
-    "event_sessionization",
-    "event_windows_sliding",
-    "fuzzy_name_pairs",
-    "grouped_split_assign",
-    "image_content_dedup",
-    "image_png_features",
-    "mix_epochs_report",
-    "ngram_containment",
-    "pivot_event_counts",
-    "profile_documents",
-    "range_join_incidents",
-    "score_quantile_norm",
-]
-
-
-# ------------------------------------------------------------------------------------
-# PLANNED round-14 window (activate at the START of round 14). Composition:
-# the flagship canary trio, then the 5 r9-proven veterans that rolled past
-# the r13 window (r12 verdict next-round item 7), then any query whose
-# implementing code CHANGES in round 13 (standing rule: changed code must
-# appear in the active window or at the head of the next plan — pinned by
-# test_registry_window.py), then round-13 additions registered outside the
-# active window, then the stalest remaining veterans in registration order.
-# ------------------------------------------------------------------------------------
-ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
-    # -- flagship canary --
-    "courier_ledger",
-    "courier_ledger_sql",
-    "incremental_mart_maintenance",
-    # -- the 5 r9-proven veterans rolled past the r13 window --
+    # the 5 r9-proven veterans rolled past the r13 window
     "similarity_ivf_pq",
     "similarity_ivf_topk",
     "similarity_pq_adc",
     "term_importance",
     "window_analytics",
-    # -- round-13 code changes / additions append here as they land --
-    # r13: docstring-only correction in queries_ext_similarity.py (the
-    # dominance-gate claim now states aggregate-hit-count dominance, per the
-    # r12 ADVICE); these three re-prove the file's unchanged semantics
-    # (all were green in r12)
+    # round-13 changed-file re-proofs: docstring-only dominance-gate
+    # correction in queries_ext_similarity.py (all three were green in r12)
     "ivf_recall_trained_vs_seeded",
     "similarity_ivf_topk_trained",
     "ivfpq_residual_recall_multiprobe",
-    # r13: NEW — dropped-bucket accounting for the LSH max_bucket cap (the
-    # r12 verdict item-6 observability rail); first driver row lands in r14
+    # round-13 additions registered after the r13 window froze — first
+    # driver rows land HERE (the r13 verdict's only claimed-but-unproven gap)
     "dedup_lsh_dropped_buckets",
-    # r13: NEW — the flagship over bucketed storage (write_bucketed rail
-    # driver-proven against the flagship oracle); first driver row in r14
     "courier_ledger_bucketed",
-    # r13: NEW — hybrid retrieval (BM25 + cosine RRF fusion) and kNN
-    # majority-vote labeling, appended to operators/search.py; the file-grain
-    # changed-code rule re-proves the untouched bm25/substring paths alongside
     "hybrid_search_rrf",
     "knn_label_vote",
     "bm25_search",
     "substring_search",
-    # r13: NEW — the steady-state hybrid rail: same rrf fusion, semantic leg
-    # served from the persisted residual IVF-PQ index (leg-swap contract)
     "hybrid_search_rrf_indexed",
-    # -- round-13 close: the 32 stalest remaining veterans (all r10-proven,
-    # computed mechanically from CORRECTNESS_r01..r12 + the green r13 window)
-    # in registration order, filling the plan to exactly the 50-slot cap --
+    # r10-stale veterans, registration order (the knn/embedding additions at
+    # the tail displaced seven to the r15 plan head)
     "watermark_state",
     "repetition_stats",
     "quality_rules",
@@ -476,20 +394,37 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "streaming_sessionization",
     "funnel_conversion",
     "key_skew_profile",
-    # r13 close: knn_accuracy_curve registered after the fill — takes
-    # pii_scrub's slot (additions before re-proofs; pii_scrub, r10-proven,
-    # joins the r15 roll, making it seven)
+    # round-13 tail additions (additions adjudicate before re-proofs)
     "knn_accuracy_curve",
-    # r13 close: the embedding-matrix diagnostics registered after the fill
-    # was staged take the last two slots (additions adjudicate before
-    # re-proofs — the r12 convention). SEVEN r10-proven veterans roll to the
-    # r15 plan head under the 50-cap: corpus_curation, doc_chunking,
-    # event_pagerank, label_centroid_stats, oov_rate, per_source_cap,
-    # pii_scrub (the staleness tail recomputes mechanically from
-    # CORRECTNESS_r01.. + the green windows; everything else unscheduled is
-    # r11-or-newer)
     "embedding_dim_correlation",
     "embedding_dominant_direction",
+]
+
+
+# ------------------------------------------------------------------------------------
+# PLANNED round-15 window (activate at the START of round 15). Composition:
+# the flagship canary trio, then the 7 r10-proven veterans that rolled past
+# the r14 window (r13 verdict next-round item 6), then any query whose
+# implementing code CHANGES in round 14 (standing rule: changed code must
+# appear in the active window or at the head of the next plan — pinned by
+# test_registry_window.py), then round-14 additions registered outside the
+# active window, then the stalest remaining veterans in registration order
+# (fill recomputed mechanically at round-14 close from CORRECTNESS_r01..r14).
+# ------------------------------------------------------------------------------------
+ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
+    # -- flagship canary --
+    "courier_ledger",
+    "courier_ledger_sql",
+    "incremental_mart_maintenance",
+    # -- the 7 r10-proven veterans rolled past the r14 window --
+    "corpus_curation",
+    "doc_chunking",
+    "event_pagerank",
+    "label_centroid_stats",
+    "oov_rate",
+    "per_source_cap",
+    "pii_scrub",
+    # -- round-14 code changes / additions append here as they land --
 ]
 
 

