@@ -243,7 +243,7 @@ def hybrid_rrf_topk(
         id_col=vec_id_col,
         vec_col=vec_col,
     ).select(F.col("neighbor_id").alias(doc_id_col), F.col("rank").alias("sem_rank"))
-    return rrf_fuse(lex, sem, k=k, rrf_k=rrf_k, id_col=doc_id_col)
+    return rrf_fuse(lex, sem, k=k, rrf_k=rrf_k, id_col=doc_id_col, leg_bound=n_each)
 
 
 def rrf_fuse(
@@ -252,6 +252,7 @@ def rrf_fuse(
     k: int = 10,
     rrf_k: int = 60,
     id_col: str = "doc_id",
+    leg_bound: int | None = None,
 ) -> DataFrame:
     """Reciprocal-rank fusion of two (id, rank) legs — the leg-agnostic core
     of ``hybrid_rrf_topk``, so any lexical leg (BM25, trigram-prefiltered) and
@@ -259,10 +260,23 @@ def rrf_fuse(
     ``lex`` must carry (``id_col``, lex_rank), ``sem`` (``id_col``, sem_rank);
     legs are expected k-bounded (the fusion is exact over whatever they
     return, but its driver-scale cost argument assumes top-n inputs).
+    ``leg_bound`` makes that assumption a CHECK: when set, each leg is probed
+    with a ``limit(bound + 1)`` count — O(bound) work even against a
+    mis-wired corpus-sized leg — and an over-bound leg raises instead of
+    silently turning the "driver-scale" fusion into a corpus-sized shuffle.
 
     Same determinism contract as the caller: fixed leg order (lex + sem),
     each term one correctly-rounded IEEE division 1.0/(rrf_k + rank), ties on
     id ascending."""
+    if leg_bound is not None:
+        for name, leg in (("lex", lex), ("sem", sem)):
+            n = leg.limit(leg_bound + 1).count()
+            if n > leg_bound:
+                raise ValueError(
+                    f"rrf_fuse: {name} leg exceeds its declared bound "
+                    f"({n} > {leg_bound} rows) — legs must be top-n "
+                    "frames, not corpus-sized rankings"
+                )
     # fuse by union + one groupBy over ≤2·n rows (Spark cannot broadcast a
     # full-outer join, which would cost two exchanges on the tiny frames; the
     # union-agg shape is ONE trivial exchange regardless of corpus size)
@@ -280,7 +294,10 @@ def rrf_fuse(
             )
         )
         .groupBy("__id")
-        .agg(F.max("lex_rank").alias("lex_rank"), F.max("sem_rank").alias("sem_rank"))
+        # min, not max: identical for contract-conforming unique-id legs, and
+        # the fail-safer choice (RRF convention keeps the BEST rank) if a
+        # caller ever passes a leg with duplicate ids
+        .agg(F.min("lex_rank").alias("lex_rank"), F.min("sem_rank").alias("sem_rank"))
     )
     rrf = F.coalesce(
         F.lit(1.0) / (F.lit(rrf_k).cast("double") + F.col("lex_rank").cast("double")),
@@ -331,6 +348,126 @@ def knn_label_vote(
     )
 
     nn = brute_force_topk(emb, queries, k=k, id_col=id_col, vec_col=vec_col)
+    return _vote_over_nn(nn, emb, queries, id_col, label_col)
+
+
+def knn_label_vote_indexed(
+    lake,
+    layer: str,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 20,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """``knn_label_vote`` in its production steady-state: the neighbor leg is
+    served from the PERSISTED residual IVF-PQ index (ADC shortlist over the
+    committed 8-byte codes, then exact cosine re-rank of the |Q|·shortlist
+    winners — ``annindex.refine_search_residual_ivfpq_index``) instead of the
+    O(corpus×queries) brute-force pass; the label attach, vote, and truth
+    join downstream are the IDENTICAL code (``_vote_over_nn``) — the same
+    leg-swap contract ``rrf_fuse`` gives the hybrid rail. At 100 TB this is
+    what auto-labeling a corpus slice costs per batch: one pruned scan of
+    committed codes + exact math on a broadcast-sized shortlist, with the
+    quantizer/encode paid once at index build. Same output schema and vote
+    semantics as ``knn_label_vote``; the predictions differ only where
+    quantization drops a true neighbor from the shortlist — measured, not
+    assumed, by ``knn_vote_agreement_indexed``."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
+        refine_search_residual_ivfpq_index,
+    )
+
+    nn = refine_search_residual_ivfpq_index(
+        lake,
+        layer,
+        emb,
+        queries,
+        k=k,
+        shortlist=shortlist,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    return _vote_over_nn(nn, emb, queries, id_col, label_col)
+
+
+def knn_vote_agreement_indexed(
+    lake,
+    layer: str,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 20,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """The refine-vs-exact agreement eval for the labeling rail — the recall
+    eval's analogue one level up: how often does the index-served vote
+    (``knn_label_vote_indexed``) return the SAME label the exact brute-force
+    vote would have, and how do their accuracies compare? One summary row:
+    (n_queries, n_agree, agreement, exact_correct, indexed_correct) with the
+    rates rounded to 4 decimals. Agreement uses null-safe equality (two NULL
+    modal labels agree); both inner vote legs are the shared
+    ``_vote_over_nn``. Driver-scale: both legs are q-row frames, the compare
+    is a broadcast join over them."""
+    exact = knn_label_vote(
+        emb, queries, k=k, id_col=id_col, vec_col=vec_col, label_col=label_col
+    ).select(
+        "query_id",
+        F.col("predicted_label").alias("__exact"),
+        F.col("correct").alias("__exact_ok"),
+    )
+    indexed = knn_label_vote_indexed(
+        lake,
+        layer,
+        emb,
+        queries,
+        k=k,
+        shortlist=shortlist,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        label_col=label_col,
+    ).select(
+        "query_id",
+        F.col("predicted_label").alias("__idx"),
+        F.col("correct").alias("__idx_ok"),
+    )
+    joined = exact.join(F.broadcast(indexed), "query_id")
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.sum(F.col("__exact").eqNullSafe(F.col("__idx")).cast("int"))
+        .cast("bigint")
+        .alias("n_agree"),
+        F.sum("__exact_ok").cast("bigint").alias("exact_correct"),
+        F.sum("__idx_ok").cast("bigint").alias("indexed_correct"),
+    ).select(
+        "n_queries",
+        "n_agree",
+        F.round(
+            F.col("n_agree").cast("double") / F.col("n_queries").cast("double"), 4
+        ).alias("agreement"),
+        "exact_correct",
+        "indexed_correct",
+    )
+
+
+def _vote_over_nn(
+    nn: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    label_col: str,
+) -> DataFrame:
+    """The leg-agnostic tail shared by the exact and index-served labeling
+    rails: attach labels to a (query_id, neighbor_id, …) NN frame, take the
+    modal label per query, join the truth, and emit the contract schema
+    (query_id, predicted_label, votes, true_label, correct)."""
     nn_lab = _attach_labels(nn, emb, id_col, label_col)
     pred = _modal_label_vote(nn_lab, ["query_id"])
     truth = queries.select(

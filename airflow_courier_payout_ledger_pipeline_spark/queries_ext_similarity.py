@@ -2375,3 +2375,167 @@ def q_knn_accuracy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     return knn_accuracy_curve(emb, emb.filter(F.col("vec_id") < 20))
+
+
+# --- kNN labeling served from the persisted index ------------------------------------
+
+# The ADC-shortlist -> exact-re-rank chain of PQ_REFINE_ORACLE (rdd/rcodes/
+# pairs/shortlist/ex/fr, the committed-index replay), continued into the
+# label-vote tail of KNN_LABEL_VOTE_ORACLE — one statement, zero new
+# semantics: the point of the query is that the labeling rail's neighbor leg
+# is swappable under the SAME vote contract (kv* CTE names avoid colliding
+# with the selection/residual blobs).
+_KV_REFINE_NN_CTES = f"""
+rdd AS (SELECT e.vec_id, g.j, cb.c,
+               list_sum(list_transform(
+                   list_zip(list_slice(e.v, g.j*{PQ_SUB}+1, g.j*{PQ_SUB}+{PQ_SUB}), cb.sv),
+                   x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+        FROM resv e CROSS JOIN pqgrid g JOIN {_RES_PQ_CB} cb ON cb.j = g.j),
+rcodes AS (SELECT vec_id, j, c FROM (
+             SELECT vec_id, j, c,
+                    row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+             FROM rdd) WHERE rn = 1),
+pairs AS (SELECT a.vec_id AS query_id, co.vec_id AS neighbor_id,
+                 list_sum(list(a.d2 ORDER BY a.j)) AS adc
+          FROM rcodes co
+          JOIN rdd a ON a.j = co.j AND a.c = co.c
+          JOIN resv nc ON nc.vec_id = co.vec_id
+          JOIN resv qp ON qp.vec_id = a.vec_id AND qp.centroid = nc.centroid
+          WHERE a.vec_id < 20 AND a.vec_id != co.vec_id
+          GROUP BY 1, 2),
+shortlist AS (SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY round(adc, 4), neighbor_id) AS srank
+    FROM pairs) WHERE srank <= {REFINE_SHORTLIST}),
+ex AS (
+    SELECT s.query_id, s.neighbor_id,
+           round(list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]), 4) AS sim
+    FROM shortlist s
+    JOIN embeddings qe ON qe.vec_id = s.query_id
+    JOIN embeddings ne ON ne.vec_id = s.neighbor_id
+),
+fr AS (SELECT *, CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+       FROM ex),
+kvnn AS (SELECT query_id, neighbor_id FROM fr WHERE rank <= 10),
+kvl AS (SELECT n.query_id, e.label AS n_label
+        FROM kvnn n JOIN embeddings e ON e.vec_id = n.neighbor_id),
+kvv AS (SELECT query_id, n_label, count(*)::BIGINT AS votes FROM kvl GROUP BY 1, 2),
+kvp AS (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY votes DESC, n_label) AS vr FROM kvv),
+kvq AS (SELECT vec_id, label FROM embeddings WHERE vec_id < 20)"""
+
+KNN_VOTE_INDEXED_ORACLE = f"""
+WITH {_SELECTED_CTES},
+pqgrid AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j),
+sgrid AS (SELECT unnest(generate_series(0, {PQ_SUB - 1})) AS d),
+{_RESIDUAL_CTES},
+{_RES_PQ_CTES},
+{_KV_REFINE_NN_CTES}
+SELECT kvp.query_id, kvp.n_label AS predicted_label, kvp.votes,
+       kvq.label AS true_label,
+       (CASE WHEN kvp.n_label = kvq.label THEN 1 ELSE 0 END)::INT AS correct
+FROM kvp JOIN kvq ON kvp.query_id = kvq.vec_id
+WHERE kvp.vr = 1
+"""
+
+
+@register("knn_label_vote_indexed", KNN_VOTE_INDEXED_ORACLE)
+def q_knn_label_vote_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote labeling in its production steady-state: the SAME
+    vote contract as `knn_label_vote`, but the neighbor leg served from the
+    PERSISTED residual IVF-PQ index — ADC shortlist over the committed
+    8-byte codes, exact cosine re-rank of the |Q|·20 winners
+    (`annindex.refine_search_residual_ivfpq_index`), then the identical
+    label-attach/vote/truth tail (`search._vote_over_nn`). This is the
+    leg-swap the `knn_label_vote` docstring promises ("swap in any ANN leg
+    for 100 TB"): the labeling rail stops being O(corpus×queries) — a batch
+    costs one pruned scan of committed codes plus exact math on a
+    broadcast-sized shortlist, the quantizer/encode paid once at index build
+    (shared via `_persisted_index_lake`). Oracle: one statement replaying
+    ADC shortlist -> exact re-rank -> modal vote."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import (
+        knn_label_vote_indexed,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    lake = _persisted_index_lake(emb, sf_dir)
+    return knn_label_vote_indexed(
+        lake,
+        "idx",
+        emb,
+        emb.filter(F.col("vec_id") < 20),
+        k=10,
+        shortlist=REFINE_SHORTLIST,
+    )
+
+
+# Exact-vote leg (KNN_LABEL_VOTE_ORACLE's chain, kx*-prefixed) joined to the
+# indexed-vote leg above with null-safe label agreement.
+KNN_VOTE_AGREEMENT_ORACLE = f"""
+WITH {_SELECTED_CTES},
+pqgrid AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j),
+sgrid AS (SELECT unnest(generate_series(0, {PQ_SUB - 1})) AS d),
+{_RESIDUAL_CTES},
+{_RES_PQ_CTES},
+{_KV_REFINE_NN_CTES},
+kxs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS n_label,
+           round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+    FROM embeddings c
+    JOIN embeddings q ON q.vec_id < 20 AND c.vec_id != q.vec_id
+),
+kxr AS (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM kxs),
+kxnn AS (SELECT query_id, n_label FROM kxr WHERE rank <= 10),
+kxv AS (SELECT query_id, n_label, count(*)::BIGINT AS votes FROM kxnn GROUP BY 1, 2),
+kxp AS (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY votes DESC, n_label) AS vr FROM kxv),
+agree AS (
+    SELECT kxp.query_id,
+           kxp.n_label AS exact_label,
+           kvp.n_label AS idx_label,
+           (CASE WHEN kxp.n_label = kvq.label THEN 1 ELSE 0 END) AS exact_ok,
+           (CASE WHEN kvp.n_label = kvq.label THEN 1 ELSE 0 END) AS idx_ok
+    FROM kxp
+    JOIN kvp ON kvp.query_id = kxp.query_id AND kvp.vr = 1
+    JOIN kvq ON kvq.vec_id = kxp.query_id
+    WHERE kxp.vr = 1
+)
+SELECT count(*)::BIGINT AS n_queries,
+       sum(CASE WHEN exact_label IS NOT DISTINCT FROM idx_label
+                THEN 1 ELSE 0 END)::BIGINT AS n_agree,
+       round(sum(CASE WHEN exact_label IS NOT DISTINCT FROM idx_label
+                      THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 4) AS agreement,
+       sum(exact_ok)::BIGINT AS exact_correct,
+       sum(idx_ok)::BIGINT AS indexed_correct
+FROM agree
+"""
+
+
+@register("knn_vote_agreement_indexed", KNN_VOTE_AGREEMENT_ORACLE)
+def q_knn_vote_agreement_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The refine-vs-exact agreement eval for the labeling rail
+    (operators/search.knn_vote_agreement_indexed) — the recall eval's
+    analogue one level up: how often the index-served vote returns the SAME
+    label the exact brute-force vote would, and how the two accuracies
+    compare, in one summary row. Quantization can only change a prediction
+    by dropping a true neighbor from the ADC shortlist; this query MEASURES
+    that effect instead of assuming it away — the ship/no-ship gate for
+    moving the auto-labeling rail from brute force to the index. Both vote
+    legs replay the shared `_vote_over_nn` semantics; agreement is null-safe
+    (two NULL modal labels agree)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import (
+        knn_vote_agreement_indexed,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    lake = _persisted_index_lake(emb, sf_dir)
+    return knn_vote_agreement_indexed(
+        lake,
+        "idx",
+        emb,
+        emb.filter(F.col("vec_id") < 20),
+        k=10,
+        shortlist=REFINE_SHORTLIST,
+    )

@@ -122,6 +122,11 @@ HEADLINE = [
     "embedding_dominant_direction",
     # the kNN accuracy@k sweep (one corpus pass, broadcast k grid)
     "knn_accuracy_curve",
+    # round-14: the labeling rail served from the persisted index (ADC
+    # shortlist -> exact re-rank -> vote) and its refine-vs-exact agreement
+    # eval — the production form next to knn_label_vote's exact baseline
+    "knn_label_vote_indexed",
+    "knn_vote_agreement_indexed",
 ]
 
 

@@ -110,42 +110,22 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
     "airflow_courier_payout_ledger_pipeline_spark/operators/dedup.py": {
         "dedup_lsh_dropped_buckets",
     },
-    # round-12: the recall-gated selection CTE blob (csel) replaces the
-    # straight-Lloyd trained-centroid CTEs in every trained-family oracle and
-    # _ivf_trained_centroids gates on measured hits; the r10-era evidence
-    # names (semdedup pair CTEs, ivf_recall_eval) rotated out with their
-    # rounds — evidence sets track the CURRENT round's changes
+    # round-14: index-served kNN labeling + agreement eval registered (the
+    # only code change to this module this round); the in-window r13
+    # registrations re-prove the rest of the file's surface. The r12/r13-era
+    # evidence names (trained-quantizer consumers, persisted-index quartet)
+    # rotated out with their rounds — evidence sets track the CURRENT
+    # round's changes
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_similarity.py": {
-        "similarity_topk",
-        "similarity_ivf_topk_trained",
-        "ivf_recall_trained_vs_seeded",
-        "similarity_pq_adc_trained",
-        "similarity_ivf_pq_trained",
-        "similarity_ivf_pq_residual",
-        "pq_recall_eval",
-        "ivf_index_maintenance",
-        # round-11: multi-probe LSH registrations
-        "similarity_ann_multiprobe",
-        "ann_recall_multiprobe",
-        # round-12: multi-probe recall eval on the residual IVF-PQ layout
-        "ivfpq_residual_recall_multiprobe",
-        # round-12: streaming deployment rail of the IVF maintenance fold
-        "streaming_ivf_maintenance",
-        # round-12: persisted manifest-committed index search
-        "ann_index_persisted_search",
-        # round-12: two-stage ADC-shortlist -> exact re-rank search
-        "similarity_pq_refine_topk",
-        # round-12: O(increment) persisted-index extension
-        "ann_index_incremental_extend",
-        # round-13: kNN majority-vote labeling registration (r14 head)
+        "knn_label_vote_indexed",
+        "knn_vote_agreement_indexed",
+        # in-window companions re-proving the module's unchanged surface
         "knn_label_vote",
-        # round-13: persisted-index hybrid rail registration (r14 head)
+        "knn_accuracy_curve",
         "hybrid_search_rrf_indexed",
-        # round-13: embedding-matrix diagnostics registrations (r14 tail)
         "embedding_dim_correlation",
         "embedding_dominant_direction",
-        # round-13: kNN accuracy@k sweep registration (r14 tail)
-        "knn_accuracy_curve",
+        "ivfpq_residual_recall_multiprobe",
     },
     # round-13: NEW module — second-moment matrix, dimension-correlation
     # audit, deterministic power-iteration dominant direction
@@ -307,11 +287,18 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
     # round-13: hybrid_rrf_topk + knn_label_vote appended (bm25_topk /
     # substring_search untouched but file-grain rule re-proves bm25_search
     # alongside the two new consumers from the r14 plan head)
+    # round-14: knn_label_vote_indexed + knn_vote_agreement_indexed appended
+    # (shared _vote_over_nn tail extracted from knn_label_vote — the exact
+    # rail re-proves in the active window, the indexed rail from the r15
+    # head); rrf_fuse leg-bound guard + min-rank merge (the r13 ADVICE) —
+    # the in-window hybrid pair re-proves the fusion
     "airflow_courier_payout_ledger_pipeline_spark/operators/search.py": {
         "hybrid_search_rrf",
         "hybrid_search_rrf_indexed",
         "knn_label_vote",
         "knn_accuracy_curve",
+        "knn_label_vote_indexed",
+        "knn_vote_agreement_indexed",
         "bm25_search",
         "substring_search",
     },

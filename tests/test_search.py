@@ -327,3 +327,87 @@ def test_knn_accuracy_curve_on_clean_clusters(spark):
     # with the mislabeled outlier as a query, accuracy@2 drops below 1
     full = {r.k: r.n_correct for r in knn_accuracy_curve(emb, emb, ks=[2]).collect()}
     assert full[2] < 7
+
+
+def test_rrf_fuse_leg_bound_guard(spark):
+    """An over-bound leg must raise (a mis-wired corpus-sized ranking must
+    not silently fuse); a leg at exactly the bound passes."""
+    import pytest
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_id long, lex_rank int"
+    )
+    sem = spark.createDataFrame(
+        [(i, i + 1) for i in range(3)], "doc_id long, sem_rank int"
+    )
+    assert rrf_fuse(lex, sem, k=3, leg_bound=5).count() == 3
+    with pytest.raises(ValueError, match="lex leg exceeds"):
+        rrf_fuse(lex, sem, k=3, leg_bound=4)
+    with pytest.raises(ValueError, match="sem leg exceeds"):
+        rrf_fuse(lex.limit(2), sem, k=3, leg_bound=2)
+
+
+def test_rrf_fuse_duplicate_id_keeps_best_rank(spark):
+    """Contract-conforming legs have unique ids, but if a caller ever passes a
+    duplicate the fusion must keep the BEST (smallest) rank — the RRF
+    convention — not the worst (the r13 ADVICE's F.max hazard)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import rrf_fuse
+
+    lex = spark.createDataFrame([(7, 1), (7, 9)], "doc_id long, lex_rank int")
+    sem = spark.createDataFrame([(7, 2)], "doc_id long, sem_rank int")
+    row = rrf_fuse(lex, sem, k=1).collect()[0]
+    assert row.lex_rank == 1 and row.sem_rank == 2
+
+
+def _small_index(spark, emb, tmp_path, m=2, kc=2):
+    from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
+        build_residual_ivfpq_index,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        kmeans_centroids_exact,
+        pq_codebooks_exact,
+        residual_frame,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    cents = kmeans_centroids_exact(emb, k=2, iters=1)
+    res = residual_frame(emb, cents).select("vec_id", "__res")
+    books = pq_codebooks_exact(res, m=m, kc=kc, iters=1, vec_col="__res")
+    lake = Lakehouse(str(tmp_path))
+    build_residual_ivfpq_index(lake, "idx", emb, cents, books)
+    return lake
+
+
+def test_knn_vote_indexed_matches_exact_when_shortlist_covers_corpus(spark, tmp_path):
+    """With shortlist >= corpus the exact re-rank sees every neighbor, so the
+    index-served vote must be ROW-IDENTICAL to the brute-force vote — the
+    leg-swap law (quantization decides which candidates are seen, never
+    their final order)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import (
+        knn_label_vote,
+        knn_label_vote_indexed,
+    )
+
+    emb = _emb(spark)
+    lake = _small_index(spark, emb, tmp_path)
+    exact = sorted(map(tuple, knn_label_vote(emb, emb, k=3).collect()))
+    idx = sorted(
+        map(tuple, knn_label_vote_indexed(lake, "idx", emb, emb, k=3, shortlist=7).collect())
+    )
+    assert exact == idx
+
+
+def test_knn_vote_agreement_full_when_shortlist_covers_corpus(spark, tmp_path):
+    """The agreement eval's summary row: with a corpus-covering shortlist the
+    two rails agree on every query and their accuracies coincide."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import (
+        knn_vote_agreement_indexed,
+    )
+
+    emb = _emb(spark)
+    lake = _small_index(spark, emb, tmp_path)
+    row = knn_vote_agreement_indexed(lake, "idx", emb, emb, k=3, shortlist=7).collect()[0]
+    assert row.n_queries == 7 and row.n_agree == 7 and row.agreement == 1.0
+    assert row.exact_correct == row.indexed_correct == 6  # the outlier misses

@@ -149,6 +149,14 @@ SHUFFLE_BUDGET = {
     # + the per-(k,query) argmax window + the accuracy rollup; the k grid
     # and NN frames broadcast, the corpus never shuffles
     "knn_accuracy_curve": 4,
+    # round-14: index-served vote — stage-1 ADC shortlist window over the
+    # committed codes + stage-2 exact re-rank window (the refine pair) +
+    # the (query,label) vote agg + the per-query argmax window; labels and
+    # truth broadcast, neither codes nor corpus ever shuffles
+    "knn_label_vote_indexed": 4,
+    # round-14: both vote legs (brute-force 3 + indexed 4) + the single-row
+    # agreement rollup; the q-row compare join broadcasts
+    "knn_vote_agreement_indexed": 8,
 }
 
 
