@@ -36,6 +36,52 @@ from decimal import ROUND_HALF_UP, Decimal
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: past this d the explode-path gram loses: posexplode carries the FULL
+#: vector per dimension row (a d²-per-input-row payload inflation) and the
+#: agg is d+1 columns wide — the Arrow partial-gram reads the corpus at row
+#: grain instead. ``gram_mode="auto"`` consumers route past this threshold
+#: (the exact analogue of ``similarity._resolve_assign_mode`` routing past
+#: UNROLLED_LITERAL_BUDGET). d=64 (the registered diagnostics) stays explode.
+GRAM_AUTO_DIM_THRESHOLD = 128
+
+#: hard ceiling for the explode path itself (mirrors
+#: similarity.UNROLLED_LITERAL_BUDGET's raise-don't-stall rule): past this,
+#: ``second_moment`` RAISES at plan-construction time — a d-hundreds explode
+#: would quietly build a plan-sized expression tree and a d²-inflated
+#: exchange where ``second_moment_partial_gram`` runs the same contract in
+#: one row-grain pass.
+GRAM_EXPLODE_DIM_BUDGET = 256
+
+#: past this d the unrolled projection fold (d expression nodes in the plan)
+#: moves to a single array-literal ``aggregate(zip_with(...))`` fold — the
+#: IDENTICAL left-assoc IEEE add order (acc starts at 0.0, terms in index
+#: order), O(1) plan nodes, one-parse literal (functions/literals.array_lit).
+PROJECTION_UNROLL_BUDGET = 128
+
+
+def _resolve_gram_mode(gram_mode: str, dim: int) -> str:
+    """'auto' → 'explode' at-or-under GRAM_AUTO_DIM_THRESHOLD, 'partial_gram'
+    past it — the ``_resolve_assign_mode`` pattern: a silent 10× dimension
+    scale-up must land on a working path, never a d²-inflated exchange."""
+    if gram_mode not in ("auto", "explode", "partial_gram"):
+        raise ValueError(
+            f"gram_mode must be auto|explode|partial_gram, got {gram_mode!r}"
+        )
+    if gram_mode != "auto":
+        return gram_mode
+    return "explode" if dim <= GRAM_AUTO_DIM_THRESHOLD else "partial_gram"
+
+
+def _gram(
+    emb: DataFrame, dim: int, vec_col: str, round_dp: int, gram_mode: str
+) -> DataFrame:
+    """The (j, k, s) matrix through the resolved path — both paths share the
+    output contract and the 4dp rounding grid (equality pinned in
+    tests/test_linalg.py), so consumers are mode-agnostic."""
+    if _resolve_gram_mode(gram_mode, dim) == "explode":
+        return second_moment(emb, dim, vec_col=vec_col, round_dp=round_dp)
+    return second_moment_partial_gram(emb, dim, vec_col=vec_col, round_dp=round_dp)
+
 
 def second_moment(
     emb: DataFrame, dim: int, vec_col: str = "embedding", round_dp: int = 4
@@ -52,7 +98,23 @@ def second_moment(
     float32 per-term truncation would drift past the 4dp grid as the corpus
     grows even though it slips under it at test sizes. NULL vectors are
     dropped (posexplode of NULL yields nothing) — the stated row contract;
-    vectors must be fixed-width with non-NULL elements."""
+    vectors must be fixed-width with non-NULL elements.
+
+    Validity bound: RAISES past GRAM_EXPLODE_DIM_BUDGET (the
+    ``_check_literal_budget`` rule) — a d-hundreds explode quietly builds a
+    d+1-column-wide agg over a d²-inflated exchange;
+    ``second_moment_partial_gram`` is the same contract in one row-grain
+    pass, and the ``gram_mode="auto"`` consumers route there well before
+    this ceiling."""
+    if dim > GRAM_EXPLODE_DIM_BUDGET:
+        raise ValueError(
+            f"second_moment: dim = {dim} exceeds the explode-path budget "
+            f"({GRAM_EXPLODE_DIM_BUDGET}) — the posexplode carries the full "
+            "vector per dimension row (d² payload inflation) and the agg is "
+            "d+1 columns wide at this size. Use second_moment_partial_gram "
+            "(same (j, k, s) contract, one row-grain Arrow pass), or call "
+            "the consumers with gram_mode='auto'/'partial_gram'."
+        )
     vec = F.col(vec_col).cast("array<double>")
     x = emb.where(F.col(vec_col).isNotNull()).select(
         F.posexplode(vec).alias("j", "xj"),
@@ -73,7 +135,11 @@ def second_moment(
 
 
 def dim_cosine_pairs(
-    emb: DataFrame, dim: int, k_top: int = 25, vec_col: str = "embedding"
+    emb: DataFrame,
+    dim: int,
+    k_top: int = 25,
+    vec_col: str = "embedding",
+    gram_mode: str = "auto",
 ) -> DataFrame:
     """Top-``k_top`` most-correlated dimension pairs (j < k) by |cosine between
     the dimension columns| = |S_jk| / sqrt(S_jj·S_kk) — the
@@ -90,8 +156,13 @@ def dim_cosine_pairs(
     off-diagonal side and both broadcast diagonal sides would otherwise each
     re-execute the corpus aggregation (Spark's exchange reuse does not fire
     across the differently-aliased subtrees) — one corpus pass, three
-    consumers of 4096 rows."""
-    s = second_moment(emb, dim, vec_col=vec_col).localCheckpoint()
+    consumers of 4096 rows.
+
+    ``gram_mode``: 'auto' (default) runs the explode-path matrix at-or-under
+    GRAM_AUTO_DIM_THRESHOLD and the Arrow partial-gram past it — both paths
+    land on the same 4dp grid, so the report is mode-invariant (pinned in
+    tests/test_linalg.py)."""
+    s = _gram(emb, dim, vec_col, 4, gram_mode).localCheckpoint()
     diag = s.filter(F.col("j") == F.col("k")).select(
         F.col("j").alias("__d"), F.col("s").alias("__sd")
     )
@@ -176,6 +247,7 @@ def dominant_direction_outliers(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    gram_mode: str = "auto",
 ) -> DataFrame:
     """Top-``k_top`` documents by |projection on the dominant direction| —
     the "All-but-the-Top" common-component diagnostic: embeddings loading
@@ -184,18 +256,40 @@ def dominant_direction_outliers(
     template domination). Returns (id, proj, rank), proj = ⟨x, v⟩ rounded to
     4 decimals, rank by |proj| desc with id tiebreak.
 
-    Scale: one pass builds S (see ``second_moment``), the iteration runs on
-    the 4096-double driver artifact, and the scoring is a map-side fixed-order
-    fold over the corpus — a k-bounded global top-k via TakeOrderedAndProject,
-    the brute_force_topk shape."""
+    Scale: one pass builds S (``gram_mode='auto'`` picks the explode matrix
+    or the Arrow partial-gram by d, exactly like ``dim_cosine_pairs``), the
+    iteration runs on the d²-double driver artifact, and the scoring is a
+    map-side fixed-order fold over the corpus — a k-bounded global top-k via
+    TakeOrderedAndProject, the brute_force_topk shape. The fold itself is
+    d-budgeted: at-or-under PROJECTION_UNROLL_BUDGET it unrolls (d plan
+    nodes); past it the SAME left-assoc add order runs as ONE
+    ``aggregate(zip_with(x, v_literal))`` node over a one-parse array
+    literal — bit-identical projections (acc starts at 0.0, terms fold in
+    index order in both forms; pinned in tests/test_linalg.py)."""
     s_rows = [
-        (r["j"], r["k"], r["s"]) for r in second_moment(emb, dim, vec_col=vec_col).collect()
+        (r["j"], r["k"], r["s"])
+        for r in _gram(emb, dim, vec_col, 4, gram_mode).collect()
     ]
     v = dominant_direction(s_rows, dim, iters=iters)
     # fixed-order fold: x[0]*v0 + x[1]*v1 + ... (left-assoc, matches the SQL twin)
-    proj = F.lit(0.0)
-    for j in range(dim):
-        proj = proj + F.element_at(F.col(vec_col), j + 1) * F.lit(v[j])
+    if dim <= PROJECTION_UNROLL_BUDGET:
+        proj = F.lit(0.0)
+        for j in range(dim):
+            proj = proj + F.element_at(F.col(vec_col), j + 1) * F.lit(v[j])
+    else:
+        from airflow_courier_payout_ledger_pipeline_spark.functions.literals import (
+            array_lit,
+        )
+
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                array_lit([float(x) for x in v]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
     scored = emb.select(F.col(id_col), F.round(proj, 4).alias("proj"))
     top = scored.orderBy(F.abs(F.col("proj")).desc(), F.asc(id_col)).limit(k_top)
     from pyspark.sql.window import Window

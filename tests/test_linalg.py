@@ -146,3 +146,66 @@ def test_partial_gram_equals_agg_second_moment(spark):
     # empty corpus: typed empty matrix, no crash in the Arrow path
     empty = _emb(spark, []).filter("vec_id is not null")
     assert second_moment_partial_gram(empty, DIM).count() == 0
+
+
+def test_consumers_are_gram_mode_invariant(spark):
+    """The registered diagnostics must return IDENTICAL rows through either
+    matrix path — the auto-route past GRAM_AUTO_DIM_THRESHOLD must be
+    invisible in the results (both paths land on the same 4dp grid)."""
+    rows = _random_rows(60, seed=33, dup=(1, 5), spike=(2, {4, 9}))
+    emb = _emb(spark, rows)
+    for fn, kw in (
+        (dim_cosine_pairs, dict(k_top=10)),
+        (dominant_direction_outliers, dict(k_top=8)),
+    ):
+        ex = sorted(map(tuple, fn(emb, DIM, gram_mode="explode", **kw).collect()))
+        pg = sorted(map(tuple, fn(emb, DIM, gram_mode="partial_gram", **kw).collect()))
+        assert ex == pg, fn.__name__
+
+
+def test_gram_mode_auto_routes_by_dim_and_validates(monkeypatch):
+    import pytest
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators import linalg
+
+    assert linalg._resolve_gram_mode("auto", linalg.GRAM_AUTO_DIM_THRESHOLD) == "explode"
+    assert (
+        linalg._resolve_gram_mode("auto", linalg.GRAM_AUTO_DIM_THRESHOLD + 1)
+        == "partial_gram"
+    )
+    assert linalg._resolve_gram_mode("explode", 10_000) == "explode"
+    with pytest.raises(ValueError, match="gram_mode"):
+        linalg._resolve_gram_mode("agg", 8)
+
+
+def test_second_moment_raises_past_explode_budget(spark, monkeypatch):
+    """The explode path must fail LOUDLY at plan-construction time past its
+    d budget (the similarity.py raise-don't-stall rule), while the auto
+    consumer routes to the partial gram and still answers."""
+    import pytest
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators import linalg
+
+    rows = _random_rows(30, seed=5)
+    emb = _emb(spark, rows)
+    monkeypatch.setattr(linalg, "GRAM_EXPLODE_DIM_BUDGET", DIM - 1)
+    with pytest.raises(ValueError, match="explode-path budget"):
+        linalg.second_moment(emb, DIM)
+    # the auto consumer routes around the ceiling (threshold below the dim)
+    monkeypatch.setattr(linalg, "GRAM_AUTO_DIM_THRESHOLD", DIM - 1)
+    got = linalg.dim_cosine_pairs(emb, DIM, k_top=3).collect()
+    assert len(got) == 3
+
+
+def test_projection_array_fold_is_bit_identical_to_unrolled(spark, monkeypatch):
+    """Past PROJECTION_UNROLL_BUDGET the projection becomes one
+    aggregate(zip_with(...)) node — same left-assoc add order, so the scores
+    must be BIT-identical, not merely close."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators import linalg
+
+    rows = _random_rows(50, seed=11, spike=(3, {1, 7}))
+    emb = _emb(spark, rows)
+    unrolled = sorted(map(tuple, linalg.dominant_direction_outliers(emb, DIM, k_top=10).collect()))
+    monkeypatch.setattr(linalg, "PROJECTION_UNROLL_BUDGET", DIM - 1)
+    folded = sorted(map(tuple, linalg.dominant_direction_outliers(emb, DIM, k_top=10).collect()))
+    assert unrolled == folded
