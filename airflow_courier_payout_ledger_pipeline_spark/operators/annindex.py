@@ -108,6 +108,14 @@ def _manifest_cache_key(lake: Lakehouse, layer: str) -> tuple | None:
     return (str(lake.root), layer, mid, mt)
 
 
+def _committed_codes_versions(lake: Lakehouse, layer: str) -> list[int]:
+    """The committed codes table's version-dir list ([] = never committed).
+    One dir for a built/compacted index; one MORE dir per extend since the
+    last compaction (the multi-file manifest value that makes the extend
+    write O(increment))."""
+    return Lakehouse.as_versions(lake.current_manifest().get(f"{layer}/{CODES}"))
+
+
 def _read_codes(
     lake: Lakehouse, layer: str, spark: SparkSession, id_field
 ) -> DataFrame:
@@ -116,27 +124,31 @@ def _read_codes(
     parquet columns BY NAME, so a mismatched id_col would silently read
     every committed id as NULL (breaking the SCD0 anti-join and the
     self-match filter) instead of failing — raise loudly instead. The
-    validation (one footer read) caches per committed version + id name."""
-    v = lake.current_manifest().get(f"{layer}/{CODES}")
+    validation (one footer read per committed version dir — every member of
+    a multi-file version, since each extend wrote its dir independently)
+    caches per committed version set + id name."""
+    vs = _committed_codes_versions(lake, layer)
     schema = _codes_schema(id_field)
-    if v is None:
+    if not vs:
         return spark.createDataFrame([], schema)
     base = _manifest_cache_key(lake, layer)
-    vkey = None if base is None else (*base, v, id_field.name)
+    vkey = None if base is None else (*base, tuple(vs), id_field.name)
     if vkey is None or vkey not in _VALIDATED_CODES:
-        actual = [
-            f.name
-            for f in spark.read.parquet(
-                str(lake.root / layer / CODES / f"v={v}")
-            ).schema.fields
-        ]
         expected = [f.name for f in schema.fields]
-        if actual != expected:
-            raise ValueError(
-                f"committed index under {layer!r} has columns {actual}, caller "
-                f"expects {expected} — pass the id_col the index was BUILT with "
-                "(a by-name schema read would silently surface NULL ids)"
-            )
+        for v in vs:
+            actual = [
+                f.name
+                for f in spark.read.parquet(
+                    str(lake.root / layer / CODES / f"v={v}")
+                ).schema.fields
+            ]
+            if actual != expected:
+                raise ValueError(
+                    f"committed index under {layer!r} (v={v}) has columns "
+                    f"{actual}, caller expects {expected} — pass the id_col "
+                    "the index was BUILT with (a by-name schema read would "
+                    "silently surface NULL ids)"
+                )
         if vkey is not None:
             _cache_put(_VALIDATED_CODES, vkey, True)
     return lake.read_committed(spark, layer, CODES, schema)
@@ -180,9 +192,9 @@ def build_residual_ivfpq_index(
                     "missing or mistrained, refusing to commit an empty "
                     "index (pass force_empty=True to override)"
                 )
-            v = lake.current_manifest().get(f"{layer}/{CODES}")
-            if v is not None and not spark.read.parquet(
-                str(lake.root / layer / CODES / f"v={v}")
+            vs = _committed_codes_versions(lake, layer)
+            if vs and not spark.read.parquet(
+                *[str(lake.root / layer / CODES / f"v={v}") for v in vs]
             ).isEmpty():
                 raise ValueError(
                     f"build_residual_ivfpq_index: a NON-empty index is "
@@ -236,22 +248,25 @@ def extend_residual_ivfpq_index(
     vec_col: str = "embedding",
     assign_mode: str = "auto",
 ) -> int:
-    """The nightly O(increment)-COMPUTE index update: encode ONLY the
-    increment against the FROZEN committed artifacts (never retrain, never
-    re-encode history), fold its per-list health state into the committed
-    state (``merge_ivf_list_states`` — the ledger/CMS algebra), and publish
-    codes′ + state′ atomically; centroids/codebooks carry forward through
-    the manifest merge untouched. Rows whose id already exists in the index
-    are ignored (SCD0 insert-ignore — replaying a crashed extend is a
-    no-op), so ``extend(build(A), B)`` is row-identical to ``build(A ∪ B)``
-    (pinned in tests/test_annindex.py).
-
-    Write-cost honesty: the snapshot-versioned codes table makes the WRITE
-    O(corpus) (committed ∪ increment staged as a full new version) even
-    though all COMPUTE — assignment, residual, PQ encode, state fold — is
-    O(increment). On an append-capable format (Delta/Iceberg) the same
-    logic appends code FILES, making the write O(increment) too; the
-    manifest flip and every law here are unchanged."""
+    """The nightly O(increment) index update — compute AND write: encode
+    ONLY the increment against the FROZEN committed artifacts (never
+    retrain, never re-encode history), fold its per-list health state into
+    the committed state (``merge_ivf_list_states`` — the ledger/CMS
+    algebra), and publish atomically. The codes WRITE is O(increment) too
+    (the r13 verdict item 4): the increment's codes stage as their OWN
+    ``v=N`` dir and the manifest commits a MULTI-FILE version — the old
+    dirs' list plus the new one — so history's bytes are never rewritten;
+    readers union the listed dirs (``Lakehouse.read_committed``), exactly
+    how a Delta/Iceberg snapshot lists its files. The tiny per-list state
+    (k rows) still stages as a full new version. Centroids/codebooks carry
+    forward through the manifest merge untouched. Rows whose id already
+    exists in the index are ignored (SCD0 insert-ignore — replaying a
+    crashed extend is a no-op: the orphan staged dir is invisible and
+    vacuumable), so ``extend(build(A), B)`` is row-identical to
+    ``build(A ∪ B)`` (pinned in tests/test_annindex.py, along with the
+    written-bytes O(increment) assertion and the crash windows). A nightly
+    cadence grows one dir per extend; fold them back to one with
+    ``compact_residual_ivfpq_codes`` on a maintenance schedule."""
     spark = increment.sparkSession
     centroids, codebooks = load_index_artifacts(lake, layer, spark)
     if not centroids or not codebooks:
@@ -288,14 +303,49 @@ def extend_residual_ivfpq_index(
         F.col("centroid"),
         _pq_codes("__res", codebooks).alias("pq_codes"),
     )
-    codes = old_codes.unionByName(new_codes)
     old_state = lake.read_committed(
         spark, layer, LIST_STATE, StructType.fromDDL(_STATE_SCHEMA)
     )
     state = merge_ivf_list_states(
         old_state, ivf_list_state(new_rows, centroids, id_col, vec_col, assign_mode=mode)
     )
-    return lake.commit_multi([(codes, layer, CODES), (state, layer, LIST_STATE)])
+    # O(increment) write: stage ONLY the new codes dir; the manifest's codes
+    # entry becomes the old version list + the new dir (multi-file version).
+    # The k-row state restages whole (bounded). One manifest flip publishes
+    # both — a crash before it leaves two invisible staged dirs; the replay
+    # re-stages idempotently (the anti-join re-derives the same new rows).
+    codes_v = lake.stage_version(new_codes, layer, CODES)
+    state_v = lake.stage_version(state, layer, LIST_STATE)
+    return lake.commit_manifest(
+        {
+            (layer, CODES): _committed_codes_versions(lake, layer) + [codes_v],
+            (layer, LIST_STATE): state_v,
+        }
+    )
+
+
+def compact_residual_ivfpq_codes(lake: Lakehouse, layer: str) -> int:
+    """Maintenance compaction for the extend rail: fold the committed codes
+    table's multi-file version (one dir per extend since the last build or
+    compaction) back into ONE snapshot dir and flip the manifest. O(corpus)
+    by design — run it on the compaction schedule (weekly, or past a
+    dir-count threshold), not nightly; reads before/during/after see a
+    committed list, never a mix. Row-identical by construction (one
+    union-read, one rewrite — no dedup, no re-encode); returns the manifest
+    id. No-op (returns the current id) when the codes are already a single
+    dir."""
+    vs = _committed_codes_versions(lake, layer)
+    if len(vs) <= 1:
+        mid = lake.current_manifest_id()
+        if mid is None:
+            raise ValueError(
+                f"compact_residual_ivfpq_codes: no committed index under {layer!r}"
+            )
+        return mid
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    paths = [str(lake.root / layer / CODES / f"v={v}") for v in vs]
+    codes = spark.read.parquet(*paths)
+    return lake.commit_multi([(codes, layer, CODES)])
 
 
 def load_index_artifacts(

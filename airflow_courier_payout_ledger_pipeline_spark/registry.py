@@ -436,6 +436,12 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "ann_index_persisted_search",
     "ann_index_incremental_extend",
     "similarity_pq_refine_topk",
+    # r14: lakehouse.py changed with it (manifest values may be version
+    # LISTS; read_committed unions the dirs) — the SCD/promotion veterans
+    # re-prove the unchanged single-version rails alongside the canary mart
+    "scd1_upsert",
+    "scd0_insert_ignore",
+    "incremental_promotion",
 ]
 
 

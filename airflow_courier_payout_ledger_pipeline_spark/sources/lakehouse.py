@@ -184,15 +184,29 @@ class Lakehouse:
         p = self._manifest_pointer()
         return int(p.read_text().strip()) if p.exists() else None
 
-    def current_manifest(self) -> dict[str, int]:
-        """{'layer/table': version} of the last committed transaction (empty
-        if none committed yet). Carries forward every table ever committed."""
+    def current_manifest(self) -> dict[str, int | list[int]]:
+        """{'layer/table': version-or-versions} of the last committed
+        transaction (empty if none committed yet). Carries forward every
+        table ever committed. A value is an int (one snapshot dir — the
+        common case) or a list of ints (a MULTI-FILE version: the table's
+        content is the union of those ``v=N`` dirs in list order — the
+        append-capable form ``extend_residual_ivfpq_index`` commits so a
+        nightly extend writes O(increment) bytes instead of restaging the
+        corpus)."""
         mid = self.current_manifest_id()
         if mid is None:
             return {}
         import json
 
         return json.loads((self.root / "_commits" / f"m={mid}.json").read_text())
+
+    @staticmethod
+    def as_versions(v: int | list[int] | None) -> list[int]:
+        """Normalize a manifest value to its version-dir list ([] when the
+        table was never committed). One int → [int]; lists pass through."""
+        if v is None:
+            return []
+        return [int(x) for x in v] if isinstance(v, list) else [int(v)]
 
     def stage_version(self, df: DataFrame, layer: str, table: str) -> int:
         """The staging half of a multi-table commit: write the next ``v=N``
@@ -202,11 +216,16 @@ class Lakehouse:
         df.write.mode("overwrite").parquet(str(self.root / layer / table / f"v={nxt}"))
         return nxt
 
-    def commit_manifest(self, staged: dict[tuple[str, str], int]) -> int:
+    def commit_manifest(self, staged: dict[tuple[str, str], int | list[int]]) -> int:
         """Atomically publish a set of staged snapshots as ONE transaction:
         the new manifest = previous manifest entries merged with ``staged``,
         written to ``_commits/m=N.json`` and made current by a single atomic
-        pointer rename. Returns the manifest id."""
+        pointer rename. Returns the manifest id. A staged value may be a
+        LIST of versions (multi-file version — the table is the union of
+        those dirs): the append protocol stages ONLY the increment's dir and
+        commits ``old versions + [new]``, which is what makes an index
+        extend's write O(increment) (see annindex.extend_residual_ivfpq_
+        index)."""
         import json
 
         merged = self.current_manifest()
@@ -278,9 +297,7 @@ class Lakehouse:
                 # as published would let an aborted commit pin (or worse,
                 # legitimize) staged snapshots
                 continue
-            v = json.loads(p.read_text()).get(key)
-            if v is not None:
-                refs.add(int(v))
+            refs.update(self.as_versions(json.loads(p.read_text()).get(key)))
         return refs
 
     def retention_sweep(
@@ -322,13 +339,27 @@ class Lakehouse:
     def read_committed(
         self, spark: SparkSession, layer: str, table: str, schema: StructType
     ) -> DataFrame:
-        """Read a table at the version the CURRENT manifest references —
+        """Read a table at the version(s) the CURRENT manifest references —
         transactionally consistent with every other manifest table. Tables
-        never committed through a manifest read empty."""
-        v = self.current_manifest().get(f"{layer}/{table}")
-        if v is None:
+        never committed through a manifest read empty. A multi-file version
+        (list value) reads as the UNION of its ``v=N`` dirs — one scan over
+        several directories, exactly how Delta/Iceberg readers union the
+        files a snapshot's log entry lists."""
+        vs = self.as_versions(self.current_manifest().get(f"{layer}/{table}"))
+        if not vs:
             return spark.createDataFrame([], schema)
-        return self.read_versioned(spark, layer, table, schema, version=v)
+        if len(vs) == 1:
+            return self.read_versioned(spark, layer, table, schema, version=vs[0])
+        paths = []
+        for v in vs:
+            p = self.root / layer / table / f"v={v}"
+            if not p.exists():
+                raise FileNotFoundError(
+                    f"{layer}.{table} version {v} (a committed multi-file "
+                    f"member) not retained; available: {self.versions(layer, table)}"
+                )
+            paths.append(str(p))
+        return spark.read.schema(schema).parquet(*paths)
 
     def read_versioned(
         self,

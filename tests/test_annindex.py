@@ -303,3 +303,99 @@ def test_refine_search_matches_on_the_fly_two_stage(spark, corpus, artifacts, tm
             lake, "idx", corpus, q, k=3, shortlist=shortlist, nprobe=nprobe
         ).collect()))
         assert fly == idx and fly
+
+
+def test_extend_write_is_o_increment(spark, corpus, artifacts, tmp_path):
+    """The extend must stage ONLY the increment's codes dir (rows = |new
+    ids|) and leave history's bytes untouched — the manifest's codes entry
+    becomes a multi-file version list instead of a restaged corpus."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
+        extend_residual_ivfpq_index,
+    )
+
+    cents, books = artifacts
+    even = corpus.filter(F.col("vec_id") % 2 == 0)
+    odd = corpus.filter(F.col("vec_id") % 2 == 1)
+    lake = Lakehouse(str(tmp_path))
+    build_residual_ivfpq_index(lake, "idx", even, cents, books)
+    v0 = lake.current_manifest()[f"idx/{CODES}"]
+    assert isinstance(v0, int)  # fresh build: one snapshot dir
+    d0 = lake.root / "idx" / CODES / f"v={v0}"
+    before_files = {p.name: (p.stat().st_size, p.stat().st_mtime_ns)
+                    for p in d0.rglob("*.parquet")}
+
+    extend_residual_ivfpq_index(lake, "idx", odd)
+    vs = lake.current_manifest()[f"idx/{CODES}"]
+    assert isinstance(vs, list) and vs[0] == v0 and len(vs) == 2
+    # history bytes untouched
+    after_files = {p.name: (p.stat().st_size, p.stat().st_mtime_ns)
+                   for p in d0.rglob("*.parquet")}
+    assert after_files == before_files
+    # the new dir holds exactly the increment's rows — O(increment) bytes
+    new_dir = lake.root / "idx" / CODES / f"v={vs[1]}"
+    assert spark.read.parquet(str(new_dir)).count() == odd.count()
+
+
+def test_compact_codes_folds_multifile_to_one(spark, corpus, artifacts, tmp_path):
+    """After several extends the codes table is a list of dirs; compaction
+    folds it back to ONE dir, row-identically, and searches are unchanged.
+    Compacting a single-dir index is a no-op returning the current id."""
+    from pyspark.sql.types import StructType
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
+        compact_residual_ivfpq_codes,
+        extend_residual_ivfpq_index,
+    )
+
+    cents, books = artifacts
+    lake = Lakehouse(str(tmp_path))
+    build_residual_ivfpq_index(
+        lake, "idx", corpus.filter(F.col("vec_id") < 14), cents, books
+    )
+    extend_residual_ivfpq_index(
+        lake, "idx", corpus.filter((F.col("vec_id") >= 14) & (F.col("vec_id") < 27))
+    )
+    extend_residual_ivfpq_index(lake, "idx", corpus.filter(F.col("vec_id") >= 27))
+    assert len(Lakehouse.as_versions(lake.current_manifest()[f"idx/{CODES}"])) == 3
+    codes_schema = "vec_id long, centroid int, pq_codes array<tinyint>"
+    before = sorted(map(tuple, lake.read_committed(
+        spark, "idx", CODES, StructType.fromDDL(codes_schema)).collect()))
+    q = corpus.filter(F.col("vec_id") < 4)
+    search_before = sorted(
+        map(tuple, search_residual_ivfpq_index(lake, "idx", q, k=3).collect())
+    )
+
+    compact_residual_ivfpq_codes(lake, "idx")
+    v = lake.current_manifest()[f"idx/{CODES}"]
+    assert isinstance(v, int)
+    after = sorted(map(tuple, lake.read_committed(
+        spark, "idx", CODES, StructType.fromDDL(codes_schema)).collect()))
+    assert after == before
+    assert sorted(
+        map(tuple, search_residual_ivfpq_index(lake, "idx", q, k=3).collect())
+    ) == search_before
+    # no-op on an already-single-dir index
+    assert compact_residual_ivfpq_codes(lake, "idx") == lake.current_manifest_id()
+
+
+def test_retention_sweep_keeps_multifile_members_readable(spark, corpus, artifacts, tmp_path):
+    """Every member dir of the committed multi-file version is pinned by the
+    manifest refs — the tightest retention sweep must not break the union
+    read (the cache-key-vs-vacuum interplay the r13 verdict flagged)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
+        extend_residual_ivfpq_index,
+    )
+
+    cents, books = artifacts
+    even = corpus.filter(F.col("vec_id") % 2 == 0)
+    odd = corpus.filter(F.col("vec_id") % 2 == 1)
+    lake = Lakehouse(str(tmp_path))
+    build_residual_ivfpq_index(lake, "idx", even, cents, books)
+    extend_residual_ivfpq_index(lake, "idx", odd)
+    lake.retention_sweep(keep_manifests=1, keep_versions=1, drop_staged=True)
+    q = corpus.filter(F.col("vec_id") < 4)
+    full = Lakehouse(str(tmp_path / "full"))
+    build_residual_ivfpq_index(full, "idx", corpus, cents, books)
+    assert sorted(
+        map(tuple, search_residual_ivfpq_index(lake, "idx", q, k=3).collect())
+    ) == sorted(map(tuple, search_residual_ivfpq_index(full, "idx", q, k=3).collect()))

@@ -137,10 +137,15 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
     # publish via commit_multi, search from committed codes)
     # round-13: empty-build wipe guard (force_empty) + two-stage refine
     # search from the committed index (refine_search_residual_ivfpq_index)
+    # round-14: O(increment) extend WRITE (stage only the increment's codes
+    # dir, commit a multi-file version) + compact_residual_ivfpq_codes —
+    # the extend/search consumers re-prove from the r15 head
     "airflow_courier_payout_ledger_pipeline_spark/operators/annindex.py": {
         "ann_index_persisted_search",
         "ann_index_incremental_extend",
         "similarity_pq_refine_topk",
+        "knn_label_vote_indexed",
+        "knn_vote_agreement_indexed",
     },
     # round-13: exact_rerank extracted from ivf_pq_residual_refine_topk
     # (stage-2 re-rank now shared with annindex.refine_search_*); the
@@ -167,6 +172,10 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
     # round-13: write_bucketed/read_bucketed rail + manifest-pinned vacuum —
     # courier_ledger_bucketed (r14 head) is the query that actually drives
     # the bucketed-write path; the mart/SCD veterans cover the rest
+    # round-14: multi-file table versions (manifest values may be version
+    # LISTS, read_committed unions the dirs, _manifest_refs pins every
+    # member) — the extend consumers drive the new shape from the r15 head,
+    # the SCD/promotion veterans re-prove the single-version rails
     "airflow_courier_payout_ledger_pipeline_spark/sources/lakehouse.py": {
         "incremental_mart_maintenance",
         "scd1_upsert",
