@@ -49,6 +49,25 @@ def _dds_store(lake: Lakehouse) -> WatermarkStore:
     return lake.wm_store("dds")
 
 
+def _q_fingerprint() -> F.Column:
+    """The fct quarantine row's identity: md5 over the full violating payload
+    (every schema column except the fingerprint itself) — never NULL,
+    distinct violations stay distinct, replayed rows collide. ONE definition
+    so the write-side stamp and the read-side legacy backfill (pre-upgrade
+    files surface a NULL fingerprint column) can never drift."""
+    return F.md5(
+        F.to_json(
+            F.struct(
+                *[
+                    F.col(c)
+                    for c in S.FCT_DELIVERIES_QUARANTINE_SCHEMA.fieldNames()
+                    if c != "q_fingerprint"
+                ]
+            )
+        )
+    )
+
+
 def _sk(col: str | F.Column) -> F.Column:
     """Deterministic surrogate key — replaces Postgres ``serial`` (SURVEY.md §7)."""
     c = F.col(col) if isinstance(col, str) else col
@@ -269,22 +288,19 @@ def deliveries_stg_to_dds_job(spark: SparkSession, lake: Lakehouse) -> None:
         # anti-join, so every replay would re-append the same row forever.
         # Fingerprint the full violating payload instead: never NULL, distinct
         # violations stay distinct, replayed rows dedupe.
-        bad = bad.withColumn(
-            "q_fingerprint",
-            F.md5(
-                F.to_json(
-                    F.struct(
-                        *[
-                            F.col(c)
-                            for c in S.FCT_DELIVERIES_QUARANTINE_SCHEMA.fieldNames()
-                            if c != "q_fingerprint"
-                        ]
-                    )
-                )
-            ),
-        )
+        bad = bad.withColumn("q_fingerprint", _q_fingerprint())
         q_existing = lake.read(
             spark, "dds", "fct_deliveries_quarantine", S.FCT_DELIVERIES_QUARANTINE_SCHEMA
+        )
+        # Legacy backfill (r13 ADVICE): quarantine files written before
+        # q_fingerprint existed read back with NULL fingerprints (parquet
+        # missing-column), which the anti-join can never match — the first
+        # post-upgrade replay would re-append every historical violation, as
+        # permanently NULL-fingerprinted rows. Compute the fingerprint those
+        # rows WOULD have carried, on read (same expression, same payload →
+        # same md5); modern rows keep their stored value via coalesce.
+        q_existing = q_existing.withColumn(
+            "q_fingerprint", F.coalesce(F.col("q_fingerprint"), _q_fingerprint())
         )
         lake.append(
             scd0_new_rows(bad, q_existing, ["q_fingerprint"]),

@@ -2285,10 +2285,13 @@ def q_embedding_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # previous rounded vector, rounds the matvec to 6 decimals, normalizes by the
 # max-|component| (ties to the smallest index), and re-rounds — bit-identical
 # to operators/linalg.dominant_direction's Python fold (HALF_UP rounding both
-# sides; the only order-sensitive sums are 64-term and capped at ~1e-13 before
-# a 1e-6 rounding grid).
+# sides). The matvec folds ORDER-FIXED — list_sum over list(term ORDER BY k),
+# the same k-ascending left fold the Python side runs and the projection CTE
+# already uses — so the bit-for-bit claim is exact, not probabilistic (the
+# r13 ADVICE: an unordered sum() within ~1e-13 of a .5e-6 rounding boundary
+# could have landed the two engines on different 6dp cells).
 _POWER_ITERS = "\n".join(
-    f"""lw{t} AS (SELECT ls.j, round(sum(ls.s * lv{t - 1}.val), 6) AS w
+    f"""lw{t} AS (SELECT ls.j, round(list_sum(list(ls.s * lv{t - 1}.val ORDER BY ls.k)), 6) AS w
         FROM ls JOIN lv{t - 1} ON lv{t - 1}.j = ls.k GROUP BY ls.j),
 lm{t} AS (SELECT abs(w) AS m FROM lw{t} ORDER BY abs(w) DESC, j LIMIT 1),
 lv{t} AS (SELECT j,

@@ -1,12 +1,16 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints, LAST, one compact
-metric JSON line (the line the driver parses — keep it short and final):
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the full metric
+JSON line (total + per-query dict) followed by, LAST, one COMPACT summary line:
 
-    {"metric": "...", "value": <total_sec>, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": <total_sec>, "unit": "sec", "sf": ...,
+     "n_queries": N, "worst5": {...}, "variance_spread_pct": ..., "tail_summary": true}
 
-The n=3 variance band and the streaming startup decomposition print as separate
-"sidecar" JSON lines BEFORE the metric line, so they ride in the raw stdout tail
-without bloating (and in round 8: truncating) the parsed line.
+The compact line exists because the driver's tail capture keeps ~2 KB and the
+full per-query line outgrew it in round 13 (parsed null): every decision-
+relevant number — total, count, worst-5 queries, the n=3 spread, load probes —
+now survives ANY tail capture standalone. The n=3 variance band, the per-query
+min/max blob, and the streaming startup decomposition print as separate
+"sidecar" JSON lines BEFORE the metric line.
 
 Each query is fully materialized (count + a cheap checksum collect) so the measured
 time includes the whole plan, not just plan construction. A warmup run of the
@@ -274,6 +278,32 @@ def main() -> None:
                     ),
                     4,
                 ),
+            }
+        )
+    )
+    # FINAL compact line (round-13 lesson: the driver's tail capture keeps
+    # ~2 KB, and the full per-query metric line above outgrew it — BENCH_r13
+    # parsed null). This line carries every decision-relevant number — total,
+    # query count, worst-5, the n=REPS spread, load probes — in well under
+    # 1 KB, and prints LAST so the tail of ANY capture parses standalone;
+    # the full per-query dict still rides the metric line above (and min/max
+    # per query the sidecar) for whoever has the whole stdout.
+    worst5 = dict(sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))[:5])
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "worst5": worst5,
+                "value_original15": round(sum(timings[n] for n in original15), 4),
+                "variance_spread_pct": variance["spread_pct"],
+                "rep_totals_sec": rep_totals,
+                "load_probe_pre_sec": probe_pre,
+                "load_probe_post_sec": probe_post,
+                "tail_summary": True,
             }
         )
     )

@@ -160,3 +160,40 @@ def test_null_delivery_key_quarantine_is_replay_safe(spark, tmp_path):
         spark, "dds", "fct_deliveries_quarantine", S.FCT_DELIVERIES_QUARANTINE_SCHEMA
     ).collect()
     assert len(q2) == 2
+
+
+def test_legacy_quarantine_rows_backfill_fingerprint_on_read(spark, tmp_path):
+    """Quarantine files written BEFORE q_fingerprint existed read back with a
+    NULL fingerprint (parquet missing-column) — the anti-join must still
+    suppress their replay: the read side backfills the fingerprint the row
+    would have carried (same md5 over the same payload), so a post-upgrade
+    replay appends nothing (the r13 ADVICE hazard)."""
+    from tests.test_pipeline import _delivery, fake_api
+    from airflow_courier_payout_ledger_pipeline_spark import schemas as S
+    from airflow_courier_payout_ledger_pipeline_spark.plans import promotions as P
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    couriers = [{"_id": "c1", "name": "Alice"}]
+    deliveries = [
+        _delivery("d1", "o1", "c1", "2023-05-10 10:00:00", "2023-05-10 09:30:00", 5, 1000.00, 10.00),
+        _delivery("d2", "o2", "c1", "2023-05-10 11:00:00", "2023-05-10 10:30:00", 9, 2000.00, -1.00),
+    ]
+    P.run_daily(spark, lake, fake_api(couriers), fake_api(deliveries, "delivery_ts"), "2023-05-11")
+
+    # simulate the pre-upgrade table: rewrite it WITHOUT the fingerprint column
+    legacy = spark.read.parquet(
+        lake.path("dds", "fct_deliveries_quarantine")
+    ).drop("q_fingerprint")
+    lake.overwrite(legacy, "dds", "fct_deliveries_quarantine")
+    read_back = lake.read(
+        spark, "dds", "fct_deliveries_quarantine", S.FCT_DELIVERIES_QUARANTINE_SCHEMA
+    ).collect()
+    assert len(read_back) == 1 and read_back[0].q_fingerprint is None  # the hazard
+
+    # post-upgrade replay: the backfilled fingerprint suppresses the re-append
+    P.deliveries_stg_to_dds_job(spark, lake)
+    q = lake.read(
+        spark, "dds", "fct_deliveries_quarantine", S.FCT_DELIVERIES_QUARANTINE_SCHEMA
+    ).collect()
+    assert len(q) == 1
