@@ -2230,7 +2230,7 @@ def q_hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem = search_residual_ivfpq_index(
         lake, "idx", emb.filter(F.col("vec_id") == 7), k=30
     ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("sem_rank"))
-    return rrf_fuse(lex, sem, k=10)
+    return rrf_fuse(lex, sem, k=10, leg_bound=30)
 
 
 # --- Embedding-matrix diagnostics (operators/linalg) ---------------------------------

@@ -129,17 +129,22 @@ SHUFFLE_BUDGET = {
     # exchanges (bucketed SMJ / broadcast); the 2 here are the dm_timestamps
     # testdata-dim DISTINCT + the settlement groupBy, same as courier_ledger
     "courier_ledger_bucketed": 2,
-    # round-13: RRF fusion — bm25 doc-grain agg + the semantic top-k window +
-    # ONE ≤2·n_each-row union-agg (full-outer join would cost 2 exchanges:
-    # Spark can't broadcast full outer); final top-k is TakeOrderedAndProject
-    "hybrid_search_rrf": 3,
+    # round-13: RRF fusion — ONE ≤2·n_each-row union-agg (full-outer join
+    # would cost 2 exchanges: Spark can't broadcast full outer); final top-k
+    # is TakeOrderedAndProject. Since the r14 leg-bound guard the legs (bm25
+    # doc-grain agg + the semantic top-k window) execute inside the eager
+    # bound probe, so the RETURNED plan reads the ≤2·(n+1)-row checkpoint —
+    # the linalg pinned-artifact convention
+    "hybrid_search_rrf": 1,
     # round-13: kNN vote — 1 brute-force top-k window + the (query,label)
     # vote agg + the per-query argmax window; label attach and truth join
     # broadcast the q×k frames, the corpus never shuffles
     "knn_label_vote": 3,
-    # round-13: same fusion, semantic leg from the persisted index — bm25
-    # doc-grain agg + the committed-codes top-k window + the union-agg
-    "hybrid_search_rrf_indexed": 3,
+    # round-13: same fusion, semantic leg from the persisted index (bm25
+    # doc-grain agg + the committed-codes top-k window execute inside the
+    # r14 bound probe) — the returned plan is the union-agg over the
+    # checkpoint, as above
+    "hybrid_search_rrf_indexed": 1,
     # round-13: the d²-row second-moment matrix pins eagerly (one corpus
     # pass, d-group agg); the returned plans read the pinned 4096 rows /
     # score map-side — zero exchanges
