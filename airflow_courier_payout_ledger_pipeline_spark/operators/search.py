@@ -552,15 +552,79 @@ def knn_accuracy_curve(
     ONCE at max(ks) — one corpus pass — and the k grid broadcasts into the
     q×k_max NN frame; votes, argmax, and the accuracy rollup all run over
     grid×q×k_max rows, never the corpus."""
-    if ks is not None and (not ks or any(k < 1 for k in ks)):
-        raise ValueError("ks must be positive ints")
-    ks = sorted(set(ks)) if ks is not None else [1, 3, 5, 10]
+    ks = _validate_ks(ks)
     from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
         brute_force_topk,
     )
 
-    spark = emb.sparkSession
     nn = brute_force_topk(emb, queries, k=ks[-1], id_col=id_col, vec_col=vec_col)
+    return _accuracy_sweep(nn, emb, queries, ks, id_col, label_col)
+
+
+def knn_accuracy_curve_indexed(
+    lake,
+    layer: str,
+    emb: DataFrame,
+    queries: DataFrame,
+    ks: list[int] | None = None,
+    shortlist: int = 20,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """``knn_accuracy_curve`` with the neighbor leg served from the PERSISTED
+    index (ADC shortlist -> exact re-rank, exactly ``knn_label_vote_indexed``'s
+    leg); the sweep tail is the IDENTICAL shared code (``_accuracy_sweep``).
+    Read next to the exact curve, this is the labeling-rail dial: how much
+    accuracy@k does serving from the index cost at each k — the per-k view
+    of what ``knn_vote_agreement_indexed`` summarizes at the vote grain.
+    ``shortlist`` must cover max(ks) (a shortlist smaller than k can't rank
+    k neighbors — raise, don't silently truncate the curve)."""
+    ks = _validate_ks(ks)
+    if shortlist < ks[-1]:
+        raise ValueError(
+            f"knn_accuracy_curve_indexed: shortlist ({shortlist}) < max k "
+            f"({ks[-1]}) — the re-rank stage cannot rank more neighbors than "
+            "the ADC shortlist supplies"
+        )
+    from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
+        refine_search_residual_ivfpq_index,
+    )
+
+    nn = refine_search_residual_ivfpq_index(
+        lake,
+        layer,
+        emb,
+        queries,
+        k=ks[-1],
+        shortlist=shortlist,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    return _accuracy_sweep(nn, emb, queries, ks, id_col, label_col)
+
+
+def _validate_ks(ks: list[int] | None) -> list[int]:
+    if ks is not None and (not ks or any(k < 1 for k in ks)):
+        raise ValueError("ks must be positive ints")
+    return sorted(set(ks)) if ks is not None else [1, 3, 5, 10]
+
+
+def _accuracy_sweep(
+    nn: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    ks: list[int],
+    id_col: str,
+    label_col: str,
+) -> DataFrame:
+    """The leg-agnostic accuracy@k sweep shared by the exact and
+    index-served curves: labels attach to the (query_id, rank, …) NN frame
+    computed ONCE at max(ks), the k grid broadcasts in, votes/argmax/rollup
+    run over grid×q×k_max rows — never the corpus."""
+    spark = emb.sparkSession
     nn_lab = _attach_labels(nn, emb, id_col, label_col).select(
         "query_id", "rank", "__nl"
     )

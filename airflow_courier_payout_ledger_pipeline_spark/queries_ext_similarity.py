@@ -2542,3 +2542,56 @@ def q_knn_vote_agreement_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         shortlist=REFINE_SHORTLIST,
     )
+
+
+# The index-served accuracy@k sweep: the refine chain of
+# _KV_REFINE_NN_CTES (rdd..fr; its vote-tail CTEs are plain, so DuckDB never
+# evaluates the unused ones) continued into KNN_ACCURACY_CURVE_ORACLE's grid
+# sweep over fr's re-ranked neighbors.
+KNN_ACC_INDEXED_ORACLE = f"""
+WITH {_SELECTED_CTES},
+pqgrid AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j),
+sgrid AS (SELECT unnest(generate_series(0, {PQ_SUB - 1})) AS d),
+{_RESIDUAL_CTES},
+{_RES_PQ_CTES},
+{_KV_REFINE_NN_CTES},
+ikg AS (SELECT CAST(unnest([1, 3, 5, 10]) AS INT) AS k),
+inn AS (SELECT ikg.k, fr.query_id, e.label AS n_label
+        FROM fr JOIN ikg ON fr.rank <= ikg.k
+        JOIN embeddings e ON e.vec_id = fr.neighbor_id),
+iv AS (SELECT k, query_id, n_label, count(*)::BIGINT AS votes
+       FROM inn GROUP BY 1, 2, 3),
+ip AS (SELECT *, row_number() OVER (
+           PARTITION BY k, query_id ORDER BY votes DESC, n_label) AS vr FROM iv),
+iacc AS (SELECT ip.k, count(*)::BIGINT AS n_queries,
+                SUM(CASE WHEN ip.n_label = kvq.label THEN 1 ELSE 0 END)::BIGINT AS n_correct
+         FROM ip JOIN kvq ON ip.query_id = kvq.vec_id WHERE ip.vr = 1 GROUP BY 1)
+SELECT k, n_queries, n_correct,
+       round(n_correct::DOUBLE / n_queries::DOUBLE, 4) AS accuracy
+FROM iacc
+"""
+
+
+@register("knn_accuracy_curve_indexed", KNN_ACC_INDEXED_ORACLE)
+def q_knn_accuracy_curve_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy@k for k ∈ {1, 3, 5, 10} with neighbors served from the
+    PERSISTED index (operators/search.knn_accuracy_curve_indexed: ADC
+    shortlist over committed codes -> exact re-rank at k=10, the shared
+    `_accuracy_sweep` tail) — read against `knn_accuracy_curve`'s exact
+    numbers, this is the per-k cost of moving the labeling rail to the
+    index, the eval dial `knn_vote_agreement_indexed` summarizes at the
+    vote grain. One pruned codes scan + |Q|·20 exact re-ranks per sweep;
+    the corpus is never shuffled."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import (
+        knn_accuracy_curve_indexed,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    lake = _persisted_index_lake(emb, sf_dir)
+    return knn_accuracy_curve_indexed(
+        lake,
+        "idx",
+        emb,
+        emb.filter(F.col("vec_id") < 20),
+        shortlist=REFINE_SHORTLIST,
+    )

@@ -427,9 +427,11 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     # -- round-14 code changes / additions append here as they land --
     # r14: NEW — kNN labeling served from the persisted residual IVF-PQ
     # index (the r13 verdict item-2 leg-swap) + its refine-vs-exact
-    # agreement eval; first driver rows land in r15
+    # agreement eval + the index-served accuracy@k sweep; first driver rows
+    # land in r15
     "knn_label_vote_indexed",
     "knn_vote_agreement_indexed",
+    "knn_accuracy_curve_indexed",
     # r14: annindex.py changes (multi-file table versions make the extend
     # write O(increment) — the r13 verdict item 4); the persisted-index
     # consumers re-prove the changed file from the r15 head

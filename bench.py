@@ -128,9 +128,11 @@ HEADLINE = [
     "knn_accuracy_curve",
     # round-14: the labeling rail served from the persisted index (ADC
     # shortlist -> exact re-rank -> vote) and its refine-vs-exact agreement
-    # eval — the production form next to knn_label_vote's exact baseline
+    # eval — the production form next to knn_label_vote's exact baseline —
+    # plus the index-served accuracy@k sweep next to the exact curve
     "knn_label_vote_indexed",
     "knn_vote_agreement_indexed",
+    "knn_accuracy_curve_indexed",
 ]
 
 

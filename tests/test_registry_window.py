@@ -119,6 +119,7 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_similarity.py": {
         "knn_label_vote_indexed",
         "knn_vote_agreement_indexed",
+        "knn_accuracy_curve_indexed",
         # in-window companions re-proving the module's unchanged surface
         "knn_label_vote",
         "knn_accuracy_curve",
@@ -146,6 +147,7 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "similarity_pq_refine_topk",
         "knn_label_vote_indexed",
         "knn_vote_agreement_indexed",
+        "knn_accuracy_curve_indexed",
     },
     # round-13: exact_rerank extracted from ivf_pq_residual_refine_topk
     # (stage-2 re-rank now shared with annindex.refine_search_*); the
@@ -308,6 +310,7 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "knn_accuracy_curve",
         "knn_label_vote_indexed",
         "knn_vote_agreement_indexed",
+        "knn_accuracy_curve_indexed",
         "bm25_search",
         "substring_search",
     },

@@ -411,3 +411,24 @@ def test_knn_vote_agreement_full_when_shortlist_covers_corpus(spark, tmp_path):
     row = knn_vote_agreement_indexed(lake, "idx", emb, emb, k=3, shortlist=7).collect()[0]
     assert row.n_queries == 7 and row.n_agree == 7 and row.agreement == 1.0
     assert row.exact_correct == row.indexed_correct == 6  # the outlier misses
+
+
+def test_knn_accuracy_curve_indexed_matches_exact_when_shortlist_covers(spark, tmp_path):
+    """With shortlist >= corpus the index-served sweep must reproduce the
+    exact curve row-for-row (same leg-swap law as the vote), and a shortlist
+    smaller than max(k) must raise instead of silently truncating."""
+    import pytest
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import (
+        knn_accuracy_curve,
+        knn_accuracy_curve_indexed,
+    )
+
+    emb = _emb(spark)
+    lake = _small_index(spark, emb, tmp_path)
+    exact = sorted(map(tuple, knn_accuracy_curve(emb, emb, ks=[1, 3]).collect()))
+    idx = sorted(map(tuple, knn_accuracy_curve_indexed(
+        lake, "idx", emb, emb, ks=[1, 3], shortlist=7).collect()))
+    assert exact == idx
+    with pytest.raises(ValueError, match="shortlist"):
+        knn_accuracy_curve_indexed(lake, "idx", emb, emb, ks=[1, 5], shortlist=3)

@@ -162,6 +162,10 @@ SHUFFLE_BUDGET = {
     # round-14: both vote legs (brute-force 3 + indexed 4) + the single-row
     # agreement rollup; the q-row compare join broadcasts
     "knn_vote_agreement_indexed": 8,
+    # round-14: the index-served sweep — the refine pair (ADC shortlist
+    # window + exact re-rank window) + the (k,query,label) vote agg + the
+    # per-(k,query) argmax window + the accuracy rollup
+    "knn_accuracy_curve_indexed": 5,
 }
 
 
