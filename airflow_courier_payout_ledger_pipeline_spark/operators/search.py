@@ -89,16 +89,7 @@ def bm25_topk(
     Every float op is a single correctly-rounded IEEE op in a fixed order, and
     the per-term scores fold in FIXED query-term order (float addition is not
     associative; a SUM() in arbitrary order would not reproduce)."""
-    query_terms = [t.lower() for t in query_terms]
-    if (
-        not query_terms
-        or len(set(query_terms)) != len(query_terms)
-        or any((not t) or (" " in t) for t in query_terms)
-    ):
-        raise ValueError(
-            "query_terms must be non-empty, whitespace-free, and distinct "
-            "after lowercasing"
-        )
+    query_terms = _validated_query_terms(query_terms)
     from airflow_courier_payout_ledger_pipeline_spark.functions.text import normalize_text
 
     toks = docs.select(
@@ -122,6 +113,45 @@ def bm25_topk(
         *[F.sum((F.col(f"tf_{i}") > 0).cast("int")) for i in range(len(query_terms))],
     ).first()  # one row — O(1) driver state, same class as a watermark cursor
     n_docs, sum_dl, *dfs = stats
+    return _bm25_rank_tail(per_doc, query_terms, n_docs, sum_dl, dfs, k, k1, b, id_col)
+
+
+def _validated_query_terms(query_terms: list[str]) -> list[str]:
+    """The ONE query-term contract (lowercased to match `normalize_text`
+    tokens; non-empty, whitespace-free, distinct) shared by the live scorer
+    and the persisted-index scorer."""
+    query_terms = [t.lower() for t in query_terms]
+    if (
+        not query_terms
+        or len(set(query_terms)) != len(query_terms)
+        or any((not t) or (" " in t) for t in query_terms)
+    ):
+        raise ValueError(
+            "query_terms must be non-empty, whitespace-free, and distinct "
+            "after lowercasing"
+        )
+    return query_terms
+
+
+def _bm25_rank_tail(
+    per_doc: DataFrame,
+    query_terms: list[str],
+    n_docs,
+    sum_dl,
+    dfs: list,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+) -> DataFrame:
+    """The leg-agnostic scoring/ranking tail shared by ``bm25_topk`` (live
+    per-doc frame from one token pass) and ``textindex.bm25_search_indexed``
+    (per-doc frame pivoted from committed postings): identical IEEE op
+    sequence, fixed-order per-term fold, TakeOrderedAndProject top-k —
+    BIT-identical scores for identical (dl, tf_i) inputs, which is what lets
+    both forms hash-check against the same oracle. ``per_doc`` carries
+    (``id_col``, dl, tf_0..tf_n); docs with no query-term hit may be absent
+    (the tail filters non-hits anyway)."""
     if not n_docs:  # cold-start corpus: no docs → typed empty result
         return per_doc.select(
             F.col(id_col),

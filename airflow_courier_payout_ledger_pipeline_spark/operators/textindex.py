@@ -1,0 +1,290 @@
+"""Persisted BM25 postings index: the LEXICAL twin of ``operators/annindex``.
+
+``search.bm25_topk`` is the exact one-shot scorer — one token pass over the
+corpus per query batch. At 100 TB a retrieval service cannot re-tokenize the
+corpus per query; the standard deployment (Lucene/Elasticsearch, and the
+repo's own trigram index for substring search) pays tokenization ONCE into a
+persisted postings layout and serves every query from term-pruned postings.
+This module IS that layout, on the Lakehouse manifest protocol:
+
+- ``bm25_postings`` (term, id, tf, dl) — the only corpus-sized table. dl is
+  DENORMALIZED into the posting row (the classic impact-postings trick:
+  storing the length norm inline removes the query-time doc-length join
+  entirely), written term-clustered (repartition + sortWithinPartitions on
+  term) so parquet row-group min/max prune a query's scan to its terms'
+  postings;
+- ``bm25_doclen`` (id, dl) — one row per tokenized doc; the SCD0 identity
+  set for extends and the n_docs/sum_dl source of truth;
+- ``bm25_termstats`` (term, df) — vocabulary-sized (df = docs containing the
+  term), additive under extension;
+- ``bm25_stats`` (n_docs, sum_dl) — ONE row, additive under extension.
+
+All four publish via ONE ``Lakehouse.commit_multi`` manifest flip — a reader
+never scores postings against stats they weren't built with (the annindex
+crash-window guarantee). ``extend_bm25_index`` appends O(increment): new
+docs' postings and doclen rows stage as their OWN version dirs and the
+manifest commits MULTI-FILE versions (the r14 codes-rail protocol);
+termstats/stats re-stage whole (vocabulary-/single-row-bounded, never
+corpus-sized). ``bm25_search_indexed`` reproduces ``search.bm25_topk``
+BIT-identically — both run the shared ``_bm25_rank_tail`` on identical
+(dl, tf) inputs — so both forms hash-check against the same DuckDB oracle
+(the bucketed-flagship "layout, never semantics" pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from airflow_courier_payout_ledger_pipeline_spark.operators.search import (
+    _bm25_rank_tail,
+    _validated_query_terms,
+)
+from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+POSTINGS, DOCLEN, TERMSTATS, STATS = (
+    "bm25_postings",
+    "bm25_doclen",
+    "bm25_termstats",
+    "bm25_stats",
+)
+
+_TERMSTATS_SCHEMA = "term string, df bigint"
+_STATS_SCHEMA = "n_docs bigint, sum_dl bigint"
+
+
+def _postings_schema(id_field) -> StructType:
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    return StructType(
+        [
+            StructField("term", StringType()),
+            id_field,
+            StructField("tf", LongType()),
+            StructField("dl", LongType()),
+        ]
+    )
+
+
+def _doclen_schema(id_field) -> StructType:
+    from pyspark.sql.types import LongType, StructField
+
+    return StructType([id_field, StructField("dl", LongType())])
+
+
+def _tokenize(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The ONE tokenization both index builds and the live scorer share
+    (``normalize_text`` + whitespace split, empties dropped) — a postings
+    table built with a different tokenizer would silently score differently."""
+    from airflow_courier_payout_ledger_pipeline_spark.functions.text import (
+        normalize_text,
+    )
+
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+
+
+def _index_frames(
+    docs: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(postings, doclen, termstats, stats) for ``docs`` — exact integer
+    aggregates only, so extension merges are EXACT (count/sum algebra, the
+    ledger-state pattern). Postings land term-clustered for row-group
+    pruning."""
+    toks = _tokenize(docs, id_col, text_col)
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    postings = (
+        tf.join(dl, id_col)
+        .select("term", F.col(id_col), "tf", "dl")
+        .repartition(F.col("term"))
+        .sortWithinPartitions("term", id_col)
+    )
+    termstats = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl")
+    )
+    return postings, dl, termstats, stats
+
+
+def build_bm25_index(
+    lake: Lakehouse,
+    layer: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Tokenize the corpus ONCE and publish the four index tables atomically.
+    Returns the manifest id. An empty corpus commits a consistent EMPTY
+    index (searches return typed-empty) — the annindex cold-start contract;
+    there is no quantizer artifact here, so no wipe-guard is needed (a
+    rebuild is just the build cost, not a trained-state loss)."""
+    postings, dl, termstats, stats = _index_frames(docs, id_col, text_col)
+    return lake.commit_multi(
+        [
+            (postings, layer, POSTINGS),
+            (dl, layer, DOCLEN),
+            (termstats, layer, TERMSTATS),
+            (stats, layer, STATS),
+        ]
+    )
+
+
+def extend_bm25_index(
+    lake: Lakehouse,
+    layer: str,
+    increment: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """The nightly O(increment) index update, write included: only ids not
+    already in the committed doclen set tokenize (SCD0 insert-ignore —
+    replaying a crashed extend is a no-op), their postings and doclen rows
+    stage as their OWN version dirs (multi-file manifest values — history's
+    bytes never rewritten, the r14 codes-rail protocol), and termstats/stats
+    fold by EXACT integer addition and re-stage whole (vocabulary-/one-row-
+    bounded). One manifest flip publishes all four; ``extend(build(A), B)``
+    is row-identical to ``build(A ∪ B)`` on every table (pinned in
+    tests/test_textindex.py). Fold the postings/doclen dir lists back to one
+    with ``compact_bm25_index`` on the maintenance schedule."""
+    if f"{layer}/{DOCLEN}" not in lake.current_manifest():
+        raise ValueError(
+            f"extend_bm25_index: no committed index under {layer!r} — "
+            "build_bm25_index first (extending an index that doesn't exist "
+            "would silently build one on the increment alone)"
+        )
+    spark = increment.sparkSession
+    id_field = increment.select(F.col(id_col)).schema.fields[0]
+    old_dl = lake.read_committed(spark, layer, DOCLEN, _doclen_schema(id_field))
+    new_rows = increment.join(old_dl.select(F.col(id_col)), id_col, "left_anti")
+    postings, dl, termstats_d, stats_d = _index_frames(new_rows, id_col, text_col)
+
+    old_ts = lake.read_committed(
+        spark, layer, TERMSTATS, StructType.fromDDL(_TERMSTATS_SCHEMA)
+    )
+    termstats = (
+        old_ts.unionByName(termstats_d)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+    old_st = lake.read_committed(spark, layer, STATS, StructType.fromDDL(_STATS_SCHEMA))
+    stats = (
+        old_st.unionByName(stats_d)
+        .agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
+            F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("sum_dl"),
+        )
+    )
+    manifest = lake.current_manifest()
+    staged = {
+        (layer, POSTINGS): Lakehouse.as_versions(manifest.get(f"{layer}/{POSTINGS}"))
+        + [lake.stage_version(postings, layer, POSTINGS)],
+        (layer, DOCLEN): Lakehouse.as_versions(manifest.get(f"{layer}/{DOCLEN}"))
+        + [lake.stage_version(dl, layer, DOCLEN)],
+        (layer, TERMSTATS): lake.stage_version(termstats, layer, TERMSTATS),
+        (layer, STATS): lake.stage_version(stats, layer, STATS),
+    }
+    return lake.commit_manifest(staged)
+
+
+def compact_bm25_index(lake: Lakehouse, layer: str) -> int:
+    """Maintenance compaction: fold the postings/doclen multi-file versions
+    (one dir per extend) back into single term-clustered snapshots and flip
+    the manifest once. O(corpus) by design — the compaction schedule's cost,
+    not the nightly's. Re-clusters postings by term, so row-group pruning
+    recovers its build-time selectivity after many extends. No-op when both
+    tables are already single-dir."""
+    manifest = lake.current_manifest()
+    pv = Lakehouse.as_versions(manifest.get(f"{layer}/{POSTINGS}"))
+    dv = Lakehouse.as_versions(manifest.get(f"{layer}/{DOCLEN}"))
+    if not pv:
+        raise ValueError(f"compact_bm25_index: no committed index under {layer!r}")
+    mid = lake.current_manifest_id()
+    if len(pv) <= 1 and len(dv) <= 1:
+        assert mid is not None
+        return mid
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    postings = spark.read.parquet(
+        *[str(lake.root / layer / POSTINGS / f"v={v}") for v in pv]
+    ).repartition(F.col("term")).sortWithinPartitions("term")
+    dl = spark.read.parquet(*[str(lake.root / layer / DOCLEN / f"v={v}") for v in dv])
+    return lake.commit_multi([(postings, layer, POSTINGS), (dl, layer, DOCLEN)])
+
+
+def bm25_search_indexed(
+    lake: Lakehouse,
+    layer: str,
+    spark: SparkSession,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-``k`` served from the COMMITTED postings — what a query costs
+    once the tokenization is paid into the index: a term-pruned postings
+    scan (parquet row-group min/max on the term-clustered layout; at
+    deployment, partition or z-order by term), ONE doc-grain aggregation
+    over those ≤Σdf(term) rows pivoting tf per query term (dl rides the
+    posting row — no doc-length join), and the shared ``_bm25_rank_tail``
+    with df/N/Σdl read from the bounded driver tables. The corpus is never
+    tokenized, scanned, or shuffled at query time. Results are BIT-identical
+    to ``search.bm25_topk`` over the same corpus (same integer inputs, same
+    shared IEEE tail) — hash-checked against the same oracle. Terms absent
+    from the vocabulary score like the live path (df = 0, no hits)."""
+    terms = _validated_query_terms(query_terms)
+    id_field = None
+    # the committed doclen table's first field carries the id name/type the
+    # index was built with; validate the caller's id_col against it (the
+    # annindex by-name-read rule: a silent NULL-id read is worse than a raise)
+    key = f"{layer}/{DOCLEN}"
+    vs = Lakehouse.as_versions(lake.current_manifest().get(key))
+    if not vs:
+        return _empty_result(spark, id_col)
+    actual = spark.read.parquet(
+        str(lake.root / layer / DOCLEN / f"v={vs[0]}")
+    ).schema.fields
+    if actual[0].name != id_col:
+        raise ValueError(
+            f"committed BM25 index under {layer!r} is keyed by "
+            f"{actual[0].name!r}, caller expects {id_col!r} — pass the id_col "
+            "the index was BUILT with"
+        )
+    id_field = actual[0]
+    st = lake.read_committed(
+        spark, layer, STATS, StructType.fromDDL(_STATS_SCHEMA)
+    ).first()
+    if st is None or not st["n_docs"]:
+        return _empty_result(spark, id_col)
+    n_docs, sum_dl = int(st["n_docs"]), int(st["sum_dl"])
+    dfmap = {
+        r["term"]: int(r["df"])
+        for r in lake.read_committed(
+            spark, layer, TERMSTATS, StructType.fromDDL(_TERMSTATS_SCHEMA)
+        )
+        .filter(F.col("term").isin(terms))
+        .collect()  # ≤ |terms| rows — driver-bounded, cursor class
+    }
+    dfs = [dfmap.get(t, 0) for t in terms]
+    p = lake.read_committed(
+        spark, layer, POSTINGS, _postings_schema(id_field)
+    ).filter(F.col("term").isin(terms))
+    per_doc = p.groupBy(id_col).agg(
+        F.max("dl").alias("dl"),  # denormalized per posting row — all equal
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("tf")).otherwise(0)).alias(
+                f"tf_{i}"
+            )
+            for i, t in enumerate(terms)
+        ],
+    )
+    return _bm25_rank_tail(per_doc, terms, n_docs, sum_dl, dfs, k, k1, b, id_col)
+
+
+def _empty_result(spark: SparkSession, id_col: str) -> DataFrame:
+    return spark.createDataFrame(
+        [], f"{id_col} long, bm25 double, n_terms_hit int, rank int"
+    )

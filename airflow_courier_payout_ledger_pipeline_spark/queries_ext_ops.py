@@ -418,6 +418,90 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, ["vector", "stream", "hash"], k=10)
 
 
+#: (kind, documents stat) -> committed BM25 index lake. The postings layout
+#: is a PERSISTED deployment artifact (the annindex economics: tokenize once
+#: at build, serve every query from committed postings) — re-building per
+#: registered-query call would re-pay the corpus tokenization each time the
+#: bench or driver touches an indexed variant. Keyed by the source parquet's
+#: stat so a testdata rewrite invalidates instead of serving stale postings.
+_BM25_INDEX_LAKES: dict[tuple, object] = {}
+
+
+def _docs_stat_key(sf_dir: str) -> tuple[str, int, int]:
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(p)
+    return (p, st.st_size, st.st_mtime_ns)
+
+
+def _bm25_index_lake(docs: DataFrame, sf_dir: str, split: bool):
+    """The committed postings index over this SF's documents table — built
+    once per process (and per parquet mtime). ``split=False`` builds over
+    the full corpus; ``split=True`` builds on even doc_ids and extends with
+    the odds (the living-index form — multi-file postings/doclen versions)."""
+    import tempfile
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.textindex import (
+        build_bm25_index,
+        extend_bm25_index,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    key = ("bm25_index_split" if split else "bm25_index", _docs_stat_key(sf_dir))
+    if key not in _BM25_INDEX_LAKES:
+        lake = Lakehouse(tempfile.mkdtemp(prefix="bm25_idx_"))
+        if split:
+            build_bm25_index(lake, "idx", docs.filter(F.col("doc_id") % 2 == 0))
+            extend_bm25_index(lake, "idx", docs.filter(F.col("doc_id") % 2 == 1))
+        else:
+            build_bm25_index(lake, "idx", docs)
+        _BM25_INDEX_LAKES[key] = lake
+    return _BM25_INDEX_LAKES[key]
+
+
+@register("bm25_search_indexed", BM25_ORACLE)
+def q_bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 served from the PERSISTED postings index
+    (operators/textindex.bm25_search_indexed) — the lexical twin of
+    `ann_index_persisted_search`: tokenization is paid ONCE at build into
+    term-clustered (term, doc_id, tf, dl) postings published by one manifest
+    flip, and a query reads term-pruned postings + the bounded df/stats
+    tables, never the corpus. BIT-identical to `bm25_search`'s live scorer
+    (shared `_bm25_rank_tail`, exact integer inputs) — hash-checked against
+    the SAME oracle, which is the claim: the index is layout, never
+    semantics. At 100 TB the query-time cost drops from a corpus token pass
+    to ≤Σdf(term) posting rows."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.textindex import (
+        bm25_search_indexed,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    lake = _bm25_index_lake(docs, sf_dir, split=False)
+    return bm25_search_indexed(lake, "idx", spark, ["vector", "stream", "hash"], k=10)
+
+
+@register("bm25_index_incremental_extend", BM25_ORACLE)
+def q_bm25_index_incremental_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The postings index as a LIVING artifact: build on the even-id half of
+    the corpus (standing in for history), `textindex.extend_bm25_index`
+    folds the odd-id half in at O(increment) compute AND write (new docs'
+    postings/doclen dirs append as multi-file manifest versions — the r14
+    codes-rail protocol; termstats/stats fold by exact integer addition),
+    then the search over the extended index must be indistinguishable from
+    one built on the whole corpus — hash-checked against the SAME
+    full-corpus oracle as `bm25_search`, exactly the claim that licenses
+    nightly O(increment) upkeep instead of nightly re-tokenization at
+    100 TB."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.textindex import (
+        bm25_search_indexed,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    lake = _bm25_index_lake(docs, sf_dir, split=True)
+    return bm25_search_indexed(lake, "idx", spark, ["vector", "stream", "hash"], k=10)
+
+
 # RRF fold: FIXED leg order (lexical + semantic), each term one correctly-
 # rounded IEEE division with exact-integer operands (60 + rank) — the same
 # cross-engine bit-reproducibility discipline as BM25_ORACLE. The two legs

@@ -432,6 +432,11 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "knn_label_vote_indexed",
     "knn_vote_agreement_indexed",
     "knn_accuracy_curve_indexed",
+    # r14: NEW — the persisted BM25 postings index (lexical twin of the
+    # ANN index: build/extend on the multi-file manifest rail, queries read
+    # term-pruned postings); first driver rows land in r15
+    "bm25_search_indexed",
+    "bm25_index_incremental_extend",
     # r14: annindex.py changes (multi-file table versions make the extend
     # write O(increment) — the r13 verdict item 4); the persisted-index
     # consumers re-prove the changed file from the r15 head

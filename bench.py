@@ -133,6 +133,10 @@ HEADLINE = [
     "knn_label_vote_indexed",
     "knn_vote_agreement_indexed",
     "knn_accuracy_curve_indexed",
+    # round-14: BM25 served from the persisted postings index (term-pruned
+    # scan, no query-time tokenization) — the lexical twin of
+    # ann_index_persisted_search, next to bm25_search's live baseline
+    "bm25_search_indexed",
 ]
 
 

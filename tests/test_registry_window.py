@@ -280,6 +280,9 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "bm25_search",
         # round-13: hybrid RRF fusion registration (r14 head)
         "hybrid_search_rrf",
+        # round-14: persisted-postings registrations (r15 head)
+        "bm25_search_indexed",
+        "bm25_index_incremental_extend",
     },
     # round-13: write_bucketed now delegates to the shared
     # bucketed_save_as_table chain (one definition with the Lakehouse rail);
@@ -302,7 +305,9 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
     # (shared _vote_over_nn tail extracted from knn_label_vote — the exact
     # rail re-proves in the active window, the indexed rail from the r15
     # head); rrf_fuse leg-bound guard + min-rank merge (the r13 ADVICE) —
-    # the in-window hybrid pair re-proves the fusion
+    # the in-window hybrid pair re-proves the fusion; _bm25_rank_tail
+    # extracted from bm25_topk (shared with textindex — the in-window
+    # bm25_search re-proves the live path, the indexed pair the new one)
     "airflow_courier_payout_ledger_pipeline_spark/operators/search.py": {
         "hybrid_search_rrf",
         "hybrid_search_rrf_indexed",
@@ -312,7 +317,17 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "knn_vote_agreement_indexed",
         "knn_accuracy_curve_indexed",
         "bm25_search",
+        "bm25_search_indexed",
         "substring_search",
+    },
+    # round-14: NEW module — the persisted BM25 postings index (build /
+    # O(increment) extend on the multi-file manifest rail / term-pruned
+    # search / compaction); the two indexed queries drive it from the r15
+    # head, bm25_search re-proves the shared scoring tail in-window
+    "airflow_courier_payout_ledger_pipeline_spark/operators/textindex.py": {
+        "bm25_search_indexed",
+        "bm25_index_incremental_extend",
+        "bm25_search",
     },
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_audit.py": {
         "event_pagerank",

@@ -166,6 +166,13 @@ SHUFFLE_BUDGET = {
     # window + exact re-rank window) + the (k,query,label) vote agg + the
     # per-(k,query) argmax window + the accuracy rollup
     "knn_accuracy_curve_indexed": 5,
+    # round-14: BM25 from the persisted postings index — ONE doc-grain agg
+    # over the term-pruned postings scan (dl rides the posting row: no
+    # doc-length join); df/N/Σdl are bounded driver reads, top-k is
+    # TakeOrderedAndProject. The live bm25_search pays its token pass here
+    # instead at index build time
+    "bm25_search_indexed": 1,
+    "bm25_index_incremental_extend": 1,
 }
 
 

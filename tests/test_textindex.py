@@ -1,0 +1,169 @@
+"""Persisted BM25 postings index: bit-parity with the live scorer, the
+extend law and its O(increment) write, crash windows, compaction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from airflow_courier_payout_ledger_pipeline_spark.operators.search import bm25_topk
+from airflow_courier_payout_ledger_pipeline_spark.operators.textindex import (
+    DOCLEN,
+    POSTINGS,
+    STATS,
+    TERMSTATS,
+    build_bm25_index,
+    bm25_search_indexed,
+    compact_bm25_index,
+    extend_bm25_index,
+)
+from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "alpha beta gamma alpha"),
+        (1, "alpha alpha alpha"),
+        (2, "beta delta"),
+        (3, "Gamma, beta! alpha?"),
+        (4, "delta delta epsilon"),
+        (5, "zeta eta theta"),
+        (6, "alpha beta"),
+        (7, "unique words only here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _search_rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_indexed_search_bit_identical_to_live_scorer(spark, docs, tmp_path):
+    lake = Lakehouse(str(tmp_path))
+    build_bm25_index(lake, "idx", docs)
+    for terms in (["alpha", "beta"], ["delta"], ["alpha", "nosuchterm"], ["gamma,"]):
+        live = _search_rows(bm25_topk(docs, terms, k=5))
+        idx = _search_rows(bm25_search_indexed(lake, "idx", spark, terms, k=5))
+        assert live == idx, terms
+
+
+def test_extend_equals_full_build_and_replays_as_noop(spark, docs, tmp_path):
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    inc = Lakehouse(str(tmp_path / "inc"))
+    build_bm25_index(inc, "idx", even)
+    extend_bm25_index(inc, "idx", odd)
+    full = Lakehouse(str(tmp_path / "full"))
+    build_bm25_index(full, "idx", docs)
+    schemas = {
+        POSTINGS: "term string, doc_id long, tf bigint, dl bigint",
+        DOCLEN: "doc_id long, dl bigint",
+        TERMSTATS: "term string, df bigint",
+        STATS: "n_docs bigint, sum_dl bigint",
+    }
+    for table, ddl in schemas.items():
+        a = sorted(map(tuple, inc.read_committed(
+            spark, "idx", table, StructType.fromDDL(ddl)).collect()))
+        b = sorted(map(tuple, full.read_committed(
+            spark, "idx", table, StructType.fromDDL(ddl)).collect()))
+        assert a == b, table
+    assert _search_rows(
+        bm25_search_indexed(inc, "idx", spark, ["alpha", "beta"], k=5)
+    ) == _search_rows(bm25_search_indexed(full, "idx", spark, ["alpha", "beta"], k=5))
+    # replay: already-indexed ids change nothing
+    before = sorted(map(tuple, inc.read_committed(
+        spark, "idx", POSTINGS, StructType.fromDDL(schemas[POSTINGS])).collect()))
+    extend_bm25_index(inc, "idx", odd)
+    after = sorted(map(tuple, inc.read_committed(
+        spark, "idx", POSTINGS, StructType.fromDDL(schemas[POSTINGS])).collect()))
+    assert before == after
+
+
+def test_extend_write_is_o_increment(spark, docs, tmp_path):
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    lake = Lakehouse(str(tmp_path))
+    build_bm25_index(lake, "idx", even)
+    v0 = lake.current_manifest()[f"idx/{POSTINGS}"]
+    assert isinstance(v0, int)
+    d0 = lake.root / "idx" / POSTINGS / f"v={v0}"
+    before_files = {p.name: (p.stat().st_size, p.stat().st_mtime_ns)
+                    for p in d0.rglob("*.parquet")}
+    extend_bm25_index(lake, "idx", odd)
+    vs = lake.current_manifest()[f"idx/{POSTINGS}"]
+    assert isinstance(vs, list) and vs[0] == v0 and len(vs) == 2
+    after_files = {p.name: (p.stat().st_size, p.stat().st_mtime_ns)
+                  for p in d0.rglob("*.parquet")}
+    assert after_files == before_files  # history's bytes untouched
+    # the new dir holds exactly the increment's postings
+    new_rows = spark.read.parquet(str(lake.root / "idx" / POSTINGS / f"v={vs[1]}"))
+    from airflow_courier_payout_ledger_pipeline_spark.operators.textindex import (
+        _index_frames,
+    )
+
+    want = _index_frames(odd, "doc_id", "text")[0].count()
+    assert new_rows.count() == want
+    # doclen appended the same way; termstats/stats restaged as single dirs
+    assert isinstance(lake.current_manifest()[f"idx/{DOCLEN}"], list)
+    assert isinstance(lake.current_manifest()[f"idx/{TERMSTATS}"], int)
+
+
+def test_extend_crash_window_preserves_old_index(spark, docs, tmp_path):
+    from unittest import mock
+
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    lake = Lakehouse(str(tmp_path))
+    build_bm25_index(lake, "idx", even)
+    before = _search_rows(bm25_search_indexed(lake, "idx", spark, ["alpha"], k=5))
+    mid_before = lake.current_manifest_id()
+    with pytest.raises(RuntimeError, match="kill"), mock.patch.object(
+        Lakehouse, "commit_manifest", side_effect=RuntimeError("kill")
+    ):
+        extend_bm25_index(lake, "idx", odd)
+    assert lake.current_manifest_id() == mid_before
+    assert _search_rows(
+        bm25_search_indexed(lake, "idx", spark, ["alpha"], k=5)
+    ) == before
+    # replay converges to the full index
+    extend_bm25_index(lake, "idx", odd)
+    full = Lakehouse(str(tmp_path / "full"))
+    build_bm25_index(full, "idx", docs)
+    assert _search_rows(
+        bm25_search_indexed(lake, "idx", spark, ["alpha"], k=5)
+    ) == _search_rows(bm25_search_indexed(full, "idx", spark, ["alpha"], k=5))
+
+
+def test_compact_folds_multifile_and_is_noop_when_single(spark, docs, tmp_path):
+    lake = Lakehouse(str(tmp_path))
+    build_bm25_index(lake, "idx", docs.filter(F.col("doc_id") < 3))
+    extend_bm25_index(lake, "idx", docs.filter((F.col("doc_id") >= 3) & (F.col("doc_id") < 6)))
+    extend_bm25_index(lake, "idx", docs.filter(F.col("doc_id") >= 6))
+    assert len(Lakehouse.as_versions(lake.current_manifest()[f"idx/{POSTINGS}"])) == 3
+    before = _search_rows(bm25_search_indexed(lake, "idx", spark, ["alpha", "beta"], k=8))
+    compact_bm25_index(lake, "idx")
+    assert isinstance(lake.current_manifest()[f"idx/{POSTINGS}"], int)
+    assert isinstance(lake.current_manifest()[f"idx/{DOCLEN}"], int)
+    assert _search_rows(
+        bm25_search_indexed(lake, "idx", spark, ["alpha", "beta"], k=8)
+    ) == before
+    assert compact_bm25_index(lake, "idx") == lake.current_manifest_id()
+
+
+def test_cold_start_and_guards(spark, docs, tmp_path):
+    lake = Lakehouse(str(tmp_path))
+    with pytest.raises(ValueError, match="build_bm25_index first"):
+        extend_bm25_index(lake, "idx", docs)
+    empty = docs.filter(F.col("doc_id") < 0)
+    build_bm25_index(lake, "idx", empty)
+    assert bm25_search_indexed(lake, "idx", spark, ["alpha"], k=5).count() == 0
+    # extend over the empty index bootstraps it (no trained artifact to lose)
+    extend_bm25_index(lake, "idx", docs)
+    assert bm25_search_indexed(lake, "idx", spark, ["alpha"], k=5).count() > 0
+    # wrong id_col raises instead of NULL-id reads
+    with pytest.raises(ValueError, match="keyed by"):
+        bm25_search_indexed(lake, "idx", spark, ["alpha"], k=5, id_col="vec_id")
+    # a never-committed layer searches empty
+    assert bm25_search_indexed(lake, "nope", spark, ["alpha"], k=5).count() == 0
