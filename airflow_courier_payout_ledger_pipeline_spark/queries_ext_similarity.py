@@ -2233,6 +2233,43 @@ def q_hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(lex, sem, k=10, leg_bound=30)
 
 
+@register("hybrid_search_rrf_dual_indexed", HYBRID_RRF_INDEXED_ORACLE)
+def q_hybrid_search_rrf_dual_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid rail with BOTH legs served from persisted indexes — the
+    true steady-state: the lexical leg reads the committed BM25 postings
+    (`textindex.bm25_search_indexed` — term-pruned scan, no query-time
+    tokenization) and the semantic leg the committed residual IVF-PQ codes
+    (`annindex.search_residual_ivfpq_index` — 8-byte codes, no raw-vector
+    scan), fused by the unchanged `rrf_fuse` contract. `hybrid_search_rrf`
+    re-derives both legs from raw data per query; `hybrid_search_rrf_indexed`
+    swapped only the semantic leg; this closes the pair — at 100 TB a hybrid
+    query now touches NOTHING corpus-sized: pruned postings + pruned code
+    lists + a ≤2n-row fusion. Hash-checked against the SAME oracle as the
+    half-indexed form (both swaps are layout, never semantics)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
+        search_residual_ivfpq_index,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import rrf_fuse
+    from airflow_courier_payout_ledger_pipeline_spark.operators.textindex import (
+        bm25_search_indexed,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.queries_ext_ops import (
+        _bm25_index_lake,
+    )
+
+    t = load_tables(spark, sf_dir, "documents", "embeddings")
+    emb = t["embeddings"]
+    ann_lake = _persisted_index_lake(emb, sf_dir)
+    bm25_lake = _bm25_index_lake(t["documents"], sf_dir, split=False)
+    lex = bm25_search_indexed(
+        bm25_lake, "idx", spark, ["vector", "stream", "hash"], k=30
+    ).select("doc_id", F.col("rank").alias("lex_rank"))
+    sem = search_residual_ivfpq_index(
+        ann_lake, "idx", emb.filter(F.col("vec_id") == 7), k=30
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("sem_rank"))
+    return rrf_fuse(lex, sem, k=10, leg_bound=30)
+
+
 # --- Embedding-matrix diagnostics (operators/linalg) ---------------------------------
 
 # The d×d second-moment matrix: both engines round the order-sensitive double

@@ -437,6 +437,8 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     # term-pruned postings); first driver rows land in r15
     "bm25_search_indexed",
     "bm25_index_incremental_extend",
+    # r14: NEW — both hybrid legs from persisted indexes (postings + codes)
+    "hybrid_search_rrf_dual_indexed",
     # r14: annindex.py changes (multi-file table versions make the extend
     # write O(increment) — the r13 verdict item 4); the persisted-index
     # consumers re-prove the changed file from the r15 head

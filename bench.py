@@ -137,6 +137,8 @@ HEADLINE = [
     # scan, no query-time tokenization) — the lexical twin of
     # ann_index_persisted_search, next to bm25_search's live baseline
     "bm25_search_indexed",
+    # both hybrid legs index-served (pruned postings + pruned code lists)
+    "hybrid_search_rrf_dual_indexed",
 ]
 
 

@@ -120,6 +120,7 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "knn_label_vote_indexed",
         "knn_vote_agreement_indexed",
         "knn_accuracy_curve_indexed",
+        "hybrid_search_rrf_dual_indexed",
         # in-window companions re-proving the module's unchanged surface
         "knn_label_vote",
         "knn_accuracy_curve",
@@ -327,6 +328,7 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
     "airflow_courier_payout_ledger_pipeline_spark/operators/textindex.py": {
         "bm25_search_indexed",
         "bm25_index_incremental_extend",
+        "hybrid_search_rrf_dual_indexed",
         "bm25_search",
     },
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_audit.py": {

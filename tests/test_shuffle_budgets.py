@@ -173,6 +173,10 @@ SHUFFLE_BUDGET = {
     # instead at index build time
     "bm25_search_indexed": 1,
     "bm25_index_incremental_extend": 1,
+    # round-14: both hybrid legs index-served; legs execute inside the
+    # leg-bound probe, the returned plan is the union-agg over the
+    # checkpoint (as the other hybrid pins)
+    "hybrid_search_rrf_dual_indexed": 1,
 }
 
 
