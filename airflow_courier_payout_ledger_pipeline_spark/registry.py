@@ -451,6 +451,42 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "scd1_upsert",
     "scd0_insert_ignore",
     "incremental_promotion",
+    # -- round-14 close: the 28 stalest remaining veterans (all r11-proven,
+    # computed mechanically from CORRECTNESS_r01..r13 + the green r14
+    # window) in registration order, filling the plan to exactly the
+    # 50-slot cap. SEVEN r11-proven veterans roll to the r16 plan head
+    # under the cap: dedup_keep_best, length_decile_bands,
+    # partition_stats_manifest, rolling_distinct_users_7d,
+    # decontaminated_corpus, heavy_hitters, cms_state_migration (everything
+    # else unscheduled is r12-or-newer) --
+    "rollup_totals",
+    "semi_anti_join",
+    "grouping_sets_hourly",
+    "price_histogram",
+    "list_agg_priorities",
+    "text_stats",
+    "lang_id",
+    "semdedup_pairs",
+    "semdedup_prune_end_to_end",
+    "ivf_recall_eval",
+    "event_windows_tumbling",
+    "asof_join_events",
+    "asof_join_forward_tolerance",
+    "attribution_linear",
+    "asof_join_nearest",
+    "kmv_rolling_7d_distinct",
+    "quantile_rolling_7d",
+    "heavy_users_rolling_7d",
+    "image_dhash_near_dup",
+    "streaming_ledger_maintenance",
+    "rolling_7d_counts",
+    "audio_features",
+    "bigram_lm_score",
+    "dq_violation_report",
+    "embedding_quantize",
+    "daily_anomaly_zscore",
+    "trend_slope_per_type",
+    "salted_join_agg",
 ]
 
 
