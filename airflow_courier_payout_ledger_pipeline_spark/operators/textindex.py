@@ -288,3 +288,127 @@ def _empty_result(spark: SparkSession, id_col: str) -> DataFrame:
     return spark.createDataFrame(
         [], f"{id_col} long, bm25 double, n_terms_hit int, rank int"
     )
+
+
+# --- Persisted trigram index (the substring-search rail) ------------------------------
+#
+# ``search.substring_search`` already takes a prebuilt (id, tg) index frame;
+# these helpers make that frame a COMMITTED artifact on the same manifest
+# protocol as the postings above, completing the set: every retrieval rail
+# (substring / BM25 / ANN) now has a build-once, extend-O(increment),
+# serve-from-committed form.
+
+TRIGRAMS, TGDOCS = "tg_postings", "tg_docids"
+
+
+def _trigram_schema(id_field) -> StructType:
+    from pyspark.sql.types import StringType, StructField
+
+    return StructType([id_field, StructField("tg", StringType())])
+
+
+def _tgdocs_schema(id_field) -> StructType:
+    return StructType([id_field])
+
+
+def build_trigram_index(
+    lake: Lakehouse,
+    layer: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Publish the (id, trigram) posting pairs plus the indexed-id set in one
+    manifest flip. Postings land trigram-clustered (repartition +
+    sortWithinPartitions on tg) so a probe's scan prunes to its needle's
+    grams by row-group min/max. The id set (``tg_docids``, one row per doc —
+    INCLUDING sub-trigram docs, which contribute no postings) is the SCD0
+    identity for extends: without it a replayed extend would re-admit a
+    short doc forever."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import (
+        trigram_index,
+    )
+
+    idx = (
+        trigram_index(docs, id_col, text_col)
+        .repartition(F.col("tg"))
+        .sortWithinPartitions("tg", id_col)
+    )
+    ids = docs.select(F.col(id_col)).distinct()
+    return lake.commit_multi([(idx, layer, TRIGRAMS), (ids, layer, TGDOCS)])
+
+
+def extend_trigram_index(
+    lake: Lakehouse,
+    layer: str,
+    increment: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """O(increment) upkeep for the trigram rail, write included: only ids
+    absent from the committed id set shingle, and both tables append their
+    increment dirs as multi-file manifest versions (the codes-rail
+    protocol). ``extend(build(A), B) ≡ build(A ∪ B)`` row-identically;
+    replay is a no-op (SCD0 on the id set)."""
+    if f"{layer}/{TGDOCS}" not in lake.current_manifest():
+        raise ValueError(
+            f"extend_trigram_index: no committed index under {layer!r} — "
+            "build_trigram_index first"
+        )
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import (
+        trigram_index,
+    )
+
+    spark = increment.sparkSession
+    id_field = increment.select(F.col(id_col)).schema.fields[0]
+    old_ids = lake.read_committed(spark, layer, TGDOCS, _tgdocs_schema(id_field))
+    new_rows = increment.join(old_ids, id_col, "left_anti")
+    idx = trigram_index(new_rows, id_col, text_col)
+    ids = new_rows.select(F.col(id_col)).distinct()
+    manifest = lake.current_manifest()
+    return lake.commit_manifest(
+        {
+            (layer, TRIGRAMS): Lakehouse.as_versions(
+                manifest.get(f"{layer}/{TRIGRAMS}")
+            )
+            + [lake.stage_version(idx, layer, TRIGRAMS)],
+            (layer, TGDOCS): Lakehouse.as_versions(manifest.get(f"{layer}/{TGDOCS}"))
+            + [lake.stage_version(ids, layer, TGDOCS)],
+        }
+    )
+
+
+def substring_search_indexed(
+    lake: Lakehouse,
+    layer: str,
+    docs: DataFrame,
+    needle: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``search.substring_search`` with the probe served from the COMMITTED
+    trigram index: posting lists for the needle's grams prune by row-group
+    stats, candidates verify exactly against ``docs`` (the only corpus read,
+    a broadcast-semi-pruned fetch). Results cover the INDEXED corpus —
+    ``docs`` rows not yet extended into the index cannot match (index lag,
+    the standard inverted-index contract); sub-trigram needles fall back to
+    the full scan exactly as the live operator does."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import (
+        substring_search,
+    )
+
+    spark = docs.sparkSession
+    id_field = docs.select(F.col(id_col)).schema.fields[0]
+    vs = Lakehouse.as_versions(lake.current_manifest().get(f"{layer}/{TRIGRAMS}"))
+    if vs:  # the annindex by-name-read rule: raise, never NULL-id reads
+        actual = spark.read.parquet(
+            str(lake.root / layer / TRIGRAMS / f"v={vs[0]}")
+        ).schema.fields
+        if actual[0].name != id_col:
+            raise ValueError(
+                f"committed trigram index under {layer!r} is keyed by "
+                f"{actual[0].name!r}, caller expects {id_col!r} — pass the "
+                "id_col the index was BUILT with"
+            )
+    idx = lake.read_committed(spark, layer, TRIGRAMS, _trigram_schema(id_field))
+    return substring_search(docs, needle, index=idx, id_col=id_col, text_col=text_col)

@@ -481,6 +481,38 @@ def q_bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search_indexed(lake, "idx", spark, ["vector", "stream", "hash"], k=10)
 
 
+@register("substring_search_indexed", SUBSTRING_SEARCH_ORACLE)
+def q_substring_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus grep with the trigram probe served from the COMMITTED index —
+    the substring rail's steady-state (operators/textindex: build once,
+    extend O(increment) on the multi-file manifest rail, probe from
+    trigram-clustered committed postings). The living-index form is proven
+    here end to end: build on the even-id half, `extend_trigram_index`
+    folds the odd half in, and the search must return the identical rows to
+    the naive full-scan contains() oracle — index lag is ZERO here by
+    construction, which is the extend law in query form. Only the
+    candidates read text; the corpus is never shingled at query time."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.textindex import (
+        build_trigram_index,
+        extend_trigram_index,
+        substring_search_indexed,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    key = ("trigram_index", _docs_stat_key(sf_dir))
+    if key not in _BM25_INDEX_LAKES:
+        import tempfile
+
+        lake = Lakehouse(tempfile.mkdtemp(prefix="tg_idx_"))
+        build_trigram_index(lake, "idx", docs.filter(F.col("doc_id") % 2 == 0))
+        extend_trigram_index(lake, "idx", docs.filter(F.col("doc_id") % 2 == 1))
+        _BM25_INDEX_LAKES[key] = lake
+    return substring_search_indexed(
+        _BM25_INDEX_LAKES[key], "idx", docs, "batch stream"
+    )
+
+
 @register("bm25_index_incremental_extend", BM25_ORACLE)
 def q_bm25_index_incremental_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The postings index as a LIVING artifact: build on the even-id half of

@@ -439,6 +439,9 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "bm25_index_incremental_extend",
     # r14: NEW — both hybrid legs from persisted indexes (postings + codes)
     "hybrid_search_rrf_dual_indexed",
+    # r14: NEW — the committed trigram rail (living-index form: build even
+    # half, extend odd half, search ≡ the full-scan oracle)
+    "substring_search_indexed",
     # r14: annindex.py changes (multi-file table versions make the extend
     # write O(increment) — the r13 verdict item 4); the persisted-index
     # consumers re-prove the changed file from the r15 head
@@ -451,11 +454,13 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "scd1_upsert",
     "scd0_insert_ignore",
     "incremental_promotion",
-    # -- round-14 close: the 28 stalest remaining veterans (all r11-proven,
+    # -- round-14 close: the stalest remaining veterans (all r11-proven,
     # computed mechanically from CORRECTNESS_r01..r13 + the green r14
     # window) in registration order, filling the plan to exactly the
-    # 50-slot cap. SEVEN r11-proven veterans roll to the r16 plan head
-    # under the cap: dedup_keep_best, length_decile_bands,
+    # 50-slot cap. The late `substring_search_indexed` addition takes
+    # `salted_join_agg`'s slot (additions before re-proofs — the r13
+    # convention), so EIGHT r11-proven veterans roll to the r16 plan head
+    # under the cap: salted_join_agg, dedup_keep_best, length_decile_bands,
     # partition_stats_manifest, rolling_distinct_users_7d,
     # decontaminated_corpus, heavy_hitters, cms_state_migration (everything
     # else unscheduled is r12-or-newer) --
@@ -486,7 +491,6 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "embedding_quantize",
     "daily_anomaly_zscore",
     "trend_slope_per_type",
-    "salted_join_agg",
 ]
 
 

@@ -139,6 +139,8 @@ HEADLINE = [
     "bm25_search_indexed",
     # both hybrid legs index-served (pruned postings + pruned code lists)
     "hybrid_search_rrf_dual_indexed",
+    # the committed trigram rail (living-index substring search)
+    "substring_search_indexed",
 ]
 
 

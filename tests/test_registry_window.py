@@ -281,9 +281,10 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "bm25_search",
         # round-13: hybrid RRF fusion registration (r14 head)
         "hybrid_search_rrf",
-        # round-14: persisted-postings registrations (r15 head)
+        # round-14: persisted-postings + trigram registrations (r15 head)
         "bm25_search_indexed",
         "bm25_index_incremental_extend",
+        "substring_search_indexed",
     },
     # round-13: write_bucketed now delegates to the shared
     # bucketed_save_as_table chain (one definition with the Lakehouse rail);
@@ -329,6 +330,7 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "bm25_search_indexed",
         "bm25_index_incremental_extend",
         "hybrid_search_rrf_dual_indexed",
+        "substring_search_indexed",
         "bm25_search",
     },
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_audit.py": {

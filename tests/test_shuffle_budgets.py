@@ -177,6 +177,9 @@ SHUFFLE_BUDGET = {
     # leg-bound probe, the returned plan is the union-agg over the
     # checkpoint (as the other hybrid pins)
     "hybrid_search_rrf_dual_indexed": 1,
+    # round-14: committed-trigram probe — the posting-list intersection agg
+    # + the candidate semi-join exchange; only candidates read text
+    "substring_search_indexed": 2,
 }
 
 

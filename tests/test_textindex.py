@@ -167,3 +167,53 @@ def test_cold_start_and_guards(spark, docs, tmp_path):
         bm25_search_indexed(lake, "idx", spark, ["alpha"], k=5, id_col="vec_id")
     # a never-committed layer searches empty
     assert bm25_search_indexed(lake, "nope", spark, ["alpha"], k=5).count() == 0
+
+
+def test_trigram_index_build_extend_search(spark, docs, tmp_path):
+    """The committed trigram rail: indexed search ≡ the live full-derive
+    search; extend(build(A), B) ≡ build(A ∪ B) on both tables; replay is a
+    no-op; wrong id_col raises."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import (
+        substring_search,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.operators.textindex import (
+        TGDOCS,
+        TRIGRAMS,
+        build_trigram_index,
+        extend_trigram_index,
+        substring_search_indexed,
+    )
+
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    inc = Lakehouse(str(tmp_path / "inc"))
+    build_trigram_index(inc, "idx", even)
+    extend_trigram_index(inc, "idx", odd)
+    full = Lakehouse(str(tmp_path / "full"))
+    build_trigram_index(full, "idx", docs)
+    for table, ddl in ((TRIGRAMS, "doc_id long, tg string"), (TGDOCS, "doc_id long")):
+        a = sorted(map(tuple, inc.read_committed(
+            spark, "idx", table, StructType.fromDDL(ddl)).collect()))
+        b = sorted(map(tuple, full.read_committed(
+            spark, "idx", table, StructType.fromDDL(ddl)).collect()))
+        assert a == b, table
+    assert isinstance(inc.current_manifest()[f"idx/{TRIGRAMS}"], list)  # multi-file
+    for needle in ("alpha", "beta!", "zz"):  # incl. punctuation + sub-trigram fallback
+        live = sorted(map(tuple, substring_search(docs, needle).collect()))
+        idx = sorted(map(tuple, substring_search_indexed(inc, "idx", docs, needle).collect()))
+        assert live == idx, needle
+    # replay no-op
+    before = sorted(map(tuple, inc.read_committed(
+        spark, "idx", TRIGRAMS, StructType.fromDDL("doc_id long, tg string")).collect()))
+    extend_trigram_index(inc, "idx", odd)
+    after = sorted(map(tuple, inc.read_committed(
+        spark, "idx", TRIGRAMS, StructType.fromDDL("doc_id long, tg string")).collect()))
+    assert before == after
+    # guards
+    with pytest.raises(ValueError, match="build_trigram_index first"):
+        extend_trigram_index(Lakehouse(str(tmp_path / "none")), "idx", docs)
+    with pytest.raises(ValueError, match="keyed by"):
+        substring_search_indexed(
+            inc, "idx", docs.withColumnRenamed("doc_id", "vec_id"), "alpha",
+            id_col="vec_id",
+        )
