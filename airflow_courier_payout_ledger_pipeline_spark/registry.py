@@ -315,108 +315,35 @@ def q_incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ------------------------------------------------------------------------------------
-# Driver adjudication window — ROUND 14 (active; the r14 plan staged during
-# round 13 activated VERBATIM — r13 verdict next-round item 1).
+# Driver adjudication window — ROUND 15 (active; the r15 plan staged during
+# round 14 activated VERBATIM — r14 verdict next-round item 1).
 #
 # The correctness driver adjudicates the FIRST 50 entries of queries() in dict
-# order (observed r1-r13). History: r1-r3 proved the original first-50 green
+# order (observed r1-r14). History: r1-r3 proved the original first-50 green
 # three rounds running; r4 proved the 40 long-unproven queries + 7 round-4
 # additions; r5 proved 50/50 including the fixed `sequence_packing`; r6 went
 # 50/50 making every then-registered query driver-proven at least once; r7
 # proved the 9 round-7-changed queries + 38 r4-stale veterans; r8 the 6
 # round-7 additions + the clone-scoping streaming pair + 22 r5-stale veterans;
 # r9 the staged trio-of-debts + all 36 r6-stale veterans + the stalest r7
-# queries; r10-r13 each went 50/50 on their staged plans — after r13, 174 of
-# 182 registered queries are driver-proven with zero last-row failures. This
-# round-14 window: canary trio; the 5 r9-proven veterans rolled past r13;
-# 3 round-13 changed-file re-proofs; the EIGHT round-13 additions that
-# registered after the r13 window froze (their first driver rows — the r13
-# verdict's only claimed-but-unproven surface) plus the bm25/substring
-# file-grain re-proofs; then 29 r10-stale veterans. After a green r14 every
-# registered query is driver-proven and nothing is older than r10 except the
-# 7 veterans rolled to r15 (see NEXT_PLAN). Per-query adjudication history
-# is tracked in OPERATORS.md; test_registry_window.py pins consistency.
+# queries; r10-r14 each went 50/50 on their staged plans — after r14, 182 of
+# 189 registered queries are driver-proven with zero last-row failures. This
+# round-15 window: canary trio; the 7 r10-proven veterans rolled past r14;
+# the SEVEN round-14 additions that registered after the r14 window froze
+# (their first driver rows — the r14 verdict's only claimed-but-unproven
+# surface); the annindex.py + lakehouse.py/promotions changed-file re-proofs;
+# then 27 r11-stale veterans. After a green r15 every registered query is
+# driver-proven and nothing is older than r11 except the 8 veterans rolled to
+# r16 (see NEXT_PLAN). Per-query adjudication history is tracked in
+# OPERATORS.md; test_registry_window.py pins consistency.
 # ------------------------------------------------------------------------------------
 ADJUDICATION_WINDOW_FIRST: list[str] = [
-    # -- staged r14 plan, verbatim (round-13 registry.py ADJUDICATION_WINDOW_NEXT_PLAN) --
+    # -- staged r15 plan, verbatim (round-14 registry.py ADJUDICATION_WINDOW_NEXT_PLAN) --
     # flagship canary
     "courier_ledger",
     "courier_ledger_sql",
     "incremental_mart_maintenance",
-    # the 5 r9-proven veterans rolled past the r13 window
-    "similarity_ivf_pq",
-    "similarity_ivf_topk",
-    "similarity_pq_adc",
-    "term_importance",
-    "window_analytics",
-    # round-13 changed-file re-proofs: docstring-only dominance-gate
-    # correction in queries_ext_similarity.py (all three were green in r12)
-    "ivf_recall_trained_vs_seeded",
-    "similarity_ivf_topk_trained",
-    "ivfpq_residual_recall_multiprobe",
-    # round-13 additions registered after the r13 window froze — first
-    # driver rows land HERE (the r13 verdict's only claimed-but-unproven gap)
-    "dedup_lsh_dropped_buckets",
-    "courier_ledger_bucketed",
-    "hybrid_search_rrf",
-    "knn_label_vote",
-    "bm25_search",
-    "substring_search",
-    "hybrid_search_rrf_indexed",
-    # r10-stale veterans, registration order (the knn/embedding additions at
-    # the tail displaced seven to the r15 plan head)
-    "watermark_state",
-    "repetition_stats",
-    "quality_rules",
-    "vocab_counts",
-    "ngram_contamination",
-    "bpe_merges",
-    "bpe_token_counts",
-    "dedup_components",
-    "streaming_bloom_maintenance",
-    "quantile_state_maintenance",
-    "streaming_quantile_maintenance",
-    "sample_state_maintenance",
-    "streaming_sample_maintenance",
-    "kmv_distinct_users",
-    "kmv_user_overlap",
-    "streaming_mad_audit",
-    "mad_outlier_audit",
-    "document_chunks",
-    "weighted_sample_per_source",
-    "deterministic_sample",
-    "topk_per_group",
-    "dedup_incremental",
-    "training_shards_end_to_end",
-    "streaming_dedup",
-    "streaming_compact_latest",
-    "streaming_stream_join",
-    "streaming_sessionization",
-    "funnel_conversion",
-    "key_skew_profile",
-    # round-13 tail additions (additions adjudicate before re-proofs)
-    "knn_accuracy_curve",
-    "embedding_dim_correlation",
-    "embedding_dominant_direction",
-]
-
-
-# ------------------------------------------------------------------------------------
-# PLANNED round-15 window (activate at the START of round 15). Composition:
-# the flagship canary trio, then the 7 r10-proven veterans that rolled past
-# the r14 window (r13 verdict next-round item 6), then any query whose
-# implementing code CHANGES in round 14 (standing rule: changed code must
-# appear in the active window or at the head of the next plan — pinned by
-# test_registry_window.py), then round-14 additions registered outside the
-# active window, then the stalest remaining veterans in registration order
-# (fill recomputed mechanically at round-14 close from CORRECTNESS_r01..r14).
-# ------------------------------------------------------------------------------------
-ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
-    # -- flagship canary --
-    "courier_ledger",
-    "courier_ledger_sql",
-    "incremental_mart_maintenance",
-    # -- the 7 r10-proven veterans rolled past the r14 window --
+    # the 7 r10-proven veterans rolled past the r14 window
     "corpus_curation",
     "doc_chunking",
     "event_pagerank",
@@ -424,46 +351,31 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "oov_rate",
     "per_source_cap",
     "pii_scrub",
-    # -- round-14 code changes / additions append here as they land --
-    # r14: NEW — kNN labeling served from the persisted residual IVF-PQ
-    # index (the r13 verdict item-2 leg-swap) + its refine-vs-exact
-    # agreement eval + the index-served accuracy@k sweep; first driver rows
-    # land in r15
+    # round-14 additions registered after the r14 window froze — first
+    # driver rows land HERE (the r14 verdict's only claimed-but-unproven
+    # gap): index-served kNN labeling + its agreement/accuracy evals, the
+    # persisted BM25 postings index, dual-indexed hybrid retrieval, and the
+    # committed trigram rail
     "knn_label_vote_indexed",
     "knn_vote_agreement_indexed",
     "knn_accuracy_curve_indexed",
-    # r14: NEW — the persisted BM25 postings index (lexical twin of the
-    # ANN index: build/extend on the multi-file manifest rail, queries read
-    # term-pruned postings); first driver rows land in r15
     "bm25_search_indexed",
     "bm25_index_incremental_extend",
-    # r14: NEW — both hybrid legs from persisted indexes (postings + codes)
     "hybrid_search_rrf_dual_indexed",
-    # r14: NEW — the committed trigram rail (living-index form: build even
-    # half, extend odd half, search ≡ the full-scan oracle)
     "substring_search_indexed",
-    # r14: annindex.py changes (multi-file table versions make the extend
-    # write O(increment) — the r13 verdict item 4); the persisted-index
-    # consumers re-prove the changed file from the r15 head
+    # round-14 changed-file re-proofs: annindex.py (O(increment) extend
+    # write via multi-file table versions) — the persisted-index consumers
     "ann_index_persisted_search",
     "ann_index_incremental_extend",
     "similarity_pq_refine_topk",
-    # r14: lakehouse.py changed with it (manifest values may be version
-    # LISTS; read_committed unions the dirs) — the SCD/promotion veterans
-    # re-prove the unchanged single-version rails alongside the canary mart
+    # round-14 changed-file re-proofs: lakehouse.py (manifest values may be
+    # version LISTS; read_committed unions the dirs) — the SCD/promotion
+    # veterans re-prove the single-version rails alongside the canary mart
     "scd1_upsert",
     "scd0_insert_ignore",
     "incremental_promotion",
-    # -- round-14 close: the stalest remaining veterans (all r11-proven,
-    # computed mechanically from CORRECTNESS_r01..r13 + the green r14
-    # window) in registration order, filling the plan to exactly the
-    # 50-slot cap. The late `substring_search_indexed` addition takes
-    # `salted_join_agg`'s slot (additions before re-proofs — the r13
-    # convention), so EIGHT r11-proven veterans roll to the r16 plan head
-    # under the cap: salted_join_agg, dedup_keep_best, length_decile_bands,
-    # partition_stats_manifest, rolling_distinct_users_7d,
-    # decontaminated_corpus, heavy_hitters, cms_state_migration (everything
-    # else unscheduled is r12-or-newer) --
+    # r11-stale veterans, registration order (27 of 35 fit under the 50-cap;
+    # the other 8 roll to the r16 plan head — see NEXT_PLAN)
     "rollup_totals",
     "semi_anti_join",
     "grouping_sets_hourly",
@@ -491,6 +403,34 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "embedding_quantize",
     "daily_anomaly_zscore",
     "trend_slope_per_type",
+]
+
+
+# ------------------------------------------------------------------------------------
+# PLANNED round-16 window (activate at the START of round 16). Composition:
+# the flagship canary trio, then the 8 r11-proven veterans that rolled past
+# the r15 window (r14 verdict next-round item 7), then any query whose
+# implementing code CHANGES in round 15 (standing rule: changed code must
+# appear in the active window or at the head of the next plan — pinned by
+# test_registry_window.py), then round-15 additions registered outside the
+# active window, then the stalest remaining veterans in registration order
+# (fill recomputed mechanically at round-15 close from CORRECTNESS_r01..r15).
+# ------------------------------------------------------------------------------------
+ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
+    # -- flagship canary --
+    "courier_ledger",
+    "courier_ledger_sql",
+    "incremental_mart_maintenance",
+    # -- the 8 r11-proven veterans rolled past the r15 window --
+    "salted_join_agg",
+    "dedup_keep_best",
+    "length_decile_bands",
+    "partition_stats_manifest",
+    "rolling_distinct_users_7d",
+    "decontaminated_corpus",
+    "heavy_hitters",
+    "cms_state_migration",
+    # -- round-15 code changes / additions append here as they land --
 ]
 
 

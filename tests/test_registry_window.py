@@ -1,14 +1,13 @@
 """The driver adjudicates the FIRST 50 entries of queries() in dict order
-(observed r1-r13). These tests pin the round-14 rotation: the staged r14 plan
-from round 13 is activated VERBATIM (canary trio; the 5 r9-proven veterans
-rolled past r13; 3 round-13 changed-file re-proofs; the EIGHT round-13
-additions that registered after the r13 window froze — the r13 verdict's
-only claimed-but-unproven surface — plus the bm25/substring file-grain
-re-proofs; 29 r10-stale veterans), then round-14 work appends to the r15
-plan as it lands. Every window name resolves to a registered query WITH an
-oracle (rows-only queries may exist in the registry, but a window slot
-without an oracle would burn driver evidence on a weaker rows-only check —
-keep them out).
+(observed r1-r14). These tests pin the round-15 rotation: the staged r15 plan
+from round 14 is activated VERBATIM (canary trio; the 7 r10-proven veterans
+rolled past r14; the SEVEN round-14 additions that registered after the r14
+window froze — the r14 verdict's only claimed-but-unproven surface; the
+annindex.py and lakehouse.py/promotions changed-file re-proofs; 27 r11-stale
+veterans), then round-15 work appends to the r16 plan as it lands. Every
+window name resolves to a registered query WITH an oracle (rows-only queries
+may exist in the registry, but a window slot without an oracle would burn
+driver evidence on a weaker rows-only check — keep them out).
 
 STANDING RULE (codified per the round-7 verdict, made ROUND-AGNOSTIC per the
 round-8 verdict): any query whose implementing code changes in round N must
@@ -38,39 +37,40 @@ from airflow_courier_payout_ledger_pipeline_spark.registry import (
 WINDOW = 50
 CANARY = {"courier_ledger", "courier_ledger_sql", "incremental_mart_maintenance"}
 
-#: staged from round 13 — the r14 active window must land fresh driver rows
-#: on these: the 8 round-13 additions registered after the r13 window froze
-#: (the r13 verdict's only claimed-but-unproven surface, next-round item 1)
-#: plus the file-grain re-proofs that travel with them
-_STAGED_FOR_R14 = {
-    # 8 round-13 post-freeze additions — first driver rows land in r14
-    "dedup_lsh_dropped_buckets",
-    "courier_ledger_bucketed",
-    "hybrid_search_rrf",
-    "hybrid_search_rrf_indexed",
-    "knn_label_vote",
-    "knn_accuracy_curve",
-    "embedding_dim_correlation",
-    "embedding_dominant_direction",
-    # search.py file-grain re-proofs riding alongside the r13 additions
-    "bm25_search",
-    "substring_search",
-    # round-13 changed-file re-proofs (queries_ext_similarity.py docstring)
-    "ivf_recall_trained_vs_seeded",
-    "similarity_ivf_topk_trained",
-    "ivfpq_residual_recall_multiprobe",
+#: staged from round 14 — the r15 active window must land fresh driver rows
+#: on these: the 7 round-14 additions registered after the r14 window froze
+#: (the r14 verdict's only claimed-but-unproven surface, next-round item 1)
+#: plus the changed-file re-proofs that travel with them
+_STAGED_FOR_R15 = {
+    # 7 round-14 post-freeze additions — first driver rows land in r15
+    "knn_label_vote_indexed",
+    "knn_vote_agreement_indexed",
+    "knn_accuracy_curve_indexed",
+    "bm25_search_indexed",
+    "bm25_index_incremental_extend",
+    "hybrid_search_rrf_dual_indexed",
+    "substring_search_indexed",
+    # annindex.py changed-file re-proofs (O(increment) extend write)
+    "ann_index_persisted_search",
+    "ann_index_incremental_extend",
+    "similarity_pq_refine_topk",
+    # lakehouse.py changed-file re-proofs (multi-file table versions)
+    "scd1_upsert",
+    "scd0_insert_ignore",
+    "incremental_promotion",
 }
 
-#: the 7 r10-proven veterans that rolled past the r14 window (r13 verdict
-#: next-round item 6) — must hold their slots at the head of the r15 plan
-_ROLLED_TO_R15 = {
-    "corpus_curation",
-    "doc_chunking",
-    "event_pagerank",
-    "label_centroid_stats",
-    "oov_rate",
-    "per_source_cap",
-    "pii_scrub",
+#: the 8 r11-proven veterans that rolled past the r15 window (r14 verdict
+#: next-round item 7) — must hold their slots at the head of the r16 plan
+_ROLLED_TO_R16 = {
+    "salted_join_agg",
+    "dedup_keep_best",
+    "length_decile_bands",
+    "partition_stats_manifest",
+    "rolling_distinct_users_7d",
+    "decontaminated_corpus",
+    "heavy_hitters",
+    "cms_state_migration",
 }
 
 # ------------------------------------------------------------------------------------
@@ -520,19 +520,19 @@ def test_flagship_canary_stays_in_window():
     assert CANARY <= set(order)
 
 
-def test_staged_r14_queries_are_in_window():
-    """Everything staged from round 13 (the 8 post-freeze round-13 additions
-    — the only claimed-but-unproven surface — plus their file-grain
+def test_staged_r15_queries_are_in_window():
+    """Everything staged from round 14 (the 7 post-freeze round-14 additions
+    — the only claimed-but-unproven surface — plus their changed-file
     re-proof companions) must sit in the active window: a registered query
     without a fresh driver row is unadjudicated."""
-    assert _STAGED_FOR_R14 <= set(ADJUDICATION_WINDOW_FIRST[:WINDOW])
+    assert _STAGED_FOR_R15 <= set(ADJUDICATION_WINDOW_FIRST[:WINDOW])
 
 
-def test_rolled_r10_veterans_head_the_r15_plan():
-    """The 7 r10-proven veterans displaced by the r14 window hold slots in the
-    r15 plan (r13 verdict next-round item 6) — the rotation rule is that no
+def test_rolled_r11_veterans_head_the_r16_plan():
+    """The 8 r11-proven veterans displaced by the r15 window hold slots in the
+    r16 plan (r14 verdict next-round item 7) — the rotation rule is that no
     query's newest evidence falls more than ~5 rounds stale."""
-    assert _ROLLED_TO_R15 <= set(ADJUDICATION_WINDOW_NEXT_PLAN)
+    assert _ROLLED_TO_R16 <= set(ADJUDICATION_WINDOW_NEXT_PLAN)
 
 
 def test_queries_and_oracles_share_order():
@@ -644,8 +644,15 @@ _GREEN_EVER = {
     "ivfpq_residual_recall_multiprobe",
     # green r13 (CORRECTNESS_r13 50/50): first driver rows for the four
     # post-freeze round-12 additions; the other r13-green rows re-proved
-    # names already listed above. The eight post-freeze round-13 additions
-    # land their first rows in r14 (they sit in the active window).
+    # names already listed above
     "streaming_ivf_maintenance", "ann_index_persisted_search",
     "ann_index_incremental_extend", "similarity_pq_refine_topk",
+    # green r14 (CORRECTNESS_r14 50/50): first driver rows for the eight
+    # post-freeze round-13 additions; the other r14-green rows re-proved
+    # names already listed above. The seven post-freeze round-14 additions
+    # land their first rows in r15 (they sit in the active window).
+    "dedup_lsh_dropped_buckets", "courier_ledger_bucketed",
+    "hybrid_search_rrf", "hybrid_search_rrf_indexed", "knn_label_vote",
+    "knn_accuracy_curve", "embedding_dim_correlation",
+    "embedding_dominant_direction",
 }
