@@ -324,7 +324,7 @@ def extend_residual_ivfpq_index(
     )
 
 
-def compact_residual_ivfpq_codes(lake: Lakehouse, layer: str) -> int:
+def compact_residual_ivfpq_codes(lake: Lakehouse, layer: str, spark: SparkSession) -> int:
     """Maintenance compaction for the extend rail: fold the committed codes
     table's multi-file version (one dir per extend since the last build or
     compaction) back into ONE snapshot dir and flip the manifest. O(corpus)
@@ -333,7 +333,8 @@ def compact_residual_ivfpq_codes(lake: Lakehouse, layer: str) -> int:
     committed list, never a mix. Row-identical by construction (one
     union-read, one rewrite — no dedup, no re-encode); returns the manifest
     id. No-op (returns the current id) when the codes are already a single
-    dir."""
+    dir. ``spark`` is explicit (never a ``getActiveSession`` fallback): a
+    maintenance job must run on the caller's configured session."""
     vs = _committed_codes_versions(lake, layer)
     if len(vs) <= 1:
         mid = lake.current_manifest_id()
@@ -342,7 +343,6 @@ def compact_residual_ivfpq_codes(lake: Lakehouse, layer: str) -> int:
                 f"compact_residual_ivfpq_codes: no committed index under {layer!r}"
             )
         return mid
-    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
     paths = [str(lake.root / layer / CODES / f"v={v}") for v in vs]
     codes = spark.read.parquet(*paths)
     return lake.commit_multi([(codes, layer, CODES)])

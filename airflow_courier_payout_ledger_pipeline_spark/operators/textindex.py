@@ -190,13 +190,15 @@ def extend_bm25_index(
     return lake.commit_manifest(staged)
 
 
-def compact_bm25_index(lake: Lakehouse, layer: str) -> int:
+def compact_bm25_index(lake: Lakehouse, layer: str, spark: SparkSession) -> int:
     """Maintenance compaction: fold the postings/doclen multi-file versions
     (one dir per extend) back into single term-clustered snapshots and flip
     the manifest once. O(corpus) by design — the compaction schedule's cost,
     not the nightly's. Re-clusters postings by term, so row-group pruning
     recovers its build-time selectivity after many extends. No-op when both
-    tables are already single-dir."""
+    tables are already single-dir. ``spark`` is explicit (never a
+    ``getActiveSession`` fallback): a maintenance job must run on the
+    caller's configured session, not a conjured default."""
     manifest = lake.current_manifest()
     pv = Lakehouse.as_versions(manifest.get(f"{layer}/{POSTINGS}"))
     dv = Lakehouse.as_versions(manifest.get(f"{layer}/{DOCLEN}"))
@@ -206,7 +208,6 @@ def compact_bm25_index(lake: Lakehouse, layer: str) -> int:
     if len(pv) <= 1 and len(dv) <= 1:
         assert mid is not None
         return mid
-    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
     postings = spark.read.parquet(
         *[str(lake.root / layer / POSTINGS / f"v={v}") for v in pv]
     ).repartition(F.col("term")).sortWithinPartitions("term")
@@ -258,7 +259,7 @@ def bm25_search_indexed(
         spark, layer, STATS, StructType.fromDDL(_STATS_SCHEMA)
     ).first()
     if st is None or not st["n_docs"]:
-        return _empty_result(spark, id_col)
+        return _empty_result(spark, id_col, id_field)
     n_docs, sum_dl = int(st["n_docs"]), int(st["sum_dl"])
     dfmap = {
         r["term"]: int(r["df"])
@@ -284,9 +285,31 @@ def bm25_search_indexed(
     return _bm25_rank_tail(per_doc, terms, n_docs, sum_dl, dfs, k, k1, b, id_col)
 
 
-def _empty_result(spark: SparkSession, id_col: str) -> DataFrame:
+def _empty_result(spark: SparkSession, id_col: str, id_field=None) -> DataFrame:
+    """Typed-empty search result. The id type comes from the COMMITTED
+    doclen field when one exists (a string-keyed index must return a
+    string-typed empty frame, matching the non-empty path); only the
+    never-committed cold start — where no committed type exists to honor —
+    defaults to long."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    id_f = id_field if id_field is not None else StructField(id_col, LongType())
     return spark.createDataFrame(
-        [], f"{id_col} long, bm25 double, n_terms_hit int, rank int"
+        [],
+        StructType(
+            [
+                id_f,
+                StructField("bm25", DoubleType()),
+                StructField("n_terms_hit", IntegerType()),
+                StructField("rank", IntegerType()),
+            ]
+        ),
     )
 
 
@@ -376,6 +399,32 @@ def extend_trigram_index(
             + [lake.stage_version(ids, layer, TGDOCS)],
         }
     )
+
+
+def compact_trigram_index(lake: Lakehouse, layer: str, spark: SparkSession) -> int:
+    """Maintenance compaction for the trigram rail — the missing twin of
+    ``compact_bm25_index`` / ``annindex.compact_residual_ivfpq_codes``: fold
+    the ``tg_postings``/``tg_docids`` multi-file versions (one dir per
+    nightly extend) back into single snapshots and flip the manifest once.
+    Without it the probe's read fans over an unbounded dir list and the
+    per-dir tg-clustering decays global row-group pruning. O(corpus) by
+    design — the compaction schedule's cost. Re-clusters postings by tg;
+    row-identical by construction (one union-read, one rewrite). No-op
+    (returns the current manifest id) when both tables are single-dir."""
+    manifest = lake.current_manifest()
+    pv = Lakehouse.as_versions(manifest.get(f"{layer}/{TRIGRAMS}"))
+    iv = Lakehouse.as_versions(manifest.get(f"{layer}/{TGDOCS}"))
+    if not pv:
+        raise ValueError(f"compact_trigram_index: no committed index under {layer!r}")
+    mid = lake.current_manifest_id()
+    if len(pv) <= 1 and len(iv) <= 1:
+        assert mid is not None
+        return mid
+    idx = spark.read.parquet(
+        *[str(lake.root / layer / TRIGRAMS / f"v={v}") for v in pv]
+    ).repartition(F.col("tg")).sortWithinPartitions("tg")
+    ids = spark.read.parquet(*[str(lake.root / layer / TGDOCS / f"v={v}") for v in iv])
+    return lake.commit_multi([(idx, layer, TRIGRAMS), (ids, layer, TGDOCS)])
 
 
 def substring_search_indexed(

@@ -365,7 +365,7 @@ def test_compact_codes_folds_multifile_to_one(spark, corpus, artifacts, tmp_path
         map(tuple, search_residual_ivfpq_index(lake, "idx", q, k=3).collect())
     )
 
-    compact_residual_ivfpq_codes(lake, "idx")
+    compact_residual_ivfpq_codes(lake, "idx", spark)
     v = lake.current_manifest()[f"idx/{CODES}"]
     assert isinstance(v, int)
     after = sorted(map(tuple, lake.read_committed(
@@ -375,7 +375,7 @@ def test_compact_codes_folds_multifile_to_one(spark, corpus, artifacts, tmp_path
         map(tuple, search_residual_ivfpq_index(lake, "idx", q, k=3).collect())
     ) == search_before
     # no-op on an already-single-dir index
-    assert compact_residual_ivfpq_codes(lake, "idx") == lake.current_manifest_id()
+    assert compact_residual_ivfpq_codes(lake, "idx", spark) == lake.current_manifest_id()
 
 
 def test_retention_sweep_keeps_multifile_members_readable(spark, corpus, artifacts, tmp_path):

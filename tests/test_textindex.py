@@ -143,13 +143,13 @@ def test_compact_folds_multifile_and_is_noop_when_single(spark, docs, tmp_path):
     extend_bm25_index(lake, "idx", docs.filter(F.col("doc_id") >= 6))
     assert len(Lakehouse.as_versions(lake.current_manifest()[f"idx/{POSTINGS}"])) == 3
     before = _search_rows(bm25_search_indexed(lake, "idx", spark, ["alpha", "beta"], k=8))
-    compact_bm25_index(lake, "idx")
+    compact_bm25_index(lake, "idx", spark)
     assert isinstance(lake.current_manifest()[f"idx/{POSTINGS}"], int)
     assert isinstance(lake.current_manifest()[f"idx/{DOCLEN}"], int)
     assert _search_rows(
         bm25_search_indexed(lake, "idx", spark, ["alpha", "beta"], k=8)
     ) == before
-    assert compact_bm25_index(lake, "idx") == lake.current_manifest_id()
+    assert compact_bm25_index(lake, "idx", spark) == lake.current_manifest_id()
 
 
 def test_cold_start_and_guards(spark, docs, tmp_path):
@@ -217,3 +217,55 @@ def test_trigram_index_build_extend_search(spark, docs, tmp_path):
             inc, "idx", docs.withColumnRenamed("doc_id", "vec_id"), "alpha",
             id_col="vec_id",
         )
+
+def test_trigram_compact_folds_multifile_and_is_noop_when_single(spark, docs, tmp_path):
+    """The trigram rail's compaction twin (r14 verdict item 2): after two
+    extends the postings/docids tables are 3-dir lists; compaction folds both
+    to ONE tg-clustered dir, row-identically vs a fresh full build, searches
+    are unchanged, and compacting a single-dir index is a no-op returning the
+    current manifest id. The tightest retention sweep keeps the compacted
+    index readable (multi-file members are manifest-pinned until superseded)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.textindex import (
+        TGDOCS,
+        TRIGRAMS,
+        build_trigram_index,
+        compact_trigram_index,
+        extend_trigram_index,
+        substring_search_indexed,
+    )
+
+    lake = Lakehouse(str(tmp_path / "inc"))
+    build_trigram_index(lake, "idx", docs.filter(F.col("doc_id") < 3))
+    extend_trigram_index(
+        lake, "idx", docs.filter((F.col("doc_id") >= 3) & (F.col("doc_id") < 6))
+    )
+    extend_trigram_index(lake, "idx", docs.filter(F.col("doc_id") >= 6))
+    assert len(Lakehouse.as_versions(lake.current_manifest()[f"idx/{TRIGRAMS}"])) == 3
+    before = sorted(
+        map(tuple, substring_search_indexed(lake, "idx", docs, "alpha").collect())
+    )
+    compact_trigram_index(lake, "idx", spark)
+    assert isinstance(lake.current_manifest()[f"idx/{TRIGRAMS}"], int)
+    assert isinstance(lake.current_manifest()[f"idx/{TGDOCS}"], int)
+    # row-identity vs a fresh full build on BOTH tables
+    full = Lakehouse(str(tmp_path / "full"))
+    build_trigram_index(full, "idx", docs)
+    for table, ddl in ((TRIGRAMS, "doc_id long, tg string"), (TGDOCS, "doc_id long")):
+        a = sorted(map(tuple, lake.read_committed(
+            spark, "idx", table, StructType.fromDDL(ddl)).collect()))
+        b = sorted(map(tuple, full.read_committed(
+            spark, "idx", table, StructType.fromDDL(ddl)).collect()))
+        assert a == b, table
+    assert sorted(
+        map(tuple, substring_search_indexed(lake, "idx", docs, "alpha").collect())
+    ) == before
+    # no-op law on the already-single-dir index
+    assert compact_trigram_index(lake, "idx", spark) == lake.current_manifest_id()
+    # retention: the tightest sweep keeps the compacted snapshot readable
+    lake.retention_sweep(keep_manifests=1, keep_versions=1, drop_staged=True)
+    assert sorted(
+        map(tuple, substring_search_indexed(lake, "idx", docs, "alpha").collect())
+    ) == before
+    # guard: compacting a never-committed layer raises
+    with pytest.raises(ValueError, match="no committed index"):
+        compact_trigram_index(Lakehouse(str(tmp_path / "none")), "idx", spark)
