@@ -292,15 +292,20 @@ def rrf_fuse(
     return, but its driver-scale cost argument assumes top-n inputs).
     ``leg_bound`` makes that assumption a CHECK: when set, the union frame
     (each leg pre-limited to ``bound + 1`` rows — O(bound) rows even against
-    a mis-wired corpus-sized leg) is MATERIALIZED once in one job (eager
-    localCheckpoint — both legs' stages run inside it, keeping their
-    parallelism), per-leg counts are read from the checkpointed rows, and an
+    a mis-wired corpus-sized leg) is COLLECTED once in one job — both legs'
+    stages run inside that single action, keeping their parallelism — the
+    per-leg ROW counts (a leg-tag column, not the nullable rank: a NULL-rank
+    row must still count against the bound) are read driver-side, and an
     over-bound leg raises instead of silently turning the "driver-scale"
-    fusion into a corpus-sized shuffle. A leg within bound is row-identical
-    to its limited probe, so the fusion consumes the checkpoint and each
-    leg's plan executes exactly ONCE (measured: probing by separate counts
-    re-ran the legs and 2.5×'d the hybrid headline; separate per-leg
-    checkpoints serialized them for +30%).
+    fusion into a corpus-sized shuffle. The fusion then consumes the
+    collected rows as a local relation, so each leg's plan executes exactly
+    ONCE (measured: probing by separate counts re-ran the legs and 2.5×'d
+    the hybrid headline; separate per-leg checkpoints serialized them for
+    +30%) and NOTHING stays pinned on executors after the call — the r14
+    localCheckpoint form leaked its checkpointed blocks for the session's
+    lifetime, which a long-lived retrieval service fusing thousands of
+    queries cannot afford. Collecting ≤2·(bound+1) (id, rank, rank) rows is
+    the same driver-scale class as the top-k result itself.
 
     Same determinism contract as the caller: fixed leg order (lex + sem),
     each term one correctly-rounded IEEE division 1.0/(rrf_k + rank), ties on
@@ -319,19 +324,20 @@ def rrf_fuse(
         "sem_rank",
     )
     if leg_bound is not None:
-        u = lex_u.limit(leg_bound + 1).unionAll(
-            sem_u.limit(leg_bound + 1)
-        ).localCheckpoint()
-        sizes = u.agg(
-            F.count("lex_rank").alias("__nl"), F.count("sem_rank").alias("__ns")
-        ).first()
-        for name, n in (("lex", sizes["__nl"]), ("sem", sizes["__ns"])):
-            if n > leg_bound:
+        tagged = (
+            lex_u.limit(leg_bound + 1)
+            .withColumn("__leg", F.lit("lex"))
+            .unionAll(sem_u.limit(leg_bound + 1).withColumn("__leg", F.lit("sem")))
+        )
+        rows = tagged.collect()  # ONE job, both legs inside; ≤2·(bound+1) rows
+        for name in ("lex", "sem"):
+            if sum(r["__leg"] == name for r in rows) > leg_bound:
                 raise ValueError(
                     f"rrf_fuse: {name} leg exceeds its declared bound "
                     f"(> {leg_bound} rows) — legs must be top-n "
                     "frames, not corpus-sized rankings"
                 )
+        u = lex.sparkSession.createDataFrame(rows, tagged.schema).drop("__leg")
     else:
         u = lex_u.unionAll(sem_u)
     fused = (
@@ -417,7 +423,16 @@ def knn_label_vote_indexed(
     quantizer/encode paid once at index build. Same output schema and vote
     semantics as ``knn_label_vote``; the predictions differ only where
     quantization drops a true neighbor from the shortlist — measured, not
-    assumed, by ``knn_vote_agreement_indexed``."""
+    assumed, by ``knn_vote_agreement_indexed``. ``shortlist`` must cover
+    ``k`` (a shortlist smaller than k can't rank k neighbors — raise, don't
+    silently vote over fewer; the same guard ``knn_accuracy_curve_indexed``
+    applies to its k grid)."""
+    if shortlist < k:
+        raise ValueError(
+            f"knn_label_vote_indexed: shortlist ({shortlist}) < k ({k}) — "
+            "the re-rank stage cannot rank more neighbors than the ADC "
+            "shortlist supplies"
+        )
     from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
         refine_search_residual_ivfpq_index,
     )
@@ -447,6 +462,7 @@ def knn_vote_agreement_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    max_queries: int = 1000,
 ) -> DataFrame:
     """The refine-vs-exact agreement eval for the labeling rail — the recall
     eval's analogue one level up: how often does the index-served vote
@@ -456,7 +472,15 @@ def knn_vote_agreement_indexed(
     rates rounded to 4 decimals. Agreement uses null-safe equality (two NULL
     modal labels agree); both inner vote legs are the shared
     ``_vote_over_nn``. Driver-scale: both legs are q-row frames, the compare
-    is a broadcast join over them."""
+    is a broadcast join over them.
+
+    Eval-on-a-SAMPLE contract: this gate deliberately embeds the exact
+    O(corpus×|Q|) brute-force leg — that is the eval's definition — so |Q|
+    must be a bounded sample, never the corpus. ``max_queries`` makes that a
+    CHECK (the ``leg_bound`` pattern): the query frame is counted and an
+    over-bound frame raises, naming the fix, instead of silently becoming a
+    corpus×corpus job."""
+    _bounded_eval_queries(queries, max_queries, "knn_vote_agreement_indexed")
     exact = knn_label_vote(
         emb, queries, k=k, id_col=id_col, vec_col=vec_col, label_col=label_col
     ).select(
@@ -497,6 +521,22 @@ def knn_vote_agreement_indexed(
         "exact_correct",
         "indexed_correct",
     )
+
+
+def _bounded_eval_queries(queries: DataFrame, max_queries: int, caller: str) -> None:
+    """The eval rails' ``leg_bound`` twin: an eval that embeds a brute-force
+    or per-query-corpus-pass leg must run on a BOUNDED query sample. Counts
+    the (limit-probed) query frame and raises past the declared bound — the
+    count reads at most ``max_queries + 1`` rows, so the check itself never
+    scans an accidentally-corpus-sized frame."""
+    n = queries.limit(max_queries + 1).count()
+    if n > max_queries:
+        raise ValueError(
+            f"{caller}: query frame exceeds max_queries ({max_queries}) — "
+            "this eval embeds an O(corpus×|Q|) leg by design; run it on a "
+            "bounded sample (deterministic_sample / .limit) or raise "
+            "max_queries deliberately"
+        )
 
 
 def _vote_over_nn(
@@ -602,6 +642,7 @@ def knn_accuracy_curve_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    max_queries: int = 1000,
 ) -> DataFrame:
     """``knn_accuracy_curve`` with the neighbor leg served from the PERSISTED
     index (ADC shortlist -> exact re-rank, exactly ``knn_label_vote_indexed``'s
@@ -610,8 +651,12 @@ def knn_accuracy_curve_indexed(
     accuracy@k does serving from the index cost at each k — the per-k view
     of what ``knn_vote_agreement_indexed`` summarizes at the vote grain.
     ``shortlist`` must cover max(ks) (a shortlist smaller than k can't rank
-    k neighbors — raise, don't silently truncate the curve)."""
+    k neighbors — raise, don't silently truncate the curve). Eval-on-a-
+    SAMPLE contract: the refine leg re-ranks |Q|·shortlist exact pairs per
+    sweep, so |Q| must be a bounded sample — ``max_queries`` enforces it
+    (see ``_bounded_eval_queries``)."""
     ks = _validate_ks(ks)
+    _bounded_eval_queries(queries, max_queries, "knn_accuracy_curve_indexed")
     if shortlist < ks[-1]:
         raise ValueError(
             f"knn_accuracy_curve_indexed: shortlist ({shortlist}) < max k "

@@ -435,22 +435,53 @@ def _docs_stat_key(sf_dir: str) -> tuple[str, int, int]:
     return (p, st.st_size, st.st_mtime_ns)
 
 
+def _evict_superseded_lakes(kind: str, stat_key: tuple) -> None:
+    """A changed source parquet (same path, new size/mtime) supersedes every
+    cached index built from its old bytes: drop those entries AND their
+    mkdtemp roots, so a long-lived process re-deriving indexes doesn't
+    accumulate dead temp dirs (the r14 ADVICE disk/dict leak). The live
+    entry for the CURRENT stat key is never touched."""
+    import shutil
+
+    stale = [
+        k
+        for k in _BM25_INDEX_LAKES
+        if k[0] == kind and k[1][0] == stat_key[0] and k[1] != stat_key
+    ]
+    for k in stale:
+        lake = _BM25_INDEX_LAKES.pop(k)
+        shutil.rmtree(lake.root, ignore_errors=True)
+
+
+def _fresh_index_lake(prefix: str):
+    """A Lakehouse on a mkdtemp root that is removed at process exit —
+    cached index lakes are process-scoped scratch, never durable state."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    root = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return Lakehouse(root)
+
+
 def _bm25_index_lake(docs: DataFrame, sf_dir: str, split: bool):
     """The committed postings index over this SF's documents table — built
     once per process (and per parquet mtime). ``split=False`` builds over
     the full corpus; ``split=True`` builds on even doc_ids and extends with
     the odds (the living-index form — multi-file postings/doclen versions)."""
-    import tempfile
-
     from airflow_courier_payout_ledger_pipeline_spark.operators.textindex import (
         build_bm25_index,
         extend_bm25_index,
     )
-    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
 
-    key = ("bm25_index_split" if split else "bm25_index", _docs_stat_key(sf_dir))
+    kind = "bm25_index_split" if split else "bm25_index"
+    key = (kind, _docs_stat_key(sf_dir))
     if key not in _BM25_INDEX_LAKES:
-        lake = Lakehouse(tempfile.mkdtemp(prefix="bm25_idx_"))
+        _evict_superseded_lakes(kind, key[1])
+        lake = _fresh_index_lake("bm25_idx_")
         if split:
             build_bm25_index(lake, "idx", docs.filter(F.col("doc_id") % 2 == 0))
             extend_bm25_index(lake, "idx", docs.filter(F.col("doc_id") % 2 == 1))
@@ -497,14 +528,12 @@ def q_substring_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         extend_trigram_index,
         substring_search_indexed,
     )
-    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     key = ("trigram_index", _docs_stat_key(sf_dir))
     if key not in _BM25_INDEX_LAKES:
-        import tempfile
-
-        lake = Lakehouse(tempfile.mkdtemp(prefix="tg_idx_"))
+        _evict_superseded_lakes("trigram_index", key[1])
+        lake = _fresh_index_lake("tg_idx_")
         build_trigram_index(lake, "idx", docs.filter(F.col("doc_id") % 2 == 0))
         extend_trigram_index(lake, "idx", docs.filter(F.col("doc_id") % 2 == 1))
         _BM25_INDEX_LAKES[key] = lake

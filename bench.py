@@ -141,7 +141,40 @@ HEADLINE = [
     "hybrid_search_rrf_dual_indexed",
     # the committed trigram rail (living-index substring search)
     "substring_search_indexed",
+    # round-15: SemDeDup from the persisted index's trained quantizer (the
+    # dedup rail joins the serve-from-committed protocol), next to
+    # semdedup_pairs' literal-centroid form benched since round 6
+    "semdedup_pairs_indexed",
 ]
+
+
+#: idle baseline for load_probe() on this box (recorded in OPERATORS.md)
+IDLE_PROBE_SEC = 0.10
+
+
+def classify_load_state(
+    probe_pre: float,
+    probe_post: float,
+    rep_totals: list[float],
+    idle_probe: float = IDLE_PROBE_SEC,
+) -> str:
+    """Self-label the capture's machine state (r14 verdict item 8) so a noisy
+    driver capture is machine-adjudicable WITHOUT a re-run: 'degraded' when
+    either load probe reads >1.5x the idle baseline (k-way contention during
+    the bench), when the n-rep spread exceeds 20% (the repo's documented
+    15-20% idle swing), or when the FIRST rep skews >20% above the best rep
+    (contention that decayed mid-bench — the r14 69/61/56 s signature).
+    Otherwise 'idle'. Thresholds are deliberately coarse: the flag marks
+    captures whose absolute numbers should not be compared round-over-round,
+    it does not grade the machine."""
+    if max(probe_pre, probe_post) > 1.5 * idle_probe:
+        return "degraded"
+    lo = min(rep_totals) if rep_totals else 0.0
+    if lo > 0:
+        spread = 100.0 * (max(rep_totals) - lo) / lo
+        if spread > 20.0 or rep_totals[0] > 1.2 * lo:
+            return "degraded"
+    return "idle"
 
 
 def load_probe() -> float:
@@ -218,8 +251,10 @@ def main() -> None:
         round(sum(rep_times[n][i] for n in original15), 4) for i in range(REPS)
     ]
     probe_post = load_probe()
+    load_state = classify_load_state(probe_pre, probe_post, rep_totals)
     variance = {
         "n": REPS,
+        "load_state": load_state,
         "rep_totals_sec": rep_totals,
         "rep_totals_original15_sec": rep15_totals,
         "spread_pct": round(
@@ -313,6 +348,10 @@ def main() -> None:
                 "rep_totals_sec": rep_totals,
                 "load_probe_pre_sec": probe_pre,
                 "load_probe_post_sec": probe_post,
+                # machine-state verdict (classify_load_state): 'degraded'
+                # means don't compare this capture's absolute numbers
+                # round-over-round — re-read them against the probes/spread
+                "load_state": load_state,
                 "tail_summary": True,
             }
         )

@@ -432,3 +432,82 @@ def test_knn_accuracy_curve_indexed_matches_exact_when_shortlist_covers(spark, t
     assert exact == idx
     with pytest.raises(ValueError, match="shortlist"):
         knn_accuracy_curve_indexed(lake, "idx", emb, emb, ks=[1, 5], shortlist=3)
+
+
+def test_rrf_fuse_bounded_fusion_leaves_no_pinned_blocks(spark):
+    """The r14 verdict item 3: the bounded fusion must leave NOTHING pinned
+    on executors after its result materializes — the old localCheckpoint
+    guard held its blocks for the session's lifetime, a storage leak for a
+    long-lived retrieval service fusing thousands of queries."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import rrf_fuse
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    lex = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_id long, lex_rank int"
+    )
+    sem = spark.createDataFrame(
+        [(i + 3, i + 1) for i in range(5)], "doc_id long, sem_rank int"
+    )
+    assert rrf_fuse(lex, sem, k=4, leg_bound=5).count() == 4
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
+def test_rrf_fuse_leg_bound_counts_rows_not_nonnull_ranks(spark):
+    """The r14 ADVICE hazard: a leg carrying NULL rank values must still
+    count its ROWS against the bound — counting the nullable rank column
+    would undercount and let an over-bound leg slip into the fusion."""
+    import pytest
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, None), (3, None), (4, None)],
+        "doc_id long, lex_rank int",
+    )
+    sem = spark.createDataFrame([(0, 1)], "doc_id long, sem_rank int")
+    with pytest.raises(ValueError, match="lex leg exceeds"):
+        rrf_fuse(lex, sem, k=3, leg_bound=4)
+
+
+def test_knn_vote_indexed_shortlist_must_cover_k(spark, tmp_path):
+    """The r14 ADVICE guard: a shortlist smaller than k cannot rank k
+    neighbors — the indexed vote must raise loudly (like the accuracy
+    curve always did), never silently vote over fewer."""
+    import pytest
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import (
+        knn_label_vote_indexed,
+        knn_vote_agreement_indexed,
+    )
+
+    emb = _emb(spark)
+    lake = _small_index(spark, emb, tmp_path)
+    with pytest.raises(ValueError, match=r"shortlist \(2\) < k \(3\)"):
+        knn_label_vote_indexed(lake, "idx", emb, emb, k=3, shortlist=2)
+    with pytest.raises(ValueError, match=r"shortlist \(2\) < k \(3\)"):
+        knn_vote_agreement_indexed(lake, "idx", emb, emb, k=3, shortlist=2)
+
+
+def test_eval_rails_raise_past_max_queries(spark, tmp_path):
+    """The r14 verdict item 4: the agreement/accuracy evals embed an
+    O(corpus×|Q|) leg by design, so |Q| must be a bounded sample — an
+    over-bound query frame raises, naming the sampling fix, instead of
+    silently becoming a corpus×corpus job. At the bound they still run."""
+    import pytest
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import (
+        knn_accuracy_curve_indexed,
+        knn_vote_agreement_indexed,
+    )
+
+    emb = _emb(spark)
+    lake = _small_index(spark, emb, tmp_path)
+    with pytest.raises(ValueError, match="bounded sample"):
+        knn_vote_agreement_indexed(lake, "idx", emb, emb, k=3, shortlist=7,
+                                   max_queries=6)
+    with pytest.raises(ValueError, match="bounded sample"):
+        knn_accuracy_curve_indexed(lake, "idx", emb, emb, ks=[1, 3], shortlist=7,
+                                   max_queries=6)
+    assert knn_vote_agreement_indexed(
+        lake, "idx", emb, emb, k=3, shortlist=7, max_queries=7
+    ).count() == 1
