@@ -258,11 +258,17 @@ IVF_TOPK_ORACLE = _IVF_ORACLE_TEMPLATE.format(k=IVF_K, nprobe=1)
 # not just the uncapped fallthrough (round-6 verdict item 3).
 SEMDEDUP_MAX_CLUSTER = 40
 
-# pair-CTE block shared by the pairs oracle and the end-to-end prune oracle
-# (one definition so the two can never desynchronize)
-_SEMDEDUP_PAIR_CTES = f"""cent AS (
-    SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
-    FROM embeddings WHERE vec_id < {IVF_K}
+# pair-CTE block shared by the pairs oracle, the end-to-end prune oracle, and
+# (with the csel centroid source) the index-served pairs oracle — one
+# definition of assignment + shard draw + pair scan so the forms can never
+# desynchronize. ``cent_body`` is the SQL body of the centroid CTE: the
+# frozen lowest-id seeds for the literal form, the recall-gated ``csel``
+# selection for the index-served form.
+
+
+def _semdedup_pair_ctes(cent_body: str) -> str:
+    return f"""cent AS (
+    {cent_body}
 ),
 d AS (
     SELECT e.vec_id, e.embedding, c.cid,
@@ -289,6 +295,12 @@ sempairs AS (
     FROM a x JOIN a y ON x.cid = y.cid AND x.shard = y.shard AND x.vec_id < y.vec_id
     WHERE round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) >= 0.38
 )"""
+
+
+_SEMDEDUP_PAIR_CTES = _semdedup_pair_ctes(
+    f"""SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+    FROM embeddings WHERE vec_id < {IVF_K}"""
+)
 
 SEMDEDUP_ORACLE = f"""
 WITH {_SEMDEDUP_PAIR_CTES}
@@ -2632,3 +2644,43 @@ def q_knn_accuracy_curve_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 20),
         shortlist=REFINE_SHORTLIST,
     )
+
+
+# The index-served SemDeDup oracle: the IDENTICAL assignment + shard draw +
+# pair scan as SEMDEDUP_ORACLE (_semdedup_pair_ctes — one definition), but
+# the centroid source is the recall-gated selection chain (csel) — exactly
+# the quantizer the persisted index was BUILT with, so the oracle replays
+# what load_index_artifacts returns.
+SEMDEDUP_INDEXED_ORACLE = f"""
+WITH {_SELECTED_CTES},
+{_semdedup_pair_ctes("SELECT cid, cvec FROM csel")}
+SELECT cluster, id_a, id_b, sim FROM sempairs
+"""
+
+
+@register("semdedup_pairs_indexed", SEMDEDUP_INDEXED_ORACLE)
+def q_semdedup_pairs_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pairs with the coarse quantizer read from the PERSISTED
+    index's committed artifacts (`annindex.load_index_artifacts`) instead of
+    caller-passed centroid literals — the r14 verdict item 5: every
+    corpus-sized similarity consumer now reads the committed index (kNN
+    labeling, hybrid retrieval, and the dedup rail alike). Assignment, md5
+    sub-shard draw, threshold, and pair scan are the IDENTICAL operator code
+    as `semdedup_pairs` (`operators/similarity.semdedup_pairs`); only the
+    centroid SOURCE changes — build-time training paid once into the index,
+    nightly dedup reads an O(k·dim) committed artifact. At 100 TB this is
+    the steady-state shape: the dedup job shares the retrieval index's
+    quantizer, so cluster scopes agree across rails and no job retrains.
+    Oracle: the recall-gated selection chain (csel) feeding the same
+    assignment/shard/pair CTEs as the literal form."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
+        load_index_artifacts,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        semdedup_pairs,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    lake = _persisted_index_lake(emb, sf_dir)
+    cents, _books = load_index_artifacts(lake, "idx", spark)
+    return semdedup_pairs(emb, cents, 0.38, max_cluster=SEMDEDUP_MAX_CLUSTER)

@@ -431,6 +431,20 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "heavy_hitters",
     "cms_state_migration",
     # -- round-15 code changes / additions append here as they land --
+    # r15: search.py changed (rrf_fuse's leg-bound guard now collects the
+    # bounded union instead of localCheckpoint-ing it — no pinned blocks;
+    # eval rails gained max_queries / shortlist guards). The in-window
+    # hybrid_search_rrf_dual_indexed + indexed-kNN trio re-prove the changed
+    # paths this round; the r14-proven live and single-indexed fusion
+    # consumers re-prove the same rrf_fuse code from the r16 head
+    "hybrid_search_rrf",
+    "hybrid_search_rrf_indexed",
+    # r15: NEW — SemDeDup served from the persisted index's trained
+    # quantizer (centroids via annindex.load_index_artifacts; identical
+    # assignment/shard/pair code as semdedup_pairs) — the r14 verdict item
+    # 5; first driver row lands in r16. 3-SF parity proven at registration
+    # (sf0.001/0.01/0.1).
+    "semdedup_pairs_indexed",
 ]
 
 

@@ -626,3 +626,46 @@ def test_lsh_dropped_buckets_accounts_for_cap_loss(spark):
     )
     nsigs = minhash_signatures_inline(null_docs, "doc_id", "text", k=9, num_hashes=12)
     assert lsh_dropped_buckets(nsigs, 4, 3, max_bucket=2).count() == 0
+
+
+def test_semdedup_indexed_centroids_roundtrip_and_pairs_match_literal_form(
+    spark, tmp_path
+):
+    """The r14 verdict item 5 law: SemDeDup served from the persisted index
+    must be ROW-IDENTICAL to the literal-centroid form built with the same
+    quantizer — load_index_artifacts returns the centroids the index was
+    BUILT with bit-exactly (parquet doubles round-trip), so assignment,
+    shard draw, and pair scan cannot diverge. The only thing the indexed
+    form changes is the centroid SOURCE."""
+    import pyspark.sql.functions as F
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
+        build_residual_ivfpq_index,
+        load_index_artifacts,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        kmeans_centroids_exact,
+        pq_codebooks_exact,
+        residual_frame,
+        semdedup_pairs,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.plans.tpch_adapter import (
+        load_tables,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import (
+        Lakehouse,
+    )
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", "embeddings")["embeddings"]
+    cents = kmeans_centroids_exact(emb, k=4, iters=1)
+    res = residual_frame(emb, cents).select("vec_id", "__res")
+    books = pq_codebooks_exact(res, m=2, kc=2, iters=1, vec_col="__res")
+    lake = Lakehouse(str(tmp_path))
+    build_residual_ivfpq_index(lake, "idx", emb, cents, books)
+
+    loaded, _books = load_index_artifacts(lake, "idx", spark)
+    assert loaded == cents  # bit-exact centroid round-trip through parquet
+
+    lit_rows = sorted(map(tuple, semdedup_pairs(emb, cents, 0.38, max_cluster=40).collect()))
+    idx_rows = sorted(map(tuple, semdedup_pairs(emb, loaded, 0.38, max_cluster=40).collect()))
+    assert lit_rows == idx_rows and lit_rows

@@ -110,24 +110,22 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
     "airflow_courier_payout_ledger_pipeline_spark/operators/dedup.py": {
         "dedup_lsh_dropped_buckets",
     },
-    # round-14: index-served kNN labeling + agreement eval registered (the
-    # only code change to this module this round); the in-window r13
-    # registrations re-prove the rest of the file's surface. The r12/r13-era
-    # evidence names (trained-quantizer consumers, persisted-index quartet)
-    # rotated out with their rounds — evidence sets track the CURRENT
-    # round's changes
+    # round-14: index-served kNN labeling + agreement eval registered; the
+    # r15 window carries their first driver rows (evidence sets track the
+    # CURRENT round's changes)
+    # round-15: semdedup_pairs_indexed registered (SemDeDup from the
+    # persisted index's trained quantizer — r16 head) and the shared pair
+    # CTEs parameterized on the centroid source; the in-window
+    # semdedup_pairs / semdedup_prune_end_to_end re-prove the literal form
+    # over the refactored CTEs
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_similarity.py": {
         "knn_label_vote_indexed",
         "knn_vote_agreement_indexed",
         "knn_accuracy_curve_indexed",
         "hybrid_search_rrf_dual_indexed",
-        # in-window companions re-proving the module's unchanged surface
-        "knn_label_vote",
-        "knn_accuracy_curve",
-        "hybrid_search_rrf_indexed",
-        "embedding_dim_correlation",
-        "embedding_dominant_direction",
-        "ivfpq_residual_recall_multiprobe",
+        "semdedup_pairs",
+        "semdedup_prune_end_to_end",
+        "semdedup_pairs_indexed",
     },
     # round-13: NEW module — second-moment matrix, dimension-correlation
     # audit, deterministic power-iteration dominant direction
@@ -277,11 +275,10 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "salted_join_agg",
         "dedup_keep_best",
     },
+    # round-15: superseded index-lake cache entries now evict (rmtree) and
+    # mkdtemp roots clean up at exit (the r14 ADVICE leak) — the three
+    # cached-index consumers in the r15 window drive the changed cache path
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_ops.py": {
-        "bm25_search",
-        # round-13: hybrid RRF fusion registration (r14 head)
-        "hybrid_search_rrf",
-        # round-14: persisted-postings + trigram registrations (r15 head)
         "bm25_search_indexed",
         "bm25_index_incremental_extend",
         "substring_search_indexed",
@@ -300,38 +297,30 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "scd1_upsert",
         "incremental_promotion",
     },
-    # round-13: hybrid_rrf_topk + knn_label_vote appended (bm25_topk /
-    # substring_search untouched but file-grain rule re-proves bm25_search
-    # alongside the two new consumers from the r14 plan head)
-    # round-14: knn_label_vote_indexed + knn_vote_agreement_indexed appended
-    # (shared _vote_over_nn tail extracted from knn_label_vote — the exact
-    # rail re-proves in the active window, the indexed rail from the r15
-    # head); rrf_fuse leg-bound guard + min-rank merge (the r13 ADVICE) —
-    # the in-window hybrid pair re-proves the fusion; _bm25_rank_tail
-    # extracted from bm25_topk (shared with textindex — the in-window
-    # bm25_search re-proves the live path, the indexed pair the new one)
+    # round-15: rrf_fuse's leg-bound guard re-shaped (single-action collect
+    # of the tagged bounded union — no pinned checkpoint blocks, per-leg ROW
+    # counts) + shortlist/max_queries guards on the indexed labeling/eval
+    # rails. The dual-indexed fusion + indexed-kNN trio re-prove the changed
+    # paths in the r15 window; the live and single-indexed fusion consumers
+    # re-prove the same rrf_fuse code from the r16 head
     "airflow_courier_payout_ledger_pipeline_spark/operators/search.py": {
         "hybrid_search_rrf",
         "hybrid_search_rrf_indexed",
-        "knn_label_vote",
-        "knn_accuracy_curve",
+        "hybrid_search_rrf_dual_indexed",
         "knn_label_vote_indexed",
         "knn_vote_agreement_indexed",
         "knn_accuracy_curve_indexed",
-        "bm25_search",
-        "bm25_search_indexed",
-        "substring_search",
     },
-    # round-14: NEW module — the persisted BM25 postings index (build /
-    # O(increment) extend on the multi-file manifest rail / term-pruned
-    # search / compaction); the two indexed queries drive it from the r15
-    # head, bm25_search re-proves the shared scoring tail in-window
+    # round-14: NEW module — the persisted BM25 postings index
+    # round-15: compact_trigram_index added (the bm25/codes compaction twin);
+    # compact_bm25_index takes spark explicitly; _empty_result derives the id
+    # type from the committed doclen field — the four indexed queries in the
+    # r15 window drive every changed rail
     "airflow_courier_payout_ledger_pipeline_spark/operators/textindex.py": {
         "bm25_search_indexed",
         "bm25_index_incremental_extend",
         "hybrid_search_rrf_dual_indexed",
         "substring_search_indexed",
-        "bm25_search",
     },
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_audit.py": {
         "event_pagerank",

@@ -133,8 +133,9 @@ SHUFFLE_BUDGET = {
     # would cost 2 exchanges: Spark can't broadcast full outer); final top-k
     # is TakeOrderedAndProject. Since the r14 leg-bound guard the legs (bm25
     # doc-grain agg + the semantic top-k window) execute inside the eager
-    # bound probe, so the RETURNED plan reads the ≤2·(n+1)-row checkpoint —
-    # the linalg pinned-artifact convention
+    # bound probe; r15 made that probe a single-action COLLECT (no pinned
+    # checkpoint blocks), so the RETURNED plan reads a ≤2·(n+1)-row local
+    # relation
     "hybrid_search_rrf": 1,
     # round-13: kNN vote — 1 brute-force top-k window + the (query,label)
     # vote agg + the per-query argmax window; label attach and truth join
@@ -142,8 +143,8 @@ SHUFFLE_BUDGET = {
     "knn_label_vote": 3,
     # round-13: same fusion, semantic leg from the persisted index (bm25
     # doc-grain agg + the committed-codes top-k window execute inside the
-    # r14 bound probe) — the returned plan is the union-agg over the
-    # checkpoint, as above
+    # bound-probe collect) — the returned plan is the union-agg over the
+    # local relation, as above
     "hybrid_search_rrf_indexed": 1,
     # round-13: the d²-row second-moment matrix pins eagerly (one corpus
     # pass, d-group agg); the returned plans read the pinned 4096 rows /
@@ -174,12 +175,17 @@ SHUFFLE_BUDGET = {
     "bm25_search_indexed": 1,
     "bm25_index_incremental_extend": 1,
     # round-14: both hybrid legs index-served; legs execute inside the
-    # leg-bound probe, the returned plan is the union-agg over the
-    # checkpoint (as the other hybrid pins)
+    # leg-bound probe collect, the returned plan is the union-agg over the
+    # local relation (as the other hybrid pins)
     "hybrid_search_rrf_dual_indexed": 1,
     # round-14: committed-trigram probe — the posting-list intersection agg
     # + the candidate semi-join exchange; only candidates read text
     "substring_search_indexed": 2,
+    # round-15: SemDeDup from the persisted index's quantizer — centroids
+    # and the shard map are collected literals (O(k·dim) driver artifacts),
+    # so the returned pair plan is the same fully map-side shape as
+    # semdedup_pairs (pinned zero-exchange in test_round5_plans.py)
+    "semdedup_pairs_indexed": 0,
 }
 
 

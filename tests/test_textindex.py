@@ -269,3 +269,19 @@ def test_trigram_compact_folds_multifile_and_is_noop_when_single(spark, docs, tm
     # guard: compacting a never-committed layer raises
     with pytest.raises(ValueError, match="no committed index"):
         compact_trigram_index(Lakehouse(str(tmp_path / "none")), "idx", spark)
+
+
+def test_empty_index_search_preserves_committed_id_type(spark, tmp_path):
+    """The r14 ADVICE hazard: a STRING-keyed index built over an empty corpus
+    must return a string-typed empty frame (the committed doclen field's
+    type), not the long default — only the never-committed cold start, where
+    no committed type exists to honor, defaults to long."""
+    lake = Lakehouse(str(tmp_path))
+    sdocs = spark.createDataFrame([], "doc_key string, text string")
+    build_bm25_index(lake, "idx", sdocs, id_col="doc_key")
+    out = bm25_search_indexed(lake, "idx", spark, ["alpha"], k=5, id_col="doc_key")
+    assert out.count() == 0
+    assert dict(out.dtypes)["doc_key"] == "string"
+    # never-committed layer: documented long default
+    cold = bm25_search_indexed(lake, "nope", spark, ["alpha"], k=5, id_col="doc_key")
+    assert cold.count() == 0 and dict(cold.dtypes)["doc_key"] == "bigint"
