@@ -467,17 +467,23 @@ def _fresh_index_lake(prefix: str):
     return Lakehouse(root)
 
 
-def _bm25_index_lake(docs: DataFrame, sf_dir: str, split: bool):
+def _bm25_index_lake(
+    docs: DataFrame, sf_dir: str, split: bool, compacted: bool = False
+):
     """The committed postings index over this SF's documents table — built
     once per process (and per parquet mtime). ``split=False`` builds over
     the full corpus; ``split=True`` builds on even doc_ids and extends with
-    the odds (the living-index form — multi-file postings/doclen versions)."""
+    the odds (the living-index form — multi-file postings/doclen versions);
+    ``compacted=True`` additionally runs ``compact_bm25_index`` after the
+    extend (the maintenance-schedule form — the multi-file versions folded
+    back to single term-clustered snapshots)."""
     from airflow_courier_payout_ledger_pipeline_spark.operators.textindex import (
         build_bm25_index,
+        compact_bm25_index,
         extend_bm25_index,
     )
 
-    kind = "bm25_index_split" if split else "bm25_index"
+    kind = "bm25_index" + ("_split" if split else "") + ("_compacted" if compacted else "")
     key = (kind, _docs_stat_key(sf_dir))
     if key not in _BM25_INDEX_LAKES:
         _evict_superseded_lakes(kind, key[1])
@@ -487,6 +493,8 @@ def _bm25_index_lake(docs: DataFrame, sf_dir: str, split: bool):
             extend_bm25_index(lake, "idx", docs.filter(F.col("doc_id") % 2 == 1))
         else:
             build_bm25_index(lake, "idx", docs)
+        if compacted:
+            compact_bm25_index(lake, "idx", docs.sparkSession)
         _BM25_INDEX_LAKES[key] = lake
     return _BM25_INDEX_LAKES[key]
 
@@ -524,22 +532,76 @@ def q_substring_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, which is the extend law in query form. Only the
     candidates read text; the corpus is never shingled at query time."""
     from airflow_courier_payout_ledger_pipeline_spark.operators.textindex import (
-        build_trigram_index,
-        extend_trigram_index,
         substring_search_indexed,
     )
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    key = ("trigram_index", _docs_stat_key(sf_dir))
+    lake = _trigram_index_lake(docs, sf_dir)
+    return substring_search_indexed(lake, "idx", docs, "batch stream")
+
+
+def _trigram_index_lake(docs: DataFrame, sf_dir: str, compacted: bool = False):
+    """The committed trigram index over this SF's documents table, living-
+    index form (build even ids, extend odd ids), stat-memoized like the BM25
+    lakes; ``compacted=True`` additionally folds the per-extend version dirs
+    with ``compact_trigram_index`` (the maintenance-schedule form)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.textindex import (
+        build_trigram_index,
+        compact_trigram_index,
+        extend_trigram_index,
+    )
+
+    kind = "trigram_index" + ("_compacted" if compacted else "")
+    key = (kind, _docs_stat_key(sf_dir))
     if key not in _BM25_INDEX_LAKES:
-        _evict_superseded_lakes("trigram_index", key[1])
+        _evict_superseded_lakes(kind, key[1])
         lake = _fresh_index_lake("tg_idx_")
         build_trigram_index(lake, "idx", docs.filter(F.col("doc_id") % 2 == 0))
         extend_trigram_index(lake, "idx", docs.filter(F.col("doc_id") % 2 == 1))
+        if compacted:
+            compact_trigram_index(lake, "idx", docs.sparkSession)
         _BM25_INDEX_LAKES[key] = lake
-    return substring_search_indexed(
-        _BM25_INDEX_LAKES[key], "idx", docs, "batch stream"
+    return _BM25_INDEX_LAKES[key]
+
+
+@register("substring_search_compacted", SUBSTRING_SEARCH_ORACLE)
+def q_substring_search_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trigram rail's COMPACTION law in query form (r15): build on the
+    even ids, extend with the odds (two version dirs per table), then
+    `textindex.compact_trigram_index` folds both lists back to single
+    tg-clustered snapshots in one manifest flip — and the probe over the
+    compacted index must still return the identical rows to the naive
+    full-scan contains() oracle. With `substring_search_indexed` (the
+    pre-compaction form, same oracle) this puts the whole maintenance cycle
+    — build -> extend -> compact -> serve — under driver evidence, not just
+    unit tests: compaction is layout, never semantics."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.textindex import (
+        substring_search_indexed,
     )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    lake = _trigram_index_lake(docs, sf_dir, compacted=True)
+    return substring_search_indexed(lake, "idx", docs, "batch stream")
+
+
+@register("bm25_search_compacted", BM25_ORACLE)
+def q_bm25_search_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 postings rail's COMPACTION law in query form (r15): build on
+    the even ids, extend with the odds (multi-file postings/doclen
+    versions), `textindex.compact_bm25_index` re-clusters both tables to
+    single term-sorted snapshots, and the search over the compacted index
+    must stay BIT-identical to the live scorer — the same full-corpus
+    oracle as `bm25_search` / `bm25_search_indexed` /
+    `bm25_index_incremental_extend`, now also covering the maintenance
+    schedule's rewrite. Equality is the license to run compaction at all:
+    the fold may touch O(corpus) bytes but may never move a score."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.textindex import (
+        bm25_search_indexed,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    lake = _bm25_index_lake(docs, sf_dir, split=True, compacted=True)
+    return bm25_search_indexed(lake, "idx", spark, ["vector", "stream", "hash"], k=10)
 
 
 @register("bm25_index_incremental_extend", BM25_ORACLE)

@@ -600,6 +600,39 @@ SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
 _TRAINED_ARTIFACTS: dict[tuple[str, tuple[str, int, int]], object] = {}
 
 
+def _fresh_artifact_lake(prefix: str):
+    """A Lakehouse on a mkdtemp root removed at process exit — cached index
+    lakes are process-scoped scratch, never durable state (the
+    queries_ext_ops convention, r14 ADVICE)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    root = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return Lakehouse(root)
+
+
+def _evict_superseded_artifacts(kind: str, stat_key: tuple) -> None:
+    """Drop cache entries for the SAME kind+path built from older parquet
+    bytes; entries holding a Lakehouse also lose their mkdtemp root. Driver-
+    side artifacts (centroid/codebook lists) just fall out of the dict."""
+    import shutil
+
+    stale = [
+        k
+        for k in _TRAINED_ARTIFACTS
+        if k[0] == kind and k[1][0] == stat_key[0] and k[1] != stat_key
+    ]
+    for k in stale:
+        v = _TRAINED_ARTIFACTS.pop(k)
+        root = getattr(v, "root", None)
+        if root is not None:
+            shutil.rmtree(root, ignore_errors=True)
+
+
 def _emb_stat_key(sf_dir: str) -> tuple[str, int, int]:
     import os
 
@@ -1926,6 +1959,8 @@ def q_streaming_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≡ one batch build under ANY file split, and the readout must reproduce
     `ivf_index_maintenance`'s full-recompute oracle exactly — hash-checked
     here (same oracle statement)."""
+    import atexit
+    import shutil
     import tempfile
 
     from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
@@ -1942,6 +1977,7 @@ def q_streaming_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _ivf_trained_centroids(emb, sf_dir)
 
     tmp = tempfile.mkdtemp(prefix="stream_ivf_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)  # per-call scratch
     src = f"{tmp}/emb"
     feed = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     feed.repartition(4).write.mode("overwrite").parquet(src)
@@ -2000,16 +2036,14 @@ def _persisted_index_lake(emb: DataFrame, sf_dir: str):
     deployment economics the index exists for — training and the corpus
     encode are build-time costs, query sessions only read committed
     artifacts."""
-    import tempfile
-
     from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
         build_residual_ivfpq_index,
     )
-    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
 
     key = ("ann_index", _emb_stat_key(sf_dir))
     if key not in _TRAINED_ARTIFACTS:
-        lake = Lakehouse(tempfile.mkdtemp(prefix="ann_idx_"))
+        _evict_superseded_artifacts("ann_index", key[1])
+        lake = _fresh_artifact_lake("ann_idx_")
         build_residual_ivfpq_index(
             lake,
             "idx",
@@ -2114,19 +2148,17 @@ def q_ann_index_incremental_extend(spark: SparkSession, sf_dir: str) -> DataFram
     whole corpus — hash-checked against the SAME full-corpus oracle as
     `similarity_ivf_pq_residual`, which is exactly the claim that licenses
     nightly O(increment) upkeep instead of nightly re-indexing at 100 TB."""
-    import tempfile
-
     from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
         build_residual_ivfpq_index,
         extend_residual_ivfpq_index,
         search_residual_ivfpq_index,
     )
-    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     key = ("ann_index_inc", _emb_stat_key(sf_dir))
     if key not in _TRAINED_ARTIFACTS:
-        lake = Lakehouse(tempfile.mkdtemp(prefix="ann_idx_inc_"))
+        _evict_superseded_artifacts("ann_index_inc", key[1])
+        lake = _fresh_artifact_lake("ann_idx_inc_")
         build_residual_ivfpq_index(
             lake,
             "idx",

@@ -445,6 +445,13 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     # 5; first driver row lands in r16. 3-SF parity proven at registration
     # (sf0.001/0.01/0.1).
     "semdedup_pairs_indexed",
+    # r15: NEW — the compaction law in query form for both lexical rails:
+    # build -> extend -> COMPACT -> serve must equal the full-corpus oracle
+    # (compaction is layout, never semantics); puts the maintenance
+    # schedule's rewrite under driver evidence. 3-SF parity proven at
+    # registration.
+    "bm25_search_compacted",
+    "substring_search_compacted",
 ]
 
 

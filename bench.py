@@ -145,6 +145,10 @@ HEADLINE = [
     # dedup rail joins the serve-from-committed protocol), next to
     # semdedup_pairs' literal-centroid form benched since round 6
     "semdedup_pairs_indexed",
+    # round-15: the compaction law in query form — serve from the
+    # build->extend->compact index, same oracles as the living-index forms
+    "bm25_search_compacted",
+    "substring_search_compacted",
 ]
 
 

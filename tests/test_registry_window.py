@@ -118,6 +118,9 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
     # CTEs parameterized on the centroid source; the in-window
     # semdedup_pairs / semdedup_prune_end_to_end re-prove the literal form
     # over the refactored CTEs
+    # round-15 (cont.): superseded artifact-cache entries evict with their
+    # mkdtemp roots; the streaming scratch dir cleans at exit — the
+    # in-window persisted-index consumers drive the changed cache paths
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_similarity.py": {
         "knn_label_vote_indexed",
         "knn_vote_agreement_indexed",
@@ -126,6 +129,8 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "semdedup_pairs",
         "semdedup_prune_end_to_end",
         "semdedup_pairs_indexed",
+        "ann_index_persisted_search",
+        "ann_index_incremental_extend",
     },
     # round-13: NEW module — second-moment matrix, dimension-correlation
     # audit, deterministic power-iteration dominant direction
@@ -277,11 +282,15 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
     },
     # round-15: superseded index-lake cache entries now evict (rmtree) and
     # mkdtemp roots clean up at exit (the r14 ADVICE leak) — the three
-    # cached-index consumers in the r15 window drive the changed cache path
+    # cached-index consumers in the r15 window drive the changed cache path;
+    # the two compacted-serve registrations (the compaction law in query
+    # form) adjudicate from the r16 head
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_ops.py": {
         "bm25_search_indexed",
         "bm25_index_incremental_extend",
         "substring_search_indexed",
+        "bm25_search_compacted",
+        "substring_search_compacted",
     },
     # round-13: write_bucketed now delegates to the shared
     # bucketed_save_as_table chain (one definition with the Lakehouse rail);
@@ -321,6 +330,8 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "bm25_index_incremental_extend",
         "hybrid_search_rrf_dual_indexed",
         "substring_search_indexed",
+        "bm25_search_compacted",
+        "substring_search_compacted",
     },
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_audit.py": {
         "event_pagerank",

@@ -186,6 +186,10 @@ SHUFFLE_BUDGET = {
     # so the returned pair plan is the same fully map-side shape as
     # semdedup_pairs (pinned zero-exchange in test_round5_plans.py)
     "semdedup_pairs_indexed": 0,
+    # round-15: the compacted-index serves — identical plans to their
+    # living-index twins (compaction changes the dir list, not the topology)
+    "bm25_search_compacted": 1,
+    "substring_search_compacted": 2,
 }
 
 

@@ -285,3 +285,20 @@ def test_empty_index_search_preserves_committed_id_type(spark, tmp_path):
     # never-committed layer: documented long default
     cold = bm25_search_indexed(lake, "nope", spark, ["alpha"], k=5, id_col="doc_key")
     assert cold.count() == 0 and dict(cold.dtypes)["doc_key"] == "bigint"
+
+
+def test_bm25_retention_sweep_keeps_multifile_members_readable(spark, docs, tmp_path):
+    """Every member dir of the committed multi-file postings/doclen versions
+    is pinned by the manifest refs — the tightest retention sweep must not
+    break the union read (the annindex law, here for the lexical rail)."""
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    lake = Lakehouse(str(tmp_path))
+    build_bm25_index(lake, "idx", even)
+    extend_bm25_index(lake, "idx", odd)
+    lake.retention_sweep(keep_manifests=1, keep_versions=1, drop_staged=True)
+    full = Lakehouse(str(tmp_path / "full"))
+    build_bm25_index(full, "idx", docs)
+    assert _search_rows(
+        bm25_search_indexed(lake, "idx", spark, ["alpha", "beta"], k=8)
+    ) == _search_rows(bm25_search_indexed(full, "idx", spark, ["alpha", "beta"], k=8))
