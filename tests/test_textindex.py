@@ -302,3 +302,43 @@ def test_bm25_retention_sweep_keeps_multifile_members_readable(spark, docs, tmp_
     assert _search_rows(
         bm25_search_indexed(lake, "idx", spark, ["alpha", "beta"], k=8)
     ) == _search_rows(bm25_search_indexed(full, "idx", spark, ["alpha", "beta"], k=8))
+
+
+def test_trigram_extend_crash_window_preserves_old_index(spark, docs, tmp_path):
+    """The codes-rail crash law, for the trigram rail: a kill at the manifest
+    flip leaves the committed index untouched (searches unchanged), and the
+    replay converges to the full index — the SCD0 id set makes the replay
+    exact, not approximate."""
+    from unittest import mock
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.textindex import (
+        build_trigram_index,
+        extend_trigram_index,
+        substring_search_indexed,
+    )
+
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    lake = Lakehouse(str(tmp_path / "inc"))
+    build_trigram_index(lake, "idx", even)
+    before = sorted(
+        map(tuple, substring_search_indexed(lake, "idx", docs, "alpha").collect())
+    )
+    mid_before = lake.current_manifest_id()
+    with pytest.raises(RuntimeError, match="kill"), mock.patch.object(
+        Lakehouse, "commit_manifest", side_effect=RuntimeError("kill")
+    ):
+        extend_trigram_index(lake, "idx", odd)
+    assert lake.current_manifest_id() == mid_before
+    assert sorted(
+        map(tuple, substring_search_indexed(lake, "idx", docs, "alpha").collect())
+    ) == before
+    # replay converges to the full index
+    extend_trigram_index(lake, "idx", odd)
+    full = Lakehouse(str(tmp_path / "full"))
+    build_trigram_index(full, "idx", docs)
+    assert sorted(
+        map(tuple, substring_search_indexed(lake, "idx", docs, "alpha").collect())
+    ) == sorted(
+        map(tuple, substring_search_indexed(full, "idx", docs, "alpha").collect())
+    )
