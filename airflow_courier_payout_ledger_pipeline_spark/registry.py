@@ -452,6 +452,48 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     # registration.
     "bm25_search_compacted",
     "substring_search_compacted",
+    # -- round-15 close: the stalest remaining veterans (all r12-proven,
+    # computed mechanically from CORRECTNESS_r01..r14 + the active r15
+    # window assumed green) in registration order, filling the plan to
+    # exactly the 50-slot cap. NINE r12-proven veterans roll to the r17
+    # plan head under the cap: cdc_apply_roundtrip, event_transitions,
+    # k_anonymity_audit, value_winsorize, weighted_sample,
+    # split_leakage_audit, dsir_importance, dsir_resample, dedup_span_scrub
+    # (everything else unscheduled is r13-or-newer) --
+    "doc_fingerprint",
+    "dedup_exact",
+    "minhash_signatures",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_two_stage",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "similarity_ann_bucketed",
+    "embedding_near_dup",
+    "dedup_pq_hamming2",
+    "session_window_native",
+    "training_shard_layout",
+    "zorder_values",
+    "stratified_sample",
+    "sequence_packing",
+    "zorder_incremental_compaction",
+    "multimodal_features",
+    "video_frame_sample",
+    "image_resize_features",
+    "audio_resample_features",
+    "streaming_windows_tumbling",
+    "snapshot_diff_orders",
+    "cube_status_priority",
+    "date_spine_fill",
+    "scd2_history",
+    "retention_cohorts",
+    "event_type_cooccurrence",
+    "timeseries_interpolate",
+    "minhash_calibration",
+    "streaming_static_enrich",
+    "target_mix_sample",
+    "token_budget_cap",
+    "dedup_cross_corpus",
 ]
 
 
