@@ -2173,6 +2173,44 @@ def q_ann_index_incremental_extend(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register("ann_index_compacted_search", IVF_PQ_RESIDUAL_ORACLE)
+def q_ann_index_compacted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The codes rail's COMPACTION law in query form (r15, completing the
+    set with `bm25_search_compacted` / `substring_search_compacted`): build
+    on the even ids, extend with the odds (a multi-file codes version),
+    `annindex.compact_residual_ivfpq_codes` folds the dir list back to ONE
+    snapshot, and the ADC search over the compacted index must reproduce
+    the SAME full-corpus oracle as `ann_index_incremental_extend` — the
+    maintenance schedule's O(corpus) rewrite is licensed precisely because
+    it can never move a distance. All three persisted rails (ANN / BM25 /
+    trigram) now carry build → extend → compact → serve driver evidence."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
+        build_residual_ivfpq_index,
+        compact_residual_ivfpq_codes,
+        extend_residual_ivfpq_index,
+        search_residual_ivfpq_index,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    key = ("ann_index_inc_compacted", _emb_stat_key(sf_dir))
+    if key not in _TRAINED_ARTIFACTS:
+        _evict_superseded_artifacts("ann_index_inc_compacted", key[1])
+        lake = _fresh_artifact_lake("ann_idx_cmp_")
+        build_residual_ivfpq_index(
+            lake,
+            "idx",
+            emb.filter(F.col("vec_id") % 2 == 0),
+            _ivf_trained_centroids(emb, sf_dir),
+            _pq_residual_books(emb, sf_dir),
+        )
+        extend_residual_ivfpq_index(lake, "idx", emb.filter(F.col("vec_id") % 2 == 1))
+        compact_residual_ivfpq_codes(lake, "idx", spark)
+        _TRAINED_ARTIFACTS[key] = lake
+    return search_residual_ivfpq_index(
+        _TRAINED_ARTIFACTS[key], "idx", emb.filter(F.col("vec_id") < 20), k=5
+    )
+
+
 # --- Hybrid retrieval served from the persisted index -------------------------------
 
 # The BM25 leg replays queries_ext_ops.BM25_ORACLE's fold (same NORM, terms,

@@ -452,14 +452,21 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     # registration.
     "bm25_search_compacted",
     "substring_search_compacted",
+    # r15: NEW — the codes rail's compacted serve, completing the
+    # build -> extend -> compact -> serve evidence across all three
+    # persisted rails (same full-corpus oracle as the extend form). 3-SF
+    # parity proven at registration.
+    "ann_index_compacted_search",
     # -- round-15 close: the stalest remaining veterans (all r12-proven,
     # computed mechanically from CORRECTNESS_r01..r14 + the active r15
     # window assumed green) in registration order, filling the plan to
-    # exactly the 50-slot cap. NINE r12-proven veterans roll to the r17
-    # plan head under the cap: cdc_apply_roundtrip, event_transitions,
+    # exactly the 50-slot cap. The late `ann_index_compacted_search`
+    # addition takes `dedup_cross_corpus`'s slot (additions before
+    # re-proofs — the standing convention), so TEN r12-proven veterans roll
+    # to the r17 plan head: cdc_apply_roundtrip, event_transitions,
     # k_anonymity_audit, value_winsorize, weighted_sample,
-    # split_leakage_audit, dsir_importance, dsir_resample, dedup_span_scrub
-    # (everything else unscheduled is r13-or-newer) --
+    # split_leakage_audit, dsir_importance, dsir_resample, dedup_span_scrub,
+    # dedup_cross_corpus (everything else unscheduled is r13-or-newer) --
     "doc_fingerprint",
     "dedup_exact",
     "minhash_signatures",
@@ -493,7 +500,6 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "streaming_static_enrich",
     "target_mix_sample",
     "token_budget_cap",
-    "dedup_cross_corpus",
 ]
 
 

@@ -146,9 +146,11 @@ HEADLINE = [
     # semdedup_pairs' literal-centroid form benched since round 6
     "semdedup_pairs_indexed",
     # round-15: the compaction law in query form — serve from the
-    # build->extend->compact index, same oracles as the living-index forms
+    # build->extend->compact index, same oracles as the living-index forms,
+    # across all three persisted rails
     "bm25_search_compacted",
     "substring_search_compacted",
+    "ann_index_compacted_search",
 ]
 
 

@@ -131,6 +131,7 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "semdedup_pairs_indexed",
         "ann_index_persisted_search",
         "ann_index_incremental_extend",
+        "ann_index_compacted_search",
     },
     # round-13: NEW module — second-moment matrix, dimension-correlation
     # audit, deterministic power-iteration dominant direction

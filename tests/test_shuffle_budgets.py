@@ -190,6 +190,7 @@ SHUFFLE_BUDGET = {
     # living-index twins (compaction changes the dir list, not the topology)
     "bm25_search_compacted": 1,
     "substring_search_compacted": 2,
+    "ann_index_compacted_search": 1,
 }
 
 
