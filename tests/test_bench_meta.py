@@ -45,6 +45,16 @@ def test_threshold_edges():
     )
 
 
+def test_combined_moderate_indicators_classify_degraded():
+    # the r15 sustained-degradation signature: every solo indicator just
+    # under threshold (probe 1.24x, spread 19%, first-rep skew 19%) but the
+    # combination is unambiguous — untouched queries ran uniformly 2-5x
+    assert classify_load_state(0.1242, 0.1041, [107.3, 90.2, 94.5]) == "degraded"
+    # r14's genuinely clean capture: spread 18.9% but probes BELOW baseline
+    # — one noisy indicator alone stays idle
+    assert classify_load_state(0.076, 0.098, [51.2, 43.1, 44.6]) == "idle"
+
+
 def test_tail_line_carries_load_state():
     """The final compact line (the ONLY line guaranteed to survive the
     driver's ~2 KB tail capture) must carry the load_state key — pinned by
