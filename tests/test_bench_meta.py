@@ -11,7 +11,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from bench import IDLE_PROBE_SEC, classify_load_state
+from bench import classify_load_state
 
 
 def test_idle_capture_classifies_idle():
