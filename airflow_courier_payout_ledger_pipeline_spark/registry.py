@@ -315,113 +315,36 @@ def q_incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ------------------------------------------------------------------------------------
-# Driver adjudication window — ROUND 15 (active; the r15 plan staged during
-# round 14 activated VERBATIM — r14 verdict next-round item 1).
+# Driver adjudication window — ROUND 16 (active; the r16 plan staged during
+# round 15 activated VERBATIM — r15 verdict next-round item 1).
 #
 # The correctness driver adjudicates the FIRST 50 entries of queries() in dict
-# order (observed r1-r14). History: r1-r3 proved the original first-50 green
+# order (observed r1-r15). History: r1-r3 proved the original first-50 green
 # three rounds running; r4 proved the 40 long-unproven queries + 7 round-4
 # additions; r5 proved 50/50 including the fixed `sequence_packing`; r6 went
 # 50/50 making every then-registered query driver-proven at least once; r7
 # proved the 9 round-7-changed queries + 38 r4-stale veterans; r8 the 6
 # round-7 additions + the clone-scoping streaming pair + 22 r5-stale veterans;
 # r9 the staged trio-of-debts + all 36 r6-stale veterans + the stalest r7
-# queries; r10-r14 each went 50/50 on their staged plans — after r14, 182 of
-# 189 registered queries are driver-proven with zero last-row failures. This
-# round-15 window: canary trio; the 7 r10-proven veterans rolled past r14;
-# the SEVEN round-14 additions that registered after the r14 window froze
-# (their first driver rows — the r14 verdict's only claimed-but-unproven
-# surface); the annindex.py + lakehouse.py/promotions changed-file re-proofs;
-# then 27 r11-stale veterans. After a green r15 every registered query is
-# driver-proven and nothing is older than r11 except the 8 veterans rolled to
-# r16 (see NEXT_PLAN). Per-query adjudication history is tracked in
+# queries; r10-r15 each went 50/50 on their staged plans — after r15, 189 of
+# 193 registered queries are driver-proven with zero last-row failures. This
+# round-16 window: canary trio; the 8 r11-proven veterans rolled past the r15
+# window; the rrf_fuse changed-file re-proofs (live + single-indexed fusion);
+# the FOUR round-15 additions that registered after the r15 window froze
+# (their first driver rows — the r15 verdict's only claimed-but-unproven
+# surface: index-quantizer SemDeDup and the compacted-serve trio); then 33
+# r12-stale veterans. After a green r16 every registered query is
+# driver-proven and nothing is older than r13 except the 10 r12 veterans
+# rolled to r17 (see NEXT_PLAN). Per-query adjudication history is tracked in
 # OPERATORS.md; test_registry_window.py pins consistency.
 # ------------------------------------------------------------------------------------
 ADJUDICATION_WINDOW_FIRST: list[str] = [
-    # -- staged r15 plan, verbatim (round-14 registry.py ADJUDICATION_WINDOW_NEXT_PLAN) --
+    # -- staged r16 plan, verbatim (round-15 registry.py ADJUDICATION_WINDOW_NEXT_PLAN) --
     # flagship canary
     "courier_ledger",
     "courier_ledger_sql",
     "incremental_mart_maintenance",
-    # the 7 r10-proven veterans rolled past the r14 window
-    "corpus_curation",
-    "doc_chunking",
-    "event_pagerank",
-    "label_centroid_stats",
-    "oov_rate",
-    "per_source_cap",
-    "pii_scrub",
-    # round-14 additions registered after the r14 window froze — first
-    # driver rows land HERE (the r14 verdict's only claimed-but-unproven
-    # gap): index-served kNN labeling + its agreement/accuracy evals, the
-    # persisted BM25 postings index, dual-indexed hybrid retrieval, and the
-    # committed trigram rail
-    "knn_label_vote_indexed",
-    "knn_vote_agreement_indexed",
-    "knn_accuracy_curve_indexed",
-    "bm25_search_indexed",
-    "bm25_index_incremental_extend",
-    "hybrid_search_rrf_dual_indexed",
-    "substring_search_indexed",
-    # round-14 changed-file re-proofs: annindex.py (O(increment) extend
-    # write via multi-file table versions) — the persisted-index consumers
-    "ann_index_persisted_search",
-    "ann_index_incremental_extend",
-    "similarity_pq_refine_topk",
-    # round-14 changed-file re-proofs: lakehouse.py (manifest values may be
-    # version LISTS; read_committed unions the dirs) — the SCD/promotion
-    # veterans re-prove the single-version rails alongside the canary mart
-    "scd1_upsert",
-    "scd0_insert_ignore",
-    "incremental_promotion",
-    # r11-stale veterans, registration order (27 of 35 fit under the 50-cap;
-    # the other 8 roll to the r16 plan head — see NEXT_PLAN)
-    "rollup_totals",
-    "semi_anti_join",
-    "grouping_sets_hourly",
-    "price_histogram",
-    "list_agg_priorities",
-    "text_stats",
-    "lang_id",
-    "semdedup_pairs",
-    "semdedup_prune_end_to_end",
-    "ivf_recall_eval",
-    "event_windows_tumbling",
-    "asof_join_events",
-    "asof_join_forward_tolerance",
-    "attribution_linear",
-    "asof_join_nearest",
-    "kmv_rolling_7d_distinct",
-    "quantile_rolling_7d",
-    "heavy_users_rolling_7d",
-    "image_dhash_near_dup",
-    "streaming_ledger_maintenance",
-    "rolling_7d_counts",
-    "audio_features",
-    "bigram_lm_score",
-    "dq_violation_report",
-    "embedding_quantize",
-    "daily_anomaly_zscore",
-    "trend_slope_per_type",
-]
-
-
-# ------------------------------------------------------------------------------------
-# PLANNED round-16 window (activate at the START of round 16). Composition:
-# the flagship canary trio, then the 8 r11-proven veterans that rolled past
-# the r15 window (r14 verdict next-round item 7), then any query whose
-# implementing code CHANGES in round 15 (standing rule: changed code must
-# appear in the active window or at the head of the next plan — pinned by
-# test_registry_window.py), then round-15 additions registered outside the
-# active window, then the stalest remaining veterans in registration order
-# (fill recomputed mechanically at round-15 close from CORRECTNESS_r01..r15).
-# ------------------------------------------------------------------------------------
-ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
-    # -- flagship canary --
-    "courier_ledger",
-    "courier_ledger_sql",
-    "incremental_mart_maintenance",
-    # -- the 8 r11-proven veterans rolled past the r15 window --
+    # the 8 r11-proven veterans rolled past the r15 window
     "salted_join_agg",
     "dedup_keep_best",
     "length_decile_bands",
@@ -430,43 +353,25 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "decontaminated_corpus",
     "heavy_hitters",
     "cms_state_migration",
-    # -- round-15 code changes / additions append here as they land --
-    # r15: search.py changed (rrf_fuse's leg-bound guard now collects the
-    # bounded union instead of localCheckpoint-ing it — no pinned blocks;
-    # eval rails gained max_queries / shortlist guards). The in-window
-    # hybrid_search_rrf_dual_indexed + indexed-kNN trio re-prove the changed
-    # paths this round; the r14-proven live and single-indexed fusion
-    # consumers re-prove the same rrf_fuse code from the r16 head
+    # round-15 changed-file re-proofs: search.py (rrf_fuse's leg-bound guard
+    # now collects the tagged bounded union — no pinned checkpoint blocks).
+    # The dual-indexed fusion + indexed-kNN trio proved the changed paths in
+    # r15; the live and single-indexed fusion consumers re-prove the same
+    # rrf_fuse code here
     "hybrid_search_rrf",
     "hybrid_search_rrf_indexed",
-    # r15: NEW — SemDeDup served from the persisted index's trained
-    # quantizer (centroids via annindex.load_index_artifacts; identical
-    # assignment/shard/pair code as semdedup_pairs) — the r14 verdict item
-    # 5; first driver row lands in r16. 3-SF parity proven at registration
-    # (sf0.001/0.01/0.1).
+    # round-15 additions registered after the r15 window froze — first
+    # driver rows land HERE (the r15 verdict's only claimed-but-unproven
+    # gap): SemDeDup served from the persisted index's trained quantizer,
+    # and the compacted-serve trio (build -> extend -> COMPACT -> serve
+    # against the same full-corpus oracles — compaction is layout, never
+    # semantics)
     "semdedup_pairs_indexed",
-    # r15: NEW — the compaction law in query form for both lexical rails:
-    # build -> extend -> COMPACT -> serve must equal the full-corpus oracle
-    # (compaction is layout, never semantics); puts the maintenance
-    # schedule's rewrite under driver evidence. 3-SF parity proven at
-    # registration.
     "bm25_search_compacted",
     "substring_search_compacted",
-    # r15: NEW — the codes rail's compacted serve, completing the
-    # build -> extend -> compact -> serve evidence across all three
-    # persisted rails (same full-corpus oracle as the extend form). 3-SF
-    # parity proven at registration.
     "ann_index_compacted_search",
-    # -- round-15 close: the stalest remaining veterans (all r12-proven,
-    # computed mechanically from CORRECTNESS_r01..r14 + the active r15
-    # window assumed green) in registration order, filling the plan to
-    # exactly the 50-slot cap. The late `ann_index_compacted_search`
-    # addition takes `dedup_cross_corpus`'s slot (additions before
-    # re-proofs — the standing convention), so TEN r12-proven veterans roll
-    # to the r17 plan head: cdc_apply_roundtrip, event_transitions,
-    # k_anonymity_audit, value_winsorize, weighted_sample,
-    # split_leakage_audit, dsir_importance, dsir_resample, dedup_span_scrub,
-    # dedup_cross_corpus (everything else unscheduled is r13-or-newer) --
+    # r12-stale veterans, registration order (33 of 43 fit under the 50-cap;
+    # the other 10 roll to the r17 plan head — see NEXT_PLAN)
     "doc_fingerprint",
     "dedup_exact",
     "minhash_signatures",
@@ -500,6 +405,37 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "streaming_static_enrich",
     "target_mix_sample",
     "token_budget_cap",
+]
+
+
+# ------------------------------------------------------------------------------------
+# PLANNED round-17 window (activate at the START of round 17). Composition:
+# the flagship canary trio, then the 10 r12-proven veterans that rolled past
+# the r16 window (r15 verdict next-round item 8), then any query whose
+# implementing code CHANGES in round 16 (standing rule: changed code must
+# appear in the active window or at the head of the next plan — pinned by
+# test_registry_window.py), then round-16 additions registered outside the
+# active window, then the stalest remaining veterans in registration order
+# (fill recomputed mechanically at round-16 close from CORRECTNESS_r01..r16).
+# ------------------------------------------------------------------------------------
+ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
+    # -- flagship canary --
+    "courier_ledger",
+    "courier_ledger_sql",
+    "incremental_mart_maintenance",
+    # -- the 10 r12-proven veterans rolled past the r16 window --
+    "cdc_apply_roundtrip",
+    "event_transitions",
+    "k_anonymity_audit",
+    "value_winsorize",
+    "weighted_sample",
+    "split_leakage_audit",
+    "dsir_importance",
+    "dsir_resample",
+    "dedup_span_scrub",
+    "dedup_cross_corpus",
+    # -- round-16 code changes / additions append here as they land --
+    # (fill to 50 recomputed mechanically at round-16 close)
 ]
 
 

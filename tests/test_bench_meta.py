@@ -40,8 +40,10 @@ def test_first_rep_skew_alone_classifies_degraded():
 def test_threshold_edges():
     # exactly at the documented 15-20% idle swing stays idle
     assert classify_load_state(0.10, 0.10, [47.0, 40.0, 41.0]) == "idle"
-    # just under the 1.5x probe threshold (1.5 * IDLE_PROBE_SEC as a float
-    # product lands a hair ABOVE 1.5x and correctly classifies degraded)
+    # 0.149 is deliberately just UNDER the 1.5x probe threshold (and the
+    # nominal boundary 0.15 is avoided: 0.15/0.10 floats to 1.4999…, so the
+    # exact-ratio case would also read idle — test a value that is
+    # unambiguously below instead)
     assert classify_load_state(0.149, 0.10, [44.0, 43.5, 43.1]) == "idle"
 
 

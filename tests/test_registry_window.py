@@ -1,13 +1,13 @@
 """The driver adjudicates the FIRST 50 entries of queries() in dict order
-(observed r1-r14). These tests pin the round-15 rotation: the staged r15 plan
-from round 14 is activated VERBATIM (canary trio; the 7 r10-proven veterans
-rolled past r14; the SEVEN round-14 additions that registered after the r14
-window froze — the r14 verdict's only claimed-but-unproven surface; the
-annindex.py and lakehouse.py/promotions changed-file re-proofs; 27 r11-stale
-veterans), then round-15 work appends to the r16 plan as it lands. Every
-window name resolves to a registered query WITH an oracle (rows-only queries
-may exist in the registry, but a window slot without an oracle would burn
-driver evidence on a weaker rows-only check — keep them out).
+(observed r1-r15). These tests pin the round-16 rotation: the staged r16 plan
+from round 15 is activated VERBATIM (canary trio; the 8 r11-proven veterans
+rolled past r15; the rrf_fuse changed-file re-proofs; the FOUR round-15
+additions that registered after the r15 window froze — the r15 verdict's only
+claimed-but-unproven surface; 33 r12-stale veterans), then round-16 work
+appends to the r17 plan as it lands. Every window name resolves to a
+registered query WITH an oracle (rows-only queries may exist in the registry,
+but a window slot without an oracle would burn driver evidence on a weaker
+rows-only check — keep them out).
 
 STANDING RULE (codified per the round-7 verdict, made ROUND-AGNOSTIC per the
 round-8 verdict): any query whose implementing code changes in round N must
@@ -37,40 +37,34 @@ from airflow_courier_payout_ledger_pipeline_spark.registry import (
 WINDOW = 50
 CANARY = {"courier_ledger", "courier_ledger_sql", "incremental_mart_maintenance"}
 
-#: staged from round 14 — the r15 active window must land fresh driver rows
-#: on these: the 7 round-14 additions registered after the r14 window froze
-#: (the r14 verdict's only claimed-but-unproven surface, next-round item 1)
-#: plus the changed-file re-proofs that travel with them
-_STAGED_FOR_R15 = {
-    # 7 round-14 post-freeze additions — first driver rows land in r15
-    "knn_label_vote_indexed",
-    "knn_vote_agreement_indexed",
-    "knn_accuracy_curve_indexed",
-    "bm25_search_indexed",
-    "bm25_index_incremental_extend",
-    "hybrid_search_rrf_dual_indexed",
-    "substring_search_indexed",
-    # annindex.py changed-file re-proofs (O(increment) extend write)
-    "ann_index_persisted_search",
-    "ann_index_incremental_extend",
-    "similarity_pq_refine_topk",
-    # lakehouse.py changed-file re-proofs (multi-file table versions)
-    "scd1_upsert",
-    "scd0_insert_ignore",
-    "incremental_promotion",
+#: staged from round 15 — the r16 active window must land fresh driver rows
+#: on these: the 4 round-15 additions registered after the r15 window froze
+#: (the r15 verdict's only claimed-but-unproven surface, next-round item 1)
+#: plus the rrf_fuse changed-file re-proofs that travel with them
+_STAGED_FOR_R16 = {
+    # 4 round-15 post-freeze additions — first driver rows land in r16
+    "semdedup_pairs_indexed",
+    "bm25_search_compacted",
+    "substring_search_compacted",
+    "ann_index_compacted_search",
+    # search.py changed-file re-proofs (rrf_fuse's collect-probe reshape)
+    "hybrid_search_rrf",
+    "hybrid_search_rrf_indexed",
 }
 
-#: the 8 r11-proven veterans that rolled past the r15 window (r14 verdict
-#: next-round item 7) — must hold their slots at the head of the r16 plan
-_ROLLED_TO_R16 = {
-    "salted_join_agg",
-    "dedup_keep_best",
-    "length_decile_bands",
-    "partition_stats_manifest",
-    "rolling_distinct_users_7d",
-    "decontaminated_corpus",
-    "heavy_hitters",
-    "cms_state_migration",
+#: the 10 r12-proven veterans that rolled past the r16 window (r15 verdict
+#: next-round item 8) — must hold their slots at the head of the r17 plan
+_ROLLED_TO_R17 = {
+    "cdc_apply_roundtrip",
+    "event_transitions",
+    "k_anonymity_audit",
+    "value_winsorize",
+    "weighted_sample",
+    "split_leakage_audit",
+    "dsir_importance",
+    "dsir_resample",
+    "dedup_span_scrub",
+    "dedup_cross_corpus",
 }
 
 # ------------------------------------------------------------------------------------
@@ -521,19 +515,19 @@ def test_flagship_canary_stays_in_window():
     assert CANARY <= set(order)
 
 
-def test_staged_r15_queries_are_in_window():
-    """Everything staged from round 14 (the 7 post-freeze round-14 additions
+def test_staged_r16_queries_are_in_window():
+    """Everything staged from round 15 (the 4 post-freeze round-15 additions
     — the only claimed-but-unproven surface — plus their changed-file
     re-proof companions) must sit in the active window: a registered query
     without a fresh driver row is unadjudicated."""
-    assert _STAGED_FOR_R15 <= set(ADJUDICATION_WINDOW_FIRST[:WINDOW])
+    assert _STAGED_FOR_R16 <= set(ADJUDICATION_WINDOW_FIRST[:WINDOW])
 
 
-def test_rolled_r11_veterans_head_the_r16_plan():
-    """The 8 r11-proven veterans displaced by the r15 window hold slots in the
-    r16 plan (r14 verdict next-round item 7) — the rotation rule is that no
+def test_rolled_r12_veterans_head_the_r17_plan():
+    """The 10 r12-proven veterans displaced by the r16 window hold slots in the
+    r17 plan (r15 verdict next-round item 8) — the rotation rule is that no
     query's newest evidence falls more than ~5 rounds stale."""
-    assert _ROLLED_TO_R16 <= set(ADJUDICATION_WINDOW_NEXT_PLAN)
+    assert _ROLLED_TO_R17 <= set(ADJUDICATION_WINDOW_NEXT_PLAN)
 
 
 def test_queries_and_oracles_share_order():
@@ -656,4 +650,12 @@ _GREEN_EVER = {
     "hybrid_search_rrf", "hybrid_search_rrf_indexed", "knn_label_vote",
     "knn_accuracy_curve", "embedding_dim_correlation",
     "embedding_dominant_direction",
+    # green r15 (CORRECTNESS_r15 50/50): first driver rows for the seven
+    # post-freeze round-14 additions; the other r15-green rows re-proved
+    # names already listed above. The four post-freeze round-15 additions
+    # land their first rows in r16 (they sit in the active window).
+    "knn_label_vote_indexed", "knn_vote_agreement_indexed",
+    "knn_accuracy_curve_indexed", "bm25_search_indexed",
+    "bm25_index_incremental_extend", "hybrid_search_rrf_dual_indexed",
+    "substring_search_indexed",
 }
