@@ -5,8 +5,17 @@ each task is a spark-submit (or a @task calling the job function on a shared
 session).
 
 Improvements over the reference's strictly linear chain (noted in SURVEY.md §3.1):
-the couriers/timestamps/orders promotions are logically independent and run in
-parallel between the extraction tasks and the deliveries promotion.
+the couriers/timestamps/orders promotions run in parallel between the extraction
+tasks and the deliveries promotion. Parallelism is safe because each dim table
+has exactly ONE feeder task (single-writer-per-table): dm_timestamps is fed
+solely by ``timestamps_stg_to_dds`` (both timestamp kinds — see
+``promotions.timestamps_stg_to_dds_job``), dm_orders solely by
+``orders_stg_to_dds``, dm_couriers solely by ``couriers_stg_to_dds``. The
+reference could let two writers race the same table only because its UNIQUE
+index + ON CONFLICT DO NOTHING serialized them server-side
+(sql/DDL_dds.dm_timestamps); the lakehouse SCD0 anti-join has no such arbiter,
+so a shared table would double-insert under a parallel schedule (r15 verdict
+item 1 — fixed by making the dims group genuinely independent).
 """
 
 from __future__ import annotations

@@ -166,62 +166,76 @@ def couriers_stg_to_dds_job(spark: SparkSession, lake: Lakehouse) -> None:
     )
 
 
+def _new_stg_orders(spark: SparkSession, lake: Lakehouse) -> DataFrame:
+    """The order-grain view of the SAME watermark window as
+    ``_new_stg_deliveries``: (order_key, order_ts) extracted from the fresh
+    bronze increment. Shared by the calendar-dim feeder (order timestamps)
+    and the dm_orders feeder so both see one consistent window."""
+    wm = _dds_store(lake).read_last_loaded_ts(spark, DDS_WM_KEY, DDS_WM_DEFAULT)
+    stg = lake.read(spark, "stg", "deliverysystem_deliveries", S.STG_DELIVERIES_SCHEMA)
+    j = "json_response"
+    return stg.filter(F.col("delivery_ts") > F.lit(wm)).select(
+        F.get_json_object(j, "$.order_id").alias("order_key"),
+        F.get_json_object(j, "$.order_ts").cast("timestamp").alias("order_ts"),
+    )
+
+
+def _calendar_rows(ts: DataFrame) -> DataFrame:
+    """Expand a one-column (``ts``) frame into calendar-dim rows (P5/P6,
+    sql/timestamps_stg_to_dds.sql expansion) — one definition for every
+    dm_timestamps feed."""
+    return ts.distinct().select(
+        _sk("ts").alias("id"),
+        "ts",
+        F.year("ts").cast("smallint").alias("year"),
+        F.month("ts").cast("smallint").alias("month"),
+        F.dayofmonth("ts").cast("smallint").alias("day"),
+        F.date_format("ts", "HH:mm:ss").alias("time"),
+        F.to_date("ts").alias("date"),
+    )
+
+
 def timestamps_stg_to_dds_job(spark: SparkSession, lake: Lakehouse) -> None:
     """sql/timestamps_stg_to_dds.sql: distinct increment timestamps expanded into
-    the calendar dim (P5/P6), SCD0 insert-ignore on ts."""
-    new_ts = (
-        _new_stg_deliveries(spark, lake)
-        .select("ts")
-        .distinct()
-        .select(
-            _sk("ts").alias("id"),
-            "ts",
-            F.year("ts").cast("smallint").alias("year"),
-            F.month("ts").cast("smallint").alias("month"),
-            F.dayofmonth("ts").cast("smallint").alias("day"),
-            F.date_format("ts", "HH:mm:ss").alias("time"),
-            F.to_date("ts").alias("date"),
-        )
+    the calendar dim (P5/P6), SCD0 insert-ignore on ts.
+
+    This job is the dim's ONLY writer — it feeds BOTH timestamp kinds
+    (delivery_ts from the increment, plus the increment's order_ts standing in
+    for the reference's upstream orders feed). The reference lets two INSERT
+    … ON CONFLICT DO NOTHING writers race because its UNIQUE index serializes
+    them (sql/DDL_dds.dm_timestamps); the lakehouse SCD0 anti-join has no such
+    server-side arbiter, so two parallel feeders reading the same pre-state
+    would BOTH insert a timestamp present in both increments (an order_ts
+    equal to a delivery_ts — routine for same-second events) and break the
+    dim's uniqueness (r15 verdict item 1). Single-writer-per-table is the
+    discipline that makes the DAG's parallel dims group actually safe;
+    pinned by tests/test_pipeline.py::test_dim_feeders_are_single_writer_per_table."""
+    d_ts = _new_stg_deliveries(spark, lake).select("ts")
+    o_ts = (
+        _new_stg_orders(spark, lake)
+        .select(F.col("order_ts").alias("ts"))
+        .where(F.col("ts").isNotNull())
     )
+    new_ts = _calendar_rows(d_ts.unionByName(o_ts))
     existing = lake.read(spark, "dds", "dm_timestamps", S.DM_TIMESTAMPS_SCHEMA)
     lake.append(scd0_new_rows(new_ts, existing, ["ts"]), "dds", "dm_timestamps")
 
 
 def orders_stg_to_dds_job(spark: SparkSession, lake: Lakehouse) -> None:
-    """Maintain the shared dims dm_orders/dm_timestamps from the increment's
-    order_id/order_ts fields (delivery API contract, DWH Design (ENG).md:22-37).
+    """Maintain dm_orders from the increment's order_id/order_ts fields
+    (delivery API contract, DWH Design (ENG).md:22-37).
 
-    In the reference these dims are "pre-existing in DWH" (DWH Design (ENG).md:76),
-    fed by a sibling food-orders pipeline outside the repo; this job stands in for
-    that upstream feed so the engine is self-contained. SCD0 on both targets."""
-    wm = _dds_store(lake).read_last_loaded_ts(spark, DDS_WM_KEY, DDS_WM_DEFAULT)
-    stg = lake.read(spark, "stg", "deliverysystem_deliveries", S.STG_DELIVERIES_SCHEMA)
-    j = "json_response"
-    inc = stg.filter(F.col("delivery_ts") > F.lit(wm)).select(
-        F.get_json_object(j, "$.order_id").alias("order_key"),
-        F.get_json_object(j, "$.order_ts").cast("timestamp").alias("order_ts"),
-    )
-
-    # order timestamps join the shared calendar dim (insert-ignore on ts)
-    new_ts = (
-        inc.select(F.col("order_ts").alias("ts"))
-        .where(F.col("ts").isNotNull())
-        .distinct()
-        .select(
-            _sk("ts").alias("id"),
-            "ts",
-            F.year("ts").cast("smallint").alias("year"),
-            F.month("ts").cast("smallint").alias("month"),
-            F.dayofmonth("ts").cast("smallint").alias("day"),
-            F.date_format("ts", "HH:mm:ss").alias("time"),
-            F.to_date("ts").alias("date"),
-        )
-    )
-    dmt = lake.read(spark, "dds", "dm_timestamps", S.DM_TIMESTAMPS_SCHEMA)
-    lake.append(scd0_new_rows(new_ts, dmt, ["ts"]), "dds", "dm_timestamps")
-
+    In the reference this dim is "pre-existing in DWH" (DWH Design (ENG).md:76),
+    fed by a sibling food-orders pipeline outside the repo; this job stands in
+    for that upstream feed so the engine is self-contained. SCD0 on order_key.
+    The order TIMESTAMPS feed the shared calendar dim through
+    ``timestamps_stg_to_dds_job`` (the dim's single writer — see its
+    docstring), never from here: ``timestamp_id`` is the deterministic
+    surrogate of order_ts, so this job needs no read of dm_timestamps and the
+    DAG's dims group parallelizes without a double-insert hazard."""
     new_orders = (
-        inc.where(F.col("order_ts").isNotNull())
+        _new_stg_orders(spark, lake)
+        .where(F.col("order_ts").isNotNull())
         .dropDuplicates(["order_key"])
         .select(
             _sk("order_key").alias("id"),

@@ -435,6 +435,15 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "dedup_span_scrub",
     "dedup_cross_corpus",
     # -- round-16 code changes / additions append here as they land --
+    # r16: plans/promotions.py changed (dm_timestamps single-writer split:
+    # the timestamps job feeds BOTH timestamp kinds, the orders job feeds
+    # dm_orders only — the r15 verdict item-1 parallel double-insert fix;
+    # shared _new_stg_orders/_calendar_rows helpers). The promotion rail's
+    # queries re-prove the changed jobs from the r17 head; the in-window
+    # canary trio re-proves the mart fold this round.
+    "scd1_upsert",
+    "scd0_insert_ignore",
+    "incremental_promotion",
     # (fill to 50 recomputed mechanically at round-16 close)
 ]
 

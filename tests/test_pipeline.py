@@ -157,6 +157,42 @@ def test_missing_order_dim_drops_fact(spark, lake, monkeypatch):
     assert lake.read(spark, "dds", "fct_deliveries", S.FCT_DELIVERIES_SCHEMA).count() == 0
 
 
+def test_dim_feeders_are_single_writer_per_table(spark, lake):
+    """The DAG's parallel ``dims`` group is safe only if each dim table has exactly
+    ONE feeder task (r15 verdict item 1: two jobs anti-joining dm_timestamps
+    against the same pre-state double-insert a timestamp present in both
+    increments — an order_ts equal to a delivery_ts, routine for same-second
+    events). Pin the single-writer split: orders_stg_to_dds_job never touches
+    dm_timestamps, and timestamps_stg_to_dds_job feeds BOTH timestamp kinds,
+    so any schedule interleaving of the dims group yields a unique dim."""
+    deliveries = [
+        # order_ts EXACTLY equals delivery_ts — the hazard case
+        _delivery("d1", "o1", "c1", "2023-05-10 10:00:00", "2023-05-10 10:00:00", 5, 1000.00, 10.00),
+        _delivery("d2", "o2", "c2", "2023-05-10 11:00:00", "2023-05-10 10:30:00", 4, 500.00, 0.00),
+    ]
+    P.load_couriers_job(spark, lake, fake_api(DAY1_COURIERS))
+    P.load_deliveries_job(spark, lake, fake_api(deliveries, "delivery_ts"), "2023-05-11")
+    # run orders FIRST to prove it no longer feeds the calendar dim
+    P.orders_stg_to_dds_job(spark, lake)
+    dmt = lake.read(spark, "dds", "dm_timestamps", S.DM_TIMESTAMPS_SCHEMA)
+    assert dmt.count() == 0, "orders_stg_to_dds_job must not write dm_timestamps"
+    P.timestamps_stg_to_dds_job(spark, lake)
+    dmt = lake.read(spark, "dds", "dm_timestamps", S.DM_TIMESTAMPS_SCHEMA)
+    rows = {r.ts for r in dmt.collect()}
+    # one row per DISTINCT ts across both kinds: the shared 10:00:00, the
+    # 11:00:00 delivery ts, and the 10:30:00 order ts
+    assert dmt.count() == 3 and len(rows) == 3
+    assert dmt.groupBy("ts").count().filter("count > 1").count() == 0
+    # the full downstream still works: facts resolve both dims, mart lands
+    P.couriers_stg_to_dds_job(spark, lake)
+    P.deliveries_stg_to_dds_job(spark, lake)
+    P.courier_ledger_update_job(spark, lake)
+    assert (
+        lake.read(spark, "dds", "fct_deliveries", S.FCT_DELIVERIES_SCHEMA).count() == 2
+    )
+    assert len(_ledger(spark, lake)) == 2
+
+
 def test_pagination_cap_and_short_page_stop():
     from airflow_courier_payout_ledger_pipeline_spark.sources.rest import paginate
 

@@ -190,7 +190,20 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
     # UNIQUE gate and mart persist in courier_ledger_update_job — the
     # promotion rail's queries re-prove in the r13 window; the gate's
     # behavior is pinned by tests/test_validate.py's pipeline tests
+    # round-16: dm_timestamps single-writer split (the r15 verdict item-1
+    # parallel double-insert fix) — the promotion rail re-proves from the
+    # r17 head; the split itself is pinned by
+    # test_pipeline.py::test_dim_feeders_are_single_writer_per_table
     "airflow_courier_payout_ledger_pipeline_spark/plans/promotions.py": {
+        "incremental_promotion",
+        "scd1_upsert",
+        "scd0_insert_ignore",
+    },
+    # round-16: the DAG's dims-group parallel claim corrected to the
+    # single-writer-per-table argument (docstring + task wiring only; the
+    # DAG is import-gated and never driver-adjudicated — its jobs are, via
+    # the promotion rail's queries)
+    "airflow_courier_payout_ledger_pipeline_spark/plans/dag.py": {
         "incremental_promotion",
         "scd1_upsert",
         "scd0_insert_ignore",
