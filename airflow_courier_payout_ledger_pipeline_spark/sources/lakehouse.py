@@ -22,6 +22,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
+class ConcurrentCommitError(RuntimeError):
+    """A second manifest committer raced this one (single-writer contract
+    violated). Raised instead of silently dropping either transaction — see
+    :meth:`Lakehouse.commit_manifest`. The failed transaction's staged
+    snapshots remain on disk (invisible, vacuumable); re-stage against the
+    new current manifest and re-commit."""
+
+
 class Lakehouse:
     def __init__(self, root: str) -> None:
         self.root = Path(root)
@@ -225,16 +233,64 @@ class Lakehouse:
         those dirs): the append protocol stages ONLY the increment's dir and
         commits ``old versions + [new]``, which is what makes an index
         extend's write O(increment) (see annindex.extend_residual_ivfpq_
-        index)."""
-        import json
+        index).
 
-        merged = self.current_manifest()
+        CONCURRENT-MISUSE GUARD (r15 verdict item 4): the lakehouse contract
+        is single-writer, but nothing used to make a violation LOUD — two
+        concurrent committers both computed ``mid = cur + 1``, the second
+        ``write_text`` overwrote the first's manifest file, and the pointer
+        flip silently discarded a whole transaction. Now (a) the manifest id
+        skips past EVERY existing ``m=N.json`` (so a crash orphan above the
+        pointer never collides with the replayed commit — replay keeps its
+        documented re-stage-and-re-commit story), (b) the file is created
+        with ``O_EXCL`` (a same-instant committer targeting the same id
+        fails instead of overwriting), and (c) the pointer is re-read just
+        before the flip: if another committer flipped since this
+        transaction's merge base was read, our merge is STALE (it lacks
+        their tables) — the file is withdrawn and ``ConcurrentCommitError``
+        raised, so the losing transaction fails loudly instead of silently
+        erasing the winner's. This is misuse DETECTION on a rename-overwrite
+        pointer, not a serialization primitive: a sub-millisecond
+        check-to-rename window remains, and single-writer stays the
+        deployment contract (an orchestration layer must not schedule two
+        manifest committers concurrently — the r15 DAG finding shows how
+        easily one can)."""
+        import json
+        import os
+
+        base_mid = self.current_manifest_id()  # this transaction's merge base
+        if base_mid is None:
+            merged: dict[str, int | list[int]] = {}
+        else:
+            merged = json.loads(
+                (self.root / "_commits" / f"m={base_mid}.json").read_text()
+            )
         merged.update({f"{l}/{t}": v for (l, t), v in staged.items()})
-        cur = self.current_manifest_id()
-        mid = 0 if cur is None else cur + 1
         mdir = self.root / "_commits"
         mdir.mkdir(parents=True, exist_ok=True)
-        (mdir / f"m={mid}.json").write_text(json.dumps(merged, sort_keys=True))
+        existing = [int(p.stem[2:]) for p in mdir.glob("m=*.json")]
+        mid = max([base_mid if base_mid is not None else -1, *existing, -1]) + 1
+        path = mdir / f"m={mid}.json"
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"commit_manifest: {path.name} appeared between id selection "
+                "and exclusive create — another committer is racing this "
+                "lakehouse (single-writer contract violated); re-run the "
+                "transaction after it completes"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(merged, sort_keys=True))
+        if self.current_manifest_id() != base_mid:
+            path.unlink()  # withdraw: our merge base is stale
+            raise ConcurrentCommitError(
+                f"commit_manifest: the manifest pointer moved past its merge "
+                f"base (m={base_mid}) while this transaction was committing — "
+                "a concurrent committer published first and this merge would "
+                "silently drop its tables (single-writer contract violated); "
+                "re-stage against the new current manifest and re-commit"
+            )
         tmp = mdir / f"_LATEST.__tmp_{uuid.uuid4().hex[:8]}"
         tmp.write_text(str(mid))
         tmp.rename(self._manifest_pointer())

@@ -3,6 +3,7 @@ split for quarantine promotion."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql.types import StructType
 
 from airflow_courier_payout_ledger_pipeline_spark.sources.files import (
@@ -127,6 +128,84 @@ def test_multi_table_commit_manifest_crash_window(spark, tmp_path):
     assert read_pair()[0] == 7
     v = lake.overwrite_versioned(facts(1), "dds", "fct")
     assert v > staged_facts
+
+
+def test_commit_manifest_concurrent_committer_fails_loudly(spark, tmp_path, monkeypatch):
+    """Two concurrent committers must never silently lose a transaction (r15
+    verdict item 4): before the guard, both computed ``mid = cur + 1``, the
+    second write_text overwrote the first's manifest file, and the pointer
+    flip discarded it. Now the LOSING committer withdraws its stale-merged
+    file and raises ConcurrentCommitError; a retry against the new current
+    manifest lands BOTH transactions' tables."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import (
+        ConcurrentCommitError,
+        Lakehouse,
+    )
+
+    schema = StructType([StructField("x", LongType())])
+
+    def df(v):
+        return spark.createDataFrame([(v,)], schema)
+
+    # two handles on the same root — stands for two processes
+    lake_a, lake_b = Lakehouse(str(tmp_path)), Lakehouse(str(tmp_path))
+    lake_a.commit_multi([(df(0), "dds", "a")])  # manifest 0
+    v_a = lake_a.stage_version(df(1), "dds", "a")
+    v_b = lake_b.stage_version(df(2), "dds", "b")
+
+    # interleave deterministically: B's WHOLE commit lands inside A's commit
+    # window, right after A reads its merge base — the lost-update schedule
+    real = lake_a.current_manifest_id
+    state = {"fired": False}
+
+    def base_read_then_b_commits():
+        mid = real()
+        if not state["fired"]:
+            state["fired"] = True
+            lake_b.commit_manifest({("dds", "b"): v_b})
+        return mid
+
+    monkeypatch.setattr(lake_a, "current_manifest_id", base_read_then_b_commits)
+    with pytest.raises(ConcurrentCommitError, match="pointer moved"):
+        lake_a.commit_manifest({("dds", "a"): v_a})
+
+    # B's transaction survived intact; A's stale-merged file was withdrawn
+    assert lake_a.current_manifest_id() == 1
+    assert lake_b.read_committed(spark, "dds", "b", schema).collect()[0].x == 2
+    assert not (tmp_path / "_commits" / "m=2.json").exists()
+    # A's staged snapshot is still invisible (not silently published)
+    assert lake_b.read_committed(spark, "dds", "a", schema).collect()[0].x == 0
+
+    # the documented recovery: re-commit against the new current manifest —
+    # both transactions' tables are present afterwards (no lost tables)
+    lake_a.commit_manifest({("dds", "a"): v_a})
+    assert lake_a.read_committed(spark, "dds", "a", schema).collect()[0].x == 1
+    assert lake_a.read_committed(spark, "dds", "b", schema).collect()[0].x == 2
+
+
+def test_commit_manifest_skips_past_crash_orphans(spark, tmp_path):
+    """A crashed commit's above-pointer ``m=N.json`` (file written, pointer
+    never flipped) must not collide with — or be overwritten by — the next
+    commit: ids skip past every existing manifest file, so the replayed
+    transaction publishes under a fresh id and the orphan stays inert debris
+    until vacuum_commits reclaims it."""
+    import json
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    schema = StructType([StructField("x", LongType())])
+    lake = Lakehouse(str(tmp_path))
+    lake.commit_multi([(spark.createDataFrame([(0,)], schema), "dds", "t")])
+    # crash debris: manifest file 1 exists, pointer still at 0
+    (tmp_path / "_commits" / "m=1.json").write_text(json.dumps({"dds/t": 99}))
+    mid = lake.commit_multi([(spark.createDataFrame([(5,)], schema), "dds", "t")])
+    assert mid == 2  # skipped past the orphan, never overwrote it
+    assert json.loads((tmp_path / "_commits" / "m=1.json").read_text()) == {"dds/t": 99}
+    assert lake.read_committed(spark, "dds", "t", schema).collect()[0].x == 5
 
 
 def test_vacuum_commits_keeps_current_and_newest(spark, tmp_path):
