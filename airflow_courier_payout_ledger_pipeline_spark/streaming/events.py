@@ -204,6 +204,50 @@ def sessionize_stream(events: DataFrame, idle_timeout: bool = True) -> DataFrame
     )
 
 
+def _rebind_to_scoped_clone(
+    stream_df: DataFrame, state_partitions: int
+) -> tuple[DataFrame, SparkSession | None]:
+    """Re-bind a plan to a session CLONE carrying the streaming-sized
+    shuffle-partition pin, leaving the caller's session conf untouched.
+    Returns ``(run_df, scoped_session)``; ``(stream_df, None)`` when the
+    internal ``Dataset.ofRows`` hook is unavailable on this Spark build.
+
+    cloneSession (not newSession, which resets to DEFAULT conf) inherits the
+    caller's full session state — runtime conf (timezone, ANSI/arrow
+    toggles), temp views, UDFs — in one JVM call, so the clone differs from
+    the caller in EXACTLY the one pin; otherwise e.g. a non-UTC
+    session-timezone probe would silently not apply to the drained plan.
+
+    The fallback is LOUD (r15 verdict item 5): a Spark upgrade that moves
+    the hook would otherwise silently swap the concurrency semantics to the
+    session-global mutate-then-restore pin, whose value leaks to queries
+    planned concurrently in the caller's session. The warning names the
+    caveat, and tests/test_streaming.py pins that the clone path engages on
+    THIS Spark version (the drift canary)."""
+    spark = stream_df.sparkSession
+    try:
+        jclone = spark._jsparkSession.cloneSession()
+        scoped = SparkSession(spark.sparkContext, jclone)
+        scoped.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            jclone, stream_df._jdf.logicalPlan()
+        )
+        return DataFrame(jdf, scoped), scoped
+    except Exception as e:  # pragma: no cover - internal-API drift fallback
+        import warnings
+
+        warnings.warn(
+            "run_available_now: session-clone plan re-binding is unavailable "
+            f"on this Spark build ({type(e).__name__}: {e}); falling back to "
+            "the SESSION-GLOBAL shuffle-partition pin — queries planned "
+            "concurrently in this session will see the streaming-sized value "
+            "until the drain finishes (single-threaded caveat)",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        return stream_df, None
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, state_partitions: int | None = 4
 ) -> DataFrame:
@@ -262,22 +306,7 @@ def run_available_now(
     spark = stream_df.sparkSession
     run_df, scoped = stream_df, None
     if state_partitions is not None:
-        try:
-            # cloneSession (not newSession, which resets to DEFAULT conf)
-            # inherits the caller's full session state — runtime conf
-            # (timezone, ANSI/arrow toggles), temp views, UDFs — in one JVM
-            # call, so the clone differs from the caller in EXACTLY the one
-            # pin below; otherwise e.g. a non-UTC session-timezone probe would
-            # silently not apply to the drained plan.
-            jclone = spark._jsparkSession.cloneSession()
-            scoped = SparkSession(spark.sparkContext, jclone)
-            scoped.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-            jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
-                jclone, stream_df._jdf.logicalPlan()
-            )
-            run_df = DataFrame(jdf, scoped)
-        except Exception:  # pragma: no cover - internal-API drift fallback
-            scoped = None
+        run_df, scoped = _rebind_to_scoped_clone(stream_df, state_partitions)
     prev = None
     if state_partitions is not None and scoped is None:  # pragma: no cover
         prev = spark.conf.get("spark.sql.shuffle.partitions")

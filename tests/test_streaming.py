@@ -65,6 +65,33 @@ def test_streaming_sessionize_matches_batch_closed_sessions(spark):
         assert sc[u] == bc[u] - 1
 
 
+def test_clone_rebind_hook_engages_on_this_spark_build(spark):
+    """Version-drift canary (r15 verdict item 5): the internal
+    ``Dataset.ofRows`` hook that re-binds the drained plan into the session
+    clone must exist on THIS Spark build. If an upgrade moves it,
+    ``_rebind_to_scoped_clone`` falls back to the session-global
+    shuffle-partition pin and emits a RuntimeWarning — this test turns that
+    silent concurrency-semantics swap into a red test at upgrade time (the
+    warning is escalated to an error, and the clone path is asserted
+    directly)."""
+    import warnings
+
+    from airflow_courier_payout_ledger_pipeline_spark.streaming.events import (
+        _rebind_to_scoped_clone,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    df = spark.range(5).toDF("id")  # any logical plan re-binds; batch is fine
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        run_df, scoped = _rebind_to_scoped_clone(df, 4)
+    assert scoped is not None, "clone re-binding fell back on this Spark build"
+    assert run_df.sparkSession is scoped
+    assert scoped.conf.get("spark.sql.shuffle.partitions") == "4"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert [r.id for r in run_df.orderBy("id").collect()] == list(range(5))
+
+
 def test_run_available_now_leaves_caller_session_conf_untouched(spark):
     """The state-sized shuffle-partition pin must live in a newSession() clone:
     the caller's session-global spark.sql.shuffle.partitions is NEVER mutated,
