@@ -157,38 +157,71 @@ HEADLINE = [
 #: idle baseline for load_probe() on this box (recorded in OPERATORS.md)
 IDLE_PROBE_SEC = 0.10
 
+#: idle baseline for the original-15 core total at sf0.1 (sum of per-query
+#: min — the "value_original15" tail field). A FIXED reference workload,
+#: measured every round since r1; the r8-r16 idle band is 5.85-7.32 s, so a
+#: 1.5x trigger (>9.9 s) only fires on real sustained degradation (the r15
+#: worst episode ran untouched queries uniformly 2-5x). This is the detector
+#: for UNIFORM sustained slowdown, which is intra-run invisible: all reps
+#: inflate together, so neither spread nor first-rep skew moves.
+ORIGINAL15_IDLE_SEC = 6.6
+
 
 def classify_load_state(
     probe_pre: float,
     probe_post: float,
     rep_totals: list[float],
     idle_probe: float = IDLE_PROBE_SEC,
+    original15_min_total: float | None = None,
+    idle_original15: float = ORIGINAL15_IDLE_SEC,
 ) -> str:
     """Self-label the capture's machine state (r14 verdict item 8) so a noisy
-    driver capture is machine-adjudicable WITHOUT a re-run: 'degraded' when
-    either load probe reads >1.5x the idle baseline (k-way contention during
-    the bench), when the n-rep spread exceeds 20% (the repo's documented
-    15-20% idle swing), when the FIRST rep skews >20% above the best rep
-    (contention that decayed mid-bench — the r14 69/61/56 s signature), or
-    when a MODERATELY hot probe (>1.15x idle) coincides with a moderate
-    spread or first-rep skew (>15%) — the combined rule catches sustained
-    host-level degradation where every single indicator sits just under its
-    solo threshold (observed r15: probes 1.24x, spread 19%, untouched
-    queries uniformly 2-5x slower), while a genuinely clean capture with
-    one noisy indicator (r14's clean 43.1 s run: probes BELOW baseline,
-    spread 18.9%) stays 'idle'. Thresholds are deliberately coarse: the
-    flag marks captures whose absolute numbers should not be compared
-    round-over-round, it does not grade the machine."""
+    driver capture is machine-adjudicable WITHOUT a re-run.
+
+    RECALIBRATED in r16 against the mechanical fold of every driver capture
+    r10-r15 plus two same-day clean-probe captures: the FIRST rep total runs
+    21-24% above the best rep in EVERY capture, including provably-idle ones
+    (probes at/below baseline, rep2+ spread 1-6%) — each query's first timed
+    rep re-pays cache/codegen warmth evicted since the warmup pass, a
+    STRUCTURAL cost, not contention. The old spread/first-skew rules compared
+    that structural rep against steady-state reps and therefore fired on
+    every capture at today's suite size, making the label unable to say
+    'idle'. Contention signals now come from like-for-like comparisons:
+
+    - either load probe > 1.35x the idle baseline (clean band observed
+      0.83-1.1x; degraded episodes 1.24-1.73x — 1.35 splits them with
+      margin for the 0.1 s sample's jitter);
+    - the original-15 core total > 1.5x ITS recorded idle baseline — the
+      fixed-workload detector for uniform sustained slowdown that no
+      intra-run signal can see (the r15 worst episode: probes only 1.24x,
+      steady reps tight, yet untouched queries uniformly 2-5x);
+    - STEADY spread (across reps 2..n, excluding the structural first rep)
+      > 20% — the documented idle band for steady reps is 1-6%;
+    - first-rep skew > 40% — far past the 21-24% structural band, so a real
+      decaying-contention episode still flags;
+    - combined: a moderately hot probe (>1.15x) with a moderate steady
+      spread (>10%) or elevated first skew (>30%).
+
+    Thresholds are deliberately coarse: the flag marks captures whose
+    absolute numbers should not be compared round-over-round, it does not
+    grade the machine."""
     probe_ratio = max(probe_pre, probe_post) / idle_probe
-    if probe_ratio > 1.5:
+    if probe_ratio > 1.35:
+        return "degraded"
+    if (
+        original15_min_total is not None
+        and original15_min_total > 1.5 * idle_original15
+    ):
         return "degraded"
     lo = min(rep_totals) if rep_totals else 0.0
-    if lo > 0:
-        spread = 100.0 * (max(rep_totals) - lo) / lo
+    steady = rep_totals[1:] if len(rep_totals) >= 3 else rep_totals
+    lo_steady = min(steady) if steady else 0.0
+    if lo > 0 and lo_steady > 0:
+        steady_spread = 100.0 * (max(steady) - lo_steady) / lo_steady
         first_skew = 100.0 * (rep_totals[0] - lo) / lo
-        if spread > 20.0 or first_skew > 20.0:
+        if steady_spread > 20.0 or first_skew > 40.0:
             return "degraded"
-        if probe_ratio > 1.15 and (spread > 15.0 or first_skew > 15.0):
+        if probe_ratio > 1.15 and (steady_spread > 10.0 or first_skew > 30.0):
             return "degraded"
     return "idle"
 
@@ -267,7 +300,14 @@ def main() -> None:
         round(sum(rep_times[n][i] for n in original15), 4) for i in range(REPS)
     ]
     probe_post = load_probe()
-    load_state = classify_load_state(probe_pre, probe_post, rep_totals)
+    # the original-15 fixed-workload reference only has a recorded idle
+    # baseline at the standard bench SF — skip that detector elsewhere
+    orig15_min = (
+        round(sum(timings[n] for n in original15), 4) if sf == 0.1 else None
+    )
+    load_state = classify_load_state(
+        probe_pre, probe_post, rep_totals, original15_min_total=orig15_min
+    )
     variance = {
         "n": REPS,
         "load_state": load_state,

@@ -2,7 +2,18 @@
 item 8): the final compact line carries a load_state verdict so a noisy
 driver capture is machine-adjudicable without a re-run. These tests pin the
 classifier's contract and that the verdict actually rides the tail line —
-no SparkSession needed (bench.py only builds one inside main())."""
+no SparkSession needed (bench.py only builds one inside main()).
+
+The classifier was RECALIBRATED in r16 against the mechanical fold of the
+r10-r15 driver captures plus two same-day clean-probe r16 captures: the
+first rep total runs 21-24% above the best rep in EVERY capture (including
+provably-idle ones — probes at/below baseline, rep2+ spread 1-6%), because
+each query's first timed rep re-pays warmth evicted since the warmup pass.
+Structural, not contention — so the spread signal now excludes the first
+rep, the first-skew solo threshold sits far past the structural band, and a
+fixed-workload reference (the original-15 core vs its recorded idle
+baseline) detects uniform sustained slowdown that intra-run signals cannot
+see."""
 
 from __future__ import annotations
 
@@ -15,46 +26,80 @@ from bench import classify_load_state
 
 
 def test_idle_capture_classifies_idle():
-    # the r14 builder-certified clean capture shape: probes at baseline,
-    # tight reps, best rep last
-    assert classify_load_state(0.10, 0.10, [44.0, 43.5, 43.1]) == "idle"
+    # the r16 clean-probe capture shape: probes at baseline, structural
+    # first-rep skew (~22%), steady reps tight — this exact shape appears
+    # in EVERY capture r10-r16, so it must read idle or the label is dead
+    assert classify_load_state(0.0927, 0.0939, [66.63, 57.67, 54.60]) == "idle"
+    assert classify_load_state(0.102, 0.105, [62.10, 53.06, 49.75]) == "idle"
+    # the r15 DRIVER capture (probes 0.083/0.0996, steady spread 1.1%,
+    # first skew 21%): re-read as idle — its common-query ratio vs r14 was
+    # 1.03 and the original-15 core 0.99x, i.e. the numbers were fine; the
+    # old spread rule mislabeled the structural first rep as contention
+    assert classify_load_state(0.0832, 0.0996, [68.44, 56.63, 57.24]) == "idle"
 
 
 def test_probe_contention_classifies_degraded():
-    # a probe >1.5x idle = k-way contention during the bench
-    assert classify_load_state(0.16, 0.10, [44.0, 43.5, 43.1]) == "degraded"
-    assert classify_load_state(0.10, 0.31, [44.0, 43.5, 43.1]) == "degraded"
+    # a probe >1.35x idle = contention during the bench (clean band observed
+    # 0.83-1.1x; the r15 degraded episodes probed 1.24-1.73x)
+    assert classify_load_state(0.137, 0.105, [58.0, 57.0, 57.2]) == "degraded"
+    assert classify_load_state(0.10, 0.1728, [32.0, 26.6, 25.7]) == "degraded"
 
 
-def test_rep_spread_classifies_degraded():
-    # the r14 driver capture signature: probes near baseline but 23.7%
-    # rep spread with the first rep worst (contention decayed mid-bench)
-    assert classify_load_state(0.109, 0.107, [62.8, 53.7, 50.8]) == "degraded"
+def test_uniform_sustained_slowdown_detected_by_reference_workload():
+    # the r15 WORST episode: probes only 1.24x, steady reps tight, first
+    # skew 19% — every intra-run signal under threshold, yet untouched
+    # queries ran uniformly 2-5x. The fixed original-15 core vs its
+    # recorded idle baseline (6.6 s) is the only detector for this shape.
+    assert (
+        classify_load_state(
+            0.1242, 0.1041, [107.3, 90.2, 94.5], original15_min_total=13.4
+        )
+        == "degraded"
+    )
+    # the same intra-run shape WITHOUT the reference workload evidence is
+    # indistinguishable from idle — the residual blind spot the original15
+    # detector exists to close (bench always passes it at sf0.1)
+    assert classify_load_state(0.1242, 0.1041, [107.3, 90.2, 94.5]) == "idle"
+    # a healthy original15 core (r8-r16 band 5.85-7.32 s) never trips it
+    assert (
+        classify_load_state(
+            0.10, 0.10, [66.0, 55.0, 54.0], original15_min_total=7.32
+        )
+        == "idle"
+    )
 
 
-def test_first_rep_skew_alone_classifies_degraded():
-    # spread under 20% but first rep >20% above best: early contention
-    assert classify_load_state(0.10, 0.10, [50.0, 41.5, 41.2]) == "degraded"
+def test_steady_spread_classifies_degraded():
+    # reps 2..n disagree by >20% — machine state CHANGED during the steady
+    # phase (the structural first rep is excluded from this signal)
+    assert classify_load_state(0.10, 0.10, [60.0, 55.0, 44.0]) == "degraded"
 
 
-def test_threshold_edges():
-    # exactly at the documented 15-20% idle swing stays idle
-    assert classify_load_state(0.10, 0.10, [47.0, 40.0, 41.0]) == "idle"
-    # 0.149 is deliberately just UNDER the 1.5x probe threshold (and the
-    # nominal boundary 0.15 is avoided: 0.15/0.10 floats to 1.4999…, so the
-    # exact-ratio case would also read idle — test a value that is
-    # unambiguously below instead)
-    assert classify_load_state(0.149, 0.10, [44.0, 43.5, 43.1]) == "idle"
+def test_first_rep_skew_far_past_structural_band_classifies_degraded():
+    # first skew 50% is well past the 21-24% structural band: contention
+    # that decayed after rep 1
+    assert classify_load_state(0.10, 0.10, [63.0, 42.5, 42.0]) == "degraded"
 
 
 def test_combined_moderate_indicators_classify_degraded():
-    # the r15 sustained-degradation signature: every solo indicator just
-    # under threshold (probe 1.24x, spread 19%, first-rep skew 19%) but the
-    # combination is unambiguous — untouched queries ran uniformly 2-5x
-    assert classify_load_state(0.1242, 0.1041, [107.3, 90.2, 94.5]) == "degraded"
-    # r14's genuinely clean capture: spread 18.9% but probes BELOW baseline
-    # — one noisy indicator alone stays idle
-    assert classify_load_state(0.076, 0.098, [51.2, 43.1, 44.6]) == "idle"
+    # moderately hot probe (1.24x) + moderate steady spread (12%) — neither
+    # alone is conclusive, together they are
+    assert classify_load_state(0.124, 0.10, [60.0, 50.4, 45.0]) == "degraded"
+    # moderately hot probe + first skew past 30% (above structural, below
+    # the 40% solo threshold)
+    assert classify_load_state(0.120, 0.118, [58.0, 43.5, 43.1]) == "degraded"
+    # the same rep shapes with probes at baseline stay idle (the first
+    # shape's steady spread 12% is inside noise without probe support)
+    assert classify_load_state(0.098, 0.10, [60.0, 50.4, 45.0]) == "idle"
+
+
+def test_threshold_edges():
+    # structural first-rep skew exactly in-band (24%) with tight steady reps
+    assert classify_load_state(0.10, 0.10, [53.3, 43.5, 43.0]) == "idle"
+    # 0.134 is deliberately just UNDER the 1.35x probe threshold (and the
+    # nominal boundary 0.135 is avoided: float division may land either
+    # side of the exact ratio — test a value that is unambiguously below)
+    assert classify_load_state(0.134, 0.10, [44.0, 43.5, 43.1]) == "idle"
 
 
 def test_tail_line_carries_load_state():
