@@ -95,6 +95,19 @@ def _cache_put(cache: dict, key, value) -> None:
     cache[key] = value
 
 
+def invalidate_artifact_caches(root) -> None:
+    """Purge the driver-side caches keyed to a lakehouse root — the eviction
+    hook the r15 ADVICE asked for: when a cached index lake's mkdtemp root
+    is removed (a testdata rewrite superseded it), its manifest-keyed
+    centroid/codebook and codes-validation entries must fall with it, or a
+    long-lived process accumulates dead lists across rewrites (bounded by
+    ``_CACHE_CAP``, but dead). Both caches key on ``str(lake.root)`` first."""
+    r = str(root)
+    for cache in (_ARTIFACT_CACHE, _VALIDATED_CODES):
+        for k in [k for k in cache if k[0] == r]:
+            cache.pop(k, None)
+
+
 def _manifest_cache_key(lake: Lakehouse, layer: str) -> tuple | None:
     """(root, layer, manifest id, pointer mtime_ns) — None when no manifest
     is committed (nothing safe to cache)."""

@@ -528,7 +528,19 @@ def _bounded_eval_queries(queries: DataFrame, max_queries: int, caller: str) -> 
     or per-query-corpus-pass leg must run on a BOUNDED query sample. Counts
     the (limit-probed) query frame and raises past the declared bound — the
     count reads at most ``max_queries + 1`` rows, so the check itself never
-    scans an accidentally-corpus-sized frame."""
+    scans an accidentally-corpus-sized frame.
+
+    CALLER CONTRACT (r15 ADVICE): the query frame must be DETERMINISTIC —
+    the probe is a separate action and the eval re-executes the same
+    lineage, so a nondeterministic frame (an unseeded ``sample``, a
+    ``limit`` over an unordered shuffle whose row choice varies by plan)
+    could pass the probe yet exceed the bound in the eval proper. Every
+    registered caller passes a deterministic predicate filter
+    (``vec_id < N``). The probe also costs one extra (tiny: ≤ bound+1 rows)
+    job per eval — kept as a separate action deliberately, because folding
+    the count into the eval (the ``rrf_fuse`` leg-tag pattern) would make
+    the guard part of the measured plan on a hot path that exists precisely
+    to measure the eval's own cost."""
     n = queries.limit(max_queries + 1).count()
     if n > max_queries:
         raise ValueError(

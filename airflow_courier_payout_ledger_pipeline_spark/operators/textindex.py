@@ -202,7 +202,10 @@ def compact_bm25_index(lake: Lakehouse, layer: str, spark: SparkSession) -> int:
     manifest = lake.current_manifest()
     pv = Lakehouse.as_versions(manifest.get(f"{layer}/{POSTINGS}"))
     dv = Lakehouse.as_versions(manifest.get(f"{layer}/{DOCLEN}"))
-    if not pv:
+    # guard EACH table's version list (r15 ADVICE): a manifest with postings
+    # but no doclen (or the converse) is inconsistent — raise the named
+    # error instead of reaching a zero-path spark.read.parquet
+    if not pv or not dv:
         raise ValueError(f"compact_bm25_index: no committed index under {layer!r}")
     mid = lake.current_manifest_id()
     if len(pv) <= 1 and len(dv) <= 1:
@@ -414,7 +417,10 @@ def compact_trigram_index(lake: Lakehouse, layer: str, spark: SparkSession) -> i
     manifest = lake.current_manifest()
     pv = Lakehouse.as_versions(manifest.get(f"{layer}/{TRIGRAMS}"))
     iv = Lakehouse.as_versions(manifest.get(f"{layer}/{TGDOCS}"))
-    if not pv:
+    # guard EACH table's version list (r15 ADVICE): postings without the id
+    # set (or the converse) is an inconsistent manifest — raise the named
+    # error instead of reaching a zero-path spark.read.parquet
+    if not pv or not iv:
         raise ValueError(f"compact_trigram_index: no committed index under {layer!r}")
     mid = lake.current_manifest_id()
     if len(pv) <= 1 and len(iv) <= 1:

@@ -438,33 +438,19 @@ def _docs_stat_key(sf_dir: str) -> tuple[str, int, int]:
 def _evict_superseded_lakes(kind: str, stat_key: tuple) -> None:
     """A changed source parquet (same path, new size/mtime) supersedes every
     cached index built from its old bytes: drop those entries AND their
-    mkdtemp roots, so a long-lived process re-deriving indexes doesn't
-    accumulate dead temp dirs (the r14 ADVICE disk/dict leak). The live
-    entry for the CURRENT stat key is never touched."""
-    import shutil
+    mkdtemp roots (the r14 ADVICE disk/dict leak). One shared definition
+    with queries_ext_similarity — see ``idxcache.evict_superseded``."""
+    from airflow_courier_payout_ledger_pipeline_spark.idxcache import evict_superseded
 
-    stale = [
-        k
-        for k in _BM25_INDEX_LAKES
-        if k[0] == kind and k[1][0] == stat_key[0] and k[1] != stat_key
-    ]
-    for k in stale:
-        lake = _BM25_INDEX_LAKES.pop(k)
-        shutil.rmtree(lake.root, ignore_errors=True)
+    evict_superseded(_BM25_INDEX_LAKES, kind, stat_key)
 
 
 def _fresh_index_lake(prefix: str):
-    """A Lakehouse on a mkdtemp root that is removed at process exit —
-    cached index lakes are process-scoped scratch, never durable state."""
-    import atexit
-    import shutil
-    import tempfile
+    """A Lakehouse on a mkdtemp root removed at process exit — see
+    ``idxcache.fresh_scratch_lake`` (the shared definition)."""
+    from airflow_courier_payout_ledger_pipeline_spark.idxcache import fresh_scratch_lake
 
-    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
-
-    root = tempfile.mkdtemp(prefix=prefix)
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
-    return Lakehouse(root)
+    return fresh_scratch_lake(prefix)
 
 
 def _bm25_index_lake(
@@ -487,14 +473,24 @@ def _bm25_index_lake(
     key = (kind, _docs_stat_key(sf_dir))
     if key not in _BM25_INDEX_LAKES:
         _evict_superseded_lakes(kind, key[1])
-        lake = _fresh_index_lake("bm25_idx_")
-        if split:
-            build_bm25_index(lake, "idx", docs.filter(F.col("doc_id") % 2 == 0))
-            extend_bm25_index(lake, "idx", docs.filter(F.col("doc_id") % 2 == 1))
-        else:
-            build_bm25_index(lake, "idx", docs)
         if compacted:
+            # derive from the cached LIVING lake (clone dirs + compact) —
+            # one build+extend per rail per process, not two (r15 verdict
+            # item 6); parity is unchanged because compaction is layout
+            from airflow_courier_payout_ledger_pipeline_spark.idxcache import (
+                derive_scratch_lake,
+            )
+
+            living = _bm25_index_lake(docs, sf_dir, split=split, compacted=False)
+            lake = derive_scratch_lake(living, "bm25_idx_cmp_")
             compact_bm25_index(lake, "idx", docs.sparkSession)
+        else:
+            lake = _fresh_index_lake("bm25_idx_")
+            if split:
+                build_bm25_index(lake, "idx", docs.filter(F.col("doc_id") % 2 == 0))
+                extend_bm25_index(lake, "idx", docs.filter(F.col("doc_id") % 2 == 1))
+            else:
+                build_bm25_index(lake, "idx", docs)
         _BM25_INDEX_LAKES[key] = lake
     return _BM25_INDEX_LAKES[key]
 
@@ -555,11 +551,19 @@ def _trigram_index_lake(docs: DataFrame, sf_dir: str, compacted: bool = False):
     key = (kind, _docs_stat_key(sf_dir))
     if key not in _BM25_INDEX_LAKES:
         _evict_superseded_lakes(kind, key[1])
-        lake = _fresh_index_lake("tg_idx_")
-        build_trigram_index(lake, "idx", docs.filter(F.col("doc_id") % 2 == 0))
-        extend_trigram_index(lake, "idx", docs.filter(F.col("doc_id") % 2 == 1))
         if compacted:
+            # derive from the cached living lake — see _bm25_index_lake
+            from airflow_courier_payout_ledger_pipeline_spark.idxcache import (
+                derive_scratch_lake,
+            )
+
+            living = _trigram_index_lake(docs, sf_dir, compacted=False)
+            lake = derive_scratch_lake(living, "tg_idx_cmp_")
             compact_trigram_index(lake, "idx", docs.sparkSession)
+        else:
+            lake = _fresh_index_lake("tg_idx_")
+            build_trigram_index(lake, "idx", docs.filter(F.col("doc_id") % 2 == 0))
+            extend_trigram_index(lake, "idx", docs.filter(F.col("doc_id") % 2 == 1))
         _BM25_INDEX_LAKES[key] = lake
     return _BM25_INDEX_LAKES[key]
 

@@ -601,36 +601,23 @@ _TRAINED_ARTIFACTS: dict[tuple[str, tuple[str, int, int]], object] = {}
 
 
 def _fresh_artifact_lake(prefix: str):
-    """A Lakehouse on a mkdtemp root removed at process exit — cached index
-    lakes are process-scoped scratch, never durable state (the
-    queries_ext_ops convention, r14 ADVICE)."""
-    import atexit
-    import shutil
-    import tempfile
+    """A Lakehouse on a mkdtemp root removed at process exit — see
+    ``idxcache.fresh_scratch_lake`` (the shared definition with
+    queries_ext_ops, r15 ADVICE)."""
+    from airflow_courier_payout_ledger_pipeline_spark.idxcache import fresh_scratch_lake
 
-    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
-
-    root = tempfile.mkdtemp(prefix=prefix)
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
-    return Lakehouse(root)
+    return fresh_scratch_lake(prefix)
 
 
 def _evict_superseded_artifacts(kind: str, stat_key: tuple) -> None:
     """Drop cache entries for the SAME kind+path built from older parquet
-    bytes; entries holding a Lakehouse also lose their mkdtemp root. Driver-
-    side artifacts (centroid/codebook lists) just fall out of the dict."""
-    import shutil
+    bytes; entries holding a Lakehouse also lose their mkdtemp root AND
+    their annindex driver-cache entries; plain driver-side artifacts
+    (centroid/codebook lists) just fall out of the dict. One shared
+    definition with queries_ext_ops — see ``idxcache.evict_superseded``."""
+    from airflow_courier_payout_ledger_pipeline_spark.idxcache import evict_superseded
 
-    stale = [
-        k
-        for k in _TRAINED_ARTIFACTS
-        if k[0] == kind and k[1][0] == stat_key[0] and k[1] != stat_key
-    ]
-    for k in stale:
-        v = _TRAINED_ARTIFACTS.pop(k)
-        root = getattr(v, "root", None)
-        if root is not None:
-            shutil.rmtree(root, ignore_errors=True)
+    evict_superseded(_TRAINED_ARTIFACTS, kind, stat_key)
 
 
 def _emb_stat_key(sf_dir: str) -> tuple[str, int, int]:
@@ -2148,13 +2135,27 @@ def q_ann_index_incremental_extend(spark: SparkSession, sf_dir: str) -> DataFram
     whole corpus — hash-checked against the SAME full-corpus oracle as
     `similarity_ivf_pq_residual`, which is exactly the claim that licenses
     nightly O(increment) upkeep instead of nightly re-indexing at 100 TB."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
-        build_residual_ivfpq_index,
-        extend_residual_ivfpq_index,
         search_residual_ivfpq_index,
     )
 
-    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return search_residual_ivfpq_index(
+        _ann_inc_lake(emb, sf_dir), "idx", emb.filter(F.col("vec_id") < 20), k=5
+    )
+
+
+def _ann_inc_lake(emb: DataFrame, sf_dir: str):
+    """The LIVING incremental index lake over this SF's embeddings (build on
+    the even ids, extend with the odds — a multi-file codes version),
+    stat-memoized like the other index lakes. The compacted/vacuumed eval
+    forms DERIVE from this lake (clone + maintenance verb) instead of
+    paying a second build+extend per process (r15 verdict item 6)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
+        build_residual_ivfpq_index,
+        extend_residual_ivfpq_index,
+    )
+
     key = ("ann_index_inc", _emb_stat_key(sf_dir))
     if key not in _TRAINED_ARTIFACTS:
         _evict_superseded_artifacts("ann_index_inc", key[1])
@@ -2168,9 +2169,7 @@ def q_ann_index_incremental_extend(spark: SparkSession, sf_dir: str) -> DataFram
         )
         extend_residual_ivfpq_index(lake, "idx", emb.filter(F.col("vec_id") % 2 == 1))
         _TRAINED_ARTIFACTS[key] = lake
-    return search_residual_ivfpq_index(
-        _TRAINED_ARTIFACTS[key], "idx", emb.filter(F.col("vec_id") < 20), k=5
-    )
+    return _TRAINED_ARTIFACTS[key]
 
 
 @register("ann_index_compacted_search", IVF_PQ_RESIDUAL_ORACLE)
@@ -2185,9 +2184,7 @@ def q_ann_index_compacted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     it can never move a distance. All three persisted rails (ANN / BM25 /
     trigram) now carry build → extend → compact → serve driver evidence."""
     from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
-        build_residual_ivfpq_index,
         compact_residual_ivfpq_codes,
-        extend_residual_ivfpq_index,
         search_residual_ivfpq_index,
     )
 
@@ -2195,15 +2192,13 @@ def q_ann_index_compacted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = ("ann_index_inc_compacted", _emb_stat_key(sf_dir))
     if key not in _TRAINED_ARTIFACTS:
         _evict_superseded_artifacts("ann_index_inc_compacted", key[1])
-        lake = _fresh_artifact_lake("ann_idx_cmp_")
-        build_residual_ivfpq_index(
-            lake,
-            "idx",
-            emb.filter(F.col("vec_id") % 2 == 0),
-            _ivf_trained_centroids(emb, sf_dir),
-            _pq_residual_books(emb, sf_dir),
+        # derive from the cached living lake (clone dirs + compact) — one
+        # build+extend per process, not two (r15 verdict item 6)
+        from airflow_courier_payout_ledger_pipeline_spark.idxcache import (
+            derive_scratch_lake,
         )
-        extend_residual_ivfpq_index(lake, "idx", emb.filter(F.col("vec_id") % 2 == 1))
+
+        lake = derive_scratch_lake(_ann_inc_lake(emb, sf_dir), "ann_idx_cmp_")
         compact_residual_ivfpq_codes(lake, "idx", spark)
         _TRAINED_ARTIFACTS[key] = lake
     return search_residual_ivfpq_index(

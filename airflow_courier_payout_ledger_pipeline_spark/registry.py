@@ -444,6 +444,33 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "scd1_upsert",
     "scd0_insert_ignore",
     "incremental_promotion",
+    # r16: the index-lake cache plumbing changed (shared idxcache helper,
+    # annindex driver-cache purge on eviction, compacted eval lakes DERIVED
+    # from the cached living lakes instead of a second build+extend), the
+    # textindex compactors guard each table's version list, and the eval
+    # rails' bounded-queries contract is documented. The in-window compacted
+    # trio + semdedup_pairs_indexed drive the changed cache/derive paths
+    # this round; the living-index and eval consumers re-prove the same
+    # rails from the r17 head.
+    "bm25_search_indexed",
+    "bm25_index_incremental_extend",
+    "substring_search_indexed",
+    "hybrid_search_rrf_dual_indexed",
+    "knn_label_vote_indexed",
+    "knn_vote_agreement_indexed",
+    "knn_accuracy_curve_indexed",
+    "ann_index_persisted_search",
+    "ann_index_incremental_extend",
+    "similarity_pq_refine_topk",
+    # queries_ext_similarity.py's literal-centroid SemDeDup pair travels
+    # with the module's changed-file evidence set (r15-proven; the indexed
+    # form re-proves the shared CTEs in-window this round)
+    "semdedup_pairs",
+    "semdedup_prune_end_to_end",
+    # lakehouse.py's bucketed-rail consumer travels with the module's
+    # changed-file evidence set (the commit_manifest concurrent-misuse
+    # guard; r14-proven, the SCD/mart evidence re-proves in-window)
+    "courier_ledger_bucketed",
     # (fill to 50 recomputed mechanically at round-16 close)
 ]
 

@@ -56,6 +56,31 @@ def test_ops_evicts_superseded_same_kind_same_path_only(tmp_path):
             ops._BM25_INDEX_LAKES.pop(k, None)
 
 
+def test_eviction_purges_annindex_driver_caches(tmp_path):
+    """Evicting a cached index LAKE must also purge annindex's manifest-keyed
+    driver caches under that root (r15 ADVICE: dead centroid/codebook lists
+    accumulated across testdata rewrites); entries for other roots survive."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators import annindex
+
+    lake = _mk(tmp_path, "ann_evict")
+    p = "/data/embeddings.parquet"
+    root_key = str(lake.root)
+    annindex._ARTIFACT_CACHE[(root_key, "idx", 0, 123)] = ([], [])
+    annindex._VALIDATED_CODES[(root_key, "idx", 0, 123, (0,), "vec_id")] = True
+    other = ("/somewhere/else", "idx", 0, 1)
+    annindex._ARTIFACT_CACHE[other] = ([], [])
+    try:
+        sim._TRAINED_ARTIFACTS[("ann_index", (p, 1, 100))] = lake
+        sim._evict_superseded_artifacts("ann_index", (p, 2, 200))
+        assert all(k[0] != root_key for k in annindex._ARTIFACT_CACHE)
+        assert all(k[0] != root_key for k in annindex._VALIDATED_CODES)
+        assert other in annindex._ARTIFACT_CACHE  # other roots untouched
+        assert not lake.root.exists()
+    finally:
+        annindex._ARTIFACT_CACHE.pop(other, None)
+        sim._TRAINED_ARTIFACTS.pop(("ann_index", (p, 1, 100)), None)
+
+
 def test_similarity_evicts_lakes_and_plain_artifacts(tmp_path):
     lake = _mk(tmp_path, "ann_old")
     p = "/data/embeddings.parquet"

@@ -288,11 +288,24 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "salted_join_agg",
         "dedup_keep_best",
     },
+    # round-16: NEW shared module — the index-lake cache plumbing (fresh
+    # scratch lakes, superseded-entry eviction with annindex cache purge,
+    # derived lakes for the compacted eval forms), one definition for both
+    # query modules (r15 ADVICE). The in-window compacted trio +
+    # semdedup_pairs_indexed drive every path.
+    "airflow_courier_payout_ledger_pipeline_spark/idxcache.py": {
+        "bm25_search_compacted",
+        "substring_search_compacted",
+        "ann_index_compacted_search",
+        "semdedup_pairs_indexed",
+    },
     # round-15: superseded index-lake cache entries now evict (rmtree) and
     # mkdtemp roots clean up at exit (the r14 ADVICE leak) — the three
     # cached-index consumers in the r15 window drive the changed cache path;
     # the two compacted-serve registrations (the compaction law in query
     # form) adjudicate from the r16 head
+    # round-16: the cache helpers delegate to idxcache and the compacted
+    # lakes derive from the cached living lakes (clone + compact)
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_ops.py": {
         "bm25_search_indexed",
         "bm25_index_incremental_extend",
