@@ -17,6 +17,16 @@ The cache contract both modules rely on:
   centroid/codebook lists accumulated across rewrites in a long-lived
   process) — entries for other kinds, other paths, and the current stat key
   are never touched.
+
+CONCURRENCY (the r15 verdict's adversarial-sweep probe): the caches are
+plain dicts guarded only by the GIL — NOT thread-safe as a check-then-build
+protocol. Two threads racing the same missing key would both build; the
+last ``cache[key] = lake`` wins and the loser's scratch root idles until
+its atexit cleanup — wasted work, never wrongness (each build is
+self-contained and deterministic, so either lake serves identical results).
+The registered consumers (driver, bench, oracle-parity suite) call queries
+sequentially; a threaded embedding of this library should wrap query calls,
+not these helpers, in its own lock.
 """
 
 from __future__ import annotations

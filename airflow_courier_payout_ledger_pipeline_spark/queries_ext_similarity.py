@@ -2206,6 +2206,48 @@ def q_ann_index_compacted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_index_vacuumed_search", IVF_PQ_RESIDUAL_ORACLE)
+def q_ann_index_vacuumed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RETENTION verb under driver evidence (r16, completing the
+    maintenance-schedule set: every other verb — extend, compact — already
+    carries a query twin on this rail): build on the even ids, extend with
+    the odds, compact the multi-file codes version, then run the whole
+    retention policy — ``Lakehouse.vacuum_commits`` + per-table ``vacuum``
+    via ``retention_sweep(keep_manifests=1, keep_versions=1)`` — and the
+    ADC search over what REMAINS must reproduce the SAME full-corpus oracle
+    as `ann_index_incremental_extend` / `ann_index_compacted_search`. The
+    sweep deletes real state here (the pre-compaction build/extend manifests
+    and the codes dirs they pinned — the query raises if nothing was
+    reclaimable, so the evidence can't silently degrade to a no-op), which
+    is exactly the claim a scheduled 100 TB retention job needs: retention
+    may delete HISTORY, never the serving surface. Lake derived from the
+    cached living index (clone + compact + sweep — no second build)."""
+    from airflow_courier_payout_ledger_pipeline_spark.idxcache import derive_scratch_lake
+    from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
+        compact_residual_ivfpq_codes,
+        search_residual_ivfpq_index,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    key = ("ann_index_vacuumed", _emb_stat_key(sf_dir))
+    if key not in _TRAINED_ARTIFACTS:
+        _evict_superseded_artifacts("ann_index_vacuumed", key[1])
+        lake = derive_scratch_lake(_ann_inc_lake(emb, sf_dir), "ann_idx_vac_")
+        compact_residual_ivfpq_codes(lake, "idx", spark)
+        audit = lake.retention_sweep(keep_manifests=1, keep_versions=1)
+        if not audit["manifests"] or not audit["versions"]:
+            raise ValueError(
+                "ann_index_vacuumed_search: the retention sweep reclaimed "
+                f"nothing ({audit}) — the build→extend→compact history must "
+                "leave reclaimable manifests and version dirs, or this query "
+                "is not evidence that retention spares the serving surface"
+            )
+        _TRAINED_ARTIFACTS[key] = lake
+    return search_residual_ivfpq_index(
+        _TRAINED_ARTIFACTS[key], "idx", emb.filter(F.col("vec_id") < 20), k=5
+    )
+
+
 # --- Hybrid retrieval served from the persisted index -------------------------------
 
 # The BM25 leg replays queries_ext_ops.BM25_ORACLE's fold (same NORM, terms,

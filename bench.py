@@ -151,6 +151,10 @@ HEADLINE = [
     "bm25_search_compacted",
     "substring_search_compacted",
     "ann_index_compacted_search",
+    # round-16: the retention verb in query form — serve after
+    # vacuum_commits + retention_sweep deleted the pre-compaction history;
+    # retention may delete history, never the serving surface
+    "ann_index_vacuumed_search",
 ]
 
 

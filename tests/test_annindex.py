@@ -378,6 +378,48 @@ def test_compact_codes_folds_multifile_to_one(spark, corpus, artifacts, tmp_path
     assert compact_residual_ivfpq_codes(lake, "idx", spark) == lake.current_manifest_id()
 
 
+def test_full_maintenance_cycle_reclaims_history_and_spares_serving(
+    spark, corpus, artifacts, tmp_path
+):
+    """The ann_index_vacuumed_search contract as a unit law: after build →
+    extend → compact, the tightest retention sweep must (a) actually reclaim
+    the pre-compaction manifests and the codes dirs they pinned — real
+    deletions, not a no-op — and (b) leave the search over the surviving
+    snapshot identical to a fresh full build. Retention deletes HISTORY,
+    never the serving surface."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
+        compact_residual_ivfpq_codes,
+        extend_residual_ivfpq_index,
+    )
+
+    cents, books = artifacts
+    lake = Lakehouse(str(tmp_path))
+    build_residual_ivfpq_index(
+        lake, "idx", corpus.filter(F.col("vec_id") % 2 == 0), cents, books
+    )
+    extend_residual_ivfpq_index(lake, "idx", corpus.filter(F.col("vec_id") % 2 == 1))
+    pre_sweep_code_dirs = set(lake.versions("idx", CODES))
+    compact_residual_ivfpq_codes(lake, "idx", spark)
+    compacted_v = lake.current_manifest()[f"idx/{CODES}"]
+
+    audit = lake.retention_sweep(keep_manifests=1, keep_versions=1)
+    # real reclamation: the build/extend manifests fell, and with them the
+    # pre-compaction codes dirs they pinned
+    assert audit["manifests"], "sweep reclaimed no manifests"
+    assert set(audit["versions"].get(f"idx/{CODES}", [])) == pre_sweep_code_dirs
+    for v in pre_sweep_code_dirs:
+        assert not (tmp_path / "idx" / CODES / f"v={v}").exists()
+    assert (tmp_path / "idx" / CODES / f"v={compacted_v}").exists()
+
+    # the serving surface is untouched: identical to a fresh full build
+    q = corpus.filter(F.col("vec_id") < 4)
+    full = Lakehouse(str(tmp_path / "full"))
+    build_residual_ivfpq_index(full, "idx", corpus, cents, books)
+    assert sorted(
+        map(tuple, search_residual_ivfpq_index(lake, "idx", q, k=3).collect())
+    ) == sorted(map(tuple, search_residual_ivfpq_index(full, "idx", q, k=3).collect()))
+
+
 def test_retention_sweep_keeps_multifile_members_readable(spark, corpus, artifacts, tmp_path):
     """Every member dir of the committed multi-file version is pinned by the
     manifest refs — the tightest retention sweep must not break the union

@@ -115,6 +115,9 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
     # round-15 (cont.): superseded artifact-cache entries evict with their
     # mkdtemp roots; the streaming scratch dir cleans at exit — the
     # in-window persisted-index consumers drive the changed cache paths
+    # round-16: the living incremental lake extracted into _ann_inc_lake,
+    # the compacted form derives from it (clone + compact), and the NEW
+    # ann_index_vacuumed_search puts retention_sweep under driver evidence
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_similarity.py": {
         "knn_label_vote_indexed",
         "knn_vote_agreement_indexed",
@@ -126,6 +129,7 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "ann_index_persisted_search",
         "ann_index_incremental_extend",
         "ann_index_compacted_search",
+        "ann_index_vacuumed_search",
     },
     # round-13: NEW module — second-moment matrix, dimension-correlation
     # audit, deterministic power-iteration dominant direction
@@ -297,6 +301,7 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "bm25_search_compacted",
         "substring_search_compacted",
         "ann_index_compacted_search",
+        "ann_index_vacuumed_search",
         "semdedup_pairs_indexed",
     },
     # round-15: superseded index-lake cache entries now evict (rmtree) and

@@ -349,6 +349,44 @@ def test_rrf_fuse_leg_bound_guard(spark):
         rrf_fuse(lex.limit(2), sem, k=3, leg_bound=2)
 
 
+def test_rrf_fuse_bound_probe_round_trips_exotic_id_types(spark):
+    """The r15 leg-bound guard collects the tagged union and re-creates it via
+    createDataFrame(rows, schema) — the r15 verdict's adversarial-sweep probe:
+    that round-trip must preserve the id column for NON-numeric id types too
+    (string, timestamp, decimal, binary), with the bounded and unbounded
+    paths returning identical fusions."""
+    import datetime
+    from decimal import Decimal
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import rrf_fuse
+
+    cases = [
+        ("string", ["a", "b", "c"]),
+        ("timestamp", [datetime.datetime(2023, 5, 1, h) for h in (1, 2, 3)]),
+        ("decimal(10,2)", [Decimal("1.25"), Decimal("2.50"), Decimal("3.75")]),
+        ("binary", [b"\x00\x01", b"\x02", b"\x03\xff"]),
+    ]
+    for ddl, ids in cases:
+        lex = spark.createDataFrame(
+            [(i, r + 1) for r, i in enumerate(ids)], f"doc_id {ddl}, lex_rank int"
+        )
+        sem = spark.createDataFrame(
+            [(ids[0], 1), (ids[2], 2)], f"doc_id {ddl}, sem_rank int"
+        )
+        bounded = rrf_fuse(lex, sem, k=3, leg_bound=5)
+        unbounded = rrf_fuse(lex, sem, k=3)
+        assert bounded.schema == unbounded.schema, ddl
+        assert sorted(map(tuple, bounded.collect())) == sorted(
+            map(tuple, unbounded.collect())
+        ), ddl
+        # the probe's local relation preserved every id faithfully
+        got_ids = {r.doc_id for r in bounded.collect()}
+        want = {bytes(i) if isinstance(i, (bytes, bytearray)) else i for i in ids}
+        assert {
+            bytes(g) if isinstance(g, (bytes, bytearray)) else g for g in got_ids
+        } == want, ddl
+
+
 def test_rrf_fuse_duplicate_id_keeps_best_rank(spark):
     """Contract-conforming legs have unique ids, but if a caller ever passes a
     duplicate the fusion must keep the BEST (smallest) rank — the RRF

@@ -191,6 +191,9 @@ SHUFFLE_BUDGET = {
     "bm25_search_compacted": 1,
     "substring_search_compacted": 2,
     "ann_index_compacted_search": 1,
+    # round-16: the vacuumed serve — the identical ADC plan again (retention
+    # deletes history dirs, the serving snapshot's topology is unchanged)
+    "ann_index_vacuumed_search": 1,
 }
 
 
