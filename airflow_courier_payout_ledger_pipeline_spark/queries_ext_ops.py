@@ -495,6 +495,35 @@ def _bm25_index_lake(
     return _BM25_INDEX_LAKES[key]
 
 
+def _vacuumed_lake(base_lake, kind: str, sf_dir: str, prefix: str):
+    """Clone a cached compacted lake and run the FULL retention policy on the
+    clone (`Lakehouse.retention_sweep(keep_manifests=1, keep_versions=1)` —
+    vacuum_commits then per-table vacuum). The clone carries the whole
+    build→extend→compact manifest chain, so the sweep deletes real state
+    (the pre-compaction manifests and the version dirs they pinned); raises
+    if nothing was reclaimable, so the retention evidence can never
+    silently degrade to a no-op."""
+    kind = kind + "_vacuumed"
+    key = (kind, _docs_stat_key(sf_dir))
+    if key not in _BM25_INDEX_LAKES:
+        _evict_superseded_lakes(kind, key[1])
+        from airflow_courier_payout_ledger_pipeline_spark.idxcache import (
+            derive_scratch_lake,
+        )
+
+        lake = derive_scratch_lake(base_lake, prefix)
+        audit = lake.retention_sweep(keep_manifests=1, keep_versions=1)
+        if not audit["manifests"] or not audit["versions"]:
+            raise ValueError(
+                f"{kind}: the retention sweep reclaimed nothing ({audit}) — "
+                "the build→extend→compact history must leave reclaimable "
+                "manifests/version dirs, or this query is not evidence that "
+                "retention spares the serving surface"
+            )
+        _BM25_INDEX_LAKES[key] = lake
+    return _BM25_INDEX_LAKES[key]
+
+
 @register("bm25_search_indexed", BM25_ORACLE)
 def q_bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 served from the PERSISTED postings index
@@ -606,6 +635,44 @@ def q_bm25_search_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     lake = _bm25_index_lake(docs, sf_dir, split=True, compacted=True)
     return bm25_search_indexed(lake, "idx", spark, ["vector", "stream", "hash"], k=10)
+
+
+@register("bm25_search_vacuumed", BM25_ORACLE)
+def q_bm25_search_vacuumed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RETENTION verb on the BM25 rail (r16, completing the maintenance
+    matrix: extend/compact/retention × ANN/BM25/trigram all carry driver
+    evidence): after build → extend → compact, the full retention policy
+    runs (`Lakehouse.retention_sweep(keep_manifests=1, keep_versions=1)` —
+    the pre-compaction manifests and the postings/doclen dirs they pinned
+    are DELETED; the serve raises if nothing was reclaimable), and the
+    search over what remains must stay BIT-identical to the live scorer —
+    the SAME full-corpus oracle as every other bm25 form. Retention deletes
+    history, never the serving surface."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.textindex import (
+        bm25_search_indexed,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    base = _bm25_index_lake(docs, sf_dir, split=True, compacted=True)
+    lake = _vacuumed_lake(base, "bm25_index_split_compacted", sf_dir, "bm25_idx_vac_")
+    return bm25_search_indexed(lake, "idx", spark, ["vector", "stream", "hash"], k=10)
+
+
+@register("substring_search_vacuumed", SUBSTRING_SEARCH_ORACLE)
+def q_substring_search_vacuumed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RETENTION verb on the trigram rail (r16 — see
+    `bm25_search_vacuumed`): clone the compacted index, run
+    `retention_sweep(keep_manifests=1, keep_versions=1)` (real deletions,
+    raise-on-no-op), and the probe over the surviving snapshot must return
+    the identical rows to the naive full-scan contains() oracle."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.textindex import (
+        substring_search_indexed,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    base = _trigram_index_lake(docs, sf_dir, compacted=True)
+    lake = _vacuumed_lake(base, "trigram_index_compacted", sf_dir, "tg_idx_vac_")
+    return substring_search_indexed(lake, "idx", docs, "batch stream")
 
 
 @register("bm25_index_incremental_extend", BM25_ORACLE)

@@ -471,13 +471,16 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     # changed-file evidence set (the commit_manifest concurrent-misuse
     # guard; r14-proven, the SCD/mart evidence re-proves in-window)
     "courier_ledger_bucketed",
-    # r16: NEW — the retention verb in query form: build → extend → compact
-    # → vacuum_commits + retention_sweep → serve against the same
-    # full-corpus oracle (retention may delete history, never the serving
-    # surface); completes the maintenance-verb evidence set on the codes
-    # rail. 3-SF parity proven at registration (sf0.001/0.01/0.1); first
-    # driver row lands in r17.
+    # r16: NEW — the retention verb in query form on ALL THREE persisted
+    # rails: build → extend → compact → vacuum_commits + retention_sweep →
+    # serve against the same full-corpus oracles (retention may delete
+    # history, never the serving surface); completes the maintenance matrix
+    # (extend r14, compact r15, retention r16 × ANN/BM25/trigram). 3-SF
+    # parity proven at registration (sf0.001/0.01/0.1); first driver rows
+    # land in r17.
     "ann_index_vacuumed_search",
+    "bm25_search_vacuumed",
+    "substring_search_vacuumed",
     # (fill to 50 recomputed mechanically at round-16 close)
 ]
 

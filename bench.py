@@ -153,8 +153,11 @@ HEADLINE = [
     "ann_index_compacted_search",
     # round-16: the retention verb in query form — serve after
     # vacuum_commits + retention_sweep deleted the pre-compaction history;
-    # retention may delete history, never the serving surface
+    # retention may delete history, never the serving surface (the
+    # maintenance matrix completes: extend/compact/retention × all 3 rails)
     "ann_index_vacuumed_search",
+    "bm25_search_vacuumed",
+    "substring_search_vacuumed",
 ]
 
 

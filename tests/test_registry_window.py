@@ -309,14 +309,18 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
     # cached-index consumers in the r15 window drive the changed cache path;
     # the two compacted-serve registrations (the compaction law in query
     # form) adjudicate from the r16 head
-    # round-16: the cache helpers delegate to idxcache and the compacted
-    # lakes derive from the cached living lakes (clone + compact)
+    # round-16: the cache helpers delegate to idxcache, the compacted lakes
+    # derive from the cached living lakes (clone + compact), and the NEW
+    # vacuumed serves put retention_sweep under driver evidence on both
+    # lexical rails
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_ops.py": {
         "bm25_search_indexed",
         "bm25_index_incremental_extend",
         "substring_search_indexed",
         "bm25_search_compacted",
         "substring_search_compacted",
+        "bm25_search_vacuumed",
+        "substring_search_vacuumed",
     },
     # round-13: write_bucketed now delegates to the shared
     # bucketed_save_as_table chain (one definition with the Lakehouse rail);

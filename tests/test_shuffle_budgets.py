@@ -191,9 +191,12 @@ SHUFFLE_BUDGET = {
     "bm25_search_compacted": 1,
     "substring_search_compacted": 2,
     "ann_index_compacted_search": 1,
-    # round-16: the vacuumed serve — the identical ADC plan again (retention
-    # deletes history dirs, the serving snapshot's topology is unchanged)
+    # round-16: the vacuumed serves — identical plans to the compacted twins
+    # (retention deletes history dirs, the serving snapshot's topology is
+    # unchanged), completing the maintenance matrix on all three rails
     "ann_index_vacuumed_search": 1,
+    "bm25_search_vacuumed": 1,
+    "substring_search_vacuumed": 2,
 }
 
 

@@ -304,6 +304,79 @@ def test_bm25_retention_sweep_keeps_multifile_members_readable(spark, docs, tmp_
     ) == _search_rows(bm25_search_indexed(full, "idx", spark, ["alpha", "beta"], k=8))
 
 
+def test_bm25_full_maintenance_cycle_reclaims_history_and_spares_serving(
+    spark, docs, tmp_path
+):
+    """The bm25_search_vacuumed contract as a unit law (the annindex r16
+    twin): after build → extend → compact, the tightest retention sweep must
+    RECLAIM the pre-compaction manifests and the postings/doclen dirs they
+    pinned — real deletions — and leave the search bit-identical to a fresh
+    full build. Retention deletes history, never the serving surface."""
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    lake = Lakehouse(str(tmp_path))
+    build_bm25_index(lake, "idx", even)
+    extend_bm25_index(lake, "idx", odd)
+    pre_posting_dirs = set(lake.versions("idx", POSTINGS))
+    compact_bm25_index(lake, "idx", spark)
+    compacted_v = lake.current_manifest()[f"idx/{POSTINGS}"]
+
+    audit = lake.retention_sweep(keep_manifests=1, keep_versions=1)
+    assert audit["manifests"], "sweep reclaimed no manifests"
+    assert set(audit["versions"].get(f"idx/{POSTINGS}", [])) == pre_posting_dirs
+    assert audit["versions"].get(f"idx/{DOCLEN}"), "doclen history not reclaimed"
+    for v in pre_posting_dirs:
+        assert not (tmp_path / "idx" / POSTINGS / f"v={v}").exists()
+    assert (tmp_path / "idx" / POSTINGS / f"v={compacted_v}").exists()
+
+    full = Lakehouse(str(tmp_path / "full"))
+    build_bm25_index(full, "idx", docs)
+    assert _search_rows(
+        bm25_search_indexed(lake, "idx", spark, ["alpha", "beta"], k=8)
+    ) == _search_rows(bm25_search_indexed(full, "idx", spark, ["alpha", "beta"], k=8))
+
+
+def test_trigram_full_maintenance_cycle_reclaims_history_and_spares_serving(
+    spark, docs, tmp_path
+):
+    """The substring_search_vacuumed contract as a unit law — the trigram
+    rail's retention twin of the bm25/annindex laws above."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.textindex import (
+        TGDOCS,
+        TRIGRAMS,
+        build_trigram_index,
+        compact_trigram_index,
+        extend_trigram_index,
+        substring_search_indexed,
+    )
+
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    lake = Lakehouse(str(tmp_path))
+    build_trigram_index(lake, "idx", even)
+    extend_trigram_index(lake, "idx", odd)
+    pre_tg_dirs = set(lake.versions("idx", TRIGRAMS))
+    compact_trigram_index(lake, "idx", spark)
+    compacted_v = lake.current_manifest()[f"idx/{TRIGRAMS}"]
+
+    audit = lake.retention_sweep(keep_manifests=1, keep_versions=1)
+    assert audit["manifests"], "sweep reclaimed no manifests"
+    assert set(audit["versions"].get(f"idx/{TRIGRAMS}", [])) == pre_tg_dirs
+    assert audit["versions"].get(f"idx/{TGDOCS}"), "id-set history not reclaimed"
+    for v in pre_tg_dirs:
+        assert not (tmp_path / "idx" / TRIGRAMS / f"v={v}").exists()
+    assert (tmp_path / "idx" / TRIGRAMS / f"v={compacted_v}").exists()
+
+    full = Lakehouse(str(tmp_path / "full"))
+    build_trigram_index(full, "idx", docs)
+    for needle in ("alpha", "ta de", "zz-none"):
+        assert sorted(
+            map(tuple, substring_search_indexed(lake, "idx", docs, needle).collect())
+        ) == sorted(
+            map(tuple, substring_search_indexed(full, "idx", docs, needle).collect())
+        ), needle
+
+
 def test_trigram_extend_crash_window_preserves_old_index(spark, docs, tmp_path):
     """The codes-rail crash law, for the trigram rail: a kill at the manifest
     flip leaves the committed index untouched (searches unchanged), and the
