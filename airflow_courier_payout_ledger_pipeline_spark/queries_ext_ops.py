@@ -513,12 +513,16 @@ def _vacuumed_lake(base_lake, kind: str, sf_dir: str, prefix: str):
 
         lake = derive_scratch_lake(base_lake, prefix)
         audit = lake.retention_sweep(keep_manifests=1, keep_versions=1)
-        if not audit["manifests"] or not audit["versions"]:
+        # raise only when the sweep reclaimed NOTHING at all: any non-empty
+        # corpus reclaims manifests AND version dirs (the unit laws pin
+        # both), but an empty-corpus cold start may legitimately reclaim
+        # only the pre-compaction manifests
+        if not audit["manifests"] and not audit["versions"]:
             raise ValueError(
                 f"{kind}: the retention sweep reclaimed nothing ({audit}) — "
                 "the build→extend→compact history must leave reclaimable "
-                "manifests/version dirs, or this query is not evidence that "
-                "retention spares the serving surface"
+                "state, or this query is not evidence that retention spares "
+                "the serving surface"
             )
         _BM25_INDEX_LAKES[key] = lake
     return _BM25_INDEX_LAKES[key]

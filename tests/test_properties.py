@@ -1092,3 +1092,69 @@ def test_scd0_null_keys_follow_postgres_on_conflict(spark, data):
     got_keyed = {r.k: r.seq for r in got if r.k is not None}
     assert got_null == sorted(p for _, p in null_rows)  # all NULL rows, uncollapsed
     assert got_keyed == first_by_key  # first-wins per new key, existing skipped
+
+
+# --- persisted-index maintenance cycle under ARBITRARY increment splits --------------
+
+maintenance_strategy = st.tuples(
+    st.lists(  # corpus: doc texts over a small vocab (collisions + empties)
+        st.lists(st.sampled_from(list("abcdefgh")), min_size=0, max_size=8),
+        min_size=1,
+        max_size=16,
+    ),
+    st.lists(st.integers(0, 2), min_size=1, max_size=16),  # increment assignment
+    st.sets(st.sampled_from(list("abcdefgh")), min_size=1, max_size=3),  # query terms
+)
+
+
+@SET
+@given(data=maintenance_strategy)
+def test_bm25_maintenance_cycle_invariant_under_any_split(spark, data):
+    """The r16 maintenance-matrix law, generalized past the even/odd unit
+    fixtures: for ANY partition of a random corpus into up to 3 increments,
+    build(first) → extend(rest) → compact → retention_sweep(keep=1,1) must
+    serve BIT-identically to a fresh full build, for random query-term sets
+    — i.e. no increment shape, compaction fold, or retention deletion can
+    move a score. (The sweep's reclamation itself is asserted by the unit
+    laws; random tiny corpora legitimately produce nothing reclaimable when
+    an increment is empty, so this property pins only the serving law.)"""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.textindex import (
+        bm25_search_indexed,
+        build_bm25_index,
+        compact_bm25_index,
+        extend_bm25_index,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    docs, assign, terms = data
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    parts = [
+        df.filter(F.col("doc_id").isin([i for i in range(len(docs))
+                                        if assign[i % len(assign)] == g]))
+        for g in (0, 1, 2)
+    ]
+
+    root = tempfile.mkdtemp(prefix="bm25_prop_")
+    try:
+        lake = Lakehouse(root + "/inc")
+        build_bm25_index(lake, "idx", parts[0])
+        for p in parts[1:]:
+            extend_bm25_index(lake, "idx", p)
+        compact_bm25_index(lake, "idx", spark)
+        lake.retention_sweep(keep_manifests=1, keep_versions=1)
+
+        full = Lakehouse(root + "/full")
+        build_bm25_index(full, "idx", df)
+
+        q = sorted(terms)
+        got = sorted(map(tuple, bm25_search_indexed(lake, "idx", spark, q, k=8).collect()))
+        want = sorted(map(tuple, bm25_search_indexed(full, "idx", spark, q, k=8).collect()))
+        assert got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
