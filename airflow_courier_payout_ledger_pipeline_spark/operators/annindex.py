@@ -167,6 +167,21 @@ def _read_codes(
     return lake.read_committed(spark, layer, CODES, schema)
 
 
+def committed_assignments(
+    lake: Lakehouse, layer: str, spark: SparkSession, id_field
+) -> DataFrame:
+    """The committed corpus→cell assignment as a (id, cluster) frame — the
+    codes table projected to its coarse half, for consumers that need WHERE
+    history was indexed but not the PQ bytes (the incremental SemDeDup rail:
+    history pairs are scoped to the cells history actually sits in, never
+    re-derived, so a quantizer retrain cannot silently move history across
+    cells mid-comparison). Same id-column validation as the search path
+    (``_read_codes``); never-committed indexes read empty."""
+    return _read_codes(lake, layer, spark, id_field).select(
+        F.col(id_field.name), F.col("centroid").alias("cluster")
+    )
+
+
 def build_residual_ivfpq_index(
     lake: Lakehouse,
     layer: str,

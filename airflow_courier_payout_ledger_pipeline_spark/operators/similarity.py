@@ -1923,6 +1923,121 @@ def semdedup_pairs(
     )
 
 
+def semdedup_pairs_incremental(
+    history: DataFrame,
+    increment: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """The O(increment) nightly form of ``semdedup_pairs``: only pairs
+    TOUCHING the increment are computed — increment × (history ∪ increment)
+    within a (cluster, shard) scope — so a nightly dedup run pays
+    O(|inc| × cluster density) pair work instead of re-scanning the whole
+    Σ|cluster|² pair space. Equal BY CONSTRUCTION to
+    ``semdedup_pairs(history ∪ increment)`` filtered to pairs with at least
+    one increment side (same assignment, same corpus-wide shard draw, same
+    threshold), which is what the oracle replays.
+
+    ``history`` must carry a ``cluster`` column — in the steady state it is
+    the COMMITTED codes table's assignment joined to the corpus vectors
+    (see queries_ext_similarity.q_semdedup_pairs_incremental), so history
+    is never re-assigned: pairs are scoped to the cells history was
+    actually indexed into, and a later quantizer retrain cannot silently
+    move history across cells mid-comparison. The increment assigns fresh
+    against the FROZEN committed centroids (the extend protocol's rule).
+
+    Shard sizes are computed over history ∪ increment (the post-commit
+    corpus — identical to what the full form would use), collected as the
+    same O(k) driver state, so the (cluster, shard) scope matches the full
+    form exactly. The pair join keeps the increment on the build side: at
+    deployment |inc| ≪ corpus broadcasts tonight's increment into one scan
+    of the corpus — no corpus self-join, no corpus shuffle."""
+    if not centroids:
+        return increment.select(
+            F.lit(0).alias("cluster"),
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(0.0).alias("sim"),
+        ).limit(0)
+    hist = history.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        norm(F.col(vec_col)).alias("__n"),
+        F.col("cluster").cast("int").alias("cluster"),
+        F.lit(False).alias("__inc"),
+    )
+    inc = increment.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        norm(F.col(vec_col)).alias("__n"),
+        _assign_to_centroids(centroids, vec_col).alias("cluster"),
+        F.lit(True).alias("__inc"),
+    )
+    union = hist.unionByName(inc)
+    keys = ["cluster"]
+    if max_cluster is not None:
+        # the SAME corpus-wide shard policy as the full form: sizes over
+        # history ∪ increment, collected as O(k) driver state
+        size_rows = union.groupBy("cluster").agg(F.count("*").alias("__csize")).collect()
+        nshards = {
+            r["cluster"]: max((r["__csize"] + max_cluster - 1) // max_cluster, 1)
+            for r in size_rows
+        }
+        shard_map = (
+            F.create_map(*[F.lit(x) for c in sorted(nshards) for x in (c, nshards[c])])
+            if nshards
+            else None
+        )
+        draw = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sem:"), F.col(id_col).cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        divisor = (
+            F.coalesce(shard_map[F.col("cluster")], F.lit(1))
+            if shard_map is not None
+            else F.lit(1)
+        )
+        union = union.withColumn("shard", (draw % divisor).cast("int"))
+        keys = ["cluster", "shard"]
+    a = union.filter(F.col("__inc")).select(
+        *keys,
+        F.col(id_col).alias("__ida"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = union.select(
+        *keys,
+        F.col(id_col).alias("__idb"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        F.col("__inc").alias("__incb"),
+    )
+    # each unordered pair once: inc×hist pairs exist only with inc on the
+    # left (kept in both id orders, normalized below); inc×inc pairs appear
+    # in both orders — keep only the ascending one
+    sim = F.round(
+        _prenorm_cosine(F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")), 4
+    )
+    return (
+        a.join(b, keys)
+        .filter(F.col("__ida") != F.col("__idb"))
+        .filter(~F.col("__incb") | (F.col("__idb") > F.col("__ida")))
+        .select(
+            F.col("cluster"),
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= F.lit(threshold))
+    )
+
+
 # --- IVF index maintenance: mergeable per-list statistics ---------------------------
 
 

@@ -2800,3 +2800,55 @@ def q_semdedup_pairs_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake = _persisted_index_lake(emb, sf_dir)
     cents, _books = load_index_artifacts(lake, "idx", spark)
     return semdedup_pairs(emb, cents, 0.38, max_cluster=SEMDEDUP_MAX_CLUSTER)
+
+
+# The incremental-SemDeDup oracle: the SAME csel-fed assignment + corpus-wide
+# shard draw + pair scan, filtered to pairs with at least one increment
+# (odd-id) side — "pairs touching tonight's increment" is by construction a
+# row-subset of the full pair set, which is exactly the claim that licenses
+# the O(increment) nightly cost.
+SEMDEDUP_INCREMENTAL_ORACLE = f"""
+WITH {_SELECTED_CTES},
+{_semdedup_pair_ctes("SELECT cid, cvec FROM csel")}
+SELECT cluster, id_a, id_b, sim FROM sempairs
+WHERE id_a % 2 = 1 OR id_b % 2 = 1
+"""
+
+
+@register("semdedup_pairs_incremental", SEMDEDUP_INCREMENTAL_ORACLE)
+def q_semdedup_pairs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup rail's O(increment) nightly form (r16 — the extend-protocol
+    story the retrieval rails already have, now on dedup): history (the
+    committed even-id half) keeps the cluster assignment it was INDEXED
+    with, read from the committed codes table
+    (`annindex.committed_assignments` — never re-derived), the increment
+    (the odd-id half, standing in for tonight's batch) assigns fresh
+    against the FROZEN committed centroids, and only pairs touching the
+    increment are computed — increment × (history ∪ increment) within the
+    same corpus-wide (cluster, md5-shard) scope as the full form
+    (`operators/similarity.semdedup_pairs_incremental`). At 100 TB a
+    nightly run pays O(|inc| × cluster density) pair work with the
+    increment broadcast into one corpus scan, instead of the full
+    Σ|cluster|² pair space every night. Hash-checked against the full
+    csel-fed pair oracle FILTERED to increment-touching pairs — equality
+    is the claim that the incremental scope drops no pair the full nightly
+    recompute would have reported (given committed ≡ recomputed
+    assignment, the determinism law the index search already relies on)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
+        committed_assignments,
+        load_index_artifacts,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        semdedup_pairs_incremental,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    lake = _ann_inc_lake(emb, sf_dir)
+    cents, _books = load_index_artifacts(lake, "idx", spark)
+    id_field = emb.select("vec_id").schema.fields[0]
+    assigned = committed_assignments(lake, "idx", spark, id_field)
+    history = emb.filter(F.col("vec_id") % 2 == 0).join(assigned, "vec_id")
+    increment = emb.filter(F.col("vec_id") % 2 == 1)
+    return semdedup_pairs_incremental(
+        history, increment, cents, 0.38, max_cluster=SEMDEDUP_MAX_CLUSTER
+    )

@@ -481,21 +481,30 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "ann_index_vacuumed_search",
     "bm25_search_vacuumed",
     "substring_search_vacuumed",
+    # r16: NEW — the dedup rail's O(increment) nightly form: history keeps
+    # its COMMITTED cluster (read from the codes table, never re-derived),
+    # the increment assigns fresh against the frozen centroids, and only
+    # increment-touching pairs are computed — hash-checked against the
+    # full pair oracle filtered to increment-touching rows. 3-SF parity at
+    # registration; first driver row lands in r17 (additions before
+    # re-proofs: this slot displaced the last fill veteran).
+    "semdedup_pairs_incremental",
     # -- round-16 close: the stalest remaining veterans (all r13-proven,
     # computed mechanically from CORRECTNESS_r01..r15 + the active r16
     # window assumed green) in registration order, filling the plan to
-    # exactly the 50-slot cap. The round's 15 changed-file re-proofs + 4
-    # additions squeezed the fill to 18 slots, so TWENTY-THREE r13-proven
-    # veterans roll to the r18 plan head: similarity_ivf_pq_residual,
-    # pq_recall_eval, ivf_index_maintenance, similarity_ann_multiprobe,
-    # ann_recall_multiprobe, streaming_ivf_maintenance,
-    # event_windows_sliding, event_sessionization, distribution_stats,
-    # range_join_incidents, fuzzy_name_pairs, profile_documents,
-    # pivot_event_counts, dedup_bloom_probe, image_png_features,
-    # image_content_dedup, similarity_ivf_nprobe2, mix_epochs_report,
-    # contrastive_triplets, dedup_span_profile, dataset_card,
-    # grouped_split_assign, score_quantile_norm (everything else
-    # unscheduled is r14-or-newer) --
+    # exactly the 50-slot cap. The round's 15 changed-file re-proofs + 7
+    # additions squeezed the fill to 17 slots (`semdedup_pairs_incremental`
+    # displaced `similarity_ivf_pq_trained`), so TWENTY-FOUR r13-proven
+    # veterans roll to the r18 plan head: similarity_ivf_pq_trained,
+    # similarity_ivf_pq_residual, pq_recall_eval, ivf_index_maintenance,
+    # similarity_ann_multiprobe, ann_recall_multiprobe,
+    # streaming_ivf_maintenance, event_windows_sliding,
+    # event_sessionization, distribution_stats, range_join_incidents,
+    # fuzzy_name_pairs, profile_documents, pivot_event_counts,
+    # dedup_bloom_probe, image_png_features, image_content_dedup,
+    # similarity_ivf_nprobe2, mix_epochs_report, contrastive_triplets,
+    # dedup_span_profile, dataset_card, grouped_split_assign,
+    # score_quantile_norm (everything else unscheduled is r14-or-newer) --
     "json_extract",
     "json_struct_parse",
     "paged_scan",
@@ -513,7 +522,6 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "ann_recall_eval",
     "dedup_pq_hamming",
     "similarity_pq_adc_trained",
-    "similarity_ivf_pq_trained",
 ]
 
 

@@ -158,6 +158,9 @@ HEADLINE = [
     "ann_index_vacuumed_search",
     "bm25_search_vacuumed",
     "substring_search_vacuumed",
+    # round-16: the dedup rail's O(increment) nightly form — history keeps
+    # its committed cluster, only increment-touching pairs are computed
+    "semdedup_pairs_incremental",
 ]
 
 

@@ -311,6 +311,104 @@ def test_semdedup_pairs_subset_of_global_near_dups_and_cluster_scoped(spark):
         assert clusters[r.id_a] == r.cluster == clusters[r.id_b]
 
 
+def test_semdedup_incremental_equals_full_filtered_for_any_split(spark):
+    """The O(increment) law: semdedup_pairs_incremental(history, increment)
+    must equal semdedup_pairs(history ∪ increment) FILTERED to pairs with at
+    least one increment side — for several splits, capped and uncapped.
+    History's cluster is supplied (the committed-codes contract), here the
+    same deterministic assignment the full form computes."""
+    import pyspark.sql.functions as F
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        _assign_to_centroids,
+        semdedup_pairs,
+        semdedup_pairs_incremental,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.plans.tpch_adapter import (
+        load_tables,
+    )
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", "embeddings")["embeddings"]
+    cents = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    )
+    nonempty = 0
+    for modulus, cap in ((2, None), (3, 10), (5, 3)):
+        inc_pred = F.col("vec_id") % modulus == 1
+        history = emb.filter(~inc_pred).withColumn(
+            "cluster", _assign_to_centroids(cents, "embedding")
+        )
+        increment = emb.filter(inc_pred)
+        got = sorted(
+            map(
+                tuple,
+                semdedup_pairs_incremental(
+                    history, increment, cents, 0.38, max_cluster=cap
+                ).collect(),
+            )
+        )
+        full = semdedup_pairs(emb, cents, 0.38, max_cluster=cap)
+        want = sorted(
+            map(
+                tuple,
+                full.filter(
+                    (F.col("id_a") % modulus == 1) | (F.col("id_b") % modulus == 1)
+                ).collect(),
+            )
+        )
+        assert got == want, (modulus, cap)
+        nonempty += bool(got)
+    # the fixture must actually yield pairs somewhere (the tightest cap
+    # legitimately shards sf0.001's clusters below pair density)
+    assert nonempty >= 2
+
+
+def test_semdedup_incremental_respects_supplied_history_cluster(spark):
+    """History pairs are scoped to the cluster history was INDEXED with —
+    never re-derived: a history row carrying a (deliberately) different
+    cluster must pair inside THAT cluster, which is what makes a later
+    quantizer retrain safe for committed history."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        semdedup_pairs_incremental,
+    )
+
+    # two far-apart centroids; one history vector NEAR centroid 0 but
+    # committed (historically) to cluster 1, where the increment's vector sits
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    history = spark.createDataFrame(
+        [(10, [0.9, 0.1], 1)],  # geometrically cluster 0, committed as 1
+        "vec_id long, embedding array<double>, cluster int",
+    )
+    increment = spark.createDataFrame(
+        [(11, [0.8, 0.2])], "vec_id long, embedding array<double>"
+    )
+    # the increment assigns to cluster 0 (nearest centroid); history sits in
+    # its COMMITTED cluster 1 — so no pair, despite high cosine
+    out = semdedup_pairs_incremental(history, increment, cents, 0.5)
+    assert out.count() == 0
+    # re-committed consistently, the pair appears in the committed cluster
+    history0 = spark.createDataFrame(
+        [(10, [0.9, 0.1], 0)], "vec_id long, embedding array<double>, cluster int"
+    )
+    rows = semdedup_pairs_incremental(history0, increment, cents, 0.5).collect()
+    assert [(r.cluster, r.id_a, r.id_b) for r in rows] == [(0, 10, 11)]
+
+
+def test_semdedup_incremental_empty_increment_is_empty(spark):
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        semdedup_pairs_incremental,
+    )
+
+    history = spark.createDataFrame(
+        [(1, [0.5, 0.5], 0)], "vec_id long, embedding array<double>, cluster int"
+    )
+    inc = history.filter("false").drop("cluster")
+    out = semdedup_pairs_incremental(history, inc, [(0, [1.0, 0.0])], 0.1)
+    assert out.columns == ["cluster", "id_a", "id_b", "sim"]
+    assert out.count() == 0
+
+
 def test_semdedup_pairs_empty_centroids_is_typed_empty(spark):
     from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
         semdedup_pairs,

@@ -130,6 +130,7 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "ann_index_incremental_extend",
         "ann_index_compacted_search",
         "ann_index_vacuumed_search",
+        "semdedup_pairs_incremental",
     },
     # round-13: NEW module — second-moment matrix, dimension-correlation
     # audit, deterministic power-iteration dominant direction
@@ -144,6 +145,10 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
     # round-14: O(increment) extend WRITE (stage only the increment's codes
     # dir, commit a multi-file version) + compact_residual_ivfpq_codes —
     # the extend/search consumers re-prove from the r15 head
+    # round-16: invalidate_artifact_caches eviction hook +
+    # committed_assignments (the codes table's coarse half, public for the
+    # incremental dedup rail) — both additive; the persisted-index
+    # consumers and the new incremental-SemDeDup query adjudicate
     "airflow_courier_payout_ledger_pipeline_spark/operators/annindex.py": {
         "ann_index_persisted_search",
         "ann_index_incremental_extend",
@@ -151,24 +156,22 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "knn_label_vote_indexed",
         "knn_vote_agreement_indexed",
         "knn_accuracy_curve_indexed",
+        "semdedup_pairs_incremental",
     },
-    # round-13: exact_rerank extracted from ivf_pq_residual_refine_topk
-    # (stage-2 re-rank now shared with annindex.refine_search_*); the
-    # two-stage consumer re-proves it in-window, and the trained/eval
-    # family re-adjudicates alongside in the r13 window
+    # round-13: exact_rerank extracted from ivf_pq_residual_refine_topk —
+    # that round's trained/eval family re-adjudicated then (history).
+    # round-16: semdedup_pairs_incremental ADDED (purely additive — the
+    # existing semdedup_pairs/assignment/pair code is untouched); the
+    # evidence set tracks the CURRENT round's change: the new query plus
+    # the semdedup family whose shared helpers it reuses
     "airflow_courier_payout_ledger_pipeline_spark/operators/similarity.py": {
+        "semdedup_pairs_incremental",
+        "semdedup_pairs",
+        "semdedup_pairs_indexed",
+        "semdedup_prune_end_to_end",
         "similarity_pq_refine_topk",
-        "similarity_ivf_topk_trained",
-        "ivf_recall_trained_vs_seeded",
-        "similarity_pq_adc_trained",
-        "similarity_ivf_pq_trained",
-        "similarity_ivf_pq_residual",
-        "pq_recall_eval",
-        "ivf_index_maintenance",
-        "similarity_ann_multiprobe",
-        "ann_recall_multiprobe",
         "similarity_topk",
-        "similarity_ivf_nprobe2",
+        "similarity_pq_adc_trained",
     },
     # round-12: multi-table commit manifest (stage_version/commit_manifest/
     # read_committed + manifest-aware vacuum and _next_version); the

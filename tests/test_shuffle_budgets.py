@@ -197,6 +197,11 @@ SHUFFLE_BUDGET = {
     "ann_index_vacuumed_search": 1,
     "bm25_search_vacuumed": 1,
     "substring_search_vacuumed": 2,
+    # round-16: the dedup rail's O(increment) form — the committed
+    # (id, cluster) assignment and the increment both broadcast into the
+    # corpus scan; the only actions off-plan are the O(k) size collect and
+    # the artifact read, so the returned pair plan is broadcast-only
+    "semdedup_pairs_incremental": 0,
 }
 
 
