@@ -63,6 +63,34 @@ def derive_scratch_lake(src_lake, prefix: str):
     return Lakehouse(root)
 
 
+def vacuumed_scratch_lake(base_lake, prefix: str, caller: str, nonempty_probe=None):
+    """Clone a cached compacted lake and run the FULL retention policy on
+    the clone (`retention_sweep(keep_manifests=1, keep_versions=1)` —
+    vacuum_commits then per-table vacuum) — ONE definition for every
+    vacuumed-serve rail (the r16 review's drift finding: the clone + sweep
+    + raise-on-no-op block had been duplicated across the two query
+    modules). The clone carries the whole build→extend→compact manifest
+    chain, so the sweep deletes real state; raises unless something was
+    reclaimed, EXCEPT when ``nonempty_probe`` (a zero-arg callable) reports
+    the corpus empty — an empty cold start legitimately has nothing to
+    reclaim. Callers whose history always commits multiple manifests even
+    when empty (the lexical rails) may omit the probe."""
+    lake = derive_scratch_lake(base_lake, prefix)
+    audit = lake.retention_sweep(keep_manifests=1, keep_versions=1)
+    if (
+        not audit["manifests"]
+        and not audit["versions"]
+        and (nonempty_probe is None or nonempty_probe())
+    ):
+        raise ValueError(
+            f"{caller}: the retention sweep reclaimed nothing ({audit}) — "
+            "the build→extend→compact history must leave reclaimable state, "
+            "or this query is not evidence that retention spares the serving "
+            "surface"
+        )
+    return lake
+
+
 def evict_superseded(cache: dict, kind: str, stat_key: tuple) -> None:
     """Drop ``cache`` entries for the SAME kind+path built from older parquet
     bytes. A value holding a Lakehouse loses its mkdtemp root AND its

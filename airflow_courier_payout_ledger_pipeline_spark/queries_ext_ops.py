@@ -496,35 +496,21 @@ def _bm25_index_lake(
 
 
 def _vacuumed_lake(base_lake, kind: str, sf_dir: str, prefix: str):
-    """Clone a cached compacted lake and run the FULL retention policy on the
-    clone (`Lakehouse.retention_sweep(keep_manifests=1, keep_versions=1)` —
-    vacuum_commits then per-table vacuum). The clone carries the whole
-    build→extend→compact manifest chain, so the sweep deletes real state
-    (the pre-compaction manifests and the version dirs they pinned); raises
-    if nothing was reclaimable, so the retention evidence can never
-    silently degrade to a no-op."""
+    """The stat-memoized cache entry around ``idxcache.vacuumed_scratch_lake``
+    (clone the compacted lake + full retention sweep + raise-on-no-op — one
+    shared definition with the ANN rail). No emptiness probe needed on the
+    lexical rails: build and extend each commit a manifest even on an empty
+    corpus, so the sweep always reclaims at least the pre-compaction
+    manifests."""
     kind = kind + "_vacuumed"
     key = (kind, _docs_stat_key(sf_dir))
     if key not in _BM25_INDEX_LAKES:
         _evict_superseded_lakes(kind, key[1])
         from airflow_courier_payout_ledger_pipeline_spark.idxcache import (
-            derive_scratch_lake,
+            vacuumed_scratch_lake,
         )
 
-        lake = derive_scratch_lake(base_lake, prefix)
-        audit = lake.retention_sweep(keep_manifests=1, keep_versions=1)
-        # raise only when the sweep reclaimed NOTHING at all: any non-empty
-        # corpus reclaims manifests AND version dirs (the unit laws pin
-        # both), but an empty-corpus cold start may legitimately reclaim
-        # only the pre-compaction manifests
-        if not audit["manifests"] and not audit["versions"]:
-            raise ValueError(
-                f"{kind}: the retention sweep reclaimed nothing ({audit}) — "
-                "the build→extend→compact history must leave reclaimable "
-                "state, or this query is not evidence that retention spares "
-                "the serving surface"
-            )
-        _BM25_INDEX_LAKES[key] = lake
+        _BM25_INDEX_LAKES[key] = vacuumed_scratch_lake(base_lake, prefix, kind)
     return _BM25_INDEX_LAKES[key]
 
 

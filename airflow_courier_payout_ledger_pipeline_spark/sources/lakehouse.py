@@ -242,9 +242,13 @@ class Lakehouse:
         flip silently discarded a whole transaction. Now (a) the manifest id
         skips past EVERY existing ``m=N.json`` (so a crash orphan above the
         pointer never collides with the replayed commit — replay keeps its
-        documented re-stage-and-re-commit story), (b) the file is created
-        with ``O_EXCL`` (a same-instant committer targeting the same id
-        fails instead of overwriting), and (c) the pointer is re-read just
+        documented re-stage-and-re-commit story, and the successful commit
+        RECLAIMS the skipped orphans just before its flip, while they are
+        provably unpublished, so crash debris never lands below the pointer
+        where retention would mistake it for a published manifest), (b) the
+        file is created with ``O_EXCL`` (a same-instant committer targeting
+        the same id fails instead of overwriting), and (c) the pointer is
+        re-read just
         before the flip: if another committer flipped since this
         transaction's merge base was read, our merge is STALE (it lacks
         their tables) — the file is withdrawn and ``ConcurrentCommitError``
@@ -283,7 +287,7 @@ class Lakehouse:
         with os.fdopen(fd, "w") as f:
             f.write(json.dumps(merged, sort_keys=True))
         if self.current_manifest_id() != base_mid:
-            path.unlink()  # withdraw: our merge base is stale
+            path.unlink(missing_ok=True)  # withdraw: our merge base is stale
             raise ConcurrentCommitError(
                 f"commit_manifest: the manifest pointer moved past its merge "
                 f"base (m={base_mid}) while this transaction was committing — "
@@ -291,6 +295,22 @@ class Lakehouse:
                 "silently drop its tables (single-writer contract violated); "
                 "re-stage against the new current manifest and re-commit"
             )
+        # Reclaim crash orphans BEFORE the flip, while we still KNOW they are
+        # garbage: every m=K.json with base_mid < K < mid was never published
+        # (the pointer sat at base_mid until this flip) — under the
+        # single-writer contract these are exactly the crashed commits whose
+        # ids we skipped past. Left in place they would land BELOW the new
+        # pointer, where vacuum_commits would count them toward keep_last
+        # (displacing a real manifest from the readable horizon) and
+        # _manifest_refs would pin their aborted staged refs — the
+        # legitimize-staged-snapshots hazard its '> cur' guard only covers
+        # for ABOVE-pointer files. After this sweep, below-pointer garbage
+        # cannot exist: a crash before the flip leaves only m=mid, which
+        # stays ABOVE the pointer and is reclaimed by the next commit.
+        lo = -1 if base_mid is None else base_mid
+        for k in existing:
+            if lo < k < mid:
+                (mdir / f"m={k}.json").unlink(missing_ok=True)
         tmp = mdir / f"_LATEST.__tmp_{uuid.uuid4().hex[:8]}"
         tmp.write_text(str(mid))
         tmp.rename(self._manifest_pointer())

@@ -199,8 +199,14 @@ def classify_load_state(
     'idle'. Contention signals now come from like-for-like comparisons:
 
     - either load probe > 1.35x the idle baseline (clean band observed
-      0.83-1.1x; degraded episodes 1.24-1.73x — 1.35 splits them with
-      margin for the 0.1 s sample's jitter);
+      0.83-1.1x; degraded episodes 1.24-1.73x — the threshold sits ABOVE
+      the jitter-prone clean band with margin, which means the 1.24x-class
+      sustained episodes deliberately do NOT trip the solo rule: they are
+      caught by the original-15 reference below, or by the combined rule
+      when the inflation fluctuates. At a non-standard bench SF the
+      original-15 reference is unavailable, so a 1.24-1.35x sustained
+      episode can read 'idle' there — the driver's gate runs sf0.1, where
+      the detector is always on);
     - the original-15 core total > 1.5x ITS recorded idle baseline — the
       fixed-workload detector for uniform sustained slowdown that no
       intra-run signal can see (the r15 worst episode: probes only 1.24x,
@@ -224,7 +230,11 @@ def classify_load_state(
     ):
         return "degraded"
     lo = min(rep_totals) if rep_totals else 0.0
-    steady = rep_totals[1:] if len(rep_totals) >= 3 else rep_totals
+    # the structural first rep is excluded from the steady signal at ANY rep
+    # count ≥ 2 (with 2 reps the steady spread is trivially 0 and the
+    # first-rep signal carries the comparison — folding rep 1 back in would
+    # re-create the false positive the recalibration removed)
+    steady = rep_totals[1:] if len(rep_totals) >= 2 else rep_totals
     lo_steady = min(steady) if steady else 0.0
     if lo > 0 and lo_steady > 0:
         steady_spread = 100.0 * (max(steady) - lo_steady) / lo_steady

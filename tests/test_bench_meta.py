@@ -93,6 +93,15 @@ def test_combined_moderate_indicators_classify_degraded():
     assert classify_load_state(0.098, 0.10, [60.0, 50.4, 45.0]) == "idle"
 
 
+def test_two_rep_capture_excludes_structural_first_rep():
+    # the steady signal excludes rep 1 at ANY rep count >= 2: a 2-rep
+    # capture with the structural 22% first-rep skew must read idle (the
+    # same shape with 3 reps is asserted idle in test_threshold_edges)
+    assert classify_load_state(0.10, 0.10, [53.3, 43.5]) == "idle"
+    # first-rep skew far past structural still flags with 2 reps
+    assert classify_load_state(0.10, 0.10, [63.0, 42.5]) == "degraded"
+
+
 def test_threshold_edges():
     # structural first-rep skew exactly in-band (24%) with tight steady reps
     assert classify_load_state(0.10, 0.10, [53.3, 43.5, 43.0]) == "idle"

@@ -185,12 +185,15 @@ def test_commit_manifest_concurrent_committer_fails_loudly(spark, tmp_path, monk
     assert lake_a.read_committed(spark, "dds", "b", schema).collect()[0].x == 2
 
 
-def test_commit_manifest_skips_past_crash_orphans(spark, tmp_path):
+def test_commit_manifest_reclaims_crash_orphans_before_publishing(spark, tmp_path):
     """A crashed commit's above-pointer ``m=N.json`` (file written, pointer
-    never flipped) must not collide with — or be overwritten by — the next
-    commit: ids skip past every existing manifest file, so the replayed
-    transaction publishes under a fresh id and the orphan stays inert debris
-    until vacuum_commits reclaims it."""
+    never flipped) must not collide with the next commit NOR survive it: ids
+    skip past every existing manifest file, and the successful commit deletes
+    the skipped orphans just before its flip — while they are provably
+    unpublished. Left in place they would land BELOW the new pointer, where
+    vacuum_commits would count the garbage toward keep_last (displacing a
+    real manifest from the readable horizon) and _manifest_refs would pin
+    its aborted staged refs."""
     import json
 
     from pyspark.sql.types import LongType, StructField, StructType
@@ -204,8 +207,17 @@ def test_commit_manifest_skips_past_crash_orphans(spark, tmp_path):
     (tmp_path / "_commits" / "m=1.json").write_text(json.dumps({"dds/t": 99}))
     mid = lake.commit_multi([(spark.createDataFrame([(5,)], schema), "dds", "t")])
     assert mid == 2  # skipped past the orphan, never overwrote it
-    assert json.loads((tmp_path / "_commits" / "m=1.json").read_text()) == {"dds/t": 99}
+    assert not (tmp_path / "_commits" / "m=1.json").exists()  # reclaimed
     assert lake.read_committed(spark, "dds", "t", schema).collect()[0].x == 5
+
+    # retention sees only REAL manifests: keep_last=2 retains {m=0, m=2}
+    # (the genuinely published history), not garbage displacing either
+    lake.commit_multi([(spark.createDataFrame([(7,)], schema), "dds", "t")])
+    removed = lake.vacuum_commits(keep_last=2)
+    assert removed == [0]
+    assert sorted(
+        int(p.stem[2:]) for p in (tmp_path / "_commits").glob("m=*.json")
+    ) == [2, 3]
 
 
 def test_vacuum_commits_keeps_current_and_newest(spark, tmp_path):
