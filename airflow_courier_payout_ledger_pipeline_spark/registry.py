@@ -315,115 +315,38 @@ def q_incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ------------------------------------------------------------------------------------
-# Driver adjudication window — ROUND 16 (active; the r16 plan staged during
-# round 15 activated VERBATIM — r15 verdict next-round item 1).
+# Driver adjudication window — ROUND 17 (active; the r17 plan staged and
+# FROZEN during round 16 activated VERBATIM — r16 verdict next-round item 1).
 #
 # The correctness driver adjudicates the FIRST 50 entries of queries() in dict
-# order (observed r1-r15). History: r1-r3 proved the original first-50 green
+# order (observed r1-r16). History: r1-r3 proved the original first-50 green
 # three rounds running; r4 proved the 40 long-unproven queries + 7 round-4
 # additions; r5 proved 50/50 including the fixed `sequence_packing`; r6 went
 # 50/50 making every then-registered query driver-proven at least once; r7
 # proved the 9 round-7-changed queries + 38 r4-stale veterans; r8 the 6
 # round-7 additions + the clone-scoping streaming pair + 22 r5-stale veterans;
 # r9 the staged trio-of-debts + all 36 r6-stale veterans + the stalest r7
-# queries; r10-r15 each went 50/50 on their staged plans — after r15, 189 of
-# 193 registered queries are driver-proven with zero last-row failures. This
-# round-16 window: canary trio; the 8 r11-proven veterans rolled past the r15
-# window; the rrf_fuse changed-file re-proofs (live + single-indexed fusion);
-# the FOUR round-15 additions that registered after the r15 window froze
-# (their first driver rows — the r15 verdict's only claimed-but-unproven
-# surface: index-quantizer SemDeDup and the compacted-serve trio); then 33
-# r12-stale veterans. After a green r16 every registered query is
-# driver-proven and nothing is older than r13 except the 10 r12 veterans
-# rolled to r17 (see NEXT_PLAN). Per-query adjudication history is tracked in
+# queries; r10-r16 each went 50/50 on their staged plans — after r16, 193 of
+# 197 registered queries are driver-proven with zero last-row failures. This
+# round-17 window: canary trio; the 10 r12-proven veterans rolled past the
+# r16 window; the round-16 changed-file re-proofs (promotion rail, the
+# index-lake cache consumers, the lakehouse/bucketed rail, the literal
+# SemDeDup pair); the FOUR round-16 additions that registered after the r16
+# window froze (their first driver rows — the r16 verdict's only
+# claimed-but-unproven surface: the retention-verb trio and the O(increment)
+# SemDeDup nightly form); then 17 r13-stale veterans. After a green r17
+# nothing unscheduled is older than r13, and the remaining TWENTY-FOUR
+# r13-proven veterans head the r18 plan (see NEXT_PLAN — r16 verdict
+# next-round item 4). Per-query adjudication history is tracked in
 # OPERATORS.md; test_registry_window.py pins consistency.
 # ------------------------------------------------------------------------------------
 ADJUDICATION_WINDOW_FIRST: list[str] = [
-    # -- staged r16 plan, verbatim (round-15 registry.py ADJUDICATION_WINDOW_NEXT_PLAN) --
+    # -- staged r17 plan, verbatim (round-16 registry.py ADJUDICATION_WINDOW_NEXT_PLAN) --
     # flagship canary
     "courier_ledger",
     "courier_ledger_sql",
     "incremental_mart_maintenance",
-    # the 8 r11-proven veterans rolled past the r15 window
-    "salted_join_agg",
-    "dedup_keep_best",
-    "length_decile_bands",
-    "partition_stats_manifest",
-    "rolling_distinct_users_7d",
-    "decontaminated_corpus",
-    "heavy_hitters",
-    "cms_state_migration",
-    # round-15 changed-file re-proofs: search.py (rrf_fuse's leg-bound guard
-    # now collects the tagged bounded union — no pinned checkpoint blocks).
-    # The dual-indexed fusion + indexed-kNN trio proved the changed paths in
-    # r15; the live and single-indexed fusion consumers re-prove the same
-    # rrf_fuse code here
-    "hybrid_search_rrf",
-    "hybrid_search_rrf_indexed",
-    # round-15 additions registered after the r15 window froze — first
-    # driver rows land HERE (the r15 verdict's only claimed-but-unproven
-    # gap): SemDeDup served from the persisted index's trained quantizer,
-    # and the compacted-serve trio (build -> extend -> COMPACT -> serve
-    # against the same full-corpus oracles — compaction is layout, never
-    # semantics)
-    "semdedup_pairs_indexed",
-    "bm25_search_compacted",
-    "substring_search_compacted",
-    "ann_index_compacted_search",
-    # r12-stale veterans, registration order (33 of 43 fit under the 50-cap;
-    # the other 10 roll to the r17 plan head — see NEXT_PLAN)
-    "doc_fingerprint",
-    "dedup_exact",
-    "minhash_signatures",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_two_stage",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "similarity_ann_bucketed",
-    "embedding_near_dup",
-    "dedup_pq_hamming2",
-    "session_window_native",
-    "training_shard_layout",
-    "zorder_values",
-    "stratified_sample",
-    "sequence_packing",
-    "zorder_incremental_compaction",
-    "multimodal_features",
-    "video_frame_sample",
-    "image_resize_features",
-    "audio_resample_features",
-    "streaming_windows_tumbling",
-    "snapshot_diff_orders",
-    "cube_status_priority",
-    "date_spine_fill",
-    "scd2_history",
-    "retention_cohorts",
-    "event_type_cooccurrence",
-    "timeseries_interpolate",
-    "minhash_calibration",
-    "streaming_static_enrich",
-    "target_mix_sample",
-    "token_budget_cap",
-]
-
-
-# ------------------------------------------------------------------------------------
-# PLANNED round-17 window (activate at the START of round 17). Composition:
-# the flagship canary trio, then the 10 r12-proven veterans that rolled past
-# the r16 window (r15 verdict next-round item 8), then any query whose
-# implementing code CHANGES in round 16 (standing rule: changed code must
-# appear in the active window or at the head of the next plan — pinned by
-# test_registry_window.py), then round-16 additions registered outside the
-# active window, then the stalest remaining veterans in registration order
-# (fill recomputed mechanically at round-16 close from CORRECTNESS_r01..r16).
-# ------------------------------------------------------------------------------------
-ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
-    # -- flagship canary --
-    "courier_ledger",
-    "courier_ledger_sql",
-    "incremental_mart_maintenance",
-    # -- the 10 r12-proven veterans rolled past the r16 window --
+    # the 10 r12-proven veterans rolled past the r16 window
     "cdc_apply_roundtrip",
     "event_transitions",
     "k_anonymity_audit",
@@ -434,24 +357,18 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "dsir_resample",
     "dedup_span_scrub",
     "dedup_cross_corpus",
-    # -- round-16 code changes / additions append here as they land --
-    # r16: plans/promotions.py changed (dm_timestamps single-writer split:
-    # the timestamps job feeds BOTH timestamp kinds, the orders job feeds
-    # dm_orders only — the r15 verdict item-1 parallel double-insert fix;
-    # shared _new_stg_orders/_calendar_rows helpers). The promotion rail's
-    # queries re-prove the changed jobs from the r17 head; the in-window
-    # canary trio re-proves the mart fold this round.
+    # round-16 changed-file re-proofs: plans/promotions.py (dm_timestamps
+    # single-writer split — the r15 verdict item-1 parallel double-insert
+    # fix; the canary trio re-proved the mart fold in r16, the promotion
+    # rail re-proves the changed jobs here)
     "scd1_upsert",
     "scd0_insert_ignore",
     "incremental_promotion",
-    # r16: the index-lake cache plumbing changed (shared idxcache helper,
-    # annindex driver-cache purge on eviction, compacted eval lakes DERIVED
-    # from the cached living lakes instead of a second build+extend), the
-    # textindex compactors guard each table's version list, and the eval
-    # rails' bounded-queries contract is documented. The in-window compacted
-    # trio + semdedup_pairs_indexed drive the changed cache/derive paths
-    # this round; the living-index and eval consumers re-prove the same
-    # rails from the r17 head.
+    # round-16 changed-file re-proofs: the index-lake cache plumbing
+    # (shared idxcache helper, annindex driver-cache purge on eviction,
+    # compacted eval lakes DERIVED from the cached living lakes) — the
+    # living-index and eval consumers re-prove the rails the in-window
+    # compacted trio drove in r16
     "bm25_search_indexed",
     "bm25_index_incremental_extend",
     "substring_search_indexed",
@@ -463,48 +380,26 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "ann_index_incremental_extend",
     "similarity_pq_refine_topk",
     # queries_ext_similarity.py's literal-centroid SemDeDup pair travels
-    # with the module's changed-file evidence set (r15-proven; the indexed
-    # form re-proves the shared CTEs in-window this round)
+    # with the module's changed-file evidence set
     "semdedup_pairs",
     "semdedup_prune_end_to_end",
     # lakehouse.py's bucketed-rail consumer travels with the module's
-    # changed-file evidence set (the commit_manifest concurrent-misuse
-    # guard; r14-proven, the SCD/mart evidence re-proves in-window)
+    # changed-file evidence set (the commit_manifest concurrent-misuse guard)
     "courier_ledger_bucketed",
-    # r16: NEW — the retention verb in query form on ALL THREE persisted
-    # rails: build → extend → compact → vacuum_commits + retention_sweep →
-    # serve against the same full-corpus oracles (retention may delete
-    # history, never the serving surface); completes the maintenance matrix
-    # (extend r14, compact r15, retention r16 × ANN/BM25/trigram). 3-SF
-    # parity proven at registration (sf0.001/0.01/0.1); first driver rows
-    # land in r17.
+    # round-16 additions registered after the r16 window froze — first
+    # driver rows land HERE (the r16 verdict's only claimed-but-unproven
+    # surface): the retention verb in query form on ALL THREE persisted
+    # rails (build → extend → compact → vacuum_commits + retention_sweep →
+    # serve against the same full-corpus oracles)...
     "ann_index_vacuumed_search",
     "bm25_search_vacuumed",
     "substring_search_vacuumed",
-    # r16: NEW — the dedup rail's O(increment) nightly form: history keeps
-    # its COMMITTED cluster (read from the codes table, never re-derived),
-    # the increment assigns fresh against the frozen centroids, and only
-    # increment-touching pairs are computed — hash-checked against the
-    # full pair oracle filtered to increment-touching rows. 3-SF parity at
-    # registration; first driver row lands in r17 (additions before
-    # re-proofs: this slot displaced the last fill veteran).
+    # ...and the dedup rail's O(increment) nightly form (history keeps its
+    # COMMITTED cluster, the increment assigns fresh against the frozen
+    # centroids, only increment-touching pairs compute)
     "semdedup_pairs_incremental",
-    # -- round-16 close: the stalest remaining veterans (all r13-proven,
-    # computed mechanically from CORRECTNESS_r01..r15 + the active r16
-    # window assumed green) in registration order, filling the plan to
-    # exactly the 50-slot cap. The round's 15 changed-file re-proofs + 7
-    # additions squeezed the fill to 17 slots (`semdedup_pairs_incremental`
-    # displaced `similarity_ivf_pq_trained`), so TWENTY-FOUR r13-proven
-    # veterans roll to the r18 plan head: similarity_ivf_pq_trained,
-    # similarity_ivf_pq_residual, pq_recall_eval, ivf_index_maintenance,
-    # similarity_ann_multiprobe, ann_recall_multiprobe,
-    # streaming_ivf_maintenance, event_windows_sliding,
-    # event_sessionization, distribution_stats, range_join_incidents,
-    # fuzzy_name_pairs, profile_documents, pivot_event_counts,
-    # dedup_bloom_probe, image_png_features, image_content_dedup,
-    # similarity_ivf_nprobe2, mix_epochs_report, contrastive_triplets,
-    # dedup_span_profile, dataset_card, grouped_split_assign,
-    # score_quantile_norm (everything else unscheduled is r14-or-newer) --
+    # r13-stale veterans, registration order (17 of 41 fit under the 50-cap;
+    # the other 24 head the r18 plan — see NEXT_PLAN)
     "json_extract",
     "json_struct_parse",
     "paged_scan",
@@ -522,6 +417,53 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "ann_recall_eval",
     "dedup_pq_hamming",
     "similarity_pq_adc_trained",
+]
+
+
+# ------------------------------------------------------------------------------------
+# PLANNED round-18 window (activate at the START of round 18). Composition:
+# the flagship canary trio, then the TWENTY-FOUR r13-proven veterans that
+# rolled past the r17 window (r16 verdict next-round item 4 — they MUST lead
+# the fill or the staleness debt compounds past 5 rounds; keep r18 additions
+# ≤4 accordingly), then any query whose implementing code CHANGES in round 17
+# (standing rule: changed code must appear in the active window or at the
+# head of the next plan — pinned by test_registry_window.py), then round-17
+# additions registered outside the active window, then the stalest remaining
+# veterans in registration order (fill recomputed mechanically at round-17
+# close from CORRECTNESS_r01..r17).
+# ------------------------------------------------------------------------------------
+ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
+    # -- flagship canary --
+    "courier_ledger",
+    "courier_ledger_sql",
+    "incremental_mart_maintenance",
+    # -- the 24 r13-proven veterans rolled past the r17 window (stalest
+    # unscheduled queries in the registry; registration order) --
+    "similarity_ivf_pq_trained",
+    "similarity_ivf_pq_residual",
+    "pq_recall_eval",
+    "ivf_index_maintenance",
+    "similarity_ann_multiprobe",
+    "ann_recall_multiprobe",
+    "streaming_ivf_maintenance",
+    "event_windows_sliding",
+    "event_sessionization",
+    "distribution_stats",
+    "range_join_incidents",
+    "fuzzy_name_pairs",
+    "profile_documents",
+    "pivot_event_counts",
+    "dedup_bloom_probe",
+    "image_png_features",
+    "image_content_dedup",
+    "similarity_ivf_nprobe2",
+    "mix_epochs_report",
+    "contrastive_triplets",
+    "dedup_span_profile",
+    "dataset_card",
+    "grouped_split_assign",
+    "score_quantile_norm",
+    # -- round-17 code changes / additions append here as they land --
 ]
 
 

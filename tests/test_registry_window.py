@@ -1,13 +1,14 @@
 """The driver adjudicates the FIRST 50 entries of queries() in dict order
-(observed r1-r15). These tests pin the round-16 rotation: the staged r16 plan
-from round 15 is activated VERBATIM (canary trio; the 8 r11-proven veterans
-rolled past r15; the rrf_fuse changed-file re-proofs; the FOUR round-15
-additions that registered after the r15 window froze — the r15 verdict's only
-claimed-but-unproven surface; 33 r12-stale veterans), then round-16 work
-appends to the r17 plan as it lands. Every window name resolves to a
-registered query WITH an oracle (rows-only queries may exist in the registry,
-but a window slot without an oracle would burn driver evidence on a weaker
-rows-only check — keep them out).
+(observed r1-r16). These tests pin the round-17 rotation: the staged r17 plan
+frozen in round 16 is activated VERBATIM (canary trio; the 10 r12-proven
+veterans rolled past r16; the round-16 changed-file re-proofs — promotion
+rail, index-lake cache consumers, bucketed rail, literal SemDeDup pair; the
+FOUR round-16 additions that registered after the r16 window froze — the r16
+verdict's only claimed-but-unproven surface; 17 r13-stale veterans), then
+round-17 work appends to the r18 plan as it lands. Every window name resolves
+to a registered query WITH an oracle (rows-only queries may exist in the
+registry, but a window slot without an oracle would burn driver evidence on a
+weaker rows-only check — keep them out).
 
 STANDING RULE (codified per the round-7 verdict, made ROUND-AGNOSTIC per the
 round-8 verdict): any query whose implementing code changes in round N must
@@ -37,34 +38,49 @@ from airflow_courier_payout_ledger_pipeline_spark.registry import (
 WINDOW = 50
 CANARY = {"courier_ledger", "courier_ledger_sql", "incremental_mart_maintenance"}
 
-#: staged from round 15 — the r16 active window must land fresh driver rows
-#: on these: the 4 round-15 additions registered after the r15 window froze
-#: (the r15 verdict's only claimed-but-unproven surface, next-round item 1)
-#: plus the rrf_fuse changed-file re-proofs that travel with them
-_STAGED_FOR_R16 = {
-    # 4 round-15 post-freeze additions — first driver rows land in r16
-    "semdedup_pairs_indexed",
-    "bm25_search_compacted",
-    "substring_search_compacted",
-    "ann_index_compacted_search",
-    # search.py changed-file re-proofs (rrf_fuse's collect-probe reshape)
-    "hybrid_search_rrf",
-    "hybrid_search_rrf_indexed",
+#: staged from round 16 — the r17 active window must land fresh driver rows
+#: on these: the 4 round-16 additions registered after the r16 window froze
+#: (the r16 verdict's only claimed-but-unproven surface, next-round item 1)
+#: plus the changed-file re-proofs that travel with them
+_STAGED_FOR_R17 = {
+    # 4 round-16 post-freeze additions — first driver rows land in r17
+    "ann_index_vacuumed_search",
+    "bm25_search_vacuumed",
+    "substring_search_vacuumed",
+    "semdedup_pairs_incremental",
+    # promotions.py changed-file re-proofs (dm_timestamps single-writer split)
+    "scd1_upsert",
+    "scd0_insert_ignore",
+    "incremental_promotion",
 }
 
-#: the 10 r12-proven veterans that rolled past the r16 window (r15 verdict
-#: next-round item 8) — must hold their slots at the head of the r17 plan
-_ROLLED_TO_R17 = {
-    "cdc_apply_roundtrip",
-    "event_transitions",
-    "k_anonymity_audit",
-    "value_winsorize",
-    "weighted_sample",
-    "split_leakage_audit",
-    "dsir_importance",
-    "dsir_resample",
-    "dedup_span_scrub",
-    "dedup_cross_corpus",
+#: the 24 r13-proven veterans that rolled past the r17 window (r16 verdict
+#: next-round item 4) — must hold their slots at the head of the r18 plan
+_ROLLED_TO_R18 = {
+    "similarity_ivf_pq_trained",
+    "similarity_ivf_pq_residual",
+    "pq_recall_eval",
+    "ivf_index_maintenance",
+    "similarity_ann_multiprobe",
+    "ann_recall_multiprobe",
+    "streaming_ivf_maintenance",
+    "event_windows_sliding",
+    "event_sessionization",
+    "distribution_stats",
+    "range_join_incidents",
+    "fuzzy_name_pairs",
+    "profile_documents",
+    "pivot_event_counts",
+    "dedup_bloom_probe",
+    "image_png_features",
+    "image_content_dedup",
+    "similarity_ivf_nprobe2",
+    "mix_epochs_report",
+    "contrastive_triplets",
+    "dedup_span_profile",
+    "dataset_card",
+    "grouped_split_assign",
+    "score_quantile_norm",
 }
 
 # ------------------------------------------------------------------------------------
@@ -553,19 +569,19 @@ def test_flagship_canary_stays_in_window():
     assert CANARY <= set(order)
 
 
-def test_staged_r16_queries_are_in_window():
-    """Everything staged from round 15 (the 4 post-freeze round-15 additions
+def test_staged_r17_queries_are_in_window():
+    """Everything staged from round 16 (the 4 post-freeze round-16 additions
     — the only claimed-but-unproven surface — plus their changed-file
     re-proof companions) must sit in the active window: a registered query
     without a fresh driver row is unadjudicated."""
-    assert _STAGED_FOR_R16 <= set(ADJUDICATION_WINDOW_FIRST[:WINDOW])
+    assert _STAGED_FOR_R17 <= set(ADJUDICATION_WINDOW_FIRST[:WINDOW])
 
 
-def test_rolled_r12_veterans_head_the_r17_plan():
-    """The 10 r12-proven veterans displaced by the r16 window hold slots in the
-    r17 plan (r15 verdict next-round item 8) — the rotation rule is that no
+def test_rolled_r13_veterans_head_the_r18_plan():
+    """The 24 r13-proven veterans displaced by the r17 window hold slots in the
+    r18 plan (r16 verdict next-round item 4) — the rotation rule is that no
     query's newest evidence falls more than ~5 rounds stale."""
-    assert _ROLLED_TO_R17 <= set(ADJUDICATION_WINDOW_NEXT_PLAN)
+    assert _ROLLED_TO_R18 <= set(ADJUDICATION_WINDOW_NEXT_PLAN)
 
 
 def test_queries_and_oracles_share_order():
@@ -696,4 +712,10 @@ _GREEN_EVER = {
     "knn_accuracy_curve_indexed", "bm25_search_indexed",
     "bm25_index_incremental_extend", "hybrid_search_rrf_dual_indexed",
     "substring_search_indexed",
+    # green r16 (CORRECTNESS_r16 50/50): first driver rows for the four
+    # post-freeze round-15 additions; the other r16-green rows re-proved
+    # names already listed above. The four post-freeze round-16 additions
+    # land their first rows in r17 (they sit in the active window).
+    "semdedup_pairs_indexed", "bm25_search_compacted",
+    "substring_search_compacted", "ann_index_compacted_search",
 }
