@@ -5,10 +5,10 @@ modules' eviction semantics cannot drift (r15 ADVICE).
 
 The cache contract both modules rely on:
 
-- keys are ``(kind, stat_key)`` where ``stat_key[0]`` is the source parquet
-  path and the remaining elements are its size/mtime in either order — a
-  testdata rewrite (same path, new bytes) yields a NEW stat key, so the
-  superseded entry must be evicted rather than served stale;
+- keys are ``(kind, stat_key(path))`` — built by ONE definition below, so
+  the tuple shape is structural, not documented convention; a testdata
+  rewrite (same path, new bytes) yields a NEW stat key, so the superseded
+  entry must be evicted rather than served stale;
 - values are either a ``Lakehouse`` on a mkdtemp root (a persisted-index
   scratch lake) or a plain driver-side artifact (centroid/codebook lists);
 - eviction drops same-kind/same-path entries built from older bytes, removes
@@ -32,8 +32,22 @@ not these helpers, in its own lock.
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
+
+
+def stat_key(path: str) -> tuple[str, int, int]:
+    """The cache key identifying a source parquet's current bytes:
+    ``(path, size, mtime_ns)``. Eviction compares whole tuples, but the
+    first element must be the path (``evict_superseded`` matches on it), so
+    the shape lives here — one definition for every cache in both query
+    modules. Unstat-able paths (non-local FS) fall back to path-only."""
+    try:
+        st = os.stat(path)
+        return (path, st.st_size, st.st_mtime_ns)
+    except OSError:
+        return (path, 0, 0)
 
 
 def fresh_scratch_lake(prefix: str):

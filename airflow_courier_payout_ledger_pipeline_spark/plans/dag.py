@@ -13,7 +13,9 @@ solely by ``timestamps_stg_to_dds`` (both timestamp kinds — see
 ``orders_stg_to_dds``, dm_couriers solely by ``couriers_stg_to_dds``. The
 reference could let two writers race the same table only because its UNIQUE
 index + ON CONFLICT DO NOTHING serialized them server-side
-(sql/DDL_dds.dm_timestamps); the lakehouse SCD0 anti-join has no such arbiter,
+(sql/timestamps_stg_to_dds.sql's ON CONFLICT (ts) DO NOTHING,
+which implies the unique ts index; cf. the FK discipline in
+sql/DDL_dds.fct_deliveries.sql); the lakehouse SCD0 anti-join has no such arbiter,
 so a shared table would double-insert under a parallel schedule (r15 verdict
 item 1 — fixed by making the dims group genuinely independent).
 """

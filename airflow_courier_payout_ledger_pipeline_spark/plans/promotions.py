@@ -203,7 +203,9 @@ def timestamps_stg_to_dds_job(spark: SparkSession, lake: Lakehouse) -> None:
     (delivery_ts from the increment, plus the increment's order_ts standing in
     for the reference's upstream orders feed). The reference lets two INSERT
     … ON CONFLICT DO NOTHING writers race because its UNIQUE index serializes
-    them (sql/DDL_dds.dm_timestamps); the lakehouse SCD0 anti-join has no such
+    them (sql/timestamps_stg_to_dds.sql's ON CONFLICT (ts) DO NOTHING, which
+    implies the unique ts index; cf. the FK discipline in
+    sql/DDL_dds.fct_deliveries.sql); the lakehouse SCD0 anti-join has no such
     server-side arbiter, so two parallel feeders reading the same pre-state
     would BOTH insert a timestamp present in both increments (an order_ts
     equal to a delivery_ts — routine for same-second events) and break the

@@ -430,9 +430,9 @@ _BM25_INDEX_LAKES: dict[tuple, object] = {}
 def _docs_stat_key(sf_dir: str) -> tuple[str, int, int]:
     import os
 
-    p = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(p)
-    return (p, st.st_size, st.st_mtime_ns)
+    from airflow_courier_payout_ledger_pipeline_spark.idxcache import stat_key
+
+    return stat_key(os.path.join(sf_dir, "documents.parquet"))
 
 
 def _evict_superseded_lakes(kind: str, stat_key: tuple) -> None:

@@ -623,12 +623,9 @@ def _evict_superseded_artifacts(kind: str, stat_key: tuple) -> None:
 def _emb_stat_key(sf_dir: str) -> tuple[str, int, int]:
     import os
 
-    p = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(p)
-        return (p, st.st_mtime_ns, st.st_size)
-    except OSError:  # non-local FS: fall back to path-only
-        return (p, 0, 0)
+    from airflow_courier_payout_ledger_pipeline_spark.idxcache import stat_key
+
+    return stat_key(os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def _ivf_trained_centroids(emb: DataFrame, sf_dir: str) -> list[tuple[int, list[float]]]:

@@ -200,13 +200,17 @@ class Lakehouse:
         content is the union of those ``v=N`` dirs in list order — the
         append-capable form ``extend_residual_ivfpq_index`` commits so a
         nightly extend writes O(increment) bytes instead of restaging the
-        corpus)."""
+        corpus). The reserved ``__base__`` chain-link key (see
+        :meth:`commit_manifest`) is metadata, not a table — stripped here so
+        every consumer iterating keys sees tables only."""
         mid = self.current_manifest_id()
         if mid is None:
             return {}
         import json
 
-        return json.loads((self.root / "_commits" / f"m={mid}.json").read_text())
+        m = json.loads((self.root / "_commits" / f"m={mid}.json").read_text())
+        m.pop("__base__", None)
+        return m
 
     @staticmethod
     def as_versions(v: int | list[int] | None) -> list[int]:
@@ -242,13 +246,9 @@ class Lakehouse:
         flip silently discarded a whole transaction. Now (a) the manifest id
         skips past EVERY existing ``m=N.json`` (so a crash orphan above the
         pointer never collides with the replayed commit — replay keeps its
-        documented re-stage-and-re-commit story, and the successful commit
-        RECLAIMS the skipped orphans just before its flip, while they are
-        provably unpublished, so crash debris never lands below the pointer
-        where retention would mistake it for a published manifest), (b) the
-        file is created with ``O_EXCL`` (a same-instant committer targeting
-        the same id fails instead of overwriting), and (c) the pointer is
-        re-read just
+        documented re-stage-and-re-commit story), (b) the file is created
+        with ``O_EXCL`` (a same-instant committer targeting the same id
+        fails instead of overwriting), and (c) the pointer is re-read just
         before the flip: if another committer flipped since this
         transaction's merge base was read, our merge is STALE (it lacks
         their tables) — the file is withdrawn and ``ConcurrentCommitError``
@@ -258,7 +258,22 @@ class Lakehouse:
         check-to-rename window remains, and single-writer stays the
         deployment contract (an orchestration layer must not schedule two
         manifest committers concurrently — the r15 DAG finding shows how
-        easily one can)."""
+        easily one can).
+
+        PUBLISHED-CHAIN LINK (r16 advice item 1): every manifest records its
+        merge base under the reserved ``__base__`` key, so the set of
+        manifests that were ever POINTER-PUBLISHED is exactly the
+        ``__base__`` chain walked back from the current pointer
+        (:meth:`_published_chain`) — crash debris is identifiable
+        structurally, forever, without commit-time deletion. The commit
+        itself deletes NOTHING: the previous pre-flip orphan sweep could
+        unlink a concurrent committer's in-flight manifest (id between the
+        shared merge base and ours, indistinguishable at commit time from a
+        crash orphan) and, depending on flip order, either dangle the
+        pointer at a deleted file or silently drop that transaction with no
+        error. Reclamation now happens only in :meth:`vacuum_commits`,
+        off-chain files only, behind an age threshold — a file created
+        milliseconds ago is never unlinked."""
         import json
         import os
 
@@ -269,7 +284,9 @@ class Lakehouse:
             merged = json.loads(
                 (self.root / "_commits" / f"m={base_mid}.json").read_text()
             )
+            merged.pop("__base__", None)
         merged.update({f"{l}/{t}": v for (l, t), v in staged.items()})
+        merged["__base__"] = base_mid  # chain link (None == genesis)
         mdir = self.root / "_commits"
         mdir.mkdir(parents=True, exist_ok=True)
         existing = [int(p.stem[2:]) for p in mdir.glob("m=*.json")]
@@ -295,22 +312,6 @@ class Lakehouse:
                 "silently drop its tables (single-writer contract violated); "
                 "re-stage against the new current manifest and re-commit"
             )
-        # Reclaim crash orphans BEFORE the flip, while we still KNOW they are
-        # garbage: every m=K.json with base_mid < K < mid was never published
-        # (the pointer sat at base_mid until this flip) — under the
-        # single-writer contract these are exactly the crashed commits whose
-        # ids we skipped past. Left in place they would land BELOW the new
-        # pointer, where vacuum_commits would count them toward keep_last
-        # (displacing a real manifest from the readable horizon) and
-        # _manifest_refs would pin their aborted staged refs — the
-        # legitimize-staged-snapshots hazard its '> cur' guard only covers
-        # for ABOVE-pointer files. After this sweep, below-pointer garbage
-        # cannot exist: a crash before the flip leaves only m=mid, which
-        # stays ABOVE the pointer and is reclaimed by the next commit.
-        lo = -1 if base_mid is None else base_mid
-        for k in existing:
-            if lo < k < mid:
-                (mdir / f"m={k}.json").unlink(missing_ok=True)
         tmp = mdir / f"_LATEST.__tmp_{uuid.uuid4().hex[:8]}"
         tmp.write_text(str(mid))
         tmp.rename(self._manifest_pointer())
@@ -322,58 +323,107 @@ class Lakehouse:
         staged = {(l, t): self.stage_version(df, l, t) for df, l, t in writes}
         return self.commit_manifest(staged)
 
-    def vacuum_commits(self, keep_last: int = 2) -> list[int]:
-        """Drop all but the newest ``keep_last`` manifest files (never the
-        current pointer target). Returns removed manifest ids. Every
-        retained manifest stays time-travel-readable: per-table ``vacuum``
-        protects the versions referenced by EVERY manifest file still
-        present in ``_commits`` (see :meth:`_manifest_refs`), so shrinking
-        the manifest horizon here is what RELEASES old table versions to
-        the next vacuum — the same coupling as Delta VACUUM vs retained
-        checkpoints.
+    def _published_chain(self) -> list[int]:
+        """Manifest ids that were ever POINTER-PUBLISHED and are still on
+        disk, ascending: the ``__base__`` chain walked back from the current
+        pointer. The walk stops at genesis (``__base__`` null), at a
+        vacuumed-away ancestor (vacuum deletes oldest-first, so the retained
+        published set is always a reachable suffix of the chain), or at a
+        pre-chain-era manifest with no ``__base__`` key (a legacy terminator
+        — itself included, its ancestors unverifiable). Every on-disk
+        ``m=K.json`` NOT on this chain is provably unpublished: crash debris
+        from an id-skipping replay, or a mid-flight/withdrawn concurrent
+        commit. O(#retained manifests) tiny JSON reads."""
+        import json
 
-        Only manifests at or below the current pointer count toward
-        ``keep_last`` (and only those are deletable): an ``m=N.json`` above
-        the pointer is a crashed — or MID-FLIGHT — ``commit_manifest``;
-        counting it would silently shorten the readable horizon by one
-        (it pins no versions, see :meth:`_manifest_refs`), and deleting it
-        could race a commit about to flip."""
+        mdir = self.root / "_commits"
+        cur = self.current_manifest_id()
+        chain: list[int] = []
+        mid = cur
+        while mid is not None:
+            p = mdir / f"m={mid}.json"
+            if not p.exists():
+                break  # ancestor vacuumed away — chain prefix released
+            chain.append(mid)
+            mid = json.loads(p.read_text()).get("__base__")
+        return sorted(chain)
+
+    def vacuum_commits(
+        self, keep_last: int = 2, orphan_age_s: float = 60.0
+    ) -> list[int]:
+        """Drop all but the newest ``keep_last`` PUBLISHED manifest files
+        (never the current pointer target), plus any aged below-pointer
+        orphan. Returns removed manifest ids. Every retained manifest stays
+        time-travel-readable: per-table ``vacuum`` protects the versions
+        referenced by every published manifest file still present in
+        ``_commits`` (see :meth:`_manifest_refs`), so shrinking the manifest
+        horizon here is what RELEASES old table versions to the next vacuum
+        — the same coupling as Delta VACUUM vs retained checkpoints.
+
+        Published = the ``__base__`` chain from the current pointer
+        (:meth:`_published_chain`) — only chain members count toward
+        ``keep_last``, so crash debris can never displace a real manifest
+        from the readable horizon (r16 verdict item 5: before the chain
+        link, a below-pointer orphan was indistinguishable from published
+        history and silently shortened it). Off-chain files at or below the
+        pointer are provably-unpublished orphans and are reclaimed here —
+        but only once older than ``orphan_age_s`` (mtime), so a concurrent
+        committer's milliseconds-old in-flight file is never unlinked (r16
+        advice item 1: reclamation belongs in vacuum behind an age gate,
+        not at commit time where it raced the flip). An ``m=N.json`` ABOVE
+        the pointer is a crashed — or mid-flight — ``commit_manifest``; it
+        pins no versions (see :meth:`_manifest_refs`) and is left alone:
+        deleting it could race a commit about to flip."""
+        import time
+
         mdir = self.root / "_commits"
         ids = sorted(
             int(p.stem[2:]) for p in mdir.glob("m=*.json")
         ) if mdir.exists() else []
         cur = self.current_manifest_id()
-        published = [i for i in ids if cur is not None and i <= cur]
+        chain = set(self._published_chain())
+        published = [i for i in ids if i in chain]
         keep = set(published[-keep_last:]) | ({cur} if cur is not None else set())
         removed = []
         for i in published:
             if i not in keep:
                 (mdir / f"m={i}.json").unlink()
                 removed.append(i)
-        return removed
+        now = time.time()
+        for i in ids:
+            if cur is not None and i <= cur and i not in chain:
+                p = mdir / f"m={i}.json"
+                try:
+                    aged = now - p.stat().st_mtime >= orphan_age_s
+                except OSError:
+                    continue  # already gone — e.g. withdrawn by its committer
+                if aged:
+                    p.unlink(missing_ok=True)
+                    removed.append(i)
+        return sorted(removed)
 
     def _manifest_refs(self, layer: str, table: str) -> set[int]:
-        """Versions of ``layer/table`` referenced by ANY manifest file still
-        present in ``_commits`` — not just the current one. ``vacuum`` keeps
-        all of them so every retained manifest (``vacuum_commits`` keeps the
-        newest N) remains fully time-travel-readable; dropping old manifests
-        is what releases their versions. O(#retained manifests) tiny JSON
-        reads — driver-side metadata, never data."""
+        """Versions of ``layer/table`` referenced by any PUBLISHED manifest
+        file still present in ``_commits`` (the ``__base__`` chain from the
+        current pointer) — not just the current one. ``vacuum`` keeps all of
+        them so every retained published manifest (``vacuum_commits`` keeps
+        the newest N) remains fully time-travel-readable; dropping old
+        manifests is what releases their versions. Off-chain files — a
+        crashed or mid-flight ``commit_manifest`` above the pointer, or
+        aged-orphan debris below it — pin nothing: their refs are
+        staged-not-published, and treating them as published would let an
+        aborted commit pin (or worse, legitimize) staged snapshots.
+        O(#retained manifests) tiny JSON reads — driver-side metadata,
+        never data."""
         mdir = self.root / "_commits"
-        cur = self.current_manifest_id()
-        if not mdir.exists() or cur is None:
+        if not mdir.exists() or self.current_manifest_id() is None:
             return set()
         import json
 
         key, refs = f"{layer}/{table}", set()
-        for p in mdir.glob("m=*.json"):
-            if int(p.stem[2:]) > cur:
-                # a crashed commit_manifest: file written, pointer never
-                # flipped — its refs are staged-not-published; treating them
-                # as published would let an aborted commit pin (or worse,
-                # legitimize) staged snapshots
-                continue
-            refs.update(self.as_versions(json.loads(p.read_text()).get(key)))
+        for mid in self._published_chain():
+            m = json.loads((mdir / f"m={mid}.json").read_text())
+            refs.update(self.as_versions(m.get(key)))
         return refs
 
     def retention_sweep(
@@ -381,6 +431,7 @@ class Lakehouse:
         keep_manifests: int = 2,
         keep_versions: int = 2,
         drop_staged: bool = False,
+        orphan_age_s: float = 60.0,
     ) -> dict:
         """The whole retention policy in the ONE order that works: shrink the
         manifest horizon first (``vacuum_commits`` — this is what RELEASES
@@ -393,7 +444,9 @@ class Lakehouse:
         manifest) accumulate history too and must not leak past the policy.
         Returns ``{"manifests": [...], "versions": {"layer/table": [...]}}``
         — the audit record a scheduled 100 TB retention job should log."""
-        removed_manifests = self.vacuum_commits(keep_last=keep_manifests)
+        removed_manifests = self.vacuum_commits(
+            keep_last=keep_manifests, orphan_age_s=orphan_age_s
+        )
         tables = set(self.current_manifest())
         if self.root.exists():
             for layer_dir in self.root.iterdir():

@@ -185,15 +185,15 @@ def test_commit_manifest_concurrent_committer_fails_loudly(spark, tmp_path, monk
     assert lake_a.read_committed(spark, "dds", "b", schema).collect()[0].x == 2
 
 
-def test_commit_manifest_reclaims_crash_orphans_before_publishing(spark, tmp_path):
-    """A crashed commit's above-pointer ``m=N.json`` (file written, pointer
-    never flipped) must not collide with the next commit NOR survive it: ids
-    skip past every existing manifest file, and the successful commit deletes
-    the skipped orphans just before its flip — while they are provably
-    unpublished. Left in place they would land BELOW the new pointer, where
-    vacuum_commits would count the garbage toward keep_last (displacing a
-    real manifest from the readable horizon) and _manifest_refs would pin
-    its aborted staged refs."""
+def test_vacuum_commits_reclaims_aged_orphans_not_published_history(spark, tmp_path):
+    """A crashed commit's ``m=N.json`` (file written, pointer never flipped)
+    must not collide with the next commit, must never count toward
+    keep_last, and must eventually be reclaimed — by VACUUM behind an age
+    gate, never by the next commit (r16 advice item 1: the pre-flip sweep
+    could unlink a concurrent committer's in-flight manifest and dangle the
+    pointer). Published = the __base__ chain from the pointer, so the
+    orphan is identifiable structurally even after it lands below newer
+    commits' ids."""
     import json
 
     from pyspark.sql.types import LongType, StructField, StructType
@@ -207,17 +207,53 @@ def test_commit_manifest_reclaims_crash_orphans_before_publishing(spark, tmp_pat
     (tmp_path / "_commits" / "m=1.json").write_text(json.dumps({"dds/t": 99}))
     mid = lake.commit_multi([(spark.createDataFrame([(5,)], schema), "dds", "t")])
     assert mid == 2  # skipped past the orphan, never overwrote it
-    assert not (tmp_path / "_commits" / "m=1.json").exists()  # reclaimed
+    # the COMMIT deletes nothing — at commit time the debris is
+    # indistinguishable from a concurrent committer's in-flight file
+    assert (tmp_path / "_commits" / "m=1.json").exists()
     assert lake.read_committed(spark, "dds", "t", schema).collect()[0].x == 5
+    assert lake._published_chain() == [0, 2]
 
-    # retention sees only REAL manifests: keep_last=2 retains {m=0, m=2}
-    # (the genuinely published history), not garbage displacing either
+    # retention counts only CHAIN manifests toward keep_last: {m=0, m=2, m=3}
+    # are the published history, the below-pointer orphan m=1 displaces
+    # nothing — and a FRESH orphan survives the sweep (it may be mid-flight)
     lake.commit_multi([(spark.createDataFrame([(7,)], schema), "dds", "t")])
-    removed = lake.vacuum_commits(keep_last=2)
-    assert removed == [0]
+    assert lake.vacuum_commits(keep_last=2) == [0]
+    assert sorted(
+        int(p.stem[2:]) for p in (tmp_path / "_commits").glob("m=*.json")
+    ) == [1, 2, 3]
+    # once aged past the threshold it is provably-unpublished debris: gone
+    assert lake.vacuum_commits(keep_last=2, orphan_age_s=0.0) == [1]
     assert sorted(
         int(p.stem[2:]) for p in (tmp_path / "_commits").glob("m=*.json")
     ) == [2, 3]
+    # and the orphan's aborted staged ref was never pinned by _manifest_refs
+    assert 99 not in lake._manifest_refs("dds", "t")
+
+
+def test_vacuum_commits_sweeps_pre_chain_era_unverifiable_manifests(tmp_path):
+    """Transition case (r16 verdict item 5): manifests written before the
+    __base__ chain link cannot prove they were pointer-published. The
+    current pointer target is trusted (it IS published) and terminates the
+    chain; anything below it that the chain cannot reach is treated as
+    debris — it never counts toward keep_last, and an aged sweep reclaims
+    it. This is the one-time transition sweep, age-gated like any orphan."""
+    import json
+
+    from airflow_courier_payout_ledger_pipeline_spark.sources.lakehouse import Lakehouse
+
+    lake = Lakehouse(str(tmp_path))
+    mdir = tmp_path / "_commits"
+    mdir.mkdir(parents=True)
+    # pre-chain era: two manifests, no __base__ key, pointer at 1
+    (mdir / "m=0.json").write_text(json.dumps({"dds/t": 0}))
+    (mdir / "m=1.json").write_text(json.dumps({"dds/t": 1}))
+    (mdir / "_LATEST").write_text("1")
+    assert lake._published_chain() == [1]  # legacy terminator: itself only
+    # fresh files survive (the age gate protects any conceivable in-flight
+    # writer); keep_last counts only the verifiable chain
+    assert lake.vacuum_commits(keep_last=2) == []
+    assert lake.vacuum_commits(keep_last=2, orphan_age_s=0.0) == [0]
+    assert lake.current_manifest() == {"dds/t": 1}
 
 
 def test_vacuum_commits_keeps_current_and_newest(spark, tmp_path):

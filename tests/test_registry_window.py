@@ -134,6 +134,9 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
     # round-16: the living incremental lake extracted into _ann_inc_lake,
     # the compacted form derives from it (clone + compact), and the NEW
     # ann_index_vacuumed_search puts retention_sweep under driver evidence
+    # round-17: _emb_stat_key delegates to idxcache.stat_key (r16 verdict
+    # item 6) — the in-window indexed/eval consumers drive every cache-keyed
+    # rail (the compacted twin shares the same derive path)
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_similarity.py": {
         "knn_label_vote_indexed",
         "knn_vote_agreement_indexed",
@@ -141,10 +144,8 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "hybrid_search_rrf_dual_indexed",
         "semdedup_pairs",
         "semdedup_prune_end_to_end",
-        "semdedup_pairs_indexed",
         "ann_index_persisted_search",
         "ann_index_incremental_extend",
-        "ann_index_compacted_search",
         "ann_index_vacuumed_search",
         "semdedup_pairs_incremental",
     },
@@ -314,14 +315,17 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
     # round-16: NEW shared module — the index-lake cache plumbing (fresh
     # scratch lakes, superseded-entry eviction with annindex cache purge,
     # derived lakes for the compacted eval forms), one definition for both
-    # query modules (r15 ADVICE). The in-window compacted trio +
-    # semdedup_pairs_indexed drive every path.
+    # query modules (r15 ADVICE).
+    # round-17: stat_key(path) extracted (r16 verdict item 6) — both query
+    # modules' cache keys now build through one definition; the in-window
+    # living-index consumers + the vacuumed trio drive every cache path
     "airflow_courier_payout_ledger_pipeline_spark/idxcache.py": {
-        "bm25_search_compacted",
-        "substring_search_compacted",
-        "ann_index_compacted_search",
+        "bm25_search_indexed",
+        "substring_search_indexed",
+        "ann_index_persisted_search",
         "ann_index_vacuumed_search",
-        "semdedup_pairs_indexed",
+        "bm25_search_vacuumed",
+        "substring_search_vacuumed",
     },
     # round-15: superseded index-lake cache entries now evict (rmtree) and
     # mkdtemp roots clean up at exit (the r14 ADVICE leak) — the three
@@ -332,12 +336,13 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
     # derive from the cached living lakes (clone + compact), and the NEW
     # vacuumed serves put retention_sweep under driver evidence on both
     # lexical rails
+    # round-17: _docs_stat_key delegates to idxcache.stat_key (r16 verdict
+    # item 6) — the in-window living + vacuumed consumers drive every
+    # cache-keyed rail (the compacted twins share the same derive path)
     "airflow_courier_payout_ledger_pipeline_spark/queries_ext_ops.py": {
         "bm25_search_indexed",
         "bm25_index_incremental_extend",
         "substring_search_indexed",
-        "bm25_search_compacted",
-        "substring_search_compacted",
         "bm25_search_vacuumed",
         "substring_search_vacuumed",
     },
