@@ -182,6 +182,28 @@ def committed_assignments(
     )
 
 
+def committed_list_counts(
+    lake: Lakehouse, layer: str, spark: SparkSession
+) -> list[tuple[int, int]]:
+    """The committed per-cell posting counts as ``[(cluster, n), ...]`` —
+    the coarse half of the maintained ``ann_list_state`` the build/extend
+    protocol already folds, collected as O(k) driver state. Consumers that
+    need per-cell SIZES of the committed corpus (the incremental SemDeDup
+    shard draw: ceil(size / max_cluster) shards per cell) read them here
+    instead of re-counting with a corpus groupBy — the committed state IS
+    the count, maintained at O(increment) by every extend (r16 verdict
+    item 2a). Multi-file state versions (one per extend since the last
+    compaction) fold by summing per cell — the same merge the extend
+    itself commits. Never-committed indexes return []."""
+    state = lake.read_committed(
+        spark, layer, LIST_STATE, StructType.fromDDL(_STATE_SCHEMA)
+    )
+    rows = (
+        state.groupBy("centroid").agg(F.sum("n").alias("n")).collect()
+    )
+    return sorted((int(r["centroid"]), int(r["n"])) for r in rows)
+
+
 def build_residual_ivfpq_index(
     lake: Lakehouse,
     layer: str,

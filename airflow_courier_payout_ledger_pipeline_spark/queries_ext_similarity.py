@@ -2825,16 +2825,24 @@ def q_semdedup_pairs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the FROZEN committed centroids, and only pairs touching the
     increment are computed — increment × (history ∪ increment) within the
     same corpus-wide (cluster, md5-shard) scope as the full form
-    (`operators/similarity.semdedup_pairs_incremental`). At 100 TB a
-    nightly run pays O(|inc| × cluster density) pair work with the
-    increment broadcast into one corpus scan, instead of the full
-    Σ|cluster|² pair space every night. Hash-checked against the full
-    csel-fed pair oracle FILTERED to increment-touching pairs — equality
-    is the claim that the incremental scope drops no pair the full nightly
-    recompute would have reported (given committed ≡ recomputed
-    assignment, the determinism law the index search already relies on)."""
+    (`operators/similarity.semdedup_pairs_incremental`). O(increment) in
+    SCAN too (r17, the r16 verdict item 2): shard sizes come from the
+    committed index's maintained per-cell counts
+    (`annindex.committed_list_counts` — this lake indexed history AND the
+    increment, so state-n IS the history ∪ increment size; never a corpus
+    groupBy), and the history side is pruned to the increment's touched
+    clusters before the pair join (an IN-list that pushes into the
+    cluster-scoped codes read). At 100 TB a nightly run pays
+    O(|inc| × cluster density) pair work with the increment broadcast into
+    one PRUNED corpus scan, instead of the full Σ|cluster|² pair space
+    every night. Hash-checked against the full csel-fed pair oracle
+    FILTERED to increment-touching pairs — equality is the claim that the
+    incremental scope drops no pair the full nightly recompute would have
+    reported (given committed ≡ recomputed assignment, the determinism law
+    the index search already relies on)."""
     from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
         committed_assignments,
+        committed_list_counts,
         load_index_artifacts,
     )
     from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
@@ -2849,5 +2857,10 @@ def q_semdedup_pairs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     history = emb.filter(F.col("vec_id") % 2 == 0).join(assigned, "vec_id")
     increment = emb.filter(F.col("vec_id") % 2 == 1)
     return semdedup_pairs_incremental(
-        history, increment, cents, 0.38, max_cluster=SEMDEDUP_MAX_CLUSTER
+        history,
+        increment,
+        cents,
+        0.38,
+        max_cluster=SEMDEDUP_MAX_CLUSTER,
+        corpus_cluster_sizes=committed_list_counts(lake, "idx", spark),
     )

@@ -59,6 +59,33 @@ def test_persisted_search_matches_on_the_fly(spark, corpus, artifacts, tmp_path)
     assert rc == cents and rb == books
 
 
+def test_committed_list_counts_equal_assignment_counts(spark, corpus, artifacts, tmp_path):
+    """committed_list_counts must equal a groupBy over the committed
+    assignments — the maintained state IS the count, which is what licenses
+    the incremental SemDeDup shard draw to skip the corpus groupBy (r16
+    verdict item 2a). Holds across an extend (multi-row state merge)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
+        committed_assignments,
+        committed_list_counts,
+        extend_residual_ivfpq_index,
+    )
+
+    cents, books = artifacts
+    lake = Lakehouse(str(tmp_path))
+    build_residual_ivfpq_index(lake, "idx", corpus.filter(F.col("vec_id") < 30), cents, books)
+    extend_residual_ivfpq_index(lake, "idx", corpus.filter(F.col("vec_id") >= 30))
+    id_field = corpus.select("vec_id").schema.fields[0]
+    want = sorted(
+        (int(r["cluster"]), int(r["n"]))
+        for r in committed_assignments(lake, "idx", spark, id_field)
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert committed_list_counts(lake, "idx", spark) == want
+    assert sum(n for _, n in want) == corpus.count()
+
+
 def test_index_publish_is_atomic_across_tables(spark, corpus, artifacts, tmp_path):
     """A crash between the codes write and the centroid write must leave
     readers on the OLD index — codes are never searched against centroids

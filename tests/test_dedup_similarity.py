@@ -364,6 +364,80 @@ def test_semdedup_incremental_equals_full_filtered_for_any_split(spark):
     assert nonempty >= 2
 
 
+def test_semdedup_incremental_committed_sizes_match_fallback_and_prune(spark):
+    """The O(increment)-in-scan form (r16 verdict item 2): (a) supplying
+    corpus_cluster_sizes — the committed index's maintained per-cell counts
+    — must produce bit-identical pairs to the fallback that counts the
+    pruned history (the shard draw sees the same sizes either way); (b) the
+    history side is pruned to increment-touched clusters BEFORE the pair
+    join (plan-asserted), so untouched cells' row groups are never read."""
+    import pyspark.sql.functions as F
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        _assign_to_centroids,
+        semdedup_pairs_incremental,
+    )
+    from airflow_courier_payout_ledger_pipeline_spark.plans.tpch_adapter import (
+        load_tables,
+    )
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", "embeddings")["embeddings"]
+    cents = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    )
+    history = emb.filter(F.col("vec_id") % 2 == 0).withColumn(
+        "cluster", _assign_to_centroids(cents, "embedding")
+    )
+    increment = emb.filter(F.col("vec_id") % 2 == 1)
+    # the committed counts the caller would read from ann_list_state:
+    # history ∪ increment per-cell sizes
+    sizes = [
+        (int(r["c"]), int(r["n"]))
+        for r in emb.select(_assign_to_centroids(cents, "embedding").alias("c"))
+        .groupBy("c")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    fallback = sorted(
+        map(
+            tuple,
+            semdedup_pairs_incremental(
+                history, increment, cents, 0.38, max_cluster=10
+            ).collect(),
+        )
+    )
+    supplied = sorted(
+        map(
+            tuple,
+            semdedup_pairs_incremental(
+                history,
+                increment,
+                cents,
+                0.38,
+                max_cluster=10,
+                corpus_cluster_sizes=sizes,
+            ).collect(),
+        )
+    )
+    assert supplied == fallback and fallback
+    # (b) the pruning filter: a single-cluster increment must leave an
+    # IN/equality predicate on history's cluster column in the plan
+    one_cell_inc = spark.createDataFrame(
+        [(100001, [float(x) for x in cents[0][1]])],
+        "vec_id long, embedding array<double>",
+    )
+    plan = (
+        semdedup_pairs_incremental(history, one_cell_inc, cents, 0.38)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "cluster" in plan and ("IN (" in plan or "= 0" in plan or "(0)" in plan), (
+        "expected a touched-cluster predicate on the history side:\n" + plan[:2000]
+    )
+
+
 def test_semdedup_incremental_respects_supplied_history_cluster(spark):
     """History pairs are scoped to the cluster history was INDEXED with —
     never re-derived: a history row carrying a (deliberately) different
