@@ -464,6 +464,11 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     "grouped_split_assign",
     "score_quantile_norm",
     # -- round-17 code changes / additions append here as they land --
+    # operators/similarity.py changed in r17 (incremental SemDeDup's
+    # O(increment)-scan form — committed list counts + touched-cluster
+    # pruning); semdedup_pairs_indexed is the one evidence query of its set
+    # not already in the active r17 window
+    "semdedup_pairs_indexed",
 ]
 
 
