@@ -41,8 +41,14 @@ from pyspark.sql import functions as F
 #: agg is d+1 columns wide — the Arrow partial-gram reads the corpus at row
 #: grain instead. ``gram_mode="auto"`` consumers route past this threshold
 #: (the exact analogue of ``similarity._resolve_assign_mode`` routing past
-#: UNROLLED_LITERAL_BUDGET). d=64 (the registered diagnostics) stays explode.
-GRAM_AUTO_DIM_THRESHOLD = 128
+#: UNROLLED_LITERAL_BUDGET). Measured r17 (sf0.1, d=64): the partial-gram
+#: pass runs the dimension-correlation audit 1.26 s → 0.59 s and the
+#: dominant-direction scorer 1.56 s → 0.92 s with IDENTICAL output (the 4dp
+#: grid both paths land on, pinned in tests/test_linalg.py) — one numpy
+#: ``X.T @ X`` per batch beats a d+1-column-wide codegen agg well below the
+#: old 128 threshold, so auto now routes d>32 to the partial gram. The
+#: explode path remains the zero-Python-boundary form for small d.
+GRAM_AUTO_DIM_THRESHOLD = 32
 
 #: hard ceiling for the explode path itself (mirrors
 #: similarity.UNROLLED_LITERAL_BUDGET's raise-don't-stall rule): past this,
@@ -152,17 +158,19 @@ def dim_cosine_pairs(
     audit deadness on the diagonal of ``second_moment`` (s = 0 rows), not
     through this pair report.
 
-    The d²-row matrix is PINNED (eager localCheckpoint) before fan-out: the
+    The d²-row matrix is PINNED (lazy localCheckpoint) before fan-out: the
     off-diagonal side and both broadcast diagonal sides would otherwise each
     re-execute the corpus aggregation (Spark's exchange reuse does not fire
     across the differently-aliased subtrees) — one corpus pass, three
-    consumers of 4096 rows.
+    consumers of 4096 rows. Lazy, not eager: the gram lineage is
+    deterministic, so first-action materialization is race-safe and skips
+    the synchronous construction-time job (the quantile.py A/B).
 
     ``gram_mode``: 'auto' (default) runs the explode-path matrix at-or-under
     GRAM_AUTO_DIM_THRESHOLD and the Arrow partial-gram past it — both paths
     land on the same 4dp grid, so the report is mode-invariant (pinned in
     tests/test_linalg.py)."""
-    s = _gram(emb, dim, vec_col, 4, gram_mode).localCheckpoint()
+    s = _gram(emb, dim, vec_col, 4, gram_mode).localCheckpoint(eager=False)
     diag = s.filter(F.col("j") == F.col("k")).select(
         F.col("j").alias("__d"), F.col("s").alias("__sd")
     )

@@ -148,15 +148,20 @@ def mad_outlier_stats_from_state(
     shape: fold the increment into the persisted state, then audit at
     distinct-value grain without touching raw rows.
 
-    The state and the derived deviation histogram are PINNED (eager
+    The state and the derived deviation histogram are PINNED (LAZY
     localCheckpoint, the graph.py discipline): the state feeds the median
     branch AND the deviation re-key, the deviation histogram feeds the MAD
     branch AND the final fold, and each reference would otherwise duplicate
     its upstream in the plan (10 static Exchange lines before the pins, 2
     after — the budget pinned in test_shuffle_budgets; runtime
-    ReusedExchange is not a contract). Both are state-grain
+    ReusedExchange is not a contract). LAZY (eager=False), not eager: the
+    static plan is the same LogicalRDD truncation either way, but eager pays
+    two SYNCHRONOUS driver-blocking jobs at plan-construction time where
+    lazy materializes each pin once inside the first consuming action
+    (A/B'd at sf0.1: 0.94 s → 0.79 s per audit call, identical results and
+    identical post-pin Exchange count). Both are state-grain
     — domain-bounded, distributed, never driver-side."""
-    state = state.localCheckpoint(eager=True)
+    state = state.localCheckpoint(eager=False)
     med = quantiles_from_state(state, group_cols, [("__median", 1, 2)]).select(
         *group_cols, "__median"
     )
@@ -168,7 +173,7 @@ def mad_outlier_stats_from_state(
             F.abs(F.col("value") - F.col("__median")).alias("value"),
         )
         .agg(F.sum("cnt").alias("cnt"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     mad = quantiles_from_state(
         dev_state, group_cols, [("__mad", 1, 2)]

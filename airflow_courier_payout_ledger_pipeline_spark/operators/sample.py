@@ -190,9 +190,11 @@ def kmv_pairwise_set_estimates(
     + one tiny self-join total — the first formulation fanned the state
     through 6 tiny exchanges/broadcasts and re-executed the state's corpus
     upstream per branch (measured 2.9 s of pure stage overhead at sf0.1;
-    this one is ~0.5 s). The packed table is pinned (eager
-    localCheckpoint, the graph.py discipline) so the self-join's two arms
-    don't rebuild the state twice; it is sides·groups rows — O(KB).
+    this one is ~0.5 s). The packed table is pinned (LAZY
+    localCheckpoint, the graph.py discipline — lazy is race-safe here
+    because the array_sort makes the packed lineage deterministic, and it
+    skips eager's synchronous construction-time job) so the self-join's two
+    arms don't rebuild the state twice; it is sides·groups rows — O(KB).
     Output grain: (*group_cols, {side}_a, {side}_b) with
     ``union_est``/``inter_est`` BIGINT and ``exact`` flags."""
     a_col, b_col = f"{side_col}_a", f"{side_col}_b"
@@ -207,7 +209,7 @@ def kmv_pairwise_set_estimates(
                 )
             ).alias("__arr")
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     x, y = packed.alias("__x"), packed.alias("__y")
     cond = F.col(f"__x.{side_col}") < F.col(f"__y.{side_col}")

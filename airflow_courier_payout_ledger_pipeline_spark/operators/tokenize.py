@@ -97,7 +97,7 @@ def bpe_train_merges(
     words = (
         word_frequencies(docs, text_col)
         .select(_spaced(F.col("word")).alias("seq"), "n")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[int, str, int]] = []
     for it in range(1, iters + 1):
@@ -115,7 +115,7 @@ def bpe_train_merges(
         merges.append((it, pair, count))
         words = words.select(
             _merge_pair_expr(F.col("seq"), pair).alias("seq"), "n"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(merges, "iter int, pair string, pair_count bigint")
 
 

@@ -28,6 +28,30 @@ from pyspark.sql import functions as F
 
 MONEY = "decimal(14,2)"
 
+#: inferred parquet schemas keyed on ``idxcache.stat_key(path)`` — METADATA
+#: caching, not result caching: ``spark.read.parquet(path)`` re-reads the
+#: footer on the driver at every query CONSTRUCTION (~60 ms per table on this
+#: box), which a bench/driver process pays hundreds of times over unchanged
+#: files. A rewritten file (new size/mtime) misses the cache and re-infers,
+#: exactly the idxcache eviction discipline. At 100 TB the analogue is a
+#: catalog/table-format schema — no production reader re-infers per query.
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with the inferred schema memoized per file
+    stats — construction-time metadata reuse; the data is still read from
+    parquet at execution, every time."""
+    from airflow_courier_payout_ledger_pipeline_spark.idxcache import stat_key
+
+    key = stat_key(path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
 TABLES = (
     "region",
     "nation",
@@ -47,7 +71,7 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     read nanos as long and truncate to micros (identical to DuckDB's nanos→micros
     truncation, so oracle comparisons stay exact)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = _read_parquet(spark, f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
@@ -57,7 +81,7 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     """Read testdata parquet tables; column pruning/pushdown left to Catalyst."""
     use = names or TABLES
     return {
-        t: read_events(spark, sf_dir) if t == "events" else spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        t: read_events(spark, sf_dir) if t == "events" else _read_parquet(spark, f"{sf_dir}/{t}.parquet")
         for t in use
     }
 

@@ -271,7 +271,7 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline (the expensive part) would execute twice
     cand = lsh_candidate_pairs(
         sig, BANDS, ROWS_PER_BAND, max_bucket=LSH_MAX_BUCKET
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     grams = word_ngrams(docs, "doc_id", "text", n=3)
     exact = verify_pairs_ngram_jaccard(cand.select("id_a", "id_b"), grams, 0.0)
     return (

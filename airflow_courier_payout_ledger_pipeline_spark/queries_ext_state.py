@@ -1035,9 +1035,10 @@ def q_heavy_users_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         # PIN the merged state: it is referenced by totals, passing, and the
         # final join — without a barrier each reference re-executes the
         # day-sketch + merge aggs (measured 14 exchanges vs 5). State grain
-        # (<= windows x depth x width rows), same discipline as the other
-        # eagerly-pinned sketch states.
-        .localCheckpoint()
+        # (<= windows x depth x width rows); LAZY pin (deterministic
+        # lineage, so first-action materialization is race-safe and skips
+        # the synchronous construction-time job — the r17 pin A/B).
+        .localCheckpoint(eager=False)
     )
     # exact window totals off the merged state: every event lands in exactly
     # one bucket per seed, so sum(cnt) = depth * N per window. Integer DIV,
