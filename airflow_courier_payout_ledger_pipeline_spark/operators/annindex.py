@@ -106,6 +106,13 @@ def invalidate_artifact_caches(root) -> None:
     for cache in (_ARTIFACT_CACHE, _VALIDATED_CODES):
         for k in [k for k in cache if k[0] == r]:
             cache.pop(k, None)
+    # the lexical rails' per-manifest artifacts fall with the same root
+    # (textindex._IDX_CACHE keys lead with str(root) too)
+    from airflow_courier_payout_ledger_pipeline_spark.operators.textindex import (
+        invalidate_idx_caches,
+    )
+
+    invalidate_idx_caches(root)
 
 
 def _manifest_cache_key(lake: Lakehouse, layer: str) -> tuple | None:

@@ -59,8 +59,17 @@ def synthesize_payloads(media: DataFrame, batch_rows: int = 256) -> DataFrame:
     generated Arrow-batch-wise via mapInPandas (the bench/test stand-in for
     scanning a real parquet binary column — NOT a row-at-a-time Python UDF:
     rows move driver↔executor as Arrow batches, generation loops stay in-process
-    over one batch at a time)."""
+    over one batch at a time).
+
+    The metadata frame is SPREAD (round-robin repartition to the session's
+    parallelism, the ``char_shingles`` explode-amplification guard) before
+    the Python stage: a small-file metadata scan is ONE partition, which
+    serializes every downstream Python pass — synthesis AND the decode that
+    follows it — on a single task; the spread's exchange carries a few ints
+    per row, negligible next to the per-row codec work it parallelizes."""
     import pandas as pd  # noqa: PLC0415
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import _spread
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -71,7 +80,7 @@ def synthesize_payloads(media: DataFrame, batch_rows: int = 256) -> DataFrame:
             ]
             yield pdf[["media_id", "payload", "media_type", "declared_w", "declared_h"]]
 
-    return media.mapInPandas(gen, MEDIA_SCHEMA)
+    return _spread(media).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def _decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
@@ -287,8 +296,15 @@ def synthesize_png_payloads(media: DataFrame) -> DataFrame:
     instead of ``media_id`` (several media rows can share identical pixel
     content), and the row-filter strategy toggles on media_id parity — so two
     copies of the same content have byte-DIFFERENT payloads that decode to
-    identical pixels, the setup content-grain dedup must see through."""
+    identical pixels, the setup content-grain dedup must see through.
+
+    Spread before the Python stage for the same reason as
+    ``synthesize_payloads``: the real-codec encode (zlib + per-row filters)
+    is the most Python-expensive synthesis in the module, and a one-partition
+    metadata scan would run it — and the decode after it — on one task."""
     import pandas as pd  # noqa: PLC0415
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import _spread
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -312,7 +328,7 @@ def synthesize_png_payloads(media: DataFrame) -> DataFrame:
             ]
             yield pdf[["media_id", "payload", "media_type", "declared_w", "declared_h"]]
 
-    return media.mapInPandas(gen, MEDIA_SCHEMA)
+    return _spread(media).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def _decode(payload: bytes) -> tuple[int, int, int, bytes]:

@@ -92,6 +92,10 @@ def bm25_topk(
     query_terms = _validated_query_terms(query_terms)
     from airflow_courier_payout_ledger_pipeline_spark.functions.text import normalize_text
 
+    # NOT spread (r17 A/B): unlike the similarity pair scans, the token pass
+    # runs TWICE per call (the stats action + the scoring plan), so a
+    # pre-explode repartition pays its stage twice and measured +0.3 s at
+    # sf0.1 against ~0.1 s of parallelized tokenize work
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
@@ -598,6 +602,11 @@ def _modal_label_vote(nn_lab: DataFrame, group_cols: list[str]) -> DataFrame:
     with the winning '__nl' and its 'votes'."""
     from pyspark.sql.window import Window
 
+    # NOTE (r17 A/B): a repartition(group) ahead of the agg, meant to let
+    # the agg and the window share one exchange (guide §2.4), did NOT
+    # collapse — the planner kept the repartition AND inserted its own
+    # ENSURE_REQUIREMENTS exchange (3 total, was 2) — so the plain two-
+    # exchange shape stays
     votes = nn_lab.groupBy(*group_cols, "__nl").agg(F.count("*").alias("votes"))
     w = Window.partitionBy(*group_cols).orderBy(
         F.desc("votes"), F.asc_nulls_last("__nl")

@@ -25,6 +25,24 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _spread_corpus(df: DataFrame) -> DataFrame:
+    """Round-robin repartition of a CORPUS side to the session's parallelism
+    ahead of per-row quantizer math or pair fan-out — ``dedup._spread``
+    applied to this module's hazard (guide §2.5 input skew: one
+    single-row-group parquet file is ONE scan task, which serializes the
+    k·dim argmin / m·k_c PQ encode / Σ|cluster|² pair work this module runs
+    per corpus row; measured r17: the whole semdedup pair scan and every
+    raw-corpus ANN search ran on one task at sf0.1). Callers pass the
+    column-pruned projection so the exchange carries only (id, vector) —
+    a few hundred bytes per row against ≥|Q|·d flops of downstream per-row
+    work. Applied on the exact-baseline / training-time operators that scan
+    the RAW corpus; the production index rails read committed multi-file
+    tables whose scan parallelism is set by the write path."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import _spread
+
+    return _spread(df)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double precision, sequential fold (deterministic order)."""
     return F.aggregate(
@@ -72,13 +90,15 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, sim) with rank ≤ k per query.
-    Self-matches excluded; ties broken by neighbor id."""
+    Self-matches excluded; ties broken by neighbor id. The corpus side is
+    spread (``_spread_corpus``) so the |Q|-per-row cosine fan-out
+    parallelizes even off a single-file scan."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         norm(F.col(vec_col)).alias("__qn"),
     )
-    c = corpus.select(
+    c = _spread_corpus(corpus.select(F.col(id_col), F.col(vec_col))).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         norm(F.col(vec_col)).alias("__cn"),
@@ -171,7 +191,7 @@ def bucketed_ann_topk(
         norm(F.col(vec_col)).alias("__qn"),
         probe_col.alias("bucket"),
     )
-    c = corpus.select(
+    c = _spread_corpus(corpus.select(F.col(id_col), F.col(vec_col))).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         norm(F.col(vec_col)).alias("__cn"),
@@ -609,8 +629,9 @@ def ivf_variant_hits(
         if not cents:  # empty quantizer: contributes no candidates, no hits
             continue
         mode = _resolve_assign_mode("auto", cents)
+        pruned = _spread_corpus(corpus.select(F.col(id_col), F.col(vec_col)))
         if mode == "literal":
-            c = corpus.select(
+            c = pruned.select(
                 F.col(id_col).alias("neighbor_id"),
                 F.col(vec_col).alias("__cv"),
                 norm(F.col(vec_col)).alias("__cn"),
@@ -629,7 +650,7 @@ def ivf_variant_hits(
                 .drop("__pos")
             )
         else:
-            c = _assign_via_join(corpus, cents, id_col, vec_col).select(
+            c = _assign_via_join(pruned, cents, id_col, vec_col).select(
                 F.col(id_col).alias("neighbor_id"),
                 F.col(vec_col).alias("__cv"),
                 norm(F.col(vec_col)).alias("__cn"),
@@ -771,8 +792,9 @@ def ivf_topk(
             .select("query_id", "neighbor_id", F.lit(0.0).alias("sim"), F.lit(0).alias("rank"))
         )
     mode = _resolve_assign_mode(assign_mode, centroids)
+    pruned = _spread_corpus(corpus.select(F.col(id_col), F.col(vec_col)))
     if mode == "literal":
-        c = corpus.select(
+        c = pruned.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("__cv"),
             norm(F.col(vec_col)).alias("__cn"),
@@ -785,7 +807,7 @@ def ivf_topk(
             F.explode(_centroid_probes(vec_col, centroids, nprobe)).alias("centroid"),
         )
     else:
-        c = _assign_via_join(corpus, centroids, id_col, vec_col).select(
+        c = _assign_via_join(pruned, centroids, id_col, vec_col).select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("__cv"),
             norm(F.col(vec_col)).alias("__cn"),
@@ -1247,7 +1269,12 @@ def pq_adc_topk(
     engine-portable determinism."""
     if not codebooks:
         return _empty_adc_result(corpus, queries, id_col)
-    encoded = pq_encode(corpus, codebooks, id_col, vec_col)
+    encoded = pq_encode(
+        _spread_corpus(corpus.select(F.col(id_col), F.col(vec_col))),
+        codebooks,
+        id_col,
+        vec_col,
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), _pq_adc_table(vec_col, codebooks).alias("__adc")
     )
@@ -1294,8 +1321,9 @@ def ivf_pq_topk(
     if not codebooks or not centroids:
         return _empty_adc_result(corpus, queries, id_col)
     mode = _resolve_assign_mode(assign_mode, centroids)
+    pruned = _spread_corpus(corpus.select(F.col(id_col), F.col(vec_col)))
     if mode == "literal":
-        c = corpus.select(
+        c = pruned.select(
             F.col(id_col).alias("neighbor_id"),
             _pq_codes(vec_col, codebooks).alias("pq_codes"),
             _assign_to_centroids(centroids, vec_col).alias("centroid"),
@@ -1306,7 +1334,7 @@ def ivf_pq_topk(
             F.explode(_centroid_probes(vec_col, centroids, nprobe)).alias("centroid"),
         )
     else:
-        c = _assign_via_join(corpus, centroids, id_col, vec_col).select(
+        c = _assign_via_join(pruned, centroids, id_col, vec_col).select(
             F.col(id_col).alias("neighbor_id"),
             _pq_codes(vec_col, codebooks).alias("pq_codes"),
             "centroid",
@@ -1411,7 +1439,13 @@ def ivf_pq_residual_topk(
     if not codebooks or not centroids:
         return _empty_adc_result(corpus, queries, id_col)
     mode = _resolve_assign_mode(assign_mode, centroids)
-    c = residual_frame(corpus, centroids, id_col, vec_col, assign_mode=mode).select(
+    c = residual_frame(
+        _spread_corpus(corpus.select(F.col(id_col), F.col(vec_col))),
+        centroids,
+        id_col,
+        vec_col,
+        assign_mode=mode,
+    ).select(
         F.col(id_col).alias("neighbor_id"),
         _pq_codes("__res", codebooks).alias("pq_codes"),
         "centroid",
@@ -1503,7 +1537,13 @@ def ivf_pq_residual_topk_sweep(
         )
     mode = _resolve_assign_mode(assign_mode, centroids)
     maxp = max(nprobes)
-    c = residual_frame(corpus, centroids, id_col, vec_col, assign_mode=mode).select(
+    c = residual_frame(
+        _spread_corpus(corpus.select(F.col(id_col), F.col(vec_col))),
+        centroids,
+        id_col,
+        vec_col,
+        assign_mode=mode,
+    ).select(
         F.col(id_col).alias("neighbor_id"),
         _pq_codes("__res", codebooks).alias("pq_codes"),
         "centroid",
@@ -1847,8 +1887,10 @@ def semdedup_pairs(
     action — k = len(centroids) rows after partial aggregation, the same
     driver-state bound as the CMS state and the centroids themselves) and
     re-enter the plan as a literal ``map<cluster, nshards>`` lookup, so the
-    RETURNED plan stays fully map-side: zero shuffle exchanges (pinned by
-    tests/test_round5_plans.py). Embedding the size agg as a joined subquery
+    RETURNED plan's only shuffle is the corpus SPREAD (``_spread_corpus`` —
+    r17: the pair fan-out and the argmin otherwise run on one scan task;
+    pinned at ≤1 exchange by tests/test_round5_plans.py). Embedding the
+    size agg as a joined subquery
     instead would duplicate its exchange under both pair sides — the round-6
     regression this collect removes."""
     if not centroids:
@@ -1858,7 +1900,7 @@ def semdedup_pairs(
             F.col(id_col).alias("id_b"),
             F.lit(0.0).alias("sim"),
         ).limit(0)
-    assigned = emb.select(
+    assigned = _spread_corpus(emb.select(F.col(id_col), F.col(vec_col))).select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),
         norm(F.col(vec_col)).alias("__n"),

@@ -53,6 +53,62 @@ POSTINGS, DOCLEN, TERMSTATS, STATS = (
 _TERMSTATS_SCHEMA = "term string, df bigint"
 _STATS_SCHEMA = "n_docs bigint, sum_dl bigint"
 
+#: per-manifest driver artifacts (the annindex ``_ARTIFACT_CACHE`` rule:
+#: committed snapshots are immutable, so the id-field validation, the 1-row
+#: corpus stats, and a query's term dfs collect ONCE per manifest, not per
+#: search — each entry is O(1)/O(|terms|) driver state, FIFO-capped, keyed
+#: (root, layer, manifest id, pointer mtime, ...) so a wiped-and-rebuilt
+#: lake can never serve stale artifacts and ``idxcache`` eviction can purge
+#: by root prefix).
+_IDX_CACHE: dict[tuple, object] = {}
+_IDX_CACHE_CAP = 64
+
+
+def _idx_cache_put(key, value) -> None:
+    if len(_IDX_CACHE) >= _IDX_CACHE_CAP:
+        _IDX_CACHE.pop(next(iter(_IDX_CACHE)))
+    _IDX_CACHE[key] = value
+
+
+def invalidate_idx_caches(root) -> None:
+    """Purge this module's per-manifest artifacts for a lakehouse root —
+    called from ``annindex.invalidate_artifact_caches`` so one eviction hook
+    covers every index rail's driver caches."""
+    r = str(root)
+    for k in [k for k in _IDX_CACHE if k[0] == r]:
+        _IDX_CACHE.pop(k, None)
+
+
+def _validated_id_field(
+    lake: Lakehouse, layer: str, table: str, spark: SparkSession, id_col: str, what: str
+):
+    """The committed ``table``'s FIRST field, validated to carry ``id_col``
+    (the annindex by-name-read rule: a silent NULL-id read is worse than a
+    raise) — one footer read per (manifest, table, id_col), cached."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
+        _manifest_cache_key,
+    )
+
+    vs = Lakehouse.as_versions(lake.current_manifest().get(f"{layer}/{table}"))
+    if not vs:
+        return None
+    base = _manifest_cache_key(lake, layer)
+    key = None if base is None else (*base, "idfield", table, id_col)
+    if key is not None and key in _IDX_CACHE:
+        return _IDX_CACHE[key]
+    actual = spark.read.parquet(
+        str(lake.root / layer / table / f"v={vs[0]}")
+    ).schema.fields
+    if actual[0].name != id_col:
+        raise ValueError(
+            f"committed {what} under {layer!r} is keyed by "
+            f"{actual[0].name!r}, caller expects {id_col!r} — pass the id_col "
+            "the index was BUILT with"
+        )
+    if key is not None:
+        _idx_cache_put(key, actual[0])
+    return actual[0]
+
 
 def _postings_schema(id_field) -> StructType:
     from pyspark.sql.types import LongType, StringType, StructField
@@ -240,39 +296,45 @@ def bm25_search_indexed(
     shared IEEE tail) — hash-checked against the same oracle. Terms absent
     from the vocabulary score like the live path (df = 0, no hits)."""
     terms = _validated_query_terms(query_terms)
-    id_field = None
+    from airflow_courier_payout_ledger_pipeline_spark.operators.annindex import (
+        _manifest_cache_key,
+    )
+
     # the committed doclen table's first field carries the id name/type the
-    # index was built with; validate the caller's id_col against it (the
-    # annindex by-name-read rule: a silent NULL-id read is worse than a raise)
-    key = f"{layer}/{DOCLEN}"
-    vs = Lakehouse.as_versions(lake.current_manifest().get(key))
-    if not vs:
+    # index was built with; validated-per-manifest (cached footer read)
+    id_field = _validated_id_field(lake, layer, DOCLEN, spark, id_col, "BM25 index")
+    if id_field is None:
         return _empty_result(spark, id_col)
-    actual = spark.read.parquet(
-        str(lake.root / layer / DOCLEN / f"v={vs[0]}")
-    ).schema.fields
-    if actual[0].name != id_col:
-        raise ValueError(
-            f"committed BM25 index under {layer!r} is keyed by "
-            f"{actual[0].name!r}, caller expects {id_col!r} — pass the id_col "
-            "the index was BUILT with"
+    base = _manifest_cache_key(lake, layer)
+    skey = None if base is None else (*base, "bm25stats")
+    stats_val = _IDX_CACHE.get(skey) if skey is not None else None
+    if stats_val is None:
+        st = lake.read_committed(
+            spark, layer, STATS, StructType.fromDDL(_STATS_SCHEMA)
+        ).first()
+        stats_val = (
+            (0, 0) if st is None or not st["n_docs"]
+            else (int(st["n_docs"]), int(st["sum_dl"]))
         )
-    id_field = actual[0]
-    st = lake.read_committed(
-        spark, layer, STATS, StructType.fromDDL(_STATS_SCHEMA)
-    ).first()
-    if st is None or not st["n_docs"]:
+        if skey is not None:
+            _idx_cache_put(skey, stats_val)
+    n_docs, sum_dl = stats_val
+    if not n_docs:
         return _empty_result(spark, id_col, id_field)
-    n_docs, sum_dl = int(st["n_docs"]), int(st["sum_dl"])
-    dfmap = {
-        r["term"]: int(r["df"])
-        for r in lake.read_committed(
-            spark, layer, TERMSTATS, StructType.fromDDL(_TERMSTATS_SCHEMA)
-        )
-        .filter(F.col("term").isin(terms))
-        .collect()  # ≤ |terms| rows — driver-bounded, cursor class
-    }
-    dfs = [dfmap.get(t, 0) for t in terms]
+    dkey = None if base is None else (*base, "bm25dfs", tuple(terms))
+    dfs = _IDX_CACHE.get(dkey) if dkey is not None else None
+    if dfs is None:
+        dfmap = {
+            r["term"]: int(r["df"])
+            for r in lake.read_committed(
+                spark, layer, TERMSTATS, StructType.fromDDL(_TERMSTATS_SCHEMA)
+            )
+            .filter(F.col("term").isin(terms))
+            .collect()  # ≤ |terms| rows — driver-bounded, cursor class
+        }
+        dfs = [dfmap.get(t, 0) for t in terms]
+        if dkey is not None:
+            _idx_cache_put(dkey, dfs)
     p = lake.read_committed(
         spark, layer, POSTINGS, _postings_schema(id_field)
     ).filter(F.col("term").isin(terms))
@@ -454,16 +516,8 @@ def substring_search_indexed(
 
     spark = docs.sparkSession
     id_field = docs.select(F.col(id_col)).schema.fields[0]
-    vs = Lakehouse.as_versions(lake.current_manifest().get(f"{layer}/{TRIGRAMS}"))
-    if vs:  # the annindex by-name-read rule: raise, never NULL-id reads
-        actual = spark.read.parquet(
-            str(lake.root / layer / TRIGRAMS / f"v={vs[0]}")
-        ).schema.fields
-        if actual[0].name != id_col:
-            raise ValueError(
-                f"committed trigram index under {layer!r} is keyed by "
-                f"{actual[0].name!r}, caller expects {id_col!r} — pass the "
-                "id_col the index was BUILT with"
-            )
+    # the annindex by-name-read rule: raise, never NULL-id reads (validated
+    # once per manifest — cached footer read)
+    _validated_id_field(lake, layer, TRIGRAMS, spark, id_col, "trigram index")
     idx = lake.read_committed(spark, layer, TRIGRAMS, _trigram_schema(id_field))
     return substring_search(docs, needle, index=idx, id_col=id_col, text_col=text_col)

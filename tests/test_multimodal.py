@@ -481,8 +481,12 @@ def test_resample_audio_rejects_degenerate_rate(spark):
 
 def test_resize_and_resample_plans_are_pure_map_stages(spark):
     """The media normalize stages (synthesize -> transform -> re-decode ->
-    features) must stay entirely map-side: three chained Arrow MapInPandas
-    stages, ZERO shuffle exchanges, and never row-at-a-time Python."""
+    features) run as three chained Arrow MapInPandas stages with never a
+    row-at-a-time Python node. Exactly ONE shuffle exchange is allowed —
+    the r17 metadata SPREAD ahead of the synth stage (round-robin of a few
+    ints per row, the char_shingles explode-amplification guard) that
+    parallelizes the codec Python passes a one-partition small-file scan
+    would otherwise serialize; everything downstream of it stays map-side."""
     from airflow_courier_payout_ledger_pipeline_spark.registry import all_queries
 
     qs = all_queries()
@@ -498,7 +502,8 @@ def test_resize_and_resample_plans_are_pure_map_stages(spark):
             for line in plan.splitlines()
             if "Exchange" in line and "BroadcastExchange" not in line
         ]
-        assert not shuffles, (name, shuffles)
+        assert len(shuffles) <= 1, (name, shuffles)
+        assert all("REPARTITION_BY_NUM" in s for s in shuffles), (name, shuffles)
         assert plan.count("MapInPandas") == 3, name
         assert "BatchEvalPython" not in plan, name
 

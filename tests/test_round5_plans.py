@@ -34,7 +34,14 @@ def test_pq_adc_streams_codes_not_vectors(spark):
 
 def test_png_features_plan_is_single_map_stage(spark):
     plan = _plan(spark, "image_png_features")
-    assert "Exchange" not in plan.replace("BroadcastExchange", "")
+    # r17: the one allowed exchange is the metadata SPREAD that parallelizes
+    # the codec Python passes (see synthesize_png_payloads)
+    shuffles = [
+        l
+        for l in plan.splitlines()
+        if "Exchange" in l and "BroadcastExchange" not in l
+    ]
+    assert len(shuffles) <= 1 and all("REPARTITION_BY_NUM" in l for l in shuffles), shuffles
     assert "MapInPandas" in plan  # Arrow-batched decode, no row-at-a-time UDF
     assert "BatchEvalPython" not in plan  # the slow per-row Python path
 
@@ -87,14 +94,17 @@ def test_bpe_token_counts_single_doc_grain_shuffle(spark):
 
 def test_semdedup_assignment_is_fully_map_side(spark):
     """Cluster assignment is an unrolled-literal argmin and the pair join is
-    cluster-equi with broadcast — zero shuffle exchanges in the whole plan."""
+    cluster-equi with broadcast — the ONLY shuffle allowed is the r17 corpus
+    SPREAD (round-robin of the pruned (id, vector) projection) that
+    parallelizes the argmin + pair fan-out off a single-file scan."""
     plan = _plan(spark, "semdedup_pairs")
     shuffles = [
         line
         for line in plan.splitlines()
         if "Exchange" in line and "BroadcastExchange" not in line
     ]
-    assert not shuffles, shuffles
+    assert len(shuffles) <= 2, shuffles  # statically under BOTH self-join arms
+    assert all("REPARTITION_BY_NUM" in s for s in shuffles), shuffles
     assert "CartesianProduct" not in plan
 
 
@@ -105,7 +115,8 @@ def test_image_content_dedup_one_stats_shuffle_arrow_decode(spark):
         for line in plan.splitlines()
         if "Exchange" in line and "BroadcastExchange" not in line
     ]
-    assert len(shuffles) <= 1, shuffles
+    # content-stats shuffle + the r17 synth-metadata spread
+    assert len(shuffles) <= 2, shuffles
     assert "MapInPandas" in plan  # Arrow-batched decode
     assert "BatchEvalPython" not in plan  # never row-at-a-time Python
 

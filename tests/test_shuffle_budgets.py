@@ -23,7 +23,7 @@ SHUFFLE_BUDGET = {
     "json_extract": 0,
     "dedup_exact": 1,  # fingerprint groupBy
     "dedup_minhash_lsh": 3,  # signature agg + bucket agg + pair dedup
-    "similarity_topk": 1,
+    "similarity_topk": 2,  # r17: +1 corpus spread (see _spread_corpus)
     "text_stats": 0,  # fully map-side
     "event_windows_tumbling": 1,
     "event_sessionization": 1,  # one user_id partitioning for both windows
@@ -36,9 +36,14 @@ SHUFFLE_BUDGET = {
     "dedup_span_profile": 4,  # explode spread + (ngram,id) rollup + df window + doc fold
     "split_leakage_audit": 3,  # same budget as dedup_minhash_lsh (split label is inline)
     "score_quantile_norm": 2,  # histogram agg + per-source window (corpus side broadcast-joined)
-    "image_png_features": 0,  # synth + decode fused map-side, zero shuffles
-    "similarity_pq_adc": 1,  # broadcast ADC tables; one per-query top-k window
-    "similarity_ivf_pq": 1,  # broadcast centroid-routed join; one top-k window
+    # r17 reviewed loosening 0 -> 1: the synth mapInPandas now SPREADS its
+    # metadata input (round-robin exchange of a few ints per row) so the
+    # real-codec encode+decode Python passes parallelize instead of running
+    # on the single partition a small-file scan yields — the
+    # char_shingles explode-amplification guard applied to the codec chain
+    "image_png_features": 1,
+    "similarity_pq_adc": 2,  # broadcast ADC tables; top-k window + r17 corpus spread
+    "similarity_ivf_pq": 2,  # broadcast centroid-routed join; top-k window + r17 spread
     "bm25_search": 1,  # single conditional-agg doc shuffle; stats are a driver row
     "heavy_hitters": 2,  # CMS state agg + candidate-only exact count (probe is map-side)
     "dsir_importance": 1,  # ratios are a literal-array lookup; only the doc-grain mean
@@ -88,10 +93,10 @@ SHUFFLE_BUDGET = {
     # round-11 additions: training collects eagerly inside the query fn
     # (bounded k·dim / m·kc·sub driver artifacts), so the RETURNED plan is
     # the same search topology as the seeded twins:
-    "similarity_ivf_topk_trained": 1,  # broadcast probe join; one top-k window
-    "similarity_pq_adc_trained": 1,  # broadcast ADC tables; one top-k window
-    "similarity_ivf_pq_trained": 1,  # routed broadcast join; one top-k window
-    "similarity_ivf_pq_residual": 1,  # same topology; residual is a map expr
+    "similarity_ivf_topk_trained": 2,  # broadcast probe join; top-k window + r17 spread
+    "similarity_pq_adc_trained": 2,  # broadcast ADC tables; top-k window + r17 spread
+    "similarity_ivf_pq_trained": 2,  # routed broadcast join; top-k window + r17 spread
+    "similarity_ivf_pq_residual": 2,  # same topology; residual is a map expr (+r17 spread)
     # 2 half-state builds (map-side combined to <= k rows/partition) + merge
     # agg + the err_scale global-check window (single partition over <= k
     # rows) + totals agg + readout; every exchange past the builds carries
@@ -101,21 +106,21 @@ SHUFFLE_BUDGET = {
     # carries ride a single ascending sort — backward trailing frame +
     # forward following frame)
     "asof_join_nearest": 2,
-    "similarity_ann_multiprobe": 1,  # probes explode broadcast-side; one top-k window
+    "similarity_ann_multiprobe": 2,  # r17: +1 corpus spread  # probes explode broadcast-side; one top-k window
     # eval: 1 brute-force window + 4 probe-setting search windows +
     # truth-grid join + final rollup
-    "ann_recall_multiprobe": 8,
+    "ann_recall_multiprobe": 13,  # r17: spread repeats statically per variant arm (runtime ReusedExchange dedupes)
     # eval query (not a production pipeline): 1 brute-force window + 6
     # variant×nprobe search windows + truth-grid join + final rollup
-    "ivf_recall_trained_vs_seeded": 10,
+    "ivf_recall_trained_vs_seeded": 17,  # r17: per-variant static spread copies
     # eval query: 1 exact-L2 truth window + 4 variant search windows +
     # truth-grid join + final rollup
-    "pq_recall_eval": 8,
+    "pq_recall_eval": 12,  # r17: static spread copies
     # round-12 eval: 1 exact-L2 truth window + ONE shared-encode sweep (the
     # per-(setting, query) top-k window over the single candidate frame) +
     # truth-grid join + final rollup (training/gating collects eagerly; the
     # returned plan is search-only; was 7 when each setting re-encoded)
-    "ivfpq_residual_recall_multiprobe": 5,
+    "ivfpq_residual_recall_multiprobe": 6,  # r17: +1 corpus spread
     # round-12 production search, round-13 rerouted through the PERSISTED
     # index (steady-state shape): stage-1 ADC shortlist over the COMMITTED
     # codes table (per-query top-R window) + stage-2 exact re-rank's top-k
@@ -140,7 +145,7 @@ SHUFFLE_BUDGET = {
     # round-13: kNN vote — 1 brute-force top-k window + the (query,label)
     # vote agg + the per-query argmax window; label attach and truth join
     # broadcast the q×k frames, the corpus never shuffles
-    "knn_label_vote": 3,
+    "knn_label_vote": 4,  # r17: +1 corpus spread in the brute-force leg
     # round-13: same fusion, semantic leg from the persisted index (bm25
     # doc-grain agg + the committed-codes top-k window execute inside the
     # bound-probe collect) — the returned plan is the union-agg over the
@@ -154,7 +159,7 @@ SHUFFLE_BUDGET = {
     # round-13: one brute-force top-k window + the (k,query,label) vote agg
     # + the per-(k,query) argmax window + the accuracy rollup; the k grid
     # and NN frames broadcast, the corpus never shuffles
-    "knn_accuracy_curve": 4,
+    "knn_accuracy_curve": 5,  # r17: +1 corpus spread in the brute-force leg
     # round-14: index-served vote — stage-1 ADC shortlist window over the
     # committed codes + stage-2 exact re-rank window (the refine pair) +
     # the (query,label) vote agg + the per-query argmax window; labels and
@@ -162,7 +167,7 @@ SHUFFLE_BUDGET = {
     "knn_label_vote_indexed": 4,
     # round-14: both vote legs (brute-force 3 + indexed 4) + the single-row
     # agreement rollup; the q-row compare join broadcasts
-    "knn_vote_agreement_indexed": 8,
+    "knn_vote_agreement_indexed": 9,  # r17: +1 spread in the exact leg
     # round-14: the index-served sweep — the refine pair (ADC shortlist
     # window + exact re-rank window) + the (k,query,label) vote agg + the
     # per-(k,query) argmax window + the accuracy rollup
@@ -184,8 +189,9 @@ SHUFFLE_BUDGET = {
     # round-15: SemDeDup from the persisted index's quantizer — centroids
     # and the shard map are collected literals (O(k·dim) driver artifacts),
     # so the returned pair plan is the same fully map-side shape as
-    # semdedup_pairs (pinned zero-exchange in test_round5_plans.py)
-    "semdedup_pairs_indexed": 0,
+    # semdedup_pairs (pinned <=1-spread-exchange in test_round5_plans.py;
+    # the static plan shows the spread under BOTH self-join arms)
+    "semdedup_pairs_indexed": 2,  # r17: corpus spread, statically under both self-join arms
     # round-15: the compacted-index serves — identical plans to their
     # living-index twins (compaction changes the dir list, not the topology)
     "bm25_search_compacted": 1,
