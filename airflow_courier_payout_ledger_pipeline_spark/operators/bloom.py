@@ -58,6 +58,10 @@ from pyspark.sql.window import Window
 BLOOM_M_BITS = 1 << 17
 BLOOM_K = 5
 
+#: probe-Column memo keyed on state content (see bloom_might_contain_expr)
+_PROBE_MEMO: dict[tuple, Column] = {}
+_PROBE_MEMO_CAP = 64
+
 
 def _positions(value: Column, m_bits: int, k: int, seed: Column) -> Column:
     """Bit position for one (value, seed) pair: xxhash64 — JVM-side, no Python.
@@ -216,10 +220,24 @@ def bloom_might_contain_expr(state_rows: list, value_col) -> Column:
     heavy-hitters py4j lesson, extended round 9 to literal CONSTRUCTION). TRUE is a maybe (FP rate by sizing); FALSE is
     certain — the predicate is a guaranteed-superset prune, so an exact
     verify downstream restores equality. An EMPTY state contains nothing:
-    the expression is ``lit(False)``."""
+    the expression is ``lit(False)``. The built Column memoizes on the state
+    CONTENT (words, geometry, probed column name — r18): the k-seed
+    hash/getbit chain costs ~0.1 s of py4j per build against a state that
+    repeats across constructions; content keys cannot go stale and the
+    Column is an immutable AST (the state collect feeding ``state_rows``
+    still runs at every build — this caches construction metadata only)."""
     words, m_bits, k = _state_geometry(state_rows)
     if not words:
         return F.lit(False)
+    key = (
+        (tuple(words), m_bits, k, value_col)
+        if isinstance(value_col, str)
+        else None
+    )
+    if key is not None:
+        cached = _PROBE_MEMO.get(key)
+        if cached is not None:
+            return cached
     from airflow_courier_payout_ledger_pipeline_spark.functions.literals import (
         array_lit,
     )
@@ -237,6 +255,10 @@ def bloom_might_contain_expr(state_rows: list, value_col) -> Column:
         word = F.element_at(arr, (pos / 64).cast("int") + 1)
         term = F.getbit(word, (pos % 64).cast("int")) == 1
         conj = term if conj is None else (conj & term)
+    if key is not None:
+        if len(_PROBE_MEMO) >= _PROBE_MEMO_CAP:
+            _PROBE_MEMO.clear()
+        _PROBE_MEMO[key] = conj
     return conj
 
 

@@ -148,20 +148,22 @@ def mad_outlier_stats_from_state(
     shape: fold the increment into the persisted state, then audit at
     distinct-value grain without touching raw rows.
 
-    The state and the derived deviation histogram are PINNED (LAZY
+    The state and the derived deviation histogram are PINNED (EAGER
     localCheckpoint, the graph.py discipline): the state feeds the median
     branch AND the deviation re-key, the deviation histogram feeds the MAD
     branch AND the final fold, and each reference would otherwise duplicate
     its upstream in the plan (10 static Exchange lines before the pins, 2
     after — the budget pinned in test_shuffle_budgets; runtime
-    ReusedExchange is not a contract). LAZY (eager=False), not eager: the
-    static plan is the same LogicalRDD truncation either way, but eager pays
-    two SYNCHRONOUS driver-blocking jobs at plan-construction time where
-    lazy materializes each pin once inside the first consuming action
-    (A/B'd at sf0.1: 0.94 s → 0.79 s per audit call, identical results and
-    identical post-pin Exchange count). Both are state-grain
-    — domain-bounded, distributed, never driver-side."""
-    state = state.localCheckpoint(eager=False)
+    ReusedExchange is not a contract). EAGER, not lazy — reverted in r18
+    after the r17 lazy flip regressed on the driver's box (0.87→1.12 s) and
+    a drift-canceling pairwise A/B on an idle probe-calibrated box confirmed
+    the direction (eager med 0.90 s vs lazy 0.93 s, lazy winning 3/10
+    pairs): this operator's two pins feed FOUR consumers, and a lazy pin's
+    materialization lands inside the first consuming action's timed stages
+    (the broadcast build for the median), serializing work an eager pin
+    overlaps at construction. Both are state-grain — domain-bounded,
+    distributed, never driver-side."""
+    state = state.localCheckpoint()
     med = quantiles_from_state(state, group_cols, [("__median", 1, 2)]).select(
         *group_cols, "__median"
     )
@@ -173,7 +175,7 @@ def mad_outlier_stats_from_state(
             F.abs(F.col("value") - F.col("__median")).alias("value"),
         )
         .agg(F.sum("cnt").alias("cnt"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     mad = quantiles_from_state(
         dev_state, group_cols, [("__mad", 1, 2)]

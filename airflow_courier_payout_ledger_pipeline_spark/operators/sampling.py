@@ -195,10 +195,18 @@ def dsir_gram_counts(
     Scale shape: the gram explode is map-side; the grouped agg's exchange
     carries ≤ ``buckets`` rows per map task after partial aggregation — never
     raw grams. The target indicator rides the same pass (`count_if`), so the
-    target model costs no second corpus read."""
+    target model costs no second corpus read. The tokenized input is SPREAD
+    (``dedup._spread``) ahead of the explode — guide §2.5: a single-row-group
+    docs file is ONE scan task, which serialized the whole per-gram md5 +
+    bucket fan-out on one core (r18 measurement: this pass is an embedded
+    collect, ~0.85 s of the query's construction); the spread exchange
+    carries one (flag, word-array) row per doc and doubles as the barrier
+    that materializes the regexp-backed tokenization once per doc (the
+    char_shingles lesson)."""
     from airflow_courier_payout_ledger_pipeline_spark.functions.text import (
         normalize_text,
     )
+    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import _spread
 
     ws = F.split(normalize_text(F.col(text_col)), " ")
     grams = F.expr(
@@ -207,7 +215,7 @@ def dsir_gram_counts(
         "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1))) END)"
     )
     g = (
-        docs.select(target.alias("__t"), ws.alias("ws"))
+        _spread(docs.select(target.alias("__t"), ws.alias("ws")))
         .filter((F.size("ws") > 1) | (F.element_at("ws", 1) != ""))
         .select("__t", F.explode(grams).alias("gram"))
         .filter(F.col("gram") != "")
@@ -311,8 +319,13 @@ def dsir_importance_scores(
         array_lit,
     )
 
+    from airflow_courier_payout_ledger_pipeline_spark.operators.dedup import _spread
+
+    # spread before the explode (guide §2.5, same rationale and exchange
+    # payload as dsir_gram_counts above): the scoring pass re-runs the
+    # tokenize + md5-bucket fan-out, off the same one-task scan
     g = (
-        docs.select(F.col(id_col), ws.alias("ws"))
+        _spread(docs.select(F.col(id_col), ws.alias("ws")))
         .filter((F.size("ws") > 1) | (F.element_at("ws", 1) != ""))
         .select(id_col, F.explode(grams).alias("gram"))
         .filter(F.col("gram") != "")

@@ -43,6 +43,54 @@ def _spread_corpus(df: DataFrame) -> DataFrame:
     return _spread(df)
 
 
+#: Process-scoped memo for the unrolled-literal quantizer Columns (the PQ/ADC
+#: and IVF literal builders). These builders spend ~0.1–0.3 s of DRIVER time
+#: per call — py4j roundtrips and the JVM parse of a k·dim-literal SQL text —
+#: against artifacts that repeat across query constructions (trained/seeded
+#: codebooks and centroids are process-cached driver lists). Keys are the
+#: CONTENT of the artifact (tuples of the literal floats) plus the column
+#: name, never object identity or mutable state, so a retrained artifact gets
+#: a new entry and stale entries are unreachable by construction. This caches
+#: expression METADATA only: a Column is an immutable unresolved-expression
+#: AST — the distributed encode/distance work still executes at every action.
+#: The 100 TB analogue: a serving tier parses its quantizer expression once,
+#: not once per search. Capped; cleared wholesale on overflow (content keys
+#: cannot go stale, the cap only bounds memory).
+_EXPR_MEMO: dict[tuple, Column] = {}
+_EXPR_MEMO_CAP = 256
+
+
+def _memo_expr(key: tuple, build):
+    col = _EXPR_MEMO.get(key)
+    if col is None:
+        if len(_EXPR_MEMO) >= _EXPR_MEMO_CAP:
+            _EXPR_MEMO.clear()
+        col = build()
+        _EXPR_MEMO[key] = col
+    return col
+
+
+def _expr_cached(sql: str) -> Column:
+    """``F.expr`` memoized on the SQL text itself — for construction-hot
+    expression texts (each ``F.expr`` call is a driver py4j roundtrip plus a
+    JVM parse; the k·dim-literal texts this module inlines parse in ~ms and
+    repeat verbatim across constructions). Same metadata-only contract as
+    ``_memo_expr``."""
+    return _memo_expr(("sql", sql), lambda: F.expr(sql))
+
+
+def _books_key(codebooks: list[list[list[float]]]) -> tuple:
+    return tuple(
+        tuple(tuple(float(x) for x in c) for c in book) for book in codebooks
+    )
+
+
+def _cents_key(centroids: list[tuple[int, list[float]]]) -> tuple:
+    return tuple(
+        (int(cid), tuple(float(x) for x in vec)) for cid, vec in centroids
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double precision, sequential fold (deterministic order)."""
     return F.aggregate(
@@ -183,7 +231,7 @@ def bucketed_ann_topk(
     probe_col = (
         sign_bucket(F.col(vec_col), bits)
         if n_probes == 1
-        else F.explode(F.expr(_probe_buckets_sql(vec_col, bits, n_probes)))
+        else F.explode(_expr_cached(_probe_buckets_sql(vec_col, bits, n_probes)))
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -260,8 +308,13 @@ def _assign_to_centroids(centroids: list[tuple[int, list[float]]], vec_col: str)
     folds at k=8 → measured ~7× slowdown of the IVF-PQ query before this
     rewrite); semantics here are identical — ties go to the lower id. Built as
     one SQL string (see the PQ builders' note: py4j-per-literal construction
-    cost, not execution, dominates these columns)."""
-    return F.expr(_assign_sql(centroids, vec_col))
+    cost, not execution, dominates these columns), memoized on the centroid
+    CONTENT (``_memo_expr``) so repeat constructions against the same
+    quantizer skip the parse."""
+    return _memo_expr(
+        ("assign", vec_col, _cents_key(centroids)),
+        lambda: F.expr(_assign_sql(centroids, vec_col)),
+    )
 
 
 def _assign_sql(centroids: list[tuple[int, list[float]]], vec_col: str) -> str:
@@ -385,7 +438,7 @@ def kmeans_centroids_exact(
     if not centroids:  # empty corpus: no quantizer to train
         return []
     quantum = float(10**scale)  # 10^scale is a dyadic-exact double for scale <= 22
-    d2 = F.expr(
+    d2 = _expr_cached(
         f"aggregate(zip_with(CAST(`{vec_col}` AS ARRAY<DOUBLE>), __cvec, "
         "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v)"
     )
@@ -473,7 +526,7 @@ def _assign_via_join(
     matches the literal builders exactly (lower centroid id); the vector and
     __cvec ride inside the min-struct and are never compared (cid is unique
     per group)."""
-    d2 = F.expr(
+    d2 = _expr_cached(
         f"aggregate(zip_with(CAST(`{vec_col}` AS ARRAY<DOUBLE>), __cvec, "
         "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v)"
     )
@@ -513,7 +566,7 @@ def _probes_via_join(
     probe's 1-based rank (nearest = 1). Per-query window over the
     broadcast-joined k-row centroid frame; same (distance, id) tie rule as
     ``_centroid_probes``."""
-    d2 = F.expr(
+    d2 = _expr_cached(
         f"aggregate(zip_with(CAST(`{vec_col}` AS ARRAY<DOUBLE>), __cvec, "
         "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v)"
     )
@@ -567,7 +620,7 @@ def farthest_first_centroids_exact(
             " — rename them before farthest_first_centroids_exact"
         )
     chosen = [(int(first[0][0]), [float(x) for x in first[0][1]])]
-    d2 = F.expr(
+    d2 = _expr_cached(
         f"aggregate(zip_with(CAST(`{vec_col}` AS ARRAY<DOUBLE>), __cvec, "
         "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v)"
     )
@@ -744,15 +797,20 @@ def select_ivf_quantizer(
 def _centroid_probes(vec_col: str, centroids: list[tuple[int, list[float]]], nprobe: int) -> Column:
     """Array of the ``nprobe`` nearest centroid ids (squared L2, ties to lower
     id) — array_sort over (distance, id) structs, built as one SQL string
-    (construction-cost note on the PQ builders), no Python in the data path."""
-    d = len(centroids[0][1])
-    _check_literal_budget(len(centroids), d, "_centroid_probes")
-    cands = ", ".join(
-        f"named_struct('d', {_sq_l2_sql(vec_col, 1, d, cvec)}, 'c', {cid})"
-        for cid, cvec in centroids
-    )
-    # struct order: d, then c
-    return F.expr(f"slice(array_sort(array({cands})), 1, {nprobe}).c")
+    (construction-cost note on the PQ builders), no Python in the data path;
+    memoized on the centroid CONTENT + nprobe (``_memo_expr``)."""
+
+    def build() -> Column:
+        d = len(centroids[0][1])
+        _check_literal_budget(len(centroids), d, "_centroid_probes")
+        cands = ", ".join(
+            f"named_struct('d', {_sq_l2_sql(vec_col, 1, d, cvec)}, 'c', {cid})"
+            for cid, cvec in centroids
+        )
+        # struct order: d, then c
+        return F.expr(f"slice(array_sort(array({cands})), 1, {nprobe}).c")
+
+    return _memo_expr(("probes", vec_col, nprobe, _cents_key(centroids)), build)
 
 
 def ivf_topk(
@@ -1151,39 +1209,51 @@ def _pq_codes(vec_col: str, codebooks: list[list[list[float]]]) -> Column:
     under Spark 4's default ANSI mode — killing the job AFTER the expensive
     distance work — so it raises here at plan-construction time instead. The
     standard 256-centroid-per-subspace PQ layout needs the code column widened
-    to SMALLINT (a one-line change, plus re-encoding any persisted codes)."""
-    for j, book in enumerate(codebooks):
-        if len(book) > 128:
-            raise ValueError(
-                f"PQ codebook {j} has {len(book)} entries; codes >= 128 overflow "
-                "the TINYINT code type under ANSI mode — widen pq_codes to "
-                "SMALLINT (and re-encode persisted codes) for k > 128"
+    to SMALLINT (a one-line change, plus re-encoding any persisted codes).
+    Memoized on the codebook CONTENT (``_memo_expr``)."""
+
+    def build() -> Column:
+        for j, book in enumerate(codebooks):
+            if len(book) > 128:
+                raise ValueError(
+                    f"PQ codebook {j} has {len(book)} entries; codes >= 128 overflow "
+                    "the TINYINT code type under ANSI mode — widen pq_codes to "
+                    "SMALLINT (and re-encode persisted codes) for k > 128"
+                )
+        _check_pq_literal_budget(codebooks, "_pq_codes")
+        sub = len(codebooks[0][0])
+        per_j = []
+        for j, book in enumerate(codebooks):
+            cands = ", ".join(
+                f"named_struct('d', {_sq_l2_sql(vec_col, j * sub + 1, sub, centroid)}, 'c', {c})"
+                for c, centroid in enumerate(book)
             )
-    _check_pq_literal_budget(codebooks, "_pq_codes")
-    sub = len(codebooks[0][0])
-    per_j = []
-    for j, book in enumerate(codebooks):
-        cands = ", ".join(
-            f"named_struct('d', {_sq_l2_sql(vec_col, j * sub + 1, sub, centroid)}, 'c', {c})"
-            for c, centroid in enumerate(book)
-        )
-        per_j.append(f"array_min(array({cands})).c")
-    return F.expr(f"CAST(array({', '.join(per_j)}) AS ARRAY<TINYINT>)")
+            per_j.append(f"array_min(array({cands})).c")
+        return F.expr(f"CAST(array({', '.join(per_j)}) AS ARRAY<TINYINT>)")
+
+    return _memo_expr(("pq_codes", vec_col, _books_key(codebooks)), build)
 
 
 def _pq_adc_table(vec_col: str, codebooks: list[list[list[float]]]) -> Column:
     """array<array<double>> ADC table: entry [j][c] = squared L2 between the
     row's subspace-j slice and codebook entry c — computed once per QUERY row,
-    then every corpus distance is m lookups into it."""
-    _check_pq_literal_budget(codebooks, "_pq_adc_table")
-    sub = len(codebooks[0][0])
-    rows = ", ".join(
-        "array("
-        + ", ".join(_sq_l2_sql(vec_col, j * sub + 1, sub, centroid) for centroid in book)
-        + ")"
-        for j, book in enumerate(codebooks)
-    )
-    return F.expr(f"array({rows})")
+    then every corpus distance is m lookups into it. Memoized on the
+    codebook CONTENT (``_memo_expr``)."""
+
+    def build() -> Column:
+        _check_pq_literal_budget(codebooks, "_pq_adc_table")
+        sub = len(codebooks[0][0])
+        rows = ", ".join(
+            "array("
+            + ", ".join(
+                _sq_l2_sql(vec_col, j * sub + 1, sub, centroid) for centroid in book
+            )
+            + ")"
+            for j, book in enumerate(codebooks)
+        )
+        return F.expr(f"array({rows})")
+
+    return _memo_expr(("adc_table", vec_col, _books_key(codebooks)), build)
 
 
 def _pq_adc_dist(m: int) -> Column:
@@ -1194,18 +1264,24 @@ def _pq_adc_dist(m: int) -> Column:
     (query, candidate) PAIR — the hot path. The unrolled element_at chain
     stays inside codegen; measured ~20× on the per-pair distance at sf0.1.
     Addition order matches the fold (0.0 + t_0 + … exactly equals
-    t_0 + … in IEEE for finite t), so results are bit-identical."""
-    terms = [
-        F.element_at(
-            F.element_at(F.col("__adc"), j + 1),
-            F.element_at(F.col("pq_codes"), j + 1).cast("int") + 1,
-        )
-        for j in range(m)
-    ]
-    dist = terms[0]
-    for t in terms[1:]:
-        dist = dist + t
-    return dist
+    t_0 + … in IEEE for finite t), so results are bit-identical. Memoized on
+    ``m`` alone (``_memo_expr`` — the expression references only the fixed
+    __adc / pq_codes columns)."""
+
+    def build() -> Column:
+        terms = [
+            F.element_at(
+                F.element_at(F.col("__adc"), j + 1),
+                F.element_at(F.col("pq_codes"), j + 1).cast("int") + 1,
+            )
+            for j in range(m)
+        ]
+        dist = terms[0]
+        for t in terms[1:]:
+            dist = dist + t
+        return dist
+
+    return _memo_expr(("adc_dist", m), build)
 
 
 def _empty_adc_result(corpus: DataFrame, queries: DataFrame, id_col: str) -> DataFrame:
@@ -1396,7 +1472,7 @@ def residual_frame(
         return df.select(
             F.col(id_col),
             _assign_to_centroids(centroids, vec_col).alias("centroid"),
-            F.expr(
+            _expr_cached(
                 f"zip_with(CAST(`{vec_col}` AS ARRAY<DOUBLE>), "
                 f"element_at({cmap}, {_assign_sql(centroids, vec_col)}), "
                 "(x, y) -> x - y)"
@@ -1405,7 +1481,7 @@ def residual_frame(
     return _assign_via_join(df, centroids, id_col, vec_col).select(
         F.col(id_col),
         F.col("centroid"),
-        F.expr(
+        _expr_cached(
             f"zip_with(CAST(`{vec_col}` AS ARRAY<DOUBLE>), __cvec, (x, y) -> x - y)"
         ).alias("__res"),
     )
@@ -1460,7 +1536,7 @@ def ivf_pq_residual_topk(
             )
             .withColumn(
                 "__res",
-                F.expr(
+                _expr_cached(
                     f"zip_with(CAST(__qv AS ARRAY<DOUBLE>), "
                     f"element_at({cmap}, centroid), (x, y) -> x - y)"
                 ),
@@ -1476,7 +1552,7 @@ def ivf_pq_residual_topk(
             _probes_via_join(queries, centroids, nprobe, id_col, vec_col)
             .withColumn(
                 "__res",
-                F.expr(
+                _expr_cached(
                     f"zip_with(CAST(`{vec_col}` AS ARRAY<DOUBLE>), __cvec, "
                     "(x, y) -> x - y)"
                 ),
@@ -1561,7 +1637,7 @@ def ivf_pq_residual_topk_sweep(
             .withColumn("__prn", F.col("__pos") + F.lit(1))
             .withColumn(
                 "__res",
-                F.expr(
+                _expr_cached(
                     f"zip_with(CAST(__qv AS ARRAY<DOUBLE>), "
                     f"element_at({cmap}, centroid), (x, y) -> x - y)"
                 ),
@@ -1578,7 +1654,7 @@ def ivf_pq_residual_topk_sweep(
             _probes_via_join(queries, centroids, maxp, id_col, vec_col)
             .withColumn(
                 "__res",
-                F.expr(
+                _expr_cached(
                     f"zip_with(CAST(`{vec_col}` AS ARRAY<DOUBLE>), __cvec, "
                     "(x, y) -> x - y)"
                 ),
@@ -1889,8 +1965,9 @@ def semdedup_pairs(
     re-enter the plan as a literal ``map<cluster, nshards>`` lookup, so the
     RETURNED plan's only shuffle is the corpus SPREAD (``_spread_corpus`` —
     r17: the pair fan-out and the argmin otherwise run on one scan task;
-    pinned at ≤1 exchange by tests/test_round5_plans.py). Embedding the
-    size agg as a joined subquery
+    pinned at ≤2 STATIC spread exchanges — one per self-join arm, deduped by
+    runtime ReusedExchange — by tests/test_round5_plans.py and
+    SHUFFLE_BUDGET). Embedding the size agg as a joined subquery
     instead would duplicate its exchange under both pair sides — the round-6
     regression this collect removes."""
     if not centroids:
@@ -2162,7 +2239,7 @@ def ivf_list_state(
         d = _sq_l2_sql_for_assigned(centroids, vec_col)
         assigned = emb.filter(F.col(id_col).isNotNull()).select(
             _assign_to_centroids(centroids, vec_col).alias("centroid"),
-            F.expr(d).alias("__d2"),
+            _expr_cached(d).alias("__d2"),
         )
     else:
         assigned = _assign_via_join(

@@ -63,6 +63,14 @@ _STATS_SCHEMA = "n_docs bigint, sum_dl bigint"
 _IDX_CACHE: dict[tuple, object] = {}
 _IDX_CACHE_CAP = 64
 
+#: per-(manifest, query-terms) df lists live in their OWN FIFO (r17 ADVICE):
+#: high-cardinality term tuples could otherwise churn the few manifest-level
+#: id-field/stats entries out of the shared cache, silently re-paying the
+#: footer/stats reads the cache exists to avoid (perf only, never stale —
+#: keys still carry the manifest id + pointer mtime).
+_TERMS_CACHE: dict[tuple, object] = {}
+_TERMS_CACHE_CAP = 64
+
 
 def _idx_cache_put(key, value) -> None:
     if len(_IDX_CACHE) >= _IDX_CACHE_CAP:
@@ -70,13 +78,20 @@ def _idx_cache_put(key, value) -> None:
     _IDX_CACHE[key] = value
 
 
+def _terms_cache_put(key, value) -> None:
+    if len(_TERMS_CACHE) >= _TERMS_CACHE_CAP:
+        _TERMS_CACHE.pop(next(iter(_TERMS_CACHE)))
+    _TERMS_CACHE[key] = value
+
+
 def invalidate_idx_caches(root) -> None:
     """Purge this module's per-manifest artifacts for a lakehouse root —
     called from ``annindex.invalidate_artifact_caches`` so one eviction hook
     covers every index rail's driver caches."""
     r = str(root)
-    for k in [k for k in _IDX_CACHE if k[0] == r]:
-        _IDX_CACHE.pop(k, None)
+    for cache in (_IDX_CACHE, _TERMS_CACHE):
+        for k in [k for k in cache if k[0] == r]:
+            cache.pop(k, None)
 
 
 def _validated_id_field(
@@ -322,7 +337,7 @@ def bm25_search_indexed(
     if not n_docs:
         return _empty_result(spark, id_col, id_field)
     dkey = None if base is None else (*base, "bm25dfs", tuple(terms))
-    dfs = _IDX_CACHE.get(dkey) if dkey is not None else None
+    dfs = _TERMS_CACHE.get(dkey) if dkey is not None else None
     if dfs is None:
         dfmap = {
             r["term"]: int(r["df"])
@@ -334,7 +349,7 @@ def bm25_search_indexed(
         }
         dfs = [dfmap.get(t, 0) for t in terms]
         if dkey is not None:
-            _idx_cache_put(dkey, dfs)
+            _terms_cache_put(dkey, dfs)
     p = lake.read_committed(
         spark, layer, POSTINGS, _postings_schema(id_field)
     ).filter(F.col("term").isin(terms))

@@ -41,14 +41,25 @@ _SCHEMA_CACHE: dict[tuple, object] = {}
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """``spark.read.parquet`` with the inferred schema memoized per file
     stats — construction-time metadata reuse; the data is still read from
-    parquet at execution, every time."""
-    from airflow_courier_payout_ledger_pipeline_spark.idxcache import stat_key
+    parquet at execution, every time. On a miss, entries for the SAME path
+    built from older bytes are evicted (``idxcache.evict_superseded`` — a
+    rewritten testdata file must not leave its dead schema accumulating),
+    and an unstat-able path (the (path, 0, 0) fallback key) is never cached:
+    with no stats to invalidate on, a remote rewrite would serve a stale
+    schema forever (r17 ADVICE)."""
+    from airflow_courier_payout_ledger_pipeline_spark.idxcache import (
+        evict_superseded,
+        stat_key,
+    )
 
     key = stat_key(path)
-    schema = _SCHEMA_CACHE.get(key)
+    if key[1] == 0 and key[2] == 0:
+        return spark.read.parquet(path)
+    schema = _SCHEMA_CACHE.get(("schema", key))
     if schema is None:
+        evict_superseded(_SCHEMA_CACHE, "schema", key)
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[key] = df.schema
+        _SCHEMA_CACHE[("schema", key)] = df.schema
         return df
     return spark.read.schema(schema).parquet(path)
 

@@ -469,6 +469,36 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     # pruning); semdedup_pairs_indexed is the one evidence query of its set
     # not already in the active r17 window
     "semdedup_pairs_indexed",
+    # -- round-18 code changes append here as they land --
+    # operators/quantile.py changed in r18 (the r17 lazy-pin flip REVERTED
+    # to eager after the driver-box regression was confirmed directionally
+    # by an idle pairwise A/B — r17 verdict item 1); the file's evidence
+    # set lands fresh driver rows here
+    "mad_outlier_audit",
+    "quantile_state_maintenance",
+    "streaming_mad_audit",
+    "streaming_quantile_maintenance",
+    # operators/sampling.py changed in r18 (the DSIR passes spread their
+    # tokenized input ahead of the gram explode — guide §2.5); the two DSIR
+    # queries are already in the active window, the rest of the file's
+    # evidence set lands fresh driver rows here
+    "training_shard_layout",
+    "sequence_packing",
+    "stratified_sample",
+    # functions/literals.py changed in r18 (array_lit Columns memoized on
+    # content — construction metadata only); its CMS consumer completes the
+    # file's evidence set (dsir_importance / dedup_bloom_probe already ride
+    # the active window / plan head)
+    "cms_state_migration",
+    # operators/bloom.py changed in r18 (the probe Column memoizes on state
+    # content — same metadata-only contract); the streaming fold twin
+    # completes the file's evidence set
+    "streaming_bloom_maintenance",
+    # operators/textindex.py changed in r18 (per-terms df lists split into
+    # their own FIFO so query churn can't evict manifest-level artifacts —
+    # r17 ADVICE); the compacted twins complete the file's evidence set
+    "bm25_search_compacted",
+    "substring_search_compacted",
 ]
 
 

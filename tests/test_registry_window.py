@@ -415,6 +415,14 @@ _FILE_EVIDENCE: dict[str, set[str]] = {
         "dedup_bloom_probe",
         "streaming_bloom_maintenance",
     },
+    # round-18: schema-memo eviction hardening (evict_superseded on miss, no
+    # caching of unstat-able paths — r17 ADVICE). Every query reads through
+    # load_tables, so the canary trio adjudicates the adapter.
+    "airflow_courier_payout_ledger_pipeline_spark/plans/tpch_adapter.py": {
+        "courier_ledger",
+        "courier_ledger_sql",
+        "incremental_mart_maintenance",
+    },
     # round-9: one-parse array literals (consumed by the DSIR ratio lookup,
     # the bloom word probe, and the CMS probe arrays — their driver rows
     # adjudicate it)

@@ -250,7 +250,9 @@ def test_dsir_gram_counts_state_is_bucket_bounded_and_mass_conserving(spark):
 def test_dsir_scoring_plan_is_single_exchange_no_join(spark):
     """The B-row count state is a separate collected action; the RETURNED
     scoring plan must look up ratios via one literal array — no join anywhere,
-    and the only exchange is the doc-grain mean."""
+    and the exchanges are exactly the doc-grain mean plus the r18 pre-explode
+    spread (a ROUND-ROBIN repartition, asserted by name so a keyed shuffle
+    sneaking in still fails)."""
     from airflow_courier_payout_ledger_pipeline_spark.registry import all_queries
 
     df = all_queries()["dsir_importance"](spark, "/root/testdata/sf0.001")
@@ -260,7 +262,8 @@ def test_dsir_scoring_plan_is_single_exchange_no_join(spark):
         for line in plan.splitlines()
         if "Exchange" in line and "BroadcastExchange" not in line
     ]
-    assert len(shuffles) == 1, shuffles
+    assert len(shuffles) == 2, shuffles
+    assert sum("REPARTITION_BY_NUM" in line for line in shuffles) == 1, shuffles
     assert "Join" not in plan and "CartesianProduct" not in plan
 
 
@@ -317,8 +320,8 @@ def test_dsir_scores_partition_invariant(spark):
 
 def test_dsir_resample_adds_no_exchange_over_scoring(spark):
     """The keep/drop draw is a map-side predicate over the scoring output:
-    same single doc-grain exchange as dsir_importance, no join, no extra
-    shuffle for the selection step."""
+    same exchanges as dsir_importance (the doc-grain mean + the r18
+    pre-explode spread), no join, no extra shuffle for the selection step."""
     from airflow_courier_payout_ledger_pipeline_spark.registry import all_queries
 
     df = all_queries()["dsir_resample"](spark, "/root/testdata/sf0.001")
@@ -328,7 +331,7 @@ def test_dsir_resample_adds_no_exchange_over_scoring(spark):
         for line in plan.splitlines()
         if "Exchange" in line and "BroadcastExchange" not in line
     ]
-    assert len(shuffles) == 1, shuffles
+    assert len(shuffles) == 2, shuffles
     assert "Join" not in plan
 
 

@@ -46,7 +46,12 @@ SHUFFLE_BUDGET = {
     "similarity_ivf_pq": 2,  # broadcast centroid-routed join; top-k window + r17 spread
     "bm25_search": 1,  # single conditional-agg doc shuffle; stats are a driver row
     "heavy_hitters": 2,  # CMS state agg + candidate-only exact count (probe is map-side)
-    "dsir_importance": 1,  # ratios are a literal-array lookup; only the doc-grain mean
+    # r18 reviewed loosening 1 -> 2: the scoring pass's tokenized input now
+    # SPREADS ahead of the gram explode (guide §2.5 — the one-task docs scan
+    # serialized the per-gram md5+lookup fan-out; the exchange carries one
+    # word-array row per doc); ratios stay a literal-array lookup + the
+    # doc-grain mean
+    "dsir_importance": 2,
     # the merged sketch states collect eagerly inside the query fn, so the
     # RETURNED plan carries only the post-state work:
     "cms_state_migration": 1,  # candidate-only exact count (probe is map-side)
