@@ -400,3 +400,44 @@ def training_shard_layout(
         .withColumn("shard_pos", F.row_number().over(w).cast("bigint"))
         .drop("__pri")
     )
+
+
+def attach_shard_layout(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
+    """:func:`training_shard_layout`'s (shard, shard_pos) attached AT ROW
+    GRAIN to a frame whose ``id_col`` repeats — e.g. chunk rows sharing a
+    bin. Row-for-row identical to
+    ``df.join(training_shard_layout(df.select(id_col).distinct(), ...),
+    id_col)`` (law-pinned in tests/test_sampling.py) because ``shard`` is the
+    same pure md5 function of the id, and ``dense_rank`` over the same
+    (md5(id), id) order assigns every row of an id the id's rank among the
+    shard's DISTINCT ids — the ordering key is unique per id, so equal ids
+    tie exactly and the dense-rank sequence over distinct ids equals the
+    row_number the distinct-grain layout computes.
+
+    Scale shape (r18, the shards-pipeline restructure): ONE hash(shard)
+    exchange replaces the distinct-grain composition's THREE data exchanges
+    (id distinct + shard window + the id-keyed sort-merge join back, whose
+    row side re-sorted the frame at row grain anyway). The window sorts
+    corpus/n_shards rows per shard partition — the same sort volume the
+    writer's ``sortWithinPartitions`` pays, never a global sort. NULL ids
+    are excluded exactly as the join form would drop them (inner join
+    against a layout that filters NULL)."""
+    if not (0 < n_shards <= 65536):
+        raise ValueError(f"need 0 < n_shards <= 65536, got {n_shards}")
+    reserved = {"shard", "shard_pos", "__pri"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input columns collide with reserved layout names: "
+            f"{sorted(reserved)} — rename them before attach_shard_layout"
+        )
+    pri = F.md5(F.col(id_col).cast("string"))
+    shard = (
+        F.conv(F.substring(pri, 1, 4), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("__pri", id_col)
+    return (
+        df.filter(F.col(id_col).isNotNull())
+        .select("*", pri.alias("__pri"), shard.alias("shard"))
+        .withColumn("shard_pos", F.dense_rank().over(w).cast("bigint"))
+        .drop("__pri")
+    )

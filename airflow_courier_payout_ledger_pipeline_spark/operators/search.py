@@ -20,7 +20,7 @@ same plan from the probe onward.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -65,8 +65,9 @@ def bm25_topk(
     Scale shape: ONE token pass and ONE doc-grain shuffle — per-doc length and
     every query-term tf come out of a single conditional aggregation (map-side
     partials compact the exchange to a row per doc per map task), corpus stats
-    (N, Σdl, per-term df) collapse to one O(1) driver row, and scoring is pure
-    map-side projection. Global top-k goes through ``orderBy().limit(k)`` —
+    (N, Σdl, per-term df) fold into the same plan as a broadcast 1-row
+    aggregate over the shared per-doc subtree (ReusedExchange — r18; the
+    stats never touch the driver), and scoring is pure map-side projection. Global top-k goes through ``orderBy().limit(k)`` —
     Spark's TakeOrderedAndProject, a per-partition heap + driver merge of
     k×partitions rows — never a single-partition window over the corpus; rank
     is assigned AFTER the limit, over k rows.
@@ -92,10 +93,10 @@ def bm25_topk(
     query_terms = _validated_query_terms(query_terms)
     from airflow_courier_payout_ledger_pipeline_spark.functions.text import normalize_text
 
-    # NOT spread (r17 A/B): unlike the similarity pair scans, the token pass
-    # runs TWICE per call (the stats action + the scoring plan), so a
-    # pre-explode repartition pays its stage twice and measured +0.3 s at
-    # sf0.1 against ~0.1 s of parallelized tokenize work
+    # NOT spread (r17 A/B): the pre-explode repartition measured +0.3 s at
+    # sf0.1 against ~0.1 s of parallelized tokenize work (and under the r18
+    # one-pass fold below, the tokenize stage runs once via ReusedExchange,
+    # so there is even less serial work for a spread to reclaim)
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
@@ -111,13 +112,36 @@ def bm25_topk(
             for i, t in enumerate(query_terms)
         ],
     )
+    # ONE-PASS since r18 (the r17 deferral, resolved): corpus stats (N, Σdl,
+    # per-term df) fold into the scoring plan as a broadcast 1-row aggregate
+    # over the SAME per_doc subtree, instead of a separate synchronous
+    # ``.first()`` corpus pass at query-build time. Both subtrees share the
+    # identical doc-grain exchange (same DataFrame object → canonically
+    # equal → runtime ReusedExchange), so the corpus tokenizes ONCE per
+    # search. idf/avgdl move from Python-literal to JVM-column arithmetic:
+    # every operand is an exact-in-double integer (< 2^53 — corpora past
+    # 9e15 tokens exceed 100 TB of text) and every op is the same single
+    # correctly-rounded IEEE op in the same order, so scores are
+    # BIT-identical — proved by oracle hash-checks at 3 SFs
+    # (tests/test_oracle_parity.py + the driver contract).
     stats = per_doc.agg(
-        F.count("*"),
-        F.sum("dl"),
-        *[F.sum((F.col(f"tf_{i}") > 0).cast("int")) for i in range(len(query_terms))],
-    ).first()  # one row — O(1) driver state, same class as a watermark cursor
-    n_docs, sum_dl, *dfs = stats
-    return _bm25_rank_tail(per_doc, query_terms, n_docs, sum_dl, dfs, k, k1, b, id_col)
+        F.count("*").alias("__n_docs"),
+        F.sum("dl").alias("__sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("int")).alias(f"__df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    n_col = F.col("__n_docs").cast("double")
+    avgdl = F.col("__sum_dl").cast("double") / n_col
+    idfs = [
+        (n_col - F.col(f"__df_{i}").cast("double") + F.lit(0.5))
+        / (F.col(f"__df_{i}").cast("double") + F.lit(0.5))
+        for i in range(len(query_terms))
+    ]
+    return _bm25_tail_shared(
+        per_doc.crossJoin(F.broadcast(stats)), query_terms, avgdl, idfs, k, k1, b, id_col
+    )
 
 
 def _validated_query_terms(query_terms: list[str]) -> list[str]:
@@ -164,16 +188,41 @@ def _bm25_rank_tail(
             F.lit(0).cast("int").alias("rank"),
         ).limit(0)
     avgdl = sum_dl / n_docs  # one IEEE division of exact ints — engines agree
-    # per-term score, all map-side now; idf folds to a Python double literal
-    # via the same correctly-rounded op sequence the oracle states
-    norm_len = F.lit(1.0 - b) + (F.lit(b) * F.col("dl").cast("double")) / F.lit(avgdl)
+    # per-term idf folds to a Python double literal via the same correctly-
+    # rounded op sequence the oracle states (and the same sequence the live
+    # one-pass path evaluates as JVM columns — bit-equal either way)
+    idfs = [
+        F.lit((n_docs - dfs[i] + 0.5) / (dfs[i] + 0.5))
+        for i in range(len(query_terms))
+    ]
+    return _bm25_tail_shared(
+        per_doc, query_terms, F.lit(avgdl), idfs, k, k1, b, id_col
+    )
+
+
+def _bm25_tail_shared(
+    frame: DataFrame,
+    query_terms: list[str],
+    avgdl: Column,
+    idfs: list[Column],
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+) -> DataFrame:
+    """The expression-form scoring core behind BOTH stats deliveries —
+    Python literals (the indexed path's cached driver stats) and broadcast
+    1-row columns (the live one-pass path): one definition of the IEEE op
+    sequence, so the two forms cannot drift. ``frame`` carries (id_col, dl,
+    tf_0..tf_n [, stats columns]); scoring is map-side, top-k is
+    TakeOrderedAndProject, rank is assigned over ≤ k rows."""
+    norm_len = F.lit(1.0 - b) + (F.lit(b) * F.col("dl").cast("double")) / avgdl
 
     def term_score(i: int):
-        idf = (n_docs - dfs[i] + 0.5) / (dfs[i] + 0.5)
         tf = F.col(f"tf_{i}").cast("double")
         return F.when(
             F.col(f"tf_{i}") > 0,
-            F.lit(idf) * ((tf * F.lit(k1 + 1.0)) / (tf + F.lit(k1) * norm_len)),
+            idfs[i] * ((tf * F.lit(k1 + 1.0)) / (tf + F.lit(k1) * norm_len)),
         ).otherwise(F.lit(0.0))
 
     # fixed-order fold: term_0 + term_1 + ... (left-assoc; float + is not
@@ -186,7 +235,7 @@ def _bm25_rank_tail(
     for i in range(1, len(query_terms)):
         hits = hits | (F.col(f"tf_{i}") > 0)
         n_hit = n_hit + (F.col(f"tf_{i}") > 0).cast("int")
-    scored = per_doc.filter(hits).select(
+    scored = frame.filter(hits).select(
         F.col(id_col), total.alias("bm25"), n_hit.cast("int").alias("n_terms_hit")
     )
     from pyspark.sql.window import Window
@@ -600,21 +649,40 @@ def _modal_label_vote(nn_lab: DataFrame, group_cols: list[str]) -> DataFrame:
     (NULLS LAST in DuckDB/ANSI) and NULL never beats a real label on a tied
     vote. Input carries ``group_cols`` + '__nl'; output is one row per group
     with the winning '__nl' and its 'votes'."""
-    from pyspark.sql.window import Window
-
-    # NOTE (r17 A/B): a repartition(group) ahead of the agg, meant to let
-    # the agg and the window share one exchange (guide §2.4), did NOT
-    # collapse — the planner kept the repartition AND inserted its own
-    # ENSURE_REQUIREMENTS exchange (3 total, was 2) — so the plain two-
-    # exchange shape stays
+    # r18 (guide §2.4 family, the r17 deferral): the rank window replaced by
+    # a struct-min ARGMAX aggregation — same two static exchanges (the
+    # (group, label) count then the group-keyed argmax), but the second is a
+    # partially-aggregated exchange carrying ≤ one row per group per map
+    # task with NO sort, where the window shuffled every (group, label) row
+    # and sorted each partition. (The r17 repartition(group) attempt did
+    # not collapse anything: the planner kept it AND added its own
+    # ENSURE_REQUIREMENTS exchange.) Tie semantics are encoded in the
+    # struct's field order and PROVEN identical: min over (-votes,
+    # isnull(label), label) = max votes first, then NULLS LAST (the flag
+    # differs before any NULL label is ever compared — a NULL field only
+    # meets another NULL, i.e. the same single all-NULL row of its group),
+    # then label ascending; row-set equality vs the window form is pinned
+    # for all five vote consumers at 2 SFs in tests/test_search.py and by
+    # the oracle hashes. A/B (pairwise, idle): label_vote_indexed −11%,
+    # accuracy_curve_indexed −14%, exact forms −3%, agreement eval flat.
     votes = nn_lab.groupBy(*group_cols, "__nl").agg(F.count("*").alias("votes"))
-    w = Window.partitionBy(*group_cols).orderBy(
-        F.desc("votes"), F.asc_nulls_last("__nl")
-    )
     return (
-        votes.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .drop("__r")
+        votes.groupBy(*group_cols)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("votes")).alias("nv"),
+                    F.isnull("__nl").cast("int").alias("nn"),
+                    F.col("__nl").alias("__nl"),
+                    F.col("votes").alias("votes"),
+                )
+            ).alias("__s")
+        )
+        .select(
+            *group_cols,
+            F.col("__s.__nl").alias("__nl"),
+            F.col("__s.votes").alias("votes"),
+        )
     )
 
 

@@ -355,10 +355,12 @@ def q_training_shards_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
                      chunk-key order and assigns each to the 256-token bin
                      where it starts (distributed two-pass prefix sum — the
                      only driver traffic is one scalar per partition);
-      shard grain  — ``sampling.training_shard_layout`` addresses each BIN
+      shard grain  — ``sampling.attach_shard_layout`` addresses each BIN
                      to an append-stable shard + within-shard position (pure
                      md5-of-bin-id function: corpus growth appends new bins
-                     without migrating existing ones between shards).
+                     without migrating existing ones between shards) — the
+                     row-grain form proven ≡ ``training_shard_layout`` over
+                     the distinct bins joined back (r18; law-pinned).
 
     The chunk key ``doc_id·100000 + chunk_id`` keeps the packing order a
     pure BIGINT function of (doc, window) — reproducible in any engine.
@@ -371,8 +373,8 @@ def q_training_shards_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale, never a cartesian. What a training pipeline runs nightly;
     reference-free extension (the reference has no text surface)."""
     from airflow_courier_payout_ledger_pipeline_spark.operators.sampling import (
+        attach_shard_layout,
         pack_sequences,
-        training_shard_layout,
     )
     from airflow_courier_payout_ledger_pipeline_spark.operators.tokenize import (
         chunk_documents,
@@ -384,9 +386,11 @@ def q_training_shards_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
     )
     packed = pack_sequences(chunks, "ck_id", "n_tokens", E2E_TARGET)
-    bins = packed.select("bin_id").distinct()
-    lay = training_shard_layout(bins, "bin_id", E2E_SHARDS)
-    return packed.join(lay, "bin_id").select(
+    # r18: the bin layout attaches at chunk grain via attach_shard_layout —
+    # row-for-row ≡ the previous distinct → training_shard_layout → join
+    # composition (the law is pinned in tests/test_sampling.py), at ONE
+    # hash(shard) exchange instead of that chain's three
+    return attach_shard_layout(packed, "bin_id", E2E_SHARDS).select(
         F.expr(f"CAST(ck_id DIV {E2E_MULT} AS BIGINT)").alias("doc_id"),
         F.pmod(F.col("ck_id"), F.lit(E2E_MULT)).cast("bigint").alias("chunk_id"),
         F.col("n_tokens").cast("bigint").alias("n_tokens"),

@@ -1126,13 +1126,19 @@ def q_ivf_recall_trained_vs_seeded(spark: SparkSession, sf_dir: str) -> DataFram
     sweep, and the recall arithmetic. One brute-force pass; 6 inverted-list
     searches, all broadcast-sized joins."""
     from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        _spread_corpus,
         brute_force_topk,
         ivf_topk,
     )
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     q = emb.filter(F.col("vec_id") < 20)
-    truth = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    # ONE shared corpus spread hoisted across the truth leg and all 6 search
+    # arms (r17 ADVICE): the arms' spread exchanges are the same logical
+    # subtree, so runtime ReusedExchange is structural, not alias-dependent
+    # (_spread_corpus skips frames whose lineage already carries the spread)
+    sp = _spread_corpus(emb.select("vec_id", "embedding"))
+    truth = brute_force_topk(sp, q, k=5).select("query_id", "neighbor_id")
     variants = [
         ("seeded", _ivf_seed_centroids(emb)),
         ("trained", _ivf_trained_centroids(emb, sf_dir)),
@@ -1141,7 +1147,7 @@ def q_ivf_recall_trained_vs_seeded(spark: SparkSession, sf_dir: str) -> DataFram
     for vname, cents in variants:
         for np_ in (1, 2, 4):
             a = (
-                ivf_topk(emb, q, cents, k=5, nprobe=np_)
+                ivf_topk(sp, q, cents, k=5, nprobe=np_)
                 .select("query_id", "neighbor_id")
                 .withColumn("variant", F.lit(vname))
                 .withColumn("nprobe", F.lit(np_))
@@ -1525,6 +1531,7 @@ def q_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     isolates the coordinate-frame win. Fully hash-checked: all four training
     chains and searches replay in one DuckDB statement."""
     from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        _spread_corpus,
         ivf_pq_residual_topk,
         ivf_pq_topk,
         pq_adc_topk,
@@ -1533,6 +1540,9 @@ def q_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     q = emb.filter(F.col("vec_id") < 20)
+    # ONE shared corpus spread hoisted across the truth leg and all 4 variant
+    # arms (r17 ADVICE; see q_ivf_recall_trained_vs_seeded)
+    sp = _spread_corpus(emb.select("vec_id", "embedding"))
     # exact squared-L2 truth (broadcast nested loop, top-5 window)
     from pyspark.sql import Window
 
@@ -1544,7 +1554,7 @@ def q_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy("__d2", "neighbor_id")
     truth = (
-        emb.withColumnRenamed("vec_id", "neighbor_id")
+        sp.withColumnRenamed("vec_id", "neighbor_id")
         .crossJoin(F.broadcast(qv))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", d2.alias("__d2"))
@@ -1563,10 +1573,10 @@ def q_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _ivf_trained_centroids(emb, sf_dir)
     books_r = _pq_residual_books(emb, sf_dir)
     variants = [
-        ("pq_seeded", pq_adc_topk(emb, q, books_s, k=5)),
-        ("pq_trained", pq_adc_topk(emb, q, books_t, k=5)),
-        ("ivfpq_trained", ivf_pq_topk(emb, q, cents, books_t, k=5)),
-        ("ivfpq_residual", ivf_pq_residual_topk(emb, q, cents, books_r, k=5)),
+        ("pq_seeded", pq_adc_topk(sp, q, books_s, k=5)),
+        ("pq_trained", pq_adc_topk(sp, q, books_t, k=5)),
+        ("ivfpq_trained", ivf_pq_topk(sp, q, cents, books_t, k=5)),
+        ("ivfpq_residual", ivf_pq_residual_topk(sp, q, cents, books_r, k=5)),
     ]
     ann = None
     for vname, df in variants:
@@ -1771,17 +1781,21 @@ def q_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     companion of `ann_recall_eval`'s single-probe measurement and the IVF
     nprobe evals. Hash-checked end-to-end, margin ordering included."""
     from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        _spread_corpus,
         brute_force_topk,
         bucketed_ann_topk,
     )
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     q = emb.filter(F.col("vec_id") < 20)
-    truth = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    # ONE shared corpus spread hoisted across the truth leg and all 4 probe
+    # arms (r17 ADVICE; see q_ivf_recall_trained_vs_seeded)
+    sp = _spread_corpus(emb.select("vec_id", "embedding"))
+    truth = brute_force_topk(sp, q, k=5).select("query_id", "neighbor_id")
     ann = None
     for n in (1, 2, 3, 5):
         a = (
-            bucketed_ann_topk(emb, q, k=5, bits=ANN_BITS, n_probes=n)
+            bucketed_ann_topk(sp, q, k=5, bits=ANN_BITS, n_probes=n)
             .select("query_id", "neighbor_id")
             .withColumn("n_probes", F.lit(n))
         )

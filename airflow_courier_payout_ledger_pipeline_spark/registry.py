@@ -499,6 +499,17 @@ ADJUDICATION_WINDOW_NEXT_PLAN: list[str] = [
     # r17 ADVICE); the compacted twins complete the file's evidence set
     "bm25_search_compacted",
     "substring_search_compacted",
+    # operators/search.py changed in r18 (bm25 one-pass stats fold + the
+    # vote argmax aggregation); the two live hybrid rails complete the
+    # file's evidence set (the indexed/dual/vote consumers already ride the
+    # active window)
+    "hybrid_search_rrf",
+    "hybrid_search_rrf_indexed",
+    # queries_ext_curation.py changed in r18 (the shards pipeline's bin
+    # layout attaches at chunk grain — attach_shard_layout); the module's
+    # evidence set lands fresh driver rows here
+    "training_shards_end_to_end",
+    "zorder_incremental_compaction",
 ]
 
 

@@ -841,3 +841,41 @@ def test_semdedup_indexed_centroids_roundtrip_and_pairs_match_literal_form(
     lit_rows = sorted(map(tuple, semdedup_pairs(emb, cents, 0.38, max_cluster=40).collect()))
     idx_rows = sorted(map(tuple, semdedup_pairs(emb, loaded, 0.38, max_cluster=40).collect()))
     assert lit_rows == idx_rows and lit_rows
+
+
+def test_spread_corpus_gate_is_conditional(spark, tmp_path):
+    """r18 (r17 verdict item 7): the corpus spread must fire on a deficient
+    scan (single small file — the testdata shape), must NOT re-spread a frame
+    whose lineage already carries a repartition (the eval rails hoist ONE
+    shared spread across variant arms), and must NOT add a shuffle when the
+    file scan already splits to at least the session parallelism (a
+    multi-split production table)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.similarity import (
+        _spread_corpus,
+    )
+
+    one = str(tmp_path / "one_file")
+    spark.range(64).selectExpr(
+        "id AS vec_id", "array(CAST(id AS FLOAT)) AS embedding"
+    ).coalesce(1).write.parquet(one)
+    single = spark.read.parquet(one).select("vec_id", "embedding")
+    spread = _spread_corpus(single)
+    assert spread is not single
+    assert "Repartition" in spread._jdf.queryExecution().logical().toString()
+
+    # already-spread lineage: identity, no second exchange
+    assert _spread_corpus(spread) is spread
+    assert _spread_corpus(spread.select("vec_id", "embedding")) is not None
+    again = _spread_corpus(spread.select("vec_id", "embedding"))
+    assert (
+        again._jdf.queryExecution().logical().toString().count("Repartition") == 1
+    )
+
+    many = str(tmp_path / "many_files")
+    n_files = spark.sparkContext.defaultParallelism + 1
+    spark.range(64).selectExpr(
+        "id AS vec_id", "array(CAST(id AS FLOAT)) AS embedding"
+    ).repartition(n_files).write.parquet(many)
+    multi = spark.read.parquet(many).select("vec_id", "embedding")
+    assert len(multi.inputFiles()) >= spark.sparkContext.defaultParallelism
+    assert _spread_corpus(multi) is multi

@@ -412,3 +412,28 @@ def test_shard_layout_rejects_reserved_column_collisions(spark):
         df = spark.createDataFrame([(1, 0)], f"doc_id long, {bad} int")
         with pytest.raises(ValueError, match="reserved layout names"):
             training_shard_layout(df, "doc_id", 4)
+
+
+def test_attach_shard_layout_equals_distinct_layout_join(spark):
+    """attach_shard_layout at row grain ≡ training_shard_layout over the
+    distinct ids joined back — the law the r18 shards-pipeline restructure
+    rests on (dense_rank over (md5(id), id) ties exactly on equal ids)."""
+    from airflow_courier_payout_ledger_pipeline_spark.operators.sampling import (
+        attach_shard_layout,
+        training_shard_layout,
+    )
+
+    rows = [(i // 3, i) for i in range(300)] + [(None, 999)]
+    df = spark.createDataFrame(rows, "bin_id long, payload long")
+    direct = attach_shard_layout(df, "bin_id", 7)
+    joined = df.join(
+        training_shard_layout(df.select("bin_id").distinct(), "bin_id", 7),
+        "bin_id",
+    )
+    key = lambda r: (r["bin_id"], r["payload"], r["shard"], r["shard_pos"])  # noqa: E731
+    a = sorted(map(key, direct.collect()))
+    b = sorted(map(key, joined.collect()))
+    assert a == b and a
+    # partitioning independence
+    c = sorted(map(key, attach_shard_layout(df.repartition(5), "bin_id", 7).collect()))
+    assert a == c

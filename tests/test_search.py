@@ -549,3 +549,40 @@ def test_eval_rails_raise_past_max_queries(spark, tmp_path):
     assert knn_vote_agreement_indexed(
         lake, "idx", emb, emb, k=3, shortlist=7, max_queries=7
     ).count() == 1
+
+
+def test_modal_label_vote_argmax_equals_rank_window(spark):
+    """r18: _modal_label_vote's struct-min argmax must reproduce the rank
+    window it replaced bit-for-bit — vote ties break to the smallest label,
+    NULL labels lose every tie (NULLS LAST) but win when strictly modal."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from airflow_courier_payout_ledger_pipeline_spark.operators.search import (
+        _modal_label_vote,
+    )
+
+    rows = (
+        [(1, "b")] * 3 + [(1, "a")] * 3          # tie -> 'a'
+        + [(2, None)] * 2 + [(2, "z")] * 2       # tie vs NULL -> 'z'
+        + [(3, None)] * 3 + [(3, "q")]           # NULL strictly modal -> NULL
+        + [(4, "only")]
+    )
+    nn_lab = spark.createDataFrame(rows, "query_id int, __nl string")
+    got = sorted(map(tuple, _modal_label_vote(nn_lab, ["query_id"]).collect()))
+
+    votes = nn_lab.groupBy("query_id", "__nl").agg(F.count("*").alias("votes"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc_nulls_last("__nl")
+    )
+    ref = sorted(
+        map(
+            tuple,
+            votes.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .drop("__r")
+            .collect(),
+        )
+    )
+    assert got == ref
+    assert dict((q, l) for q, l, _ in got) == {1: "a", 2: "z", 3: None, 4: "only"}

@@ -44,7 +44,14 @@ SHUFFLE_BUDGET = {
     "image_png_features": 1,
     "similarity_pq_adc": 2,  # broadcast ADC tables; top-k window + r17 corpus spread
     "similarity_ivf_pq": 2,  # broadcast centroid-routed join; top-k window + r17 spread
-    "bm25_search": 1,  # single conditional-agg doc shuffle; stats are a driver row
+    # r18 reviewed loosening 1 -> 3 for ONE FEWER CORPUS PASS: the stats
+    # .first() (a second synchronous tokenize pass per search) folded into
+    # the plan as a broadcast 1-row aggregate over the SAME per_doc subtree.
+    # Statically that adds the per_doc exchange's second copy (same logical
+    # subtree — runtime ReusedExchange is structural) + the stats agg's
+    # single-partition exchange (carries one partial row per task); the
+    # corpus now tokenizes once per search instead of twice
+    "bm25_search": 3,
     "heavy_hitters": 2,  # CMS state agg + candidate-only exact count (probe is map-side)
     # r18 reviewed loosening 1 -> 2: the scoring pass's tokenized input now
     # SPREADS ahead of the gram explode (guide §2.5 — the one-task docs scan
@@ -74,9 +81,11 @@ SHUFFLE_BUDGET = {
     # re-executed subtrees; collected bound + semi/anti joins = 4; collected
     # affected list = 2.)
     "zorder_incremental_compaction": 2,
-    # chunk explode is map-side; range-partition prefix sum + bin rollup +
-    # bin distinct + shard window + chunk x bin-layout sort-merge join
-    "training_shards_end_to_end": 6,
+    # r18 tightening 6 -> 2: the bin layout attaches at chunk grain
+    # (attach_shard_layout's dense_rank — law-proven ≡ the old bin-distinct
+    # → shard window → bin-keyed SMJ chain), so only the prefix sum's __pid
+    # window exchange + ONE hash(shard) window exchange remain
+    "training_shards_end_to_end": 2,
     # (day,user) distinct + day-state window + readout-day merge window +
     # estimate agg; states fan out by sequence-explode, spine broadcasts
     "kmv_rolling_7d_distinct": 4,
@@ -114,13 +123,18 @@ SHUFFLE_BUDGET = {
     "similarity_ann_multiprobe": 2,  # r17: +1 corpus spread  # probes explode broadcast-side; one top-k window
     # eval: 1 brute-force window + 4 probe-setting search windows +
     # truth-grid join + final rollup
-    "ann_recall_multiprobe": 13,  # r17: spread repeats statically per variant arm (runtime ReusedExchange dedupes)
+    "ann_recall_multiprobe": 13,  # r18: ONE hoisted spread shared by truth + arms (static copies per branch; ReusedExchange structural)
     # eval query (not a production pipeline): 1 brute-force window + 6
     # variant×nprobe search windows + truth-grid join + final rollup
-    "ivf_recall_trained_vs_seeded": 17,  # r17: per-variant static spread copies
+    "ivf_recall_trained_vs_seeded": 17,  # r18: ONE hoisted spread shared by truth + arms (static copies per branch)
     # eval query: 1 exact-L2 truth window + 4 variant search windows +
     # truth-grid join + final rollup
-    "pq_recall_eval": 12,  # r17: static spread copies
+    # r18 reviewed loosening 12 -> 13: the exact-L2 truth leg now shares the
+    # ONE hoisted corpus spread with the 4 variant arms (it previously ran
+    # its |Q|x|C| distance fold on the single scan task); all 5 static spread
+    # copies are the same logical subtree, so runtime ReusedExchange dedupes
+    # them structurally
+    "pq_recall_eval": 13,
     # round-12 eval: 1 exact-L2 truth window + ONE shared-encode sweep (the
     # per-(setting, query) top-k window over the single candidate frame) +
     # truth-grid join + final rollup (training/gating collects eagerly; the
